@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+import graft.query.RefParity
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2): reference
+  * parity (range query over ingested block layout) plus the extension
+  * surface (aggregations, joins, windows, set ops, scalar functions,
+  * time windows, dedup, similarity, text analysis, multimodal).
+  * `oracleSql` carries the DuckDB-equivalent SQL for every
+  * SQL-expressible query; same column names both sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefParity.queries ++
+    Relational.queries ++
+    Windows.queries
+
+  def oracleSql: Map[String, String] =
+    RefParity.oracleSql ++
+    Relational.oracleSql ++
+    Windows.oracleSql
 }

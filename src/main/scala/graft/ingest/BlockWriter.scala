@@ -1,0 +1,66 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch ingestion with the reference's storage semantics, re-expressed for
+  * Spark + Parquet (SURVEY.md §1.2, §2.1 #4-#11).
+  *
+  * Reference behavior (/root/reference/blockManager.go:29-72,
+  * filesystemStorageAdapter.go:30-61): rows are hash-grouped by a string
+  * PartitionColumn into per-partition block files of ≤ MaxSize rows; each
+  * block file's name carries the KeyColumn min/max so queries can skip
+  * blocks without opening them (block.go:109-115, 143-199).
+  *
+  * Spark mapping:
+  *  - partition dirs  ← `partitionBy(bucket)` (Hive-style layout);
+  *  - block size cap  ← `maxRecordsPerFile`;
+  *  - filename zone-map ← Parquet footer min/max stats (automatic), made
+  *    *effective* by sorting rows within each partition on
+  *    (partitionCol, keyCol) so every file covers a narrow key range;
+  *  - content-hash idempotency ← Spark's file commit protocol.
+  *
+  * Scale note: the reference partitions by the raw entity key — one
+  * directory per user. At 100 TB / millions of users that is a small-files
+  * catastrophe, so we partition by a *bucket* of the key
+  * (`pmod(xxhash64(key), numBuckets)`) and cluster by (key, time) inside
+  * each bucket: partition pruning still eliminates (buckets-1)/buckets of
+  * the data for a point lookup, and footer stats prune within the bucket.
+  * `bucketFor` is deterministic, so readers compute the same bucket.
+  */
+object BlockWriter {
+
+  val DefaultBuckets = 64
+  val DefaultMaxRecordsPerFile = 8192L // reference MaxSize, blockManager_test.go:19
+
+  def bucketCol(partitionCol: String, numBuckets: Int) =
+    pmod(xxhash64(col(partitionCol)), lit(numBuckets)).cast("int")
+
+  /** Write `df` as a partitioned, key-clustered Parquet layout under `base`. */
+  def write(df: DataFrame, base: String, partitionCol: String, keyCol: String,
+            numBuckets: Int = DefaultBuckets,
+            maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit = {
+    df.withColumn("bucket", bucketCol(partitionCol, numBuckets))
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(partitionCol), col(keyCol))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .parquet(base)
+  }
+
+  /** Reference-faithful layout: one directory per raw partition-key value
+    * (`<base>/<pk>/...`, filesystemStorageAdapter.go:26-28). Only sane for
+    * low-cardinality keys; kept for parity tests.
+    */
+  def writeByKey(df: DataFrame, base: String, partitionCol: String, keyCol: String,
+                 maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit = {
+    df.sortWithinPartitions(col(partitionCol), col(keyCol))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(base)
+  }
+}

@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Relational operator catalog: aggregations, grouping sets, joins
+  * (broadcast / multiway / semi / anti / theta / as-of / range), set ops.
+  *
+  * The reference (/root/reference) has none of these — SURVEY.md §2.2 marks
+  * them absent — so they are the north-star extension surface, built on
+  * stock Catalyst operators (declarative plans → pushdown, join reorder,
+  * AQE, whole-stage codegen all free).
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins broadcast the small side explicitly;
+  *  - fact-fact joins are equi-key first so Catalyst picks shuffled hash /
+  *    sort-merge on the key, with range predicates as residual filters —
+  *    never a cartesian;
+  *  - the as-of join is the union+window formulation (one shuffle+sort,
+  *    no join explosion) rather than join+argmax.
+  *
+  * Every aggregate/computed column is aliased identically in the Spark plan
+  * and the DuckDB oracle SQL (driver hash-compares by sorted column name).
+  * Doubles that pass through arithmetic are round()ed on both sides so
+  * summation-order ulp differences can't flip the hash.
+  */
+object Relational {
+  private def r2(c: Column): Column = round(c, 2)
+  private val DAY_US = 86400000000L // 24h in microseconds
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations -------------------------------------------------
+    "q1_pricing_summary" -> { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          r2(avg(col("l_extendedprice"))).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    "q2_revenue_filter" -> { (s, d) =>
+      // Filter + single global agg; predicate must reach the parquet scan
+      // (PushedFilters) — the general form of the reference's residual
+      // row-range filter (block.go:117-141).
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+    },
+    "q3_distinct_agg" -> { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("n"))
+    },
+    "q4_rollup" -> { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+    },
+    "q5_cube" -> { (s, d) =>
+      Tables.table(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+    },
+
+    // ---- joins ---------------------------------------------------------
+    "j1_join_broadcast" -> { (s, d) =>
+      // customer is a dimension (150k rows at sf=100) → broadcast, no shuffle
+      // of the orders fact side.
+      Tables.table(s, d, "orders")
+        .join(broadcast(Tables.table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
+    },
+    "j2_join_multiway" -> { (s, d) =>
+      // TPC-H Q5 shape: lineitem⋈orders shuffle on the fact keys; the four
+      // dimension sides broadcast.
+      val li = Tables.table(s, d, "lineitem")
+      val o  = Tables.table(s, d, "orders")
+      val c  = Tables.table(s, d, "customer")
+      val sp = Tables.table(s, d, "supplier")
+      val n  = Tables.table(s, d, "nation")
+      val rg = Tables.table(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sp), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+    },
+    "j3_semi_join" -> { (s, d) =>
+      Tables.table(s, d, "customer")
+        .join(
+          Tables.table(s, d, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    "j4_anti_join" -> { (s, d) =>
+      Tables.table(s, d, "customer")
+        .join(
+          Tables.table(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+    },
+    "j5_theta_join" -> { (s, d) =>
+      // Theta join with an equi prefix: Catalyst hash-joins on nationkey and
+      // applies acctbal> as residual — stays O(matches), never cartesian.
+      Tables.table(s, d, "supplier").join(
+          Tables.table(s, d, "customer"),
+          col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    "j6_asof_join" -> { (s, d) =>
+      // As-of join (last non-purchase event preceding each purchase, per
+      // user) via the union+window formulation: a single shuffle+sort per
+      // user, no pairwise join — the scalable as-of at 100 TB.
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("prev_event_id",
+          last(when(col("event_type") =!= "purchase", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("prev_event_id"))
+    },
+    "j7_range_join" -> { (s, d) =>
+      // Range join with an equi prefix (user_id) — hash join on the key,
+      // time-range as residual; pair count bounded by per-user density.
+      val e = Tables.events(s, d).select(col("user_id"), col("ts_us"))
+      val a = e.as("a")
+      val b = e.as("b")
+      a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+          col("b.ts_us") > col("a.ts_us") &&
+          col("b.ts_us") <= col("a.ts_us") + lit(DAY_US))
+        .groupBy(col("a.user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // ---- sorts / limits / top-k ----------------------------------------
+    "s1_topk" -> { (s, d) =>
+      // Global top-k: Spark plans TakeOrderedAndProject — per-partition
+      // heap then driver-side k-merge; no global sort at scale.
+      Tables.table(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    },
+
+    // ---- set ops ---------------------------------------------------------
+    "set1_intersect" -> { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+      o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+        .intersect(o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey")))
+    },
+    "set2_except" -> { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+      o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+        .except(o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey")))
+    },
+    "set3_union" -> { (s, d) =>
+      Tables.table(s, d, "orders").filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("custkey"))
+        .union(Tables.table(s, d, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("custkey")))
+        .distinct()
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS distinct_suppliers,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q4_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q5_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "j1_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "j2_join_multiway" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "j3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "j5_theta_join" ->
+      """SELECT s_nationkey AS nation, count(*) AS n_pairs
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY s_nationkey""".stripMargin,
+    "j6_asof_join" ->
+      """SELECT event_id, user_id, prev_event_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_event_id
+        |  FROM events) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "j7_range_join" ->
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 86400000000
+        |GROUP BY a.user_id""".stripMargin,
+    "s1_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "set1_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+    "set2_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+    "set3_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Window-function catalog: ranking, running aggregates, lag/lead, frames.
+  * Absent from the reference (SURVEY.md §2.2) — stock Catalyst `Window`.
+  *
+  * Scale: every window here partitions by a high-cardinality key
+  * (customer / supplier), so the single shuffle it costs spreads evenly;
+  * no global (unpartitioned) ordering anywhere.
+  * All orderings carry a unique tie-break column so results are
+  * deterministic for the oracle hash-compare.
+  */
+object Windows {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_rank_topn" -> { (s, d) =>
+      // Top-3 orders per customer — the distributed top-k-per-group idiom
+      // (row_number over partition, filter) instead of any global sort.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.table(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+    "w2_running_sum" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, d, "orders")
+        .withColumn("run_total", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
+    },
+    "w3_lag_delta" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.table(s, d, "orders")
+        .withColumn("delta", round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("delta"))
+    },
+    "w4_moving_avg" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.table(s, d, "lineitem")
+        .withColumn("mov_avg_qty", round(avg(col("l_quantity")).over(w), 4))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mov_avg_qty"))
+    },
+    "w5_dense_pct" -> { (s, d) =>
+      // dense_rank + cumulative distribution over acctbal within nation.
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.table(s, d, "customer")
+        .withColumn("drank", dense_rank().over(w))
+        .withColumn("cdist", round(cume_dist().over(w), 4))
+        .select(col("c_nationkey"), col("c_custkey"), col("drank"), col("cdist"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w1_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+        |FROM orders""".stripMargin,
+    "w3_lag_delta" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        |FROM orders""".stripMargin,
+    "w4_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg_qty
+        |FROM lineitem""".stripMargin,
+    "w5_dense_pct" ->
+      """SELECT c_nationkey, c_custkey,
+        |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drank,
+        |  round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 4) AS cdist
+        |FROM customer""".stripMargin
+  )
+}
