@@ -22,10 +22,26 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefParity.queries ++
     Relational.queries ++
-    Windows.queries
+    Windows.queries ++
+    Fns.queries ++
+    TextAnalysis.queries ++
+    Dedup.queries ++
+    Sim.queries ++
+    TimeWindows.queries ++
+    Stats.queries ++
+    Shapes.queries ++
+    Multimodal.queries
 
   def oracleSql: Map[String, String] =
     RefParity.oracleSql ++
     Relational.oracleSql ++
-    Windows.oracleSql
+    Windows.oracleSql ++
+    Fns.oracleSql ++
+    TextAnalysis.oracleSql ++
+    Dedup.oracleSql ++
+    Sim.oracleSql ++
+    TimeWindows.oracleSql ++
+    Stats.oracleSql ++
+    Shapes.oracleSql ++
+    Multimodal.oracleSql
 }

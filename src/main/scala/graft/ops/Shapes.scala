@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Remaining relational shapes: outer joins, cross join, pivot,
+  * explode/posexplode (the generator/UDTF surface), union-all.
+  * All absent from the reference (SURVEY.md §2.2).
+  */
+object Shapes {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j8_outer_join" -> { (s, d) =>
+      // Full outer customer↔high-value orders: preserves customers with no
+      // big order AND (synthetic) orders with no matching customer.
+      val c = Tables.table(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.table(s, d, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), col("o_totalprice"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+        .agg(count(col("o_custkey")).as("n_big_orders"),
+          count(lit(1)).as("n_rows"))
+    },
+    "j9_cross_join" -> { (s, d) =>
+      // Explicit cartesian of two tiny dims — the only sane cross join.
+      Tables.table(s, d, "region").crossJoin(Tables.table(s, d, "nation"))
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") === col("n_regionkey")).cast("int").as("is_member"))
+    },
+    "p1_pivot" -> { (s, d) =>
+      // Pivot order status → columns, per priority. Values enumerated
+      // explicitly so the plan is a single pass (no distinct-collect job).
+      Tables.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(col("o_orderpriority"), col("O").as("total_o"),
+          col("F").as("total_f"), col("P").as("total_p"))
+    },
+    "x1_wordcount" -> { (s, d) =>
+      // The generator surface: explode each doc into words, global counts.
+      Tables.table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+    },
+    "x2_posexplode" -> { (s, d) =>
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("pos") < 5)
+    },
+    "set4_union_all" -> { (s, d) =>
+      val o = Tables.table(s, d, "orders")
+      o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"), lit(1997).as("yr"))
+        .unionAll(o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"), lit(1998).as("yr")))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "j8_outer_join" ->
+      """SELECT coalesce(c_mktsegment, '<none>') AS segment,
+        |  count(o_custkey) AS n_big_orders, count(*) AS n_rows
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+        |FULL JOIN (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "j9_cross_join" ->
+      """SELECT r_name, n_name, CAST(r_regionkey = n_regionkey AS INT) AS is_member
+        |FROM region CROSS JOIN nation""".stripMargin,
+    "p1_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "x1_wordcount" ->
+      """SELECT w AS word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w""".stripMargin,
+    "x2_posexplode" ->
+      """SELECT doc_id, u.pos AS pos, u.word AS word
+        |FROM (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+        |          i -> {'pos': i - 1, 'word': string_split(text, ' ')[i]})) AS u
+        |      FROM documents)
+        |WHERE u.pos < 5""".stripMargin,
+    "set4_union_all" ->
+      """SELECT o_custkey, 1997 AS yr FROM orders WHERE year(o_orderdate) = 1997
+        |UNION ALL
+        |SELECT o_custkey, 1998 AS yr FROM orders WHERE year(o_orderdate) = 1998""".stripMargin
+  )
+}

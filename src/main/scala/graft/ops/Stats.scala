@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Statistical aggregates, percentiles, sketches, grouping sets, and the
+  * UDAF extension surface. Absent from the reference (SURVEY.md §2.2 — its
+  * only aggregates are per-block min/max/count).
+  *
+  * Scale notes: all are single-shuffle partial+final aggregations;
+  * approx_count_distinct is the HLL sketch path whose merge cost is O(sketch)
+  * not O(distinct), the only way count-distinct survives 100 TB;
+  * exact percentiles hold per-group value buffers — fine for bounded groups,
+  * use approx_percentile when groups are unbounded.
+  */
+object Stats {
+
+  /** Typed UDAF example (the user-extension surface): geometric mean via
+    * log-sum — a numerically stable streaming aggregate with a tiny
+    * (Double, Long) buffer, partial+final mergeable so Spark map-side
+    * combines it like any built-in.
+    */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      if (x > 0) (b._1 + math.log(x), b._2 + 1) else b
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_stats_agg" -> { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("cov_disc_tax"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+    },
+    "a2_percentiles" -> { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          transform(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
+            x => round(x, 4)).as("qty_quartiles"),
+          round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("median_price"))
+    },
+    "a3_hll_sketch" -> { (s, d) =>
+      // HLL++ sketch count-distinct (rsd 1%) next to the exact count —
+      // no oracle (sketch internals are engine-specific); the driver
+      // records rows-only, StatsSpec asserts the 1% envelope.
+      Tables.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
+          countDistinct(col("o_custkey")).as("exact_custs"))
+    },
+    "a4_grouping_sets" -> { (s, d) =>
+      // SQL frontend: GROUPING SETS through spark.sql over a temp view.
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+    "u1_udaf_geomean" -> { (s, d) =>
+      val geomean = udaf(GeoMean)
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(geomean(col("l_extendedprice")), 2).as("geomean_price"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_extendedprice), 2) AS var_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a2_percentiles" ->
+      """SELECT l_linestatus,
+        |  list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+        |    x -> round(x, 4)) AS qty_quartiles,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "a4_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "u1_udaf_geomean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_extendedprice))), 2) AS geomean_price
+        |FROM lineitem WHERE l_extendedprice > 0 GROUP BY l_returnflag""".stripMargin
+  )
+}

