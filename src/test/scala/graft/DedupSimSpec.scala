@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sim}
+
+/** Equivalence/recall checks for the approximate dedup + ANN operators —
+  * the guarantees the DuckDB oracle can't express (SURVEY.md §5.4).
+  */
+class DedupSimSpec extends SparkSuite {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a), col(b)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pair set") {
+    val exact = pairSet(Dedup.jaccardPairs(spark, sf, 0.8), "doc_a", "doc_b")
+    val lsh = pairSet(Dedup.minhashLshPairs(spark, sf, 0.8), "doc_a", "doc_b")
+    assert(lsh === exact)
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("SimHash banded pairs equal brute-force hamming pairs") {
+    // Brute force: all-pairs hamming over the same signatures.
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh64"))
+    val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = Dedup.simhashPairs(spark, sf)
+    assert(pairSet(banded, "doc_a", "doc_b") === pairSet(brute, "doc_a", "doc_b"))
+  }
+
+  test("exact dedup keeps one representative per distinct content") {
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+    val distinctTexts = docs.select(col("text")).distinct().count()
+    assert(Dedup.queries("d1_exact_dedup")(spark, sf).count() === distinctTexts)
+  }
+
+  test("LSH ANN recall@5 >= 0.9 vs brute force") {
+    val exact = pairSet(Sim.knnBrute(spark, sf), "q_id", "vec_id")
+    val lsh = pairSet(Sim.knnLsh(spark, sf), "q_id", "vec_id")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall")
+  }
+
+  test("IVF ANN recall@5 >= 0.7 vs brute force") {
+    val exact = pairSet(Sim.knnBrute(spark, sf), "q_id", "vec_id")
+    val ivf = pairSet(Sim.knnIvf(spark, sf), "q_id", "vec_id")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall")
+  }
+
+  test("HLL sketch count-distinct lands within the 5-sigma rsd envelope") {
+    val rows = graft.ops.Stats.queries("a3_hll_sketch")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_custs").toDouble
+      val exact = r.getAs[Long]("exact_custs").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL ${approx} vs exact ${exact}")
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+import graft.ingest.BlockWriter
+import graft.query.RangeQuery
+import graft.tables.Tables
+
+/** The five reference behavioral contracts (SURVEY.md §5) plus the zone-map
+  * soundness property, ported to the Spark build:
+  *  - ingest→query round trip returns exactly the rows in the inclusive
+  *    key range (block.go:117-141 semantics);
+  *  - block files respect the MaxSize row cap (blockManager.go:65-67);
+  *  - pruning never drops a qualifying row (block.go:143-199 soundness);
+  *  - partition pruning + pushdown actually fire in the plan (SURVEY.md §4);
+  *  - missing partition key / inverted range are empty, not errors.
+  */
+class IngestQuerySpec extends SparkSuite with TableDrivenPropertyChecks {
+
+  private lazy val base: String = {
+    val dir = tmpDir("graft_ingest_spec")
+    BlockWriter.write(Tables.events(spark, sf).drop("ts", "ts_t"),
+      dir, partitionCol = "user_id", keyCol = "ts_us",
+      numBuckets = 8, maxRecordsPerFile = 64)
+    dir
+  }
+
+  private def queryCount(pk: Long, lo: Long, hi: Long): Long =
+    RangeQuery.query(spark, base, "user_id", "ts_us",
+      lit(pk), lit(lo), lit(hi), numBuckets = 8).count()
+
+  private def directCount(pk: Long, lo: Long, hi: Long): Long =
+    Tables.events(spark, sf)
+      .filter(col("user_id") === pk && col("ts_us").between(lo, hi)).count()
+
+  test("round trip: ingest then full-range query preserves every row") {
+    val total = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(base).count() === total)
+  }
+
+  test("inclusive range bounds match an in-memory filter across ranges") {
+    val bounds = Tables.events(spark, sf)
+      .agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo
+    val cases = Table(
+      ("pk", "lo", "hi"),
+      (13L, lo, hi),                      // everything
+      (13L, lo + span / 4, hi - span / 4), // interior
+      (13L, lo, lo),                      // degenerate single point
+      (13L, hi + 1, hi + 2),              // past the end -> empty
+      (7L,  lo + span / 3, lo + 2 * span / 3),
+      (0L,  lo, hi)
+    )
+    forAll(cases) { (pk, l, h) =>
+      assert(queryCount(pk, l, h) === directCount(pk, l, h))
+    }
+  }
+
+  test("boundary rows are included on both ends (inclusive semantics)") {
+    // Pick an actual event of user 13 and query exactly [ts, ts].
+    val ts = Tables.events(spark, sf).filter(col("user_id") === 13L)
+      .select(col("ts_us")).head().getLong(0)
+    assert(queryCount(13L, ts, ts) >= 1)
+  }
+
+  test("missing partition key and inverted range are empty, not errors") {
+    assert(queryCount(999999L, 0L, Long.MaxValue / 2) === 0)
+    assert(queryCount(13L, 100L, 0L) === 0)
+  }
+
+  test("maxRecordsPerFile bounds every block file (reference MaxSize)") {
+    val counts = spark.read.parquet(base)
+      .withColumn("file", input_file_name())
+      .groupBy(col("file")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(counts <= 64)
+  }
+
+  test("plan prunes partitions and pushes the range filter into the scan") {
+    val df = RangeQuery.query(spark, base, "user_id", "ts_us",
+      lit(13L), lit(0L), lit(Long.MaxValue / 2), numBuckets = 8)
+    val (partFilters, pushed) = RangeQuery.scanFilters(df)
+    assert(partFilters.exists(_.contains("bucket")), s"no bucket partition filter in $partFilters")
+    assert(pushed.exists(_.contains("user_id")), s"user_id not pushed: $pushed")
+    assert(pushed.exists(_.contains("ts_us")), s"ts_us range not pushed: $pushed")
+  }
+
+  test("writeByKey reference-faithful layout round-trips a range query") {
+    val dir = tmpDir("graft_bykey_spec")
+    BlockWriter.writeByKey(Tables.events(spark, sf).drop("ts", "ts_t"),
+      dir, "user_id", "ts_us", maxRecordsPerFile = 64)
+    val got = RangeQuery.queryByKey(spark, dir, "user_id", "ts_us",
+      lit(13L), lit(0L), lit(Long.MaxValue / 2)).count()
+    assert(got === directCount(13L, 0L, Long.MaxValue / 2))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Sessionize, StreamIngest}
+import graft.query.RangeQuery
+
+/** Structured Streaming contracts: the reference's streaming ingest
+  * lifecycle (SURVEY.md §3.1) and the stateful/windowed extensions.
+  */
+class StreamingSpec extends SparkSuite {
+  import Sessionize.{Event, Session}
+
+  test("streaming ingest commits queryable, pruned block files") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val base = tmpDir("graft_stream_base")
+    val cp = tmpDir("graft_stream_cp")
+    val stream = mem.toDF().toDF("user_id", "ts_us", "value")
+    val q = StreamIngest.start(stream, base, cp, "user_id", "ts_us",
+      numBuckets = 4, maxRecordsPerFile = 10, maxAgeMs = 100L)
+    try {
+      mem.addData((1 to 50).map(i => (i.toLong % 3, i.toLong * 1000, i / 2.0)): _*)
+      q.processAllAvailable()
+      mem.addData((51 to 60).map(i => (i.toLong % 3, i.toLong * 1000, i / 2.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // all 60 rows committed exactly once
+    assert(spark.read.parquet(base).count() === 60)
+    // and the bucketed layout serves a pruned range query
+    val got = RangeQuery.query(spark, base, "user_id", "ts_us",
+      lit(1L), lit(10000L), lit(20000L), numBuckets = 4)
+    val expected = (10 to 20).count(i => i % 3 == 1)
+    assert(got.count() === expected)
+    val (partFilters, _) = RangeQuery.scanFilters(got)
+    assert(partFilters.exists(_.contains("bucket")))
+  }
+
+  test("sessionize closes sessions on the event-time gap") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val gap = 30L * 60 * 1000 * 1000 // 30 min in us
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessions(spark, mem.toDS(), gapUs = gap)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // user 1: two bursts separated by > gap; user 2: one burst
+    mem.addData(
+      Event(1, 0, 1.0), Event(1, 1000000, 2.0),
+      Event(1, gap + 2000000, 3.0), // closes burst 1
+      Event(2, 0, 5.0))
+    out.processAllAvailable()
+    out.stop()
+    val sessions = spark.table("sessions_out").as[Session].collect()
+    // only user 1's first session is closed; open sessions stay in state
+    assert(sessions.toSet === Set(Session(1, 0, 1000000, 2, 3.0)))
+  }
+
+  test("watermarked window aggregation merges in-window rows") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts_t", "event_type", "value")
+    val out = StreamIngest.windowedCounts(df, "ts_t", "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    mem.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(40), "view", 3.0))
+    out.processAllAvailable()
+    // advance watermark past 11:00 so the 10:00 window closes
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "click", 1.0))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("win_out")
+      .select(col("event_type"), col("n"), col("sum_value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+}
