@@ -50,6 +50,34 @@ object BlockWriter {
       .parquet(base)
   }
 
+  /** Small-files compaction: re-read a [[write]] layout and rewrite it with
+    * a larger per-file cap, preserving the bucket dirs and re-clustering on
+    * (partitionCol, keyCol) so footer-stats pruning stays tight.
+    *
+    * This is the Spark form of the reference's committed-block re-ingestion
+    * path (/root/reference/fileStreamAdapter_test.go:13-17 reads a stored
+    * block back through the stream source — SURVEY.md §3.3 flags that as
+    * the compaction enabler). Streaming ingest under a short MaxAge
+    * produces many small blocks (8192-row cap, 1 s flush); at 100 TB the
+    * periodic compactor is what keeps file counts — and therefore listing
+    * and task-scheduling overhead — bounded.
+    *
+    * Writes to `dstBase` (an in-place rewrite would read and clobber the
+    * same files); callers swap directories after success.
+    */
+  def compact(spark: SparkSession, srcBase: String, dstBase: String,
+              partitionCol: String, keyCol: String,
+              maxRecordsPerFile: Long = 4 * 1024 * 1024): Unit = {
+    spark.read.parquet(srcBase)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(partitionCol), col(keyCol))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .parquet(dstBase)
+  }
+
   /** Reference-faithful layout: one directory per raw partition-key value
     * (`<base>/<pk>/...`, filesystemStorageAdapter.go:26-28). Only sane for
     * low-cardinality keys; kept for parity tests.

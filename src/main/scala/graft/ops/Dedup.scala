@@ -15,8 +15,8 @@ import graft.tables.Tables
   *    (explode → join on shingle) so cost is Σ postings², not n² docs —
   *    and the LSH variant caps even that by bucketing signatures so only
   *    same-bucket docs ever pair;
-  *  - MinHash signatures are computed map-side as k=32 column mins over the
-  *    shingle array (no per-hash explode), then banded 16×2;
+  *  - MinHash signatures are k=32 codegen'd groupBy-mins over one exploded
+  *    shingle pass, then banded 16×2;
   *  - SimHash is one 64-bit signature per doc, paired via 4×16-bit
   *    pigeonhole bands (hamming ≤ 3 ⇒ at least one band equal);
   *  - embedding near-dup joins on an LSH-free exact path here (testdata has
@@ -24,29 +24,64 @@ import graft.tables.Tables
   */
 object Dedup {
 
-  /** Word 3-shingles (distinct) of a text column, lowercased. Empty array
-    * for docs shorter than 3 words (sequence() would go descending).
+  /** Distinct word 3-shingles of one document, lowercased.
+    *
+    * A plain JVM kernel on purpose: the Catalyst formulation
+    * (transform(sequence)+element_at lambdas) is interpreted, not
+    * codegen'd, and a fresh JVM pays 100-400 s of cold-interpreter time
+    * before C2 warms the expression-eval stack (measured at sf0.1; warm
+    * runs were 7 s). Tight Scala code JITs in milliseconds and is what a
+    * 100 TB shingling pass should run anyway. Split semantics match
+    * Spark/DuckDB `split(text, ' ')` (limit -1 keeps empties).
     */
-  def shingles(text: Column): Column = {
-    val words = split(lower(text), " ")
-    array_distinct(
-      when(size(words) >= 3,
-        transform(sequence(lit(1), size(words) - 2), i =>
-          concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
-        .otherwise(array().cast("array<string>")))
+  def shingleSeq(text: String): Array[String] = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (words.length < 3) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String]
+      var i = 0
+      while (i <= words.length - 3) {
+        seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** doc_id + distinct shingle array. */
+  def docShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, shingleSeq(t)) }
+      .toDF("doc_id", "sh")
   }
 
   /** doc_id + exploded distinct shingles — the inverted-index relation. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.table(s, d, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => shingleSeq(t).map(sh => (id, sh)) }
+      .toDF("doc_id", "shingle")
+  }
 
-  /** Exact pairwise Jaccard ≥ `threshold` via the inverted shingle index. */
+  /** Exact pairwise Jaccard ≥ `threshold` via the inverted shingle index.
+    *
+    * Hot-path choices (measured at sf0.1: 129 s → single-digit):
+    *  - postings join on an 8-byte xxhash64 of the shingle, not the ~20-char
+    *    string (collision odds ~n²/2⁶⁴ — immaterial);
+    *  - the index is persisted: it feeds both join sides and the size agg,
+    *    and recomputing the explode three times dominates otherwise;
+    *  - doc sizes broadcast to annotate pairs without a shuffle.
+    */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val idx = shingleIndex(s, d)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -64,50 +99,52 @@ object Dedup {
   val NumBands = 16 // 16 bands × 2 rows: P(miss | J=0.8) = (1-0.64)^16 ≈ 8e-8
   private val MersennePrime = 2305843009213693951L // 2^61 - 1
 
-  /** k universal-hash mins over the shingle array, computed map-side.
-    * h_i(x) = (a_i * x + b_i) mod p over x = xxhash64(shingle) folded to
-    * 31 bits; a_i < 2^31 odd, so a_i*x < 2^62 — no long overflow under
-    * ANSI mode (Spark 4 default). a_i/b_i derive from the hash index via
-    * public splitmix64-style mixing constants, so signatures are
-    * deterministic across sessions.
-    */
-  def minhashSignature(shingleArr: Column): Array[Column] =
-    (0 until NumHashes).map { i =>
-      val a = ((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) | 1L // odd, < 2^31
-      val b = (0xBF58476D1CE4E5B9L * (i + 7)) >>> 3         // < 2^61
-      array_min(transform(shingleArr, sh =>
-        pmod(lit(a) * pmod(xxhash64(sh), lit(1L << 31)) + lit(b), lit(MersennePrime))))
-    }.toArray
-
   /** Candidate near-dup pairs via MinHash banding, then exact-Jaccard
     * verified ≥ threshold — so false positives are filtered and (at this
     * band config) false negatives are ~impossible, making the output equal
     * to [[jaccardPairs]] with overwhelming probability.
     */
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = Tables.table(s, d, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = minhashSignature(col("sh"))
+    // Signatures via explode + groupBy-min: the k=32 universal-hash mins
+    // h_i(x) = (a_i*x + b_i) mod p over x = xxhash64(shingle) folded to 31
+    // bits (a_i < 2^31 odd keeps a_i*x < 2^62 — no long overflow under
+    // ANSI mode, Spark 4 default) are computed by codegen'd hash/agg
+    // expressions over one exploded pass, not by k interpreted
+    // higher-order folds per doc. a_i/b_i derive from the hash index via
+    // public splitmix64-style mixing constants — deterministic signatures.
+    val idx = shingleIndex(s, d)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(1L << 31)).as("x"))
+    val minCols = (0 until NumHashes).map { i =>
+      val a = ((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) | 1L
+      val b = (0xBF58476D1CE4E5B9L * (i + 7)) >>> 3
+      min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"h$i")
+    }
+    val sigs = idx.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val rowsPerBand = NumHashes / NumBands
     val bands = (0 until NumBands).map { bnd =>
-      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(sig(_))
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(r => col(s"h$r"))
       struct(lit(bnd).as("band"), hash(cols: _*).as("sig"))
     }
-    val bucketed = docs
-      .select(col("doc_id"), col("sh"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.sig"))
-    // Pair docs sharing any band bucket. Dedup candidate pairs BEFORE the
-    // exact verify so each pair is verified once, not once per colliding
-    // band. (At scale: cap bucket width to bound skew — a degenerate bucket
-    // of m docs costs m²/2 candidates.)
+    // Slim (doc_id, band, sig) rows through the candidate join — the
+    // shingle arrays are re-joined only for the few surviving candidates.
+    val bucketed = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+    // Dedup candidate pairs BEFORE the exact verify so each pair is
+    // verified once, not once per colliding band. (At scale: cap bucket
+    // width to bound skew — a degenerate bucket of m docs costs m²/2.)
     val cands = bucketed.as("a").join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cands
+    // Broadcast the (small) candidate set, stream the docs table past it
+    // twice to attach both shingle arrays — never broadcasts doc content.
+    val docs = docShingles(s, d)
+    val withA = docs.join(broadcast(cands), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("sh").as("sha"))
+    docs.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sha"), col("sh").as("shb"))
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")), 4))
@@ -134,8 +171,20 @@ object Dedup {
     * paired via 4×16-bit pigeonhole bands: distance ≤ 3 ⇒ some band equal.
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    val docs = Tables.table(s, d, "documents")
-      .select(col("doc_id"), simhash(col("text")).as("sh64"))
+    // Signature via explode + 64 codegen'd conditional sums (one shuffle),
+    // not 64 interpreted array folds per doc — same votes, same signature
+    // as simhash() (DedupSimSpec asserts the banded pairs match brute force
+    // computed with simhash()).
+    val words = Tables.table(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val voteCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val docs = words.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sh64"))
     val banded = docs.select(col("doc_id"), col("sh64"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -164,20 +213,11 @@ object Dedup {
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
     "d4_simhash" -> { (s, d) => simhashPairs(s, d) },
     "d5_embedding_neardup" -> { (s, d) =>
-      // Exact cosine near-dup pairs over 64-d embeddings. zip_with +
-      // sequential double fold so the oracle can reproduce the arithmetic.
-      // (Banded/ANN variants live in Sim.scala; this is the exact gate.)
-      val e = Tables.table(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          sqrt(aggregate(col("embedding"), lit(0.0d),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", round(
-          aggregate(zip_with(col("a.embedding"), col("b.embedding"),
-            (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0d), (acc, p) => acc + p) / (col("a.norm") * col("b.norm")), 4))
-        .filter(col("cos") >= 0.45)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      // Exact cosine near-dup pairs over 64-d embeddings via the blocked
+      // broadcast×scan kernel (VecOps) — same sequential-double arithmetic
+      // as the DuckDB oracle. (ANN variants live in Sim.scala; this is the
+      // exact gate.)
+      VecOps.cosinePairs(s, Tables.table(s, d, "embeddings"), "vec_id", "embedding", 0.45)
     }
   )
 

@@ -79,6 +79,17 @@ object Stats {
       Tables.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(round(geomean(col("l_extendedprice")), 2).as("geomean_price"))
+    },
+    "u2_scalar_udf" -> { (s, d) =>
+      // Scalar UDF surface. Deliberately trivial: UDFs are an escape hatch
+      // (opaque to Catalyst — no pushdown through them, no codegen), so
+      // anything expressible as built-ins shouldn't be one; this registers
+      // the mechanism. Compare fnv64 (t5) for the right way to extend hot
+      // paths.
+      val vowels = udf((text: String) =>
+        if (text == null) 0 else text.count("aeiou".contains(_)))
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), vowels(col("text")).as("n_vowels"))
     }
   )
 
@@ -103,6 +114,10 @@ object Stats {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "u2_scalar_udf" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
+        |FROM documents""".stripMargin,
     "u1_udaf_geomean" ->
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_extendedprice))), 2) AS geomean_price

@@ -92,6 +92,15 @@ object TextAnalysis {
         (length(col("text")) + 3).cast("long"). // ~4 chars/token heuristic
           divide(4).cast("long").as("approx_bpe_tokens"))
     },
+    "t5_fnv_fingerprint" -> { (s, d) =>
+      // Native codegen'd Catalyst expression (graft.functions.FnvHash64)
+      // through the SQL function registry — the custom-Expression tier.
+      graft.functions.GraftFunctions.register(s)
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        expr("fnv64(text)").as("fnv"),
+        pmod(expr("fnv64(text)"), lit(1024)).as("shard"))
+    },
     "t4_fingerprint" -> { (s, d) =>
       // Normalized document fingerprint (the "collection fingerprint" of
       // Gionis et al-style dedup pipelines): lowercase, tokenise, distinct,
@@ -153,6 +162,22 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS word_tokens,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS approx_bpe_tokens
         |FROM documents""".stripMargin,
+    // FNV-1a re-derived in DuckDB via a HUGEINT list_reduce mod 2^64 (text
+    // is ASCII so ord(char) == byte).
+    "t5_fnv_fingerprint" ->
+      """WITH r AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::HUGEINT)),
+        |    (acc, b) -> ((acc - acc % 256 +
+        |        xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT))::HUGEINT)
+        |      * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+        |            THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS fnv,
+        |  CAST(hv % 1024 AS BIGINT) AS shard
+        |FROM r""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,

@@ -86,6 +86,20 @@ class IngestQuerySpec extends SparkSuite with TableDrivenPropertyChecks {
     assert(pushed.exists(_.contains("ts_us")), s"ts_us range not pushed: $pushed")
   }
 
+  test("compaction shrinks file count, preserves rows and pruned queries") {
+    val dst = tmpDir("graft_compact_spec")
+    BlockWriter.compact(spark, base, dst, "user_id", "ts_us")
+    def nFiles(dir: String): Long =
+      spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    assert(nFiles(dst) < nFiles(base))
+    assert(spark.read.parquet(dst).count() === spark.read.parquet(base).count())
+    val got = RangeQuery.query(spark, dst, "user_id", "ts_us",
+      lit(13L), lit(0L), lit(Long.MaxValue / 2), numBuckets = 8)
+    assert(got.count() === directCount(13L, 0L, Long.MaxValue / 2))
+    val (partFilters, _) = RangeQuery.scanFilters(got)
+    assert(partFilters.exists(_.contains("bucket")))
+  }
+
   test("writeByKey reference-faithful layout round-trips a range query") {
     val dir = tmpDir("graft_bykey_spec")
     BlockWriter.writeByKey(Tables.events(spark, sf).drop("ts", "ts_t"),
