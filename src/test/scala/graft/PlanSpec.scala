@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan shape assertions: the properties that make these plans
+  * survive a 100× scale-up — dimension joins broadcast, fact predicates
+  * push into scans, no accidental cartesians, bounded shuffle counts.
+  * (The reference's two optimizations — partition pruning + zone-map skip —
+  * are asserted in IngestQuerySpec; this covers the extension surface.)
+  */
+class PlanSpec extends SparkSuite {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force execution so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  /** Flatten including AQE wrappers: QueryStageExec nodes are leaf-like
+    * (children = Nil) and hide their materialized plan behind `.plan`.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra ++ p.subqueries).flatMap(flatten)
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    flatten(p).collect(pf)
+
+  private def run(name: String): SparkPlan =
+    executed(SparkEntry.queries(name)(spark, sf))
+
+  test("j1: dimension join is a broadcast hash join (no fact shuffle for the join)") {
+    val plan = run("j1_join_broadcast")
+    assert(collectAll(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
+  test("j2: all four dimension sides broadcast; only fact-fact shuffles") {
+    val plan = run("j2_join_multiway")
+    val bhj = collectAll(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 4, s"expected >=4 broadcast joins, got ${bhj.size}")
+  }
+
+  test("j5/j7: theta and range joins never degrade to cartesian product") {
+    for (q <- Seq("j5_theta_join", "j7_range_join")) {
+      val plan = run(q)
+      assert(collectAll(plan) { case c: CartesianProductExec => c }.isEmpty, q)
+      assert(collectAll(plan) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty, q)
+    }
+  }
+
+  test("q2: filter predicates reach the parquet scan") {
+    val plan = run("q2_revenue_filter")
+    val pushed = collectAll(plan) { case s: FileSourceScanExec => s }
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(f => f.contains("l_discount") && f.contains("l_quantity")),
+      s"filters not pushed: $pushed")
+  }
+
+  test("q1: aggregation is partial+final (map-side combine before shuffle)") {
+    val plan = run("q1_pricing_summary")
+    val aggModes = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.aggregateExpressions.map(_.mode).distinct
+    }.flatten
+    assert(aggModes.exists(_.toString == "Partial") && aggModes.exists(_.toString == "Final"),
+      s"agg modes: $aggModes")
+  }
+
+  test("scans prune columns: q1 reads only the columns it needs") {
+    val plan = run("q1_pricing_summary")
+    val schemas = collectAll(plan) { case s: FileSourceScanExec => s.requiredSchema }
+    assert(schemas.nonEmpty)
+    // lineitem has 16 columns; q1 needs 6.
+    assert(schemas.forall(_.size <= 6), s"read schema too wide: $schemas")
+  }
+
+  test("s1: global top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = run("s1_topk")
+    val hasTopK = collectAll(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty
+    assert(hasTopK, s"no TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("single-pass queries shuffle at most once per aggregation level") {
+    val plan = run("ts1_tumbling_window")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"expected <=1 shuffle, got ${shuffles.size}")
+  }
+}
