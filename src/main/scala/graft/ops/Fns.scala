@@ -83,6 +83,24 @@ object Fns {
         sha2(col("text"), 256).as("text_sha256"),
         (length(col("text")) % 64).as("len_bucket"))
     },
+    "f8_timestamp_fns" -> { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        hour(col("ts_t")).as("hr"),
+        minute(col("ts_t")).as("mins"),
+        dayofweek(col("ts_t")).as("dow"),
+        unix_timestamp(col("ts_t")).as("epoch_s"),
+        date_format(col("ts_t"), "yyyy-MM-dd HH").as("hour_key"),
+        (col("ts_us") % 86400000000L).as("us_into_day"))
+    },
+    "f9_string_distance" -> { (s, d) =>
+      // Edit distance between doc source labels and a probe string — the
+      // fuzzy-matching primitive of entity resolution.
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        levenshtein(col("source"), lit("src12")).as("lev_to_src12"),
+        levenshtein(col("lang"), col("source")).as("lev_lang_src"))
+    },
     "f7_conditional_fns" -> { (s, d) =>
       Tables.table(s, d, "orders").select(
         col("o_orderkey"),
@@ -148,6 +166,20 @@ object Fns {
         |  md5(text) AS text_md5,
         |  sha256(text) AS text_sha256,
         |  length(text) % 64 AS len_bucket
+        |FROM documents""".stripMargin,
+    "f8_timestamp_fns" ->
+      """SELECT event_id,
+        |  hour(ts) AS hr,
+        |  minute(ts) AS mins,
+        |  dayofweek(ts) + 1 AS dow,
+        |  epoch_us(ts) // 1000000 AS epoch_s,
+        |  strftime(ts, '%Y-%m-%d %H') AS hour_key,
+        |  epoch_us(ts) % 86400000000 AS us_into_day
+        |FROM events""".stripMargin,
+    "f9_string_distance" ->
+      """SELECT doc_id,
+        |  levenshtein(source, 'src12') AS lev_to_src12,
+        |  levenshtein(lang, source) AS lev_lang_src
         |FROM documents""".stripMargin,
     "f7_conditional_fns" ->
       """SELECT o_orderkey,

@@ -50,6 +50,14 @@ object Shapes {
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .filter(col("pos") < 5)
     },
+    "x3_collect_list" -> { (s, d) =>
+      // Array-building aggregation: per nation, the sorted set of market
+      // segments its customers belong to.
+      Tables.table(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n_cust"))
+    },
     "set4_union_all" -> { (s, d) =>
       val o = Tables.table(s, d, "orders")
       o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"), lit(1997).as("yr"))
@@ -85,6 +93,11 @@ object Shapes {
         |          i -> {'pos': i - 1, 'word': string_split(text, ' ')[i]})) AS u
         |      FROM documents)
         |WHERE u.pos < 5""".stripMargin,
+    "x3_collect_list" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "set4_union_all" ->
       """SELECT o_custkey, 1997 AS yr FROM orders WHERE year(o_orderdate) = 1997
         |UNION ALL

@@ -50,6 +50,19 @@ object Windows {
         .withColumn("mov_avg_qty", round(avg(col("l_quantity")).over(w), 4))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mov_avg_qty"))
     },
+    "w6_ntile_firstlast" -> { (s, d) =>
+      // ntile deciles + frame-bounded first/last values per supplier.
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.table(s, d, "supplier")
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("top_bal", round(first(col("s_acctbal")).over(wf), 2))
+        .withColumn("bottom_bal", round(last(col("s_acctbal")).over(wf), 2))
+        .withColumn("prank", round(percent_rank().over(w), 4))
+        .select(col("s_nationkey"), col("s_suppkey"), col("decile"),
+          col("top_bal"), col("bottom_bal"), col("prank"))
+    },
     "w5_dense_pct" -> { (s, d) =>
       // dense_rank + cumulative distribution over acctbal within nation.
       val w = Window.partitionBy(col("c_nationkey"))
@@ -81,6 +94,16 @@ object Windows {
         |  round(avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg_qty
         |FROM lineitem""".stripMargin,
+    "w6_ntile_firstlast" ->
+      """SELECT s_nationkey, s_suppkey,
+        |  ntile(10) OVER w AS decile,
+        |  round(first_value(s_acctbal) OVER wf, 2) AS top_bal,
+        |  round(last_value(s_acctbal) OVER wf, 2) AS bottom_bal,
+        |  round(percent_rank() OVER w, 4) AS prank
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey),
+        |       wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "w5_dense_pct" ->
       """SELECT c_nationkey, c_custkey,
         |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drank,

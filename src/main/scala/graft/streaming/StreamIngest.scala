@@ -44,6 +44,21 @@ object StreamIngest {
       .outputMode("append")
       .start()
 
+  /** Stream-stream inner join: each left event pairs with right events for
+    * the same key within `within` after it. Both sides watermarked so the
+    * join state is bounded — the condition gives Spark the range it needs
+    * to evict buffered rows (unbounded state is the failure mode of naive
+    * stream joins at scale).
+    */
+  def streamJoin(left: DataFrame, leftKey: String, leftTs: String,
+                 right: DataFrame, rightKey: String, rightTs: String,
+                 delay: String, within: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+
   /** Event-time tumbling-window counts with a watermark — the late-data
     * policy the reference lacks (SURVEY.md §2.2: late rows there just open
     * a new block; here they merge into their true event-time window until

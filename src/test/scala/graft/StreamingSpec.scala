@@ -61,6 +61,28 @@ class StreamingSpec extends SparkSuite {
     assert(sessions.toSet === Set(Session(1, 0, 1000000, 2, 3.0)))
   }
 
+  test("stream-stream join pairs events within the time bound, state bounded") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamIngest.streamJoin(
+      clicks.toDF().toDF("c_user", "c_ts"), "c_user", "c_ts",
+      buys.toDF().toDF("b_user", "b_ts"), "b_user", "b_ts",
+      delay = "10 minutes", within = "30 minutes")
+    val out = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    clicks.addData((1L, ts(0)), (2L, ts(5)))
+    buys.addData((1L, ts(10)), (1L, ts(50)), (2L, ts(4))) // 50 outside bound, 04 before click
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("ssj_out").select(col("c_user"), col("b_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(rows === Set((1L, ts(10))))
+  }
+
   test("watermarked window aggregation merges in-window rows") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
