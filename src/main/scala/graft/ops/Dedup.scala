@@ -167,24 +167,45 @@ object Dedup {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Spark-compatible xxhash64 of a string (same value as the SQL
+    * `xxhash64(col)`: XXH64 over the UTF-8 bytes, seed 42).
+    */
+  def xxh64String(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** 64-bit SimHash of one document — JVM kernel (same signature the
+    * Catalyst [[simhash]] expression computes; DedupSimSpec's brute-force
+    * pass uses the expression, so any divergence fails the equality test).
+    */
+  def simhash64(text: String): Long = {
+    val words = new java.util.LinkedHashSet[String]
+    text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach(words.add)
+    val votes = new Array[Int](64)
+    words.forEach { w =>
+      val h = xxh64String(w)
+      var j = 0
+      while (j < 64) { votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** Near-dup pairs with SimHash hamming distance ≤ maxDist (default 3),
     * paired via 4×16-bit pigeonhole bands: distance ≤ 3 ⇒ some band equal.
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    // Signature via explode + 64 codegen'd conditional sums (one shuffle),
-    // not 64 interpreted array folds per doc — same votes, same signature
-    // as simhash() (DedupSimSpec asserts the banded pairs match brute force
-    // computed with simhash()).
-    val words = Tables.table(s, d, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val voteCols = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val docs = words.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sh64"))
+    import s.implicits._
+    // Signatures map-side in the JVM kernel: one pass, no shuffle until
+    // the (slim) banded pair join.
+    val docs = Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t)) }
+      .toDF("doc_id", "sh64")
     val banded = docs.select(col("doc_id"), col("sh64"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

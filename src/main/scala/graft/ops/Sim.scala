@@ -1,46 +1,39 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
+import graft.ops.VecOps.Vec
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-d float vectors). Absent from the reference (SURVEY.md §2.2).
   *
   * Three tiers, trading recall for scan cost:
-  *  - v1 brute force: broadcast the query set, score every base vector,
-  *    top-k per query via window — exact, cost O(|base|·|queries|), the
-  *    right plan when queries are few (the common batch-scoring shape);
-  *  - v2 random-hyperplane LSH: 16-bit signs signature, candidates must
-  *    share one of 4 pigeonhole bands — cost collapses to matching buckets;
-  *  - v3 IVF: coarse quantizer of K deterministic centroids, probe the
-  *    nearest 2 cells — the FAISS-style scale path where only ~2/K of the
-  *    base set is scanned per query.
-  * v2/v3 are approximate → no SQL oracle; SimSpec measures recall against
-  * v1 instead. v1 is DuckDB-oracle-checked.
+  *  - v1 brute force: broadcast the query set, score every base vector in
+  *    one pass (VecOps kernel), top-k per query via window — exact, cost
+  *    O(|base|·|queries|), the right plan when queries are few;
+  *  - v2 random-hyperplane LSH: 16-bit sign signature; the query side's
+  *    band buckets are a broadcast index, base vectors stream past it and
+  *    score only on bucket hits — one scan, no self-join;
+  *  - v3 IVF: coarse quantizer of K deterministic centroids; queries probe
+  *    their 2 nearest cells (computed driver-side — the query set is
+  *    small) and only base vectors assigned to probed cells are scored —
+  *    the FAISS-style scale path where ~probes/K of the base set is read.
+  * All scoring runs in the VecOps JVM kernel (interpreted zip_with/
+  * aggregate HOF expressions cost minutes of cold-JVM time — see VecOps).
+  * v2/v3 are approximate → no SQL oracle; DedupSimSpec pins recall floors
+  * against v1 instead. v1 is DuckDB-oracle-checked.
   */
 object Sim {
 
   val K = 5
   val NumQueries = 8 // query set = vec_id < 8
-
-  /** Sequential-fold double dot product — same arithmetic order as the
-    * DuckDB oracle's list_sum(list_transform(...)) so values match exactly.
-    */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, p) => acc + p)
-
-  def norm(v: Column): Column = sqrt(dot(v, v))
-
-  private def base(s: SparkSession, d: String): DataFrame =
-    Tables.table(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-
-  private def queriesDf(s: SparkSession, d: String): DataFrame =
-    base(s, d).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+  val NumPlanes = 16
+  val NumBands = 8 // 2 bits per band: recall ≈ 1-(1-p²)^8, measured 1.0 @ cos .4
+  val NumCells = 16
+  val NumProbes = 2
 
   private def topK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -49,86 +42,112 @@ object Sim {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
-  /** Exact top-k: broadcast queries, score via the blocked VecOps kernel
-    * (tight JVM loop — the interpreted zip_with formulation measured 6 s
-    * for 16k pairs at sf0.1), then per-query window top-k.
-    */
-  def knnBrute(s: SparkSession, d: String): DataFrame = {
-    val tbl = Tables.table(s, d, "embeddings")
-    val qs = VecOps.vectors(s, tbl.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
-    topK(VecOps.scoreAgainst(s, tbl, "vec_id", "embedding", qs))
-  }
+  private def embeddings(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "embeddings")
+
+  private def queryVecs(s: SparkSession, d: String): Array[Vec] =
+    VecOps.vectors(s, embeddings(s, d).filter(col("vec_id") < NumQueries),
+      "vec_id", "embedding")
+
+  /** Exact top-k: broadcast queries × one base scan (VecOps kernel). */
+  def knnBrute(s: SparkSession, d: String): DataFrame =
+    topK(VecOps.scoreAgainst(s, embeddings(s, d), "vec_id", "embedding",
+      queryVecs(s, d)))
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 of the pair, folded to ±[0,1). Public splitmix-style trick —
-    * no RNG state, so executors agree without broadcasting planes.
+    * Spark-xxhash64 of the pair (XXH64, seed 42 — same value the SQL
+    * function produces), folded to ±[0,1). No RNG state → executors agree
+    * without shipping planes.
     */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val h = xxhash64(lit(plane.toLong) * 131071L + dim)
-    (pmod(h, lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  def planeComponent(plane: Int, dim: Int): Double =
+    (Math.floorMod(XXH64.hashLong(plane.toLong * 131071L + dim, 42L), 2000001L)
+      - 1000000L).toDouble / 1000000.0
+
+  /** 16-bit random-hyperplane sign signature. */
+  def rhpSignature(emb: Array[Float]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < emb.length) { proj += emb(i).toDouble * planeComponent(p, i); i += 1 }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
   }
 
-  /** 16-bit random-hyperplane signature of a vector column. */
-  def rhpSignature(v: Column, numPlanes: Int = 16): Column =
-    (0 until numPlanes).map { p =>
-      val proj = aggregate(zip_with(v, sequence(lit(0), lit(63)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0d), (acc, t) => acc + t)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  private def bandChunks(sig: Long): IndexedSeq[(Int, Int)] =
+    (0 until NumBands).map(b => (b, ((sig >> (b * 2)) & 0x3L).toInt))
 
-  /** LSH ANN: candidates share ≥1 of 8 2-bit signature bands. At the
-    * target similarity (cos ≈ 0.4 ⇒ per-plane agreement ≈ 0.63) this gives
-    * recall ≈ 1-(1-0.63²)^8 ≈ 0.98; wider bands collapse the candidate set
-    * harder but recall drops fast (4-bit bands measured 0.52 on testdata).
+  /** LSH ANN: the query side's band buckets broadcast as an index; each
+    * base vector computes its signature, looks up colliding queries, and
+    * scores only those — one scan over the base, zero shuffles before the
+    * final (tiny) top-k.
     */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
-    def banded(df: DataFrame, idCol: String, sigIn: Column): DataFrame =
-      df.withColumn("sig", sigIn)
-        .select(col("*"), explode(array((0 until 8).map(bnd =>
-          struct(lit(bnd).as("band"),
-            shiftright(col("sig"), bnd * 2).bitwiseAND(0x3L).as("chunk"))): _*)).as("bk"))
-        .select(col(idCol), col("bk.band"), col("bk.chunk"))
-    val b = base(s, d).withColumn("sig", rhpSignature(col("embedding")))
-    val q = queriesDf(s, d).withColumn("sig", rhpSignature(col("q_emb")))
-    val bB = banded(b, "vec_id", col("sig"))
-    val bQ = banded(q, "q_id", col("sig"))
-    val cands = bQ.join(bB, Seq("band", "chunk"))
-      .select(col("q_id"), col("vec_id")).dropDuplicates("q_id", "vec_id")
-      .filter(col("q_id") =!= col("vec_id"))
-    val scored = cands
-      .join(b.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
-      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))), "q_id")
-      .withColumn("cos", round(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 4))
+    import s.implicits._
+    val qs = queryVecs(s, d)
+    val qBuckets: Map[(Int, Int), Seq[Long]] = qs.toSeq
+      .flatMap(q => bandChunks(rhpSignature(q.emb)).map(bc => bc -> q.id))
+      .groupMap(_._1)(_._2)
+    val qById = qs.map(v => v.id -> v).toMap
+    val bc = s.sparkContext.broadcast((qBuckets, qById))
+    val scored = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val (buckets, qm) = bc.value
+        val hits = bandChunks(rhpSignature(emb))
+          .flatMap(buckets.getOrElse(_, Nil)).distinct
+        if (hits.isEmpty) Iterator.empty
+        else {
+          val n = VecOps.normD(emb)
+          hits.iterator.filter(_ != id).map { q =>
+            val qv = qm(q)
+            (q, id, VecOps.round4(VecOps.dotD(emb, qv.emb) / (n * qv.norm)))
+          }
+        }
+      }.toDF("q_id", "vec_id", "cos")
     topK(scored)
   }
 
-  val NumCells = 16
-  val NumProbes = 2
-
-  /** IVF ANN: coarse centroids = the first NumCells base vectors (a
-    * deterministic seed choice; production swaps in k-means iterates —
-    * same plan shape). Every base vector is assigned to its nearest
-    * centroid once (a broadcast join), queries probe their NumProbes
-    * nearest cells, and only those cells are scanned.
+  /** IVF ANN: centroids = the first NumCells base vectors (deterministic
+    * seed choice; production swaps in k-means iterates — same plan shape).
+    * Cell probing for the (small) query set happens driver-side; the base
+    * scan assigns each vector to its nearest centroid and scores it only
+    * against queries probing that cell.
     */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
-    val cent = base(s, d).filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    def nearestCells(df: DataFrame, vec: Column, vnrm: Column, n: Int, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("cell"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("c_cos", dot(vec, col("c_emb")) / (vnrm * col("c_nrm")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= n)
-    }
-    val assigned = nearestCells(base(s, d), col("embedding"), col("nrm"), 1, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val probes = nearestCells(queriesDf(s, d), col("q_emb"), col("q_nrm"), NumProbes, "q_id")
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
-    val scored = probes.join(assigned, "cell")
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 4))
+    import s.implicits._
+    val all = embeddings(s, d)
+    val cents = VecOps.vectors(s, all.filter(col("vec_id") < NumCells),
+      "vec_id", "embedding")
+    val qs = queryVecs(s, d)
+    def cosVV(a: Vec, b: Vec): Double = VecOps.dotD(a.emb, b.emb) / (a.norm * b.norm)
+    // cell -> queries probing it (ties broken like the window did: by
+    // descending cos then centroid id)
+    val probes: Map[Long, Seq[Long]] = qs.toSeq
+      .flatMap { q =>
+        cents.sortBy(c => (-cosVV(q, c), c.id)).take(NumProbes).map(c => c.id -> q.id)
+      }.groupMap(_._1)(_._2)
+    val qById = qs.map(v => v.id -> v).toMap
+    val bc = s.sparkContext.broadcast((cents, probes, qById))
+    val scored = all.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val (cs, pr, qm) = bc.value
+        val n = VecOps.normD(emb)
+        var bestCell = -1L
+        var bestCos = Double.NegativeInfinity
+        cs.foreach { c =>
+          val cc = VecOps.dotD(emb, c.emb) / (n * c.norm)
+          if (cc > bestCos || (cc == bestCos && c.id < bestCell)) { bestCos = cc; bestCell = c.id }
+        }
+        pr.getOrElse(bestCell, Nil).iterator.filter(_ != id).map { q =>
+          val qv = qm(q)
+          (q, id, VecOps.round4(VecOps.dotD(emb, qv.emb) / (n * qv.norm)))
+        }
+      }.toDF("q_id", "vec_id", "cos")
     topK(scored)
   }
 
@@ -154,6 +173,6 @@ object Sim {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin
-    // v2/v3: approximate — recall measured against v1 in SimSpec, no oracle.
+    // v2/v3: approximate — recall measured against v1 in DedupSimSpec, no oracle.
   )
 }
