@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: parquet reader + codegen + a typed
+    // pipeline, so the first measured query doesn't absorb JVM/session
+    // init (~5 s otherwise lands on an arbitrary query).
+    locally {
+      import spark.implicits._
+      val warm = spark.read.parquet(s"$sfDir/region.parquet")
+      warm.select("r_regionkey").as[Long].map(_ + 1).reduce(_ + _)
+      warm.groupBy("r_name").count().collect()
+    }
     // Optional comma-separated query filter for local A/B runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])

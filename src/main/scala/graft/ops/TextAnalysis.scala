@@ -92,6 +92,27 @@ object TextAnalysis {
         (length(col("text")) + 3).cast("long"). // ~4 chars/token heuristic
           divide(4).cast("long").as("approx_bpe_tokens"))
     },
+    "t6_tfidf" -> { (s, d) =>
+      // TF-IDF over the corpus: tf = term count in doc, idf = ln(N/df).
+      // Two aggregations over one exploded pass + a broadcast join of the
+      // (vocabulary-sized) df table — the standard scalable shape. Output
+      // restricted to the top-scoring term per doc (deterministic
+      // tie-break) to keep the result compact.
+      import org.apache.spark.sql.expressions.Window
+      val docsN = Tables.table(s, d, "documents").count()
+      val terms = Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(df_), "term")
+        .withColumn("tfidf", round(col("tf") * log(lit(docsN.toDouble) / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tfidf").as("top_tfidf"))
+    },
     "t5_fnv_fingerprint" -> { (s, d) =>
       // Native codegen'd Catalyst expression (graft.functions.FnvHash64)
       // through the SQL function registry — the custom-Expression tier.
@@ -162,6 +183,21 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS word_tokens,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS approx_bpe_tokens
         |FROM documents""".stripMargin,
+    "t6_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, tfidf AS top_tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1""".stripMargin,
     // FNV-1a re-derived in DuckDB via a HUGEINT list_reduce mod 2^64 (text
     // is ASCII so ord(char) == byte).
     "t5_fnv_fingerprint" ->

@@ -59,6 +59,17 @@ object StreamIngest {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"interval $within"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same id arriving
+    * within the watermark delay. State holds one entry per id and is
+    * evicted as the watermark passes — the bounded-state streaming form of
+    * the batch d1_exact_dedup (at 100 TB/day the delay bound is what keeps
+    * dedup state from growing without limit).
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Event-time tumbling-window counts with a watermark — the late-data
     * policy the reference lacks (SURVEY.md §2.2: late rows there just open
     * a new block; here they merge into their true event-time window until

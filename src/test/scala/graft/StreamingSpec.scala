@@ -83,6 +83,26 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Set((1L, ts(10))))
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = StreamIngest.dedupStream(
+        mem.toDF().toDF("event_id", "ts_t", "value"), "event_id", "ts_t", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    mem.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 2.0))
+    out.processAllAvailable()
+    mem.addData((1L, ts(3), 1.0), (3L, ts(4), 3.0)) // 1 still duplicate
+    out.processAllAvailable()
+    out.stop()
+    val ids = spark.table("dedup_out").select(col("event_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("watermarked window aggregation merges in-window rows") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
