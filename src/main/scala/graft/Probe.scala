@@ -10,13 +10,14 @@ import graft.query.{RangeQuery, RefParity}
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.create(master = "local[8]", cores = 8)
     spark.sparkContext.setLogLevel("WARN")
+
+    // pure-SQL path through GraftSession: registered views + native fn
+    GraftSession.registerViews(spark, sfDir)
+    val sqlRows = spark.sql(
+      "SELECT count(DISTINCT fnv64(text)) AS n FROM documents").head().getLong(0)
+    println(s"PROBE sql_fnv64_distinct n=$sqlRows")
 
     val base = RefParity.ingestedEvents(spark, sfDir)
 

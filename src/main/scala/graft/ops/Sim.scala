@@ -154,7 +154,25 @@ object Sim {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> { (s, d) => knnBrute(s, d) },
     "v2_knn_lsh" -> { (s, d) => knnLsh(s, d) },
-    "v3_knn_ivf" -> { (s, d) => knnIvf(s, d) }
+    "v3_knn_ivf" -> { (s, d) => knnIvf(s, d) },
+    "v4_quantize" -> { (s, d) =>
+      // Per-vector scalar int8 quantization (min/max range): the storage
+      // compressor of embedding pipelines (4× smaller, dot products on
+      // ints). Map-side only; truncation toward zero on purpose so the
+      // oracle's CAST matches exactly. Range guard avoids 0-width vectors.
+      val e = Tables.table(s, d, "embeddings")
+        .withColumn("mn", array_min(col("embedding")).cast("double"))
+        .withColumn("mx", array_max(col("embedding")).cast("double"))
+      e.select(
+        col("vec_id"),
+        round(col("mn"), 6).as("v_min"),
+        round(col("mx"), 6).as("v_max"),
+        when(col("mx") > col("mn"),
+          transform(col("embedding"), x =>
+            ((x.cast("double") - col("mn")) / (col("mx") - col("mn")) * 255).cast("int")))
+          .otherwise(transform(col("embedding"), _ => lit(0)))
+          .as("q8"))
+    }
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -173,6 +191,18 @@ object Sim {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5""".stripMargin
+    ,
+    // Spark double→int cast truncates; DuckDB's rounds — hence trunc().
+    "v4_quantize" ->
+      """SELECT vec_id,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
+        |  CASE WHEN list_max(embedding) > list_min(embedding) THEN
+        |    list_transform(embedding, x ->
+        |      CAST(trunc((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+        |        / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255) AS INT))
+        |  ELSE list_transform(embedding, x -> 0) END AS q8
+        |FROM embeddings""".stripMargin
     // v2/v3: approximate — recall measured against v1 in DedupSimSpec, no oracle.
   )
 }
