@@ -220,6 +220,47 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ---- near-dup clustering ------------------------------------------------
+
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation: every doc starts labeled with its own id; each
+    * round every node takes the min label in its neighborhood; fixpoint in
+    * O(component diameter) rounds. Output = (doc_id, cluster) for every
+    * document (singletons cluster to themselves) — the canonical-
+    * representative assignment that turns pairwise near-dup hits into an
+    * actual dedup decision.
+    *
+    * Scale: each round is one join + one aggregation on (edge, label)
+    * rows; near-dup components are shallow (dup clusters are cliques or
+    * near-cliques), so rounds ≈ 2-3. The loop is driver-side but the data
+    * never is. localCheckpoint() breaks lineage growth across rounds.
+    */
+  def neardupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(s, d, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster", "nb_cluster"), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nb_cluster")).as("nb_min"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels
+  }
+
   // ---- queries ------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,6 +274,7 @@ object Dedup {
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
     "d4_simhash" -> { (s, d) => simhashPairs(s, d) },
+    "d6_neardup_clusters" -> { (s, d) => neardupClusters(s, d, 0.8) },
     "d5_embedding_neardup" -> { (s, d) =>
       // Exact cosine near-dup pairs over 64-d embeddings via the blocked
       // broadcast×scan kernel (VecOps) — same sequential-double arithmetic
@@ -267,6 +309,24 @@ object Dedup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "d2_ngram_jaccard" -> jaccardOracle(0.8),
     "d3_minhash_lsh" -> jaccardOracle(0.8),
+    // Connected components in SQL: symmetric-transitive closure of the
+    // near-dup edge set via a recursive CTE, then cluster = min reachable id.
+    "d6_neardup_clusters" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_a, doc_b FROM (${jaccardOracle(0.8).replace("\n", "\n  ")})),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster
+         |FROM documents d LEFT JOIN (
+         |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+         |ON d.doc_id = m.a""".stripMargin,
     // d4_simhash: no oracle — signature depends on Spark's xxhash64, which
     // DuckDB cannot reproduce; exactness is covered by DedupSpec (banded
     // pairs ≡ brute-force hamming pairs).

@@ -92,6 +92,19 @@ object TextAnalysis {
         (length(col("text")) + 3).cast("long"). // ~4 chars/token heuristic
           divide(4).cast("long").as("approx_bpe_tokens"))
     },
+    "t7_normalize" -> { (s, d) =>
+      // Canonical text cleaning: lowercase, strip non-alphanumerics,
+      // collapse whitespace, drop stopwords — the first stage of every
+      // LLM-corpus pipeline. Pure codegen'd projections.
+      val stop = Seq("the", "a", "of", "and", "to", "is", "in")
+      val cleaned = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        concat_ws(" ",
+          filter(split(trim(cleaned), " "), w => !w.isInCollection(stop) && w =!= ""))
+          .as("clean_text"))
+    },
     "t6_tfidf" -> { (s, d) =>
       // TF-IDF over the corpus: tf = term count in doc, idf = ln(N/df).
       // Two aggregations over one exploded pass + a broadcast join of the
@@ -182,6 +195,12 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_pretokens,
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS word_tokens,
         |  CAST((length(text) + 3) // 4 AS BIGINT) AS approx_bpe_tokens
+        |FROM documents""".stripMargin,
+    "t7_normalize" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |    w -> w NOT IN ('the','a','of','and','to','is','in') AND w <> ''), ' ') AS clean_text
         |FROM documents""".stripMargin,
     "t6_tfidf" ->
       """WITH terms AS (
