@@ -44,6 +44,13 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
 
     n_pass = n_fail = n_noracle = 0
+    manifest_path = Path(out_dir, "queries.json")
+    if manifest_path.exists():
+        expected = set(json.loads(manifest_path.read_text()))
+        present = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+        for name in sorted(expected - present):
+            print(f"  FAIL  {name}: no output written (query failed in Verify)")
+            n_fail += 1
     for qdir in sorted(Path(out_dir).iterdir()):
         if not qdir.is_dir():
             continue

@@ -40,6 +40,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every registered query, so checkers can flag queries
+    // whose dump is missing (i.e. failed above) instead of skipping them.
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.filter(n => only.isEmpty || only(n))
+        .sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -19,16 +19,17 @@ object Fns {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_string_fns" -> { (s, d) =>
-      Tables.table(s, d, "customer").select(
-        col("c_custkey"),
-        upper(col("c_name")).as("name_upper"),
-        length(col("c_address")).as("addr_len"),
-        substring(col("c_phone"), 1, 3).as("phone_cc"),
-        concat_ws("|", col("c_mktsegment"), col("c_comment")).as("seg_comment"),
-        trim(col("c_comment")).as("comment_trim"),
-        replace(col("c_phone"), lit("-"), lit(".")).as("phone_dots"),
-        reverse(col("c_name")).as("name_rev"),
-        lpad(col("c_custkey").cast("string"), 12, "0").as("key_pad"))
+      Tables.table(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_type")).as("type_len"),
+        substring(col("p_brand"), 1, 5).as("brand_pfx"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("name_trim"),
+        replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+        reverse(col("p_name")).as("name_rev"),
+        lpad(col("p_partkey").cast("string"), 12, "0").as("key_pad"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_first"))
     },
     "f2_date_fns" -> { (s, d) =>
       Tables.table(s, d, "orders").select(
@@ -108,23 +109,24 @@ object Fns {
           .when(col("o_totalprice") > 100000, "mid")
           .otherwise("low").as("price_band"),
         coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
-        least(col("o_shippriority") + 1, lit(1)).as("prio_capped"),
-        greatest(round(col("o_totalprice") * 0.1, 2), lit(50.0)).as("fee"))
+        least(length(col("o_orderpriority")), lit(8)).as("prio_capped"),
+        greatest(round(col("o_totalprice") * 0.1, 3), lit(50.0)).as("fee"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
     "f1_string_fns" ->
-      """SELECT c_custkey,
-        |  upper(c_name) AS name_upper,
-        |  length(c_address) AS addr_len,
-        |  substr(c_phone, 1, 3) AS phone_cc,
-        |  concat_ws('|', c_mktsegment, c_comment) AS seg_comment,
-        |  trim(c_comment) AS comment_trim,
-        |  replace(c_phone, '-', '.') AS phone_dots,
-        |  reverse(c_name) AS name_rev,
-        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad
-        |FROM customer""".stripMargin,
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  length(p_type) AS type_len,
+        |  substr(p_brand, 1, 5) AS brand_pfx,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  trim(p_name) AS name_trim,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  reverse(p_name) AS name_rev,
+        |  lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS key_pad,
+        |  split_part(p_type, ' ', 1) AS type_first
+        |FROM part""".stripMargin,
     "f2_date_fns" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS yr,
@@ -187,8 +189,8 @@ object Fns {
         |       WHEN o_totalprice > 100000 THEN 'mid'
         |       ELSE 'low' END AS price_band,
         |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
-        |  least(o_shippriority + 1, 1) AS prio_capped,
-        |  greatest(round(o_totalprice * 0.1, 2), 50.0) AS fee
+        |  least(length(o_orderpriority), 8) AS prio_capped,
+        |  greatest(round(o_totalprice * 0.1, 3), 50.0) AS fee
         |FROM orders""".stripMargin
   )
 }

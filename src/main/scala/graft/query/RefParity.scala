@@ -21,9 +21,13 @@ object RefParity {
   private def outCols(df: DataFrame): DataFrame =
     df.select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
 
-  /** Deterministic per-sf cache dir so the expensive ingest runs once. */
+  /** Deterministic per-sf cache dir so the expensive ingest runs once.
+    * LayoutVersion is part of the key — bump it whenever BlockWriter's
+    * layout changes so a stale cache from older code can't be read.
+    */
+  private val LayoutVersion = "v2"
   private def ingestDir(sfDir: String): String =
-    "/tmp/graft_ingest/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_ingest/$LayoutVersion/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   def ingestedEvents(spark: SparkSession, sfDir: String): String = {
     val base = ingestDir(sfDir)
