@@ -61,6 +61,48 @@ class StreamingSpec extends SparkSuite {
     assert(sessions.toSet === Set(Session(1, 0, 1000000, 2, 3.0)))
   }
 
+  test("sessionize maxEvents caps session size (the reference's MaxSize flush)") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessions(spark, mem.toDS(), gapUs = Long.MaxValue / 2, maxEvents = 3)
+      .writeStream.format("memory").queryName("maxev_out")
+      .outputMode("append").start()
+    // 7 events, no gaps: maxEvents=3 must close sessions of 3, 3 (last 1 stays open)
+    mem.addData((0 until 7).map(i => Event(5, i.toLong * 1000, 1.0)): _*)
+    out.processAllAvailable()
+    out.stop()
+    val ns = spark.table("maxev_out").as[Session].collect().map(_.n_events).sorted.toSeq
+    assert(ns === Seq(3L, 3L))
+  }
+
+  test("restart from checkpoint is exactly-once (no duplicates, no loss)") {
+    val s = spark
+    import s.implicits._
+    val in = tmpDir("graft_restart_in")
+    val base = tmpDir("graft_restart_base")
+    val cp = tmpDir("graft_restart_cp")
+    val schema = "user_id LONG, ts_us LONG, value DOUBLE"
+    def stream = spark.readStream.schema(schema).parquet(in)
+    def writeBatch(offset: Int): Unit =
+      (0 until 40).map(i => ((offset + i).toLong % 4, (offset + i).toLong * 1000, 1.0))
+        .toDF("user_id", "ts_us", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    writeBatch(0)
+    val q1 = StreamIngest.start(stream, base, cp, "user_id", "ts_us", numBuckets = 4)
+    q1.processAllAvailable(); q1.stop()
+    writeBatch(40)
+    // second incarnation resumes from the same checkpoint
+    val q2 = StreamIngest.start(stream, base, cp, "user_id", "ts_us", numBuckets = 4)
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(base)
+    assert(got.count() === 80, "exactly-once: batch1 not re-emitted on restart")
+    assert(got.select(col("ts_us")).distinct().count() === 80)
+  }
+
   test("stream-stream join pairs events within the time bound, state bounded") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
