@@ -102,6 +102,23 @@ object Fns {
         levenshtein(col("source"), lit("src12")).as("lev_to_src12"),
         levenshtein(col("lang"), col("source")).as("lev_lang_src"))
     },
+    "f10_regexp_fns" -> { (s, d) =>
+      Tables.table(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_caps"),
+        col("p_type").rlike("STEEL|BRASS").cast("int").as("is_metal"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        regexp_count(col("p_name"), lit("[a-z]+")).as("n_lower_runs"))
+    },
+    "q6_having" -> { (s, d) =>
+      // Aggregate + HAVING shape: segments whose average balance clears a
+      // floor (post-aggregation filter — Catalyst runs it after the final
+      // agg, never against raw rows).
+      Tables.table(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"), count(lit(1)).as("n"))
+        .filter(col("avg_bal") > 4400 && col("n") > 10)
+    },
     "f7_conditional_fns" -> { (s, d) =>
       Tables.table(s, d, "orders").select(
         col("o_orderkey"),
@@ -183,6 +200,17 @@ object Fns {
         |  levenshtein(source, 'src12') AS lev_to_src12,
         |  levenshtein(lang, source) AS lev_lang_src
         |FROM documents""".stripMargin,
+    "f10_regexp_fns" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '([A-Z]+)', 1) AS first_caps,
+        |  CAST(regexp_matches(p_type, 'STEEL|BRASS') AS INT) AS is_metal,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  len(regexp_extract_all(p_name, '[a-z]+')) AS n_lower_runs
+        |FROM part""".stripMargin,
+    "q6_having" ->
+      """SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment
+        |HAVING round(avg(c_acctbal), 2) > 4400 AND count(*) > 10""".stripMargin,
     "f7_conditional_fns" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000 THEN 'high'
