@@ -44,17 +44,20 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
 
     n_pass = n_fail = n_noracle = 0
+    present = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
     manifest_path = Path(out_dir, "queries.json")
     if manifest_path.exists():
         expected = set(json.loads(manifest_path.read_text()))
-        present = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
         for name in sorted(expected - present):
             print(f"  FAIL  {name}: no output written (query failed in Verify)")
             n_fail += 1
-    for qdir in sorted(Path(out_dir).iterdir()):
-        if not qdir.is_dir():
-            continue
-        name = qdir.name
+        # Compare only manifest queries: stale dumps from a previous run
+        # with a different filter must not masquerade as current results.
+        for name in sorted(present - expected):
+            print(f"  WARN  {name}: stale/unexpected dump (not in queries.json) — skipped")
+        present &= expected
+    for name in sorted(present):
+        qdir = Path(out_dir, name)
         got_rel = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
         got_cols = [d[0] for d in got_rel.description]
         got = got_rel.fetchall()

@@ -79,18 +79,25 @@ object Dedup {
     val idx = shingleIndex(s, d)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = idx.as("a").join(idx.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("na") + col("nb") - col("common")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    try {
+      val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = idx.as("a").join(idx.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 4))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        // Materialize the (small, threshold-filtered) pair set eagerly so
+        // the shingle-index cache can be dropped before returning — a
+        // Verify/Bench session runs d2, d3 and d6 back to back and must
+        // not accumulate index caches across invocations.
+        .localCheckpoint(true)
+    } finally idx.unpersist(false)
   }
 
   // ---- MinHash ------------------------------------------------------------
@@ -196,10 +203,17 @@ object Dedup {
   }
 
   /** Near-dup pairs with SimHash hamming distance ≤ maxDist (default 3),
-    * paired via 4×16-bit pigeonhole bands: distance ≤ 3 ⇒ some band equal.
+    * paired via pigeonhole banding: the 64 signature bits split into
+    * maxDist+1 near-equal bands, so distance ≤ maxDist ⇒ some band equal
+    * (soundness holds for ANY maxDist in [0, 63], not just the default).
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"maxDist must be in [0, 63], got $maxDist")
     import s.implicits._
+    val nBands = maxDist + 1
+    // band b covers bits [bounds(b), bounds(b+1)) — near-equal widths
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     // Signatures map-side in the JVM kernel: one pass, no shuffle until
     // the (slim) banded pair join.
     val docs = Tables.table(s, d, "documents")
@@ -207,9 +221,13 @@ object Dedup {
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "sh64")
     val banded = docs.select(col("doc_id"), col("sh64"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map { b =>
+        val lo = bounds(b)
+        val width = bounds(b + 1) - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1L
         struct(lit(b).as("band"),
-          shiftright(col("sh64"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("bk"))
+          shiftright(col("sh64"), lo).bitwiseAND(mask).as("chunk"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band"), col("bk.chunk"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -223,42 +241,61 @@ object Dedup {
   // ---- near-dup clustering ------------------------------------------------
 
   /** Connected components over the near-dup pair graph by iterative
-    * min-label propagation: every doc starts labeled with its own id; each
-    * round every node takes the min label in its neighborhood; fixpoint in
-    * O(component diameter) rounds. Output = (doc_id, cluster) for every
-    * document (singletons cluster to themselves) — the canonical-
-    * representative assignment that turns pairwise near-dup hits into an
-    * actual dedup decision.
+    * min-label propagation with pointer jumping: every edge-incident doc
+    * starts labeled with its own id; each round every node takes the min
+    * label in its neighborhood, then short-circuits through its label's
+    * label (path halving), so convergence is O(log diameter) rounds, not
+    * O(diameter). Output = (doc_id, cluster) for every document
+    * (singletons cluster to themselves) — the canonical-representative
+    * assignment that turns pairwise near-dup hits into an actual dedup
+    * decision.
     *
-    * Scale: each round is one join + one aggregation on (edge, label)
-    * rows; near-dup components are shallow (dup clusters are cliques or
-    * near-cliques), so rounds ≈ 2-3. The loop is driver-side but the data
-    * never is. localCheckpoint() breaks lineage growth across rounds.
+    * Scale: the iteration runs only over edge-incident docs (singletons —
+    * the overwhelming majority of a deduped corpus — never change and are
+    * attached by one final left join), each round is one join + one
+    * aggregation + one self-join on slim (id, label) rows, and
+    * localCheckpoint(eager) both bounds lineage and makes the per-round
+    * changed-count a cheap scan of cached blocks. The loop runs to the
+    * true fixpoint (changed == 0); a generous safety cap fails loudly
+    * rather than silently returning unconverged labels.
     */
   def neardupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val pairs = jaccardPairs(s, d, threshold).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.table(s, d, "documents")
+      .localCheckpoint(true)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0) {
+      rounds += 1
+      if (rounds > 64)
+        throw new IllegalStateException(
+          s"neardupClusters failed to converge after $rounds rounds ($changed labels still changing)")
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster", "nb_cluster"), "doc_b")
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("nb_cluster")).as("nb_min"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
+          col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = updated
-      rounds += 1
+      // pointer jumping: cluster ids are themselves doc ids in `labels`,
+      // so l(x) := l(l(x)) — halves label-chain length every round
+      val jumped = propagated.as("x")
+        .join(labels.select(col("doc_id").as("p_id"), col("cluster").as("p_cluster")),
+          col("x.cluster") === col("p_id"), "left")
+        .select(col("x.doc_id").as("doc_id"), col("x.old").as("old"),
+          least(col("x.cluster"), coalesce(col("p_cluster"), col("x.cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("cluster") =!= col("old")).count()
+      labels = jumped.select(col("doc_id"), col("cluster"))
     }
-    labels
+    Tables.table(s, d, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   // ---- queries ------------------------------------------------------------

@@ -52,10 +52,12 @@ object Shapes {
     },
     "x3_collect_list" -> { (s, d) =>
       // Array-building aggregation: per nation, the sorted set of market
-      // segments its customers belong to.
+      // segments its customers belong to. Serialized to a joined string so
+      // the driver's pandas-side sort/hash (which cannot order array cells)
+      // can compare it.
       Tables.table(s, d, "customer")
         .groupBy(col("c_nationkey"))
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
           count(lit(1)).as("n_cust"))
     },
     "set4_union_all" -> { (s, d) =>
@@ -95,7 +97,7 @@ object Shapes {
         |WHERE u.pos < 5""".stripMargin,
     "x3_collect_list" ->
       """SELECT c_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
         |  count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "set4_union_all" ->

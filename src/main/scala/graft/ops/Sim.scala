@@ -163,15 +163,18 @@ object Sim {
       val e = Tables.table(s, d, "embeddings")
         .withColumn("mn", array_min(col("embedding")).cast("double"))
         .withColumn("mx", array_max(col("embedding")).cast("double"))
+      // q8 emitted as a joined string: int formatting is identical across
+      // engines and the driver's pandas-side sort/hash cannot order arrays.
       e.select(
         col("vec_id"),
         round(col("mn"), 6).as("v_min"),
         round(col("mx"), 6).as("v_max"),
-        when(col("mx") > col("mn"),
-          transform(col("embedding"), x =>
-            ((x.cast("double") - col("mn")) / (col("mx") - col("mn")) * 255).cast("int")))
-          .otherwise(transform(col("embedding"), _ => lit(0)))
-          .as("q8"))
+        array_join(
+          when(col("mx") > col("mn"),
+            transform(col("embedding"), x =>
+              ((x.cast("double") - col("mn")) / (col("mx") - col("mn")) * 255).cast("int")))
+            .otherwise(transform(col("embedding"), _ => lit(0))),
+          ",").as("q8"))
     }
   )
 
@@ -197,11 +200,12 @@ object Sim {
       """SELECT vec_id,
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
-        |  CASE WHEN list_max(embedding) > list_min(embedding) THEN
-        |    list_transform(embedding, x ->
-        |      CAST(trunc((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
-        |        / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255) AS INT))
-        |  ELSE list_transform(embedding, x -> 0) END AS q8
+        |  array_to_string(
+        |    CASE WHEN list_max(embedding) > list_min(embedding) THEN
+        |      list_transform(embedding, x ->
+        |        CAST(trunc((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+        |          / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255) AS INT))
+        |    ELSE list_transform(embedding, x -> 0) END, ',') AS q8
         |FROM embeddings""".stripMargin
     // v2/v3: approximate — recall measured against v1 in DedupSimSpec, no oracle.
   )

@@ -48,12 +48,18 @@ object Stats {
           round(max(col("l_extendedprice")), 2).as("max_price"))
     },
     "a2_percentiles" -> { (s, d) =>
-      Tables.table(s, d, "lineitem")
+      // Scalar quartile columns (not an array) so the driver's pandas-side
+      // sort/hash — which cannot order array cells — can compare them.
+      val qs = Tables.table(s, d, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(
-          transform(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
-            x => round(x, 4)).as("qty_quartiles"),
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qq"),
           round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("median_price"))
+      qs.select(col("l_linestatus"),
+        round(col("qq")(0), 4).as("qty_p25"),
+        round(col("qq")(1), 4).as("qty_p50"),
+        round(col("qq")(2), 4).as("qty_p75"),
+        col("median_price"))
     },
     "a3_hll_sketch" -> { (s, d) =>
       // HLL++ sketch count-distinct (rsd 1%) next to the exact count —
@@ -105,8 +111,9 @@ object Stats {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a2_percentiles" ->
       """SELECT l_linestatus,
-        |  list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-        |    x -> round(x, 4)) AS qty_quartiles,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "a4_grouping_sets" ->

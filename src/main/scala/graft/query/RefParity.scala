@@ -22,18 +22,41 @@ object RefParity {
     df.select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
 
   /** Deterministic per-sf cache dir so the expensive ingest runs once.
-    * LayoutVersion is part of the key — bump it whenever BlockWriter's
-    * layout changes so a stale cache from older code can't be read.
+    * The key includes LayoutVersion (bump whenever BlockWriter's layout
+    * changes) AND a content fingerprint of the source parquet (size +
+    * mtime, recursive for directories) — regenerated testdata at the same
+    * path gets a fresh ingest instead of silently reading stale rows.
     */
   private val LayoutVersion = "v2"
-  private def ingestDir(sfDir: String): String =
-    s"/tmp/graft_ingest/$LayoutVersion/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def fingerprint(f: java.io.File): Long = {
+    val self = f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21)
+    if (!f.isDirectory) self
+    else f.listFiles().foldLeft(self) { (acc, c) =>
+      java.lang.Long.rotateLeft(acc, 7) ^ fingerprint(c)
+    }
+  }
+
+  private def ingestDir(sfDir: String): String = {
+    val fp = java.lang.Long.toHexString(
+      fingerprint(new java.io.File(sfDir, "events.parquet")))
+    s"/tmp/graft_ingest/$LayoutVersion/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+  }
 
   def ingestedEvents(spark: SparkSession, sfDir: String): String = {
     val base = ingestDir(sfDir)
     if (!new java.io.File(base, "_SUCCESS").exists()) {
+      // Write to a process-unique staging dir, then atomically rename into
+      // place — two concurrent Verify runs can't interleave partial output.
+      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
       BlockWriter.write(Tables.events(spark, sfDir).drop("ts", "ts_t"),
-        base, partitionCol = "user_id", keyCol = "ts_us")
+        tmp, partitionCol = "user_id", keyCol = "ts_us")
+      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
+        // lost the race to a concurrent run that finished first — its
+        // output is identical (same fingerprinted input, same layout)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
     }
     base
   }
