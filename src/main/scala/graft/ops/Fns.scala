@@ -128,6 +128,33 @@ object Fns {
         coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
         least(length(col("o_orderpriority")), lit(8)).as("prio_capped"),
         greatest(round(col("o_totalprice") * 0.1, 3), lit(50.0)).as("fee"))
+    },
+    "f11_map_fns" -> { (s, d) =>
+      // Map-typed columns: build a map per row, then extract/inspect — the
+      // output stays scalar so the oracle (which has no Spark map type)
+      // computes the same values directly.
+      val m = map_from_arrays(
+        array(lit("qty"), lit("price")),
+        array(col("l_quantity"), col("l_extendedprice")))
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          element_at(m, "qty").as("m_qty"),
+          element_at(m, "price").as("m_price"),
+          size(map_keys(m)).as("n_keys"),
+          map_contains_key(m, "qty").cast("int").as("has_qty"))
+    },
+    "f13_bitwise" -> { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+          shiftleft(col("l_orderkey"), 2).as("shl2"),
+          shiftright(col("l_orderkey"), 1).as("shr1"),
+          col("l_orderkey").bitwiseXOR(lit(42L)).as("xor42"),
+          bit_count(col("l_orderkey")).as("popcount"))
     }
   )
 
@@ -219,6 +246,23 @@ object Fns {
         |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
         |  least(length(o_orderpriority), 8) AS prio_capped,
         |  greatest(round(o_totalprice * 0.1, 3), 50.0) AS fee
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    // The oracle computes the extracted scalars directly: what's under test
+    // is Spark's map build/extract round-trip, not DuckDB's map type.
+    "f11_map_fns" ->
+      """SELECT l_orderkey,
+        |  l_quantity AS m_qty,
+        |  l_extendedprice AS m_price,
+        |  2 AS n_keys,
+        |  1 AS has_qty
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "f13_bitwise" ->
+      """SELECT l_orderkey,
+        |  l_orderkey & 255 AS low_byte,
+        |  l_orderkey << 2 AS shl2,
+        |  l_orderkey >> 1 AS shr1,
+        |  xor(l_orderkey, 42) AS xor42,
+        |  CAST(bit_count(l_orderkey) AS INT) AS popcount
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin
   )
 }

@@ -149,6 +149,49 @@ object Relational {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    "h3_shipping_priority" -> { (s, d) =>
+      // TPC-H Q3 shape: dimension filter broadcasts into the fact-fact
+      // equi-join, group on the order grain, global top-10 via
+      // TakeOrderedAndProject (no full sort at scale).
+      val c = Tables.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    "h4_order_priority" -> { (s, d) =>
+      // TPC-H Q4 shape: correlated EXISTS through the SQL frontend —
+      // Catalyst decorrelates it to a left-semi hash join on l_orderkey.
+      Tables.table(s, d, "orders").createOrReplaceTempView("orders_h4")
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h4")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders_h4
+          |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_h4
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority""".stripMargin)
+    },
+    "j10_scalar_subquery" -> { (s, d) =>
+      // Correlated scalar subquery (per-nation average) — decorrelates to
+      // one aggregate + broadcast join; raw doubles compare exactly since
+      // no arithmetic is applied to the output columns.
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer_j10")
+      s.sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal
+          |FROM customer_j10 c
+          |WHERE c_acctbal > 1.02 * (SELECT avg(c_acctbal) FROM customer_j10 c2
+          |                          WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+    },
+
     // ---- sorts / limits / top-k ----------------------------------------
     "s1_topk" -> { (s, d) =>
       // Global top-k: Spark plans TakeOrderedAndProject — per-partition
@@ -246,6 +289,29 @@ object Relational {
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 86400000000
         |GROUP BY a.user_id""".stripMargin,
+    "h3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "h4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "j10_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > 1.02 * (SELECT avg(c_acctbal) FROM customer c2
+        |                          WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
     "s1_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,

@@ -64,6 +64,36 @@ object Shapes {
       val o = Tables.table(s, d, "orders")
       o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"), lit(1997).as("yr"))
         .unionAll(o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"), lit(1998).as("yr")))
+    },
+    "x4_unpivot" -> { (s, d) =>
+      // Wide→long reshaping via the native unpivot (melt) operator —
+      // map-side only, no shuffle; the oracle is the equivalent UNION ALL.
+      Tables.table(s, d, "part")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"),
+            col("p_retailprice").as("p_retailprice")),
+          "metric", "value")
+    },
+    "s2_hash_sample" -> { (s, d) =>
+      // Deterministic content-hash sampling (~1/8 of docs): the reproducible
+      // sampling primitive for pipeline experiments — same rows on every
+      // engine and every run, no RNG state; fully pushdown-friendly.
+      Tables.table(s, d, "documents")
+        .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    "s3_stratified_sample" -> { (s, d) =>
+      // Stratified deterministic sample: top-20 docs per language stratum
+      // ordered by content hash — one shuffle on the stratum key, heap-k
+      // per group via row_number.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      Tables.table(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("doc_id"), col("rn"))
     }
   )
 
@@ -103,6 +133,19 @@ object Shapes {
     "set4_union_all" ->
       """SELECT o_custkey, 1997 AS yr FROM orders WHERE year(o_orderdate) = 1997
         |UNION ALL
-        |SELECT o_custkey, 1998 AS yr FROM orders WHERE year(o_orderdate) = 1998""".stripMargin
+        |SELECT o_custkey, 1998 AS yr FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+    "x4_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin,
+    "s2_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(text), 1, 1) IN ('0', '1')""".stripMargin,
+    "s3_stratified_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20""".stripMargin
   )
 }

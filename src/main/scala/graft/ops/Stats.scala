@@ -80,6 +80,29 @@ object Stats {
           |FROM lineitem_v
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     },
+    "a5_argminmax" -> { (s, d) =>
+      // min_by/max_by with a struct tiebreak (price, then key) so the
+      // winner is deterministic even under duplicate prices — the oracle
+      // reproduces it with a row_number window.
+      Tables.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("biggest_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("smallest_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+    },
+    "a6_filtered_agg" -> { (s, d) =>
+      // Conditional/boolean aggregates: count_if + bool_and/bool_or, the
+      // FILTER-clause family.
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          count_if(col("l_quantity") >= 30).as("n_bulk"),
+          bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2).as("returned_value"))
+    },
     "u1_udaf_geomean" -> { (s, d) =>
       val geomean = udaf(GeoMean)
       Tables.table(s, d, "lineitem")
@@ -121,6 +144,29 @@ object Stats {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // arg_max with a composite tiebreak isn't in DuckDB 1.0 — reproduce the
+    // struct ordering with row_number windows instead.
+    "a5_argminmax" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM ranked GROUP BY o_orderpriority""".stripMargin,
+    "a6_filtered_agg" ->
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  count(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_or(l_tax > 0.07) AS any_high_tax,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_value
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "u2_scalar_udf" ->
       """SELECT doc_id,
         |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels

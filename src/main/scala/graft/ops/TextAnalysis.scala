@@ -145,6 +145,19 @@ object TextAnalysis {
         col("doc_id"),
         md5(canon).as("fingerprint"),
         sha2(canon, 256).as("fingerprint_strong"))
+    },
+    "t8_sentence_stats" -> { (s, d) =>
+      // Sentence segmentation stats: split on '.', drop whitespace-only
+      // fragments, words-per-sentence density — a map-side projection like
+      // every other text op.
+      val sentences = filter(split(col("text"), "\\."), p => length(trim(p)) > 0)
+      val nWords = size(split(col("text"), " "))
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        size(sentences).as("n_sentences"),
+        when(size(sentences) > 0,
+          round(nWords.cast("double") / size(sentences), 4)).otherwise(0.0)
+          .as("words_per_sentence"))
     }
   )
 
@@ -237,6 +250,14 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
         |  sha256(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint_strong
+        |FROM documents""".stripMargin,
+    "t8_sentence_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, '.'), p -> length(trim(p)) > 0)) AS n_sentences,
+        |  CASE WHEN len(list_filter(string_split(text, '.'), p -> length(trim(p)) > 0)) > 0
+        |    THEN round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      / len(list_filter(string_split(text, '.'), p -> length(trim(p)) > 0)), 4)
+        |    ELSE 0.0 END AS words_per_sentence
         |FROM documents""".stripMargin
   )
 }

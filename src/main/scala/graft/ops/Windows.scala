@@ -71,6 +71,22 @@ object Windows {
         .withColumn("drank", dense_rank().over(w))
         .withColumn("cdist", round(cume_dist().over(w), 4))
         .select(col("c_nationkey"), col("c_custkey"), col("drank"), col("cdist"))
+    },
+    "w7_range_frame" -> { (s, d) =>
+      // Value-range frame (trailing hour of events per user) + lead +
+      // nth_value — the analytic-frame family the row-based windows above
+      // don't cover. The range frame orders on the raw µs key so frame
+      // bounds are numeric, exactly like the reference's key ranges.
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(wr).as("n_last_hour"),
+        lead(col("event_id"), 1).over(wo).as("next_event"),
+        nth_value(col("event_id"), 2)
+          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_event"))
     }
   )
 
@@ -108,6 +124,14 @@ object Windows {
       """SELECT c_nationkey, c_custkey,
         |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drank,
         |  round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey), 4) AS cdist
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    "w7_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour,
+        |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_event,
+        |  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event
+        |FROM events""".stripMargin
   )
 }

@@ -97,4 +97,36 @@ class PlanSpec extends SparkSuite {
     val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, s"expected <=1 shuffle, got ${shuffles.size}")
   }
+
+  test("h3: dimension filter broadcasts and top-10 is TakeOrderedAndProject") {
+    val plan = run("h3_shipping_priority")
+    assert(collectAll(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "customer side should broadcast")
+    assert(collectAll(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"no TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("h4: correlated EXISTS decorrelates to a semi join (no subquery per row)") {
+    val plan = run("h4_order_priority")
+    val semis = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.nonEmpty, s"no LeftSemi join in:\n$plan")
+  }
+
+  test("s2: deterministic hash-sample filter reaches the scan as a data filter") {
+    val plan = run("s2_hash_sample")
+    // md5 isn't pushable into parquet, but the filter must still run
+    // pre-shuffle (a simple FilterExec over the scan, no exchange).
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"sampling should be map-side only, got ${shuffles.size} shuffles")
+  }
+
+  test("x4: unpivot is map-side only (no shuffle)") {
+    val plan = run("x4_unpivot")
+    val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"unpivot should not shuffle, got ${shuffles.size}")
+  }
 }
