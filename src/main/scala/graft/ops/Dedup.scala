@@ -48,14 +48,17 @@ object Dedup {
     }
   }
 
-  /** doc_id + distinct shingle array. */
-  def docShingles(s: SparkSession, d: String): DataFrame = {
+  /** doc_id + distinct shingle array for an arbitrary (doc_id, text) set. */
+  def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.table(s, d, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shingleSeq(t)) }
       .toDF("doc_id", "sh")
   }
+
+  /** doc_id + distinct shingle array over the whole corpus. */
+  def docShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(s, Tables.table(s, d, "documents"))
 
   /** doc_id + exploded distinct shingles — the inverted-index relation. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame = {
@@ -145,9 +148,15 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Broadcast the (small) candidate set, stream the docs table past it
-    // twice to attach both shingle arrays — never broadcasts doc content.
-    val docs = docShingles(s, d)
+    // Verify shingles ONLY candidate docs: the candidate ids broadcast as a
+    // semi-join filter into the documents scan, so the expensive shingling
+    // kernel runs over |candidates| docs, not the whole corpus again — at
+    // 100 TB the corpus is shingled exactly once (the signature pass).
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val docs = shinglesOf(s,
+      Tables.table(s, d, "documents").join(broadcast(candIds), Seq("doc_id")))
     val withA = docs.join(broadcast(cands), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("sh").as("sha"))
     docs.join(broadcast(withA), col("doc_id") === col("doc_b"))

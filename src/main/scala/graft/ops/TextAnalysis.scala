@@ -116,8 +116,10 @@ object TextAnalysis {
       val terms = Tables.table(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df_ = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df falls out of tf for free: tf has one row per (doc, term), so the
+      // per-term row count IS the document frequency — no second explode
+      // pass, no distinct shuffle; the tf exchange is reused for both sides.
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(df_), "term")

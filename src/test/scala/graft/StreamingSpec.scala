@@ -145,6 +145,36 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("transformWithState keeps per-user running stats across micro-batches") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.RunningStats
+    import RunningStats.{Event => RsEvent, UserStats}
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[RsEvent]
+      val out = RunningStats.userStats(spark, mem.toDS())
+        .writeStream.format("memory").queryName("rs_out")
+        .outputMode("append").start()
+      mem.addData(RsEvent(1, 1000, 2.0), RsEvent(1, 2000, 4.0), RsEvent(2, 1500, 7.0))
+      out.processAllAvailable()
+      mem.addData(RsEvent(1, 3000, 1.0)) // state must carry across batches
+      out.processAllAvailable()
+      out.stop()
+      val last = spark.table("rs_out").as[UserStats].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(last(1L) === UserStats(1L, 3L, 7.0, 4.0, 3000L))
+      assert(last(2L) === UserStats(2L, 1L, 7.0, 7.0, 1500L))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("watermarked window aggregation merges in-window rows") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
