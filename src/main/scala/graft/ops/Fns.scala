@@ -145,6 +145,17 @@ object Fns {
           size(map_keys(m)).as("n_keys"),
           map_contains_key(m, "qty").cast("int").as("has_qty"))
     },
+    "f12_struct_fns" -> { (s, d) =>
+      // Struct build / field access / struct ordering — scalar outputs so
+      // the oracle computes the same values directly (f11-style).
+      val st = struct(col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      Tables.table(s, d, "customer").select(
+        col("c_custkey"),
+        st.getField("bal").as("s_bal"),
+        upper(st.getField("seg")).as("s_seg"),
+        (struct(col("c_nationkey"), col("c_custkey")) <
+          struct(lit(12), lit(0L))).cast("int").as("s_lt"))
+    },
     "f13_bitwise" -> { (s, d) =>
       Tables.table(s, d, "lineitem")
         .filter(col("l_linenumber") === 1)
@@ -256,6 +267,12 @@ object Fns {
         |  2 AS n_keys,
         |  1 AS has_qty
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "f12_struct_fns" ->
+      """SELECT c_custkey,
+        |  c_acctbal AS s_bal,
+        |  upper(c_mktsegment) AS s_seg,
+        |  CAST(c_nationkey < 12 OR (c_nationkey = 12 AND c_custkey < 0) AS INT) AS s_lt
+        |FROM customer""".stripMargin,
     "f13_bitwise" ->
       """SELECT l_orderkey,
         |  l_orderkey & 255 AS low_byte,

@@ -80,6 +80,18 @@ object Stats {
           |FROM lineitem_v
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     },
+    "a7_approx_quantile" -> { (s, d) =>
+      // Approximate percentile (Greenwald-Khanna / t-digest family) beside
+      // the exact one — the quantile analogue of a3's HLL: the only way
+      // percentiles survive unbounded groups at 100 TB is a mergeable
+      // sketch. No oracle (sketch internals are engine-specific);
+      // StatsSpec pins the error envelope against the exact value.
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 2).as("approx_median"),
+          round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("exact_median"))
+    },
     "a5_argminmax" -> { (s, d) =>
       // min_by/max_by with a struct tiebreak (price, then key) so the
       // winner is deterministic even under duplicate prices — the oracle
