@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** `SparkSessionExtensions` injection point — the config-driven way to ship
+  * graft's native functions to a cluster where the application code never
+  * calls [[GraftFunctions.register]]:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  * }}}
+  *
+  * Injected functions live in the session's catalog from the first query,
+  * including sessions created by thrift/Connect servers that graft code
+  * never touches. This is the (a)-tier extension mechanism of
+  * SparkSessionExtensions (injectFunction); graft deliberately has no
+  * custom Rule or SparkStrategy to inject — every operator is expressible
+  * in stock Catalyst plans (SURVEY.md §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FnvHash64(exprs.head)))
+  }
+}

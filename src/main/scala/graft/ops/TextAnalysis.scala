@@ -148,6 +148,19 @@ object TextAnalysis {
         md5(canon).as("fingerprint"),
         sha2(canon, 256).as("fingerprint_strong"))
     },
+    "t9_redact" -> { (s, d) =>
+      // PII scrubbing: mask emails and URLs, count what was masked — the
+      // standard pre-training redaction pass. Patterns restricted to
+      // syntax Java regex and RE2 share, so the oracle runs them verbatim.
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+      val url = "https?://[^ ]+"
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), url, "<URL>")
+          .as("redacted"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(url)).as("n_urls"))
+    },
     "t8_sentence_stats" -> { (s, d) =>
       // Sentence segmentation stats: split on '.', drop whitespace-only
       // fragments, words-per-sentence density — a map-side projection like
@@ -252,6 +265,13 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
         |  sha256(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint_strong
+        |FROM documents""".stripMargin,
+    "t9_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls
         |FROM documents""".stripMargin,
     "t8_sentence_stats" ->
       """SELECT doc_id,
