@@ -30,6 +30,21 @@ class DedupSimSpec extends SparkSuite {
     assert(pairSet(banded, "doc_a", "doc_b") === pairSet(brute, "doc_a", "doc_b"))
   }
 
+  test("SimHash derived banding stays sound for non-default maxDist") {
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh64"))
+    for (maxDist <- Seq(0, 1, 5, 7)) {
+      val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+      val banded = Dedup.simhashPairs(spark, sf, maxDist)
+      assert(pairSet(banded, "doc_a", "doc_b") === pairSet(brute, "doc_a", "doc_b"),
+        s"maxDist=$maxDist")
+    }
+    assertThrows[IllegalArgumentException](Dedup.simhashPairs(spark, sf, 64))
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val docs = graft.tables.Tables.table(spark, sf, "documents")
     val distinctTexts = docs.select(col("text")).distinct().count()
