@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Whole-registry plan audit: every registered query's finalized physical
+  * plan is checked against the invariants that decide 100 TB survival.
+  * A new operator that accidentally plans a cartesian product or an
+  * unhinted nested-loop join fails here, not on the cluster.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ extra ++ p.subqueries).flatMap(flatten)
+  }
+
+  // the one deliberate cartesian (tiny dim × tiny dim)
+  private val cartesianOk = Set("j9_cross_join")
+  // tiny-side nested loops Catalyst picks for dim×dim shapes are fine when
+  // explicitly intended; everything else must justify itself here.
+  private val nestedLoopOk = Set("j9_cross_join")
+
+  test("no registered query plans an unintended cartesian / nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect() // finalize AQE
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val cart = nodes.collect { case c: CartesianProductExec => c }
+      val bnlj = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
+      val bad =
+        (if (cart.nonEmpty && !cartesianOk(name)) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (bnlj.nonEmpty && !nestedLoopOk(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+      bad
+    }
+    assert(offenders.isEmpty, s"scale-hostile plans:\n${offenders.mkString("\n")}")
+  }
+}
