@@ -180,6 +180,20 @@ object Relational {
           |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
           |GROUP BY o_orderpriority""".stripMargin)
     },
+    "j11_lateral_topn" -> { (s, d) =>
+      // LATERAL correlated subquery (top-2 orders per customer) — Catalyst
+      // decorrelates the per-row subquery into a window + join, so the
+      // plan is one shuffle, not |customers| subquery executions.
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer_j11")
+      Tables.table(s, d, "orders").createOrReplaceTempView("orders_j11")
+      s.sql(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_j11 c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_j11 o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c_nationkey = 3""".stripMargin)
+    },
     "j10_scalar_subquery" -> { (s, d) =>
       // Correlated scalar subquery (per-nation average) — decorrelates to
       // one aggregate + broadcast join; raw doubles compare exactly since
@@ -307,6 +321,13 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "j11_lateral_topn" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_nationkey = 3""".stripMargin,
     "j10_scalar_subquery" ->
       """SELECT c_custkey, c_nationkey, c_acctbal
         |FROM customer c
