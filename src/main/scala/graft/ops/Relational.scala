@@ -180,6 +180,36 @@ object Relational {
           |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
           |GROUP BY o_orderpriority""".stripMargin)
     },
+    "h10_returned_items" -> { (s, d) =>
+      // TPC-H Q10 shape: revenue lost to returns per customer, top-20 —
+      // fact-fact equi-join + broadcast dims + TakeOrderedAndProject.
+      val li = Tables.table(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val o = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-07-01"))
+      val c = Tables.table(s, d, "customer")
+      val n = Tables.table(s, d, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    "h12_priority_shipping" -> { (s, d) =>
+      // TPC-H Q12 shape: orders shipped within a window, bucketed into
+      // high/low priority counts — join + conditional aggregation.
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      Tables.table(s, d, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_priority"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_priority"))
+    },
     "j11_lateral_topn" -> { (s, d) =>
       // LATERAL correlated subquery (top-2 orders per customer) — Catalyst
       // decorrelates the per-row subquery into a window + join, so the
@@ -321,6 +351,24 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "h10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "h12_priority_shipping" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
     "j11_lateral_topn" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c, LATERAL (
