@@ -246,6 +246,16 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     },
 
+    "s4_nulls_order" -> { (s, d) =>
+      // Explicit null placement in sort order (NULLS FIRST under ASC, the
+      // non-default) with a unique tiebreak — nulls must actually appear
+      // in the limited output for the placement to be observable.
+      Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("st"))
+        .orderBy(col("st").asc_nulls_first, col("o_orderkey"))
+        .limit(50)
+    },
+
     // ---- set ops ---------------------------------------------------------
     "set1_intersect" -> { (s, d) =>
       val o = Tables.table(s, d, "orders")
@@ -384,6 +394,10 @@ object Relational {
     "s1_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "s4_nulls_order" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st
+        |FROM orders
+        |ORDER BY st ASC NULLS FIRST, o_orderkey LIMIT 50""".stripMargin,
     "set1_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
         |INTERSECT

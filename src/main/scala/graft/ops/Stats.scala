@@ -80,6 +80,18 @@ object Stats {
           |FROM lineitem_v
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     },
+    "a8_grouping_id" -> { (s, d) =>
+      // grouping()/grouping_id() markers distinguish "NULL because
+      // aggregated away" from data NULLs in cube output.
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_a8")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+          |  count(*) AS n
+          |FROM lineitem_a8
+          |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+    },
     "a7_approx_quantile" -> { (s, d) =>
       // Approximate percentile (Greenwald-Khanna / t-digest family) beside
       // the exact one — the quantile analogue of a3's HLL: the only way
@@ -171,6 +183,13 @@ object Stats {
         |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM ranked GROUP BY o_orderpriority""".stripMargin,
+    "a8_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "a6_filtered_agg" ->
       """SELECT l_linestatus,
         |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
