@@ -62,4 +62,47 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         update(gapUs, maxEvents))
   }
+
+  /** [[update]] plus event-time timeout: a timed-out group emits its open
+    * session even though no new event for that user ever arrives.
+    */
+  def updateWithTimeout(gapUs: Long, maxEvents: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(Session(userId, st.start_us, st.last_us, st.n, st.sum))
+    } else {
+      val out = update(gapUs, maxEvents)(userId, events, state)
+      state.getOption.foreach { st =>
+        // close when the watermark passes last event + gap (µs → ms)
+        state.setTimeoutTimestamp((st.last_us + gapUs) / 1000)
+      }
+      out
+    }
+  }
+
+  /** Sessionization whose idle sessions ALSO close — the exact analogue of
+    * the reference's wall-clock age flush
+    * (/root/reference/blockManager.go:84-114: a 1 s ticker commits blocks
+    * older than MaxAge with no further input), restated in event time: the
+    * watermark passing (last event + gap) emits the open session even if
+    * that user never produces another event. `sessions` (NoTimeout) can
+    * hold an idle user's session forever; this variant cannot.
+    */
+  def sessionsWithTimeout(spark: SparkSession, events: Dataset[Event],
+                          gapUs: Long = DefaultGapUs,
+                          maxEvents: Long = Long.MaxValue,
+                          lateness: String = "0 seconds"): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", lateness)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateWithTimeout(gapUs, maxEvents))
+  }
 }

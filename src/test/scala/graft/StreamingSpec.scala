@@ -77,6 +77,31 @@ class StreamingSpec extends SparkSuite {
     assert(ns === Seq(3L, 3L))
   }
 
+  test("event-time timeout closes idle sessions (the reference's age flush)") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val gap = 60000000L // 1 min in µs
+    val mem = MemoryStream[Event]
+    val out = Sessionize.sessionsWithTimeout(spark, mem.toDS(), gapUs = gap)
+      .writeStream.format("memory").queryName("sto_out")
+      .outputMode("append").start()
+    // user 1 goes idle; user 2's later events advance the watermark past
+    // user 1's (last + gap) so the timeout — not a new user-1 event —
+    // must close the session. Timestamps sit above the initial watermark
+    // (0), which would otherwise drop the first event as late.
+    val base = 10L * gap
+    mem.addData(Event(1, base, 1.0), Event(1, base + 1000000, 2.0))
+    out.processAllAvailable()
+    mem.addData(Event(2, base + 10L * gap, 5.0))
+    out.processAllAvailable()
+    mem.addData(Event(2, base + 11L * gap, 1.0)) // next batch fires pending timeouts
+    out.processAllAvailable()
+    out.stop()
+    val u1 = spark.table("sto_out").as[Session].collect().filter(_.user_id == 1).toSeq
+    assert(u1 === Seq(Session(1, base, base + 1000000, 2, 3.0)))
+  }
+
   test("restart from checkpoint is exactly-once (no duplicates, no loss)") {
     val s = spark
     import s.implicits._
