@@ -145,6 +145,18 @@ object Fns {
           size(map_keys(m)).as("n_keys"),
           map_contains_key(m, "qty").cast("int").as("has_qty"))
     },
+    "f14_interval_arith" -> { (s, d) =>
+      // Interval arithmetic + ISO calendar fields. weekday()+1 == ISO
+      // day-of-week (1=Mon..7=Sun), matching DuckDB's isodow; add_months
+      // clamps to month end in both engines.
+      Tables.table(s, d, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 2).cast("date").as("plus_2m"),
+        (col("o_orderdate") + expr("INTERVAL 10 DAYS")).cast("date").as("plus_10d"),
+        date_sub(col("o_orderdate").cast("date"), 7).as("week_ago"),
+        (weekday(col("o_orderdate")) + 1).as("iso_dow"),
+        weekofyear(col("o_orderdate")).as("iso_week"))
+    },
     "f12_struct_fns" -> { (s, d) =>
       // Struct build / field access / struct ordering — scalar outputs so
       // the oracle computes the same values directly (f11-style).
@@ -267,6 +279,14 @@ object Fns {
         |  2 AS n_keys,
         |  1 AS has_qty
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "f14_interval_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        |  CAST(o_orderdate + INTERVAL 10 DAY AS DATE) AS plus_10d,
+        |  CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS week_ago,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+        |FROM orders""".stripMargin,
     "f12_struct_fns" ->
       """SELECT c_custkey,
         |  c_acctbal AS s_bal,

@@ -180,6 +180,20 @@ object Relational {
           |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
           |GROUP BY o_orderpriority""".stripMargin)
     },
+    "q7_supplier_share" -> { (s, d) =>
+      // Window over an aggregate: each supplier's share of its nation's
+      // revenue — one shuffle for the agg, one for the (nation-keyed)
+      // window; the window input is already aggregate-sized.
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.table(s, d, "lineitem")
+        .join(broadcast(Tables.table(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      rev.withColumn("share",
+          round(col("rev") / sum(col("rev")).over(Window.partitionBy(col("s_nationkey"))), 4))
+        .select(col("s_nationkey"), col("s_suppkey"), r2(col("rev")).as("rev"), col("share"))
+    },
     "h10_returned_items" -> { (s, d) =>
       // TPC-H Q10 shape: revenue lost to returns per customer, top-20 —
       // fact-fact equi-join + broadcast dims + TakeOrderedAndProject.
@@ -361,6 +375,15 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q7_supplier_share" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey)
+        |SELECT s_nationkey, s_suppkey, round(rev, 2) AS rev,
+        |  round(rev / sum(rev) OVER (PARTITION BY s_nationkey), 4) AS share
+        |FROM rev""".stripMargin,
     "h10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
