@@ -78,6 +78,23 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  case class Thumb(doc_id: Long, new_w: Int, new_h: Int, thumb_hash: String)
+
+  val ThumbMaxDim = 64
+
+  /** STUB resize: computes the aspect-preserving target geometry exactly as
+    * a real resizer would, then hashes a payload prefix in place of actual
+    * pixel resampling. Geometry math is the real contract (it decides
+    * storage and downstream model input shapes); only the pixel kernel is
+    * faked.
+    */
+  private def thumbnail(r: MediaRecord): Thumb = {
+    val maxDim = math.max(math.max(r.width, r.height), 1)
+    val newW = r.width * ThumbMaxDim / maxDim
+    val newH = r.height * ThumbMaxDim / maxDim
+    Thumb(r.doc_id, newW, newH, md5Hex(r.payload.take(256)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> { (s, d) =>
       import s.implicits._
@@ -88,6 +105,10 @@ object Multimodal {
     "m2_frame_sample" -> { (s, d) =>
       import s.implicits._
       mediaTable(s, d).flatMap(sampleFrames _).toDF()
+    },
+    "m3_thumbnail" -> { (s, d) =>
+      import s.implicits._
+      mediaTable(s, d).map(thumbnail _).toDF()
     }
   )
 
@@ -101,6 +122,13 @@ object Multimodal {
     "m2_frame_sample" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |  md5(text || '#' || CAST(i AS VARCHAR)) AS frame_hash
-        |FROM documents, unnest(range(0, least(length(text) // 256 + 1, 4))) AS t(i)""".stripMargin
+        |FROM documents, unnest(range(0, least(length(text) // 256 + 1, 4))) AS t(i)""".stripMargin,
+    // integer division replicates the JVM's truncating int arithmetic
+    "m3_thumbnail" ->
+      """SELECT doc_id,
+        |  CAST((n_chars % 640) * 64 // greatest(greatest(n_chars % 640, n_chars % 480), 1) AS INT) AS new_w,
+        |  CAST((n_chars % 480) * 64 // greatest(greatest(n_chars % 640, n_chars % 480), 1) AS INT) AS new_h,
+        |  md5(substring(text, 1, 256)) AS thumb_hash
+        |FROM documents""".stripMargin
   )
 }
