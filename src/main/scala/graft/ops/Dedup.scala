@@ -109,37 +109,60 @@ object Dedup {
   val NumBands = 16 // 16 bands × 2 rows: P(miss | J=0.8) = (1-0.64)^16 ≈ 8e-8
   private val MersennePrime = 2305843009213693951L // 2^61 - 1
 
+  /** The k=32 universal-hash mins h_i(x) = (a_i*x + b_i) mod p over
+    * x = xxhash64(shingle) folded to 31 bits, computed in one pass over a
+    * document's distinct shingles. a_i < 2^31 odd keeps a_i*x < 2^62 —
+    * no long overflow; a_i/b_i derive from the hash index via public
+    * splitmix64-style mixing constants, so signatures are deterministic.
+    */
+  def minhashSig(text: String): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingleSeq(text).foreach { sh =>
+      val x = Math.floorMod(xxh64String(sh), 1L << 31)
+      var i = 0
+      while (i < NumHashes) {
+        val a = ((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) | 1L
+        val b = (0xBF58476D1CE4E5B9L * (i + 7)) >>> 3
+        val h = Math.floorMod(a * x + b, MersennePrime)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
   /** Candidate near-dup pairs via MinHash banding, then exact-Jaccard
     * verified ≥ threshold — so false positives are filtered and (at this
     * band config) false negatives are ~impossible, making the output equal
     * to [[jaccardPairs]] with overwhelming probability.
     */
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    // Signatures via explode + groupBy-min: the k=32 universal-hash mins
-    // h_i(x) = (a_i*x + b_i) mod p over x = xxhash64(shingle) folded to 31
-    // bits (a_i < 2^31 odd keeps a_i*x < 2^62 — no long overflow under
-    // ANSI mode, Spark 4 default) are computed by codegen'd hash/agg
-    // expressions over one exploded pass, not by k interpreted
-    // higher-order folds per doc. a_i/b_i derive from the hash index via
-    // public splitmix64-style mixing constants — deterministic signatures.
-    val idx = shingleIndex(s, d)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(1L << 31)).as("x"))
-    val minCols = (0 until NumHashes).map { i =>
-      val a = ((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) | 1L
-      val b = (0xBF58476D1CE4E5B9L * (i + 7)) >>> 3
-      min(pmod(lit(a) * col("x") + lit(b), lit(MersennePrime))).as(s"h$i")
-    }
-    val sigs = idx.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    import s.implicits._
+    // Signatures map-side in the JVM kernel (one pass per doc, like
+    // simhash64): the corpus is never exploded into (doc, shingle) rows
+    // for signature computation, so the ONLY shuffles in the whole
+    // operator are the slim banded candidate join and the final verify —
+    // at 100 TB that removes a full corpus-sized exchange. (Round-1 used
+    // explode + 32 codegen'd groupBy-mins; the kernel computes the same
+    // mins locally for ~6k cheap ops per doc.)
     val rowsPerBand = NumHashes / NumBands
-    val bands = (0 until NumBands).map { bnd =>
-      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(r => col(s"h$r"))
-      struct(lit(bnd).as("band"), hash(cols: _*).as("sig"))
-    }
     // Slim (doc_id, band, sig) rows through the candidate join — the
     // shingle arrays are re-joined only for the few surviving candidates.
-    val bucketed = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+    val bucketed = Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSig(text)
+        (0 until NumBands).iterator.map { bnd =>
+          var mix = 0L
+          var r = bnd * rowsPerBand
+          while (r < (bnd + 1) * rowsPerBand) {
+            mix = mix * 0x100000001B3L ^ sig(r) // FNV-style band fold
+            r += 1
+          }
+          (id, bnd, mix)
+        }
+      }
+      .toDF("doc_id", "band", "sig")
     // Dedup candidate pairs BEFORE the exact verify so each pair is
     // verified once, not once per colliding band. (At scale: cap bucket
     // width to bound skew — a degenerate bucket of m docs costs m²/2.)
