@@ -83,6 +83,28 @@ object Shapes {
         .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
     },
+    "j12_nullsafe_join" -> { (s, d) =>
+      // Null-safe equality (<=>): NULL keys match each other instead of
+      // silently vanishing from the join — the semantics dimension tables
+      // with "unknown" buckets need.
+      val c = Tables.table(s, d, "customer")
+      val a = c.select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_n"),
+        col("c_custkey"))
+      val b = c.select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_b"))
+        .distinct()
+      a.join(b, col("seg_n") <=> col("seg_b"))
+        .groupBy(coalesce(col("seg_b"), lit("<null>")).as("segment"))
+        .agg(count(lit(1)).as("n"))
+    },
+    "x5_explode_outer" -> { (s, d) =>
+      // Null-preserving generator: docs whose array is empty still emit a
+      // row (with NULL), where plain explode would drop them.
+      val thes = filter(split(col("text"), " "), w => w === "the")
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode_outer(thes).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(col("w")).as("n_the"), count(lit(1)).as("n_rows"))
+    },
     "s3_stratified_sample" -> { (s, d) =>
       // Stratified deterministic sample: top-20 docs per language stratum
       // ordered by content hash — one shuffle on the stratum key, heap-k
@@ -141,6 +163,19 @@ object Shapes {
     "s2_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(text), 1, 1) IN ('0', '1')""".stripMargin,
+    "j12_nullsafe_join" ->
+      """SELECT coalesce(b.seg_b, '<null>') AS segment, count(*) AS n
+        |FROM (SELECT nullif(c_mktsegment, 'BUILDING') AS seg_n, c_custkey FROM customer) a
+        |JOIN (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg_b FROM customer) b
+        |  ON a.seg_n IS NOT DISTINCT FROM b.seg_b
+        |GROUP BY 1""".stripMargin,
+    "x5_explode_outer" ->
+      """SELECT doc_id, count(t.w) AS n_the, count(*) AS n_rows
+        |FROM documents
+        |LEFT JOIN LATERAL (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x = 'the')) AS w
+        |) t ON true
+        |GROUP BY doc_id""".stripMargin,
     "s3_stratified_sample" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id,
