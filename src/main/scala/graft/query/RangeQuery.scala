@@ -18,14 +18,26 @@ import graft.ingest.BlockWriter
   */
 object RangeQuery {
 
-  /** Query a layout produced by [[BlockWriter.write]]. */
+  /** Query a layout produced by [[BlockWriter.write]].
+    *
+    * `tolerateForeignFiles` reproduces the reference's lenient listing
+    * (block.go:149-174: filenames that don't parse are skipped, so foreign
+    * files dropped into a partition dir are ignored, not errors). Default
+    * is Spark's fail-fast — at 100 TB a corrupt file silently skipped can
+    * mask data loss, so leniency is opt-in parity, not the default.
+    */
   def query(spark: SparkSession, base: String, partitionCol: String, keyCol: String,
             partitionKey: Column, startKey: Column, endKey: Column,
-            numBuckets: Int = BlockWriter.DefaultBuckets): DataFrame =
-    spark.read.parquet(base)
+            numBuckets: Int = BlockWriter.DefaultBuckets,
+            tolerateForeignFiles: Boolean = false): DataFrame = {
+    val reader =
+      if (tolerateForeignFiles) spark.read.option("ignoreCorruptFiles", "true")
+      else spark.read
+    reader.parquet(base)
       .filter(col("bucket") === pmod(xxhash64(partitionKey), lit(numBuckets)).cast("int") &&
         col(partitionCol) === partitionKey &&
         col(keyCol).between(startKey, endKey))
+  }
 
   /** Query a [[BlockWriter.writeByKey]] (reference-faithful) layout. */
   def queryByKey(spark: SparkSession, base: String, partitionCol: String, keyCol: String,

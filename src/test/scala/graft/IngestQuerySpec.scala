@@ -108,4 +108,22 @@ class IngestQuerySpec extends SparkSuite with TableDrivenPropertyChecks {
       lit(13L), lit(0L), lit(Long.MaxValue / 2)).count()
     assert(got === directCount(13L, 0L, Long.MaxValue / 2))
   }
+
+  test("foreign files in a partition dir are ignored under lenient parity mode") {
+    // the reference skips filenames its zone-map parser can't read
+    // (block.go:149-174); opt-in parity reproduces that tolerance.
+    val dir = tmpDir("graft_foreign_spec")
+    BlockWriter.write(Tables.events(spark, sf).drop("ts", "ts_t"),
+      dir, partitionCol = "user_id", keyCol = "ts_us",
+      numBuckets = 4, maxRecordsPerFile = 64)
+    val bucketDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).head
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(bucketDir.getPath, "junk.parquet"),
+      "this is not a parquet file")
+    val got = RangeQuery.query(spark, dir, "user_id", "ts_us",
+      lit(13L), lit(0L), lit(Long.MaxValue / 2), numBuckets = 4,
+      tolerateForeignFiles = true).count()
+    assert(got === directCount(13L, 0L, Long.MaxValue / 2))
+  }
 }
