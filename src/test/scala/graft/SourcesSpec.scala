@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TextSources
+
+/** Round-trip contracts for the schema'd text sources and the binary-file
+  * source (the multimodal on-disk entry point).
+  */
+class SourcesSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  test("CSV round trip under an explicit schema (no inference)") {
+    val dir = tmpDir("graft_csv_spec") + "/out"
+    val df = spark.range(100).select(
+      col("id"), concat(lit("n"), col("id")).as("name"),
+      (col("id") * 1.5).as("score"))
+    df.coalesce(1).write.option("header", "true").csv(dir)
+    val back = TextSources.readCsv(spark, dir, schema)
+    assert(back.count() === 100)
+    // file sources force nullable=true; names and types must match exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.agg(sum(col("score"))).head.getDouble(0) === 99 * 100 / 2 * 1.5)
+  }
+
+  test("JSON-lines round trip; malformed rows are nulls, not job failures") {
+    val dir = tmpDir("graft_json_spec")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.json"),
+      """{"id": 1, "name": "a", "score": 2.5}
+        |{"id": 2, "name": "b", "score": 3.5}
+        |this line is not json
+        |{"id": 4, "name": null, "score": null}
+        |""".stripMargin)
+    val back = TextSources.readJsonLines(spark, dir, schema)
+    assert(back.count() === 4) // corrupt line becomes an all-null row
+    assert(back.filter(col("id").isNotNull).count() === 3)
+  }
+
+  test("binaryFile source reads payload bytes with path metadata, glob-filtered") {
+    val dir = tmpDir("graft_bin_spec")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.jpg"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "b.jpg"), Array[Byte](9, 8))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "notes.txt"), "not media")
+    val media = TextSources.readBinaryDir(spark, dir, glob = "*.jpg")
+    val rows = media.select(col("path"), col("length"), col("content")).collect()
+    assert(rows.length === 2, "glob must exclude the .txt file")
+    val byName = rows.map(r => (r.getString(0).split('/').last,
+      r.getAs[Array[Byte]]("content"))).toMap
+    assert(byName("a.jpg").toSeq === Seq[Byte](1, 2, 3, 4))
+    assert(byName("b.jpg").toSeq === Seq[Byte](9, 8))
+  }
+}
