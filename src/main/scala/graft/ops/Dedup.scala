@@ -291,8 +291,15 @@ object Dedup {
     * true fixpoint (changed == 0); a generous safety cap fails loudly
     * rather than silently returning unconverged labels.
     */
-  def neardupClusters(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val pairs = jaccardPairs(s, d, threshold).select(col("doc_a"), col("doc_b"))
+  def neardupClusters(s: SparkSession, d: String, threshold: Double,
+                      exactPairs: Boolean = false): DataFrame = {
+    // Edges come from the LSH candidate path by default: at 100 TB the
+    // exact inverted-index self-join is Σ postings² while LSH is bounded
+    // by band-bucket width, and both emit the same verified ≥threshold
+    // pair set (DedupSimSpec pins the equality). `exactPairs` keeps the
+    // exhaustive generator for validation runs.
+    val gen = if (exactPairs) jaccardPairs _ else minhashLshPairs _
+    val pairs = gen(s, d, threshold).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
