@@ -129,4 +129,16 @@ class PlanSpec extends SparkSuite {
     val shuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
     assert(shuffles.isEmpty, s"unpivot should not shuffle, got ${shuffles.size}")
   }
+
+  test("scalar-function hot paths run inside whole-stage codegen") {
+    // map-side projection queries must be one codegen span over the scan —
+    // an interpreted expression in these paths costs 10-100x at 100 TB.
+    for (q <- Seq("f1_string_fns", "f3_math_fns", "f7_conditional_fns", "f13_bitwise")) {
+      val plan = run(q)
+      val spans = collectAll(plan) {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(spans.nonEmpty, s"$q has no WholeStageCodegen span:\n$plan")
+    }
+  }
 }
