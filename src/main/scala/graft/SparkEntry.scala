@@ -30,6 +30,7 @@ object SparkEntry {
     TimeWindows.queries ++
     Stats.queries ++
     Shapes.queries ++
+    Quality.queries ++
     Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -43,5 +44,6 @@ object SparkEntry {
     TimeWindows.oracleSql ++
     Stats.oracleSql ++
     Shapes.oracleSql ++
+    Quality.oracleSql ++
     Multimodal.oracleSql
 }

@@ -42,6 +42,20 @@ object FnvHash64 {
   final val Offset = 0xcbf29ce484222325L
   final val Prime = 0x100000001b3L
 
+  /** FNV-1a over a long's 8 little-endian bytes — the numeric-key variant
+    * used by [[Bloom]] for its second hash family.
+    */
+  def hashLong(v: Long): Long = {
+    var h = Offset
+    var i = 0
+    while (i < 8) {
+      h ^= ((v >>> (i * 8)) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+
   /** Reference implementation, also the codegen target (public so the
     * generated code can call it).
     */

@@ -152,7 +152,12 @@ object Dedup {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val sig = minhashSig(text)
-        (0 until NumBands).iterator.map { bnd =>
+        // Docs with no shingles (<3 words) keep the all-MaxValue seed
+        // signature; they'd collide with EVERY other shingle-less doc in
+        // every band — O(m²) candidate pairs among short docs at corpus
+        // scale — yet can never reach a positive verified Jaccard. Skip.
+        if (sig(0) == Long.MaxValue) Iterator.empty
+        else (0 until NumBands).iterator.map { bnd =>
           var mix = 0L
           var r = bnd * rowsPerBand
           while (r < (bnd + 1) * rowsPerBand) {

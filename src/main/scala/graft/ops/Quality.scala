@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Corpus-quality operators an LLM training-data pipeline runs after the
+  * per-document text stats (TextAnalysis) and before dedup (Dedup):
+  * repetition-based quality filtering (the Gopher/MassiveText rules) and
+  * corpus-level n-gram statistics. Absent from the reference (SURVEY.md
+  * §2.2 — north-star extension surface).
+  *
+  * Scale shape: both operators are one explode + hash-aggregation over the
+  * corpus — the aggregation keys are (doc, word) / bigram, so partial
+  * (map-side) aggregation absorbs the explosion before the shuffle; nothing
+  * here is quadratic in document count and no driver-side iteration exists.
+  */
+object Quality {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_repetition" -> { (s, d) =>
+      // Gopher-style repetition signals: duplicate-word fraction and
+      // top-word fraction per document, plus the resulting keep/drop flag.
+      // One explode pass, two cascaded aggregations on the same doc_id
+      // grain — the second agg is shuffle-free because the first already
+      // partitioned by doc_id (Catalyst reuses the exchange).
+      val words = Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      val wc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+            .as("dup_word_frac"),
+          round(col("top_c").cast("double") / col("n_words"), 4).as("top_word_frac"),
+          ((lit(1.0) - col("n_distinct").cast("double") / col("n_words")) > 0.5 ||
+            col("top_c").cast("double") / col("n_words") > 0.2).as("repetitive"))
+    },
+    "t11_bigrams" -> { (s, d) =>
+      // Corpus-level top-20 bigrams: per-document bigram arrays built with
+      // array primitives (slice + zip_with — codegen'd, no UDF), exploded
+      // into a count aggregation, global top-k via TakeOrderedAndProject.
+      val words = split(lower(col("text")), " ")
+      val bigrams = zip_with(
+        slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      Tables.table(s, d, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t10_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct, max(c) AS top_c
+        |  FROM wc GROUP BY 1)
+        |SELECT doc_id, n_words,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+        |  round(CAST(top_c AS DOUBLE) / n_words, 4) AS top_word_frac,
+        |  ((1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.5 OR
+        |    CAST(top_c AS DOUBLE) / n_words > 0.2) AS repetitive
+        |FROM agg""".stripMargin,
+    "t11_bigrams" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM w)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+  )
+}

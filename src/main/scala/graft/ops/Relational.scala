@@ -149,6 +149,24 @@ object Relational {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    "j13_bloom_join" -> { (s, d) =>
+      // Runtime semi-join pushdown: a selective dimension predicate becomes
+      // a Bloom filter applied to the FACT SCAN, map-side, before the join
+      // shuffle — at 100 TB this is the difference between shuffling the
+      // matching ~1% and shuffling everything. False positives are removed
+      // by the join itself, so the result is exactly the plain join's.
+      import graft.functions.Bloom
+      val dim = Tables.table(s, d, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bits = Bloom.build(dim, "o_orderkey")
+      Tables.table(s, d, "lineitem")
+        .filter(Bloom.mightContain(bits)(col("l_orderkey")))
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), r2(sum(col("l_extendedprice"))).as("revenue"))
+    },
+
     "h3_shipping_priority" -> { (s, d) =>
       // TPC-H Q3 shape: dimension filter broadcasts into the fact-fact
       // equi-join, group on the order grain, global top-10 via
@@ -357,6 +375,11 @@ object Relational {
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 86400000000
         |GROUP BY a.user_id""".stripMargin,
+    "j13_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority""".stripMargin,
     "h3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -397,8 +420,8 @@ object Relational {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "h12_priority_shipping" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag""".stripMargin,

@@ -32,7 +32,10 @@ object RefParity {
   private def fingerprint(f: java.io.File): Long = {
     val self = f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21)
     if (!f.isDirectory) self
-    else f.listFiles().foldLeft(self) { (acc, c) =>
+    // listFiles() ordering is filesystem-dependent and the rotate/XOR fold
+    // is non-commutative — sort by name so an unchanged directory always
+    // fingerprints identically (no spurious re-ingests or orphaned dirs).
+    else f.listFiles().sortBy(_.getName).foldLeft(self) { (acc, c) =>
       java.lang.Long.rotateLeft(acc, 7) ^ fingerprint(c)
     }
   }

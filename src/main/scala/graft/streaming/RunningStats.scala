@@ -45,12 +45,17 @@ object RunningStats {
     }
   }
 
-  /** Wire the processor onto a typed event stream. */
+  /** Wire the processor onto a typed event stream. Spark 4 only honors
+    * state TTL under `TimeMode.ProcessingTime` (getValueState throws for a
+    * TTL'd cell in TimeMode.None), so the time mode follows the TTL config.
+    */
   def userStats(spark: SparkSession, events: Dataset[Event],
                 ttl: TTLConfig = TTLConfig.NONE): Dataset[UserStats] = {
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.user_id)
-      .transformWithState(new Processor(ttl), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(ttl), timeMode, OutputMode.Append())
   }
 }

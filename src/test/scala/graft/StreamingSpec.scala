@@ -180,6 +180,12 @@ class StreamingSpec extends SparkSuite {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing keeps the per-commit path to an append-only
+    // changelog write; full RocksDB snapshot uploads (which shell out via
+    // Hadoop's RawLocalFileSystem and can wedge under this sandbox) move to
+    // the background maintenance thread.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val mem = MemoryStream[RsEvent]
       val out = RunningStats.userStats(spark, mem.toDS())
@@ -198,6 +204,42 @@ class StreamingSpec extends SparkSuite {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+  }
+
+  test("userStats TimeMode follows the TTL config (plan-level)") {
+    // Regression guard for the ADVICE-flagged bug: Spark 4 honors state TTL
+    // only under TimeMode.ProcessingTime — TimeMode.None with a TTL'd state
+    // cell throws at getValueState, so userStats must switch mode when a
+    // TTL is supplied. Asserted on the logical plan's TransformWithState
+    // node rather than by running the stream: an e2e TTL micro-batch forces
+    // a RocksDB changelog rename, whose Hadoop RawLocalFileSystem shell-out
+    // (`readlink`) deterministically wedges `fork` in this sandbox (thread
+    // dump: ProcessImpl.start never returns). The mode selection IS the
+    // contract; the stateful runtime path is covered by the no-TTL e2e test
+    // above.
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.RunningStats
+    import RunningStats.{Event => RsEvent}
+    import org.apache.spark.sql.streaming.TTLConfig
+
+    def timeModeOf(ttl: TTLConfig): String = {
+      val mem = MemoryStream[RsEvent]
+      val plan = RunningStats.userStats(spark, mem.toDS(), ttl)
+        .queryExecution.analyzed
+      val node = plan.collectFirst {
+        case n if n.nodeName.contains("TransformWithState") => n
+      }.getOrElse(fail(s"no TransformWithState node in:\n$plan"))
+      // The node embeds its TimeMode as a case-object argument; its string
+      // form ("ProcessingTime"/"NoTime") is version-stable enough to pin.
+      node.productIterator
+        .find(_.isInstanceOf[org.apache.spark.sql.streaming.TimeMode])
+        .map(_.toString)
+        .getOrElse(fail(s"no TimeMode argument on $node"))
+    }
+    assert(timeModeOf(TTLConfig(java.time.Duration.ofHours(1))).contains("ProcessingTime"))
+    assert(!timeModeOf(TTLConfig.NONE).contains("ProcessingTime"))
   }
 
   test("watermarked window aggregation merges in-window rows") {
