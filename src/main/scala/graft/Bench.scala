@@ -12,6 +12,7 @@ object Bench {
     "q1_pricing_summary", "a1_stats_agg", "a2_percentiles", "q5_cube",
     "h3_shipping_priority", "h10_returned_items",
     "j2_join_multiway", "j6_asof_join", "j7_range_join", "j10_scalar_subquery",
+    "j13_bloom_join",
     "w1_rank_topn", "w4_moving_avg", "s1_topk", "s3_stratified_sample",
     "set3_union", "f3_math_fns", "f5_json_fns", "x1_wordcount",
     "t1_lang_id", "t6_tfidf",

@@ -21,9 +21,9 @@ object Quality {
     "t10_repetition" -> { (s, d) =>
       // Gopher-style repetition signals: duplicate-word fraction and
       // top-word fraction per document, plus the resulting keep/drop flag.
-      // One explode pass, two cascaded aggregations on the same doc_id
-      // grain — the second agg is shuffle-free because the first already
-      // partitioned by doc_id (Catalyst reuses the exchange).
+      // One explode pass, two cascaded aggregations; both shuffles move
+      // partially-aggregated rows only (distinct (doc,word) pairs, then
+      // per-partition doc partials) — never the exploded word stream.
       val words = Tables.table(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       val wc = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))

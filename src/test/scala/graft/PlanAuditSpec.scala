@@ -41,4 +41,29 @@ class PlanAuditSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, s"scale-hostile plans:\n${offenders.mkString("\n")}")
   }
+
+  test("t11_bigrams plans a TakeOrderedAndProject (no global sort)") {
+    val df = graft.ops.Quality.queries("t11_bigrams")(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"expected top-k plan, got:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("j13_bloom_join prunes the fact scan before a broadcast join") {
+    val df = graft.ops.Relational.queries("j13_bloom_join")(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // The Bloom membership test must sit fact-side (a Filter over the
+    // lineitem scan), and the join itself must broadcast the dimension —
+    // i.e. the shuffle that the bloom prunes is the only data movement.
+    val bloomFilter = nodes.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("UDF") => f
+    }
+    assert(bloomFilter.nonEmpty, "no bloom-membership Filter in the plan")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"expected broadcast hash join:\n${df.queryExecution.executedPlan}")
+  }
 }
