@@ -149,6 +149,31 @@ object Relational {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    "mrg1_upsert" -> { (s, d) =>
+      // MERGE / upsert semantics (the lakehouse op the reference's
+      // append-only block store can't express): an updates batch applied to
+      // a base snapshot — matched keys take the update, unmatched updates
+      // insert, unmatched base rows carry over. Declaratively it is one
+      // full-outer equi-join + coalesce per column: a single shuffle on the
+      // merge key (zero-shuffle with bucketed tables, see BucketTables),
+      // partition-wise at any scale, no row-at-a-time apply loop.
+      val o = Tables.table(s, d, "orders")
+      val base = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // +10.0 keeps the update price at the base's 2-decimal grid — the
+      // whole column stays bit-identical across engines with no rounding
+      // (a ×1.1-style update would land on .xx5 rounding ties where
+      // HALF_UP engines and float-rounding engines disagree).
+      val updates = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 10.0).as("u_price"))
+      base.join(updates, Seq("o_orderkey"), "full_outer")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price"),
+          when(col("u_price").isNotNull && col("o_totalprice").isNotNull, "update")
+            .when(col("u_price").isNotNull, "insert")
+            .otherwise("keep").as("op"))
+    },
     "j13_bloom_join" -> { (s, d) =>
       // Runtime semi-join pushdown: a selective dimension predicate becomes
       // a Bloom filter applied to the FACT SCAN, map-side, before the join
@@ -375,6 +400,18 @@ object Relational {
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 86400000000
         |GROUP BY a.user_id""".stripMargin,
+    "mrg1_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |updates AS (
+        |  SELECT o_orderkey, o_totalprice + 10.0 AS u_price
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT coalesce(base.o_orderkey, updates.o_orderkey) AS o_orderkey,
+        |  coalesce(u_price, o_totalprice) AS price,
+        |  CASE WHEN u_price IS NOT NULL AND o_totalprice IS NOT NULL THEN 'update'
+        |       WHEN u_price IS NOT NULL THEN 'insert'
+        |       ELSE 'keep' END AS op
+        |FROM base FULL OUTER JOIN updates ON base.o_orderkey = updates.o_orderkey""".stripMargin,
     "j13_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

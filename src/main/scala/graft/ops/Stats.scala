@@ -36,6 +36,23 @@ object Stats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_regression" -> { (s, d) =>
+      // Bivariate regression/association aggregates (price ~ quantity per
+      // returnflag): slope, intercept, r², correlation, sample covariance.
+      // Each is a partial+final mergeable moment aggregate — one shuffle of
+      // per-partition moment tuples, the same shape at any scale. Rounded
+      // at 4 decimals on both sides: the moments are sums, so engine
+      // summation order perturbs only trailing ulps.
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("covar_pq"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+    },
     "a1_stats_agg" -> { (s, d) =>
       Tables.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -147,6 +164,15 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a9_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a1_stats_agg" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
