@@ -54,6 +54,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
       .getOrElse(if (all) Set.empty[String] else Headline.toSet)
+    // Second warmup tier: run every query to be timed against the 50-row
+    // sf0.001 tables first. Whole-stage codegen caches generated classes by
+    // source, and the plan shape (hence source) is scale-independent — so
+    // this pre-pays Janino compilation and C2-warms the typed kernels for
+    // exactly the plans the timed run executes, without touching the timed
+    // scale factor's data. Skipped when the tiny SF isn't present.
+    locally {
+      val warmSf = "/root/testdata/sf0.001"
+      if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (n, _) => only.isEmpty || only(n) }
+          .foreach { case (_, fn) =>
+            try fn(spark, warmSf).count() catch { case _: Throwable => () }
+          }
+      }
+    }
     // Fixed (sorted) execution order so per-query numbers are comparable
     // across runs and rounds — Map iteration order is arbitrary.
     // Local A/B knob: time each query `repeat` times, keep the minimum —
