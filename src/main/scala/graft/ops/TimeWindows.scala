@@ -37,6 +37,28 @@ object TimeWindows {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n_events"), col("session_value"))
+    },
+    "ts4_gap_fill" -> { (s, d) =>
+      // Time-series regularization: a dense per-user daily grid over each
+      // user's active span, missing days forward-filled from the last
+      // observed value. Grid generation is sequence()+explode (no join
+      // against a calendar table), the fill is one per-user window pass —
+      // at scale the grid is |users|×span rows and the single shuffle is
+      // on user_id, so skew follows user activity, not data volume.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts_t")).as("day"))
+        .agg(round(sum(col("value")), 2).as("day_value"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day").cast("date").as("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+          col("day_value").isNull.as("gap"))
     }
   )
 
@@ -68,6 +90,22 @@ object TimeWindows {
         |  FROM marked)
         |SELECT user_id, min(ts) AS session_start,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
-        |FROM sessions GROUP BY user_id, session_id""".stripMargin
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "ts4_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |        FROM daily GROUP BY user_id))
+        |SELECT g.user_id, CAST(g.day AS DATE) AS day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  d.day_value IS NULL AS gap
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
   )
 }
