@@ -36,6 +36,22 @@ object Stats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_bitmap_distinct" -> { (s, d) =>
+      // EXACT distinct counting that scales like a sketch: keys bucket into
+      // fixed 32k-bit bitmaps (bitmap_bucket_number/bit_position), each
+      // (group, bucket) OR-aggregates map-side into one bitmap, and the
+      // final count is a sum of per-bucket popcounts. Unlike
+      // count(DISTINCT) — whose dedup shuffle carries every distinct key —
+      // the shuffle here carries one bounded bitmap per (group, bucket):
+      // mergeable partial state, exact answer. The q3 count-distinct and
+      // a3 HLL queries bracket this from the exact-expensive and
+      // approx-cheap sides.
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_partkey)").as("buck"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("distinct_parts"))
+    },
     "a9_regression" -> { (s, d) =>
       // Bivariate regression/association aggregates (price ~ quantity per
       // returnflag): slope, intercept, r², correlation, sample covariance.
@@ -164,6 +180,11 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The bitmap plumbing is Spark-internal, but the RESULT is exact —
+    // the oracle is plain count(DISTINCT).
+    "a10_bitmap_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a9_regression" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
