@@ -35,6 +35,30 @@ object TextSources {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** Raw line-text: one string row per line (column `value`), path captured
+    * alongside for provenance — the entry point for corpora that arrive as
+    * plain .txt shards. No schema to supply: lines are the schema.
+    */
+  def readTextLines(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    spark.read.text(path)
+      .select(col("value"), input_file_name().as("src_file"))
+  }
+
+  /** ORC read with the same explicit-schema, no-inference stance as CSV /
+    * JSON. ORC ships in Spark's core distribution (unlike Avro connectors)
+    * and carries footer min/max stats like Parquet, so the zone-map
+    * pruning story (SURVEY.md §4) holds for it unchanged.
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC write, mirroring BlockWriter's bounded-file stance. */
+  def writeOrc(df: DataFrame, path: String, maxRecordsPerFile: Int = 8192): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .orc(path)
+
   /** Whole files as rows: (path, modificationTime, length, content binary)
     * — the on-disk entry point for the Multimodal pipeline (images/audio
     * land as `content` payloads with path-derived metadata). Push a glob

@@ -43,6 +43,34 @@ class SourcesSpec extends SparkSuite {
     assert(back.filter(col("id").isNotNull).count() === 3)
   }
 
+  test("ORC round trip under an explicit schema, file size bounded") {
+    val dir = tmpDir("graft_orc_spec") + "/out"
+    val df = spark.range(100).select(
+      col("id"), concat(lit("n"), col("id")).as("name"),
+      (col("id") * 1.5).as("score"))
+    TextSources.writeOrc(df, dir, maxRecordsPerFile = 40)
+    val back = TextSources.readOrc(spark, dir, schema)
+    assert(back.count() === 100)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.agg(sum(col("score"))).head.getDouble(0) === 99 * 100 / 2 * 1.5)
+    // maxRecordsPerFile must bound the files like BlockWriter's MaxSize
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".orc"))
+    assert(files >= 3, s"expected >=3 bounded files, got $files")
+  }
+
+  test("text source reads raw lines with file provenance") {
+    val dir = tmpDir("graft_text_spec")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard0.txt"), "alpha\nbeta\ngamma\n")
+    val back = TextSources.readTextLines(spark, dir)
+    assert(back.count() === 3)
+    assert(back.columns.toSeq === Seq("value", "src_file"))
+    assert(back.select(col("value")).collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("alpha", "beta", "gamma"))
+    assert(back.select(col("src_file")).head.getString(0).endsWith("shard0.txt"))
+  }
+
   test("binaryFile source reads payload bytes with path metadata, glob-filtered") {
     val dir = tmpDir("graft_bin_spec")
     java.nio.file.Files.write(
