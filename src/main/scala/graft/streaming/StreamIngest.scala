@@ -70,6 +70,76 @@ object StreamIngest {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming MERGE: maintain a keyed latest-state snapshot under `base`
+    * from an update stream — the streaming complement of the batch
+    * `mrg1_upsert` operator, and the write pattern the reference's
+    * append-only block store cannot express.
+    *
+    * Each micro-batch runs one deduplicated full-outer merge:
+    * batch-internal re-deliveries collapse to the latest row per key
+    * (row_number over the ts ordering), then matched keys take the update
+    * and unmatched snapshot rows carry over. The snapshot rewrite is
+    * transactional per batch (write to `<base>.next`, swap) — a real lake
+    * table format would commit a manifest instead; the merge JOIN, which is
+    * what scales, is identical. Exactly-once comes from the checkpoint:
+    * a replayed batch re-merges the same updates into the same snapshot
+    * (the merge is idempotent on (key, ts)).
+    *
+    * Scale: state lives in the table, not executor memory — the per-batch
+    * cost is one join of |batch| against |snapshot| on the merge key,
+    * bucketable to a co-located join via BlockWriter's layout.
+    */
+  def upsertStream(updates: DataFrame, base: String, checkpoint: String,
+                   keyCol: String, tsCol: String,
+                   maxAgeMs: Long = 1000L): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(maxAgeMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc)
+        val latest = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(base))
+        val merged =
+          if (!exists) latest
+          else {
+            val snap = spark.read.parquet(base)
+            val cols = snap.columns
+            // matched → update row; unmatched update → insert; else keep
+            snap.as("s").join(latest.as("u"),
+                col(s"s.$keyCol") === col(s"u.$keyCol"), "full_outer")
+              .select(cols.map(c =>
+                coalesce(col(s"u.$c"), col(s"s.$c")).as(c)): _*)
+          }
+        val next = base + ".next"
+        merged.write.mode("overwrite").parquet(next)
+        // swap: atomic-enough for a local filesystem; a table format's
+        // manifest commit replaces this two-step on object storage
+        val target = java.nio.file.Paths.get(base)
+        def rmTree(p: java.nio.file.Path): Unit =
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        if (exists) {
+          val old = java.nio.file.Paths.get(base + ".old")
+          rmTree(old)
+          java.nio.file.Files.move(target, old,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.move(java.nio.file.Paths.get(next), target)
+          rmTree(old)
+        } else {
+          java.nio.file.Files.move(java.nio.file.Paths.get(next), target)
+        }
+        ()
+      }
+      .start()
+
   /** Event-time tumbling-window counts with a watermark — the late-data
     * policy the reference lacks (SURVEY.md §2.2: late rows there just open
     * a new block; here they merge into their true event-time window until

@@ -242,6 +242,36 @@ class StreamingSpec extends SparkSuite {
     assert(!timeModeOf(TTLConfig.NONE).contains("ProcessingTime"))
   }
 
+  test("foreachBatch upsert maintains a latest-state snapshot across batches") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val base = tmpDir("graft_upsert_spec") + "/snapshot"
+    val cp = tmpDir("graft_upsert_cp")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.StreamIngest.upsertStream(
+      mem.toDF().toDF("k", "ts", "v"), base, cp, keyCol = "k", tsCol = "ts")
+    try {
+      // batch 1: two keys, plus an in-batch re-delivery of k=1 (older ts
+      // must lose to the newer one)
+      mem.addData((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, 5.0))
+      q.processAllAvailable()
+      val snap1 = spark.read.parquet(base).as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(snap1(1L) === ((1L, 20L, 2.0)))
+      assert(snap1(2L) === ((2L, 10L, 5.0)))
+      // batch 2: update k=2, insert k=3; k=1 must carry over untouched
+      mem.addData((2L, 30L, 7.0), (3L, 5L, 9.0))
+      q.processAllAvailable()
+      val snap2 = spark.read.parquet(base).as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(snap2.keySet === Set(1L, 2L, 3L))
+      assert(snap2(1L) === ((1L, 20L, 2.0)))
+      assert(snap2(2L) === ((2L, 30L, 7.0)))
+      assert(snap2(3L) === ((3L, 5L, 9.0)))
+    } finally q.stop()
+  }
+
   test("watermarked window aggregation merges in-window rows") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
