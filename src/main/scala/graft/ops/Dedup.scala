@@ -60,30 +60,28 @@ object Dedup {
   def docShingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(s, Tables.table(s, d, "documents"))
 
-  /** doc_id + exploded distinct shingles — the inverted-index relation. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.table(s, d, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) => shingleSeq(t).map(sh => (id, sh)) }
-      .toDF("doc_id", "shingle")
-  }
-
   /** Exact pairwise Jaccard ≥ `threshold` via the inverted shingle index.
     *
-    * Hot-path choices (measured at sf0.1: 129 s → single-digit):
+    * Hot-path choices (measured at sf0.1: 129 s round-1 → ~1.6 s):
     *  - postings join on an 8-byte xxhash64 of the shingle, not the ~20-char
     *    string (collision odds ~n²/2⁶⁴ — immaterial);
-    *  - the index is persisted: it feeds both join sides and the size agg,
-    *    and recomputing the explode three times dominates otherwise;
+    *  - the per-doc shingle ARRAYS are persisted (one row per doc), feeding
+    *    both self-join sides via one explode and the doc sizes via a
+    *    map-side size() — no posting-grain groupBy-count shuffle at all;
     *  - doc sizes broadcast to annotate pairs without a shuffle.
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val idx = shingleIndex(s, d)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // Persist at the ARRAY grain (one row per doc), not the posting grain:
+    // doc sizes fall out map-side as size(sh) — no 5M-row groupBy-count
+    // shuffle — and the posting index explodes off the same cached pass.
+    val arrays = docShingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = arrays
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     try {
-      val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val sizes = arrays.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+        .filter(col("n") > 0)
       val common = idx.as("a").join(idx.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -96,11 +94,11 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         // Materialize the (small, threshold-filtered) pair set eagerly so
-        // the shingle-index cache can be dropped before returning — a
+        // the shingle-array cache can be dropped before returning — a
         // Verify/Bench session runs d2, d3 and d6 back to back and must
-        // not accumulate index caches across invocations.
+        // not accumulate caches across invocations.
         .localCheckpoint(true)
-    } finally idx.unpersist(false)
+    } finally arrays.unpersist(false)
   }
 
   // ---- MinHash ------------------------------------------------------------
