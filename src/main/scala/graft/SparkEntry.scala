@@ -31,6 +31,7 @@ object SparkEntry {
     Stats.queries ++
     Shapes.queries ++
     Quality.queries ++
+    Profiling.queries ++
     Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -45,5 +46,6 @@ object SparkEntry {
     Stats.oracleSql ++
     Shapes.oracleSql ++
     Quality.oracleSql ++
+    Profiling.oracleSql ++
     Multimodal.oracleSql
 }

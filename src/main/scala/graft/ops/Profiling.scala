@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Table profiling and data-quality expectation checks — the ANALYZE /
+  * expectations surface of an engine (absent from the reference, which
+  * stores rows without ever inspecting them; SURVEY.md §2.2).
+  *
+  * Scale shape: profiling is ONE full scan computing every per-column
+  * metric as a partial+final aggregate (the n_distinct terms are the only
+  * key-carrying shuffles); expectations are conditional aggregates over the
+  * same single pass plus one anti-join for referential integrity. Neither
+  * collects row-level data to the driver.
+  */
+object Profiling {
+
+  private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prof1_column_stats" -> { (s, d) =>
+      // Long-format numeric column profile: min / max / null count /
+      // exact distinct count per column, computed in one aggregation pass
+      // and exploded to (column, metrics) rows.
+      val aggs = profCols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))
+      }
+      val one = Tables.table(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val entries = profCols.map { c =>
+        struct(lit(c).as("column"), col(s"min_$c").as("min_v"),
+          col(s"max_$c").as("max_v"), col(s"nulls_$c").as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"))
+      }
+      one.select(explode(array(entries: _*)).as("p"))
+        .select(col("p.column"), col("p.min_v"), col("p.max_v"),
+          col("p.n_nulls"), col("p.n_distinct"))
+    },
+    "dq1_expectations" -> { (s, d) =>
+      // Expectation suite: each row is (check, violations). Single-table
+      // checks fold into one conditional-aggregate pass over lineitem; the
+      // referential check is a broadcast anti join (orders → customer).
+      val li = Tables.table(s, d, "lineitem").agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpos_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+          .as("bad_discount"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"))
+      val orphans = Tables.table(s, d, "orders")
+        .join(broadcast(Tables.table(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("orphan_orders").as("check"), col("v").as("violations"))
+      li.select(explode(array(
+          struct(lit("null_key").as("check"), col("null_key").as("violations")),
+          struct(lit("nonpos_qty").as("check"), col("nonpos_qty").as("violations")),
+          struct(lit("bad_discount").as("check"), col("bad_discount").as("violations")),
+          struct(lit("null_shipdate").as("check"), col("null_shipdate").as("violations"))))
+          .as("e"))
+        .select(col("e.check"), col("e.violations"))
+        .union(orphans)
+    }
+  )
+
+  private val profOracle = profCols.map { c =>
+    s"""SELECT '$c' AS "column", min($c) AS min_v, max($c) AS max_v,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  val oracleSql: Map[String, String] = Map(
+    "prof1_column_stats" -> profOracle,
+    "dq1_expectations" ->
+      """SELECT 'null_key' AS "check",
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'nonpos_qty',
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'bad_discount',
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'null_shipdate',
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orphan_orders', count(*) FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin
+  )
+}
