@@ -267,6 +267,39 @@ object Relational {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
             .as("low_priority"))
     },
+    "h14_promo_effect" -> { (s, d) =>
+      // TPC-H Q14 shape: promo revenue share in a month — conditional
+      // numerator and full denominator from ONE aggregation pass over the
+      // joined window (no second scan for the ratio).
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-03-01") && col("l_shipdate") < lit("1997-04-01"))
+      val p = Tables.table(s, d, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("promo_pct"))
+    },
+    "h19_disjunctive" -> { (s, d) =>
+      // TPC-H Q19 shape: OR-of-ANDs predicate over a join. The equi key
+      // (partkey) hash-joins; the disjunction stays a residual filter —
+      // Catalyst must not fall back to a nested loop (PlanAuditSpec
+      // enforces that for every registered query).
+      val li = Tables.table(s, d, "lineitem")
+      val p = Tables.table(s, d, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(25, 50) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
     "j11_lateral_topn" -> { (s, d) =>
       // LATERAL correlated subquery (top-2 orders per customer) — Catalyst
       // decorrelates the per-row subquery into a window + join, so the
@@ -462,6 +495,20 @@ object Relational {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag""".stripMargin,
+    "h14_promo_effect" ->
+      """SELECT round(
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "h19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "j11_lateral_topn" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c, LATERAL (

@@ -87,6 +87,19 @@ object Windows {
         nth_value(col("event_id"), 2)
           .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("second_event"))
+    },
+    "w8_time_range_frame" -> { (s, d) =>
+      // Time-INTERVAL range frame (trailing 24h sum per user ordered by the
+      // timestamp itself) through the SQL frontend — the calendar-typed
+      // sibling of w7's numeric range frame. Same single-shuffle window
+      // shape; the interval frame makes Spark maintain the sliding bound
+      // by timestamp arithmetic rather than a numeric offset.
+      Tables.events(s, d).createOrReplaceTempView("events_w8")
+      s.sql(
+        """SELECT user_id, event_id,
+          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_t
+          |    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW), 2) AS day_sum
+          |FROM events_w8""".stripMargin)
     }
   )
 
@@ -132,6 +145,11 @@ object Windows {
         |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_event,
         |  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event
+        |FROM events""".stripMargin,
+    "w8_time_range_frame" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW), 2) AS day_sum
         |FROM events""".stripMargin
   )
 }
