@@ -145,6 +145,17 @@ object Fns {
           size(map_keys(m)).as("n_keys"),
           map_contains_key(m, "qty").cast("int").as("has_qty"))
     },
+    "f15_try_fns" -> { (s, d) =>
+      // Error-tolerant casts: TRY_CAST yields NULL instead of failing the
+      // job — the ingestion stance for dirty columns (a malformed value
+      // must not kill a 100 TB scan; both engines agree NULL-on-failure).
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        expr("TRY_CAST(source AS INT)").as("src_as_int"),         // 'srcN' → null
+        expr("TRY_CAST(substr(source, 4) AS INT)").as("src_num"), // 'N' → int
+        expr("TRY_CAST(lang AS DATE)").as("lang_as_date"),        // 'en' → null
+        expr("TRY_CAST(n_chars AS INT)").as("chars_int"))         // in-range long → int
+    },
     "f14_interval_arith" -> { (s, d) =>
       // Interval arithmetic + ISO calendar fields. weekday()+1 == ISO
       // day-of-week (1=Mon..7=Sun), matching DuckDB's isodow; add_months
@@ -279,6 +290,13 @@ object Fns {
         |  2 AS n_keys,
         |  1 AS has_qty
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "f15_try_fns" ->
+      """SELECT doc_id,
+        |  TRY_CAST(source AS INT) AS src_as_int,
+        |  TRY_CAST(substr(source, 4) AS INT) AS src_num,
+        |  TRY_CAST(lang AS DATE) AS lang_as_date,
+        |  TRY_CAST(n_chars AS INT) AS chars_int
+        |FROM documents""".stripMargin,
     "f14_interval_arith" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
