@@ -303,6 +303,10 @@ object Dedup {
     // exhaustive generator for validation runs.
     val gen = if (exactPairs) jaccardPairs _ else minhashLshPairs _
     val pairs = gen(s, d, threshold).select(col("doc_a"), col("doc_b"))
+    // The loop's shuffles inherit spark.sql.shuffle.partitions even though
+    // the edge set is a sliver of the corpus — AQE's partition coalescing
+    // (on by default) is what keeps the per-round tasks from being
+    // mostly-empty; an explicit repartition here measured as pure overhead.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
