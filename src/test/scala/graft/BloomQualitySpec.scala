@@ -58,6 +58,50 @@ class BloomQualitySpec extends SparkSuite {
       Seq("doc_id", "n_words", "dup_word_frac", "top_word_frac", "repetitive"))
   }
 
+  test("Bloom soundness holds across key distributions (property)") {
+    // No-false-negative must hold for ANY key set — probe adversarial
+    // distributions: dense sequential, bit-sparse powers, large-magnitude,
+    // negative, and pseudo-random keys.
+    val sess = spark
+    import sess.implicits._
+    val keySets: Seq[(String, Seq[Long])] = Seq(
+      "sequential" -> (0L until 2000L),
+      "powers" -> (0 until 62).map(1L << _),
+      "negatives" -> (0L until 1000L).map(i => -i * 31L - 7L),
+      "large" -> (0L until 1000L).map(i => Long.MaxValue - i * 1009L),
+      "lcg" -> Iterator.iterate(88172645463325252L)(x => x * 6364136223846793005L + 1442695040888963407L)
+        .take(1500).toSeq)
+    keySets.foreach { case (label, keys) =>
+      val df = keys.toDF("k")
+      val bits = Bloom.build(df, "k")
+      val misses = df.filter(!Bloom.mightContain(bits)(col("k"))).count()
+      assert(misses === 0L, s"false negatives in distribution '$label'")
+    }
+  }
+
+  test("gap-fill invariants: dense grid, fill equals last observation (property)") {
+    import graft.ops.TimeWindows
+    val out = TimeWindows.queries("ts4_gap_fill")(spark, sf)
+      .select(col("user_id"), col("day"), col("filled_value"), col("gap"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val days = rows.map(_._2).sortBy(_.toEpochDay)
+      // Invariant 1: the grid is dense — every day between min and max present.
+      assert(days.last.toEpochDay - days.head.toEpochDay + 1 === days.length.toLong)
+      // Invariant 2: filled_value is carried from the most recent non-gap day.
+      var lastObserved = Double.NaN
+      rows.sortBy(_._2.toEpochDay).foreach { case (_, _, v, gap) =>
+        if (!gap) lastObserved = v
+        else assert(v === lastObserved, "gap row must carry the last observed value")
+      }
+      // Invariant 3: span endpoints are observations, never gaps.
+      val byDay = rows.map(r => r._2 -> r._4).toMap
+      assert(!byDay(days.head) && !byDay(days.last))
+    }
+  }
+
   test("bigram counts: zip_with/slice construction matches a manual bigram") {
     val sess = spark
     import sess.implicits._
