@@ -47,24 +47,48 @@ object VecOps {
     }
 
   /** All id-ordered pairs with cosine ≥ threshold: broadcast block × scan.
-    * At this sf the whole base side fits in one broadcast tile; the tiling
-    * generalization iterates this over chunks.
+    * At this sf the whole base side fits in one broadcast tile; the tiled
+    * variant below is the same algorithm with bounded driver/broadcast
+    * memory.
     */
   def cosinePairs(s: SparkSession, df: DataFrame, idCol: String, embCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double): DataFrame =
+    cosinePairsTiled(s, df, idCol, embCol, threshold, numTiles = 1)
+
+  /** The 100 TB form of [[cosinePairs]]: the broadcast side is split into
+    * `numTiles` hash tiles (`id % numTiles`), and the scan side multiplies
+    * against one resident tile per round — driver and executor memory hold
+    * ONE tile of vectors regardless of corpus size, while the scan side
+    * streams from storage each round. Tile membership by key hash needs no
+    * id collection or range computation, and the `tile.id > id` guard keeps
+    * the union over rounds an exact, duplicate-free enumeration of all
+    * ordered pairs. Cost is numTiles scans of the base side — the
+    * standard blocked matrix-product trade (compute unchanged, memory
+    * bounded); in practice the LSH/IVF paths (Sim) prune candidates first
+    * and this exact kernel runs on the pruned block.
+    */
+  def cosinePairsTiled(s: SparkSession, df: DataFrame, idCol: String, embCol: String,
+                       threshold: Double, numTiles: Int): DataFrame = {
     import s.implicits._
-    val block = s.sparkContext.broadcast(vectors(s, df, idCol, embCol).sortBy(_.id))
+    require(numTiles >= 1, s"numTiles must be >= 1, got $numTiles")
     val base = df.select(col(idCol), col(embCol)).as[(Long, Array[Float])]
-    base.mapPartitions { it =>
-      val tile = block.value
-      it.flatMap { case (id, emb) =>
-        val n = normD(emb)
-        tile.iterator
-          .filter(_.id > id)
-          .map(v => (id, v.id, round4(dotD(emb, v.emb) / (n * v.norm))))
-          .filter(_._3 >= threshold)
-      }
-    }.toDF("vec_a", "vec_b", "cos")
+    (0 until numTiles).map { t =>
+      val tileVecs = vectors(s,
+        if (numTiles == 1) df
+        else df.filter(org.apache.spark.sql.functions.pmod(col(idCol), org.apache.spark.sql.functions.lit(numTiles)) === t),
+        idCol, embCol).sortBy(_.id)
+      val block = s.sparkContext.broadcast(tileVecs)
+      base.mapPartitions { it =>
+        val tile = block.value
+        it.flatMap { case (id, emb) =>
+          val n = normD(emb)
+          tile.iterator
+            .filter(_.id > id)
+            .map(v => (id, v.id, round4(dotD(emb, v.emb) / (n * v.norm))))
+            .filter(_._3 >= threshold)
+        }
+      }.toDF("vec_a", "vec_b", "cos")
+    }.reduce(_ union _)
   }
 
   /** Cosine of every (query, base) pair, queries broadcast. */

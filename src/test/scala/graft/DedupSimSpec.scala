@@ -11,6 +11,22 @@ class DedupSimSpec extends SparkSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
     df.select(col(a), col(b)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("tiled cosine pairs equal the single-tile result for any tiling") {
+    // The bounded-memory tiling must be a pure execution-strategy change:
+    // identical pair set and identical (sequential-double, round4) scores
+    // for every tile count, including ones that split unevenly.
+    import graft.ops.VecOps
+    val emb = graft.tables.Tables.table(spark, sf, "embeddings")
+    val single = VecOps.cosinePairs(spark, emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(single.nonEmpty)
+    for (tiles <- Seq(2, 3, 7)) {
+      val tiled = VecOps.cosinePairsTiled(spark, emb, "vec_id", "embedding", 0.3, tiles)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(tiled === single, s"tiling with $tiles tiles changed the result")
+    }
+  }
+
   test("MinHash-LSH finds exactly the exact-Jaccard pair set") {
     val exact = pairSet(Dedup.jaccardPairs(spark, sf, 0.8), "doc_a", "doc_b")
     val lsh = pairSet(Dedup.minhashLshPairs(spark, sf, 0.8), "doc_a", "doc_b")
