@@ -103,6 +103,17 @@ object StreamIngest {
         val latest = batch
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
+        // Crash recovery for the two-step swap below: if a previous batch
+        // died between "base → old" and "next → base", the snapshot
+        // survives under .old — restore it before merging. (A lake table
+        // format's manifest commit makes this atomic; this is the local-FS
+        // equivalent.)
+        locally {
+          val b = java.nio.file.Paths.get(base)
+          val old = java.nio.file.Paths.get(base + ".old")
+          if (!java.nio.file.Files.exists(b) && java.nio.file.Files.exists(old))
+            java.nio.file.Files.move(old, b)
+        }
         val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(base))
         val merged =
           if (!exists) latest
