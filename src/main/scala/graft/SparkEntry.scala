@@ -32,6 +32,7 @@ object SparkEntry {
     Shapes.queries ++
     Quality.queries ++
     Profiling.queries ++
+    Behavior.queries ++
     Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -47,5 +48,6 @@ object SparkEntry {
     Shapes.oracleSql ++
     Quality.oracleSql ++
     Profiling.oracleSql ++
+    Behavior.oracleSql ++
     Multimodal.oracleSql
 }

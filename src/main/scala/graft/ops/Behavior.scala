@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Behavioral event analytics over the (user, ts) event stream: ordered
+  * funnels and cohort retention — the query family the reference's
+  * (entity, time) storage layout exists to serve but provides no operators
+  * for (SURVEY.md §2.2; its only query is a raw key-range scan).
+  *
+  * Scale shape: both operators reduce the event stream to per-user
+  * aggregates FIRST (one shuffle on user_id, partial aggregation absorbs
+  * the event volume map-side), then reason over the tiny per-user rows —
+  * never a self-join of raw events against raw events.
+  */
+object Behavior {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_funnel" -> { (s, d) =>
+      // Ordered funnel view → click → purchase: a user converts at step k
+      // if the earliest timestamps respect the order. min-per-type is one
+      // conditional aggregation; the step logic is pure projection after.
+      val e = Tables.events(s, d)
+      val perUser = e.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_purchase"))
+      val s1 = col("t_view").isNotNull
+      val s2 = s1 && col("t_click").isNotNull && col("t_click") > col("t_view")
+      val s3 = s2 && col("t_purchase").isNotNull && col("t_purchase") > col("t_click")
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(s1.cast("long")).as("reached_view"),
+        sum(s2.cast("long")).as("reached_click"),
+        sum(s3.cast("long")).as("converted"))
+    },
+    "e2_retention" -> { (s, d) =>
+      // Cohort retention: users cohorted by first-activity day; retained(n)
+      // = active on cohort_day + n. Day grain from the distinct
+      // (user, day) activity set — events collapse map-side before any
+      // join; the cohort join is broadcast (|users| rows).
+      val days = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts_t")).as("day"))
+        .distinct()
+      val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      days.join(broadcast(cohort), Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_n"))
+        .filter(col("day_n").isin(0, 1, 7))
+        .groupBy(col("cohort_day").cast("date").as("cohort_day"))
+        .agg(
+          countDistinct(when(col("day_n") === 0, col("user_id"))).as("cohort_size"),
+          countDistinct(when(col("day_n") === 1, col("user_id"))).as("d1_retained"),
+          countDistinct(when(col("day_n") === 7, col("user_id"))).as("d7_retained"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |                 AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |                 AND t_click > t_view AND t_purchase IS NOT NULL
+        |                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |FROM per_user""".stripMargin,
+    "e2_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+        |SELECT CAST(cohort_day AS DATE) AS cohort_day,
+        |  count(DISTINCT CASE WHEN datediff('day', cohort_day, day) = 0 THEN user_id END) AS cohort_size,
+        |  count(DISTINCT CASE WHEN datediff('day', cohort_day, day) = 1 THEN user_id END) AS d1_retained,
+        |  count(DISTINCT CASE WHEN datediff('day', cohort_day, day) = 7 THEN user_id END) AS d7_retained
+        |FROM days JOIN cohort USING (user_id)
+        |WHERE datediff('day', cohort_day, day) IN (0, 1, 7)
+        |GROUP BY 1""".stripMargin
+  )
+}
