@@ -50,6 +50,27 @@ object BlockWriter {
       .parquet(base)
   }
 
+  /** Append a new batch to an existing [[write]] layout. The batch may
+    * carry an EVOLVED schema (added nullable columns): Parquet stores each
+    * file's own schema, and [[graft.query.RangeQuery.queryEvolved]] merges
+    * footers at read time — the additive schema-evolution path the
+    * reference's fixed-Avro-codec design rules out (SURVEY.md §1.3 "no
+    * evolution"). Column renames/drops/retypes are NOT supported this way;
+    * those need a rewrite (compact with a projection).
+    */
+  def append(df: DataFrame, base: String, partitionCol: String, keyCol: String,
+             numBuckets: Int = DefaultBuckets,
+             maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit = {
+    df.withColumn("bucket", bucketCol(partitionCol, numBuckets))
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(partitionCol), col(keyCol))
+      .write
+      .mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .parquet(base)
+  }
+
   /** Small-files compaction: re-read a [[write]] layout and rewrite it with
     * a larger per-file cap, preserving the bucket dirs and re-clustering on
     * (partitionCol, keyCol) so footer-stats pruning stays tight.

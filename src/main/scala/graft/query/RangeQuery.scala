@@ -39,6 +39,21 @@ object RangeQuery {
         col(keyCol).between(startKey, endKey))
   }
 
+  /** [[query]] over a layout whose batches carry evolved (additive)
+    * schemas — `mergeSchema` unions the per-file Parquet schemas, so rows
+    * written before a column existed surface it as NULL. Merge is a
+    * footer-only operation (no data read) but does touch every footer at
+    * planning time; production layouts snapshot the merged schema in a
+    * catalog rather than re-deriving it per query.
+    */
+  def queryEvolved(spark: SparkSession, base: String, partitionCol: String, keyCol: String,
+                   partitionKey: Column, startKey: Column, endKey: Column,
+                   numBuckets: Int = BlockWriter.DefaultBuckets): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .filter(col("bucket") === pmod(xxhash64(partitionKey), lit(numBuckets)).cast("int") &&
+        col(partitionCol) === partitionKey &&
+        col(keyCol).between(startKey, endKey))
+
   /** Query a [[BlockWriter.writeByKey]] (reference-faithful) layout. */
   def queryByKey(spark: SparkSession, base: String, partitionCol: String, keyCol: String,
                  partitionKey: Column, startKey: Column, endKey: Column): DataFrame =

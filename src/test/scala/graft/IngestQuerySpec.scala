@@ -109,6 +109,33 @@ class IngestQuerySpec extends SparkSuite with TableDrivenPropertyChecks {
     assert(got === directCount(13L, 0L, Long.MaxValue / 2))
   }
 
+  test("additive schema evolution: appended column surfaces, old rows read NULL") {
+    val dir = tmpDir("graft_evolve_spec")
+    val e = Tables.events(spark, sf).drop("ts", "ts_t")
+    // v1 batch: users 0..7, no `score` column (sf0.001 has users 0..14)
+    BlockWriter.write(e.filter(col("user_id") < 8), dir,
+      partitionCol = "user_id", keyCol = "ts_us", numBuckets = 4,
+      maxRecordsPerFile = 64)
+    // v2 batch: users 8.., evolved with a nullable double `score`
+    BlockWriter.append(
+      e.filter(col("user_id") >= 8).withColumn("score", col("value") * 2),
+      dir, partitionCol = "user_id", keyCol = "ts_us", numBuckets = 4,
+      maxRecordsPerFile = 64)
+    def q(user: Long) = RangeQuery.queryEvolved(spark, dir, "user_id", "ts_us",
+      lit(user), lit(0L), lit(Long.MaxValue / 2), numBuckets = 4)
+    // evolved column exists for both eras; pre-evolution rows are NULL
+    val oldEra = q(3L)
+    assert(oldEra.columns.contains("score"))
+    assert(oldEra.count() === directCount(3L, 0L, Long.MaxValue / 2))
+    assert(oldEra.filter(col("score").isNotNull).count() === 0L)
+    val newEra = q(13L)
+    assert(newEra.count() === directCount(13L, 0L, Long.MaxValue / 2))
+    assert(newEra.filter(col("score").isNull).count() === 0L)
+    // partition pruning still fires through the merged-schema read
+    val (partFilters, _) = RangeQuery.scanFilters(q(3L))
+    assert(partFilters.exists(_.contains("bucket")))
+  }
+
   test("foreign files in a partition dir are ignored under lenient parity mode") {
     // the reference skips filenames its zone-map parser can't read
     // (block.go:149-174); opt-in parity reproduces that tolerance.
