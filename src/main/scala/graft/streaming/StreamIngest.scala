@@ -59,6 +59,24 @@ object StreamIngest {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"interval $within"))
 
+  /** Stream-stream LEFT OUTER join with the same bounded-state contract as
+    * [[streamJoin]]: unmatched left events are emitted null-padded once the
+    * watermark proves no matching right event can still arrive. The
+    * time-range condition is what makes the outer side decidable — without
+    * it Spark cannot know when to give up on a left row and the query is
+    * rejected. (The reference has no join surface at all; this is the
+    * streaming form of j8_outer_join.)
+    */
+  def streamJoinLeftOuter(left: DataFrame, leftKey: String, leftTs: String,
+                          right: DataFrame, rightKey: String, rightTs: String,
+                          delay: String, within: String): DataFrame =
+    left.withWatermark(leftTs, delay)
+      .join(right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $within"),
+        "left_outer")
+
   /** Streaming exact dedup: drop re-deliveries of the same id arriving
     * within the watermark delay. State holds one entry per id and is
     * evicted as the watermark passes — the bounded-state streaming form of

@@ -150,6 +150,38 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Set((1L, ts(10))))
   }
 
+  test("stream-stream left-outer join emits null-padded lefts after the watermark") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamIngest.streamJoinLeftOuter(
+      clicks.toDF().toDF("c_user", "c_ts"), "c_user", "c_ts",
+      buys.toDF().toDF("b_user", "b_ts"), "b_user", "b_ts",
+      delay = "10 minutes", within = "30 minutes")
+    val out = joined.writeStream.format("memory").queryName("ssjo_out")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    clicks.addData((1L, ts(0)), (2L, ts(5))) // user 2 will never see a buy
+    buys.addData((1L, ts(10)))
+    out.processAllAvailable()
+    // Advance BOTH watermarks far past user 2's click + join window so the
+    // unmatched left row becomes provably unmatchable and is emitted.
+    clicks.addData((9L, ts(200)))
+    buys.addData((9L, ts(201)))
+    out.processAllAvailable()
+    clicks.addData((10L, ts(400)))
+    buys.addData((10L, ts(401)))
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("ssjo_out")
+      .select(col("c_user"), col("b_ts")).collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+    assert(rows.contains((1L, Some(ts(10)))), s"matched pair missing: $rows")
+    assert(rows.contains((2L, None)), s"null-padded unmatched left missing: $rows")
+  }
+
   test("streaming dedup drops re-deliveries within the watermark") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
