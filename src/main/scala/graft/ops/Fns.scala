@@ -145,6 +145,21 @@ object Fns {
           size(map_keys(m)).as("n_keys"),
           map_contains_key(m, "qty").cast("int").as("has_qty"))
     },
+    "f16_decimal_math" -> { (s, d) =>
+      // Exact decimal money math: sums over DECIMAL(12,2) accumulate
+      // exactly (no float summation-order drift), so no round() crutch is
+      // needed on either side — the correctness story double columns can't
+      // give. Decimal aggregation stays a partial+final hash agg; the
+      // 128-bit accumulator is the only cost.
+      Tables.table(s, d, "orders")
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("price_dec"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(col("price_dec")).cast("decimal(18,2)").as("total_exact"),
+          max(col("price_dec")).cast("decimal(12,2)").as("max_exact"),
+          count(lit(1)).as("n"))
+    },
     "f15_try_fns" -> { (s, d) =>
       // Error-tolerant casts: TRY_CAST yields NULL instead of failing the
       // job — the ingestion stance for dirty columns (a malformed value
@@ -290,6 +305,12 @@ object Fns {
         |  2 AS n_keys,
         |  1 AS has_qty
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "f16_decimal_math" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_exact,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_exact,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "f15_try_fns" ->
       """SELECT doc_id,
         |  TRY_CAST(source AS INT) AS src_as_int,
