@@ -50,6 +50,17 @@ object Shapes {
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .filter(col("pos") < 5)
     },
+    "x6_explode_map" -> { (s, d) =>
+      // Generator over MapType (the map sibling of x1/x2's array explode):
+      // each row's metric map unrolls to (key, value) rows — the shape a
+      // metrics long-format export takes. Pure map-side row expansion.
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          explode(map(
+            lit("qty"), col("l_quantity"),
+            lit("price"), col("l_extendedprice"))).as(Seq("metric", "value")))
+    },
     "x3_collect_list" -> { (s, d) =>
       // Array-building aggregation: per nation, the sorted set of market
       // segments its customers belong to. Serialized to a joined string so
@@ -156,6 +167,12 @@ object Shapes {
       """SELECT o_custkey, 1997 AS yr FROM orders WHERE year(o_orderdate) = 1997
         |UNION ALL
         |SELECT o_custkey, 1998 AS yr FROM orders WHERE year(o_orderdate) = 1998""".stripMargin,
+    "x6_explode_map" ->
+      """SELECT l_orderkey, 'qty' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_linenumber = 1
+        |UNION ALL
+        |SELECT l_orderkey, 'price', l_extendedprice
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
     "x4_unpivot" ->
       """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
         |UNION ALL
