@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -19,13 +19,16 @@ import org.apache.spark.util.sketch.CountMinSketch
 object Sketches {
 
   /** One-pass count-min sketch of a column (long/int/string), collected to
-    * the driver as a queryable object. eps bounds relative overcount;
-    * depth follows confidence. Deterministic seed so runs agree.
+    * the driver as a queryable object. Takes the column NAME (not an
+    * arbitrary Column — the sketch aggregate is addressed through the SQL
+    * registry, so a computed expression should be projected and aliased
+    * first). eps bounds relative overcount; depth follows confidence.
+    * Deterministic seed so runs agree.
     */
-  def countMin(df: DataFrame, c: Column, eps: Double = 0.001,
+  def countMin(df: DataFrame, colName: String, eps: Double = 0.001,
                confidence: Double = 0.99): CountMinSketch = {
     val bytes = df.agg(
-        expr(s"count_min_sketch(${c.toString}, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), 42)"))
+        expr(s"count_min_sketch(`$colName`, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), 42)"))
       .head().getAs[Array[Byte]](0)
     CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
   }

@@ -156,7 +156,7 @@ object Fns {
           col("o_totalprice").cast("decimal(12,2)").as("price_dec"))
         .groupBy(col("o_orderstatus"))
         .agg(
-          sum(col("price_dec")).cast("decimal(18,2)").as("total_exact"),
+          sum(col("price_dec")).cast("decimal(22,2)").as("total_exact"),
           max(col("price_dec")).cast("decimal(12,2)").as("max_exact"),
           count(lit(1)).as("n"))
     },
@@ -307,7 +307,7 @@ object Fns {
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
     "f16_decimal_math" ->
       """SELECT o_orderstatus,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_exact,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS total_exact,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_exact,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,

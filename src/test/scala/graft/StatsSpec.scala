@@ -11,7 +11,7 @@ class StatsSpec extends SparkSuite {
     val exact = e.groupBy(col("user_id")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
-    val sketch = graft.functions.Sketches.countMin(e, col("user_id"), eps = 0.01)
+    val sketch = graft.functions.Sketches.countMin(e, "user_id", eps = 0.01)
     exact.foreach { case (k, trueCount) =>
       val est = sketch.estimateCount(Long.box(k))
       assert(est >= trueCount, s"CMS undercounted key $k: $est < $trueCount")
