@@ -27,6 +27,41 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("MinHash-LSH ≡ exact Jaccard on generated corpora (property)") {
+    // Soundness beyond the fixed testdata: deterministic LCG-generated
+    // corpora with planted near-dup pairs at varying mutation rates. The
+    // operators take (session, dir) so the corpus goes through a temp
+    // parquet dir exactly like production input.
+    import graft.ops.Dedup
+    val sess = spark
+    import sess.implicits._
+    var seed = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (Math.floorMod(seed >>> 17, bound.toLong)).toInt
+    }
+    val vocab = (0 until 200).map(i => s"w$i")
+    def doc(len: Int): Seq[String] = Seq.fill(len)(vocab(nextInt(vocab.size)))
+    def mutate(words: Seq[String], rate: Int): Seq[String] =
+      words.map(w => if (nextInt(100) < rate) vocab(nextInt(vocab.size)) else w)
+    for (trial <- 1 to 2) {
+      val bases = (0 until 30).map(_ => doc(40 + nextInt(30)))
+      val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+        // plant a light-mutation near-dup for every third base doc and a
+        // heavy-mutation (non-dup) variant for every fifth
+        val nd = if (i % 3 == 0) Seq(mutate(b, 2)) else Nil
+        val far = if (i % 5 == 0) Seq(mutate(b, 60)) else Nil
+        Seq(b) ++ nd ++ far
+      }.zipWithIndex.map { case (ws, id) => (id.toLong, ws.mkString(" ")) }
+      val dir = tmpDir(s"graft_lsh_prop_$trial")
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val exact = pairSet(Dedup.jaccardPairs(spark, dir, 0.7), "doc_a", "doc_b")
+      val lsh = pairSet(Dedup.minhashLshPairs(spark, dir, 0.7), "doc_a", "doc_b")
+      assert(lsh === exact, s"trial $trial: LSH pair set diverged from exact")
+      assert(exact.nonEmpty, s"trial $trial: no planted near-dups detected")
+    }
+  }
+
   test("MinHash-LSH finds exactly the exact-Jaccard pair set") {
     val exact = pairSet(Dedup.jaccardPairs(spark, sf, 0.8), "doc_a", "doc_b")
     val lsh = pairSet(Dedup.minhashLshPairs(spark, sf, 0.8), "doc_a", "doc_b")
