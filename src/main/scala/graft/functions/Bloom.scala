@@ -67,21 +67,25 @@ object Bloom {
   }
 
   /** Membership-test Column over the driver-built bitset: true if every
-    * probe bit is set. Mirrors `build`'s hashing exactly; pure Scala
-    * closure over the (small) bitset — evaluated per fact row map-side.
+    * probe bit is set. Mirrors `build`'s hashing exactly. The bitset rides
+    * a TorrentBroadcast — a closure-captured array would instead be
+    * serialized into EVERY task binary (128 KB × tasks of network and
+    * driver-serialization work per stage at scale).
     */
-  def mightContain(bits: Array[Long], numBits: Int = 1 << 20,
-                   numHashes: Int = 7): Column => Column = {
+  def mightContain(spark: org.apache.spark.sql.SparkSession, bits: Array[Long],
+                   numBits: Int = 1 << 20, numHashes: Int = 7): Column => Column = {
+    val bc = spark.sparkContext.broadcast(bits)
     val test = udf { (key: java.lang.Long) =>
       if (key == null) false
       else {
+        val b = bc.value
         val h1 = scala.util.hashing.MurmurHash3.productHash(Tuple1(key.longValue)).toLong & 0x7fffffffL
         val h2 = (FnvHash64.hashLong(key.longValue) & 0x7fffffffffffffffL) | 1L
         var i = 0
         var all = true
         while (all && i < numHashes) {
           val bit = (((h1 + i * h2) & 0x7fffffffffffffffL) % numBits).toInt
-          all = (bits(bit >>> 6) & (1L << (bit & 63))) != 0
+          all = (b(bit >>> 6) & (1L << (bit & 63))) != 0
           i += 1
         }
         all

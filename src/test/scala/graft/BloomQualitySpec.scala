@@ -13,12 +13,12 @@ class BloomQualitySpec extends SparkSuite {
     val keys = spark.range(0, 5000).select((col("id") * 7919L).as("k"))
     val bits = Bloom.build(keys, "k")
     // Soundness: every inserted key must test positive.
-    val misses = keys.filter(!Bloom.mightContain(bits)(col("k"))).count()
+    val misses = keys.filter(!Bloom.mightContain(spark, bits)(col("k"))).count()
     assert(misses === 0L)
     // Effectiveness: disjoint probe keys should almost all test negative
     // (2^20 bits / 5k keys → fpp far below 1%; assert a loose 5% bound).
     val probes = spark.range(0, 5000).select((col("id") * 7919L + 1L).as("k"))
-    val falsePos = probes.filter(Bloom.mightContain(bits)(col("k"))).count()
+    val falsePos = probes.filter(Bloom.mightContain(spark, bits)(col("k"))).count()
     assert(falsePos < 250L, s"false-positive count $falsePos out of 5000")
   }
 
@@ -74,7 +74,7 @@ class BloomQualitySpec extends SparkSuite {
     keySets.foreach { case (label, keys) =>
       val df = keys.toDF("k")
       val bits = Bloom.build(df, "k")
-      val misses = df.filter(!Bloom.mightContain(bits)(col("k"))).count()
+      val misses = df.filter(!Bloom.mightContain(spark, bits)(col("k"))).count()
       assert(misses === 0L, s"false negatives in distribution '$label'")
     }
   }
