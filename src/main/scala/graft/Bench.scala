@@ -15,7 +15,7 @@ object Bench {
     "j13_bloom_join",
     "w1_rank_topn", "w4_moving_avg", "s1_topk", "s3_stratified_sample",
     "set3_union", "f3_math_fns", "f5_json_fns", "x1_wordcount",
-    "t1_lang_id", "t6_tfidf", "t10_repetition", "mrg1_upsert",
+    "t1_lang_id", "t6_tfidf", "t10_repetition", "mrg1_upsert", "p2_clean_corpus",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d6_neardup_clusters",
     "v1_knn_brute", "v2_knn_lsh", "v3_knn_ivf",
     "ts3_session_window", "m1_media_features", "ref_range_query")

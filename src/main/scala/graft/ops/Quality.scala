@@ -39,6 +39,38 @@ object Quality {
           ((lit(1.0) - col("n_distinct").cast("double") / col("n_words")) > 0.5 ||
             col("top_c").cast("double") / col("n_words") > 0.2).as("repetitive"))
     },
+    "p2_clean_corpus" -> { (s, d) =>
+      // The north-star composition, end to end in ONE job: normalize text
+      // (t7's cleaning), gate on length and repetition (t10's signal),
+      // exact-dedup the survivors on normalized content (d1's digest
+      // grouping, min-id winner). Plan shape: one explode+agg for the
+      // repetition signal joined back to the doc grain, then a digest
+      // window for the dedup — two shuffles total (doc_id, content key),
+      // both on aggregate-sized rows, independent of corpus bytes.
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "of", "and", "to", "is", "in")
+      val cleaned = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")
+      val base = Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        concat_ws(" ",
+          filter(split(trim(cleaned), " "), w => !w.isInCollection(stop) && w =!= ""))
+          .as("clean_text"))
+      val rep = Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_c"))
+      val gated = base.join(rep, Seq("doc_id"))
+        .withColumn("twf", col("top_c").cast("double") / col("n_words"))
+        .filter(col("n_words") >= 5 && col("twf") <= 0.2)
+        .withColumn("content_key", md5(col("clean_text")))
+      val w = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+      gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("content_key"), col("n_words"),
+          round(col("twf"), 4).as("top_word_frac"))
+    },
     "t11_bigrams" -> { (s, d) =>
       // Corpus-level top-20 bigrams: per-document bigram arrays built with
       // array primitives (slice + zip_with — codegen'd, no UDF), exploded
@@ -71,6 +103,27 @@ object Quality {
         |  ((1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.5 OR
         |    CAST(top_c AS DOUBLE) / n_words > 0.2) AS repetitive
         |FROM agg""".stripMargin,
+    "p2_clean_corpus" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM wrds GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c
+        |  FROM wc GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, array_to_string(list_filter(
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |    w -> w NOT IN ('the','a','of','and','to','is','in') AND w <> ''), ' ') AS clean_text
+        |  FROM documents),
+        |gated AS (
+        |  SELECT b.doc_id, md5(b.clean_text) AS content_key, r.n_words,
+        |    CAST(r.top_c AS DOUBLE) / r.n_words AS twf
+        |  FROM base b JOIN rep r USING (doc_id)
+        |  WHERE r.n_words >= 5 AND CAST(r.top_c AS DOUBLE) / r.n_words <= 0.2)
+        |SELECT doc_id, content_key, n_words, round(twf, 4) AS top_word_frac
+        |FROM (SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+        |      FROM gated) t
+        |WHERE rn = 1""".stripMargin,
     "t11_bigrams" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |b AS (
