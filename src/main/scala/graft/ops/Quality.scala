@@ -71,6 +71,37 @@ object Quality {
         .select(col("doc_id"), col("content_key"), col("n_words"),
           round(col("twf"), 4).as("top_word_frac"))
     },
+    "t12_contamination" -> { (s, d) =>
+      // Train-test contamination scan (the decontamination pass every LLM
+      // corpus runs): docs overlapping a benchmark set's word 5-grams are
+      // flagged. The benchmark side (here: doc_id < 10 standing in for an
+      // eval set) collapses to a distinct n-gram set that BROADCASTS; the
+      // corpus side explodes its n-grams map-side into the broadcast hash
+      // join — the corpus is scanned once, nothing corpus-sized shuffles.
+      def ngrams(dfCol: org.apache.spark.sql.Column) = {
+        val w = split(lower(dfCol), " ")
+        // Guard short docs explicitly: sequence(1, 0) is a DESCENDING
+        // [1, 0] in Spark, not empty, and element_at(w, 0) throws.
+        when(size(w) >= 5,
+          array_distinct(transform(
+            sequence(lit(1), size(w) - 4),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+              element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))))
+          .otherwise(array().cast("array<string>"))
+      }
+      val docs = Tables.table(s, d, "documents")
+      val benchNg = docs.filter(col("doc_id") < 10)
+        .select(explode(ngrams(col("text"))).as("ng")).distinct()
+      val corpusNg = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(ngrams(col("text"))).as("ng"))
+      val hits = corpusNg.join(broadcast(benchNg), Seq("ng"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      docs.filter(col("doc_id") >= 10).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_overlap_5grams"),
+          (coalesce(col("n_hits"), lit(0L)) >= 3).as("contaminated"))
+    },
     "t11_bigrams" -> { (s, d) =>
       // Corpus-level top-20 bigrams: per-document bigram arrays built with
       // array primitives (slice + zip_with — codegen'd, no UDF), exploded
@@ -124,6 +155,27 @@ object Quality {
         |FROM (SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
         |      FROM gated) t
         |WHERE rn = 1""".stripMargin,
+    "t12_contamination" ->
+      """WITH ng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(lower(text), ' ')) - 3, 1)),
+        |    i -> concat_ws(' ',
+        |      string_split(lower(text), ' ')[i],
+        |      string_split(lower(text), ' ')[i + 1],
+        |      string_split(lower(text), ' ')[i + 2],
+        |      string_split(lower(text), ' ')[i + 3],
+        |      string_split(lower(text), ' ')[i + 4]))) ) AS g
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id < 10),
+        |hits AS (
+        |  SELECT n.doc_id, count(*) AS n_hits
+        |  FROM ng n JOIN bench b ON n.g = b.g
+        |  WHERE n.doc_id >= 10 GROUP BY n.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_hits, 0) AS n_overlap_5grams,
+        |  coalesce(h.n_hits, 0) >= 3 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id >= 10""".stripMargin,
     "t11_bigrams" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |b AS (
