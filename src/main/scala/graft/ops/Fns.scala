@@ -145,6 +145,19 @@ object Fns {
           size(map_keys(m)).as("n_keys"),
           map_contains_key(m, "qty").cast("int").as("has_qty"))
     },
+    "f17_hof_fns" -> { (s, d) =>
+      // Higher-order functions with lambdas (exists / forall / aggregate):
+      // the array-programming surface a schema-light pipeline leans on.
+      // Still pure map-side projections; lambda bodies evaluate per element
+      // inside the row pipeline.
+      val words = split(col("text"), " ")
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        exists(words, w => length(w) > 8).as("has_long_word"),
+        forall(words, w => length(w) < 30).as("all_words_short"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+          .as("total_word_chars"))
+    },
     "f16_decimal_math" -> { (s, d) =>
       // Exact decimal money math: sums over DECIMAL(12,2) accumulate
       // exactly (no float summation-order drift), so no round() crutch is
@@ -305,6 +318,13 @@ object Fns {
         |  2 AS n_keys,
         |  1 AS has_qty
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "f17_hof_fns" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), w -> length(w) > 8)) > 0 AS has_long_word,
+        |  len(list_filter(string_split(text, ' '), w -> length(w) >= 30)) = 0 AS all_words_short,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT)
+        |    AS total_word_chars
+        |FROM documents""".stripMargin,
     "f16_decimal_math" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS total_exact,
