@@ -145,6 +145,36 @@ object Fns {
           size(map_keys(m)).as("n_keys"),
           map_contains_key(m, "qty").cast("int").as("has_qty"))
     },
+    "f18_url_fns" -> { (s, d) =>
+      // URL parsing/decoding for web-corpus provenance columns: build a
+      // deterministic URL from row fields, then extract components with
+      // parse_url and decode percent-escapes. Map-side codegen'd; the
+      // oracle reconstructs the expected components with plain string ops,
+      // so what's verified is Spark's parser against ground truth.
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id"), lit("?lang="), col("lang"))
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("qlang"),
+        url_decode(concat(col("lang"), lit("%20"), col("source"))).as("decoded"))
+    },
+    "f19_csv_fns" -> { (s, d) =>
+      // CSV line round-trip: to_csv serializes a struct, from_csv parses it
+      // back under an explicit DDL schema (no inference — at 100 TB schema
+      // inference is a full extra scan). The oracle checks both the
+      // serialized line and the parsed-back scalars against the originals.
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        "d BIGINT, lg STRING, n BIGINT")
+      Tables.table(s, d, "documents")
+        .withColumn("csv_line",
+          to_csv(struct(col("doc_id").as("d"), col("lang").as("lg"), col("n_chars").as("n"))))
+        .select(col("doc_id"), col("csv_line"),
+          from_csv(col("csv_line"), sch, Map.empty[String, String]).as("p"))
+        .select(col("doc_id"), col("csv_line"),
+          col("p.d").as("p_id"), col("p.lg").as("p_lang"), col("p.n").as("p_chars"))
+    },
     "f17_hof_fns" -> { (s, d) =>
       // Higher-order functions with lambdas (exists / forall / aggregate):
       // the array-programming surface a schema-light pipeline leans on.
@@ -318,6 +348,20 @@ object Fns {
         |  2 AS n_keys,
         |  1 AS has_qty
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    // The oracle computes each URL component directly from the row fields
+    // the URL was built from — ground truth, not DuckDB's URL parser.
+    "f18_url_fns" ->
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  lang AS qlang,
+        |  lang || ' ' || source AS decoded
+        |FROM documents""".stripMargin,
+    "f19_csv_fns" ->
+      """SELECT doc_id,
+        |  CAST(doc_id AS VARCHAR) || ',' || lang || ',' || CAST(n_chars AS VARCHAR) AS csv_line,
+        |  doc_id AS p_id, lang AS p_lang, n_chars AS p_chars
+        |FROM documents""".stripMargin,
     "f17_hof_fns" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), w -> length(w) > 8)) > 0 AS has_long_word,

@@ -300,6 +300,114 @@ object Relational {
           .as("revenue"),
           count(lit(1)).as("n_items"))
     },
+    "h5_local_supplier" -> { (s, d) =>
+      // TPC-H Q5 shape: revenue from LOCAL suppliers (customer's nation =
+      // supplier's nation) per nation, one region + one order-year. The
+      // locality predicate rides the supplier join condition, so the
+      // six-table join stays all-equi; nation/region/supplier broadcast.
+      val o = Tables.table(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val r = Tables.table(s, d, "region").filter(col("r_name") === "ASIA")
+      Tables.table(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.table(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.table(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc)
+    },
+    "h7_volume_shipping" -> { (s, d) =>
+      // TPC-H Q7 shape: shipping volume between two REGIONS by nation pair
+      // and ship year. Both nation⋈region lookups reduce to tiny broadcast
+      // maps; the fact side is filtered to the two-year window before any
+      // shuffle. (Original filters one nation pair; regions give the same
+      // plan shape with non-trivial output on synthetic nations.)
+      val n = Tables.table(s, d, "nation")
+      val r = Tables.table(s, d, "region")
+      val suppNat = n.join(r.filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val custNat = n.join(r.filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(Tables.table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.table(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.table(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+    },
+    "h13_cust_distribution" -> { (s, d) =>
+      // TPC-H Q13 shape: distribution of customers by order count — LEFT
+      // outer join so zero-order customers keep count 0, then a second
+      // (tiny) aggregation over the counts. Two shuffles total; the first
+      // is the only data-sized one.
+      val o = Tables.table(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      Tables.table(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    "h17_small_qty" -> { (s, d) =>
+      // TPC-H Q17 shape: revenue from small-quantity orders of one brand's
+      // parts, threshold = 0.2 × that part's average quantity. The
+      // correlated subquery becomes aggregate-then-self-join: the brand's
+      // part keys broadcast-prune the fact scan FIRST, so both the average
+      // pass and the filter pass run over the pruned slice only.
+      val bp = broadcast(Tables.table(s, d, "part")
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey")))
+      val li = Tables.table(s, d, "lineitem")
+        .join(bp, col("l_partkey") === col("p_partkey"))
+      val thresh = li.groupBy(col("l_partkey").as("t_key"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+      li.join(broadcast(thresh), col("l_partkey") === col("t_key"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg(r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+    "h18_large_orders" -> { (s, d) =>
+      // TPC-H Q18 shape: customers whose orders exceed a total-quantity
+      // threshold — the IN-subquery-with-HAVING becomes aggregate + join,
+      // and the final top-100 plans TakeOrderedAndProject (no global sort).
+      val big = Tables.table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty_sum"))
+        .filter(col("qty_sum") > 250)
+      Tables.table(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          r2(col("qty_sum")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    "h22_dormant_customers" -> { (s, d) =>
+      // TPC-H Q22 shape: well-funded customers gone quiet — balance above
+      // the positive-balance average (scalar subquery → one tiny broadcast)
+      // and no orders in the recent window (anti join). Grouped by nation
+      // (the synthetic schema has no phone country codes).
+      Tables.table(s, d, "customer").createOrReplaceTempView("customer_h22")
+      Tables.table(s, d, "orders").createOrReplaceTempView("orders_h22")
+      Tables.table(s, d, "nation").createOrReplaceTempView("nation_h22")
+      s.sql(
+        """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+          |FROM customer_h22 JOIN nation_h22 ON c_nationkey = n_nationkey
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_h22 WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_h22
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+          |GROUP BY n_name""".stripMargin)
+    },
     "j11_lateral_topn" -> { (s, d) =>
       // LATERAL correlated subquery (top-2 orders per customer) — Catalyst
       // decorrelates the per-row subquery into a window + join, so the
@@ -509,6 +617,62 @@ object Relational {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "h5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "h7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |WHERE r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "h13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "h17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "h18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  round(t.qty_sum, 2) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS qty_sum FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 250) t
+        |  ON o_orderkey = t.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "h22_dormant_customers" ->
+      """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name""".stripMargin,
     "j11_lateral_topn" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c, LATERAL (

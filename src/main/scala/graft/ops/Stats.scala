@@ -52,6 +52,21 @@ object Stats {
         .groupBy(col("l_returnflag"))
         .agg(sum(expr("bitmap_count(bm)")).as("distinct_parts"))
     },
+    "a11_median_mode" -> { (s, d) =>
+      // Exact median (interpolating percentile) and modal value per group.
+      // Median is the one intrinsically expensive order statistic — Spark
+      // plans a full-sort-free percentile aggregate whose state is the
+      // per-group value multiset; at 100 TB prefer a7_approx_quantile's
+      // bounded-state KLL path and keep exact median for bounded-cardinality
+      // groups like these three flags. Mode's state is a value→count map,
+      // bounded by the column's distinct count (2 here).
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(median(col("l_quantity")), 2).as("med_qty"),
+          round(median(col("l_extendedprice")), 2).as("med_price"),
+          mode(col("l_linestatus")).as("mode_status"))
+    },
     "a9_regression" -> { (s, d) =>
       // Bivariate regression/association aggregates (price ~ quantity per
       // returnflag): slope, intercept, r², correlation, sample covariance.
@@ -184,6 +199,12 @@ object Stats {
     // the oracle is plain count(DISTINCT).
     "a10_bitmap_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a11_median_mode" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 2) AS med_qty,
+        |  round(median(l_extendedprice), 2) AS med_price,
+        |  mode(l_linestatus) AS mode_status
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a9_regression" ->
       """SELECT l_returnflag,
