@@ -354,6 +354,28 @@ object Dedup {
         .groupBy(md5(col("text")).as("content_key"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     },
+    "d7_span_dedup" -> { (s, d) =>
+      // Cross-document SPAN dedup — the "remove recycled passages" pass of
+      // a corpus pipeline (t12's self-corpus sibling): every distinct word
+      // 8-gram is attributed to the lowest doc_id containing it, and later
+      // docs measure how much of their text is recycled. Two shuffles,
+      // both slim: gram→min(doc) and the per-doc regroup. At 100 TB key
+      // the gram by a 128-bit hash instead of the raw string (the raw
+      // string here keeps the DuckDB oracle exact).
+      val w = split(lower(col("text")), " ")
+      val grams = when(size(w) >= 8,
+          array_distinct(transform(sequence(lit(1), size(w) - 7),
+            i => concat_ws(" ", (0 to 7).map(k => element_at(w, i + k)): _*))))
+        .otherwise(array().cast("array<string>"))
+      val g = Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode(grams).as("gram"))
+      val firstSeen = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      g.join(firstSeen, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_grams"))
+        .withColumn("dup_ratio", round(col("n_dup_grams") / col("n_grams"), 4))
+    },
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
     "d4_simhash" -> { (s, d) => simhashPairs(s, d) },
@@ -390,6 +412,20 @@ object Dedup {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d7_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 6, 1)),
+        |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |                         ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS gram
+        |      FROM w WHERE len(ws) >= 8),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  round(CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS dup_ratio
+        |FROM g JOIN f ON g.gram = f.gram
+        |GROUP BY g.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> jaccardOracle(0.8),
     "d3_minhash_lsh" -> jaccardOracle(0.8),
     // Connected components in SQL: symmetric-transitive closure of the

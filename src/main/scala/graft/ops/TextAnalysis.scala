@@ -148,6 +148,23 @@ object TextAnalysis {
         md5(canon).as("fingerprint"),
         sha2(canon, 256).as("fingerprint_strong"))
     },
+    "t13_inverted_index" -> { (s, d) =>
+      // Inverted-index build (the search-index bootstrap over a corpus):
+      // token → document frequency + the first few posting ids. One
+      // shuffle on token; within-doc duplicates collapse map-side
+      // (array_distinct before the explode), so the exchange carries one
+      // row per (token, doc). The head-postings cap bounds the aggregate
+      // output; at web scale cap the collected state too (positional
+      // window per token) instead of collecting full posting sets.
+      val toks = Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        .filter(length(col("tok")) >= 3)
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 5)
+            .cast("array<string>"), ",").as("head_postings"))
+    },
     "t9_redact" -> { (s, d) =>
       // PII scrubbing: mask emails and URLs, count what was masked — the
       // standard pre-training redaction pass. Patterns restricted to
@@ -266,6 +283,13 @@ object TextAnalysis {
         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
         |  sha256(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint_strong
         |FROM documents""".stripMargin,
+    "t13_inverted_index" ->
+      """WITH u AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |t AS (SELECT DISTINCT doc_id, tok FROM u WHERE length(tok) >= 3)
+        |SELECT tok, count(*) AS df,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS head_postings
+        |FROM t GROUP BY tok""".stripMargin,
     "t9_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
