@@ -96,6 +96,48 @@ class DedupSimSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](Dedup.simhashPairs(spark, sf, 64))
   }
 
+  test("span dedup attributes 8-gram spans to the earliest document") {
+    val sess = spark
+    import sess.implicits._
+    // doc0: 10 words → 3 grams, all first-seen. doc1: identical → all 3
+    // recycled. doc2: doc0's tail 8 words + 2 fresh → exactly 1 of its 3
+    // grams recycled. doc3: 8 fresh words → 1 gram, fresh. doc4: 7 words →
+    // below gram width, absent from the output.
+    val w10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, w10),
+      (1L, w10),
+      (2L, (3 to 10).map(i => s"w$i").mkString(" ") + " x1 x2"),
+      (3L, (1 to 8).map(i => s"y$i").mkString(" ")),
+      (4L, (1 to 7).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = tmpDir("graft_span_dedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Dedup.queries("d7_span_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      0L -> ((3L, 0L, 0.0)),
+      1L -> ((3L, 3L, 1.0)),
+      2L -> ((3L, 1L, 0.3333)),
+      3L -> ((1L, 0L, 0.0))))
+  }
+
+  test("inverted index: df counts distinct docs, postings cap at 5, short tokens drop") {
+    val sess = spark
+    import sess.implicits._
+    val docs = (Seq((0L, "alpha beta"), (1L, "alpha alpha gamma"), (2L, "alpha xy")) ++
+      (3L to 6L).map(i => (i, "alpha"))).toDF("doc_id", "text")
+    val dir = tmpDir("graft_inv_index")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextAnalysis.queries("t13_inverted_index")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // "alpha" appears twice in doc1 but counts once; postings stop at 5 ids.
+    assert(out === Map(
+      "alpha" -> ((7L, "0,1,2,3,4")),
+      "beta" -> ((1L, "0")),
+      "gamma" -> ((1L, "1"))))
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val docs = graft.tables.Tables.table(spark, sf, "documents")
     val distinctTexts = docs.select(col("text")).distinct().count()
