@@ -1,0 +1,156 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import java.io.File
+import java.nio.file.{Files, FileAlreadyExistsException, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot isolation + time travel over the Parquet block layout — the
+  * table-format core the reference's name points at but its code never
+  * grew (/root/reference has no manifest, versioning, or commit protocol;
+  * blocks become visible the moment the storage adapter writes them,
+  * blockManager.go:84-114).
+  *
+  * Design, scaled down from the Iceberg/Delta idea to what the layout
+  * needs:
+  *  - data files land under `<base>/data/b_<uuid>/` — INVISIBLE until a
+  *    manifest references them, so a failed job leaves garbage, never a
+  *    torn table;
+  *  - a manifest `_snapshots/vNNNNNNNN.manifest` is one header line
+  *    (version, parent, mode) plus the absolute path of every live file —
+  *    the complete state of that version, no chain-walking at read time;
+  *  - commits claim the next version number with an atomic
+  *    `Files.createFile` (fail-if-exists) and retry on conflict —
+  *    optimistic concurrency, last writer re-reads and re-lists;
+  *  - readers list manifests and `spark.read.parquet(files…)` — time
+  *    travel is "read an older manifest", incremental consumption is a
+  *    file-list diff, and snapshot isolation falls out because appends
+  *    and overwrites only ever ADD data files.
+  *
+  * Scale notes: a manifest holds file paths only (a 100 TB table at 1 GB
+  * files ≈ 10⁵ lines, single-digit MB); the read path hands Spark an
+  * explicit file list, so planning cost is listing one manifest instead
+  * of a recursive directory walk over the whole table. Footer-stats
+  * pruning still applies per file when `sortCols` clusters the data.
+  */
+object Snapshots {
+
+  private def snapDir(base: String) = new File(base, "_snapshots")
+  private def dataDir(base: String) = new File(base, "data")
+  private def manifestFile(base: String, v: Long) =
+    new File(snapDir(base), f"v$v%08d.manifest")
+
+  private def versionFiles(base: String): Seq[File] =
+    Option(snapDir(base).listFiles()).getOrElse(Array.empty[File]).toSeq
+      .filter(_.getName.matches("v\\d{8}\\.manifest"))
+
+  private def versionOf(f: File): Long =
+    f.getName.stripPrefix("v").stripSuffix(".manifest").toLong
+
+  /** Committed versions, ascending. Zero-length manifests are in-flight
+    * claims (see [[commit]]) and are not listed.
+    */
+  def versions(base: String): Seq[Long] =
+    versionFiles(base).filter(_.length > 0).map(versionOf).sorted
+
+  private case class Manifest(version: Long, parent: Long, mode: String, files: Seq[String])
+
+  private def readManifest(base: String, v: Long): Manifest = {
+    val lines = Files.readAllLines(manifestFile(base, v).toPath).asScala.toSeq
+    val header = lines.head.split("\t").map { kv =>
+      val Array(k, value) = kv.split("=", 2); k -> value
+    }.toMap
+    Manifest(header("version").toLong, header("parent").toLong,
+      header("mode"), lines.tail.filter(_.nonEmpty))
+  }
+
+  /** Write `df` as a new snapshot of the table at `base`; returns the new
+    * version. `append` carries the parent's files forward; `overwrite`
+    * starts the file list fresh (the old files stay on disk for older
+    * snapshots until [[expire]]). `sortCols` clusters rows inside each
+    * task so Parquet footer min/max stats stay selective.
+    */
+  def commit(spark: SparkSession, df: DataFrame, base: String,
+             mode: String = "append", sortCols: Seq[String] = Nil): Long = {
+    require(mode == "append" || mode == "overwrite", s"unknown mode $mode")
+    snapDir(base).mkdirs()
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    val batchPath = new File(dataDir(base), s"b_$batchId")
+    val clustered =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    clustered.write.parquet(batchPath.toString)
+    val newFiles = Option(batchPath.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(base)
+      val parent = if (vs.isEmpty) 0L else vs.max
+      // Claim PAST any in-flight (zero-length) manifest too: a claimed
+      // version belongs to its writer even before its content lands, so
+      // the next number is one beyond every claim, committed or not. The
+      // parent lineage stays the newest COMMITTED version — if the
+      // in-flight writer completes later, its snapshot simply isn't in
+      // this commit's ancestry (last-completed wins, Iceberg-style).
+      val next = (0L +: versionFiles(base).map(versionOf)).max.max(parent) + 1
+      val carried =
+        if (mode == "append" && parent > 0) readManifest(base, parent).files else Nil
+      val target = manifestFile(base, next)
+      try {
+        // Atomic claim: createFile fails if another writer took `next`.
+        // The zero-length claim is invisible to versions(); the atomic
+        // move below makes the manifest appear fully-written or not at all.
+        Files.createFile(target.toPath)
+        val tmp = new File(snapDir(base), s".tmp_${batchId}_$next")
+        Files.writeString(tmp.toPath,
+          (s"version=$next\tparent=$parent\tmode=$mode" +: (carried ++ newFiles))
+            .mkString("\n"))
+        Files.move(tmp.toPath, target.toPath,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        committed = next
+      } catch {
+        case _: FileAlreadyExistsException => () // lost the race; re-read and retry
+      }
+    }
+    committed
+  }
+
+  /** Read the table at `asOf` (default: latest committed version). */
+  def read(spark: SparkSession, base: String, asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v = asOf.getOrElse(vs.max)
+    require(vs.contains(v), s"snapshot $v not found (have ${vs.mkString(",")})")
+    val m = readManifest(base, v)
+    spark.read.parquet(m.files: _*)
+  }
+
+  /** Incremental read: rows in `toV`'s file set but not `fromV`'s — the
+    * appended data between two snapshots, consumed as a file-list diff
+    * (no data-side anti join; CDC for the append-only path).
+    */
+  def changes(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
+    val before = readManifest(base, fromV).files.toSet
+    val added = readManifest(base, toV).files.filterNot(before)
+    spark.read.parquet(added: _*)
+  }
+
+  /** Drop all but the newest `keepLast` snapshots, then delete data files
+    * no surviving manifest references (the vacuum that makes overwrites
+    * and compactions actually reclaim space). Readers of expired versions
+    * fail on the missing manifest, not with silently wrong rows.
+    */
+  def expire(base: String, keepLast: Int = 1): Unit = {
+    val vs = versions(base)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    drop.foreach(v => manifestFile(base, v).delete())
+    val live = keep.flatMap(v => readManifest(base, v).files).toSet
+    Option(dataDir(base).listFiles()).getOrElse(Array.empty[File]).foreach { batch =>
+      Option(batch.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.getName.endsWith(".parquet") && !live(f.getAbsolutePath))
+        .foreach(_.delete())
+      if (Option(batch.listFiles()).exists(_.forall(!_.getName.endsWith(".parquet"))))
+        org.apache.commons.io.FileUtils.deleteDirectory(batch)
+    }
+  }
+}

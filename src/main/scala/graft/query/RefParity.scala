@@ -76,6 +76,27 @@ object RefParity {
     "ref_ingest_query" -> { (s, d) =>
       val base = ingestedEvents(s, d)
       outCols(RangeQuery.query(s, base, "user_id", "ts_us", lit(PK), lit(LO), lit(HI)))
+    },
+    // Snapshot lifecycle end-to-end: two commits, then the same aggregate
+    // through (1) time travel to v1, (2) the latest snapshot, (3) the
+    // incremental v1→v2 file-diff read. The oracle recomputes each row
+    // from the equivalent lineitem slice — if isolation leaked (v1 seeing
+    // v2's files, or changes re-reading carried files) the counts diverge.
+    "snap1_time_travel" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      val v1 = Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1997-01-01")),
+        dir, sortCols = Seq("l_orderkey"))
+      val v2 = Snapshots.commit(s, li.filter(col("l_shipdate") >= lit("1997-01-01")),
+        dir, sortCols = Seq("l_orderkey"))
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
+      summarize(Snapshots.read(s, dir, Some(v1)), 1)
+        .unionAll(summarize(Snapshots.read(s, dir), 2))
+        .unionAll(summarize(Snapshots.changes(s, dir, v1, v2), 3))
     }
   )
 
@@ -86,6 +107,14 @@ object RefParity {
 
   val oracleSql: Map[String, String] = Map(
     "ref_range_query"  -> oracle,
-    "ref_ingest_query" -> oracle
+    "ref_ingest_query" -> oracle,
+    "snap1_time_travel" ->
+      """SELECT 1 AS snap, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |UNION ALL
+        |SELECT 2, count(*), round(sum(l_quantity), 2) FROM lineitem
+        |UNION ALL
+        |SELECT 3, count(*), round(sum(l_quantity), 2)
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin
   )
 }
