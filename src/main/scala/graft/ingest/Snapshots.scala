@@ -65,23 +65,23 @@ object Snapshots {
       header("mode"), lines.tail.filter(_.nonEmpty))
   }
 
-  /** Write `df` as a new snapshot of the table at `base`; returns the new
-    * version. `append` carries the parent's files forward; `overwrite`
-    * starts the file list fresh (the old files stay on disk for older
-    * snapshots until [[expire]]). `sortCols` clusters rows inside each
-    * task so Parquet footer min/max stats stay selective.
-    */
-  def commit(spark: SparkSession, df: DataFrame, base: String,
-             mode: String = "append", sortCols: Seq[String] = Nil): Long = {
-    require(mode == "append" || mode == "overwrite", s"unknown mode $mode")
-    snapDir(base).mkdirs()
+  /** Write `df`'s files under a fresh uncommitted batch dir. */
+  private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String]): Seq[String] = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
     val batchPath = new File(dataDir(base), s"b_$batchId")
     val clustered =
       if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
     clustered.write.parquet(batchPath.toString)
-    val newFiles = Option(batchPath.listFiles()).getOrElse(Array.empty[File])
+    Option(batchPath.listFiles()).getOrElse(Array.empty[File])
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** Publish `carried(parent) ++ newFiles` as the next version — the
+    * optimistic-concurrency core every write path shares.
+    */
+  private def publish(base: String, newFiles: Seq[String], mode: String,
+                      carried: Long => Seq[String]): Long = {
+    snapDir(base).mkdirs()
     var committed = -1L
     while (committed < 0) {
       val vs = versions(base)
@@ -93,17 +93,15 @@ object Snapshots {
       // in-flight writer completes later, its snapshot simply isn't in
       // this commit's ancestry (last-completed wins, Iceberg-style).
       val next = (0L +: versionFiles(base).map(versionOf)).max.max(parent) + 1
-      val carried =
-        if (mode == "append" && parent > 0) readManifest(base, parent).files else Nil
       val target = manifestFile(base, next)
       try {
         // Atomic claim: createFile fails if another writer took `next`.
         // The zero-length claim is invisible to versions(); the atomic
         // move below makes the manifest appear fully-written or not at all.
         Files.createFile(target.toPath)
-        val tmp = new File(snapDir(base), s".tmp_${batchId}_$next")
+        val tmp = new File(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
         Files.writeString(tmp.toPath,
-          (s"version=$next\tparent=$parent\tmode=$mode" +: (carried ++ newFiles))
+          (s"version=$next\tparent=$parent\tmode=$mode" +: (carried(parent) ++ newFiles))
             .mkString("\n"))
         Files.move(tmp.toPath, target.toPath,
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
@@ -113,6 +111,61 @@ object Snapshots {
       }
     }
     committed
+  }
+
+  /** Write `df` as a new snapshot of the table at `base`; returns the new
+    * version. `append` carries the parent's files forward; `overwrite`
+    * starts the file list fresh (the old files stay on disk for older
+    * snapshots until [[expire]]). `sortCols` clusters rows inside each
+    * task so Parquet footer min/max stats stay selective.
+    */
+  def commit(spark: SparkSession, df: DataFrame, base: String,
+             mode: String = "append", sortCols: Seq[String] = Nil): Long = {
+    require(mode == "append" || mode == "overwrite", s"unknown mode $mode")
+    val newFiles = writeBatch(df, base, sortCols)
+    publish(base, newFiles, mode,
+      parent => if (mode == "append" && parent > 0) readManifest(base, parent).files else Nil)
+  }
+
+  /** The live file list of a version — public so tests and external
+    * compactors can reason about file-granular behavior.
+    */
+  def liveFiles(base: String, v: Long): Seq[String] = readManifest(base, v).files
+
+  /** Copy-on-write DELETE at FILE granularity: only files that actually
+    * contain a matching row are rewritten (without the matching rows);
+    * every other live file is carried into the new snapshot BY PATH,
+    * untouched. At 100 TB a selective delete therefore rewrites a handful
+    * of files, not the table — the same trick Iceberg's copy-on-write
+    * uses, with `input_file_name()` standing in for its file-scoped scan
+    * tasks. Returns the new version (or the current one when nothing
+    * matched — an empty delete publishes nothing).
+    */
+  def deleteWhere(spark: SparkSession, base: String,
+                  cond: org.apache.spark.sql.Column): Long = {
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val files = readManifest(base, vs.max).files
+    val touched = spark.read.parquet(files: _*).filter(cond)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f")).distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    if (touched.isEmpty) return vs.max
+    val untouched = files.filterNot(touched)
+    val rewritten = spark.read.parquet(touched.toSeq: _*).filter(!cond)
+    val newFiles = writeBatch(rewritten, base, Nil)
+    publish(base, newFiles, mode = "delete", _ => untouched)
+  }
+
+  /** Small-files compaction as a snapshot: rewrite the latest version's
+    * data into `numFiles` files and publish it as a fresh file list. Old
+    * snapshots keep reading their own files; [[expire]] reclaims the
+    * small ones once no kept version references them.
+    */
+  def compact(spark: SparkSession, base: String, numFiles: Int,
+              sortCols: Seq[String] = Nil): Long = {
+    val compacted = read(spark, base).repartition(numFiles)
+    val newFiles = writeBatch(compacted, base, sortCols)
+    publish(base, newFiles, mode = "overwrite", _ => Nil)
   }
 
   /** Read the table at `asOf` (default: latest committed version). */

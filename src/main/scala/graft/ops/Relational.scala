@@ -174,6 +174,24 @@ object Relational {
             .when(col("u_price").isNotNull, "insert")
             .otherwise("keep").as("op"))
     },
+    "mrg2_merge_delete" -> { (s, d) =>
+      // MERGE with a DELETE branch — the half of the lakehouse write path
+      // mrg1 doesn't cover: source rows carry an op marker, matched 'D'
+      // targets vanish, matched 'U' targets update, unmatched targets
+      // carry over. Still ONE left join + residual filter, no per-branch
+      // passes over the target. (+100.0 keeps the updated balance on the
+      // base's 2-decimal grid, so no rounding ties across engines.)
+      val c = Tables.table(s, d, "customer")
+      val source = c.filter(col("c_nationkey") < 5)
+        .select(col("c_custkey").as("k"),
+          when(col("c_acctbal") < 0, "D").otherwise("U").as("src_op"))
+      c.join(broadcast(source), col("c_custkey") === col("k"), "left")
+        .filter(col("src_op").isNull || col("src_op") =!= "D")
+        .select(col("c_custkey"),
+          when(col("src_op") === "U", col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("acctbal"),
+          coalesce(col("src_op"), lit("keep")).as("op"))
+    },
     "j13_bloom_join" -> { (s, d) =>
       // Runtime semi-join pushdown: a selective dimension predicate becomes
       // a Bloom filter applied to the FACT SCAN, map-side, before the join
@@ -553,6 +571,16 @@ object Relational {
         |       WHEN u_price IS NOT NULL THEN 'insert'
         |       ELSE 'keep' END AS op
         |FROM base FULL OUTER JOIN updates ON base.o_orderkey = updates.o_orderkey""".stripMargin,
+    "mrg2_merge_delete" ->
+      """WITH src AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_acctbal < 0 THEN 'D' ELSE 'U' END AS src_op
+        |  FROM customer WHERE c_nationkey < 5)
+        |SELECT c_custkey,
+        |  CASE WHEN src_op = 'U' THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal,
+        |  coalesce(src_op, 'keep') AS op
+        |FROM customer LEFT JOIN src ON c_custkey = k
+        |WHERE src_op IS NULL OR src_op <> 'D'""".stripMargin,
     "j13_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

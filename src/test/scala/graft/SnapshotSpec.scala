@@ -58,6 +58,40 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.changes(spark, base, v1, v)) === Set(2L))
   }
 
+  test("deleteWhere rewrites only files containing matches, carrying the rest by path") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_del")
+    val v1 = Snapshots.commit(spark, (1L to 5L).toDF("id").repartition(1), base)
+    val v2 = Snapshots.commit(spark, (6L to 10L).toDF("id").repartition(1), base)
+    val v3 = Snapshots.deleteWhere(spark, base, col("id") === 7L)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 10L).toSet - 7L))
+    // time travel still sees the deleted row
+    assert(ids(Snapshots.read(spark, base, Some(v2))).contains(7L))
+    // file granularity: the 1..5 file must be carried verbatim, the 6..10
+    // file replaced — exactly one shared path between v2 and v3
+    val before = Snapshots.liveFiles(base, v2).toSet
+    val after = Snapshots.liveFiles(base, v3).toSet
+    assert((before intersect after).size === 1, "untouched file should carry by path")
+    assert((after diff before).nonEmpty, "matching file should be rewritten")
+    // no-match delete publishes nothing
+    assert(Snapshots.deleteWhere(spark, base, col("id") === 999L) === v3)
+  }
+
+  test("compact shrinks the live file count without changing rows or history") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_cp")
+    for (i <- 0 until 4)
+      Snapshots.commit(spark, Seq(i.toLong).toDF("id").repartition(1), base)
+    val pre = Snapshots.versions(base).max
+    assert(Snapshots.liveFiles(base, pre).size === 4)
+    val vc = Snapshots.compact(spark, base, numFiles = 1)
+    assert(Snapshots.liveFiles(base, vc).size === 1)
+    assert(ids(Snapshots.read(spark, base)) === (0L to 3L).toSet)
+    assert(ids(Snapshots.read(spark, base, Some(pre))) === (0L to 3L).toSet)
+  }
+
   test("data files without a manifest are invisible to readers") {
     val sess = spark
     import sess.implicits._
