@@ -143,6 +143,7 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, base: String,
                   cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val vs = versions(base)
     require(vs.nonEmpty, s"no committed snapshots under $base")
     val files = readManifest(base, vs.max).files
@@ -150,10 +151,19 @@ object Snapshots {
       .select(org.apache.spark.sql.functions.input_file_name().as("f")).distinct()
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
     if (touched.isEmpty) return vs.max
-    val untouched = files.filterNot(touched)
-    val rewritten = spark.read.parquet(touched.toSeq: _*).filter(!cond)
+    // SQL DELETE semantics: only rows where cond is TRUE are deleted; rows
+    // where cond is NULL (three-valued logic) must SURVIVE the rewrite, so
+    // keep !coalesce(cond, false), never a bare !cond.
+    val rewritten = spark.read.parquet(touched.toSeq: _*)
+      .filter(!coalesce(cond, lit(false)))
     val newFiles = writeBatch(rewritten, base, Nil)
-    publish(base, newFiles, mode = "delete", _ => untouched)
+    // Carried files are recomputed from the CURRENT parent inside publish's
+    // claim loop: a concurrent append that commits between our manifest read
+    // above and the claim contributes files that are (by construction) not
+    // in `touched`, and they carry forward instead of being lost.
+    publish(base, newFiles, mode = "delete",
+      parent => if (parent > 0) readManifest(base, parent).files.filterNot(touched)
+                else Nil)
   }
 
   /** Small-files compaction as a snapshot: rewrite the latest version's
@@ -163,9 +173,26 @@ object Snapshots {
     */
   def compact(spark: SparkSession, base: String, numFiles: Int,
               sortCols: Seq[String] = Nil): Long = {
-    val compacted = read(spark, base).repartition(numFiles)
+    val v0 = versions(base).max
+    val files0 = readManifest(base, v0).files.toSet
+    val compacted = read(spark, base, Some(v0)).repartition(numFiles)
     val newFiles = writeBatch(compacted, base, sortCols)
-    publish(base, newFiles, mode = "overwrite", _ => Nil)
+    // Conflict handling inside the claim loop: files appended concurrently
+    // (parent files not in our compacted input) carry forward untouched; a
+    // concurrent DELETE of a file we already rewrote would resurrect its
+    // rows, so that case aborts loudly instead of losing the delete.
+    publish(base, newFiles, mode = "overwrite", parent => {
+      if (parent == v0) Nil
+      else {
+        val pf = readManifest(base, parent).files
+        val removed = files0 -- pf.toSet
+        if (removed.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"compact of v$v0 conflicts with a concurrent delete of " +
+              s"${removed.size} file(s); retry compaction from the new version")
+        pf.filterNot(files0)
+      }
+    })
   }
 
   /** Read the table at `asOf` (default: latest committed version). */

@@ -193,14 +193,18 @@ object Fns {
       // exactly (no float summation-order drift), so no round() crutch is
       // needed on either side — the correctness story double columns can't
       // give. Decimal aggregation stays a partial+final hash agg; the
-      // 128-bit accumulator is the only cost.
+      // 128-bit accumulator is the only cost. The RESULT surface is the
+      // decimal rendered as a canonical string: the values are exact and
+      // identical in both engines, but decimal OBJECTS hash differently
+      // across Arrow/pandas paths, so the compare happens on the lossless
+      // string form instead.
       Tables.table(s, d, "orders")
         .select(col("o_orderstatus"),
           col("o_totalprice").cast("decimal(12,2)").as("price_dec"))
         .groupBy(col("o_orderstatus"))
         .agg(
-          sum(col("price_dec")).cast("decimal(22,2)").as("total_exact"),
-          max(col("price_dec")).cast("decimal(12,2)").as("max_exact"),
+          sum(col("price_dec")).cast("decimal(22,2)").cast("string").as("total_exact"),
+          max(col("price_dec")).cast("decimal(12,2)").cast("string").as("max_exact"),
           count(lit(1)).as("n"))
     },
     "f15_try_fns" -> { (s, d) =>
@@ -371,8 +375,8 @@ object Fns {
         |FROM documents""".stripMargin,
     "f16_decimal_math" ->
       """SELECT o_orderstatus,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS total_exact,
-        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_exact,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS VARCHAR) AS total_exact,
+        |  CAST(CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS VARCHAR) AS max_exact,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "f15_try_fns" ->

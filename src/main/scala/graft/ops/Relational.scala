@@ -202,9 +202,9 @@ object Relational {
       val dim = Tables.table(s, d, "orders")
         .filter(col("o_totalprice") > 400000)
         .select(col("o_orderkey"), col("o_orderpriority"))
-      val bits = Bloom.build(dim, "o_orderkey")
+      val bf = Bloom.build(dim, "o_orderkey")
       Tables.table(s, d, "lineitem")
-        .filter(Bloom.mightContain(s, bits)(col("l_orderkey")))
+        .filter(bf.col(col("l_orderkey")))
         .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), r2(sum(col("l_extendedprice"))).as("revenue"))

@@ -138,11 +138,23 @@ object StreamIngest {
           else {
             val snap = spark.read.parquet(base)
             val cols = snap.columns
-            // matched → update row; unmatched update → insert; else keep
+            // Rows are chosen WHOLE, never spliced per column: a per-column
+            // coalesce would resurrect the stale snapshot value whenever an
+            // update column is legitimately NULL. And a matched key only
+            // takes the update when its ts is not older than the stored ts,
+            // so a late/re-delivered update from an earlier micro-batch
+            // cannot regress state — this is what makes the merge idempotent
+            // on (key, ts) ACROSS batches, not just within one.
+            val uRow = struct(cols.map(c => col(s"u.$c")): _*)
+            val sRow = struct(cols.map(c => col(s"s.$c")): _*)
+            val winner = when(col(s"s.$keyCol").isNull, uRow)        // insert
+              .when(col(s"u.$keyCol").isNull, sRow)                  // carry
+              .when(col(s"u.$tsCol") >= col(s"s.$tsCol"), uRow)      // update
+              .otherwise(sRow)                                       // stale
             snap.as("s").join(latest.as("u"),
                 col(s"s.$keyCol") === col(s"u.$keyCol"), "full_outer")
-              .select(cols.map(c =>
-                coalesce(col(s"u.$c"), col(s"s.$c")).as(c)): _*)
+              .select(winner.as("r"))
+              .select(cols.map(c => col(s"r.$c").as(c)): _*)
           }
         val next = base + ".next"
         merged.write.mode("overwrite").parquet(next)

@@ -11,14 +11,14 @@ class BloomQualitySpec extends SparkSuite {
 
   test("Bloom filter has no false negatives and usable selectivity") {
     val keys = spark.range(0, 5000).select((col("id") * 7919L).as("k"))
-    val bits = Bloom.build(keys, "k")
+    val bf = Bloom.build(keys, "k")
     // Soundness: every inserted key must test positive.
-    val misses = keys.filter(!Bloom.mightContain(spark, bits)(col("k"))).count()
+    val misses = keys.filter(!bf.col(col("k"))).count()
     assert(misses === 0L)
     // Effectiveness: disjoint probe keys should almost all test negative
     // (2^20 bits / 5k keys → fpp far below 1%; assert a loose 5% bound).
     val probes = spark.range(0, 5000).select((col("id") * 7919L + 1L).as("k"))
-    val falsePos = probes.filter(Bloom.mightContain(spark, bits)(col("k"))).count()
+    val falsePos = probes.filter(bf.col(col("k"))).count()
     assert(falsePos < 250L, s"false-positive count $falsePos out of 5000")
   }
 
@@ -73,8 +73,8 @@ class BloomQualitySpec extends SparkSuite {
         .take(1500).toSeq)
     keySets.foreach { case (label, keys) =>
       val df = keys.toDF("k")
-      val bits = Bloom.build(df, "k")
-      val misses = df.filter(!Bloom.mightContain(spark, bits)(col("k"))).count()
+      val bf = Bloom.build(df, "k")
+      val misses = df.filter(!bf.col(col("k"))).count()
       assert(misses === 0L, s"false negatives in distribution '$label'")
     }
   }

@@ -55,12 +55,18 @@ class PlanAuditSpec extends SparkSuite {
     df.collect()
     val nodes = flatten(df.queryExecution.executedPlan)
     // The Bloom membership test must sit fact-side (a Filter over the
-    // lineitem scan), and the join itself must broadcast the dimension —
-    // i.e. the shuffle that the bloom prunes is the only data movement.
+    // lineitem scan) as the native codegen'd expression — not a UDF — and
+    // the join itself must broadcast the dimension, i.e. the shuffle that
+    // the bloom prunes is the only data movement.
     val bloomFilter = nodes.collect {
       case f: org.apache.spark.sql.execution.FilterExec
-        if f.condition.toString.contains("UDF") => f
+        if f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContain]) => f
     }
+    assert(!nodes.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("UDF")
+      case _ => false
+    }, "bloom probe must not be a UDF")
     assert(bloomFilter.nonEmpty, "no bloom-membership Filter in the plan")
     assert(nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),

@@ -78,6 +78,20 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshots.deleteWhere(spark, base, col("id") === 999L) === v3)
   }
 
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE three-valued logic)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_delnull")
+    // one file holding a NULL-x row alongside the matching row
+    val df = Seq((1L, Some(7L)), (2L, None: Option[Long]), (3L, Some(9L)))
+      .toDF("id", "x").repartition(1)
+    Snapshots.commit(spark, df, base)
+    Snapshots.deleteWhere(spark, base, col("x") === 7L)
+    // only x=7 is deleted; the NULL-x row in the rewritten file SURVIVES —
+    // a bare filter(!cond) would silently drop it (cond is NULL there)
+    assert(ids(Snapshots.read(spark, base)) === Set(2L, 3L))
+  }
+
   test("compact shrinks the live file count without changing rows or history") {
     val sess = spark
     import sess.implicits._

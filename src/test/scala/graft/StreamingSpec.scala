@@ -304,6 +304,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("upsert rejects stale-ts updates and never splices columns across versions") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val base = tmpDir("graft_upsert_stale") + "/snapshot"
+    val cp = tmpDir("graft_upsert_stale_cp")
+    val mem = MemoryStream[(Long, Long, Option[Double])]
+    val q = graft.streaming.StreamIngest.upsertStream(
+      mem.toDF().toDF("k", "ts", "v"), base, cp, keyCol = "k", tsCol = "ts")
+    try {
+      mem.addData((1L, 10L, Some(1.0)), (2L, 10L, Some(5.0)))
+      q.processAllAvailable()
+      // a late re-delivery with an OLDER ts must not regress k=1, and a
+      // newer update whose v is legitimately NULL must not resurrect the
+      // stale 5.0 via per-column coalesce — the row is taken whole
+      mem.addData((1L, 5L, Some(9.9)), (2L, 20L, None))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(base).as[(Long, Long, Option[Double])]
+        .collect().map(r => r._1 -> r).toMap
+      assert(snap(1L) === ((1L, 10L, Some(1.0))), "older-ts update must lose")
+      assert(snap(2L) === ((2L, 20L, None)), "NULL update column must win whole-row")
+    } finally q.stop()
+  }
+
   test("watermarked window aggregation merges in-window rows") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
