@@ -103,6 +103,31 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Full-registry record as a FILE artifact: the one-line summary above
+    // must fit a bounded log tail, but a file has no such limit — so time
+    // the rest of the registry too and write every per-query number to
+    // BENCH_FULL.json. Non-headline queries run once (no repeat): the file
+    // is a round-over-round trend record, not an A/B instrument.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "BENCH_FULL.json")
+    if (fullPath != "0") {
+      val rest = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => results.exists(_._1 == n) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable =>
+                     System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+                     false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+      val allResults = (results ++ rest).sortBy(_._1)
+      val body = allResults.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+        .mkString("{\n\"sf\": \"" + sfDir + "\",\n\"unit\": \"sec\",\n\"queries\": {\n", ",\n", "\n},\n")
+      val allFailed = allResults.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+        body + "\"failed\": " + allFailed + "\n}\n")
+    }
     spark.stop()
   }
 }

@@ -33,6 +33,7 @@ object SparkEntry {
     Quality.queries ++
     Profiling.queries ++
     Behavior.queries ++
+    Packing.queries ++
     Multimodal.queries
 
   def oracleSql: Map[String, String] =
@@ -49,5 +50,6 @@ object SparkEntry {
     Quality.oracleSql ++
     Profiling.oracleSql ++
     Behavior.oracleSql ++
+    Packing.oracleSql ++
     Multimodal.oracleSql
 }

@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   * each bucket: partition pruning still eliminates (buckets-1)/buckets of
   * the data for a point lookup, and footer stats prune within the bucket.
   * `bucketFor` is deterministic, so readers compute the same bucket.
+  *
+  * Storage seam: `base` is a Hadoop-filesystem URI, not a local path —
+  * `file:///...` here, `abfss://container@account.dfs.core.windows.net/...`
+  * on Azure (the reference's other adapter, azureStorageAdapter.go:34-227).
+  * The swap needs only hadoop-azure on the classpath (unavailable in this
+  * offline build): the ABFS connector then provides what the reference
+  * hand-rolls — staged 4 MB block uploads with a final block-list commit
+  * (azureStorageAdapter.go:34-65) and prefix-scoped paginated listing
+  * (:119-147). SourcesSpec pins the URI-agnostic contract via file://.
   */
 object BlockWriter {
 

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Pre-training batch assembly operators — the step between a cleaned
+  * corpus (Quality/Dedup) and the trainer: sequence packing, domain
+  * mixture accounting, and vocabulary coverage. Absent from the reference
+  * (SURVEY.md §2.2); these are the ops a 100 TB training-data pipeline
+  * runs LAST, so their scale story is the whole point:
+  *
+  *  - pack1 "concat-and-chunk" packing partitions BY SOURCE and orders by
+  *    doc_id, so the window cumulative sum shuffles once on the domain key
+  *    and never funnels the corpus through a single global ordering — the
+  *    per-domain streams are exactly how sharded tokenizer jobs consume
+  *    them. A whole-corpus global pack would serialize on one partition;
+  *    per-source packing is embarrassingly parallel.
+  *  - mix1 is one aggregate + a broadcast one-row total (same shape as
+  *    t6's N) — domain weights for mixture sampling fall out of it.
+  *  - vocab1 derives the vocabulary from the corpus itself (top-df terms,
+  *    deterministic tie-break) and broadcasts it against the token stream:
+  *    df aggregation reuses the token exchange; the vocab join is map-side.
+  */
+object Packing {
+
+  /** Tokens = whitespace split, the same cheap tokenizer t3 uses. */
+  private def tokCount = size(split(col("text"), " ")).cast("long")
+
+  val PackLen = 512L   // tokens per packed training sequence
+  val VocabSize = 15   // top-df terms kept as the in-corpus vocabulary
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack1_sequence_packing" -> { (s, d) =>
+      // Concat-and-chunk: within each source stream (ordered by doc_id),
+      // documents concatenate into one token stream that is cut into
+      // PackLen-token training sequences; a document's pack is where its
+      // first token lands. start = running-sum-exclusive of token counts.
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("source"), tokCount.as("n_tokens"))
+        .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("pack_id", floor(col("start_offset") / lit(PackLen.toDouble)).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("pack_id"))
+    },
+    "mix1_domain_mixture" -> { (s, d) =>
+      // Domain mixture table: per-source doc/token counts and each
+      // domain's share of the corpus token budget — the weights a mixture
+      // sampler consumes. One shuffle (the groupBy); the corpus total
+      // rides a broadcast one-row aggregate, not a second action.
+      val perSource = Tables.table(s, d, "documents")
+        .select(col("source"), tokCount.as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
+      val total = perSource.agg(sum(col("tok")).as("tot"))
+      perSource.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
+          round(col("tok").cast("double") / col("tot"), 6).as("token_share"))
+    },
+    "vocab1_oov_rate" -> { (s, d) =>
+      // Vocabulary coverage: vocab = the VocabSize highest-df terms
+      // (ties broken by term), then each document's out-of-vocabulary
+      // token-occurrence rate. df reuses the same exploded pass shape as
+      // t6; the vocab (tiny by construction) broadcasts into a map-side
+      // membership join — the corpus is scanned twice but shuffled only
+      // at token-aggregate grain.
+      val toks = Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val df_ = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val vocab = df_.orderBy(col("df").desc, col("term")).limit(VocabSize)
+        .select(col("term"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 4))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pack1_sequence_packing" ->
+      s"""SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+         |    OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - CAST(len(string_split(text, ' ')) AS BIGINT) AS start_offset,
+         |  CAST(floor((sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+         |    OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - CAST(len(string_split(text, ' ')) AS BIGINT)) / ${PackLen}.0) AS BIGINT) AS pack_id
+         |FROM documents""".stripMargin,
+    "mix1_domain_mixture" ->
+      """WITH per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per_src), 6)
+        |    AS token_share
+        |FROM per_src""".stripMargin,
+    "vocab1_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT $VocabSize)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN toks.term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN toks.term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
+         |    AS DOUBLE) / count(*), 4) AS oov_rate
+         |FROM toks GROUP BY doc_id""".stripMargin
+  )
+}

@@ -409,6 +409,165 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     },
+    "h2_min_cost_supplier" -> { (s, d) =>
+      // TPC-H Q2 shape (no partsupp table in the synthetic schema, so
+      // lineitem is the part↔supplier bridge): for each LARGE small-size
+      // part, the supplier(s) whose best unit price on that part is the
+      // part's minimum — a correlated MIN subquery that Catalyst
+      // decorrelates into one aggregate + join, not a per-row rescan.
+      // min() (not avg) keeps the compared value exact across engines.
+      Tables.table(s, d, "part").createOrReplaceTempView("part_h2")
+      Tables.table(s, d, "supplier").createOrReplaceTempView("supplier_h2")
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h2")
+      s.sql(
+        """WITH ps AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    round(min(l_extendedprice / l_quantity), 2) AS unit_price
+          |  FROM lineitem_h2 GROUP BY l_partkey, l_suppkey)
+          |SELECT p_partkey, p_name, s_name, unit_price AS min_price
+          |FROM part_h2 JOIN ps ON p_partkey = l_partkey
+          |JOIN supplier_h2 ON s_suppkey = l_suppkey
+          |WHERE p_type = 'LARGE' AND p_size <= 10
+          |  AND unit_price = (SELECT min(ps2.unit_price) FROM ps ps2
+          |                    WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin)
+    },
+    "h8_market_share" -> { (s, d) =>
+      // TPC-H Q8 shape: one nation's share of a region's yearly order
+      // volume — a seven-way star join where every dimension broadcasts
+      // and the conditional-sum ratio folds into one aggregate pass (no
+      // second scan for the denominator).
+      Seq("lineitem", "orders", "customer", "nation", "region", "supplier")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(s"${t}_h8"))
+      s.sql(
+        """WITH vol AS (
+          |  SELECT year(o_orderdate) AS o_year,
+          |    l_extendedprice * (1 - l_discount) AS volume,
+          |    sn.n_name AS supp_nation
+          |  FROM lineitem_h8
+          |  JOIN orders_h8 ON l_orderkey = o_orderkey
+          |  JOIN customer_h8 ON o_custkey = c_custkey
+          |  JOIN nation_h8 cn ON c_nationkey = cn.n_nationkey
+          |  JOIN region_h8 ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          |  JOIN supplier_h8 ON l_suppkey = s_suppkey
+          |  JOIN nation_h8 sn ON s_nationkey = sn.n_nationkey)
+          |SELECT o_year,
+          |  round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+          |        / sum(volume), 6) AS mkt_share
+          |FROM vol GROUP BY o_year""".stripMargin)
+    },
+    "h15_top_supplier" -> { (s, d) =>
+      // TPC-H Q15 shape: the revenue view + "= (SELECT max(...))" scalar
+      // subquery — the aggregate runs once, its max broadcasts, no
+      // re-evaluation per row.
+      Tables.table(s, d, "supplier").createOrReplaceTempView("supplier_h15")
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h15")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          |  FROM lineitem_h15
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier_h15 JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)
+    },
+    "h20_promo_suppliers" -> { (s, d) =>
+      // TPC-H Q20 shape: nested IN subqueries + a correlated scalar
+      // subquery over the same aggregate CTE — suppliers who moved more
+      // than 15% of a red part's total volume. Quantities are integral
+      // doubles, so the sums and the comparison are exact in both engines.
+      Seq("supplier", "lineitem", "part")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(s"${t}_h20"))
+      s.sql(
+        """WITH per AS (
+          |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+          |  FROM lineitem_h20
+          |  WHERE l_partkey IN (SELECT p_partkey FROM part_h20 WHERE p_name LIKE 'red%')
+          |  GROUP BY l_suppkey, l_partkey)
+          |SELECT s_suppkey, s_name
+          |FROM supplier_h20
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM per
+          |  WHERE qty > (SELECT 0.15 * sum(p2.qty) FROM per p2
+          |               WHERE p2.l_partkey = per.l_partkey))""".stripMargin)
+    },
+    "h9_product_profit" -> { (s, d) =>
+      // TPC-H Q9 shape: profit per supplier-nation per order-year over a
+      // five-way join (cost proxied off p_retailprice — no ps_supplycost
+      // in the schema). The two dimension joins broadcast; the fact
+      // shuffles once for the group-by.
+      val li = Tables.table(s, d, "lineitem")
+      li.join(Tables.table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.table(s, d, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity"))).as("profit"))
+    },
+    "h11_important_stock" -> { (s, d) =>
+      // TPC-H Q11 shape: parts whose stocked value (within one nation's
+      // suppliers) exceeds a fraction of that nation's total — a global
+      // scalar subquery over the SAME aggregate, which Catalyst evaluates
+      // once and broadcasts rather than per row.
+      Tables.table(s, d, "supplier").createOrReplaceTempView("supplier_h11")
+      Tables.table(s, d, "nation").createOrReplaceTempView("nation_h11")
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h11")
+      s.sql(
+        """WITH val AS (
+          |  SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+          |  FROM lineitem_h11 JOIN supplier_h11 ON l_suppkey = s_suppkey
+          |  JOIN nation_h11 ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_3'
+          |  GROUP BY l_partkey)
+          |SELECT l_partkey AS p_key, part_value
+          |FROM val
+          |WHERE part_value > (SELECT 0.002 * sum(part_value) FROM val)""".stripMargin)
+    },
+    "h16_supplier_cnt" -> { (s, d) =>
+      // TPC-H Q16 shape: distinct-supplier counts per part bucket, with a
+      // NOT IN exclusion subquery (negative-balance suppliers standing in
+      // for the spec's complaints filter) — NOT IN over a non-null key
+      // column planned as a null-aware anti join.
+      Tables.table(s, d, "part").createOrReplaceTempView("part_h16")
+      Tables.table(s, d, "supplier").createOrReplaceTempView("supplier_h16")
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h16")
+      s.sql(
+        """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem_h16 JOIN part_h16 ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 5, 10, 15, 20, 25)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_h16 WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size""".stripMargin)
+    },
+    "h21_waiting_supplier" -> { (s, d) =>
+      // TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+      // finalized multi-supplier order ("late" = shipped >60 days after
+      // the order date; the schema has no commit/receipt dates). The
+      // EXISTS + correlated NOT EXISTS pair decorrelates to a semi join
+      // plus an anti join on l_orderkey — two shuffles on the order key,
+      // no per-row subquery execution.
+      Tables.table(s, d, "supplier").createOrReplaceTempView("supplier_h21")
+      Tables.table(s, d, "orders").createOrReplaceTempView("orders_h21")
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h21")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier_h21, lineitem_h21 l1, orders_h21
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem_h21 l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_h21 l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY s_name""".stripMargin)
+    },
     "h22_dormant_customers" -> { (s, d) =>
       // TPC-H Q22 shape: well-funded customers gone quiet — balance above
       // the positive-balance average (scalar subquery → one tiny broadcast)
@@ -693,6 +852,97 @@ object Relational {
         |  ON o_orderkey = t.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "h2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(min(l_extendedprice / l_quantity), 2) AS unit_price
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p_partkey, p_name, s_name, unit_price AS min_price
+        |FROM part JOIN ps ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_type = 'LARGE' AND p_size <= 10
+        |  AND unit_price = (SELECT min(ps2.unit_price) FROM ps ps2
+        |                    WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin,
+    "h8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+        |SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+        |        / sum(volume), 6) AS mkt_share
+        |FROM vol GROUP BY o_year""".stripMargin,
+    "h15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    "h20_promo_suppliers" ->
+      """WITH per AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM per
+        |  WHERE qty > (SELECT 0.15 * sum(p2.qty) FROM per p2
+        |               WHERE p2.l_partkey = per.l_partkey))""".stripMargin,
+    "h9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - 0.6 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "h11_important_stock" ->
+      """WITH val AS (
+        |  SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_key, part_value
+        |FROM val
+        |WHERE part_value > (SELECT 0.002 * sum(part_value) FROM val)""".stripMargin,
+    "h16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "h21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name""".stripMargin,
     "h22_dormant_customers" ->
       """SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

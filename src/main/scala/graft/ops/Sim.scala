@@ -151,10 +151,25 @@ object Sim {
     topK(scored)
   }
 
+  /** Self-verifying harness for the approximate tiers: append each query's
+    * recall@K against the in-Spark exact top-k, so every dump of v2/v3
+    * carries its own deterministic, assertable correctness number even
+    * though no DuckDB oracle can replay the hash-dependent ANN paths. The
+    * extra brute-force pass is validation cost only — production callers
+    * use [[knnLsh]]/[[knnIvf]] directly.
+    */
+  private def withRecall(s: SparkSession, d: String, ann: DataFrame): DataFrame = {
+    val exact = knnBrute(s, d).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val rec = ann.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 4).as("recall_at_k"))
+    ann.join(broadcast(rec), Seq("q_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> { (s, d) => knnBrute(s, d) },
-    "v2_knn_lsh" -> { (s, d) => knnLsh(s, d) },
-    "v3_knn_ivf" -> { (s, d) => knnIvf(s, d) },
+    "v2_knn_lsh" -> { (s, d) => withRecall(s, d, knnLsh(s, d)) },
+    "v3_knn_ivf" -> { (s, d) => withRecall(s, d, knnIvf(s, d)) },
     "v4_quantize" -> { (s, d) =>
       // Per-vector scalar int8 quantization (min/max range): the storage
       // compressor of embedding pipelines (4× smaller, dot products on

@@ -112,7 +112,6 @@ object TextAnalysis {
       // restricted to the top-scoring term per doc (deterministic
       // tie-break) to keep the result compact.
       import org.apache.spark.sql.expressions.Window
-      val docsN = Tables.table(s, d, "documents").count()
       val terms = Tables.table(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -120,10 +119,17 @@ object TextAnalysis {
       // per-term row count IS the document frequency — no second explode
       // pass, no distinct shuffle; the tf exchange is reused for both sides.
       val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // N rides a broadcast one-row aggregate inside the SAME job — no
+      // separate count() action, no extra scan of the documents table.
+      // The plan is a BroadcastNestedLoopJoin whose build side is a
+      // global aggregate — provably one row, so the "nested loop" is a
+      // constant append per row (PlanAuditSpec admits exactly this form).
+      val nDocs = Tables.table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(df_), "term")
-        .withColumn("tfidf", round(col("tf") * log(lit(docsN.toDouble) / col("df")), 6))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("term").as("top_term"), col("tfidf").as("top_tfidf"))

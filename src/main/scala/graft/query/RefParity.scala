@@ -85,18 +85,24 @@ object RefParity {
     "snap1_time_travel" -> { (s, d) =>
       import graft.ingest.Snapshots
       val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
-      val li = Tables.table(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
-      val v1 = Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1997-01-01")),
-        dir, sortCols = Seq("l_orderkey"))
-      val v2 = Snapshots.commit(s, li.filter(col("l_shipdate") >= lit("1997-01-01")),
-        dir, sortCols = Seq("l_orderkey"))
-      def summarize(df: DataFrame, snap: Int): DataFrame =
-        df.agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
-          .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
-      summarize(Snapshots.read(s, dir, Some(v1)), 1)
-        .unionAll(summarize(Snapshots.read(s, dir), 2))
-        .unionAll(summarize(Snapshots.changes(s, dir, v1, v2), 3))
+      try {
+        val li = Tables.table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+        val v1 = Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1997-01-01")),
+          dir, sortCols = Seq("l_orderkey"))
+        val v2 = Snapshots.commit(s, li.filter(col("l_shipdate") >= lit("1997-01-01")),
+          dir, sortCols = Seq("l_orderkey"))
+        def summarize(df: DataFrame, snap: Int): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+            .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
+        // Eagerly materialized so the snapshot tree can be deleted before
+        // returning — repeated Verify/Bench sweeps must not accumulate
+        // orphaned parquet under /tmp, and the query stays idempotent.
+        summarize(Snapshots.read(s, dir, Some(v1)), 1)
+          .unionAll(summarize(Snapshots.read(s, dir), 2))
+          .unionAll(summarize(Snapshots.changes(s, dir, v1, v2), 3))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   )
 

