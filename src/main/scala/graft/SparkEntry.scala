@@ -33,6 +33,7 @@ object SparkEntry {
     Quality.queries ++
     Profiling.queries ++
     Behavior.queries ++
+    Graph.queries ++
     Packing.queries ++
     Multimodal.queries
 
@@ -50,6 +51,7 @@ object SparkEntry {
     Quality.oracleSql ++
     Profiling.oracleSql ++
     Behavior.oracleSql ++
+    Graph.oracleSql ++
     Packing.oracleSql ++
     Multimodal.oracleSql
 }

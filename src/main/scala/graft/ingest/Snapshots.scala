@@ -20,9 +20,10 @@ import scala.jdk.CollectionConverters._
   *  - a manifest `_snapshots/vNNNNNNNN.manifest` is one header line
   *    (version, parent, mode) plus the absolute path of every live file —
   *    the complete state of that version, no chain-walking at read time;
-  *  - commits claim the next version number with an atomic
-  *    `Files.createFile` (fail-if-exists) and retry on conflict —
-  *    optimistic concurrency, last writer re-reads and re-lists;
+  *  - commits serialize the metadata write (resolve parent → compose file
+  *    list → atomic manifest move) under a lock file with stale-holder
+  *    takeover — the local-FS stand-in for Iceberg's metadata-pointer
+  *    CAS; data-file writes stay fully parallel outside the lock;
   *  - readers list manifests and `spark.read.parquet(files…)` — time
   *    travel is "read an older manifest", incremental consumption is a
   *    file-list diff, and snapshot isolation falls out because appends
@@ -76,42 +77,60 @@ object Snapshots {
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
   }
 
-  /** Publish `carried(parent) ++ newFiles` as the next version — the
-    * optimistic-concurrency core every write path shares.
+  /** Mutual exclusion for the METADATA commit only — the ~ms manifest
+    * read-compute-write, never the data-file writes (those stay fully
+    * parallel and happen before publish). A lock file plays the role of
+    * Iceberg's metadata-pointer CAS: without it, a writer that resolves
+    * its parent while another commit is in flight publishes a lineage
+    * missing that commit's files — a lost update. A crashed holder's lock
+    * is taken over once it ages past `StaleLockMs` (commits under the
+    * lock are milliseconds, so a minute-old lock is dead, not slow).
     */
-  private def publish(base: String, newFiles: Seq[String], mode: String,
-                      carried: Long => Seq[String]): Long = {
+  private val StaleLockMs = 60000L
+
+  private def withCommitLock[T](base: String)(body: => T): T = {
     snapDir(base).mkdirs()
-    var committed = -1L
-    while (committed < 0) {
-      val vs = versions(base)
-      val parent = if (vs.isEmpty) 0L else vs.max
-      // Claim PAST any in-flight (zero-length) manifest too: a claimed
-      // version belongs to its writer even before its content lands, so
-      // the next number is one beyond every claim, committed or not. The
-      // parent lineage stays the newest COMMITTED version — if the
-      // in-flight writer completes later, its snapshot simply isn't in
-      // this commit's ancestry (last-completed wins, Iceberg-style).
-      val next = (0L +: versionFiles(base).map(versionOf)).max.max(parent) + 1
-      val target = manifestFile(base, next)
+    val lock = new File(snapDir(base), ".commit.lock")
+    var held = false
+    while (!held) {
       try {
-        // Atomic claim: createFile fails if another writer took `next`.
-        // The zero-length claim is invisible to versions(); the atomic
-        // move below makes the manifest appear fully-written or not at all.
-        Files.createFile(target.toPath)
-        val tmp = new File(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
-        Files.writeString(tmp.toPath,
-          (s"version=$next\tparent=$parent\tmode=$mode" +: (carried(parent) ++ newFiles))
-            .mkString("\n"))
-        Files.move(tmp.toPath, target.toPath,
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-        committed = next
+        Files.createFile(lock.toPath)
+        held = true
       } catch {
-        case _: FileAlreadyExistsException => () // lost the race; re-read and retry
+        case _: FileAlreadyExistsException =>
+          val mtime = lock.lastModified
+          if (mtime > 0 && System.currentTimeMillis - mtime > StaleLockMs)
+            lock.delete() // dead holder; next loop re-races for the lock
+          else Thread.sleep(5)
       }
     }
-    committed
+    try body finally lock.delete()
   }
+
+  /** Publish `carried(parent) ++ newFiles` as the next version. The parent
+    * is resolved UNDER the commit lock, so `carried` always sees the true
+    * newest committed state — concurrent appends serialize instead of
+    * dropping each other's files from the lineage.
+    */
+  private def publish(base: String, newFiles: Seq[String], mode: String,
+                      carried: Long => Seq[String]): Long =
+    withCommitLock(base) {
+      val vs = versions(base)
+      val parent = if (vs.isEmpty) 0L else vs.max
+      // Number PAST any zero-length claim a pre-lock-era writer (or a
+      // crashed one) may have left: such a file is not a committed
+      // version, but its number is burned.
+      val next = (0L +: versionFiles(base).map(versionOf)).max.max(parent) + 1
+      val target = manifestFile(base, next)
+      val tmp = new File(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
+      Files.writeString(tmp.toPath,
+        (s"version=$next\tparent=$parent\tmode=$mode" +: (carried(parent) ++ newFiles))
+          .mkString("\n"))
+      // Atomic move: the manifest appears fully written or not at all.
+      Files.move(tmp.toPath, target.toPath,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      next
+    }
 
   /** Write `df` as a new snapshot of the table at `base`; returns the new
     * version. `append` carries the parent's files forward; `overwrite`

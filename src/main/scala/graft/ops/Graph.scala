@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Iterative graph analytics over relation-derived graphs — the second
+  * iterative-fixpoint operator family beside Dedup.neardupClusters
+  * (connected components). Absent from the reference (SURVEY.md §2.2).
+  *
+  * PageRank here runs a FIXED number of power iterations, which makes it
+  * oracle-checkable: the same recurrence unrolls into chained CTEs on the
+  * DuckDB side, so an iterative distributed computation gets an exact
+  * row/hash gate instead of a rows-only waiver.
+  *
+  * Scale design: each iteration is one join of the slim (src → rank/deg)
+  * contribution stream with the edge list plus one aggregate on dst —
+  * both shuffles are edge/node-sized, never corpus-sized. The edge list
+  * (joined with out-degrees once, up front) persists across iterations;
+  * ranks localCheckpoint eagerly per iteration so the logical plan stays
+  * O(1) deep instead of O(iterations) (same lineage discipline as d6's
+  * label propagation). Node count N is computed once on the driver and
+  * amortized over all iterations.
+  */
+object Graph {
+
+  val Damping = 0.85
+  val Iterations = 8
+  /** Supplier node ids offset into their own range so the bipartite
+    * customer↔supplier graph has disjoint id spaces.
+    */
+  val SupplierOffset = 1000000L
+
+  /** PageRank over an undirected edge list (every node therefore has at
+    * least one out-edge — no dangling-mass term needed). `edges` must
+    * already contain both directions of each link.
+    */
+  def pageRank(s: SparkSession, edges: DataFrame, iterations: Int = Iterations,
+               damping: Double = Damping): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = edges.select(col("src").as("id")).distinct()
+        .localCheckpoint(true)
+      val n = nodes.count()
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to iterations) {
+        val contribs = withDeg
+          .join(ranks, col("src") === col("id"))
+          .select(col("dst"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
+        ranks = nodes.join(contribs, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit((1 - damping) / n) +
+              lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally withDeg.unpersist(false)
+  }
+
+  /** The customer↔supplier trade graph: an (undirected) edge per distinct
+    * customer–supplier pair that ever traded, derived from orders ⋈
+    * lineitem.
+    */
+  def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.table(s, d, "orders")
+      .join(Tables.table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + SupplierOffset).as("dst"))
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank" -> { (s, d) =>
+      pageRank(s, tradeEdges(s, d))
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }
+  )
+
+  /** The same power iteration unrolled into chained CTEs — r1..rK each
+    * computed from its predecessor exactly as the Spark loop does.
+    */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val base =
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + $SupplierOffset AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.id,
+         |    (1 - $damping) / (SELECT n FROM nn)
+         |      + $damping * coalesce(sum(r${k - 1}.rank / deg.deg), 0) AS rank
+         |  FROM nodes
+         |  LEFT JOIN edges ON edges.dst = nodes.id
+         |  LEFT JOIN deg ON deg.src = edges.src
+         |  LEFT JOIN r${k - 1} ON r${k - 1}.id = edges.src
+         |  GROUP BY nodes.id)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      s"\nSELECT id, round(rank, 6) AS rank FROM r$iterations"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "g1_pagerank" -> pageRankOracle(Iterations, Damping)
+  )
+}

@@ -44,6 +44,31 @@ object StreamIngest {
       .outputMode("append")
       .start()
 
+  /** One-shot backfill/catch-up of the SAME sink as [[start]]: process
+    * everything currently available, then stop. `Trigger.AvailableNow`
+    * (not the deprecated `Trigger.Once`) carves the backlog into
+    * rate-limited micro-batches, so a month of parked input replays as
+    * bounded batches instead of one giant one — the only shape that
+    * survives a 100 TB catch-up. Shares the checkpoint contract with the
+    * live stream: a drain after a crash resumes from committed offsets,
+    * and a drain with nothing new commits nothing (exactly-once).
+    */
+  def drain(stream: DataFrame, base: String, checkpoint: String,
+            partitionCol: String, keyCol: String,
+            numBuckets: Int = BlockWriter.DefaultBuckets,
+            maxRecordsPerFile: Long = BlockWriter.DefaultMaxRecordsPerFile): StreamingQuery =
+    stream
+      .withColumn("bucket", BlockWriter.bucketCol(partitionCol, numBuckets))
+      .writeStream
+      .format("parquet")
+      .option("path", base)
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket")
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+
   /** Stream-stream inner join: each left event pairs with right events for
     * the same key within `within` after it. Both sides watermarked so the
     * join state is bounded — the condition gives Spark the range it needs

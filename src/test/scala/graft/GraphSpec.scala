@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank invariants the DuckDB oracle doesn't cover (it pins the exact
+  * values on the trade graph; these pin the math on graphs small enough
+  * to reason about by hand).
+  */
+class GraphSpec extends SparkSuite {
+
+  private def ranksOf(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    val sess = spark
+    import sess.implicits._
+    val e = edges.toDF("src", "dst")
+    val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(spark, undirected)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("two symmetric nodes hold rank 0.5 exactly at any iteration count") {
+    // r(A) = (1-d)/2 + d·r(B); from the symmetric start both stay at the
+    // exact fixpoint 0.5 — any drift means the recurrence is wrong.
+    val r = ranksOf(Seq((1L, 2L)))
+    assert(r(1L) === 0.5)
+    assert(r(2L) === 0.5)
+  }
+
+  test("star graph: mass sums to 1, center outranks leaves, leaves tie") {
+    val r = ranksOf(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"rank mass ${r.values.sum}")
+    assert(r(10L) > r(1L), "hub must outrank a leaf")
+    assert(r(1L) === r(2L) && r(2L) === r(3L), "symmetric leaves must tie")
+  }
+
+  test("trade-graph query emits one finite rank per node") {
+    val out = Graph.queries("g1_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length, "one row per node")
+    assert(out.forall(x => x._2 > 0 && !x._2.isNaN && !x._2.isInfinite))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-3, "rank mass conserved")
+  }
+}

@@ -106,6 +106,33 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.read(spark, base, Some(pre))) === (0L to 3L).toSet)
   }
 
+  test("concurrent appends from racing writers all land (optimistic commit stress)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_race")
+    val writers = 4
+    val perWriter = 5
+    // Each thread commits its own disjoint id batches; the claim loop must
+    // serialize them so no append is lost and versions stay contiguous.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            for (i <- 0 until perWriter) {
+              val id = (w * perWriter + i).toLong
+              Snapshots.commit(spark, Seq(id).toDF("id"), base)
+            }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val vs = Snapshots.versions(base)
+    assert(vs.size === writers * perWriter, s"every commit must publish: $vs")
+    assert(ids(Snapshots.read(spark, base)) === (0L until (writers * perWriter).toLong).toSet,
+      "no append may be lost to a commit race")
+  }
+
   test("data files without a manifest are invisible to readers") {
     val sess = spark
     import sess.implicits._
