@@ -60,11 +60,16 @@ object Bench {
     // this pre-pays Janino compilation and C2-warms the typed kernels for
     // exactly the plans the timed run executes, without touching the timed
     // scale factor's data. Skipped when the tiny SF isn't present.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "BENCH_FULL.json")
     locally {
       val warmSf = "/root/testdata/sf0.001"
       if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
         SparkEntry.queries.toSeq.sortBy(_._1)
-          .filter { case (n, _) => only.isEmpty || only(n) }
+          // The full-registry file pass times every query, so when it is
+          // enabled everything gets the codegen warmup, not just the
+          // headline set — otherwise non-headline numbers in the file
+          // would carry first-run Janino/C2 cost.
+          .filter { case (n, _) => fullPath != "0" || only.isEmpty || only(n) }
           .foreach { case (_, fn) =>
             try fn(spark, warmSf).count() catch { case _: Throwable => () }
           }
@@ -108,7 +113,6 @@ object Bench {
     // the rest of the registry too and write every per-query number to
     // BENCH_FULL.json. Non-headline queries run once (no repeat): the file
     // is a round-over-round trend record, not an A/B instrument.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "BENCH_FULL.json")
     if (fullPath != "0") {
       val rest = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => results.exists(_._1 == n) }

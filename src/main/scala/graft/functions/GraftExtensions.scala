@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FnvHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NGrams(exprs.head, exprs(1))))
   }
 }

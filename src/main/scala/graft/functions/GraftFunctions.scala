@@ -11,5 +11,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv64", exprs => FnvHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams", exprs => NGrams(exprs.head, exprs(1)), "scala_udf")
   }
 }

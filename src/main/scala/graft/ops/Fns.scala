@@ -188,6 +188,29 @@ object Fns {
         aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
           .as("total_word_chars"))
     },
+    "u3_udtf_ngrams" -> { (s, d) =>
+      // Native Catalyst Generator (graft.functions.NGrams) through the SQL
+      // registry + LATERAL VIEW — the table-function tier of the extension
+      // surface (fnv64 is the scalar tier, u1 the aggregate tier). One
+      // JVM loop per document, no per-element interpreted lambdas.
+      graft.functions.GraftFunctions.register(s)
+      Tables.table(s, d, "documents").createOrReplaceTempView("documents_u3")
+      s.sql(
+        """SELECT doc_id, g.pos, g.gram
+          |FROM documents_u3
+          |LATERAL VIEW ngrams(text, 2) g AS pos, gram""".stripMargin)
+    },
+    "f20_variant" -> { (s, d) =>
+      // Spark 4 VariantType: parse once, extract typed paths lazily — the
+      // semi-structured column format that replaces repeated string-level
+      // get_json_object scans (f5) with a binary-encoded tree. A missing
+      // path yields NULL, not an error (same dirty-data stance as f15).
+      Tables.events(s, d).select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("vk"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("vk_str"),
+        expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("v_missing"))
+    },
     "f16_decimal_math" -> { (s, d) =>
       // Exact decimal money math: sums over DECIMAL(12,2) accumulate
       // exactly (no float summation-order drift), so no round() crutch is
@@ -373,6 +396,17 @@ object Fns {
         |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT)
         |    AS total_word_chars
         |FROM documents""".stripMargin,
+    "u3_udtf_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+        |SELECT doc_id, i - 1 AS pos, concat_ws(' ', ws[i], ws[i+1]) AS gram
+        |FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |WHERE len(ws) >= 2""".stripMargin,
+    "f20_variant" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS vk,
+        |  props->>'$.k' AS vk_str,
+        |  CAST(props->>'$.missing' AS BIGINT) AS v_missing
+        |FROM events""".stripMargin,
     "f16_decimal_math" ->
       """SELECT o_orderstatus,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS VARCHAR) AS total_exact,
