@@ -60,6 +60,22 @@ object Packing {
         .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
           round(col("tok").cast("double") / col("tot"), 6).as("token_share"))
     },
+    "mix2_curriculum_sample" -> { (s, d) =>
+      // Curriculum sampling: each domain keeps a deterministic fraction of
+      // its documents (rate_16/16ths here, keyed off the source id — in
+      // production the rates come from a mixture table like mix1's). The
+      // keep decision hashes CONTENT (md5), so it is reproducible across
+      // engines and runs, needs no RNG state, and is a pure map-side
+      // filter that pushes into the scan — the only sampling shape that
+      // stays cheap at 100 TB.
+      val srcNum = expr("CAST(substr(source, 4) AS INT)")
+      val rate = when(srcNum % 3 === 0, 8).when(srcNum % 3 === 1, 4).otherwise(2)
+      val hexpos = expr("instr('0123456789abcdef', substring(md5(text), 1, 1))")
+      Tables.table(s, d, "documents")
+        .withColumn("rate_16", rate)
+        .filter(hexpos <= col("rate_16"))
+        .select(col("doc_id"), col("source"), col("rate_16"))
+    },
     "vocab1_oov_rate" -> { (s, d) =>
       // Vocabulary coverage: vocab = the VocabSize highest-df terms
       // (ties broken by term), then each document's out-of-vocabulary
@@ -103,6 +119,16 @@ object Packing {
         |  round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per_src), 6)
         |    AS token_share
         |FROM per_src""".stripMargin,
+    "mix2_curriculum_sample" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 8
+        |       WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 4
+        |       ELSE 2 END AS rate_16
+        |FROM documents
+        |WHERE instr('0123456789abcdef', substring(md5(text), 1, 1)) <=
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 8
+        |       WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 4
+        |       ELSE 2 END""".stripMargin,
     "vocab1_oov_rate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
