@@ -47,14 +47,17 @@ object Graph {
       val n = nodes.count()
       var ranks = nodes.withColumn("rank", lit(1.0 / n))
       for (_ <- 1 to iterations) {
+        // Undirected edges ⇒ every node has an in-edge, so the contribution
+        // aggregate already covers every node — no nodes re-join per
+        // iteration (that join would double the per-iteration shuffle
+        // count for rows that can never be missing).
         val contribs = withDeg
           .join(ranks, col("src") === col("id"))
           .select(col("dst"), (col("rank") / col("deg")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
-        ranks = nodes.join(contribs, col("id") === col("dst"), "left")
-          .select(col("id"),
-            (lit((1 - damping) / n) +
-              lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        ranks = contribs
+          .select(col("dst").as("id"),
+            (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
           .localCheckpoint(true)
       }
       ranks
