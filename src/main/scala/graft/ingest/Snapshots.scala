@@ -99,9 +99,17 @@ object Snapshots {
       } catch {
         case _: FileAlreadyExistsException =>
           val mtime = lock.lastModified
-          if (mtime > 0 && System.currentTimeMillis - mtime > StaleLockMs)
-            lock.delete() // dead holder; next loop re-races for the lock
-          else Thread.sleep(5)
+          if (mtime > 0 && System.currentTimeMillis - mtime > StaleLockMs) {
+            // Takeover must be single-winner: deleting the shared path off a
+            // stale mtime read is a TOCTOU race (two waiters can each delete
+            // a lock — the second one deleting the FRESH lock the first just
+            // created, letting two writers into the critical section).
+            // Renaming the stale lock to a unique tombstone is atomic: only
+            // one renamer succeeds, and it removes only the file it renamed.
+            val tomb = new File(snapDir(base), s".commit.lock.dead_${System.nanoTime()}")
+            if (lock.renameTo(tomb)) tomb.delete()
+            // next loop re-races createFile for the now-absent lock
+          } else Thread.sleep(5)
       }
     }
     try body finally lock.delete()
@@ -160,8 +168,13 @@ object Snapshots {
     * tasks. Returns the new version (or the current one when nothing
     * matched — an empty delete publishes nothing).
     */
+  /** `beforePublish` is a test seam: it runs after the touched-file scan
+    * and rewrite, immediately before the commit-lock publish — the window
+    * a concurrent writer's commit lands in. Production callers leave it.
+    */
   def deleteWhere(spark: SparkSession, base: String,
-                  cond: org.apache.spark.sql.Column): Long = {
+                  cond: org.apache.spark.sql.Column,
+                  beforePublish: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val vs = versions(base)
     require(vs.nonEmpty, s"no committed snapshots under $base")
@@ -176,13 +189,30 @@ object Snapshots {
     val rewritten = spark.read.parquet(touched.toSeq: _*)
       .filter(!coalesce(cond, lit(false)))
     val newFiles = writeBatch(rewritten, base, Nil)
+    val v0 = vs.max
+    beforePublish()
     // Carried files are recomputed from the CURRENT parent inside publish's
     // claim loop: a concurrent append that commits between our manifest read
     // above and the claim contributes files that are (by construction) not
-    // in `touched`, and they carry forward instead of being lost.
-    publish(base, newFiles, mode = "delete",
-      parent => if (parent > 0) readManifest(base, parent).files.filterNot(touched)
-                else Nil)
+    // in `touched`, and they carry forward instead of being lost. A
+    // concurrent OVERWRITE (compact or replace) is a different story: if it
+    // rewrote any `touched` file away, the parent now holds files that still
+    // CONTAIN the cond-matching rows — carrying them would resurrect deleted
+    // rows and duplicate survivors from our rewrite. Abort loudly instead
+    // (mirror of compact's conflict check).
+    publish(base, newFiles, mode = "delete", parent =>
+      if (parent == 0) Nil
+      else if (parent == v0) readManifest(base, parent).files.filterNot(touched)
+      else {
+        val pf = readManifest(base, parent).files
+        val rewrittenAway = touched -- pf.toSet
+        if (rewrittenAway.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deleteWhere based on v$v0 conflicts with a concurrent overwrite " +
+              s"that rewrote ${rewrittenAway.size} of its ${touched.size} touched " +
+              "file(s); retry the delete from the new version")
+        pf.filterNot(touched)
+      })
   }
 
   /** Small-files compaction as a snapshot: rewrite the latest version's

@@ -98,13 +98,17 @@ object Packing {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB's sum(BIGINT) returns HUGEINT, which the driver's pandas hash
+    // path lands as float64 while Spark emits int64 — CAST every window/
+    // group sum back to BIGINT so both engines hash the same representation
+    // (same representation-class issue as f16's decimal-as-string).
     "pack1_sequence_packing" ->
       s"""SELECT doc_id, source,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+         |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
          |    OVER (PARTITION BY source ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    - CAST(len(string_split(text, ' ')) AS BIGINT) AS start_offset,
+         |    - CAST(len(string_split(text, ' ')) AS BIGINT) AS BIGINT) AS start_offset,
          |  CAST(floor((sum(CAST(len(string_split(text, ' ')) AS BIGINT))
          |    OVER (PARTITION BY source ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -113,7 +117,7 @@ object Packing {
     "mix1_domain_mixture" ->
       """WITH per_src AS (
         |  SELECT source, count(*) AS n_docs,
-        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source)
         |SELECT source, n_docs, n_tokens,
         |  round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per_src), 6)

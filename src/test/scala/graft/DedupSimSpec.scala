@@ -92,6 +92,36 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("near-threshold pairs grazing a hot shingle verify exactly, not on the under-count") {
+    // Docs 0 and 1 are identical (true jaccard 1.0): 8 shingles, ONE of
+    // which ("h1 h2 h3") is hot at dfCap=4 because four boilerplate docs
+    // also carry it. Cold-only scoring sees common=7 of na=nb=8 →
+    // 7/9 ≈ 0.778 < 0.8 — a naive cold filter would silently DROP the
+    // pair. The optimistic bound (7 + min-hot-overlap 1 → 1.0) must keep
+    // it as a candidate and the exact verify must emit the true 1.0.
+    val sess = spark
+    import sess.implicits._
+    val twin = "h1 h2 h3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = (Seq((0L, twin), (1L, twin)) ++
+      (2L to 5L).map(i => (i, "h1 h2 h3"))).toDF("doc_id", "text")
+    val dir = tmpDir("graft_hot_graze")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val capped = Dedup.jaccardPairs(spark, dir, 0.8, dfCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (0,1) survives with its EXACT score; boilerplate-only docs reach the
+    // anchor star (0,k) but verify to 1/8 and drop — so the capped output
+    // is exactly the one true pair.
+    assert(capped === Set((0L, 1L, 1.0)))
+    // Uncapped (default cap: df 6 << 256, nothing is hot) the same pair
+    // carries the same exact score, plus the boilerplate-only pairs whose
+    // entire overlap is that one shingle — exactly the pair family the cap
+    // documents away (their connectivity survives via the anchor star).
+    val exact = Dedup.jaccardPairs(spark, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val boilerPairs = (for { i <- 2L to 5L; j <- (i + 1) to 5L } yield (i, j, 1.0)).toSet
+    assert(exact === capped ++ boilerPairs)
+  }
+
   test("MinHash-LSH finds exactly the exact-Jaccard pair set") {
     val exact = pairSet(Dedup.jaccardPairs(spark, sf, 0.8), "doc_a", "doc_b")
     val lsh = pairSet(Dedup.minhashLshPairs(spark, sf, 0.8), "doc_a", "doc_b")

@@ -92,6 +92,29 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.read(spark, base)) === Set(2L, 3L))
   }
 
+  test("deleteWhere aborts when a concurrent overwrite rewrote its touched files") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_delconf")
+    Snapshots.commit(spark, (1L to 5L).toDF("id").repartition(1), base)
+    Snapshots.commit(spark, (6L to 10L).toDF("id").repartition(1), base)
+    // A compact lands between deleteWhere's manifest read and its publish:
+    // the parent manifest now holds compacted files that still CONTAIN
+    // id=7 — carrying them would resurrect the deleted row and duplicate
+    // the survivors from the rewrite. Must abort, not silently corrupt.
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.deleteWhere(spark, base, col("id") === 7L,
+        beforePublish = () => { Snapshots.compact(spark, base, numFiles = 1); () })
+    }
+    // the table is untouched by the failed delete: compact's rows all live
+    assert(ids(Snapshots.read(spark, base)) === (1L to 10L).toSet)
+    // a concurrent APPEND during the same window still carries fine
+    val v = Snapshots.deleteWhere(spark, base, col("id") === 7L,
+      beforePublish = () =>
+        { Snapshots.commit(spark, Seq(99L).toDF("id").repartition(1), base); () })
+    assert(ids(Snapshots.read(spark, base, Some(v))) === ((1L to 10L).toSet - 7L) + 99L)
+  }
+
   test("compact shrinks the live file count without changing rows or history") {
     val sess = spark
     import sess.implicits._
