@@ -488,6 +488,33 @@ object Dedup {
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
     "d4_simhash" -> { (s, d) => simhashPairs(s, d) },
+    "d4b_simhash_gate" -> { (s, d) =>
+      // Oracle-checkable gate for d4: the banded pair set is compared to
+      // an all-pairs brute-force hamming pass; the symmetric difference
+      // must be empty (pigeonhole banding is sound AND complete for
+      // hamming ≤ maxDist). The all-pairs join is validation-only cost,
+      // quadratic by construction — the production path is d4's banding.
+      // Only engine-independent values are emitted, so DuckDB can predict
+      // the row without reproducing xxhash64.
+      import s.implicits._
+      val maxDist = 3
+      val banded = simhashPairs(s, d, maxDist).select(col("doc_a"), col("doc_b"))
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, simhash64(t)) }
+        .toDF("doc_id", "sh64")
+      val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+        .filter(col("hamming") <= maxDist)
+        .select(col("doc_a"), col("doc_b"))
+      brute.withColumn("l", lit(1))
+        .join(banded.withColumn("r", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("l").isNull || col("r").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("sym_diff"),
+          (count(lit(1)) > 0).as("nonempty"))
+    },
     "d6_neardup_clusters" -> { (s, d) => neardupClusters(s, d, 0.8) },
     "d5_embedding_neardup" -> { (s, d) =>
       // Exact cosine near-dup pairs over 64-d embeddings via the TILED
@@ -561,7 +588,9 @@ object Dedup {
          |ON d.doc_id = m.a""".stripMargin,
     // d4_simhash: no oracle — signature depends on Spark's xxhash64, which
     // DuckDB cannot reproduce; exactness is covered by DedupSpec (banded
-    // pairs ≡ brute-force hamming pairs).
+    // pairs ≡ brute-force hamming pairs) and by d4b's in-Spark gate below.
+    "d4b_simhash_gate" ->
+      """SELECT CAST(0 AS BIGINT) AS sym_diff, true AS nonempty""",
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm

@@ -166,10 +166,30 @@ object Sim {
     ann.join(broadcast(rec), Seq("q_id"))
   }
 
+  /** Oracle-checkable recall gate: one row of engine-independent values —
+    * the query count and "aggregate recall@K ≥ floor" — so the driver's
+    * DuckDB compare can pin the approximate tiers hash-green even though
+    * it cannot replay the hash-dependent ANN candidate generation. The
+    * floors are DedupSimSpec's (LSH 0.9, IVF 0.7); everything is
+    * deterministic (seeded hashes, fixed test tables), so the boolean is
+    * stable run-to-run.
+    */
+  private def recallGate(s: SparkSession, d: String, ann: DataFrame,
+                         floor: Double): DataFrame = {
+    val exact = knnBrute(s, d).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    ann.join(exact, Seq("q_id", "vec_id"), "left")
+      .agg(
+        countDistinct(col("q_id")).as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") /
+          (countDistinct(col("q_id")) * K) >= floor).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> { (s, d) => knnBrute(s, d) },
     "v2_knn_lsh" -> { (s, d) => withRecall(s, d, knnLsh(s, d)) },
     "v3_knn_ivf" -> { (s, d) => withRecall(s, d, knnIvf(s, d)) },
+    "v2b_lsh_recall_gate" -> { (s, d) => recallGate(s, d, knnLsh(s, d), 0.9) },
+    "v3b_ivf_recall_gate" -> { (s, d) => recallGate(s, d, knnIvf(s, d), 0.7) },
     "v4_quantize" -> { (s, d) =>
       // Per-vector scalar int8 quantization (min/max range): the storage
       // compressor of embedding pipelines (4× smaller, dot products on
@@ -221,7 +241,17 @@ object Sim {
         |        CAST(trunc((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
         |          / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255) AS INT))
         |    ELSE list_transform(embedding, x -> 0) END, ',') AS q8
-        |FROM embeddings""".stripMargin
-    // v2/v3: approximate — recall measured against v1 in DedupSimSpec, no oracle.
+        |FROM embeddings""".stripMargin,
+    // v2/v3: approximate — recall measured against v1 in DedupSimSpec and
+    // embedded per-query in the dumps; the aggregate gates below are the
+    // oracle-checkable surface.
+    "v2b_lsh_recall_gate" ->
+      """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |  true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "v3b_ivf_recall_gate" ->
+      """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |  true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin
   )
 }

@@ -119,6 +119,20 @@ object Stats {
           approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
           countDistinct(col("o_custkey")).as("exact_custs"))
     },
+    "a3b_hll_gate" -> { (s, d) =>
+      // Oracle-checkable gate for a3: the sketch estimate itself is
+      // engine-specific, but "within 5% of exact" is a deterministic
+      // boolean DuckDB can predict (rsd is 1%, so the margin is wide).
+      // Emitted next to the exact count so the row still carries data.
+      Tables.table(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
+          countDistinct(col("o_custkey")).as("exact_custs"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs")).cast("double") /
+            col("exact_custs") <= 0.05).as("hll_ok"))
+    },
     "a4_grouping_sets" -> { (s, d) =>
       // SQL frontend: GROUPING SETS through spark.sql over a temp view.
       Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -151,6 +165,20 @@ object Stats {
         .agg(
           round(expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 2).as("approx_median"),
           round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("exact_median"))
+    },
+    "a7b_quantile_gate" -> { (s, d) =>
+      // Oracle-checkable gate for a7: with accuracy 10000 over sf-scale
+      // groups the GK sketch is exact-to-rounding, so "within 0.5% of the
+      // exact percentile" is a deterministic boolean. Group row counts
+      // ride along as engine-independent payload.
+      Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5D)").as("ep"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("ap") - col("ep")) / col("ep") <= 0.005).as("gk_ok"))
     },
     "a5_argminmax" -> { (s, d) =>
       // min_by/max_by with a struct tiebreak (price, then key) so the
@@ -195,6 +223,19 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // a3b/a7b: the sketch VALUES are engine-specific (hence a3/a7 stay
+    // rows-only), but the error-envelope booleans are deterministic — the
+    // oracle predicts them alongside exact, engine-independent columns.
+    "a3b_hll_gate" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  true AS hll_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a7b_quantile_gate" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS gk_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // The bitmap plumbing is Spark-internal, but the RESULT is exact —
     // the oracle is plain count(DISTINCT).
     "a10_bitmap_distinct" ->

@@ -22,10 +22,13 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   // the one deliberate cartesian (tiny dim × tiny dim)
-  private val cartesianOk = Set("j9_cross_join")
+  private val cartesianOk = Set("j9_cross_join", "d4b_simhash_gate")
   // tiny-side nested loops Catalyst picks for dim×dim shapes are fine when
   // explicitly intended; everything else must justify itself here.
-  private val nestedLoopOk = Set("j9_cross_join")
+  // d4b is a validation-only gate whose brute-force all-pairs hamming pass
+  // is quadratic BY DESIGN (it exists to check d4's banding against brute
+  // force); the production path is d4's banded join.
+  private val nestedLoopOk = Set("j9_cross_join", "d4b_simhash_gate")
 
   /** A BroadcastNestedLoopJoin is NOT scale-hostile when its broadcast side
     * is provably one row — a global (groupless) aggregate: the "nested
