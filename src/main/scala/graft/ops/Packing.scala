@@ -76,6 +76,63 @@ object Packing {
         .filter(hexpos <= col("rate_16"))
         .select(col("doc_id"), col("source"), col("rate_16"))
     },
+    "split1_train_split" -> { (s, d) =>
+      // Deterministic train/val/test split (80/10/10): the assignment
+      // hashes CONTENT (md5 → first two hex chars → 0..255), so it is
+      // reproducible across engines/runs, survives re-partitioning and
+      // re-ingestion, and is a pure map-side projection — no RNG state,
+      // no shuffle, pushes into the scan. The same doc always lands in
+      // the same split even when the corpus is re-sharded, which is the
+      // property that keeps eval sets uncontaminated across pipeline
+      // re-runs at 100 TB.
+      val hexes = "0123456789abcdef"
+      val h1 = expr(s"instr('$hexes', substring(md5(text), 1, 1))") - 1
+      val h2 = expr(s"instr('$hexes', substring(md5(text), 2, 1))") - 1
+      val v = (h1 * 16 + h2).cast("long")
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("source"), v.as("hash_bucket"),
+          when(v < 204, "train").when(v < 230, "val").otherwise("test").as("split"))
+    },
+    "chunk1_overlap_chunks" -> { (s, d) =>
+      // RAG-style overlapping chunking: 200-char windows at stride 150
+      // (50-char overlap), one output row per chunk. Map-side only —
+      // sequence+explode fans each document out to its chunk starts with
+      // no shuffle, so chunking composes with any downstream op at corpus
+      // scale. Chunk text rides as md5 (engine-stable, keeps the dump
+      // narrow); n = 1 + ceil_div(len - chunkLen, stride) floored at 0.
+      val chunkLen = 200
+      val stride = 150
+      val len = length(col("text")).cast("long")
+      val n = lit(1L) + greatest(lit(0L),
+        ((len - chunkLen + stride - 1) / stride).cast("long"))
+      Tables.table(s, d, "documents")
+        .withColumn("chunk_idx", explode(sequence(lit(0L), n - 1)))
+        .withColumn("chunk_start", col("chunk_idx") * stride)
+        .withColumn("chunk", expr(s"substring(text, chunk_start + 1, $chunkLen)"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+    },
+    "shuf1_shard_shuffle" -> { (s, d) =>
+      // Deterministic global shuffle for training-order randomization:
+      // docs hash (content md5) into 8 shards, with a position within
+      // each shard from the hash order. No global row_number — a single
+      // total order would serialize the corpus through one partition; the
+      // shard-partitioned window is the distributed equivalent (readers
+      // consume shards in any order, each internally hash-shuffled).
+      // Shard count scales with the cluster at 100 TB.
+      val key = md5(concat_ws(":", col("doc_id"), col("text")))
+      val hexes = "0123456789abcdef"
+      val shard = (expr(s"instr('$hexes', substring(shuffle_key, 1, 1))") - 1)
+        .cast("long") % 8
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+      Tables.table(s, d, "documents")
+        .withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"), col("shuffle_key"))
+    },
     "vocab1_oov_rate" -> { (s, d) =>
       // Vocabulary coverage: vocab = the VocabSize highest-df terms
       // (ties broken by term), then each document's out-of-vocabulary
@@ -133,6 +190,44 @@ object Packing {
         |  CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 8
         |       WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 4
         |       ELSE 2 END""".stripMargin,
+    "split1_train_split" ->
+      """SELECT doc_id, source,
+        |  CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) AS BIGINT)
+        |    AS hash_bucket,
+        |  CASE WHEN (instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) < 204
+        |       THEN 'train'
+        |       WHEN (instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+        |          + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) < 230
+        |       THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "chunk1_overlap_chunks" ->
+      """WITH ex AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, 1 + greatest(0, (length(text) - 200 + 149) // 150))) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 150 AS BIGINT) AS chunk_start,
+        |  CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_md5
+        |FROM ex""".stripMargin,
+    "shuf1_shard_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((instr('0123456789abcdef', substring(shuffle_key, 1, 1)) - 1) % 8
+        |    AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY (instr('0123456789abcdef', substring(shuffle_key, 1, 1)) - 1) % 8
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard,
+        |  shuffle_key
+        |FROM keyed""".stripMargin,
     "vocab1_oov_rate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
