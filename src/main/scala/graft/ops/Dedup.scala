@@ -410,6 +410,18 @@ object Dedup {
     val pairs = (if (exactPairs) jaccardPairs(s, d, threshold)
                  else minhashLshPairs(s, d, threshold))
       .select(col("doc_a"), col("doc_b"))
+    labelComponents(s, pairs,
+      Tables.table(s, d, "documents").select(col("doc_id")))
+  }
+
+  /** The component-labeling loop of [[neardupClusters]], factored so any
+    * pair source (shingle LSH, embedding cosine, …) can be clustered: every
+    * id in `all` gets the min id of its connected component in `pairs`
+    * (singletons label themselves). Same scale contract as documented on
+    * [[neardupClusters]].
+    */
+  def labelComponents(s: SparkSession, pairs: DataFrame, all: DataFrame): DataFrame = {
+    val idCol = all.columns.head
     // The loop's shuffles inherit spark.sql.shuffle.partitions even though
     // the edge set is a sliver of the corpus — AQE's partition coalescing
     // (on by default) is what keeps the per-round tasks from being
@@ -446,9 +458,8 @@ object Dedup {
       changed = jumped.filter(col("cluster") =!= col("old")).count()
       labels = jumped.select(col("doc_id"), col("cluster"))
     }
-    Tables.table(s, d, "documents").select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    all.join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
   }
 
   // ---- queries ------------------------------------------------------------
@@ -526,6 +537,21 @@ object Dedup {
       // (ANN variants live in Sim.scala; this is the exact gate.)
       VecOps.cosinePairsTiled(s, Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.45, numTiles = 4)
+    },
+    "d8_semantic_dedup" -> { (s, d) =>
+      // SemDeDup-style keep-list: connected components over the EXACT
+      // cosine near-dup pairs (d5's kernel, same threshold), each
+      // component keeping its lowest vec_id. The decision layer on top of
+      // pairwise hits — what a pipeline actually executes to drop
+      // semantic duplicates. Same pointer-jumping loop as d6 (bounded
+      // rounds, edge-incident rows only); at 100 TB the pair source
+      // swaps to the ANN-pruned candidates, the decision is unchanged.
+      val pairs = VecOps.cosinePairsTiled(s, Tables.table(s, d, "embeddings"),
+          "vec_id", "embedding", 0.45, numTiles = 4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      labelComponents(s, pairs,
+          Tables.table(s, d, "embeddings").select(col("vec_id")))
+        .withColumn("keep", col("vec_id") === col("cluster"))
     }
   )
 
@@ -602,6 +628,32 @@ object Dedup {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin
+        |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin,
+    // d8: d5's exact cosine pairs fed through the same reachability CTE
+    // as d6 — min-of-component labels, keep = label owner.
+    "d8_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) >= 0.45),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT a, b FROM edges
+        |    UNION
+        |    SELECT r.a, e2.b FROM r JOIN edges e2 ON r.b = e2.a
+        |  ) SELECT * FROM r)
+        |SELECT v.vec_id,
+        |  least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster,
+        |  v.vec_id = least(v.vec_id, coalesce(m.mn, v.vec_id)) AS keep
+        |FROM embeddings v LEFT JOIN (
+        |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+        |ON v.vec_id = m.a""".stripMargin
   )
 }

@@ -166,6 +166,67 @@ object Sim {
     ann.join(broadcast(rec), Seq("q_id"))
   }
 
+  val KmK = 8      // clusters
+  val KmIters = 5  // Lloyd iterations
+
+  /** Distributed Lloyd's k-means over the embedding column — the
+    * clustering primitive under curriculum bucketing, SemDeDup-style
+    * cluster-then-prune, and IVF cell construction (v3 uses a one-shot
+    * quantizer; this is the iterated refinement).
+    *
+    * Shape per iteration: centroids (k×64 doubles — tiny) broadcast; one
+    * scan assigns every vector to its nearest centroid in the JVM kernel;
+    * the centroid update is a map-side-combined (cell, dim) average — the
+    * only shuffle, k·64 rows. Driver state is k centroids, never vectors,
+    * so the loop is the standard scalable k-means shape (MLlib's). Init is
+    * deterministic (k lowest vec_ids), so runs are reproducible.
+    *
+    * Returns the final (vec_id, cell, sq_dist) assignment and the per-
+    * iteration SSE trace (non-increasing — Lloyd's invariant; the km1
+    * gate asserts it).
+    */
+  def kmeans(s: SparkSession, d: String, k: Int = KmK, iters: Int = KmIters)
+      : (DataFrame, Seq[Double]) = {
+    import s.implicits._
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    var cents: Array[Array[Double]] =
+      VecOps.vectors(s, embeddings(s, d).orderBy(col("vec_id")).limit(k),
+        "vec_id", "embedding").sortBy(_.id).map(_.emb.map(_.toDouble))
+    val sses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      assigned = base.map { case (id, emb) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var acc = 0.0; var i = 0
+          while (i < emb.length) {
+            val dlt = emb(i).toDouble - cv(i); acc += dlt * dlt; i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        (id, best, bestD, emb)
+      }.toDF("vec_id", "cell", "sq_dist", "emb")
+        .persist()
+      sses += assigned.agg(sum(col("sq_dist"))).head.getDouble(0)
+      val means = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      assigned.unpersist()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    (assigned.select(col("vec_id"), col("cell"), col("sq_dist")), sses.toSeq)
+  }
+
   /** Oracle-checkable recall gate: one row of engine-independent values —
     * the query count and "aggregate recall@K ≥ floor" — so the driver's
     * DuckDB compare can pin the approximate tiers hash-green even though
@@ -190,6 +251,21 @@ object Sim {
     "v3_knn_ivf" -> { (s, d) => withRecall(s, d, knnIvf(s, d)) },
     "v2b_lsh_recall_gate" -> { (s, d) => recallGate(s, d, knnLsh(s, d), 0.9) },
     "v3b_ivf_recall_gate" -> { (s, d) => recallGate(s, d, knnIvf(s, d), 0.7) },
+    "km1_kmeans_gate" -> { (s, d) =>
+      // Engine-independent k-means gate: every vector assigned, cluster
+      // count within [1, k], and the SSE trace non-increasing (Lloyd's
+      // invariant — the algorithmic self-check; tiny relative slack for
+      // float merge-order noise). The assignment itself is hash-order
+      // sensitive in the last ulp, so the gate pins the invariants, and
+      // DedupSimSpec pins determinism of the shape.
+      val (assign, sses) = kmeans(s, d)
+      val mono = sses.zip(sses.tail).forall { case (a, b) => b <= a * (1 + 1e-9) + 1e-9 }
+      assign.agg(
+        count(lit(1)).as("n_vectors"),
+        (countDistinct(col("cell")) >= 1 &&
+          countDistinct(col("cell")) <= KmK).as("k_ok"))
+        .withColumn("sse_monotone", lit(mono))
+    },
     "v4_quantize" -> { (s, d) =>
       // Per-vector scalar int8 quantization (min/max range): the storage
       // compressor of embedding pipelines (4× smaller, dot products on
@@ -252,6 +328,10 @@ object Sim {
     "v3b_ivf_recall_gate" ->
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |  true AS recall_ok
-        |FROM embeddings WHERE vec_id < 8""".stripMargin
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "km1_kmeans_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  true AS k_ok, true AS sse_monotone
+        |FROM embeddings""".stripMargin
   )
 }

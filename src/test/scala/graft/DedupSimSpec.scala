@@ -216,6 +216,21 @@ class DedupSimSpec extends SparkSuite {
       s"emitted recall column ${emitted.mkString(",")}")
   }
 
+  test("k-means assigns every vector, bounds cells, and never increases SSE") {
+    val n = graft.tables.Tables.table(spark, sf, "embeddings").count()
+    val (assign, sses) = Sim.kmeans(spark, sf)
+    val rows = assign.collect()
+    assert(rows.length === n, "every vector gets exactly one assignment")
+    val cells = rows.map(_.getInt(1)).toSet
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < Sim.KmK))
+    assert(sses.length === Sim.KmIters)
+    sses.zip(sses.tail).foreach { case (a, b) =>
+      assert(b <= a * (1 + 1e-9) + 1e-9, s"SSE increased: $sses")
+    }
+    // Lloyd's must actually refine, not just not-regress, on real data
+    assert(sses.last < sses.head, s"SSE never improved: $sses")
+  }
+
   test("IVF ANN recall@5 >= 0.7 vs brute force") {
     val exact = pairSet(Sim.knnBrute(spark, sf), "q_id", "vec_id")
     val ivf = pairSet(Sim.knnIvf(spark, sf), "q_id", "vec_id")
