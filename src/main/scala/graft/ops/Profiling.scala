@@ -38,6 +38,24 @@ object Profiling {
         .select(col("p.column"), col("p.min_v"), col("p.max_v"),
           col("p.n_nulls"), col("p.n_distinct"))
     },
+    "hist1_price_histogram" -> { (s, d) =>
+      // Equi-width histogram of l_extendedprice in 10 buckets between the
+      // table min/max — the numeric-distribution half of profiling
+      // (prof1 is the scalar half). The bounds ride a broadcast one-row
+      // aggregate (no separate driver action), bucketing is a pure
+      // double-arithmetic projection, so the whole histogram is one scan
+      // plus a 10-row shuffle. All arithmetic in DOUBLE with the same
+      // expression shape as the oracle so bucket edges bit-match.
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .select(least(lit(9L),
+          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
+            .cast("long")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
     "dq1_expectations" -> { (s, d) =>
       // Expectation suite: each row is (check, violations). Single-table
       // checks fold into one conditional-aggregate pass over lineitem; the
@@ -73,6 +91,14 @@ object Profiling {
 
   val oracleSql: Map[String, String] = Map(
     "prof1_column_stats" -> profOracle,
+    "hist1_price_histogram" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM v)
+        |SELECT least(9, CAST(floor((x - lo) / ((hi - lo) / 10.0)) AS BIGINT))
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM v, b
+        |GROUP BY 1""".stripMargin,
     "dq1_expectations" ->
       """SELECT 'null_key' AS "check",
         |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations

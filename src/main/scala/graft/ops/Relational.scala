@@ -209,6 +209,27 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), r2(sum(col("l_extendedprice"))).as("revenue"))
     },
+    "j14_fuzzy_join" -> { (s, d) =>
+      // Entity-resolution fuzzy join: part names within Levenshtein
+      // distance 2, BLOCKED on the first name token so the expensive edit
+      // distance runs inside hash-join buckets, never all-pairs — the
+      // standard blocking-key shape of record linkage. The length-band
+      // pre-filter prunes most of each block before the O(len²) residual.
+      // At 100 TB the blocking key gets finer (first token + length band
+      // as the join key); the plan shape — equi-join + cheap residual —
+      // is unchanged.
+      val p = Tables.table(s, d, "part")
+      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        substring_index(col("p_name"), " ", 1).as("blk"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        substring_index(col("p_name"), " ", 1).as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("key_a") < col("key_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("key_a"), col("key_b"), col("dist"))
+    },
 
     "h3_shipping_priority" -> { (s, d) =>
       // TPC-H Q3 shape: dimension filter broadcasts into the fact-fact
@@ -745,6 +766,14 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
         |GROUP BY o_orderpriority""".stripMargin,
+    "j14_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n,
+        |    string_split(p_name, ' ')[1] AS blk FROM part)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |  CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+        |WHERE abs(length(a.n) - length(b.n)) <= 2
+        |  AND levenshtein(a.n, b.n) <= 2""".stripMargin,
     "h3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
