@@ -259,6 +259,13 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "sig")
+      // The signature kernel (~6k ops/doc) feeds FOUR consumers below
+      // (hot-bucket agg, anti join, self-join both sides, star join);
+      // without a persist each one re-runs the kernel over the corpus —
+      // measured 3x wall on the sf0.1 bench. The cached set is slim
+      // (3 longs x 16 bands per doc) and spills to disk at scale.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // Degenerate band buckets (width > cap — boilerplate-heavy corpora
     // produce them) would cost m²/2 pairs in one task; they contribute
     // star candidates against the bucket's min doc instead (see
@@ -298,6 +305,10 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // Materialize the (small) verified pair set eagerly so the signature
+      // cache can be dropped before returning (same pattern as d2).
+      .localCheckpoint(true)
+    } finally bucketed.unpersist(false)
   }
 
   // ---- SimHash ------------------------------------------------------------
