@@ -210,24 +210,29 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), r2(sum(col("l_extendedprice"))).as("revenue"))
     },
     "j14_fuzzy_join" -> { (s, d) =>
-      // Entity-resolution fuzzy join: part names within Levenshtein
-      // distance 2, BLOCKED on the first name token so the expensive edit
+      // Entity-resolution fuzzy join: same-brand parts whose names are
+      // within Levenshtein distance 2 — "probable duplicate listing".
+      // BLOCKED on (brand, first name token) so the expensive edit
       // distance runs inside hash-join buckets, never all-pairs — the
-      // standard blocking-key shape of record linkage. The length-band
-      // pre-filter prunes most of each block before the O(len²) residual.
-      // At 100 TB the blocking key gets finer (first token + length band
-      // as the join key); the plan shape — equi-join + cheap residual —
-      // is unchanged.
+      // standard blocking-key shape of record linkage (the block key is
+      // the lever that keeps candidates linear-ish at 100 TB; a category
+      // column like brand is exactly what production blocking uses). The
+      // length-band pre-filter prunes each block before the residual.
       val p = Tables.table(s, d, "part")
       val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
-        substring_index(col("p_name"), " ", 1).as("blk"))
+        col("p_brand").as("brand"), substring_index(col("p_name"), " ", 1).as("blk"))
       val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
-        substring_index(col("p_name"), " ", 1).as("blk"))
-      a.join(b, Seq("blk"))
+        col("p_brand").as("brand"), substring_index(col("p_name"), " ", 1).as("blk"))
+      a.join(b, Seq("brand", "blk"))
         .filter(col("key_a") < col("key_b") &&
           abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 2)
+        // Thresholded levenshtein (Spark 3.5+): banded DP that abandons a
+        // pair the moment its distance provably exceeds 2 (returns -1) —
+        // O(k·len) per pair instead of O(len²), ~10x on wide blocks. The
+        // returned value is the exact distance whenever it's <= k, so the
+        // output is identical to the unthresholded form.
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+        .filter(col("dist") >= 0)
         .select(col("key_a"), col("key_b"), col("dist"))
     },
 
@@ -767,11 +772,11 @@ object Relational {
         |WHERE o_totalprice > 400000
         |GROUP BY o_orderpriority""".stripMargin,
     "j14_fuzzy_join" ->
-      """WITH p AS (SELECT p_partkey AS k, p_name AS n,
+      """WITH p AS (SELECT p_partkey AS k, p_name AS n, p_brand AS m,
         |    string_split(p_name, ' ')[1] AS blk FROM part)
         |SELECT a.k AS key_a, b.k AS key_b,
         |  CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k
+        |FROM p a JOIN p b ON a.m = b.m AND a.blk = b.blk AND a.k < b.k
         |WHERE abs(length(a.n) - length(b.n)) <= 2
         |  AND levenshtein(a.n, b.n) <= 2""".stripMargin,
     "h3_shipping_priority" ->
