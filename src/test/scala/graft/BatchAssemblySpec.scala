@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Packing, Profiling, Relational}
+
+/** Structural properties of the batch-assembly / linkage / profiling ops
+  * beyond what the DuckDB oracle pins (determinism, coverage, bounds).
+  */
+class BatchAssemblySpec extends SparkSuite {
+
+  private def docs = graft.tables.Tables.table(spark, sf, "documents")
+
+  test("split1: deterministic, complete, and near the 80/10/10 design") {
+    val q = Packing.queries("split1_train_split")
+    val a = q(spark, sf).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = q(spark, sf).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a === b, "split assignment must be run-deterministic")
+    assert(a.size === docs.count(), "every document gets a split")
+    val n = a.size.toDouble
+    val shares = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    // 500 docs → binomial noise; ±6 absolute points around 0.8/0.1/0.1
+    assert(math.abs(shares("train") - 0.8) < 0.06, s"train share ${shares("train")}")
+    assert(math.abs(shares.getOrElse("val", 0.0) - 0.1) < 0.06)
+    assert(math.abs(shares.getOrElse("test", 0.0) - 0.1) < 0.06)
+  }
+
+  test("chunk1: chunks tile each document with the designed stride and overlap") {
+    val rows = Packing.queries("chunk1_overlap_chunks")(spark, sf)
+      .collect()
+      .groupBy(_.getLong(0))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === lens.keySet, "every document chunks")
+    rows.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1)) // chunk_idx
+      val len = lens(id)
+      // indices are dense from 0; starts advance by the stride
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong)
+        assert(r.getLong(2) === i * 150L)
+      }
+      // full coverage: last chunk reaches the end of the text
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) === len,
+        s"doc $id: last chunk ends at ${last.getLong(2) + last.getLong(3)}, text len $len")
+      // every chunk but the last is full-width
+      sorted.init.foreach(r => assert(r.getLong(3) === 200L))
+      // expected chunk count for the (len, 200, 150) geometry
+      val expected = 1L + math.max(0L, (len - 200 + 149) / 150)
+      assert(sorted.length.toLong === expected)
+    }
+  }
+
+  test("shuf1: dense positions per shard, bounded shards, deterministic") {
+    val q = Packing.queries("shuf1_shard_shuffle")
+    val rows = q(spark, sf).collect()
+    assert(rows.length === docs.count().toInt)
+    val byShard = rows.groupBy(_.getLong(1))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (_, rs) =>
+      val positions = rs.map(_.getLong(2)).sorted
+      assert(positions.toSeq === (1L to rs.length).toSeq, "positions must be dense 1..n")
+    }
+    val again = q(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "shuffle order must be run-deterministic")
+  }
+
+  test("j14: thresholded levenshtein matches the unthresholded distance") {
+    val rows = Relational.queries("j14_fuzzy_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val names = graft.tables.Tables.table(spark, sf, "part")
+      .select(col("p_partkey"), col("p_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    rows.foreach { r =>
+      val (ka, kb, dist) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(ka < kb, "pairs must be id-ordered")
+      assert(dist >= 0 && dist <= 2)
+      assert(lev(names(ka), names(kb)).toLong === dist,
+        s"threshold path diverged for ($ka, $kb)")
+    }
+  }
+
+  test("hist1: buckets cover 0..9 and counts sum to the table size") {
+    val rows = Profiling.queries("hist1_price_histogram")(spark, sf).collect()
+    val total = graft.tables.Tables.table(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 9))
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
+}
