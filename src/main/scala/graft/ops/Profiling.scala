@@ -56,6 +56,26 @@ object Profiling {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
     },
+    "out1_zscore_outliers" -> { (s, d) =>
+      // Z-score outlier profile: per-group mean/stddev ride a broadcast
+      // group-level aggregate back onto the rows (one scan + one tiny
+      // shuffle), and each group reports its |z| > 3 population — the
+      // anomaly-count half of data-quality monitoring. The 3.0 cut sits
+      // far from any data knife-edge, so the count is engine-stable even
+      // though stddev merge order differs across engines.
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_linestatus"), col("l_extendedprice").cast("double").as("x"))
+      val stats = li.groupBy(col("l_linestatus"))
+        .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sd"))
+      li.join(broadcast(stats), Seq("l_linestatus"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(abs(col("x") - col("mu")) > lit(3.0) * col("sd"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_pct",
+          round(col("n_outliers").cast("double") / col("n_rows"), 6))
+    },
     "dq1_expectations" -> { (s, d) =>
       // Expectation suite: each row is (check, violations). Single-table
       // checks fold into one conditional-aggregate pass over lineitem; the
@@ -99,6 +119,19 @@ object Profiling {
         |  count(*) AS n
         |FROM v, b
         |GROUP BY 1""".stripMargin,
+    "out1_zscore_outliers" ->
+      """WITH v AS (SELECT l_linestatus, CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem),
+        |st AS (SELECT l_linestatus, avg(x) AS mu, stddev_samp(x) AS sd
+        |  FROM v GROUP BY l_linestatus)
+        |SELECT v.l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN abs(x - mu) > 3.0 * sd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(CAST(sum(CASE WHEN abs(x - mu) > 3.0 * sd THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS outlier_pct
+        |FROM v JOIN st USING (l_linestatus)
+        |GROUP BY v.l_linestatus""".stripMargin,
     "dq1_expectations" ->
       """SELECT 'null_key' AS "check",
         |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
