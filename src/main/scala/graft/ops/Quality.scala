@@ -71,6 +71,26 @@ object Quality {
         .select(col("doc_id"), col("content_key"), col("n_words"),
           round(col("twf"), 4).as("top_word_frac"))
     },
+    "p3_pipeline_e2e" -> { (s, d) =>
+      // The whole pre-training flow as ONE DAG: p2's clean+gate+dedup
+      // survivors, split1's deterministic content-hash train/val/test
+      // assignment, then per-(source, split) shard accounting — the table
+      // a trainer's data loader is pointed at. Composing registered ops
+      // directly (no intermediate materialization) keeps it a single
+      // Catalyst plan: the scan is shared, and only aggregate-grain rows
+      // shuffle.
+      val kept = queries("p2_clean_corpus")(s, d)
+      val hexes = "0123456789abcdef"
+      val h1 = expr(s"instr('$hexes', substring(md5(text), 1, 1))") - 1
+      val h2 = expr(s"instr('$hexes', substring(md5(text), 2, 1))") - 1
+      val v = (h1 * 16 + h2).cast("long")
+      val tagged = Tables.table(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        when(v < 204, "train").when(v < 230, "val").otherwise("test").as("split"))
+      kept.join(tagged, Seq("doc_id"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    },
     "t12_contamination" -> { (s, d) =>
       // Train-test contamination scan (the decontamination pass every LLM
       // corpus runs): docs overlapping a benchmark set's word 5-grams are
@@ -119,23 +139,8 @@ object Quality {
     }
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "t10_repetition" ->
-      """WITH words AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-        |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-        |    count(*) AS n_distinct, max(c) AS top_c
-        |  FROM wc GROUP BY 1)
-        |SELECT doc_id, n_words,
-        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
-        |  round(CAST(top_c AS DOUBLE) / n_words, 4) AS top_word_frac,
-        |  ((1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.5 OR
-        |    CAST(top_c AS DOUBLE) / n_words > 0.2) AS repetitive
-        |FROM agg""".stripMargin,
-    "p2_clean_corpus" ->
-      """WITH wrds AS (
+  private val P2Oracle =
+    """WITH wrds AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
         |wc AS (SELECT doc_id, w, count(*) AS c FROM wrds GROUP BY 1, 2),
         |rep AS (
@@ -154,7 +159,40 @@ object Quality {
         |SELECT doc_id, content_key, n_words, round(twf, 4) AS top_word_frac
         |FROM (SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
         |      FROM gated) t
-        |WHERE rn = 1""".stripMargin,
+        |WHERE rn = 1""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "t10_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct, max(c) AS top_c
+        |  FROM wc GROUP BY 1)
+        |SELECT doc_id, n_words,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+        |  round(CAST(top_c AS DOUBLE) / n_words, 4) AS top_word_frac,
+        |  ((1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.5 OR
+        |    CAST(top_c AS DOUBLE) / n_words > 0.2) AS repetitive
+        |FROM agg""".stripMargin,
+    "p2_clean_corpus" -> P2Oracle,
+    // p3: p2's survivors re-joined to the split assignment and rolled up
+    // to shard accounting (nested-WITH subquery, same pattern as d6's).
+    "p3_pipeline_e2e" ->
+      s"""SELECT d.source,
+         |  CASE WHEN (instr('0123456789abcdef', substring(md5(d.text), 1, 1)) - 1) * 16
+         |          + (instr('0123456789abcdef', substring(md5(d.text), 2, 1)) - 1) < 204
+         |       THEN 'train'
+         |       WHEN (instr('0123456789abcdef', substring(md5(d.text), 1, 1)) - 1) * 16
+         |          + (instr('0123456789abcdef', substring(md5(d.text), 2, 1)) - 1) < 230
+         |       THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(k.n_words) AS BIGINT) AS n_tokens
+         |FROM (${P2Oracle.replace("\n", "\n  ")}) k
+         |JOIN documents d ON d.doc_id = k.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "t12_contamination" ->
       """WITH ng AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
