@@ -14,13 +14,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * Injected functions live in the session's catalog from the first query,
   * including sessions created by thrift/Connect servers that graft code
-  * never touches. This is the (a)-tier extension mechanism of
-  * SparkSessionExtensions (injectFunction); graft deliberately has no
-  * custom Rule or SparkStrategy to inject — every operator is expressible
-  * in stock Catalyst plans (SURVEY.md §4).
+  * never touches. Two tiers are injected: native functions
+  * (injectFunction — fnv64, ngrams) and the one whole-operator strategy
+  * (injectPlannerStrategy — [[graft.plans.TopKPerKeyStrategy]], the
+  * (c)-tier custom LogicalPlan/SparkPlan pair; every other operator is
+  * deliberately expressible in stock Catalyst plans, SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),

@@ -209,6 +209,20 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), r2(sum(col("l_extendedprice"))).as("revenue"))
     },
+    "tk1_native_topk" -> { (s, d) =>
+      // Per-key top-k through the custom TopKPerKey operator (logical node
+      // + strategy + two-phase heap exec, graft.plans) instead of the
+      // window formulation — bounded heaps, only <= k rows per
+      // (partition, key) reach the exchange. Ordering includes the unique
+      // orderkey so the kept set is total-order deterministic.
+      graft.plans.TopK.perKey(
+        Tables.table(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            r2(col("o_totalprice")).as("price")),
+        keyCols = Seq("o_orderpriority"),
+        orderBy = Seq(("price", true), ("o_orderkey", false)),
+        k = 3)
+    },
     "j14_fuzzy_join" -> { (s, d) =>
       // Entity-resolution fuzzy join: same-brand parts whose names are
       // within Levenshtein distance 2 — "probable duplicate listing".
@@ -771,6 +785,14 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
         |GROUP BY o_orderpriority""".stripMargin,
+    "tk1_native_topk" ->
+      """SELECT o_orderpriority, o_orderkey, price FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    round(o_totalprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
     "j14_fuzzy_join" ->
       """WITH p AS (SELECT p_partkey AS k, p_name AS n, p_brand AS m,
         |    string_split(p_name, ' ')[1] AS blk FROM part)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.{TopK, TopKPerKeyExec}
+
+/** Contracts of the custom TopKPerKey operator (logical node + strategy +
+  * two-phase heap exec): result equivalence with the window formulation,
+  * the partial→exchange→final plan shape, and edge geometry.
+  */
+class TopKSpec extends SparkSuite {
+
+  private def orders = graft.tables.Tables.table(spark, sf, "orders")
+    .select(col("o_orderpriority"), col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("price"))
+
+  test("kept set equals the window row_number formulation") {
+    val native = TopK.perKey(orders, Seq("o_orderpriority"),
+        Seq(("price", true), ("o_orderkey", false)), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    val windowed = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(native === windowed)
+  }
+
+  test("plans partial and final heap phases around one exchange") {
+    val df = TopK.perKey(orders, Seq("o_orderpriority"),
+      Seq(("price", true), ("o_orderkey", false)), 3)
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val extra = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val topks = nodes.collect { case t: TopKPerKeyExec => t }
+    assert(topks.map(_.partial).sorted === Seq(false, true),
+      s"expected one partial and one final TopKPerKeyExec:\n${df.queryExecution.executedPlan}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "expected an exchange between the phases")
+  }
+
+  test("k larger than every group keeps all rows; multi-key grouping works") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0))
+      .toDF("g", "id", "v")
+    val all = TopK.perKey(tiny, Seq("g"), Seq(("v", true), ("id", false)), 10)
+    assert(all.count() === 3)
+    val two = TopK.perKey(
+      orders.withColumn("bucket", pmod(col("o_orderkey"), lit(2))),
+      Seq("o_orderpriority", "bucket"),
+      Seq(("price", true), ("o_orderkey", false)), 2)
+    val perGroup = two.groupBy(col("o_orderpriority"), col("bucket"))
+      .count().collect().map(_.getLong(2))
+    assert(perGroup.nonEmpty && perGroup.forall(_ <= 2))
+  }
+}
