@@ -196,6 +196,10 @@ object Sim {
     val sses = scala.collection.mutable.ArrayBuffer.empty[Double]
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
+      // The previous iteration's cache is only needed while computing this
+      // one's assignment inputs (the centroids, already collected) — drop
+      // it here so exactly one iteration's assignment is ever cached.
+      if (assigned != null) assigned.unpersist()
       val bc = s.sparkContext.broadcast(cents)
       assigned = base.map { case (id, emb) =>
         val cs = bc.value
@@ -219,12 +223,16 @@ object Sim {
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("v")).as("m"))
         .collect()
-      assigned.unpersist()
       val next = cents.map(_.clone()) // empty cells keep their centroid
       means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       cents = next
     }
-    (assigned.select(col("vec_id"), col("cell"), col("sq_dist")), sses.toSeq)
+    // Checkpoint the slim output off the still-cached final assignment so
+    // callers don't re-run the assignment scan, then drop the cache.
+    val out = assigned.select(col("vec_id"), col("cell"), col("sq_dist"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    (out, sses.toSeq)
   }
 
   /** Oracle-checkable recall gate: one row of engine-independent values —
