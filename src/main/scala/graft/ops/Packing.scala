@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
@@ -27,6 +27,21 @@ object Packing {
 
   /** Tokens = whitespace split, the same cheap tokenizer t3 uses. */
   private def tokCount = size(split(col("text"), " ")).cast("long")
+
+  /** Content-hash bucket 0..255 (first two md5 hex chars of `text`) and
+    * the 80/10/10 split label derived from it — THE split hash, shared by
+    * split1 and p3 (Quality) so the train/val/test assignment can never
+    * drift between the standalone op and the composed pipeline. The
+    * oracle SQL mirrors it with instr() hex arithmetic (same value as
+    * this conv()).
+    */
+  def splitBucket(text: Column): Column =
+    conv(substring(md5(text), 1, 2), 16, 10).cast("long")
+
+  def splitLabel(text: Column): Column = {
+    val v = splitBucket(text)
+    when(v < 204, "train").when(v < 230, "val").otherwise("test")
+  }
 
   val PackLen = 512L   // tokens per packed training sequence
   val VocabSize = 15   // top-df terms kept as the in-corpus vocabulary
@@ -85,13 +100,10 @@ object Packing {
       // the same split even when the corpus is re-sharded, which is the
       // property that keeps eval sets uncontaminated across pipeline
       // re-runs at 100 TB.
-      val hexes = "0123456789abcdef"
-      val h1 = expr(s"instr('$hexes', substring(md5(text), 1, 1))") - 1
-      val h2 = expr(s"instr('$hexes', substring(md5(text), 2, 1))") - 1
-      val v = (h1 * 16 + h2).cast("long")
       Tables.table(s, d, "documents")
-        .select(col("doc_id"), col("source"), v.as("hash_bucket"),
-          when(v < 204, "train").when(v < 230, "val").otherwise("test").as("split"))
+        .select(col("doc_id"), col("source"),
+          splitBucket(col("text")).as("hash_bucket"),
+          splitLabel(col("text")).as("split"))
     },
     "chunk1_overlap_chunks" -> { (s, d) =>
       // RAG-style overlapping chunking: 200-char windows at stride 150
@@ -121,9 +133,11 @@ object Packing {
       // shard-partitioned window is the distributed equivalent (readers
       // consume shards in any order, each internally hash-shuffled).
       // Shard count scales with the cluster at 100 TB.
-      val key = md5(concat_ws(":", col("doc_id"), col("text")))
-      val hexes = "0123456789abcdef"
-      val shard = (expr(s"instr('$hexes', substring(shuffle_key, 1, 1))") - 1)
+      // concat (not concat_ws): NULL text must propagate to a NULL key
+      // exactly like the oracle's || operator, not silently collapse to
+      // md5 of the bare id.
+      val key = md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+      val shard = conv(substring(col("shuffle_key"), 1, 1), 16, 10)
         .cast("long") % 8
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("shuffle_key"), col("doc_id"))

@@ -80,13 +80,9 @@ object Quality {
       // Catalyst plan: the scan is shared, and only aggregate-grain rows
       // shuffle.
       val kept = queries("p2_clean_corpus")(s, d)
-      val hexes = "0123456789abcdef"
-      val h1 = expr(s"instr('$hexes', substring(md5(text), 1, 1))") - 1
-      val h2 = expr(s"instr('$hexes', substring(md5(text), 2, 1))") - 1
-      val v = (h1 * 16 + h2).cast("long")
       val tagged = Tables.table(s, d, "documents").select(
         col("doc_id"), col("source"),
-        when(v < 204, "train").when(v < 230, "val").otherwise("test").as("split"))
+        Packing.splitLabel(col("text")).as("split"))
       kept.join(tagged, Seq("doc_id"))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))

@@ -158,8 +158,15 @@ object Sim {
     * extra brute-force pass is validation cost only — production callers
     * use [[knnLsh]]/[[knnIvf]] directly.
     */
+  /** The exact top-k hit set both recall surfaces measure against — one
+    * definition so the in-band recall column and the aggregate gate can
+    * never drift apart.
+    */
+  private def exactHits(s: SparkSession, d: String): DataFrame =
+    knnBrute(s, d).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+
   private def withRecall(s: SparkSession, d: String, ann: DataFrame): DataFrame = {
-    val exact = knnBrute(s, d).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val exact = exactHits(s, d)
     val rec = ann.join(exact, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 4).as("recall_at_k"))
@@ -187,6 +194,8 @@ object Sim {
     */
   def kmeans(s: SparkSession, d: String, k: Int = KmK, iters: Int = KmIters)
       : (DataFrame, Seq[Double]) = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters > 0, s"iters must be positive, got $iters")
     import s.implicits._
     val base = embeddings(s, d)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -217,7 +226,10 @@ object Sim {
         (id, best, bestD, emb)
       }.toDF("vec_id", "cell", "sq_dist", "emb")
         .persist()
-      sses += assigned.agg(sum(col("sq_dist"))).head.getDouble(0)
+      // sum over an empty table is SQL NULL — read defensively so an empty
+      // input reports SSE 0 instead of an unboxing NPE
+      val sseRow = assigned.agg(sum(col("sq_dist"))).head
+      sses += (if (sseRow.isNullAt(0)) 0.0 else sseRow.getDouble(0))
       val means = assigned
         .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
@@ -245,8 +257,7 @@ object Sim {
     */
   private def recallGate(s: SparkSession, d: String, ann: DataFrame,
                          floor: Double): DataFrame = {
-    val exact = knnBrute(s, d).select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-    ann.join(exact, Seq("q_id", "vec_id"), "left")
+    ann.join(exactHits(s, d), Seq("q_id", "vec_id"), "left")
       .agg(
         countDistinct(col("q_id")).as("n_queries"),
         (sum(coalesce(col("hit"), lit(0))).cast("double") /

@@ -123,12 +123,9 @@ object Stats {
       // Oracle-checkable gate for a3: the sketch estimate itself is
       // engine-specific, but "within 5% of exact" is a deterministic
       // boolean DuckDB can predict (rsd is 1%, so the margin is wide).
-      // Emitted next to the exact count so the row still carries data.
-      Tables.table(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
-          countDistinct(col("o_custkey")).as("exact_custs"))
+      // COMPOSES the registered a3 query so the gate always validates the
+      // production shape, whatever its parameters become.
+      queries("a3_hll_sketch")(s, d)
         .select(col("o_orderpriority"), col("exact_custs"),
           (abs(col("approx_custs") - col("exact_custs")).cast("double") /
             col("exact_custs") <= 0.05).as("hll_ok"))
@@ -169,16 +166,16 @@ object Stats {
     "a7b_quantile_gate" -> { (s, d) =>
       // Oracle-checkable gate for a7: with accuracy 10000 over sf-scale
       // groups the GK sketch is exact-to-rounding, so "within 0.5% of the
-      // exact percentile" is a deterministic boolean. Group row counts
-      // ride along as engine-independent payload.
-      Tables.table(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("ap"),
-          expr("percentile(l_extendedprice, 0.5D)").as("ep"))
+      // exact percentile" is a deterministic boolean. COMPOSES the
+      // registered a7 query (gating the production shape, not a copy);
+      // group row counts join in as engine-independent payload.
+      val counts = Tables.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      queries("a7_approx_quantile")(s, d)
+        .join(broadcast(counts), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_rows"),
-          (abs(col("ap") - col("ep")) / col("ep") <= 0.005).as("gk_ok"))
+          (abs(col("approx_median") - col("exact_median")) /
+            col("exact_median") <= 0.005).as("gk_ok"))
     },
     "a5_argminmax" -> { (s, d) =>
       // min_by/max_by with a struct tiebreak (price, then key) so the

@@ -113,6 +113,10 @@ object TopK {
              k: Int): DataFrame = {
     val spark = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // Guard covers only the experimental list; in a session that ALSO
+    // configured GraftExtensions the strategy is present twice, which is
+    // benign — the planner takes the first matching candidate and both
+    // copies are the same object producing the same plan.
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
