@@ -147,6 +147,24 @@ object Packing {
         .withColumn("pos_in_shard", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos_in_shard"), col("shuffle_key"))
     },
+    "pair1_contrastive_pairs" -> { (s, d) =>
+      // Contrastive training pair construction: anchors and positives are
+      // the exact cosine near-dup pairs (d5's tiled kernel, same
+      // threshold); each pair gets a deterministic LCG-picked negative
+      // (RNG-free, engine-reproducible, collision-filtered) — the
+      // (anchor, positive, negative) triples an embedding-model trainer
+      // consumes. Pair generation is the d5 scan; the negative assignment
+      // is a pure projection against a broadcast one-row count.
+      val emb = Tables.table(s, d, "embeddings")
+      val pos = VecOps.cosinePairsTiled(s, emb, "vec_id", "embedding", 0.45,
+          numTiles = 4)
+        .select(col("vec_a").as("anchor"), col("vec_b").as("pos_id"), col("cos"))
+      val n = emb.agg(count(lit(1)).as("n_vec"))
+      pos.crossJoin(broadcast(n))
+        .withColumn("neg_id", (col("anchor") * 48271L + 11L) % col("n_vec"))
+        .filter(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
+        .select(col("anchor"), col("pos_id"), col("neg_id"), col("cos"))
+    },
     "vocab1_oov_rate" -> { (s, d) =>
       // Vocabulary coverage: vocab = the VocabSize highest-df terms
       // (ties broken by term), then each document's out-of-vocabulary
@@ -242,6 +260,25 @@ object Packing {
         |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard,
         |  shuffle_key
         |FROM keyed""".stripMargin,
+    "pair1_contrastive_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+        |  FROM embeddings),
+        |pos AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS pos_id,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) >= 0.45),
+        |n AS (SELECT count(*) AS n_vec FROM embeddings)
+        |SELECT anchor, pos_id,
+        |  (anchor * 48271 + 11) % n_vec AS neg_id, cos
+        |FROM pos, n
+        |WHERE (anchor * 48271 + 11) % n_vec <> anchor
+        |  AND (anchor * 48271 + 11) % n_vec <> pos_id""".stripMargin,
     "vocab1_oov_rate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
