@@ -11,12 +11,12 @@ import graft.tables.Tables
   * (SURVEY.md §2.2); these are the ops a 100 TB training-data pipeline
   * runs LAST, so their scale story is the whole point:
   *
-  *  - pack1 "concat-and-chunk" packing partitions BY SOURCE and orders by
-  *    doc_id, so the window cumulative sum shuffles once on the domain key
-  *    and never funnels the corpus through a single global ordering — the
-  *    per-domain streams are exactly how sharded tokenizer jobs consume
-  *    them. A whole-corpus global pack would serialize on one partition;
-  *    per-source packing is embarrassingly parallel.
+  *  - pack1 "concat-and-chunk" packing orders by (source, doc_id) and
+  *    computes the running token offset as a TWO-PASS blocked prefix sum:
+  *    block-local window sums (partitions bounded by PackBlockDocs docs)
+  *    plus a carried base from a tiny block-grain prefix window — so no
+  *    domain ever funnels through a single window partition, the failure
+  *    mode of the naive per-source running sum at 100 TB.
   *  - mix1 is one aggregate + a broadcast one-row total (same shape as
   *    t6's N) — domain weights for mixture sampling fall out of it.
   *  - vocab1 derives the vocabulary from the corpus itself (top-df terms,
@@ -43,8 +43,9 @@ object Packing {
     when(v < 204, "train").when(v < 230, "val").otherwise("test")
   }
 
-  val PackLen = 512L   // tokens per packed training sequence
-  val VocabSize = 15   // top-df terms kept as the in-corpus vocabulary
+  val PackLen = 512L       // tokens per packed training sequence
+  val VocabSize = 15       // top-df terms kept as the in-corpus vocabulary
+  val PackBlockDocs = 64L  // docs per pack1 prefix-sum block (≫ at scale)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack1_sequence_packing" -> { (s, d) =>
@@ -52,11 +53,30 @@ object Packing {
       // documents concatenate into one token stream that is cut into
       // PackLen-token training sequences; a document's pack is where its
       // first token lands. start = running-sum-exclusive of token counts.
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      //
+      // TWO-PASS prefix sum, not one window per source: a single
+      // per-source running sum puts the whole domain through ONE window
+      // partition — fine at test scale, serial at 100 TB. Instead docs
+      // group into doc_id blocks; pass 1 sums tokens per (source, block)
+      // and prefix-sums those tiny block totals (a window over
+      // corpus/BlockDocs rows); pass 2 computes block-LOCAL running sums
+      // (window partitions bounded by BlockDocs docs) and adds the
+      // carried block base. Same output as the naive form — the oracle
+      // below still states the single running sum.
+      val w = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.table(s, d, "documents")
-        .select(col("doc_id"), col("source"), tokCount.as("n_tokens"))
-        .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      val carry = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val toks = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("source"), tokCount.as("n_tokens"),
+          (col("doc_id") / PackBlockDocs).cast("long").as("blk"))
+      val blockBase = toks.groupBy(col("source"), col("blk"))
+        .agg(sum(col("n_tokens")).as("blk_tok"))
+        .withColumn("base", coalesce(sum(col("blk_tok")).over(carry), lit(0L)))
+        .select(col("source"), col("blk"), col("base"))
+      toks.join(blockBase, Seq("source", "blk"))
+        .withColumn("start_offset",
+          col("base") + sum(col("n_tokens")).over(w) - col("n_tokens"))
         .withColumn("pack_id", floor(col("start_offset") / lit(PackLen.toDouble)).cast("long"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("start_offset"), col("pack_id"))
@@ -132,7 +152,10 @@ object Packing {
       // total order would serialize the corpus through one partition; the
       // shard-partitioned window is the distributed equivalent (readers
       // consume shards in any order, each internally hash-shuffled).
-      // Shard count scales with the cluster at 100 TB.
+      // 8 shards is demo geometry: production sets shards ≈ output file
+      // count (thousands) so each window partition stays executor-sized —
+      // or layers pack1's blocked-prefix-sum trick if positions must be
+      // dense within very large shards.
       // concat (not concat_ws): NULL text must propagate to a NULL key
       // exactly like the oracle's || operator, not silently collapse to
       // md5 of the bare id.
