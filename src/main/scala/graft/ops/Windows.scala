@@ -10,7 +10,10 @@ import graft.tables.Tables
   *
   * Scale: every window here partitions by a high-cardinality key
   * (customer / supplier), so the single shuffle it costs spreads evenly;
-  * no global (unpartitioned) ordering anywhere.
+  * no global (unpartitioned) ordering anywhere. When a running aggregate
+  * is needed over a LOW-cardinality key (few huge groups), don't window
+  * it directly — use the blocked two-pass prefix sum Packing's pack1
+  * demonstrates (block-local windows + a tiny carried base).
   * All orderings carry a unique tie-break column so results are
   * deterministic for the oracle hash-compare.
   */
