@@ -59,10 +59,56 @@ object TimeWindows {
         .select(col("user_id"), col("day").cast("date").as("day"),
           last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
           col("day_value").isNull.as("gap"))
+    },
+    "ts5_ewma" -> { (s, d) =>
+      // Exponentially weighted moving average per user (α = 0.5, seeded
+      // with the first observation) — the classic sequential recurrence
+      // windows can't express (each output needs the PREVIOUS output).
+      // Implemented with the SECONDARY-SORT pattern: hash-repartition by
+      // user, sort (user, ts, event_id) within partitions, then one
+      // sequential pass carrying O(1) state per user — every user's
+      // stream is contiguous and ordered inside its partition, so the
+      // pass is a single corpus scan with no window buffer. α = 0.5
+      // keeps every multiply exact-dyadic, so the DuckDB recursive-CTE
+      // oracle reproduces the values bit-for-bit — emitted UNROUNDED
+      // (round() itself diverges across engines near decimal ties;
+      // identical doubles don't).
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var y = 0.0
+          it.map { case (user, _, eventId, x) =>
+            y = if (user != curUser) x else 0.5 * x + 0.5 * y
+            curUser = user
+            (user, eventId, y)
+          }
+        }
+        .toDF("user_id", "event_id", "ewma")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // ts5: the same recurrence as a recursive CTE stepping row_number
+    // r → r+1 per user — identical IEEE ops (0.5·x + 0.5·y) in the same
+    // order, so values match exactly.
+    "ts5_ewma" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        |  FROM events),
+        |ew AS (
+        |  WITH RECURSIVE rec(user_id, event_id, r, y) AS (
+        |    SELECT user_id, event_id, r, value AS y FROM ev WHERE r = 1
+        |    UNION ALL
+        |    SELECT ev.user_id, ev.event_id, ev.r, 0.5 * ev.value + 0.5 * rec.y
+        |    FROM rec JOIN ev ON ev.user_id = rec.user_id AND ev.r = rec.r + 1
+        |  ) SELECT * FROM rec)
+        |SELECT user_id, event_id, y AS ewma FROM ew""".stripMargin,
     "ts1_tumbling_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
