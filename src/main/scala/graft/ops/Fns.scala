@@ -211,6 +211,18 @@ object Fns {
         expr("variant_get(parse_json(props), '$.k', 'string')").as("vk_str"),
         expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("v_missing"))
     },
+    "f21_crypto_fns" -> { (s, d) =>
+      // Cryptographic/hashing function family: content digests (sha2 —
+      // DuckDB-checkable) plus an AES-GCM encrypt/decrypt round trip.
+      // GCM picks a random IV per call so the ciphertext itself is
+      // nondeterministic — the ROUND-TRIP boolean is the deterministic,
+      // oracle-predictable surface (same gate idea as a3b). All map-side.
+      Tables.table(s, d, "documents").select(
+        col("doc_id"),
+        substring(sha2(col("text"), 256), 1, 16).as("sha_prefix"),
+        (expr("cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef'), " +
+          "'0123456789abcdef') as string)") === col("text")).as("aes_roundtrip_ok"))
+    },
     "f16_decimal_math" -> { (s, d) =>
       // Exact decimal money math: sums over DECIMAL(12,2) accumulate
       // exactly (no float summation-order drift), so no round() crutch is
@@ -401,6 +413,11 @@ object Fns {
         |SELECT doc_id, i - 1 AS pos, concat_ws(' ', ws[i], ws[i+1]) AS gram
         |FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
         |WHERE len(ws) >= 2""".stripMargin,
+    "f21_crypto_fns" ->
+      """SELECT doc_id,
+        |  substring(sha256(text), 1, 16) AS sha_prefix,
+        |  true AS aes_roundtrip_ok
+        |FROM documents""".stripMargin,
     "f20_variant" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS BIGINT) AS vk,
