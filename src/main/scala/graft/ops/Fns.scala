@@ -221,7 +221,7 @@ object Fns {
         col("doc_id"),
         substring(sha2(col("text"), 256), 1, 16).as("sha_prefix"),
         (expr("cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef'), " +
-          "'0123456789abcdef') as string)") === col("text")).as("aes_roundtrip_ok"))
+          "'0123456789abcdef') as string)") <=> col("text")).as("aes_roundtrip_ok"))
     },
     "f16_decimal_math" -> { (s, d) =>
       // Exact decimal money math: sums over DECIMAL(12,2) accumulate

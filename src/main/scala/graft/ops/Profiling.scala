@@ -49,10 +49,14 @@ object Profiling {
       val li = Tables.table(s, d, "lineitem")
         .select(col("l_extendedprice").cast("double").as("x"))
       val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      // hi == lo (single-valued column) would make the width 0/0 = NaN;
+      // Spark's NaN-to-long cast and DuckDB's CAST(floor(NaN)) disagree, so
+      // the degenerate case is pinned to bucket 0 on BOTH sides.
       li.crossJoin(broadcast(bounds))
-        .select(least(lit(9L),
-          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
-            .cast("long")).as("bucket"))
+        .select(when(col("hi") === col("lo"), 0L)
+          .otherwise(least(lit(9L),
+            floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0))
+              .cast("long"))).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
     },
@@ -114,8 +118,9 @@ object Profiling {
     "hist1_price_histogram" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM v)
-        |SELECT least(9, CAST(floor((x - lo) / ((hi - lo) / 10.0)) AS BIGINT))
-        |    AS bucket,
+        |SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(9, CAST(floor((x - lo) / ((hi - lo) / 10.0)) AS BIGINT))
+        |    END AS bucket,
         |  count(*) AS n
         |FROM v, b
         |GROUP BY 1""".stripMargin,

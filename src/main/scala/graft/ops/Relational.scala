@@ -496,9 +496,15 @@ object Relational {
           |FROM vol GROUP BY o_year""".stripMargin)
     },
     "h15_top_supplier" -> { (s, d) =>
-      // TPC-H Q15 shape: the revenue view + "= (SELECT max(...))" scalar
-      // subquery — the aggregate runs once, its max broadcasts, no
-      // re-evaluation per row.
+      // TPC-H Q15 shape. The classic "= (SELECT max(...) FROM revenue)"
+      // scalar-subquery form EVALUATES THE CTE TWICE in Spark: the join
+      // side picks up an extra isnotnull(l_suppkey) filter, so its
+      // aggregate exchange is not byte-identical to the subquery's and
+      // ReuseExchangeAndSubquery never fires — two full fact scans
+      // (verified in PlanSpec "twice-referenced aggregate CTE"). The
+      // max() OVER () rewrite computes revenue ONCE and takes the max as
+      // a window over the |suppliers|-row aggregate output — a tiny
+      // single-partition window vs a second 100 TB pass.
       Tables.table(s, d, "supplier").createOrReplaceTempView("supplier_h15")
       Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h15")
       s.sql(
@@ -508,10 +514,14 @@ object Relational {
           |  FROM lineitem_h15
           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           |    AND l_shipdate < TIMESTAMP '1997-04-01'
-          |  GROUP BY l_suppkey)
+          |  GROUP BY l_suppkey),
+          |ranked AS (
+          |  SELECT supplier_no, total_revenue,
+          |    max(total_revenue) OVER () AS max_rev
+          |  FROM revenue)
           |SELECT s_suppkey, s_name, total_revenue
-          |FROM supplier_h15 JOIN revenue ON s_suppkey = supplier_no
-          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)
+          |FROM supplier_h15 JOIN ranked ON s_suppkey = supplier_no
+          |WHERE total_revenue = max_rev""".stripMargin)
     },
     "h20_promo_suppliers" -> { (s, d) =>
       // TPC-H Q20 shape: nested IN subqueries + a correlated scalar
@@ -520,18 +530,24 @@ object Relational {
       // doubles, so the sums and the comparison are exact in both engines.
       Seq("supplier", "lineitem", "part")
         .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(s"${t}_h20"))
+      // The correlated "(SELECT 0.15*sum(qty) ... WHERE p2.l_partkey =
+      // per.l_partkey)" form decorrelates into a SECOND evaluation of the
+      // per CTE (same double-scan failure as h15; pinned in PlanSpec).
+      // sum(qty) OVER (PARTITION BY l_partkey) computes the per-part total
+      // in the same pass — one fact scan, window partitions in parallel.
       s.sql(
         """WITH per AS (
           |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
           |  FROM lineitem_h20
           |  WHERE l_partkey IN (SELECT p_partkey FROM part_h20 WHERE p_name LIKE 'red%')
-          |  GROUP BY l_suppkey, l_partkey)
+          |  GROUP BY l_suppkey, l_partkey),
+          |w AS (
+          |  SELECT l_suppkey, qty,
+          |    0.15 * sum(qty) OVER (PARTITION BY l_partkey) AS thresh
+          |  FROM per)
           |SELECT s_suppkey, s_name
           |FROM supplier_h20
-          |WHERE s_suppkey IN (
-          |  SELECT l_suppkey FROM per
-          |  WHERE qty > (SELECT 0.15 * sum(p2.qty) FROM per p2
-          |               WHERE p2.l_partkey = per.l_partkey))""".stripMargin)
+          |WHERE s_suppkey IN (SELECT l_suppkey FROM w WHERE qty > thresh)""".stripMargin)
     },
     "h9_product_profit" -> { (s, d) =>
       // TPC-H Q9 shape: profit per supplier-nation per order-year over a

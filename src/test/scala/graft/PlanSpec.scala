@@ -130,6 +130,39 @@ class PlanSpec extends SparkSuite {
     assert(shuffles.isEmpty, s"unpivot should not shuffle, got ${shuffles.size}")
   }
 
+  /** Flatten WITHOUT descending into ReusedExchangeExec children, so a
+    * reused subtree's scans are not double-counted: what remains is the
+    * set of operators that actually execute.
+    */
+  private def flattenExecutedOnce(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Nil
+      case _ => Nil
+    }
+    p +: (p.children ++ extra ++ p.subqueries).flatMap(flattenExecutedOnce)
+  }
+
+  private def lineitemScanCount(plan: SparkPlan): Int =
+    flattenExecutedOnce(plan).count {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+
+  test("h15/h20: twice-referenced aggregate CTE evaluates its fact scan once") {
+    // The revenue/per CTE feeds both the join and the scalar-subquery max.
+    // ReuseExchangeAndSubquery must dedupe the shared aggregate exchange —
+    // otherwise the fact table is scanned and aggregated twice, which at
+    // 100 TB is a full extra pass. This pins the reuse.
+    for (q <- Seq("h15_top_supplier", "h20_promo_suppliers")) {
+      val plan = run(q)
+      val scans = lineitemScanCount(plan)
+      assert(scans == 1, s"$q: expected 1 executed lineitem scan, got $scans:\n$plan")
+    }
+  }
+
   test("scalar-function hot paths run inside whole-stage codegen") {
     // map-side projection queries must be one codegen span over the scan —
     // an interpreted expression in these paths costs 10-100x at 100 TB.
