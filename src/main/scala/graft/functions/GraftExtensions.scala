@@ -23,6 +23,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // Auto-rewrite Filter(row_number <= k, Window(...)) into the bounded-
+    // heap operator, so plain window-top-k user queries get the pruned
+    // exchange without calling the TopK API.
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),

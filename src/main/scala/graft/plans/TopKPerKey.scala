@@ -56,11 +56,24 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  /** Memory model: the heap map holds k rows per DISTINCT KEY seen in the
+    * partition. The PARTIAL phase sees arbitrary key cardinality, so it
+    * caps the map at `spark.graft.topk.maxPartialKeys` entries — over-cap
+    * keys' rows PASS THROUGH unpruned (correctness-neutral: partial
+    * pruning is an optimization; the final phase prunes exactly). The
+    * FINAL phase holds only this hash partition's share of the key space
+    * (keys/numShufflePartitions · k rows) — the same working-set bound as
+    * a hash aggregation over the keys, and strictly less than the window
+    * formulation's full-partition sort buffer.
+    */
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    val maxPartialKeys =
+      if (partial) conf.getConfString("spark.graft.topk.maxPartialKeys", "4194304").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { iter =>
       // Identity projection normalizes whatever row class the child emits
       // to UnsafeRow (cached relations can emit other InternalRows).
@@ -73,22 +86,45 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = toUnsafe(iter.next())
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
-          heaps.put(key.copy(), heap)
+      // Lazy interleaving iterator: over-cap rows are emitted as they
+      // arrive (no buffering), heap contents drain after input exhausts.
+      new Iterator[InternalRow] {
+        private var passThrough: UnsafeRow = null
+        private var drain: Iterator[UnsafeRow] = null
+        private def advance(): Unit = {
+          while (passThrough == null && iter.hasNext) {
+            val row = toUnsafe(iter.next())
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null && heaps.size < maxPartialKeys) {
+              heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, worstFirst)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap == null) passThrough = row // over cap: emit unpruned
+            else if (heap.size < kLocal) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+          }
         }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        override def hasNext: Boolean = {
+          advance()
+          if (passThrough != null) true
+          else {
+            if (drain == null && !iter.hasNext) {
+              import scala.jdk.CollectionConverters._
+              drain = heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+            }
+            drain != null && drain.hasNext
+          }
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          if (passThrough != null) { val r = passThrough; passThrough = null; r }
+          else drain.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
     }
   }
 }
@@ -113,19 +149,21 @@ object TopK {
              k: Int): DataFrame = {
     val spark = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    // Guard covers only the experimental list; in a session that ALSO
-    // configured GraftExtensions the strategy is present twice, which is
-    // benign — the planner takes the first matching candidate and both
-    // copies are the same object producing the same plan.
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    }
+    // Thread-safe idempotent install; in a session that ALSO configured
+    // GraftExtensions the strategy is present twice, which is benign —
+    // the planner takes the first matching candidate and both copies are
+    // the same object producing the same plan.
+    TopKRewriteRule.install(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    def attr(name: String): Attribute = {
+      val matches = analyzed.output.filter(_.name == name)
+      if (matches.isEmpty) throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}")
+      // Duplicate names would silently bind the first match — refuse.
+      if (matches.size > 1) throw new IllegalArgumentException(
+        s"column $name is ambiguous (${matches.size} matches) — rename inputs first")
+      matches.head
+    }
     val keys = keyCols.map(attr)
     val order = orderBy.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)

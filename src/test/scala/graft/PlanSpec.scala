@@ -163,6 +163,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("w1: window top-k auto-rewrites to the bounded-heap operator") {
+    // TopKRewriteRule (installed for every SparkEntry query) must turn the
+    // row_number-filter idiom into partial→exchange→final TopKPerKeyExec,
+    // with the Window retained above (for the rn column) over <= k rows
+    // per key — so the exchange carries a keys-sized, not corpus-sized,
+    // row count.
+    val plan = run("w1_rank_topn")
+    val topks = collectAll(plan) { case t: graft.plans.TopKPerKeyExec => t }
+    assert(topks.map(_.partial).sorted == Seq(false, true),
+      s"expected partial+final TopKPerKeyExec in w1's plan:\n$plan")
+    val shuffled = collectAll(plan) { case e: ShuffleExchangeExec => e }
+      .flatMap(_.metrics.get("shuffleRecordsWritten")).map(_.value)
+    val totalOrders = SparkEntry.queries("w1_rank_topn")(spark, sf).sparkSession
+      .read.parquet(s"$sf/orders.parquet").count()
+    assert(shuffled.nonEmpty && shuffled.forall(_ < totalOrders),
+      s"exchange should carry pruned rows, got $shuffled of $totalOrders")
+  }
+
   test("scalar-function hot paths run inside whole-stage codegen") {
     // map-side projection queries must be one codegen span over the scan —
     // an interpreted expression in these paths costs 10-100x at 100 TB.

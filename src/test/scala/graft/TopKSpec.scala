@@ -49,6 +49,24 @@ class TopKSpec extends SparkSuite {
       "expected an exchange between the phases")
   }
 
+  test("partial-phase key cap: over-cap rows pass through, result unchanged") {
+    // With the map capped at 1 key per partition, almost every row passes
+    // through the partial phase unpruned — the final phase must still
+    // produce exactly the window formulation's kept set.
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "1")
+    try {
+      val capped = TopK.perKey(orders, Seq("o_orderpriority"),
+          Seq(("price", true), ("o_orderkey", false)), 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+      val windowed = orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(capped === windowed)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+  }
+
   test("k larger than every group keeps all rows; multi-key grouping works") {
     val s = spark
     import s.implicits._
