@@ -95,6 +95,29 @@ class SourcesSpec extends SparkSuite {
     assert(back.count() > 0)
   }
 
+  test("BlockWriter resolves a NON-file scheme from the Hadoop registry (graftfs://)") {
+    // Completes the object-store seam proof: the file:// case above shows
+    // URI handling, but file:// is also the default FS — it cannot show
+    // that the chain LOOKS UP the filesystem by scheme. graftfs:// is a
+    // local-disk FS registered only through fs.graftfs.impl, the same
+    // registry entry an abfss:// deployment uses for the ABFS connector;
+    // any hardcoded default-FS or java.io assumption fails this test.
+    import graft.ingest.BlockWriter
+    val sess = spark
+    import sess.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val base = "graftfs://" + tmpDir("graft_scheme_seam") + "/blocks"
+    val df = (0L until 512L).map(i => (i % 16, i, s"p$i")).toDF("user_id", "ts_us", "payload")
+    BlockWriter.write(df, base, partitionCol = "user_id", keyCol = "ts_us")
+    val back = graft.query.RangeQuery.query(spark, base, "user_id", "ts_us",
+      lit(7L), lit(100L), lit(400L))
+    val expected = df.filter(col("user_id") === 7L && col("ts_us").between(100L, 400L))
+    assert(back.select(col("ts_us")).collect().map(_.getLong(0)).sorted.toSeq ===
+      expected.select(col("ts_us")).collect().map(_.getLong(0)).sorted.toSeq)
+    assert(back.count() > 0)
+  }
+
   test("binaryFile source reads payload bytes with path metadata, glob-filtered") {
     val dir = tmpDir("graft_bin_spec")
     java.nio.file.Files.write(
