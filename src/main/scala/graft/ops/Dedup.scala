@@ -549,6 +549,16 @@ object Dedup {
       VecOps.cosinePairsTiled(s, Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.45, numTiles = 4)
     },
+    "d9_neardup_shuffle_kernel" -> { (s, d) =>
+      // d5's exact cosine pairs through the DRIVER-BYPASS kernel: tiles
+      // meet in a pair-block shuffle join (spillable buffer, no driver
+      // collect/broadcast) — the >1-broadcast-tile escape hatch for the
+      // 100 TB dedup path. Bit-equal to d5 by construction (same
+      // sequential-double arithmetic; DedupSimSpec pins it), so it shares
+      // d5's oracle.
+      VecOps.cosinePairsShuffled(s, Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", 0.45, numTiles = 4)
+    },
     "d8_semantic_dedup" -> { (s, d) =>
       // SemDeDup-style keep-list: connected components over the EXACT
       // cosine near-dup pairs (d5's kernel, same threshold), each
@@ -629,6 +639,18 @@ object Dedup {
     "d4b_simhash_gate" ->
       """SELECT CAST(0 AS BIGINT) AS sym_diff, true AS nonempty""",
     "d5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.norm * b.norm), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin,
+    "d9_neardup_shuffle_kernel" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
         |  FROM embeddings)

@@ -91,6 +91,63 @@ object VecOps {
     }.reduce(_ union _)
   }
 
+  /** Driver-bypass form of [[cosinePairsTiled]]: the SAME blocked all-pairs
+    * enumeration, but tiles meet in a SHUFFLE JOIN on a pair-block key
+    * instead of riding a driver `collect()` + broadcast — no vector ever
+    * touches the driver, and the per-key right-side buffer is Spark's
+    * spilling row array, so an over-sized tile degrades to disk instead of
+    * OOM.
+    *
+    * Layout: tile(v) = id mod numTiles; block (i,j), i <= j, pairs tile i
+    * (A side) with tile j (B side). A row in tile t is replicated to its
+    * blocks — shuffle volume n·(numTiles+1)/2 rows per side, the classic
+    * blocked-matrix-product trade. Same-tile blocks dedup with id_a < id_b;
+    * cross-tile pairs occur in exactly one block and are emitted
+    * min-id-first. Arithmetic (sequential double fold, shared norms,
+    * HALF_UP round4) is IDENTICAL to the broadcast kernel, so results are
+    * bit-equal (DedupSimSpec pins it).
+    *
+    * WHEN TO USE WHICH: the broadcast tile costs one driver copy + one
+    * in-memory tile per executor — fastest while a tile (≈ rows/numTiles ·
+    * dim · 4 B) fits comfortably beside the executor heap (the same
+    * regime as a broadcast join, ≲ a few hundred MB per tile). Past that —
+    * growing numTiles would trade it for numTiles full rescans — switch
+    * here: memory per task is bounded by the spillable join buffer, the
+    * driver is out of the data path entirely, and the replication factor
+    * grows only linearly with numTiles.
+    */
+  def cosinePairsShuffled(s: SparkSession, df: DataFrame, idCol: String, embCol: String,
+                          threshold: Double, numTiles: Int): DataFrame = {
+    import s.implicits._
+    require(numTiles >= 1, s"numTiles must be >= 1, got $numTiles")
+    val base = df.select(col(idCol), col(embCol)).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        (id, emb, normD(emb), java.lang.Math.floorMod(id, numTiles.toLong).toInt)
+      }
+    val aSide = base.flatMap { case (id, emb, n, t) =>
+      (t until numTiles).map(j => (t * numTiles + j, id, emb, n))
+    }.toDF("block", "id_a", "emb_a", "norm_a")
+    val bSide = base.flatMap { case (id, emb, n, u) =>
+      (0 to u).map(i => (i * numTiles + u, id, emb, n))
+    }.toDF("block", "id_b", "emb_b", "norm_b")
+    aSide.join(bSide, "block")
+      .select(col("id_a"), col("emb_a"), col("norm_a"),
+        col("id_b"), col("emb_b"), col("norm_b"))
+      .as[(Long, Array[Float], Double, Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (ia, ea, na, ib, eb, nb) =>
+          if (ia >= ib && java.lang.Math.floorMod(ia, numTiles.toLong) ==
+              java.lang.Math.floorMod(ib, numTiles.toLong)) Iterator.empty
+          else {
+            val c = round4(dotD(ea, eb) / (na * nb))
+            if (c >= threshold)
+              Iterator.single(if (ia < ib) (ia, ib, c) else (ib, ia, c))
+            else Iterator.empty
+          }
+        }
+      }.toDF("vec_a", "vec_b", "cos")
+  }
+
   /** Cosine of every (query, base) pair, queries broadcast. */
   def scoreAgainst(s: SparkSession, df: DataFrame, idCol: String, embCol: String,
                    queries: Array[Vec]): DataFrame = {

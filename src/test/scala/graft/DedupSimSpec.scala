@@ -27,6 +27,22 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("shuffled cosine kernel is bit-equal to the broadcast-tile kernel") {
+    // The driver-bypass form (pair-block shuffle join, no collect/broadcast)
+    // must be a pure execution-strategy change: same pair set, same
+    // sequential-double round4 scores, for 1 and several tile counts.
+    import graft.ops.VecOps
+    val emb = graft.tables.Tables.table(spark, sf, "embeddings")
+    val bcast = VecOps.cosinePairs(spark, emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bcast.nonEmpty)
+    for (tiles <- Seq(1, 3, 5)) {
+      val shuffled = VecOps.cosinePairsShuffled(spark, emb, "vec_id", "embedding", 0.3, tiles)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(shuffled === bcast, s"shuffled kernel with $tiles tiles changed the result")
+    }
+  }
+
   test("MinHash-LSH ≡ exact Jaccard on generated corpora (property)") {
     // Soundness beyond the fixed testdata: deterministic LCG-generated
     // corpora with planted near-dup pairs at varying mutation rates. The
