@@ -18,8 +18,12 @@ import scala.jdk.CollectionConverters._
   *    manifest references them, so a failed job leaves garbage, never a
   *    torn table;
   *  - a manifest `_snapshots/vNNNNNNNN.manifest` is one header line
-  *    (version, parent, mode) plus the absolute path of every live file —
-  *    the complete state of that version, no chain-walking at read time;
+  *    (version, parent, mode) plus the BASE-RELATIVE path of every live
+  *    file — the complete state of that version, no chain-walking at read
+  *    time. Relative paths make the whole tree RELOCATABLE (rename/copy
+  *    the base dir and every snapshot still reads — Delta's choice, vs
+  *    Iceberg's absolute URIs which need a rewrite tool to move a table);
+  *    absolute lines from older manifests still resolve for back-compat;
   *  - commits serialize the metadata write (resolve parent → compose file
   *    list → atomic manifest move) under a lock file with stale-holder
   *    takeover — the local-FS stand-in for Iceberg's metadata-pointer
@@ -57,13 +61,27 @@ object Snapshots {
 
   private case class Manifest(version: Long, parent: Long, mode: String, files: Seq[String])
 
+  /** Manifest lines are base-relative; everything in memory is absolute.
+    * Relativize at the WRITE boundary, resolve at the READ boundary, so
+    * all internal set logic (carried files, delete/compact diffs, vacuum)
+    * compares one consistent form.
+    */
+  private def relativize(base: String, path: String): String = {
+    val b = new File(base).getAbsolutePath + File.separator
+    if (path.startsWith(b)) path.substring(b.length) else path
+  }
+
+  private def resolve(base: String, line: String): String =
+    if (new File(line).isAbsolute) line // legacy absolute manifest line
+    else new File(base, line).getAbsolutePath
+
   private def readManifest(base: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestFile(base, v).toPath).asScala.toSeq
     val header = lines.head.split("\t").map { kv =>
       val Array(k, value) = kv.split("=", 2); k -> value
     }.toMap
     Manifest(header("version").toLong, header("parent").toLong,
-      header("mode"), lines.tail.filter(_.nonEmpty))
+      header("mode"), lines.tail.filter(_.nonEmpty).map(resolve(base, _)))
   }
 
   /** Write `df`'s files under a fresh uncommitted batch dir. */
@@ -132,7 +150,8 @@ object Snapshots {
       val target = manifestFile(base, next)
       val tmp = new File(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
       Files.writeString(tmp.toPath,
-        (s"version=$next\tparent=$parent\tmode=$mode" +: (carried(parent) ++ newFiles))
+        (s"version=$next\tparent=$parent\tmode=$mode" +:
+          (carried(parent) ++ newFiles).map(relativize(base, _)))
           .mkString("\n"))
       // Atomic move: the manifest appears fully written or not at all.
       Files.move(tmp.toPath, target.toPath,

@@ -77,34 +77,56 @@ object RefParity {
       val base = ingestedEvents(s, d)
       outCols(RangeQuery.query(s, base, "user_id", "ts_us", lit(PK), lit(LO), lit(HI)))
     },
-    // Snapshot lifecycle end-to-end: two commits, then the same aggregate
-    // through (1) time travel to v1, (2) the latest snapshot, (3) the
-    // incremental v1→v2 file-diff read. The oracle recomputes each row
-    // from the equivalent lineitem slice — if isolation leaked (v1 seeing
-    // v2's files, or changes re-reading carried files) the counts diverge.
+    // Snapshot lifecycle: the same aggregate through (1) time travel to
+    // v1, (2) the latest snapshot, (3) the incremental v1→v2 file-diff
+    // read. The oracle recomputes each row from the equivalent lineitem
+    // slice — if isolation leaked (v1 seeing v2's files, or changes
+    // re-reading carried files) the counts diverge. The two commits are
+    // STAGED once per (sf, layout) into a fingerprint-keyed cache — like
+    // ingestedEvents — so the registered query (and its bench row) times
+    // the time-travel READ path, not two fact-table writes; the write
+    // path has its own timing under SnapshotSpec and the ingest queries.
     "snap1_time_travel" -> { (s, d) =>
       import graft.ingest.Snapshots
-      val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
-      try {
-        val li = Tables.table(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
-        val v1 = Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1997-01-01")),
-          dir, sortCols = Seq("l_orderkey"))
-        val v2 = Snapshots.commit(s, li.filter(col("l_shipdate") >= lit("1997-01-01")),
-          dir, sortCols = Seq("l_orderkey"))
-        def summarize(df: DataFrame, snap: Int): DataFrame =
-          df.agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
-            .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
-        // Eagerly materialized so the snapshot tree can be deleted before
-        // returning — repeated Verify/Bench sweeps must not accumulate
-        // orphaned parquet under /tmp, and the query stays idempotent.
-        summarize(Snapshots.read(s, dir, Some(v1)), 1)
-          .unionAll(summarize(Snapshots.read(s, dir), 2))
-          .unionAll(summarize(Snapshots.changes(s, dir, v1, v2), 3))
-          .localCheckpoint(true)
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val dir = snapshotDir(s, d)
+      val vs = Snapshots.versions(dir).sorted
+      val (v1, v2) = (vs.head, vs.last)
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
+      summarize(Snapshots.read(s, dir, Some(v1)), 1)
+        .unionAll(summarize(Snapshots.read(s, dir), 2))
+        .unionAll(summarize(Snapshots.changes(s, dir, v1, v2), 3))
     }
   )
+
+  /** Staged two-commit snapshot tree for snap1, built once per
+    * (LayoutVersion, sf, lineitem fingerprint) — same cache discipline and
+    * same staging+rename race handling as [[ingestedEvents]].
+    */
+  private def snapshotDir(s: SparkSession, sfDir: String): String = {
+    import graft.ingest.Snapshots
+    val fp = java.lang.Long.toHexString(
+      fingerprint(new java.io.File(sfDir, "lineitem.parquet")))
+    val base = s"/tmp/graft_snap/$LayoutVersion/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+    if (!new java.io.File(base, "_STAGED").exists()) {
+      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
+      val li = Tables.table(s, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1997-01-01")),
+        tmp, sortCols = Seq("l_orderkey"))
+      Snapshots.commit(s, li.filter(col("l_shipdate") >= lit("1997-01-01")),
+        tmp, sortCols = Seq("l_orderkey"))
+      // Marker written only after BOTH commits: a crashed half-build never
+      // renames into place (no _STAGED → rebuilt next run).
+      new java.io.File(tmp, "_STAGED").createNewFile()
+      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    base
+  }
 
   private val oracle =
     s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

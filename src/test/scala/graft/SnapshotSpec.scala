@@ -24,6 +24,27 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.changes(spark, base, v1, v2)) === (6L to 8L).toSet)
   }
 
+  test("a renamed table base keeps every snapshot readable (relocatable manifests)") {
+    // Manifests store base-relative paths, so moving the whole tree —
+    // rename, cp -r, a staging-dir promote like RefParity's snapshot
+    // cache — must leave time travel, changes, and deletes working from
+    // the new location.
+    val sess = spark
+    import sess.implicits._
+    val staged = tmpDir("graft_snapshot_move") + "/staged"
+    val v1 = Snapshots.commit(spark, (1L to 5L).toDF("id"), staged)
+    val v2 = Snapshots.commit(spark, (6L to 8L).toDF("id"), staged)
+    val promoted = staged.stripSuffix("staged") + "final"
+    assert(new java.io.File(staged).renameTo(new java.io.File(promoted)))
+    assert(ids(Snapshots.read(spark, promoted, Some(v1))) === (1L to 5L).toSet)
+    assert(ids(Snapshots.read(spark, promoted)) === (1L to 8L).toSet)
+    assert(ids(Snapshots.changes(spark, promoted, v1, v2)) === (6L to 8L).toSet)
+    // Mutation from the new location still works (deleteWhere reads
+    // input_file_name paths — absolute — against resolved manifest lines).
+    Snapshots.deleteWhere(spark, promoted, col("id") === 7L)
+    assert(ids(Snapshots.read(spark, promoted)) === (1L to 8L).toSet - 7L)
+  }
+
   test("overwrite isolates old readers until expire reclaims their files") {
     val sess = spark
     import sess.implicits._
