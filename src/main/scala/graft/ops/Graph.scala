@@ -20,7 +20,9 @@ import graft.tables.Tables
   * ranks localCheckpoint eagerly per iteration so the logical plan stays
   * O(1) deep instead of O(iterations) (same lineage discipline as d6's
   * label propagation). Node count N is computed once on the driver and
-  * amortized over all iterations.
+  * amortized over all iterations. Dangling-mass handling adds one
+  * node-sized aggregate + one broadcast scalar per iteration — nothing
+  * edge-sized.
   */
 object Graph {
 
@@ -31,12 +33,20 @@ object Graph {
     */
   val SupplierOffset = 1000000L
 
-  /** PageRank over an undirected edge list (every node therefore has at
-    * least one out-edge — no dangling-mass term needed). `edges` must
-    * already contain both directions of each link.
+  /** PageRank over a directed edge list, with dangling-mass
+    * redistribution: rank held by nodes with NO out-edges is spread
+    * uniformly each iteration (the standard Page-Brin-Motwani-Winograd
+    * correction — without it the recurrence leaks mass and converges to
+    * the wrong vector on any directed graph with sinks).
+    *
+    * `handleDangling = false` skips the per-iteration dangling aggregate
+    * for graphs the CALLER asserts are sink-free (e.g. undirected edge
+    * lists containing both directions); the assertion is CHECKED once up
+    * front — a dangling node under the skip flag fails loudly instead of
+    * silently computing the mass-leaking recurrence.
     */
   def pageRank(s: SparkSession, edges: DataFrame, iterations: Int = Iterations,
-               damping: Double = Damping): DataFrame = {
+               damping: Double = Damping, handleDangling: Boolean = false): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Hash-partition the (big) edge list by src ONCE before caching: the
     // cached scan keeps its outputPartitioning, so every iteration's
@@ -48,22 +58,50 @@ object Graph {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nodes = edges.select(col("src").as("id")).distinct()
+      // Node set covers BOTH endpoints: a sink appears only as dst.
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
         .localCheckpoint(true)
       val n = nodes.count()
-      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      // deg carried on the rank rows (null = dangling) so each iteration's
+      // dangling aggregate is a filter over the node-sized rank set, not a
+      // join. Computed once — out-degrees never change.
+      val nodeDeg = nodes.join(deg, nodes("id") === deg("src"), "left")
+        .select(col("id"), col("deg")).localCheckpoint(true)
+      if (!handleDangling) {
+        val sinks = nodeDeg.filter(col("deg").isNull).count()
+        require(sinks == 0L,
+          s"$sinks dangling node(s) in a pageRank(handleDangling=false) call — " +
+            "the no-sink assertion failed; pass handleDangling=true")
+      }
+      var ranks = nodeDeg.withColumn("rank", lit(1.0 / n))
       for (k <- 1 to iterations) {
-        // Undirected edges ⇒ every node has an in-edge, so the contribution
-        // aggregate already covers every node — no nodes re-join per
-        // iteration (that join would double the per-iteration shuffle
-        // count for rows that can never be missing).
         val contribs = withDeg
-          .join(ranks, col("src") === col("id"))
+          .join(ranks.select(col("id"), col("rank")), col("src") === col("id"))
           .select(col("dst"), (col("rank") / col("deg")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
-        ranks = contribs
-          .select(col("dst").as("id"),
-            (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
+        val next =
+          if (handleDangling) {
+            // One node-sized scalar per iteration, broadcast back onto the
+            // node set — mirrors the oracle's (SELECT dm FROM dmK) term.
+            val dm = ranks.filter(col("deg").isNull)
+              .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+            ranks.select(col("id"), col("deg"))
+              .join(contribs, col("id") === col("dst"), "left")
+              .crossJoin(broadcast(dm))
+              .select(col("id"), col("deg"),
+                (lit((1 - damping) / n) + lit(damping) *
+                  (coalesce(col("in_rank"), lit(0.0)) + col("dm") / n)).as("rank"))
+          } else {
+            // Sink-free ⇒ every node has an out-edge; with both directions
+            // present every node also has an in-edge, so the contribution
+            // aggregate already covers every node — no nodes re-join per
+            // iteration (that join would double the per-iteration shuffle
+            // count for rows that can never be missing).
+            contribs.select(col("dst").as("id"), lit(1L).as("deg"),
+              (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
+          }
+        ranks = next
         // Checkpoint every SECOND iteration (and the last): each eager
         // localCheckpoint is a full job, and two chained join+agg levels
         // plan and pipeline fine, so this halves the job count while still
@@ -71,7 +109,7 @@ object Graph {
         // above, the pair of changes measured 7.75s -> 6.5s at sf0.1).
         if (k % 2 == 0 || k == iterations) ranks = ranks.localCheckpoint(true)
       }
-      ranks
+      ranks.select(col("id"), col("rank"))
     } finally withDeg.unpersist(false)
   }
 
@@ -80,51 +118,83 @@ object Graph {
     * lineitem.
     */
   def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.table(s, d, "orders")
+    val pairs = directedTradeEdges(s, d)
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The DIRECTED half: customers point at the suppliers they bought
+    * from. Every supplier is a sink (no out-edges) — the graph shape that
+    * exercises dangling-mass redistribution maximally.
+    */
+  def directedTradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "orders")
       .join(Tables.table(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + SupplierOffset).as("dst"))
       .distinct()
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> { (s, d) =>
       pageRank(s, tradeEdges(s, d))
         .select(col("id"), round(col("rank"), 6).as("rank"))
+    },
+    "g2_pagerank_directed" -> { (s, d) =>
+      // Directed graph where every supplier is a sink: rank flows
+      // customer → supplier and returns only through the dangling-mass
+      // term, so a leaky implementation diverges from the oracle in
+      // iteration 2 (suppliers would hoard mass; total would decay).
+      pageRank(s, directedTradeEdges(s, d), handleDangling = true)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
     }
   )
 
   /** The same power iteration unrolled into chained CTEs — r1..rK each
-    * computed from its predecessor exactly as the Spark loop does.
+    * computed from its predecessor exactly as the Spark loop does, with
+    * an optional dangling-mass scalar per step mirroring
+    * `handleDangling = true`.
     */
-  private def pageRankOracle(iterations: Int, damping: Double): String = {
+  private def pageRankOracle(iterations: Int, damping: Double,
+                             directed: Boolean): String = {
+    val pairsSql =
+      s"""  SELECT DISTINCT o_custkey AS src, l_suppkey + $SupplierOffset AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    val edgesSql =
+      if (directed) "SELECT src, dst FROM pairs"
+      else "SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs"
     val base =
       s"""WITH pairs AS (
-         |  SELECT DISTINCT o_custkey AS src, l_suppkey + $SupplierOffset AS dst
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |edges AS (SELECT src, dst FROM pairs
-         |          UNION ALL SELECT dst, src FROM pairs),
+         |$pairsSql),
+         |edges AS ($edgesSql),
          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) u),
          |nn AS (SELECT count(*) AS n FROM nodes),
          |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
     val iters = (1 to iterations).map { k =>
-      s"""r$k AS (
-         |  SELECT nodes.id,
-         |    (1 - $damping) / (SELECT n FROM nn)
-         |      + $damping * coalesce(sum(r${k - 1}.rank / deg.deg), 0) AS rank
-         |  FROM nodes
-         |  LEFT JOIN edges ON edges.dst = nodes.id
-         |  LEFT JOIN deg ON deg.src = edges.src
-         |  LEFT JOIN r${k - 1} ON r${k - 1}.id = edges.src
-         |  GROUP BY nodes.id)""".stripMargin
+      val dmCte =
+        s"""dm$k AS (
+           |  SELECT coalesce(sum(r${k - 1}.rank), 0) AS dm
+           |  FROM r${k - 1} LEFT JOIN deg ON deg.src = r${k - 1}.id
+           |  WHERE deg.src IS NULL)""".stripMargin
+      val dmTerm = if (directed) s" + (SELECT dm FROM dm$k) / (SELECT n FROM nn)" else ""
+      val rCte =
+        s"""r$k AS (
+           |  SELECT nodes.id,
+           |    (1 - $damping) / (SELECT n FROM nn)
+           |      + $damping * (coalesce(sum(r${k - 1}.rank / deg.deg), 0)$dmTerm) AS rank
+           |  FROM nodes
+           |  LEFT JOIN edges ON edges.dst = nodes.id
+           |  LEFT JOIN deg ON deg.src = edges.src
+           |  LEFT JOIN r${k - 1} ON r${k - 1}.id = edges.src
+           |  GROUP BY nodes.id)""".stripMargin
+      if (directed) s"$dmCte,\n$rCte" else rCte
     }
     (base +: iters).mkString(",\n") +
       s"\nSELECT id, round(rank, 6) AS rank FROM r$iterations"
   }
 
   val oracleSql: Map[String, String] = Map(
-    "g1_pagerank" -> pageRankOracle(Iterations, Damping)
+    "g1_pagerank" -> pageRankOracle(Iterations, Damping, directed = false),
+    "g2_pagerank_directed" -> pageRankOracle(Iterations, Damping, directed = true)
   )
 }

@@ -33,6 +33,24 @@ class GraphSpec extends SparkSuite {
     assert(r(1L) === r(2L) && r(2L) === r(3L), "symmetric leaves must tie")
   }
 
+  test("directed sinks: dangling mass conserved; skip flag fails loudly") {
+    val sess = spark
+    import sess.implicits._
+    // 1 -> 2 -> 3, node 3 a pure sink: without redistribution total mass
+    // decays toward (1-d)/(1-... ) < 1; with it, sum stays exactly 1.
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(spark, chain, handleDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size === 3)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"rank mass ${r.values.sum}")
+    assert(r(3L) > r(2L) && r(2L) > r(1L), "rank must accumulate downstream")
+    // The no-sink assertion is checked, not trusted.
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(spark, chain, handleDangling = false)
+    }
+    assert(ex.getMessage.contains("dangling"))
+  }
+
   test("trade-graph query emits one finite rank per node") {
     val out = Graph.queries("g1_pagerank")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1))
