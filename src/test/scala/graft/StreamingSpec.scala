@@ -252,6 +252,12 @@ class StreamingSpec extends SparkSuite {
     // batch completes, and a standalone-session variant dies on a Spark
     // internal (PythonSQLMetrics NPE: SparkPlan.session null while
     // planning the TTL'd TransformWithState) — both environment-blocked.
+    // Re-probed round 6 under Trigger.AvailableNow in a dedicated session
+    // (graft.TtlProbe): the first TTL'd micro-batch again never completes
+    // (awaitTermination(60s) elapses with the query still active).
+    // Repro: sbt "Test/runMain graft.TtlProbe" — prints "PROBE_TTL b1
+    // HUNG" in this container; on an unblocked host it prints an
+    // EVICTED/RETAINED verdict for the 50 ms TTL.
     // The mode selection IS the contract; the stateful runtime path is
     // covered by the no-TTL e2e test above.
     val s = spark
