@@ -116,11 +116,51 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Prior-round per-query numbers, so a contended run or a real
+    // regression is self-evident in the artifact itself instead of
+    // needing cross-round archaeology. Source: the previous BENCH_FULL
+    // file (most complete), else the newest BENCH_r*.json summary;
+    // override with SPARK_GRAFT_BENCH_PREV. Parsed with a flat regex over
+    // the "queries" object — both artifact shapes keep it flat.
+    val prev: Map[String, Double] = {
+      val candidate = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+        val full = new java.io.File(fullPath)
+        if (full.isFile) Some(fullPath)
+        else Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+          .lastOption.map(_.getPath)
+      }
+      candidate.flatMap { p =>
+        try {
+          val text = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+          val start = text.indexOf("\"queries\"")
+          if (start < 0) None
+          else {
+            val obj = text.substring(text.indexOf('{', start) + 1)
+            val body = obj.substring(0, obj.indexOf('}'))
+            Some("\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          }
+        } catch { case _: Throwable => None }
+      }.getOrElse(Map.empty)
+    }
+    def deltaMap(rs: Seq[(String, Double)]): Seq[(String, Double, Double, Double)] =
+      rs.flatMap { case (k, now) =>
+        prev.get(k).filter(p => p > 0 && now > 0)
+          .map(p => (k, now, p, now / p))
+      }
+    // The one-line summary carries only the REGRESSED subset (>=1.5x over
+    // a prior >=0.3s) — the bounded log tail can't fit 35 full triples,
+    // and an empty map is itself the signal that nothing moved.
+    val regressed = deltaMap(results)
+      .collect { case (k, _, p, r) if r >= 1.5 && p >= 0.3 => s"\"$k\":" + fmt(r) }
+      .mkString("{", ",", "}")
     // 1-minute system load average at the end of the timed pass: numbers
     // recorded on a contended box (load >> cpu count) are not comparable
     // to idle-box baselines, and the record should say so itself.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"load":${fmt(load)},"repeat":$repeat,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat,"sf":"$sfDir"}""")
     // Full-registry record as a FILE artifact: the one-line summary above
     // must fit a bounded log tail, but a file has no such limit — so time
     // the rest of the registry too and write every per-query number to
@@ -144,8 +184,13 @@ object Bench {
           "\"load\": " + fmt(loadEnd) + ",\n\"queries\": {\n", ",\n", "\n},\n")
       val allFailed = allResults.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
+      // Full per-query round-over-round record (no size limit in a file):
+      // {now, prev, ratio} for every query the prior artifact also timed.
+      val deltas = deltaMap(allResults).map { case (k, now, p, r) =>
+        s"""  "$k": {"now": ${fmt(now)}, "prev": ${fmt(p)}, "ratio": ${fmt(r)}}"""
+      }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-        body + "\"failed\": " + allFailed + "\n}\n")
+        body + "\"failed\": " + allFailed + ",\n\"deltas\": " + deltas + "\n}\n")
     }
     spark.stop()
   }
