@@ -58,22 +58,36 @@ object Graph {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Node set covers BOTH endpoints: a sink appears only as dst.
-      val nodes = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-        .localCheckpoint(true)
+      // Node set covers BOTH endpoints: a sink appears only as dst. On the
+      // sink-free path src-distinct is the same set, computed from half
+      // the rows; the assertion is then one anti-join PROBE (any dst not
+      // among the srcs?) instead of a per-node degree materialization —
+      // the guard costs one node-sized job, not a checkpoint.
+      // All node/probe reads go through withDeg (same rows as edges — the
+      // degree join is lossless on src) so the underlying edge derivation
+      // computes ONCE into the persist cache instead of once per consumer.
+      val nodes =
+        (if (handleDangling)
+          withDeg.select(col("src").as("id")).union(withDeg.select(col("dst").as("id")))
+        else withDeg.select(col("src").as("id")))
+          .distinct().localCheckpoint(true)
+      if (!handleDangling) {
+        val sinkFree = withDeg.select(col("dst").as("id")).distinct()
+          .join(nodes, Seq("id"), "left_anti").isEmpty
+        require(sinkFree,
+          "dangling node(s) in a pageRank(handleDangling=false) call — " +
+            "the no-sink assertion failed; pass handleDangling=true")
+      }
       val n = nodes.count()
       // deg carried on the rank rows (null = dangling) so each iteration's
       // dangling aggregate is a filter over the node-sized rank set, not a
-      // join. Computed once — out-degrees never change.
-      val nodeDeg = nodes.join(deg, nodes("id") === deg("src"), "left")
-        .select(col("id"), col("deg")).localCheckpoint(true)
-      if (!handleDangling) {
-        val sinks = nodeDeg.filter(col("deg").isNull).count()
-        require(sinks == 0L,
-          s"$sinks dangling node(s) in a pageRank(handleDangling=false) call — " +
-            "the no-sink assertion failed; pass handleDangling=true")
-      }
+      // join. Computed once — out-degrees never change. Skipped entirely on
+      // the sink-free path (degrees live only in the cached edge list).
+      val nodeDeg =
+        if (handleDangling)
+          nodes.join(deg, nodes("id") === deg("src"), "left")
+            .select(col("id"), col("deg")).localCheckpoint(true)
+        else nodes.withColumn("deg", lit(1L))
       var ranks = nodeDeg.withColumn("rank", lit(1.0 / n))
       for (k <- 1 to iterations) {
         val contribs = withDeg
