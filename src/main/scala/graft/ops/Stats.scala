@@ -130,6 +130,36 @@ object Stats {
           (abs(col("approx_custs") - col("exact_custs")).cast("double") /
             col("exact_custs") <= 0.05).as("hll_ok"))
     },
+    "a12_cms_gate" -> { (s, d) =>
+      // Count-Min sketch heavy hitters — the frequency sketch beside the
+      // cardinality (a3 HLL) and quantile (a7) ones. The sketch binary is
+      // engine-specific, so the oracle surface is the established gate
+      // shape: exact counts for the top-20 tokens (engine-independent)
+      // plus two error-envelope booleans the CMS guarantees make
+      // deterministic under a fixed seed — estimates never undercount,
+      // and overcount by at most eps·N (w=⌈e/eps⌉ counters) with the
+      // seed fixed the outcome is a constant the oracle predicts as true.
+      // Scale shape: one explode scan feeds BOTH the exact top-k (hash
+      // agg + TakeOrdered) and the one-row sketch aggregate; the 20-row
+      // probe side broadcasts, the sketch deserializes once per task.
+      val toks = Tables.table(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) >= 1)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      val sk = toks.agg(
+        expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("total"))
+      val est = udf { (bytes: Array[Byte], t: String) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(t)
+      }
+      top.crossJoin(broadcast(sk))
+        .select(col("tok"), col("exact_n"),
+          (est(col("sk"), col("tok")) >= col("exact_n")).as("cms_lower_ok"),
+          (est(col("sk"), col("tok")) <=
+            col("exact_n") + ceil(lit(0.001) * col("total"))).as("cms_upper_ok"))
+    },
     "a4_grouping_sets" -> { (s, d) =>
       // SQL frontend: GROUPING SETS through spark.sql over a temp view.
       Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -223,6 +253,13 @@ object Stats {
     // a3b/a7b: the sketch VALUES are engine-specific (hence a3/a7 stay
     // rows-only), but the error-envelope booleans are deterministic — the
     // oracle predicts them alongside exact, engine-independent columns.
+    "a12_cms_gate" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |e AS (SELECT tok, count(*) AS exact_n FROM t
+        |      WHERE len(tok) >= 1 GROUP BY tok)
+        |SELECT tok, exact_n, true AS cms_lower_ok, true AS cms_upper_ok
+        |FROM e ORDER BY exact_n DESC, tok LIMIT 20""".stripMargin,
     "a3b_hll_gate" ->
       """SELECT o_orderpriority,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
