@@ -89,6 +89,7 @@ object Graph {
             .select(col("id"), col("deg")).localCheckpoint(true)
         else nodes.withColumn("deg", lit(1L))
       var ranks = nodeDeg.withColumn("rank", lit(1.0 / n))
+      if (handleDangling) ranks = ranks.localCheckpoint(true)
       for (k <- 1 to iterations) {
         val contribs = withDeg
           .join(ranks.select(col("id"), col("rank")), col("src") === col("id"))
@@ -96,16 +97,21 @@ object Graph {
           .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
         val next =
           if (handleDangling) {
-            // One node-sized scalar per iteration, broadcast back onto the
-            // node set — mirrors the oracle's (SELECT dm FROM dmK) term.
+            // The dangling path references `ranks` THREE times per step
+            // (contribution join, dangling sum, node carry), so it
+            // checkpoints EVERY iteration — ranks is always materialized,
+            // and the per-step dangling mass collapses to one scalar read
+            // off the cached node-sized rows (mirroring the oracle's
+            // (SELECT dm FROM dmK) term) instead of a crossJoin subtree
+            // re-evaluated with each consumer.
             val dm = ranks.filter(col("deg").isNull)
-              .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+              .agg(coalesce(sum(col("rank")), lit(0.0)))
+              .head().getDouble(0)
             ranks.select(col("id"), col("deg"))
               .join(contribs, col("id") === col("dst"), "left")
-              .crossJoin(broadcast(dm))
               .select(col("id"), col("deg"),
                 (lit((1 - damping) / n) + lit(damping) *
-                  (coalesce(col("in_rank"), lit(0.0)) + col("dm") / n)).as("rank"))
+                  (coalesce(col("in_rank"), lit(0.0)) + lit(dm) / n)).as("rank"))
           } else {
             // Sink-free ⇒ every node has an out-edge; with both directions
             // present every node also has an in-edge, so the contribution
@@ -116,12 +122,14 @@ object Graph {
               (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
           }
         ranks = next
-        // Checkpoint every SECOND iteration (and the last): each eager
+        // Dangling path: checkpoint every iteration (see above). Sink-free
+        // path: every SECOND iteration (and the last) — each eager
         // localCheckpoint is a full job, and two chained join+agg levels
         // plan and pipeline fine, so this halves the job count while still
         // bounding lineage depth at 2 (with the partitioned edge cache
         // above, the pair of changes measured 7.75s -> 6.5s at sf0.1).
-        if (k % 2 == 0 || k == iterations) ranks = ranks.localCheckpoint(true)
+        if (handleDangling || k % 2 == 0 || k == iterations)
+          ranks = ranks.localCheckpoint(true)
       }
       ranks.select(col("id"), col("rank"))
     } finally withDeg.unpersist(false)
