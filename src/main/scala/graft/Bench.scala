@@ -133,8 +133,12 @@ object Bench {
       candidate.flatMap { p =>
         try {
           val text = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+          // Cross-scale ratios are noise, not regressions: skip deltas
+          // entirely when the prior artifact was recorded at another sf.
+          val prevSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+            .findFirstMatchIn(text).map(_.group(1))
           val start = text.indexOf("\"queries\"")
-          if (start < 0) None
+          if (start < 0 || !prevSf.contains(sfDir)) None
           else {
             val obj = text.substring(text.indexOf('{', start) + 1)
             val body = obj.substring(0, obj.indexOf('}'))

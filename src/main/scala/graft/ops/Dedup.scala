@@ -595,6 +595,22 @@ object Dedup {
        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
        |WHERE round(CAST(common AS DOUBLE) / (x.n + y.n - common), 4) >= $threshold""".stripMargin
 
+  /** Exact cosine pairs at threshold 0.45 — the shared oracle for both the
+    * broadcast-tile (d5) and shuffle (d9) forms of the same kernel.
+    */
+  private val ExactCosinePairsOracle =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.norm * b.norm), 4) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -638,30 +654,10 @@ object Dedup {
     // pairs ≡ brute-force hamming pairs) and by d4b's in-Spark gate below.
     "d4b_simhash_gate" ->
       """SELECT CAST(0 AS BIGINT) AS sym_diff, true AS nonempty""",
-    "d5_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.norm * b.norm), 4) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin,
-    "d9_neardup_shuffle_kernel" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.norm * b.norm), 4) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin,
+    "d5_embedding_neardup" -> ExactCosinePairsOracle,
+    // d9 runs the same exact kernel through the shuffle form — one shared
+    // oracle string so the two can never drift apart.
+    "d9_neardup_shuffle_kernel" -> ExactCosinePairsOracle,
     // d8: d5's exact cosine pairs fed through the same reachability CTE
     // as d6 — min-of-component labels, keep = label owner.
     "d8_semantic_dedup" ->

@@ -72,11 +72,19 @@ object Graph {
         else withDeg.select(col("src").as("id")))
           .distinct().localCheckpoint(true)
       if (!handleDangling) {
-        val sinkFree = withDeg.select(col("dst").as("id")).distinct()
-          .join(nodes, Seq("id"), "left_anti").isEmpty
+        // The fast path needs BOTH halves of the undirected invariant:
+        // every dst has out-edges (no sinks — else mass leaks), and every
+        // src has in-edges (the loop rebuilds ranks from the contribution
+        // aggregate, so an in-edge-less node would silently VANISH from
+        // the rank vector after iteration 1). One symmetric-difference
+        // probe checks both directions.
+        val dsts = withDeg.select(col("dst").as("id")).distinct()
+        val sinkFree = dsts.join(nodes, Seq("id"), "left_anti").isEmpty &&
+          nodes.join(dsts, Seq("id"), "left_anti").isEmpty
         require(sinkFree,
-          "dangling node(s) in a pageRank(handleDangling=false) call — " +
-            "the no-sink assertion failed; pass handleDangling=true")
+          "directed node(s) in a pageRank(handleDangling=false) call — " +
+            "the src-set == dst-set assertion failed (sink or source " +
+            "node present); pass handleDangling=true")
       }
       val n = nodes.count()
       // deg carried on the rank rows (null = dangling) so each iteration's

@@ -112,6 +112,11 @@ object RefParity {
       sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
     if (!new java.io.File(base, "_STAGED").exists()) {
       val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
+      // A crashed half-build may have left this pid's staging dir behind
+      // (container pid reuse makes that likelier than it sounds), and
+      // Snapshots.commit would APPEND to the orphaned tree — clear it so
+      // a rebuild always stages exactly two commits.
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       val li = Tables.table(s, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
       Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1997-01-01")),

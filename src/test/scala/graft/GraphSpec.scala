@@ -48,7 +48,21 @@ class GraphSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException] {
       Graph.pageRank(spark, chain, handleDangling = false)
     }
-    assert(ex.getMessage.contains("dangling"))
+    assert(ex.getMessage.contains("assertion failed"))
+    // The OTHER half of the invariant: a SOURCE node (out-edges, no
+    // in-edges) passes a naive dst⊆src sink check, but the sink-free loop
+    // rebuilds ranks from the contribution aggregate, so the node would
+    // silently vanish after iteration 1 — must also fail loudly.
+    val withSource = Seq((1L, 2L), (2L, 1L), (4L, 1L)).toDF("src", "dst")
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.pageRank(spark, withSource, handleDangling = false)
+    }
+    assert(ex2.getMessage.contains("assertion failed"))
+    // ...and the dangling path handles it: node 4 keeps a rank row.
+    val r2 = Graph.pageRank(spark, withSource, handleDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r2.size === 3 && math.abs(r2.values.sum - 1.0) < 1e-9)
+    assert(r2(4L) > 0)
   }
 
   test("trade-graph query emits one finite rank per node") {

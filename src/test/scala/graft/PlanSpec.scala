@@ -175,8 +175,7 @@ class PlanSpec extends SparkSuite {
       s"expected partial+final TopKPerKeyExec in w1's plan:\n$plan")
     val shuffled = collectAll(plan) { case e: ShuffleExchangeExec => e }
       .flatMap(_.metrics.get("shuffleRecordsWritten")).map(_.value)
-    val totalOrders = SparkEntry.queries("w1_rank_topn")(spark, sf).sparkSession
-      .read.parquet(s"$sf/orders.parquet").count()
+    val totalOrders = spark.read.parquet(s"$sf/orders.parquet").count()
     assert(shuffled.nonEmpty && shuffled.forall(_ < totalOrders),
       s"exchange should carry pruned rows, got $shuffled of $totalOrders")
   }
