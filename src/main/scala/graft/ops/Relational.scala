@@ -459,17 +459,26 @@ object Relational {
       Tables.table(s, d, "part").createOrReplaceTempView("part_h2")
       Tables.table(s, d, "supplier").createOrReplaceTempView("supplier_h2")
       Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem_h2")
+      // Same single-evaluation discipline as h15/h20: the correlated
+      // "(SELECT min(...) WHERE ps2.l_partkey = ps.l_partkey)" form
+      // decorrelates into a SECOND evaluation of the ps CTE — a second
+      // full lineitem aggregation. min() OVER (PARTITION BY l_partkey)
+      // computes the per-part floor in the same pass (PlanSpec pins one
+      // executed lineitem scan).
       s.sql(
         """WITH ps AS (
           |  SELECT l_partkey, l_suppkey,
           |    round(min(l_extendedprice / l_quantity), 2) AS unit_price
-          |  FROM lineitem_h2 GROUP BY l_partkey, l_suppkey)
+          |  FROM lineitem_h2 GROUP BY l_partkey, l_suppkey),
+          |psf AS (
+          |  SELECT l_partkey, l_suppkey, unit_price,
+          |    min(unit_price) OVER (PARTITION BY l_partkey) AS part_floor
+          |  FROM ps)
           |SELECT p_partkey, p_name, s_name, unit_price AS min_price
-          |FROM part_h2 JOIN ps ON p_partkey = l_partkey
+          |FROM part_h2 JOIN psf ON p_partkey = l_partkey
           |JOIN supplier_h2 ON s_suppkey = l_suppkey
           |WHERE p_type = 'LARGE' AND p_size <= 10
-          |  AND unit_price = (SELECT min(ps2.unit_price) FROM ps ps2
-          |                    WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin)
+          |  AND unit_price = part_floor""".stripMargin)
     },
     "h8_market_share" -> { (s, d) =>
       // TPC-H Q8 shape: one nation's share of a region's yearly order

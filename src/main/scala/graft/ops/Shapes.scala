@@ -76,17 +76,6 @@ object Shapes {
       o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"), lit(1997).as("yr"))
         .unionAll(o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"), lit(1998).as("yr")))
     },
-    "x7_pivot" -> { (s, d) =>
-      // Long→wide reshaping via the native pivot with an EXPLICIT value
-      // list — without it Spark runs a blocking distinct scan to discover
-      // the columns (a hidden extra pass at 100 TB) and the output schema
-      // becomes data-dependent. One hash agg over (priority, status), no
-      // extra shuffle beyond the group-by.
-      Tables.table(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(round(sum(col("o_totalprice")), 2))
-    },
     "x4_unpivot" -> { (s, d) =>
       // Wide→long reshaping via the native unpivot (melt) operator —
       // map-side only, no shuffle; the oracle is the equivalent UNION ALL.
@@ -184,12 +173,6 @@ object Shapes {
         |UNION ALL
         |SELECT l_orderkey, 'price', l_extendedprice
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
-    "x7_pivot" ->
-      """SELECT o_orderpriority,
-        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "x4_unpivot" ->
       """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
         |UNION ALL

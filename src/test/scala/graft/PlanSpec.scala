@@ -156,7 +156,7 @@ class PlanSpec extends SparkSuite {
     // ReuseExchangeAndSubquery must dedupe the shared aggregate exchange —
     // otherwise the fact table is scanned and aggregated twice, which at
     // 100 TB is a full extra pass. This pins the reuse.
-    for (q <- Seq("h15_top_supplier", "h20_promo_suppliers")) {
+    for (q <- Seq("h2_min_cost_supplier", "h15_top_supplier", "h20_promo_suppliers")) {
       val plan = run(q)
       val scans = lineitemScanCount(plan)
       assert(scans == 1, s"$q: expected 1 executed lineitem scan, got $scans:\n$plan")
