@@ -151,12 +151,14 @@ class PlanSpec extends SparkSuite {
       case _ => false
     }
 
-  test("h15/h20: twice-referenced aggregate CTE evaluates its fact scan once") {
-    // The revenue/per CTE feeds both the join and the scalar-subquery max.
-    // ReuseExchangeAndSubquery must dedupe the shared aggregate exchange —
-    // otherwise the fact table is scanned and aggregated twice, which at
-    // 100 TB is a full extra pass. This pins the reuse.
-    for (q <- Seq("h2_min_cost_supplier", "h15_top_supplier", "h20_promo_suppliers")) {
+  test("twice-referenced aggregate CTEs evaluate their fact scan once") {
+    // Each of these CTEs feeds both a join and a scalar subquery. The
+    // CORRELATED subquery forms (h2/h15/h20 originally) decorrelate into a
+    // second full evaluation — fixed by window rewrites; h11's UNCORRELATED
+    // scalar gets exchange reuse from Spark and is pinned here so that
+    // reuse can never silently regress. Two fact scans at 100 TB is a full
+    // extra pass — this asserts exactly one executes for all four.
+    for (q <- Seq("h2_min_cost_supplier", "h15_top_supplier", "h20_promo_suppliers", "h11_important_stock")) {
       val plan = run(q)
       val scans = lineitemScanCount(plan)
       assert(scans == 1, s"$q: expected 1 executed lineitem scan, got $scans:\n$plan")
