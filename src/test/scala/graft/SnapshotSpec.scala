@@ -45,6 +45,29 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.read(spark, promoted)) === (1L to 8L).toSet - 7L)
   }
 
+  test("legacy manifests with absolute file paths still resolve") {
+    // Manifests written before the relocatable (base-relative) format
+    // carry absolute lines; the reader must keep honoring them verbatim.
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_legacy")
+    val v1 = Snapshots.commit(spark, (1L to 4L).toDF("id"), base)
+    // Rewrite v1's manifest to the legacy absolute form in place.
+    val mf = new java.io.File(base, f"_snapshots/v$v1%08d.manifest")
+    val lines = java.nio.file.Files.readAllLines(mf.toPath)
+    val absolute = new java.lang.StringBuilder(lines.get(0))
+    for (i <- 1 until lines.size) {
+      absolute.append('\n')
+        .append(new java.io.File(base, lines.get(i)).getAbsolutePath)
+    }
+    java.nio.file.Files.writeString(mf.toPath, absolute.toString)
+    assert(ids(Snapshots.read(spark, base, Some(v1))) === (1L to 4L).toSet)
+    // An append on top of a legacy manifest carries its files forward
+    // (re-relativized where they live under base).
+    val v2 = Snapshots.commit(spark, Seq(5L).toDF("id"), base)
+    assert(ids(Snapshots.read(spark, base, Some(v2))) === (1L to 5L).toSet)
+  }
+
   test("overwrite isolates old readers until expire reclaims their files") {
     val sess = spark
     import sess.implicits._
