@@ -68,6 +68,30 @@ object Bloom {
     all
   }
 
+  /** Build-side kernel: set `key`'s k probe bits in `bits`. Mirrors
+    * [[test]] exactly — shared by [[build]] and the per-file data-skipping
+    * index ([[graft.ingest.BloomIndex]]), so a build/probe hash divergence
+    * is structurally impossible.
+    *
+    * Double hashing (Kirsch–Mitzenmatcher): h_i = h1 + i*h2 gives k
+    * independent-enough probes from two base hashes.
+    */
+  def add(bits: Array[Long], key: Long, numBits: Int, numHashes: Int): Unit = {
+    val h1 = scala.util.hashing.MurmurHash3.productHash(Tuple1(key)).toLong & 0x7fffffffL
+    val h2 = (FnvHash64.hashLong(key) & 0x7fffffffffffffffL) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val bit = (((h1 + i * h2) & 0x7fffffffffffffffL) % numBits).toInt
+      bits(bit >>> 6) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
+  /** Number of 64-bit words backing a `numBits`-bit filter — sizing helper
+    * for callers that allocate their own bitsets (the per-file index).
+    */
+  def numWords(numBits: Int): Int = words(numBits)
+
   /** Collect the distinct values of `keyDf`'s single Long column into a
     * driver-side Bloom bitset. One distributed aggregation pass: each
     * partition ORs its local bitset, the driver ORs the partials.
@@ -84,19 +108,7 @@ object Bloom {
       .na.drop()
       .rdd.mapPartitions { it =>
         val local = new Array[Long](nWords)
-        it.foreach { r =>
-          val key = r.getLong(0)
-          var i = 0
-          // Double hashing (Kirsch–Mitzenmatcher): h_i = h1 + i*h2 gives k
-          // independent-enough probes from two base hashes.
-          val h1 = scala.util.hashing.MurmurHash3.productHash(Tuple1(key)).toLong & 0x7fffffffL
-          val h2 = (FnvHash64.hashLong(key) & 0x7fffffffffffffffL) | 1L
-          while (i < numHashes) {
-            val bit = (((h1 + i * h2) & 0x7fffffffffffffffL) % numBits).toInt
-            local(bit >>> 6) |= (1L << (bit & 63))
-            i += 1
-          }
-        }
+        it.foreach(r => add(local, r.getLong(0), numBits, numHashes))
         Iterator.single(local)
       }
       .reduce { (a, b) =>

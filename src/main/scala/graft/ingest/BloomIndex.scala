@@ -1,0 +1,127 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Bloom
+
+/** One sidecar row per data file: the file's Bloom bitset over one column,
+  * with the exact parameters it was built with (a probe with different
+  * parameters would silently skip files that match).
+  */
+final case class BloomFileEntry(file: String, bits: Array[Long],
+                                num_bits: Int, num_hashes: Int)
+
+/** Per-FILE Bloom-filter data skipping for [[BlockWriter]] layouts.
+  *
+  * The reference prunes blocks by KEY RANGE carried in the filename
+  * (/root/reference/block.go:143-199) — which only works for the one
+  * sorted key column. A point lookup on any OTHER column (find event X,
+  * find user Y's session) degenerates to a full scan: every file's key
+  * range spans the predicate. This extends the same skip-before-read idea
+  * to arbitrary columns with the standard modern mechanism (Parquet
+  * bloom_filter_enabled / Iceberg-style secondary skipping): one Bloom
+  * bitset per file per indexed column, consulted before any data file is
+  * opened.
+  *
+  * Scale design:
+  *  - The index BUILD is one column-pruned scan: project (file, hash),
+  *    OR per-file bitsets with map-side combine (`aggregateByKey`), write
+  *    file-count-many rows. No driver hop — bitsets never funnel through
+  *    the driver.
+  *  - The sidecar is a parquet TABLE keyed by file, not driver state: at
+  *    100 TB (~10M files × 16 KB) it is itself a distributable dataset,
+  *    so PRUNING is a distributed filter over the sidecar — only the
+  *    surviving file NAMES (the same cardinality Spark's FileIndex hands
+  *    the scheduler anyway) are collected.
+  *  - False positives cost one wasted file read, never a wrong row: the
+  *    exact residual predicate stays on the scan. Results are therefore
+  *    EXACTLY the full-scan filter's — which is what the DuckDB oracle
+  *    checks on `ref_bloom_point`.
+  *  - Sidecar dirs are underscore-prefixed, so `spark.read.parquet(base)`
+  *    (and every existing RangeQuery path) ignores them as hidden.
+  *
+  * Default sizing: 2^17 bits = 16 KB per file against the 8192-row
+  * [[BlockWriter.DefaultMaxRecordsPerFile]] cap → 16 bits/key, ~0.04%
+  * false-positive rate at k=7.
+  */
+object BloomIndex {
+
+  val DefaultNumBits = 1 << 17
+  val DefaultNumHashes = 7
+
+  def sidecar(base: String, column: String): String =
+    s"$base/_bloom_$column"
+
+  /** Build the per-file index for `column` under `dest` (defaults to the
+    * in-layout sidecar path). `dest` is a parameter so callers can stage
+    * to a temp dir and atomically rename — the same publish discipline as
+    * the ingest caches.
+    */
+  def build(spark: SparkSession, base: String, column: String,
+            dest: String = null,
+            numBits: Int = DefaultNumBits,
+            numHashes: Int = DefaultNumHashes): Unit = {
+    val out = if (dest == null) sidecar(base, column) else dest
+    val nWords = Bloom.numWords(numBits)
+    import spark.implicits._
+    val entries = spark.read.parquet(base)
+      .select(input_file_name().as("file"), xxhash64(col(column)).as("key"))
+      .as[(String, Long)]
+      .rdd
+      // zeroValue is serialized and re-materialized per key, so in-place
+      // mutation of the accumulator is safe (and allocation-free per row).
+      .aggregateByKey(new Array[Long](nWords))(
+        (acc, k) => { Bloom.add(acc, k, numBits, numHashes); acc },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+      .map { case (f, bits) => BloomFileEntry(f, bits, numBits, numHashes) }
+    spark.createDataset(entries).write.mode("overwrite").parquet(out)
+  }
+
+  /** (surviving files, total files) for a point predicate — the pruning
+    * effectiveness probe (test- and ops-facing).
+    */
+  def candidateFiles(spark: SparkSession, base: String, column: String,
+                     value: Column): (Seq[String], Long) = {
+    val sc = spark.read.parquet(sidecar(base, column))
+    val total = sc.count()
+    (survivors(spark, sc, base, column, value), total)
+  }
+
+  private def survivors(spark: SparkSession, sc: DataFrame, base: String,
+                        column: String, value: Column): Seq[String] = {
+    import spark.implicits._
+    // Probe hash must match the build hash BIT-FOR-BIT: xxhash64 hashes
+    // by physical type, so the probe literal is cast to the layout
+    // column's type before hashing (an int literal probing a bigint
+    // column would otherwise hash differently and skip everything).
+    val colType = spark.read.parquet(base).schema(column).dataType
+    // Membership test runs over the metadata-sized sidecar (file-count
+    // rows), not the data path — a plain UDF is fine here; the DATA scan
+    // below keeps its codegen'd residual filter.
+    val probe = udf((bits: Array[Long], key: Long, nb: Int, nh: Int) =>
+      Bloom.test(bits, key, nb, nh))
+    sc.filter(probe(col("bits"), xxhash64(value.cast(colType)),
+        col("num_bits"), col("num_hashes")))
+      .select(col("file")).as[String].collect().toSeq
+  }
+
+  /** Point lookup through the index: consult the sidecar, read ONLY the
+    * surviving files, apply the exact residual predicate. Falls back to a
+    * schema-correct empty result when no file can match.
+    */
+  def lookup(spark: SparkSession, base: String, column: String,
+             value: Column): DataFrame = {
+    val sc = spark.read.parquet(sidecar(base, column))
+    val files = survivors(spark, sc, base, column, value)
+    if (files.isEmpty) spark.read.parquet(base).filter(lit(false))
+    else {
+      // Qualified basePath so partition columns (bucket=N dirs) are still
+      // discovered when reading leaf files directly.
+      val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qualified = fs.makeQualified(new Path(base)).toString
+      spark.read.option("basePath", qualified).parquet(files: _*)
+        .filter(col(column) === value)
+    }
+  }
+}

@@ -123,7 +123,33 @@ object Dedup {
   val DefaultSkewCap = 256
 
   def jaccardPairs(s: SparkSession, d: String, threshold: Double,
-                   dfCap: Int = DefaultSkewCap): DataFrame = {
+                   dfCap: Int = DefaultSkewCap): DataFrame =
+    overlapPairs(s, d, threshold, dfCap,
+      (c, na, nb) => round(c.cast("double") / (na + nb - c), 4), "jaccard")
+
+  /** Exact pairwise CONTAINMENT ≥ `threshold`: |A∩B| / min(|A|, |B|) —
+    * the asymmetric-overlap dedup relation Jaccard misses. A short doc
+    * quoted wholesale inside a long one scores near-zero Jaccard (the
+    * union is dominated by the long doc) but containment ≈ 1; corpus
+    * pipelines use it to drop subset/quotation duplicates that survive
+    * d2. Same inverted-index + skew-cap + optimistic-bound machinery as
+    * [[jaccardPairs]] — both scores are monotone in the common count, so
+    * the shared cold-candidate bound is sound for either.
+    */
+  def containmentPairs(s: SparkSession, d: String, threshold: Double,
+                       dfCap: Int = DefaultSkewCap): DataFrame =
+    overlapPairs(s, d, threshold, dfCap,
+      (c, na, nb) => round(c.cast("double") / least(na, nb), 4), "containment")
+
+  /** Shared exact-overlap kernel behind [[jaccardPairs]] and
+    * [[containmentPairs]]: `score(common, na, nb)` must be MONOTONE
+    * NON-DECREASING in `common` (both callers are), because the cold-
+    * candidate filter evaluates it at the optimistic upper bound `cap`.
+    */
+  private def overlapPairs(s: SparkSession, d: String, threshold: Double,
+                           dfCap: Int,
+                           score: (Column, Column, Column) => Column,
+                           scoreName: String): DataFrame = {
     // Persist at the ARRAY grain (one row per doc), not the posting grain:
     // doc sizes fall out map-side as size(sh) — no 5M-row groupBy-count
     // shuffle — and the posting index explodes off the same cached pass.
@@ -162,8 +188,7 @@ object Dedup {
         .join(broadcast(hotCnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nhot", "ha")), Seq("doc_a"), "left")
         .join(broadcast(hotCnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nhot", "hb")), Seq("doc_b"), "left")
         .withColumn("cap", col("common") + least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
-        .filter(round(col("cap").cast("double") /
-          (col("na") + col("nb") - col("cap")), 4) >= threshold)
+        .filter(score(col("cap"), col("na"), col("nb")) >= threshold)
         .select(col("doc_a"), col("doc_b"))
       // Star candidates through hot shingles preserve anchor connectivity
       // for groups whose pairwise overlap is entirely hot (see
@@ -181,10 +206,10 @@ object Dedup {
         .join(arrays.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(arrays.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("jaccard", round(col("common").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("common")), 4))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .withColumn(scoreName,
+          score(col("common"), size(col("sha")), size(col("shb"))))
+        .filter(col(scoreName) >= threshold)
+        .select(col("doc_a"), col("doc_b"), col(scoreName))
         // Materialize the (small, threshold-filtered) pair set eagerly so
         // the shingle-array cache can be dropped before returning — a
         // Verify/Bench session runs d2, d3 and d6 back to back and must
@@ -508,6 +533,7 @@ object Dedup {
         .withColumn("dup_ratio", round(col("n_dup_grams") / col("n_grams"), 4))
     },
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
+    "d10_containment" -> { (s, d) => containmentPairs(s, d, 0.9) },
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
     "d4_simhash" -> { (s, d) => simhashPairs(s, d) },
     "d4b_simhash_gate" -> { (s, d) =>
@@ -595,6 +621,24 @@ object Dedup {
        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
        |WHERE round(CAST(common AS DOUBLE) / (x.n + y.n - common), 4) >= $threshold""".stripMargin
 
+  /** Same CTE skeleton as [[jaccardOracle]], scored as containment:
+    * common / min(|A|, |B|).
+    */
+  private def containmentOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+       |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shingle
+       |       FROM w WHERE len(words) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / least(x.n, y.n), 4) AS containment
+       |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE round(CAST(common AS DOUBLE) / least(x.n, y.n), 4) >= $threshold""".stripMargin
+
   /** Exact cosine pairs at threshold 0.45 — the shared oracle for both the
     * broadcast-tile (d5) and shuffle (d9) forms of the same kernel.
     */
@@ -630,6 +674,7 @@ object Dedup {
         |FROM g JOIN f ON g.gram = f.gram
         |GROUP BY g.doc_id""".stripMargin,
     "d2_ngram_jaccard" -> jaccardOracle(0.8),
+    "d10_containment" -> containmentOracle(0.9),
     "d3_minhash_lsh" -> jaccardOracle(0.8),
     // Connected components in SQL: symmetric-transitive closure of the
     // near-dup edge set via a recursive CTE, then cluster = min reachable id.

@@ -95,6 +95,29 @@ object Packing {
         .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
           round(col("tok").cast("double") / col("tot"), 6).as("token_share"))
     },
+    "mix3_temperature_mixture" -> { (s, d) =>
+      // Temperature-scaled mixture weights (the multilingual-pretraining
+      // p^α reweighting, α = 0.5): upsample rare domains, downsample
+      // dominant ones, renormalize. α = 0.5 keeps every double IEEE-exact
+      // (sqrt, not pow — libm pow differs across engines in the last
+      // ulp). Same one-shuffle + broadcast-one-row-aggregate shape as
+      // mix1: the per-domain table is vocabulary-sized by construction,
+      // so the two scalar normalizers ride broadcasts, never a second
+      // corpus scan.
+      val perSource = Tables.table(s, d, "documents")
+        .select(col("source"), tokCount.as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tok"))
+      val total = perSource.agg(sum(col("tok")).as("tot"))
+      val shares = perSource.crossJoin(broadcast(total))
+        .withColumn("share", col("tok").cast("double") / col("tot"))
+      val z = shares.agg(sum(sqrt(col("share"))).as("z"))
+      shares.crossJoin(broadcast(z))
+        .select(col("source"),
+          round(col("share"), 6).as("token_share"),
+          round(sqrt(col("share")) / col("z"), 6).as("temp_share"),
+          round(sqrt(col("share")) / col("z") / col("share"), 6).as("upsample"))
+    },
     "mix2_curriculum_sample" -> { (s, d) =>
       // Curriculum sampling: each domain keeps a deterministic fraction of
       // its documents (rate_16/16ths here, keyed off the source id — in
@@ -235,6 +258,23 @@ object Packing {
         |  round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per_src), 6)
         |    AS token_share
         |FROM per_src""".stripMargin,
+    // share is exact-int division on both sides; sqrt is IEEE-exact; the
+    // z normalizer's 20-term sum can differ in the last ulp across
+    // engines' summation order — round(6) absorbs it.
+    "mix3_temperature_mixture" ->
+      """WITH per_src AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tok
+        |  FROM documents GROUP BY source),
+        |sh AS (SELECT source,
+        |    CAST(tok AS DOUBLE) / (SELECT sum(tok) FROM per_src) AS share
+        |  FROM per_src),
+        |z AS (SELECT sum(sqrt(share)) AS z FROM sh)
+        |SELECT source,
+        |  round(share, 6) AS token_share,
+        |  round(sqrt(share) / (SELECT z FROM z), 6) AS temp_share,
+        |  round(sqrt(share) / (SELECT z FROM z) / share, 6) AS upsample
+        |FROM sh""".stripMargin,
     "mix2_curriculum_sample" ->
       """SELECT doc_id, source,
         |  CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 8

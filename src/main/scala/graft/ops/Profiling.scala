@@ -80,6 +80,35 @@ object Profiling {
         .withColumn("outlier_pct",
           round(col("n_outliers").cast("double") / col("n_rows"), 6))
     },
+    "out2_mad_outliers" -> { (s, d) =>
+      // Robust (MAD-based) outlier profile — the median/MAD counterpart
+      // of out1's mean/stddev z-score: immune to the outliers it hunts
+      // (one wild value shifts a mean, not a median). Modified z
+      // (Iglewicz–Hoaglin): 0.6745·(x − med)/MAD, flag |z| > 3.5.
+      // Shape: two median aggregates over the same scan grain with the
+      // group-level results broadcast back — groups are nations (25), so
+      // the expensive order-statistic state stays bounded per group; at
+      // unbounded cardinality swap median → approx_percentile like a7.
+      val c = Tables.table(s, d, "customer")
+        .select(col("c_nationkey").as("nk"), col("c_acctbal").cast("double").as("x"))
+      val med = c.groupBy(col("nk")).agg(median(col("x")).as("med"))
+      val dev = c.join(broadcast(med), Seq("nk"))
+      val mad = dev.select(col("nk"), abs(col("x") - col("med")).as("adev"))
+        .groupBy(col("nk")).agg(median(col("adev")).as("mad"))
+      dev.join(broadcast(mad), Seq("nk"))
+        .groupBy(col("nk"))
+        .agg(
+          // UNROUNDED: the median/MAD doubles are bit-identical across
+          // engines (same multiset, same two-middle interpolation), and
+          // round(·, 2) itself diverges on decimal ties (3463.445 case)
+          // — the verify-skill rule: round only when the raw arithmetic
+          // can't be made identical.
+          first(col("med")).as("med_bal"),
+          first(col("mad")).as("mad_bal"),
+          sum(when(col("mad") > 0 &&
+              abs(lit(0.6745) * (col("x") - col("med")) / col("mad")) > lit(3.5), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    },
     "dq1_expectations" -> { (s, d) =>
       // Expectation suite: each row is (check, violations). Single-table
       // checks fold into one conditional-aggregate pass over lineitem; the
@@ -137,6 +166,22 @@ object Profiling {
         |    / count(*), 6) AS outlier_pct
         |FROM v JOIN st USING (l_linestatus)
         |GROUP BY v.l_linestatus""".stripMargin,
+    // Same expression order as the Spark side (0.6745·(x−med)/mad) so the
+    // modified-z doubles are bit-identical; med/mad emitted UNROUNDED
+    // (bit-identical across engines; round(·,2) diverges on .445 ties).
+    "out2_mad_outliers" ->
+      """WITH v AS (SELECT c_nationkey AS nk, CAST(c_acctbal AS DOUBLE) AS x
+        |  FROM customer),
+        |m AS (SELECT nk, median(x) AS med FROM v GROUP BY nk),
+        |md AS (SELECT nk, median(abs(x - med)) AS mad
+        |  FROM v JOIN m USING (nk) GROUP BY nk)
+        |SELECT nk,
+        |  any_value(med) AS med_bal,
+        |  any_value(mad) AS mad_bal,
+        |  CAST(sum(CASE WHEN mad > 0 AND abs(0.6745 * (x - med) / mad) > 3.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM v JOIN m USING (nk) JOIN md USING (nk)
+        |GROUP BY nk""".stripMargin,
     "dq1_expectations" ->
       """SELECT 'null_key' AS "check",
         |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations

@@ -134,6 +134,46 @@ object TextAnalysis {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("term").as("top_term"), col("tfidf").as("top_tfidf"))
     },
+    "t14_bm25" -> { (s, d) =>
+      // BM25 ranked retrieval (Robertson–Spärck Jones, the lexical
+      // retrieval baseline behind most RAG pipelines): score every
+      // document for a fixed query-term set, return the top 20.
+      //
+      // Scale shape: doc length is map-side (no shuffle); the explode is
+      // filtered to the QUERY TERMS before the one (doc, term) shuffle,
+      // so the exchange carries |query| rows per doc, not |vocab|; df
+      // and the corpus stats are broadcast one-row/vocab-sized builds.
+      // avgdl is derived as exact-integer sum/count (not avg()) so both
+      // engines compute the identical double before any fp arithmetic.
+      val queryTerms = Seq("spark", "vector", "merge")
+      // Literal constants, pre-folded: computing k1+1 in Scala double
+      // arithmetic could differ from the oracle's 2.2 literal in the
+      // last ulp; 1-b = 0.25 is exact but folded anyway for symmetry.
+      val k1 = 1.2
+      val k1Plus1 = 2.2
+      val b = 0.75
+      val oneMinusB = 0.25
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        // same ≥3-char token filter as the t13 inverted index
+        .select(col("doc_id"), col("toks"),
+          size(filter(col("toks"), t => length(t) >= 3)).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), "tok")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1Plus1)) /
+            (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl"))))
+            .as("contrib"))
+        .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    },
     "t5_fnv_fingerprint" -> { (s, d) =>
       // Native codegen'd Catalyst expression (graft.functions.FnvHash64)
       // through the SQL function registry — the custom-Expression tier.
@@ -268,6 +308,30 @@ object TextAnalysis {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
         |  FROM scored) t
         |WHERE rn = 1""".stripMargin,
+    // Constants pre-folded identically to the Spark side: k1+1 = 2.2,
+    // 1-b = 0.25, k1 = 1.2, b = 0.75; avgdl = exact-int sum/count.
+    "t14_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), t -> length(t) >= 3)) AS dl,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+        |  WHERE tok IN ('spark', 'vector', 'merge')
+        |  GROUP BY doc_id, dl, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id,
+        |  round(sum(
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
     // FNV-1a re-derived in DuckDB via a HUGEINT list_reduce mod 2^64 (text
     // is ASCII so ord(char) == byte).
     "t5_fnv_fingerprint" ->

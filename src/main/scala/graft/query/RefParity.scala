@@ -64,6 +64,27 @@ object RefParity {
     base
   }
 
+  // exists at every sf (event ids are 0..999/9999/99999)
+  private val PointEventId = 777L
+
+  /** [[ingestedEvents]] plus a per-file Bloom sidecar on event_id, built
+    * once per cached layout (stage to a pid-unique temp dir, atomically
+    * rename — same race discipline as the ingest itself).
+    */
+  private def bloomIndexedEvents(s: SparkSession, sfDir: String): String = {
+    import graft.ingest.BloomIndex
+    val base = ingestedEvents(s, sfDir)
+    val sc = new java.io.File(BloomIndex.sidecar(base, "event_id"))
+    if (!new java.io.File(sc, "_SUCCESS").exists()) {
+      val tmp = sc.getPath + ".tmp-" + java.lang.ProcessHandle.current().pid()
+      BloomIndex.build(s, base, "event_id", dest = tmp)
+      if (!new java.io.File(tmp).renameTo(sc)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    base
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Direct range query on the raw table: predicate must fully push into
     // the parquet scan (the reference's residual filter, block.go:117-141).
@@ -76,6 +97,15 @@ object RefParity {
     "ref_ingest_query" -> { (s, d) =>
       val base = ingestedEvents(s, d)
       outCols(RangeQuery.query(s, base, "user_id", "ts_us", lit(PK), lit(LO), lit(HI)))
+    },
+    // Point lookup on a NON-key column through the per-file Bloom index:
+    // the reference's filename zone map can't skip anything here (every
+    // block's ts range spans any event_id), so this is the secondary-
+    // skipping path — sidecar probe prunes to ~1 file, residual filter
+    // keeps the result exactly the full-scan answer (the oracle).
+    "ref_bloom_point" -> { (s, d) =>
+      val base = bloomIndexedEvents(s, d)
+      outCols(graft.ingest.BloomIndex.lookup(s, base, "event_id", lit(PointEventId)))
     },
     // Snapshot lifecycle: the same aggregate through (1) time travel to
     // v1, (2) the latest snapshot, (3) the incremental v1→v2 file-diff
@@ -141,6 +171,9 @@ object RefParity {
   val oracleSql: Map[String, String] = Map(
     "ref_range_query"  -> oracle,
     "ref_ingest_query" -> oracle,
+    "ref_bloom_point" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+         |FROM events WHERE event_id = $PointEventId""".stripMargin,
     "snap1_time_travel" ->
       """SELECT 1 AS snap, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'

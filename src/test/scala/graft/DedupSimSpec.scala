@@ -138,6 +138,27 @@ class DedupSimSpec extends SparkSuite {
     assert(exact === capped ++ boilerPairs)
   }
 
+  test("containment catches subset duplicates that Jaccard misses") {
+    // Doc 1 is doc 0 quoted wholesale inside 30 words of new material:
+    // every shingle of 0 appears in 1, so containment = 1.0, while the
+    // union is dominated by doc 1's extra shingles → Jaccard ≈ 0.09,
+    // invisible at any sane Jaccard threshold. Doc 2 is unrelated.
+    val sess = spark
+    import sess.implicits._
+    val short = "q1 q2 q3 q4 q5"
+    val long = short + " " + (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, short), (1L, long),
+      (2L, "totally different content about nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft_containment")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = Dedup.containmentPairs(spark, dir, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont === Set((0L, 1L, 1.0)))
+    val jac = Dedup.jaccardPairs(spark, dir, 0.8).collect()
+    assert(jac.isEmpty, "the subset pair must be invisible to Jaccard")
+  }
+
   test("MinHash-LSH finds exactly the exact-Jaccard pair set") {
     val exact = pairSet(Dedup.jaccardPairs(spark, sf, 0.8), "doc_a", "doc_b")
     val lsh = pairSet(Dedup.minhashLshPairs(spark, sf, 0.8), "doc_a", "doc_b")

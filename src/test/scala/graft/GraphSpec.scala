@@ -73,4 +73,54 @@ class GraphSpec extends SparkSuite {
     assert(out.forall(x => x._2 > 0 && !x._2.isNaN && !x._2.isInfinite))
     assert(math.abs(out.map(_._2).sum - 1.0) < 1e-3, "rank mass conserved")
   }
+
+  private def trianglesOf(edges: Seq[(Int, Long, Long)]): Map[Int, Long] = {
+    val sess = spark
+    import sess.implicits._
+    Graph.triangleCount(edges.toDF("nk", "u", "v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle count: K4 has 4, a path has 0, nations stay separate") {
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles; nation 9's 3-path has none.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (0, a, b)
+    val path = Seq((9, 10L, 11L), (9, 11L, 12L))
+    val t = trianglesOf(k4 ++ path)
+    assert(t === Map(0 -> 4L), s"got $t")
+  }
+
+  test("degree orientation counts exactly what id orientation counts") {
+    // A skewed graph: hub 1 connected to all of 2..8, plus a few rim
+    // edges. Degree orientation points rim→hub; the count must equal the
+    // brute-force id-oriented enumeration (the oracle's form).
+    val edges = (2L to 8L).map(b => (0, 1L, b)) ++
+      Seq((0, 2L, 3L), (0, 3L, 4L), (0, 5L, 6L), (0, 2L, 8L))
+    val got = trianglesOf(edges)
+    // id-oriented brute force: u<v holds for every input pair already
+    val set = edges.map(e => (e._2, e._3)).toSet
+    val verts = set.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var expect = 0L
+    for {
+      a <- verts; b <- verts if a < b && set((a, b))
+      c <- verts if b < c && set((b, c)) && set((a, c))
+    } expect += 1
+    assert(got.getOrElse(0, 0L) === expect, s"got $got expect $expect")
+  }
+
+  test("banded balance edges equal the all-pairs filter exactly") {
+    val sess = spark
+    import sess.implicits._
+    val banded = Graph.balanceEdges(spark, sf, Graph.BalanceEps)
+      .as[(Int, Long, Long)].collect().toSet
+    val c = graft.tables.Tables.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val brute = c.alias("a").join(c.alias("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey") &&
+          abs(col("a.c_acctbal") - col("b.c_acctbal")) < Graph.BalanceEps)
+      .select(col("a.c_nationkey"), col("a.c_custkey"), col("b.c_custkey"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "graph must be non-trivial at sf0.001")
+  }
 }
