@@ -59,7 +59,8 @@ object Snapshots {
   def versions(base: String): Seq[Long] =
     versionFiles(base).filter(_.length > 0).map(versionOf).sorted
 
-  private case class Manifest(version: Long, parent: Long, mode: String, files: Seq[String])
+  private case class Manifest(version: Long, parent: Long, mode: String,
+                              files: Seq[String], dvs: Seq[String])
 
   /** Manifest lines are base-relative; everything in memory is absolute.
     * Relativize at the WRITE boundary, resolve at the READ boundary, so
@@ -75,13 +76,18 @@ object Snapshots {
     if (new File(line).isAbsolute) line // legacy absolute manifest line
     else new File(base, line).getAbsolutePath
 
+  /** Deletion-vector manifest lines are tagged `dv:`; every other line is
+    * a data file. Old manifests have no dv lines and parse unchanged.
+    */
   private def readManifest(base: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestFile(base, v).toPath).asScala.toSeq
     val header = lines.head.split("\t").map { kv =>
       val Array(k, value) = kv.split("=", 2); k -> value
     }.toMap
+    val (dvLines, dataLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("dv:"))
     Manifest(header("version").toLong, header("parent").toLong,
-      header("mode"), lines.tail.filter(_.nonEmpty).map(resolve(base, _)))
+      header("mode"), dataLines.map(resolve(base, _)),
+      dvLines.map(l => resolve(base, l.stripPrefix("dv:"))))
   }
 
   /** Write `df`'s files under a fresh uncommitted batch dir. */
@@ -133,13 +139,15 @@ object Snapshots {
     try body finally lock.delete()
   }
 
-  /** Publish `carried(parent) ++ newFiles` as the next version. The parent
-    * is resolved UNDER the commit lock, so `carried` always sees the true
-    * newest committed state — concurrent appends serialize instead of
-    * dropping each other's files from the lineage.
+  /** Publish `carried(parent) ++ (newFiles, newDvs)` as the next version.
+    * `carried` returns (data files, deletion-vector files) to carry from
+    * the parent; it is resolved UNDER the commit lock, so it always sees
+    * the true newest committed state — concurrent appends serialize
+    * instead of dropping each other's files from the lineage.
     */
-  private def publish(base: String, newFiles: Seq[String], mode: String,
-                      carried: Long => Seq[String]): Long =
+  private def publish(base: String, newFiles: Seq[String], newDvs: Seq[String],
+                      mode: String,
+                      carried: Long => (Seq[String], Seq[String])): Long =
     withCommitLock(base) {
       val vs = versions(base)
       val parent = if (vs.isEmpty) 0L else vs.max
@@ -149,9 +157,11 @@ object Snapshots {
       val next = (0L +: versionFiles(base).map(versionOf)).max.max(parent) + 1
       val target = manifestFile(base, next)
       val tmp = new File(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
+      val (carriedFiles, carriedDvs) = carried(parent)
       Files.writeString(tmp.toPath,
         (s"version=$next\tparent=$parent\tmode=$mode" +:
-          (carried(parent) ++ newFiles).map(relativize(base, _)))
+          ((carriedFiles ++ newFiles).map(relativize(base, _)) ++
+            (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f))))
           .mkString("\n"))
       // Atomic move: the manifest appears fully written or not at all.
       Files.move(tmp.toPath, target.toPath,
@@ -169,8 +179,11 @@ object Snapshots {
              mode: String = "append", sortCols: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite", s"unknown mode $mode")
     val newFiles = writeBatch(df, base, sortCols)
-    publish(base, newFiles, mode,
-      parent => if (mode == "append" && parent > 0) readManifest(base, parent).files else Nil)
+    publish(base, newFiles, Nil, mode, parent =>
+      if (mode == "append" && parent > 0) {
+        val p = readManifest(base, parent)
+        (p.files, p.dvs)
+      } else (Nil, Nil))
   }
 
   /** The live file list of a version — public so tests and external
@@ -197,7 +210,13 @@ object Snapshots {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val vs = versions(base)
     require(vs.nonEmpty, s"no committed snapshots under $base")
-    val files = readManifest(base, vs.max).files
+    val m0 = readManifest(base, vs.max)
+    // The touched-file scan reads raw parquet; under deletion vectors it
+    // would resurrect DV-deleted rows into the rewrite. Materialize first.
+    require(m0.dvs.isEmpty,
+      "table has deletion vectors - run compact() to materialize them " +
+        "before a copy-on-write delete, or use deleteWhereDV")
+    val files = m0.files
     val touched = spark.read.parquet(files: _*).filter(cond)
       .select(org.apache.spark.sql.functions.input_file_name().as("f")).distinct()
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
@@ -219,19 +238,133 @@ object Snapshots {
     // CONTAIN the cond-matching rows — carrying them would resurrect deleted
     // rows and duplicate survivors from our rewrite. Abort loudly instead
     // (mirror of compact's conflict check).
-    publish(base, newFiles, mode = "delete", parent =>
-      if (parent == 0) Nil
-      else if (parent == v0) readManifest(base, parent).files.filterNot(touched)
+    publish(base, newFiles, Nil, mode = "delete", parent =>
+      if (parent == 0) (Nil, Nil)
+      else if (parent == v0) (readManifest(base, parent).files.filterNot(touched), Nil)
       else {
-        val pf = readManifest(base, parent).files
-        val rewrittenAway = touched -- pf.toSet
+        val p = readManifest(base, parent)
+        val rewrittenAway = touched -- p.files.toSet
         if (rewrittenAway.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"deleteWhere based on v$v0 conflicts with a concurrent overwrite " +
               s"that rewrote ${rewrittenAway.size} of its ${touched.size} touched " +
               "file(s); retry the delete from the new version")
-        pf.filterNot(touched)
+        // A concurrent DV delete's vector may reference a file we just
+        // rewrote - carrying it would re-hide rows our rewrite kept, and
+        // dropping it would resurrect that delete. Abort loudly.
+        if (p.dvs.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deleteWhere based on v$v0 conflicts with a concurrent " +
+              "deletion-vector delete; retry from the new version")
+        (p.files.filterNot(touched), Nil)
       })
+  }
+
+  /** Last-3-components key (`data/b_<uuid>/<file>.parquet`) — the file
+    * identity deletion vectors store. Scheme- and base-independent, so DV
+    * contents survive table relocation just like the manifest's relative
+    * paths. Holds because [[writeBatch]] and DV batches never nest
+    * partition subdirectories under the batch dir.
+    */
+  private def relKey(absFile: String): String =
+    absFile.split('/').takeRight(3).mkString("/")
+
+  /** Merge-on-read DELETE via deletion vectors (the Iceberg v3 / Delta DV
+    * mechanism): instead of rewriting every touched data file, write one
+    * small parquet of (dv_file, dv_pos) row coordinates and publish a
+    * manifest that carries ALL parent data files plus the new vector.
+    * [[read]] subtracts the vectors at scan time; [[compact]] materializes
+    * them away. Returns the new version (no-op deletes publish nothing).
+    *
+    * Copy-on-write [[deleteWhere]] rewrites whole files on the write path;
+    * this writes rows-deleted-sized metadata instead — at 100 TB a delete
+    * of 1k rows scattered across 1k files costs one scan + a KB-scale
+    * write, not a 1k-file rewrite. The read path pays the anti join, but
+    * ONLY on files a vector actually references (clean files take the
+    * plain scan path), so an untouched partition never slows down.
+    */
+  def deleteWhereDV(spark: SparkSession, base: String,
+                    cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v0 = vs.max
+    val m = readManifest(base, v0)
+    // Scan WITH row coordinates, existing vectors applied — a row already
+    // DV-deleted must not be re-matched (a cond hitting only such rows is
+    // a no-op, not a new version).
+    val matches = scanWithDvs(spark, m, keepCoords = true)
+      .filter(cond)
+      .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
+    if (matches.isEmpty) return v0
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    val dvPath = new File(dataDir(base), s"dv_$batchId")
+    matches.write.parquet(dvPath.toString)
+    val newDvs = Option(dvPath.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    // Files this vector references — for the conflict check below.
+    val referenced = matches.select("dv_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    publish(base, Nil, newDvs, mode = "delete-dv", parent =>
+      if (parent == v0) (m.files, m.dvs)
+      else {
+        val p = readManifest(base, parent)
+        // Concurrent appends carry fine (a DV never references their
+        // files); an overwrite that rewrote a file this vector points at
+        // would orphan its coordinates AND resurrect the delete - abort.
+        val gone = referenced -- p.files.map(relKey).toSet
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deleteWhereDV based on v$v0 conflicts with a concurrent " +
+              s"overwrite of ${gone.size} referenced file(s); retry from " +
+              "the new version")
+        (p.files, p.dvs)
+      })
+  }
+
+  private val DvFileCol = "_graft_dv_file"
+  private val DvPosCol = "_graft_dv_pos"
+
+  /** DV-aware scan of a manifest. Row coordinates (`_graft_dv_file`
+    * relocatable last-3 key + `_graft_dv_pos` parquet row index) come from
+    * Spark's `_metadata` struct — no shuffle, no row-number window. Only
+    * files a vector actually REFERENCES pay the anti join; every clean
+    * file takes the plain scan path, so at scale the subtraction cost is
+    * proportional to the dirty file set, not the table. The anti join's
+    * build side is rows-deleted-sized and hash-partitions like any join —
+    * AQE broadcasts it when small.
+    */
+  private def scanWithDvs(spark: SparkSession, m: Manifest,
+                          keepCoords: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    def coords(df: DataFrame) = df
+      .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    if (m.dvs.isEmpty) {
+      val scan = spark.read.parquet(m.files: _*)
+      return if (keepCoords) coords(scan) else scan
+    }
+    val dv = spark.read.parquet(m.dvs: _*)
+      .withColumnRenamed("dv_file", DvFileCol)
+      .withColumnRenamed("dv_pos", DvPosCol)
+    // Dirty-file set: same cardinality class as the manifest listing
+    // itself (bounded by file count), so the driver hop is the one the
+    // read path already makes.
+    val dirtyRel = dv.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    val (dirty, clean) = m.files.partition(f => dirtyRel(relKey(f)))
+    val parts = Seq(
+      if (clean.isEmpty) None
+      else Some {
+        val scan = spark.read.parquet(clean: _*)
+        if (keepCoords) coords(scan) else scan
+      },
+      if (dirty.isEmpty) None
+      else Some {
+        val sub = coords(spark.read.parquet(dirty: _*))
+          .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+        if (keepCoords) sub else sub.drop(DvFileCol, DvPosCol)
+      }).flatten
+    parts.reduce(_ unionByName _)
   }
 
   /** Small-files compaction as a snapshot: rewrite the latest version's
@@ -239,26 +372,38 @@ object Snapshots {
     * snapshots keep reading their own files; [[expire]] reclaims the
     * small ones once no kept version references them.
     */
+  /** [[read]] applies deletion vectors, so compaction also MATERIALIZES
+    * them: the rewritten files carry no deleted rows and the new manifest
+    * carries no dv lines — compact is the DV table's maintenance op.
+    */
   def compact(spark: SparkSession, base: String, numFiles: Int,
               sortCols: Seq[String] = Nil): Long = {
     val v0 = versions(base).max
-    val files0 = readManifest(base, v0).files.toSet
+    val m0 = readManifest(base, v0)
+    val files0 = m0.files.toSet
     val compacted = read(spark, base, Some(v0)).repartition(numFiles)
     val newFiles = writeBatch(compacted, base, sortCols)
     // Conflict handling inside the claim loop: files appended concurrently
     // (parent files not in our compacted input) carry forward untouched; a
     // concurrent DELETE of a file we already rewrote would resurrect its
     // rows, so that case aborts loudly instead of losing the delete.
-    publish(base, newFiles, mode = "overwrite", parent => {
-      if (parent == v0) Nil
+    publish(base, newFiles, Nil, mode = "overwrite", parent => {
+      if (parent == v0) (Nil, Nil)
       else {
-        val pf = readManifest(base, parent).files
-        val removed = files0 -- pf.toSet
+        val p = readManifest(base, parent)
+        val removed = files0 -- p.files.toSet
         if (removed.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"compact of v$v0 conflicts with a concurrent delete of " +
               s"${removed.size} file(s); retry compaction from the new version")
-        pf.filterNot(files0)
+        // A DV published after our rewrite started references pre-compact
+        // files — our output already lacks its coordinates, so carrying it
+        // is wrong and dropping it loses the delete. Abort loudly.
+        if (p.dvs.toSet != m0.dvs.toSet)
+          throw new java.util.ConcurrentModificationException(
+            s"compact of v$v0 conflicts with a concurrent deletion-vector " +
+              "delete; retry compaction from the new version")
+        (p.files.filterNot(files0), Nil)
       }
     })
   }
@@ -270,12 +415,14 @@ object Snapshots {
     val v = asOf.getOrElse(vs.max)
     require(vs.contains(v), s"snapshot $v not found (have ${vs.mkString(",")})")
     val m = readManifest(base, v)
-    spark.read.parquet(m.files: _*)
+    scanWithDvs(spark, m, keepCoords = false)
   }
 
   /** Incremental read: rows in `toV`'s file set but not `fromV`'s — the
     * appended data between two snapshots, consumed as a file-list diff
-    * (no data-side anti join; CDC for the append-only path).
+    * (no data-side anti join; CDC for the append-only path). Deletion-
+    * vector deletes are metadata-only and deliberately do NOT appear here;
+    * diff the versions' dv lines for a row-level delete feed.
     */
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
     val before = readManifest(base, fromV).files.toSet
@@ -292,7 +439,9 @@ object Snapshots {
     val vs = versions(base)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     drop.foreach(v => manifestFile(base, v).delete())
-    val live = keep.flatMap(v => readManifest(base, v).files).toSet
+    val live = keep.flatMap { v =>
+      val m = readManifest(base, v); m.files ++ m.dvs
+    }.toSet
     Option(dataDir(base).listFiles()).getOrElse(Array.empty[File]).foreach { batch =>
       Option(batch.listFiles()).getOrElse(Array.empty[File])
         .filter(f => f.getName.endsWith(".parquet") && !live(f.getAbsolutePath))

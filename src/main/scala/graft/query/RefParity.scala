@@ -127,6 +127,23 @@ object RefParity {
       summarize(Snapshots.read(s, dir, Some(v1)), 1)
         .unionAll(summarize(Snapshots.read(s, dir), 2))
         .unionAll(summarize(Snapshots.changes(s, dir, v1, v2), 3))
+    },
+    // Merge-on-read DELETE via deletion vectors: the staged tree commits
+    // the lineitem slice, then DV-deletes l_quantity < 5 WITHOUT rewriting
+    // a single data file (SnapshotSpec pins that). Row 1 = pre-delete
+    // snapshot (time travel THROUGH the vector to the untouched files),
+    // row 2 = post-delete (the anti-join-subtracted scan). The oracle
+    // recomputes both from lineitem directly, so a DV bug — wrong
+    // coordinates, mis-applied vector, resurrected rows — breaks the hash.
+    "snap2_dv_delete" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = dvSnapshotDir(s, d)
+      val vs = Snapshots.versions(dir).sorted
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
+      summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
+        .unionAll(summarize(Snapshots.read(s, dir, Some(vs.last)), 2))
     }
   )
 
@@ -163,6 +180,31 @@ object RefParity {
     base
   }
 
+  /** Staged one-commit-plus-one-DV-delete tree for snap2 — same cache
+    * discipline as [[snapshotDir]]. The DV delete happens at STAGE time,
+    * so the tree is immutable afterwards and reruns are stable.
+    */
+  private def dvSnapshotDir(s: SparkSession, sfDir: String): String = {
+    import graft.ingest.Snapshots
+    val fp = java.lang.Long.toHexString(
+      fingerprint(new java.io.File(sfDir, "lineitem.parquet")))
+    val base = s"/tmp/graft_dv/$LayoutVersion/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+    if (!new java.io.File(base, "_STAGED").exists()) {
+      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val li = Tables.table(s, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      Snapshots.commit(s, li, tmp, sortCols = Seq("l_orderkey"))
+      Snapshots.deleteWhereDV(s, tmp, col("l_quantity") < 5)
+      new java.io.File(tmp, "_STAGED").createNewFile()
+      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    base
+  }
+
   private val oracle =
     s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
        |FROM events
@@ -181,6 +223,12 @@ object RefParity {
         |SELECT 2, count(*), round(sum(l_quantity), 2) FROM lineitem
         |UNION ALL
         |SELECT 3, count(*), round(sum(l_quantity), 2)
-        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin,
+    "snap2_dv_delete" ->
+      """SELECT 1 AS snap, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 2, count(*), round(sum(l_quantity), 2)
+        |FROM lineitem WHERE NOT (l_quantity < 5)""".stripMargin
   )
 }

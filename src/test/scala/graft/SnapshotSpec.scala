@@ -209,4 +209,51 @@ class SnapshotSpec extends SparkSuite {
     Seq(99L).toDF("id").write.parquet(s"$base/data/b_orphan")
     assert(ids(Snapshots.read(spark, base)) === Set(1L, 2L))
   }
+
+  test("deletion-vector delete hides rows without rewriting any data file") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_dv")
+    val v1 = Snapshots.commit(spark, (1L to 5L).toDF("id").repartition(1), base)
+    val v2 = Snapshots.commit(spark, (6L to 10L).toDF("id").repartition(1), base)
+    val v3 = Snapshots.deleteWhereDV(spark, base, col("id") === 7L)
+    // merge-on-read result ≡ the copy-on-write result
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 10L).toSet - 7L))
+    // but EVERY data file carries by path — nothing was rewritten
+    assert(Snapshots.liveFiles(base, v3).toSet === Snapshots.liveFiles(base, v2).toSet)
+    // time travel still sees the deleted row
+    assert(ids(Snapshots.read(spark, base, Some(v2))).contains(7L))
+    // deleting an already-DV-deleted row is a no-op, not a new version
+    assert(Snapshots.deleteWhereDV(spark, base, col("id") === 7L) === v3)
+    // a second vector stacks on the first
+    Snapshots.deleteWhereDV(spark, base, col("id") === 2L)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 10L).toSet -- Set(2L, 7L)))
+    // NULL-predicate rows survive (SQL DELETE three-valued logic)
+    val v5 = Snapshots.deleteWhereDV(spark, base, col("id") =!= col("id"))
+    assert(ids(Snapshots.read(spark, base, Some(v5))) === ((1L to 10L).toSet -- Set(2L, 7L)))
+  }
+
+  test("compact materializes deletion vectors; relocation keeps them valid") {
+    val sess = spark
+    import sess.implicits._
+    val staged = tmpDir("graft_snapshot_dvmove") + "/staged"
+    Snapshots.commit(spark, (1L to 8L).toDF("id").repartition(2), staged)
+    Snapshots.deleteWhereDV(spark, staged, col("id") >= 7L)
+    // DV coordinates are base-relative like manifest lines — a renamed
+    // table tree must keep subtracting them
+    val promoted = staged.stripSuffix("staged") + "final"
+    assert(new java.io.File(staged).renameTo(new java.io.File(promoted)))
+    assert(ids(Snapshots.read(spark, promoted)) === (1L to 6L).toSet)
+    // copy-on-write delete refuses while vectors are outstanding (its raw
+    // touched-file rewrite would resurrect DV-deleted rows)
+    intercept[IllegalArgumentException] {
+      Snapshots.deleteWhere(spark, promoted, col("id") === 1L)
+    }
+    // compaction folds the vectors into plain files: same rows, no dv
+    // entries left, and copy-on-write works again
+    val vc = Snapshots.compact(spark, promoted, numFiles = 1)
+    assert(ids(Snapshots.read(spark, promoted, Some(vc))) === (1L to 6L).toSet)
+    Snapshots.deleteWhere(spark, promoted, col("id") === 1L)
+    assert(ids(Snapshots.read(spark, promoted)) === (2L to 6L).toSet)
+  }
 }
