@@ -43,6 +43,7 @@ object SparkEntry {
     TimeWindows.queries ++
     Stats.queries ++
     Shapes.queries ++
+    Skyline.queries ++
     Quality.queries ++
     Profiling.queries ++
     Behavior.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
     TimeWindows.oracleSql ++
     Stats.oracleSql ++
     Shapes.oracleSql ++
+    Skyline.oracleSql ++
     Quality.oracleSql ++
     Profiling.oracleSql ++
     Behavior.oracleSql ++

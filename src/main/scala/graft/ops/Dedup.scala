@@ -564,6 +564,27 @@ object Dedup {
           (count(lit(1)) > 0).as("nonempty"))
     },
     "d6_neardup_clusters" -> { (s, d) => neardupClusters(s, d, 0.8) },
+    "d11_quality_keep" -> { (s, d) =>
+      // The keep-DECISION layer over d6's clusters: production dedup
+      // doesn't keep the min-id doc, it keeps the BEST doc per cluster —
+      // here the longest (most complete version; truncated mirrors and
+      // quoted excerpts lose to their source), doc_id as the
+      // deterministic tie-break. Exact integer comparisons throughout, so
+      // the ranking is engine-stable with no fp knife-edges. One extra
+      // cluster-keyed window over d6's output — the cluster id is the
+      // shuffle key, and cluster sizes are capped by the same skew
+      // discipline as the pair generation feeding them.
+      val n = size(split(col("text"), " ")).cast("long")
+      val clusters = neardupClusters(s, d, 0.8)
+      val ranked = Tables.table(s, d, "documents")
+        .select(col("doc_id"), n.as("n_tokens"))
+        .join(clusters, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      ranked.withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster"), col("n_tokens"), col("keep"))
+    },
     "d5_embedding_neardup" -> { (s, d) =>
       // Exact cosine near-dup pairs over 64-d embeddings via the TILED
       // blocked broadcast×scan kernel (VecOps) — same sequential-double
@@ -694,6 +715,30 @@ object Dedup {
          |FROM documents d LEFT JOIN (
          |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
          |ON d.doc_id = m.a""".stripMargin,
+    // d11: d6's reachability CTE for the labels, then rank-by-(length
+    // desc, id) inside each cluster — keep = rank 1. All-integer ordering.
+    "d11_quality_keep" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_a, doc_b FROM (${jaccardOracle(0.8).replace("\n", "\n  ")})),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN (
+         |    SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+         |  ON d.doc_id = m.a)
+         |SELECT doc_id, cluster, n_tokens,
+         |  row_number() OVER (PARTITION BY cluster
+         |                     ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+         |FROM lab""".stripMargin,
     // d4_simhash: no oracle — signature depends on Spark's xxhash64, which
     // DuckDB cannot reproduce; exactness is covered by DedupSpec (banded
     // pairs ≡ brute-force hamming pairs) and by d4b's in-Spark gate below.

@@ -211,6 +211,30 @@ object Packing {
         .filter(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
         .select(col("anchor"), col("pos_id"), col("neg_id"), col("cos"))
     },
+    "pair2_hard_negatives" -> { (s, d) =>
+      // Hard-negative mining: for each anchor, the MOST-similar vector
+      // that is still not a duplicate — cosine in [0.15, 0.45), top-1 per
+      // anchor — the negatives that actually move a contrastive loss
+      // (pair1's LCG negatives are easy/random; hard negatives come from
+      // the similarity band just below the positive threshold). Pairs
+      // from the same bounded-memory tiled kernel as d5/pair1;
+      // symmetrized so both endpoints anchor; per-anchor top-1 via the
+      // rank-1 window (auto-rewritten to the bounded-heap TopKPerKey
+      // operator — no per-anchor sort buffer). At 100 TB the band pair
+      // source swaps to the ANN-pruned candidates like d5; the decision
+      // layer is unchanged.
+      val emb = Tables.table(s, d, "embeddings")
+      val band = VecOps.cosinePairsTiled(s, emb, "vec_id", "embedding", 0.15,
+          numTiles = 4)
+        .filter(col("cos") < 0.45)
+      val cand = band.select(col("vec_a").as("anchor"), col("vec_b").as("neg_id"), col("cos"))
+        .unionAll(band.select(col("vec_b").as("anchor"), col("vec_a").as("neg_id"), col("cos")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor")).orderBy(col("cos").desc, col("neg_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("anchor"), col("neg_id"), col("cos").as("neg_cos"))
+    },
     "vocab1_oov_rate" -> { (s, d) =>
       // Vocabulary coverage: vocab = the VocabSize highest-df terms
       // (ties broken by term), then each document's out-of-vocabulary
@@ -342,6 +366,32 @@ object Packing {
         |FROM pos, n
         |WHERE (anchor * 48271 + 11) % n_vec <> anchor
         |  AND (anchor * 48271 + 11) % n_vec <> pos_id""".stripMargin,
+    // Same dot/norm/round arithmetic as pair1's CTE, banded to
+    // [0.15, 0.45), symmetrized, rank-1 per anchor.
+    "pair2_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) >= 0.15
+        |    AND round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) < 0.45),
+        |c AS (SELECT vec_a AS anchor, vec_b AS neg_id, cos FROM p
+        |      UNION ALL SELECT vec_b, vec_a, cos FROM p)
+        |SELECT anchor, neg_id, cos AS neg_cos
+        |FROM (SELECT anchor, neg_id, cos,
+        |        row_number() OVER (PARTITION BY anchor
+        |                           ORDER BY cos DESC, neg_id) AS rn
+        |      FROM c)
+        |WHERE rn = 1""".stripMargin,
     "vocab1_oov_rate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

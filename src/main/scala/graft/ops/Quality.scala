@@ -132,6 +132,44 @@ object Quality {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    },
+    "t15_pmi_collocations" -> { (s, d) =>
+      // Pointwise mutual information over t11's bigram grain: which word
+      // pairs co-occur far beyond chance — the classic collocation /
+      // multi-word-expression detector (Church–Hanks), used to decide
+      // what becomes one token ("new york") in vocab construction.
+      // pmi = ln(P(ab) / (P(a)·P(b))) = ln(cab·Nu·Nu / (Nb·ca·cb)).
+      //
+      // Scale shape: corpus totals are MAP-SIDE sums (size(ws) per doc,
+      // no explode), the unigram table is vocab-sized and broadcasts onto
+      // the bigram counts twice (a-side, b-side), so the only full-corpus
+      // shuffle is the bigram count itself. The ≥5 support floor kills
+      // the hapax tail before the joins. Double arithmetic in the same
+      // left-assoc order as the oracle; ln can differ in the last ulp
+      // across libms, so the surface is round(·, 4) (t14 precedent).
+      val words = split(lower(col("text")), " ")
+      val base = Tables.table(s, d, "documents").select(words.as("ws"))
+      val totals = base.agg(
+        sum(size(col("ws"))).cast("double").as("nu"),
+        sum(greatest(size(col("ws")) - 1, lit(0))).cast("double").as("nb"))
+      val uni = base.select(explode(col("ws")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val pairs = zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))
+      val bi = base.select(explode(pairs).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      bi.join(broadcast(uni.select(col("tok").as("a"), col("c").as("ca"))), "a")
+        .join(broadcast(uni.select(col("tok").as("b"), col("c").as("cb"))), "b")
+        .crossJoin(broadcast(totals))
+        .select(concat(col("a"), lit(" "), col("b")).as("bigram"), col("cab"),
+          round(log((col("cab").cast("double") * col("nu") * col("nu")) /
+            (col("nb") * col("ca") * col("cb"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
     }
   )
 
@@ -217,6 +255,28 @@ object Quality {
         |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
         |  FROM w)
         |SELECT bigram, count(*) AS n FROM b
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // Same double expression order as the Spark side (left-assoc
+    // numerator and denominator); ln differs in the last ulp across
+    // libms, hence the round(·, 4) surface and ordering on the ROUNDED
+    // value (t14 precedent).
+    "t15_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |tot AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS nu,
+        |               CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS nb FROM w),
+        |uni AS (SELECT tok, count(*) AS c
+        |        FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY 1),
+        |bi AS (SELECT a, b, count(*) AS cab FROM (
+        |         SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS a,
+        |                unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS b
+        |         FROM w)
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT a || ' ' || b AS bigram, cab,
+        |  round(ln((CAST(cab AS DOUBLE) * nu * nu) / (nb * ca * cb)), 4) AS pmi
+        |FROM bi
+        |JOIN (SELECT tok AS a, c AS ca FROM uni) USING (a)
+        |JOIN (SELECT tok AS b, c AS cb FROM uni) USING (b)
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
   )
 }
