@@ -63,9 +63,16 @@ object BloomIndex {
             numBits: Int = DefaultNumBits,
             numHashes: Int = DefaultNumHashes): Unit = {
     val out = if (dest == null) sidecar(base, column) else dest
+    entriesOf(spark, spark.read.parquet(base), column, numBits, numHashes)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private def entriesOf(spark: SparkSession,
+                        data: org.apache.spark.sql.DataFrame, column: String,
+                        numBits: Int, numHashes: Int) = {
     val nWords = Bloom.numWords(numBits)
     import spark.implicits._
-    val entries = spark.read.parquet(base)
+    val entries = data
       .select(input_file_name().as("file"), xxhash64(col(column)).as("key"))
       .as[(String, Long)]
       .rdd
@@ -75,7 +82,38 @@ object BloomIndex {
         (acc, k) => { Bloom.add(acc, k, numBits, numHashes); acc },
         (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
       .map { case (f, bits) => BloomFileEntry(f, bits, numBits, numHashes) }
-    spark.createDataset(entries).write.mode("overwrite").parquet(out)
+    spark.createDataset(entries)
+  }
+
+  /** Incremental maintenance: index ONLY data files the sidecar doesn't
+    * cover yet (an append's new files), carry every existing entry
+    * verbatim, swap the combined sidecar in via stage-and-rename. The
+    * work is proportional to the APPENDED data — on a 100 TB table a
+    * daily append re-indexes the day, not the decade. Parameters come
+    * from the existing entries, so probe compatibility is preserved.
+    * Falls back to a full [[build]] when no sidecar exists.
+    */
+  def update(spark: SparkSession, base: String, column: String): Unit = {
+    val sc = sidecar(base, column)
+    if (!new java.io.File(sc, "_SUCCESS").exists()) return build(spark, base, column)
+    def pathOf(uri: String) = new java.net.URI(uri).getPath
+    val existing = spark.read.parquet(sc)
+    val head = existing.select("num_bits", "num_hashes").head()
+    val (numBits, numHashes) = (head.getInt(0), head.getInt(1))
+    val covered = existing.select("file").collect().map(r => pathOf(r.getString(0))).toSet
+    val fresh = spark.read.parquet(base).inputFiles.filterNot(f => covered(pathOf(f)))
+    if (fresh.isEmpty) return
+    val combined = existing.unionByName(
+      entriesOf(spark, spark.read.parquet(fresh.toIndexedSeq: _*), column,
+        numBits, numHashes).toDF())
+    // Stage the union FIRST (materializing the existing entries before
+    // their directory is touched), then swap — readers never see a
+    // half-written sidecar directory.
+    val tmp = sc + ".new-" + java.lang.ProcessHandle.current().pid()
+    combined.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sc))
+    if (!new java.io.File(tmp).renameTo(new java.io.File(sc)))
+      throw new java.io.IOException(s"failed to publish updated sidecar $sc")
   }
 
   /** (surviving files, total files) for a point predicate — the pruning

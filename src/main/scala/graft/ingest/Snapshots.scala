@@ -322,6 +322,61 @@ object Snapshots {
       })
   }
 
+  /** Batch MERGE (upsert): rows from `source` replace same-key rows in the
+    * table and new keys append — SQL MERGE's WHEN MATCHED THEN UPDATE /
+    * WHEN NOT MATCHED THEN INSERT, taking source rows WHOLE. Built on
+    * deletion vectors: matched target rows are DV-deleted (a semi join
+    * against the broadcast-able source key set — no target file is
+    * rewritten), and the entire source appends as new files; both legs
+    * publish as ONE commit, so readers see the upsert atomically or not
+    * at all. At 100 TB a merge touching 0.1% of rows costs one target
+    * scan + a source-sized write — the merge-on-read economics Iceberg
+    * v3 moved to, vs copy-on-write's rewrite of every touched file.
+    *
+    * `source` must be key-unique (enforce upstream with dropDuplicates;
+    * duplicate source keys would append twice). Requires the source to
+    * share the table's schema.
+    */
+  def merge(spark: SparkSession, base: String, source: DataFrame,
+            keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v0 = vs.max
+    val m = readManifest(base, v0)
+    // Coordinates of target rows whose key appears in the source: the
+    // DV-delete leg. left_semi keeps the scan side's columns only, so the
+    // projection is (coords + keys) — column pruning drops the rest.
+    val matched = scanWithDvs(spark, m, keepCoords = true)
+      .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
+    val newDvs =
+      if (matched.isEmpty) Nil
+      else {
+        val dvPath = new File(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
+        matched.write.parquet(dvPath.toString)
+        Option(dvPath.listFiles()).getOrElse(Array.empty[File])
+          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+      }
+    val referenced =
+      if (newDvs.isEmpty) Set.empty[String]
+      else matched.select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    // The insert leg: the whole source (updates are delete+insert).
+    val newFiles = writeBatch(source, base, keyCols)
+    publish(base, newFiles, newDvs, mode = "merge", parent =>
+      if (parent == v0) (m.files, m.dvs)
+      else {
+        val p = readManifest(base, parent)
+        val gone = referenced -- p.files.map(relKey).toSet
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"merge based on v$v0 conflicts with a concurrent overwrite of " +
+              s"${gone.size} referenced file(s); retry from the new version")
+        (p.files, p.dvs)
+      })
+  }
+
   private val DvFileCol = "_graft_dv_file"
   private val DvPosCol = "_graft_dv_pos"
 

@@ -144,6 +144,22 @@ object RefParity {
           .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
       summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
         .unionAll(summarize(Snapshots.read(s, dir, Some(vs.last)), 2))
+    },
+    // Batch MERGE (upsert) through deletion vectors: the staged tree
+    // commits (o_orderkey, o_custkey), then merges key%10 updates
+    // (+1_000_000 marker) and key%100 inserts (negated keys) as ONE
+    // atomic commit. Row 1 = pre-merge, row 2 = post-merge; all-long
+    // arithmetic, so the oracle recomputes both exactly from orders.
+    "snap3_merge_upsert" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = mergeSnapshotDir(s, d)
+      val vs = Snapshots.versions(dir).sorted
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+            sum(when(col("v") >= 1000000L, 1L).otherwise(0L)).as("n_upd"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_v"), col("n_upd"))
+      summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
+        .unionAll(summarize(Snapshots.read(s, dir, Some(vs.last)), 2))
     }
   )
 
@@ -205,6 +221,37 @@ object RefParity {
     base
   }
 
+  /** Staged commit + one atomic merge for snap3 — cache discipline as
+    * [[snapshotDir]]. Updates mark themselves with a +1_000_000 offset on
+    * v, inserts negate the key: both are invertible in exact long
+    * arithmetic, so the DuckDB oracle reconstructs the post-merge state
+    * from `orders` directly.
+    */
+  private def mergeSnapshotDir(s: SparkSession, sfDir: String): String = {
+    import graft.ingest.Snapshots
+    val fp = java.lang.Long.toHexString(
+      fingerprint(new java.io.File(sfDir, "orders.parquet")))
+    val base = s"/tmp/graft_merge/$LayoutVersion/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+    if (!new java.io.File(base, "_STAGED").exists()) {
+      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val o = Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      Snapshots.commit(s, o, tmp, sortCols = Seq("k"))
+      val src = o.filter(col("k") % 10 === 0)
+        .select(col("k"), (col("v") + 1000000L).as("v"))
+        .unionAll(o.filter(col("k") % 100 === 0)
+          .select((-col("k")).as("k"), col("v")))
+      Snapshots.merge(s, tmp, src, Seq("k"))
+      new java.io.File(tmp, "_STAGED").createNewFile()
+      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    base
+  }
+
   private val oracle =
     s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
        |FROM events
@@ -229,6 +276,19 @@ object RefParity {
         |FROM lineitem
         |UNION ALL
         |SELECT 2, count(*), round(sum(l_quantity), 2)
-        |FROM lineitem WHERE NOT (l_quantity < 5)""".stripMargin
+        |FROM lineitem WHERE NOT (l_quantity < 5)""".stripMargin,
+    "snap3_merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
+        |final AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN v + 1000000 ELSE v END AS v FROM o
+        |  UNION ALL
+        |  SELECT -k, v FROM o WHERE k % 100 = 0)
+        |SELECT 1 AS snap, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+        |FROM o
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(v) AS BIGINT),
+        |  CAST(sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM final""".stripMargin
   )
 }

@@ -44,6 +44,35 @@ class BloomIndexSpec extends SparkSuite {
     assert(files.isEmpty, s"expected full prune, got ${files.size} fp files")
   }
 
+  test("incremental update indexes only appended files and keeps old entries verbatim") {
+    val dir = tmpDir("graft_bloom_upd")
+    val ev = Tables.events(spark, sf).drop("ts", "ts_t")
+    BlockWriter.write(ev.filter(col("event_id") < 500), dir,
+      partitionCol = "user_id", keyCol = "ts_us", numBuckets = 4, maxRecordsPerFile = 128)
+    BloomIndex.build(spark, dir, "event_id")
+    val before = spark.read.parquet(BloomIndex.sidecar(dir, "event_id"))
+      .collect().map(r => r.getString(0)).toSet
+    // append the other half, then update incrementally
+    BlockWriter.append(ev.filter(col("event_id") >= 500), dir,
+      partitionCol = "user_id", keyCol = "ts_us", numBuckets = 4, maxRecordsPerFile = 128)
+    BloomIndex.update(spark, dir, "event_id")
+    val after = spark.read.parquet(BloomIndex.sidecar(dir, "event_id"))
+      .collect().map(r => r.getString(0)).toSet
+    assert(before.subsetOf(after), "existing entries must carry verbatim")
+    assert(after.size > before.size, "appended files must gain entries")
+    // a key only in the appended half is found through the updated index
+    val viaIndex = BloomIndex.lookup(spark, dir, "event_id", lit(700L))
+      .select("event_id", "user_id", "ts_us").collect().toSet
+    val direct = spark.read.parquet(dir).filter(col("event_id") === 700L)
+      .select("event_id", "user_id", "ts_us").collect().toSet
+    assert(viaIndex === direct && viaIndex.nonEmpty)
+    // no-op update (nothing new) leaves the sidecar unchanged
+    BloomIndex.update(spark, dir, "event_id")
+    val again = spark.read.parquet(BloomIndex.sidecar(dir, "event_id"))
+      .collect().map(r => r.getString(0)).toSet
+    assert(again === after)
+  }
+
   test("string column round-trips through the typed probe cast") {
     // The probe literal is cast to the layout column's type before
     // hashing — a string column indexed and probed with a string literal

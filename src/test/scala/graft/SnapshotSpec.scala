@@ -233,6 +233,33 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.read(spark, base, Some(v5))) === ((1L to 10L).toSet -- Set(2L, 7L)))
   }
 
+  test("merge upserts atomically: updates replace, inserts append, no file rewritten") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_merge")
+    val v1 = Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").repartition(1), base)
+    // update k=2, insert k=9
+    val v2 = Snapshots.merge(spark,
+      base, Seq((2L, 99L), (9L, 90L)).toDF("k", "v"), Seq("k"))
+    val after = Snapshots.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === Set((1L, 10L), (2L, 99L), (3L, 30L), (9L, 90L)))
+    // merge-on-read: the v1 data file carries by path (plus the new batch)
+    assert(Snapshots.liveFiles(base, v1).toSet.subsetOf(
+      Snapshots.liveFiles(base, v2).toSet))
+    // time travel pre-merge
+    assert(Snapshots.read(spark, base, Some(v1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // a second merge updating the FIRST merge's insert hits the appended
+    // file's rows through a stacked vector
+    Snapshots.merge(spark, base, Seq((9L, 91L)).toDF("k", "v"), Seq("k"))
+    assert(Snapshots.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (2L, 99L), (3L, 30L), (9L, 91L)))
+  }
+
   test("compact materializes deletion vectors; relocation keeps them valid") {
     val sess = spark
     import sess.implicits._
