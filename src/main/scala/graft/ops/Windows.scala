@@ -103,6 +103,24 @@ object Windows {
           |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_t
           |    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW), 2) AS day_sum
           |FROM events_w8""".stripMargin)
+    },
+    "dim1_scd2" -> { (s, d) =>
+      // Slowly-changing-dimension type 2 build: each change event for a
+      // key becomes a validity interval [valid_from, valid_to) with the
+      // open (current) row flagged — the lead() idiom every warehouse
+      // uses to reconstruct dimension history from a change log (here:
+      // each customer's orders as the change stream, the order's price as
+      // the tracked attribute). One shuffle, keyed by the dimension key;
+      // interval stitching is a per-key sorted pass — exactly a window.
+      // (o_orderdate, o_orderkey) ordering is a deterministic total order
+      // per customer, so same-day changes stitch reproducibly.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("custkey")).orderBy(col("valid_from"), col("ok"))
+      Tables.table(s, d, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("ok"),
+          col("o_orderdate").as("valid_from"), col("o_totalprice").as("price"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
     }
   )
 
@@ -153,6 +171,17 @@ object Windows {
       """SELECT user_id, event_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
         |    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW), 2) AS day_sum
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // price passes through unmodified (no arithmetic), dates are exact —
+    // the whole row is engine-stable without rounding.
+    "dim1_scd2" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS ok,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  o_totalprice AS price,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders""".stripMargin
   )
 }
