@@ -19,6 +19,9 @@ object Bench {
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d6_neardup_clusters",
     "v1_knn_brute", "v2_knn_lsh", "v3_knn_ivf",
     "ts3_session_window", "m1_media_features", "ref_range_query",
+    // round-6 family representatives: secondary-index point lookup (DV
+    // read path), wedge-join graph analytics, BM25 retrieval, skyline
+    "snap2_dv_delete", "g3_triangle_count", "t14_bm25", "sky1_pareto_parts",
     // the iterative-fixpoint family: single-shot numbers for it are noisy
     // (15.7s vs 6.9s min-of-4 in the same JVM), so it belongs in the
     // min-of-N headline tier rather than the one-shot registry tail
