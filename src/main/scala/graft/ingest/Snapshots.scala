@@ -177,14 +177,25 @@ object Snapshots {
     */
   def commit(spark: SparkSession, df: DataFrame, base: String,
              mode: String = "append", sortCols: Seq[String] = Nil): Long = {
-    require(mode == "append" || mode == "overwrite", s"unknown mode $mode")
+    // A mode may carry a ":<tag>" suffix (e.g. "append:v12" for a
+    // materialized view recording its source watermark) — the tag rides
+    // the manifest header, so it is exactly as durable and atomic as the
+    // commit itself.
+    val base0 = mode.takeWhile(_ != ':')
+    require(base0 == "append" || base0 == "overwrite", s"unknown mode $mode")
     val newFiles = writeBatch(df, base, sortCols)
     publish(base, newFiles, Nil, mode, parent =>
-      if (mode == "append" && parent > 0) {
+      if (base0 == "append" && parent > 0) {
         val p = readManifest(base, parent)
         (p.files, p.dvs)
       } else (Nil, Nil))
   }
+
+  /** The mode string a version was committed with (including any ":<tag>"
+    * suffix) — public so MV refresh watermarks and ops tooling can read
+    * lineage metadata without parsing manifests.
+    */
+  def modeOf(base: String, v: Long): String = readManifest(base, v).mode
 
   /** The live file list of a version — public so tests and external
     * compactors can reason about file-granular behavior.
@@ -338,7 +349,7 @@ object Snapshots {
     * share the table's schema.
     */
   def merge(spark: SparkSession, base: String, source: DataFrame,
-            keyCols: Seq[String]): Long = {
+            keyCols: Seq[String], modeTag: String = ""): Long = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(base)
@@ -364,7 +375,8 @@ object Snapshots {
       else matched.select("dv_file").distinct().collect().map(_.getString(0)).toSet
     // The insert leg: the whole source (updates are delete+insert).
     val newFiles = writeBatch(source, base, keyCols)
-    publish(base, newFiles, newDvs, mode = "merge", parent =>
+    publish(base, newFiles, newDvs,
+      mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
       if (parent == v0) (m.files, m.dvs)
       else {
         val p = readManifest(base, parent)

@@ -145,6 +145,19 @@ object RefParity {
       summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
         .unionAll(summarize(Snapshots.read(s, dir, Some(vs.last)), 2))
     },
+    // Incrementally-maintained materialized aggregate view: built against
+    // snap1's v1 (pre-1997 lineitem slice), then refreshed with the v2
+    // APPEND through the file-diff delta + DV-merge upsert — the refresh
+    // scans only appended files and rewrites only touched groups. The
+    // oracle recomputes the final per-order aggregates from lineitem
+    // directly, so a double-count (watermark bug), missed delta, or
+    // mis-merged group breaks the hash. l_quantity sums are exact in
+    // double at any accumulation order, so incremental == full bit-wise.
+    "mv1_incremental_agg" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      Snapshots.read(s, mvDir(s, d))
+        .select(col("l_orderkey"), col("n_rows"), col("sum_v"))
+    },
     // Batch MERGE (upsert) through deletion vectors: the staged tree
     // commits (o_orderkey, o_custkey), then merges key%10 updates
     // (+1_000_000 marker) and key%100 inserts (negated keys) as ONE
@@ -221,6 +234,29 @@ object RefParity {
     base
   }
 
+  /** Staged two-step MV for mv1: full build at the source's v1, then ONE
+    * incremental refresh consuming the v2 append — cache discipline as
+    * [[snapshotDir]] (whose two-commit tree is the source).
+    */
+  private def mvDir(s: SparkSession, sfDir: String): String = {
+    import graft.ingest.{MatView, Snapshots}
+    val src = snapshotDir(s, sfDir)
+    val base = src + "_mv"
+    if (!new java.io.File(base, "_STAGED").exists()) {
+      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val vs = Snapshots.versions(src).sorted
+      MatView.refresh(s, tmp, src, Seq("l_orderkey"), "l_quantity",
+        upTo = Some(vs.head))
+      MatView.refresh(s, tmp, src, Seq("l_orderkey"), "l_quantity")
+      new java.io.File(tmp, "_STAGED").createNewFile()
+      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    base
+  }
+
   /** Staged commit + one atomic merge for snap3 — cache discipline as
     * [[snapshotDir]]. Updates mark themselves with a +1_000_000 offset on
     * v, inserts negate the key: both are invertible in exact long
@@ -277,6 +313,10 @@ object RefParity {
         |UNION ALL
         |SELECT 2, count(*), round(sum(l_quantity), 2)
         |FROM lineitem WHERE NOT (l_quantity < 5)""".stripMargin,
+    "mv1_incremental_agg" ->
+      """SELECT l_orderkey, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "snap3_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
         |final AS (
