@@ -497,14 +497,84 @@ object Snapshots {
     spark.read.parquet(added: _*)
   }
 
+  /** Named tags: an immutable label → version pointer (Iceberg's refs,
+    * minus branches) — "training-set-v3 = snapshot 17". A tagged version
+    * survives [[expire]] regardless of age, which is the point: tags make
+    * dataset versions REPRODUCIBLE (re-run training months later against
+    * the exact bytes) without disabling vacuum for the whole table. One
+    * file per tag under `_snapshots/`, created atomically and never
+    * overwritten — retagging a name is an error, not a silent repoint.
+    */
+  def tag(base: String, name: String, v: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name $name")
+    require(versions(base).contains(v), s"cannot tag unknown version $v")
+    val f = new File(snapDir(base), s"tag_$name")
+    try Files.writeString(f.toPath, v.toString,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag $name already exists (points at version ${tagVersion(base, name)})")
+    }
+    ()
+  }
+
+  def tagVersion(base: String, name: String): Long =
+    Files.readString(new File(snapDir(base), s"tag_$name").toPath).trim.toLong
+
+  def tags(base: String): Map[String, Long] =
+    Option(snapDir(base).listFiles()).getOrElse(Array.empty[File]).toSeq
+      .filter(_.getName.startsWith("tag_"))
+      .map(f => f.getName.stripPrefix("tag_") ->
+        Files.readString(f.toPath).trim.toLong).toMap
+
+  def dropTag(base: String, name: String): Unit = {
+    new File(snapDir(base), s"tag_$name").delete(); ()
+  }
+
+  /** Read the table at a named tag. */
+  def readTag(spark: SparkSession, base: String, name: String): DataFrame =
+    read(spark, base, Some(tagVersion(base, name)))
+
+  /** Metadata table: one row per committed version — (version, parent,
+    * mode, n_files, n_dvs, tags) — the `history` introspection surface
+    * (Iceberg's snapshots/history metadata tables). Manifest-sized work,
+    * no data file touched.
+    */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val tagged = tags(base).toSeq.groupMap(_._2)(_._1)
+    versions(base).map { v =>
+      val m = readManifest(base, v)
+      (m.version, m.parent, m.mode, m.files.size.toLong, m.dvs.size.toLong,
+        tagged.getOrElse(v, Nil).sorted)
+    }.toDF("version", "parent", "mode", "n_files", "n_dvs", "tags")
+  }
+
+  /** Metadata table: the live data files of a version with their sizes —
+    * the `files` introspection surface. Listing-sized, no file opened.
+    */
+  def filesTable(spark: SparkSession, base: String, asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(base)
+    val m = readManifest(base, asOf.getOrElse(vs.max))
+    m.files.map(f => (relKey(f), new File(f).length()))
+      .toDF("file", "size_bytes")
+  }
+
   /** Drop all but the newest `keepLast` snapshots, then delete data files
     * no surviving manifest references (the vacuum that makes overwrites
-    * and compactions actually reclaim space). Readers of expired versions
+    * and compactions actually reclaim space). TAGGED versions are always
+    * kept — expiring a pinned dataset version would break the
+    * reproducibility contract tags exist for. Readers of expired versions
     * fail on the missing manifest, not with silently wrong rows.
     */
   def expire(base: String, keepLast: Int = 1): Unit = {
     val vs = versions(base)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val pinned = tags(base).values.toSet
+    val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val (kept, drop) = dropCand.partition(pinned)
+    val keep = kept ++ keepTail
     drop.foreach(v => manifestFile(base, v).delete())
     val live = keep.flatMap { v =>
       val m = readManifest(base, v); m.files ++ m.dvs

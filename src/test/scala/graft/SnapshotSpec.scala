@@ -233,6 +233,34 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.read(spark, base, Some(v5))) === ((1L to 10L).toSet -- Set(2L, 7L)))
   }
 
+  test("tags pin versions through expire; history and files tables introspect") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_tag")
+    val v1 = Snapshots.commit(spark, (1L to 3L).toDF("id"), base)
+    val v2 = Snapshots.commit(spark, (4L to 6L).toDF("id"), base)
+    val v3 = Snapshots.commit(spark, (7L to 9L).toDF("id"), base)
+    Snapshots.tag(base, "train-v1", v1)
+    // retagging an existing name must fail, not repoint
+    intercept[IllegalArgumentException] { Snapshots.tag(base, "train-v1", v2) }
+    assert(ids(Snapshots.readTag(spark, base, "train-v1")) === (1L to 3L).toSet)
+    // history rows carry lineage + tag labels without touching data files
+    val h = Snapshots.history(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getSeq[String](5)))
+    assert(h.map(x => (x._1, x._2)).toSeq === Seq((v1, 0L), (v2, v1), (v3, v2)))
+    assert(h.find(_._1 == v1).get._4 === Seq("train-v1"))
+    assert(Snapshots.filesTable(spark, base).collect()
+      .forall(r => r.getString(0).startsWith("data/") && r.getLong(1) > 0))
+    // expire keeps the newest AND the tagged version; v2 goes
+    Snapshots.expire(base, keepLast = 1)
+    assert(Snapshots.versions(base) === Seq(v1, v3))
+    assert(ids(Snapshots.readTag(spark, base, "train-v1")) === (1L to 3L).toSet)
+    // dropping the tag releases the pin
+    Snapshots.dropTag(base, "train-v1")
+    Snapshots.expire(base, keepLast = 1)
+    assert(Snapshots.versions(base) === Seq(v3))
+  }
+
   test("merge upserts atomically: updates replace, inserts append, no file rewritten") {
     val sess = spark
     import sess.implicits._
