@@ -107,13 +107,24 @@ object BloomIndex {
       entriesOf(spark, spark.read.parquet(fresh.toIndexedSeq: _*), column,
         numBits, numHashes).toDF())
     // Stage the union FIRST (materializing the existing entries before
-    // their directory is touched), then swap — readers never see a
-    // half-written sidecar directory.
-    val tmp = sc + ".new-" + java.lang.ProcessHandle.current().pid()
-    combined.write.mode("overwrite").parquet(tmp)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sc))
-    if (!new java.io.File(tmp).renameTo(new java.io.File(sc)))
+    // their directory is touched), then swap with two renames: readers
+    // see the old or the new sidecar, never a half-written one. The
+    // window between the renames is not zero — a reader landing exactly
+    // there fails loudly on a missing path (and retries); a crash there
+    // leaves no sidecar, which the next update()'s full-rebuild fallback
+    // repairs. True atomicity would need a pointer file — not worth it
+    // for a rebuildable cache.
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tmp = new java.io.File(sc + s".new-$pid")
+    combined.write.mode("overwrite").parquet(tmp.getPath)
+    val old = new java.io.File(sc + s".old-$pid")
+    if (!new java.io.File(sc).renameTo(old))
+      throw new java.io.IOException(s"failed to retire sidecar $sc")
+    if (!tmp.renameTo(new java.io.File(sc))) {
+      old.renameTo(new java.io.File(sc)) // restore; the staged dir remains for inspection
       throw new java.io.IOException(s"failed to publish updated sidecar $sc")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
   /** (surviving files, total files) for a point predicate — the pruning

@@ -45,18 +45,29 @@ object MatView {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
     val srcV = upTo.getOrElse(Snapshots.versions(srcBase).max)
     val mvVs = Snapshots.versions(mvBase)
-    val last = mvVs.lastOption
-      .map(v => Snapshots.modeOf(mvBase, v).split(':').last.toLong)
+    // The watermark is the NEWEST view version carrying a ":vN" tag — not
+    // necessarily the newest version: maintenance commits on the view
+    // itself (compact's "overwrite") are tagless and must not be parsed
+    // as watermarks, just skipped over.
+    val last = mvVs.reverse.iterator
+      .map(v => Snapshots.modeOf(mvBase, v))
+      .collectFirst { case m if m.contains(':') => m.split(':').last.toLong }
       .getOrElse(0L)
+    require(srcV >= last,
+      s"upTo=$srcV is older than the view's watermark $last - " +
+        "a view cannot be refreshed backwards (time travel the source instead)")
     if (last == srcV) return mvVs.max
     // Additive maintenance is only sound over appends: check every source
-    // commit being consumed.
-    val consumed = Snapshots.versions(srcBase).filter(v => v > last && v <= srcV)
-    val nonAppend = consumed.filterNot(v =>
-      Snapshots.modeOf(srcBase, v).takeWhile(_ != ':') == "append")
-    require(nonAppend.isEmpty,
-      s"source versions ${nonAppend.mkString(",")} are not appends - " +
-        "rebuild the view (delete its tree) instead of refreshing")
+    // commit being consumed incrementally. The INITIAL build reads the
+    // full snapshot, which is correct whatever the source's history.
+    if (last > 0L) {
+      val consumed = Snapshots.versions(srcBase).filter(v => v > last && v <= srcV)
+      val nonAppend = consumed.filterNot(v =>
+        Snapshots.modeOf(srcBase, v).takeWhile(_ != ':') == "append")
+      require(nonAppend.isEmpty,
+        s"source versions ${nonAppend.mkString(",")} are not appends - " +
+          "rebuild the view (delete its tree) instead of refreshing")
+    }
     val delta =
       if (last == 0L) Snapshots.read(spark, srcBase, Some(srcV))
       else Snapshots.changes(spark, srcBase, last, srcV)

@@ -303,19 +303,22 @@ object Snapshots {
     val m = readManifest(base, v0)
     // Scan WITH row coordinates, existing vectors applied — a row already
     // DV-deleted must not be re-matched (a cond hitting only such rows is
-    // a no-op, not a new version).
+    // a no-op, not a new version). ONE scan: coordinates are written
+    // straight out, and the emptiness check + referenced-file list come
+    // from the written (KB-scale) sidecar, never a target re-scan.
     val matches = scanWithDvs(spark, m, keepCoords = true)
       .filter(cond)
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
-    if (matches.isEmpty) return v0
-    val batchId = java.util.UUID.randomUUID().toString.take(8)
-    val dvPath = new File(dataDir(base), s"dv_$batchId")
+    val dvPath = new File(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
     matches.write.parquet(dvPath.toString)
     val newDvs = Option(dvPath.listFiles()).getOrElse(Array.empty[File])
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
     // Files this vector references — for the conflict check below.
-    val referenced = matches.select("dv_file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val referenced = spark.read.parquet(newDvs: _*)
+      .select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    // No-op delete: publish nothing (the empty staged dir is invisible —
+    // unreferenced — and reclaimed by expire's batch-dir sweep).
+    if (referenced.isEmpty) return v0
     publish(base, Nil, newDvs, mode = "delete-dv", parent =>
       if (parent == v0) (m.files, m.dvs)
       else {
@@ -348,8 +351,12 @@ object Snapshots {
     * duplicate source keys would append twice). Requires the source to
     * share the table's schema.
     */
+  /** `beforePublish` is the same test seam as [[deleteWhere]]'s: it runs
+    * after both legs are written, immediately before the locked publish.
+    */
   def merge(spark: SparkSession, base: String, source: DataFrame,
-            keyCols: Seq[String], modeTag: String = ""): Long = {
+            keyCols: Seq[String], modeTag: String = "",
+            beforePublish: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val vs = versions(base)
@@ -358,33 +365,40 @@ object Snapshots {
     val m = readManifest(base, v0)
     // Coordinates of target rows whose key appears in the source: the
     // DV-delete leg. left_semi keeps the scan side's columns only, so the
-    // projection is (coords + keys) — column pruning drops the rest.
+    // projection is (coords + keys) — column pruning drops the rest. ONE
+    // scan: the coordinate set is written first, and the emptiness check
+    // and referenced-file list both come from the written (KB-scale)
+    // sidecar, never from re-running the target scan.
     val matched = scanWithDvs(spark, m, keepCoords = true)
       .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
-    val newDvs =
-      if (matched.isEmpty) Nil
-      else {
-        val dvPath = new File(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
-        matched.write.parquet(dvPath.toString)
-        Option(dvPath.listFiles()).getOrElse(Array.empty[File])
-          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
-      }
-    val referenced =
-      if (newDvs.isEmpty) Set.empty[String]
-      else matched.select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    val dvPath = new File(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
+    matched.write.parquet(dvPath.toString)
+    val written = Option(dvPath.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    val referenced = spark.read.parquet(written: _*)
+      .select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    val newDvs = if (referenced.isEmpty) Nil else written
     // The insert leg: the whole source (updates are delete+insert).
     val newFiles = writeBatch(source, base, keyCols)
+    beforePublish()
     publish(base, newFiles, newDvs,
       mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
       if (parent == v0) (m.files, m.dvs)
       else {
         val p = readManifest(base, parent)
+        // A concurrent APPEND may have added rows for keys this merge is
+        // upserting — carrying its files uninspected would leave duplicate
+        // key rows, silently breaking the upsert invariant. Serializable
+        // behavior (Iceberg's choice for MERGE): abort on ANY concurrent
+        // data-file change and let the caller retry against the new state.
+        val added = p.files.toSet -- m.files.toSet
         val gone = referenced -- p.files.map(relKey).toSet
-        if (gone.nonEmpty)
+        if (added.nonEmpty || gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
-            s"merge based on v$v0 conflicts with a concurrent overwrite of " +
-              s"${gone.size} referenced file(s); retry from the new version")
+            s"merge based on v$v0 conflicts with a concurrent commit " +
+              s"(${added.size} file(s) added, ${gone.size} referenced file(s) " +
+              "rewritten); retry from the new version")
         (p.files, p.dvs)
       })
   }
@@ -494,7 +508,11 @@ object Snapshots {
   def changes(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
     val before = readManifest(base, fromV).files.toSet
     val added = readManifest(base, toV).files.filterNot(before)
-    spark.read.parquet(added: _*)
+    // A no-file delta (empty-DataFrame commit, or fromV == toV) must be an
+    // empty result with the right schema, not a zero-path read error.
+    if (added.isEmpty)
+      read(spark, base, Some(toV)).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(added: _*)
   }
 
   /** Named tags: an immutable label → version pointer (Iceberg's refs,

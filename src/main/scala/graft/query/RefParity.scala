@@ -176,102 +176,88 @@ object RefParity {
     }
   )
 
-  /** Staged two-commit snapshot tree for snap1, built once per
-    * (LayoutVersion, sf, lineitem fingerprint) — same cache discipline and
-    * same staging+rename race handling as [[ingestedEvents]].
+  /** Build-once cache tree: if `base/_STAGED` is absent, stage into a
+    * pid-unique tmp dir via `build`, write the marker only after a FULL
+    * build (a crashed half-build never renames into place), then rename
+    * atomically; the loser of a concurrent rename deletes its staging
+    * dir. Any pre-existing orphan of this pid is cleared first —
+    * container pid reuse makes that likelier than it sounds, and a
+    * Snapshots.commit against an orphaned tree would APPEND to it.
+    * Shared by every staged fixture below so the race/cleanup protocol
+    * is single-sourced.
     */
-  private def snapshotDir(s: SparkSession, sfDir: String): String = {
-    import graft.ingest.Snapshots
-    val fp = java.lang.Long.toHexString(
-      fingerprint(new java.io.File(sfDir, "lineitem.parquet")))
-    val base = s"/tmp/graft_snap/$LayoutVersion/" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+  private def stagedTree(base: String)(build: String => Unit): String = {
     if (!new java.io.File(base, "_STAGED").exists()) {
       val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
-      // A crashed half-build may have left this pid's staging dir behind
-      // (container pid reuse makes that likelier than it sounds), and
-      // Snapshots.commit would APPEND to the orphaned tree — clear it so
-      // a rebuild always stages exactly two commits.
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      build(tmp)
+      new java.io.File(tmp, "_STAGED").createNewFile()
+      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    base
+  }
+
+  private def cacheBase(root: String, sfDir: String, table: String): String = {
+    val fp = java.lang.Long.toHexString(
+      fingerprint(new java.io.File(sfDir, s"$table.parquet")))
+    s"/tmp/$root/$LayoutVersion/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+  }
+
+  /** Staged two-commit snapshot tree for snap1, built once per
+    * (LayoutVersion, sf, lineitem fingerprint).
+    */
+  private def snapshotDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_snap", sfDir, "lineitem")) { tmp =>
+      import graft.ingest.Snapshots
       val li = Tables.table(s, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
       Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1997-01-01")),
         tmp, sortCols = Seq("l_orderkey"))
       Snapshots.commit(s, li.filter(col("l_shipdate") >= lit("1997-01-01")),
         tmp, sortCols = Seq("l_orderkey"))
-      // Marker written only after BOTH commits: a crashed half-build never
-      // renames into place (no _STAGED → rebuilt next run).
-      new java.io.File(tmp, "_STAGED").createNewFile()
-      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
     }
-    base
-  }
 
-  /** Staged one-commit-plus-one-DV-delete tree for snap2 — same cache
-    * discipline as [[snapshotDir]]. The DV delete happens at STAGE time,
-    * so the tree is immutable afterwards and reruns are stable.
+  /** Staged one-commit-plus-one-DV-delete tree for snap2. The DV delete
+    * happens at STAGE time, so the tree is immutable afterwards and
+    * reruns are stable.
     */
-  private def dvSnapshotDir(s: SparkSession, sfDir: String): String = {
-    import graft.ingest.Snapshots
-    val fp = java.lang.Long.toHexString(
-      fingerprint(new java.io.File(sfDir, "lineitem.parquet")))
-    val base = s"/tmp/graft_dv/$LayoutVersion/" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
-    if (!new java.io.File(base, "_STAGED").exists()) {
-      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  private def dvSnapshotDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_dv", sfDir, "lineitem")) { tmp =>
+      import graft.ingest.Snapshots
       val li = Tables.table(s, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
       Snapshots.commit(s, li, tmp, sortCols = Seq("l_orderkey"))
       Snapshots.deleteWhereDV(s, tmp, col("l_quantity") < 5)
-      new java.io.File(tmp, "_STAGED").createNewFile()
-      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
+      ()
     }
-    base
-  }
 
   /** Staged two-step MV for mv1: full build at the source's v1, then ONE
-    * incremental refresh consuming the v2 append — cache discipline as
-    * [[snapshotDir]] (whose two-commit tree is the source).
+    * incremental refresh consuming the v2 append — the source is
+    * [[snapshotDir]]'s two-commit tree.
     */
   private def mvDir(s: SparkSession, sfDir: String): String = {
-    import graft.ingest.{MatView, Snapshots}
     val src = snapshotDir(s, sfDir)
-    val base = src + "_mv"
-    if (!new java.io.File(base, "_STAGED").exists()) {
-      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    stagedTree(src + "_mv") { tmp =>
+      import graft.ingest.{MatView, Snapshots}
       val vs = Snapshots.versions(src).sorted
       MatView.refresh(s, tmp, src, Seq("l_orderkey"), "l_quantity",
         upTo = Some(vs.head))
       MatView.refresh(s, tmp, src, Seq("l_orderkey"), "l_quantity")
-      new java.io.File(tmp, "_STAGED").createNewFile()
-      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
+      ()
     }
-    base
   }
 
-  /** Staged commit + one atomic merge for snap3 — cache discipline as
-    * [[snapshotDir]]. Updates mark themselves with a +1_000_000 offset on
-    * v, inserts negate the key: both are invertible in exact long
-    * arithmetic, so the DuckDB oracle reconstructs the post-merge state
-    * from `orders` directly.
+  /** Staged commit + one atomic merge for snap3. Updates mark themselves
+    * with a +1_000_000 offset on v, inserts negate the key: both are
+    * invertible in exact long arithmetic, so the DuckDB oracle
+    * reconstructs the post-merge state from `orders` directly.
     */
-  private def mergeSnapshotDir(s: SparkSession, sfDir: String): String = {
-    import graft.ingest.Snapshots
-    val fp = java.lang.Long.toHexString(
-      fingerprint(new java.io.File(sfDir, "orders.parquet")))
-    val base = s"/tmp/graft_merge/$LayoutVersion/" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
-    if (!new java.io.File(base, "_STAGED").exists()) {
-      val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  private def mergeSnapshotDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_merge", sfDir, "orders")) { tmp =>
+      import graft.ingest.Snapshots
       val o = Tables.table(s, sfDir, "orders")
         .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
       Snapshots.commit(s, o, tmp, sortCols = Seq("k"))
@@ -280,13 +266,8 @@ object RefParity {
         .unionAll(o.filter(col("k") % 100 === 0)
           .select((-col("k")).as("k"), col("v")))
       Snapshots.merge(s, tmp, src, Seq("k"))
-      new java.io.File(tmp, "_STAGED").createNewFile()
-      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
+      ()
     }
-    base
-  }
 
   private val oracle =
     s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

@@ -33,6 +33,45 @@ class MatViewSpec extends SparkSuite {
       .map(_.getString(0)).toSet === Set("a", "b"))
   }
 
+  test("compacting the view does not break later refreshes (watermark walk-back)") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_compact")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    // view maintenance commit: mode "overwrite", no watermark tag — the
+    // next refresh must walk back to the last tagged version, not parse
+    // "overwrite" as a number
+    Snapshots.compact(spark, mv, numFiles = 1)
+    Snapshots.commit(spark, Seq(("a", 10L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(state(mv) === Map("a" -> (2L, 11.0), "b" -> (1L, 2.0)))
+    // refreshing backwards is refused loudly
+    intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv, src, Seq("k"), "v",
+        upTo = Some(Snapshots.versions(src).head))
+    }
+  }
+
+  test("initial build works over a source whose HISTORY has non-appends") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_hist")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark, Seq(("a", 1L)).toDF("k", "v"), src)
+    Snapshots.commit(spark, Seq(("a", 5L), ("b", 3L)).toDF("k", "v"), src,
+      mode = "overwrite")
+    // the full-snapshot initial read is correct whatever the history
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(state(mv) === Map("a" -> (1L, 5.0), "b" -> (1L, 3.0)))
+    // but the INCREMENTAL path still refuses a subsequent non-append
+    Snapshots.commit(spark, Seq(("c", 1L)).toDF("k", "v"), src, mode = "overwrite")
+    intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv, src, Seq("k"), "v")
+    }
+  }
+
   test("a non-append source version fails the refresh loudly") {
     val sess = spark
     import sess.implicits._

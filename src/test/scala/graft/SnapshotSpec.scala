@@ -288,6 +288,38 @@ class SnapshotSpec extends SparkSuite {
       Set((1L, 10L), (2L, 99L), (3L, 30L), (9L, 91L)))
   }
 
+  test("merge aborts on ANY concurrent data commit (upsert serializability)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_mergeconf")
+    Snapshots.commit(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), base)
+    // A concurrent append lands between merge's scan and its publish; if
+    // it carried silently, both its (2L, 77L) and the merge's (2L, 99L)
+    // would survive — duplicate keys. Must abort instead.
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.merge(spark, base, Seq((2L, 99L)).toDF("k", "v"), Seq("k"),
+        beforePublish = () => {
+          Snapshots.commit(spark, Seq((2L, 77L)).toDF("k", "v"), base); ()
+        })
+    }
+    // the failed merge left no visible state; a retry from the new
+    // version upserts cleanly over both rows for k=2
+    Snapshots.merge(spark, base, Seq((2L, 99L)).toDF("k", "v"), Seq("k"))
+    assert(Snapshots.read(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (2L, 99L)))
+  }
+
+  test("changes over a no-file delta is empty with the right schema") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_emptydelta")
+    val v1 = Snapshots.commit(spark, Seq(1L).toDF("id"), base)
+    val v2 = Snapshots.commit(spark, spark.emptyDataset[Long].toDF("id"), base)
+    val d = Snapshots.changes(spark, base, v1, v2)
+    assert(d.columns.toSeq === Seq("id") && d.isEmpty)
+  }
+
   test("compact materializes deletion vectors; relocation keeps them valid") {
     val sess = spark
     import sess.implicits._
