@@ -132,6 +132,49 @@ object StreamIngest {
     * cost is one join of |batch| against |snapshot| on the merge key,
     * bucketable to a co-located join via BlockWriter's layout.
     */
+  /** Stream → snapshot table → incrementally-maintained materialized
+    * view, one micro-batch at a time: each batch appends to the
+    * [[graft.ingest.Snapshots]] table at `srcBase` and then brings the
+    * count/sum view at `mvBase` up to date through
+    * [[graft.ingest.MatView.refresh]] — the serving layer a streaming
+    * aggregation pipeline actually exposes, kept fresh at file-diff cost.
+    *
+    * Exactly-once across foreachBatch's at-least-once re-deliveries: the
+    * batch id rides the source commit's manifest mode tag, and a
+    * re-delivered batch whose tag already heads the lineage is skipped
+    * whole. A crash BETWEEN the commit and the refresh needs no special
+    * case — the next refresh consumes both deltas (the MV watermark is
+    * versions-based, not batch-based).
+    */
+  def commitStreamWithView(updates: DataFrame, srcBase: String, mvBase: String,
+                           checkpoint: String, keyCols: Seq[String],
+                           valCol: String,
+                           maxAgeMs: Long = 1000L): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(maxAgeMs))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitBatchWithView(batch, id, srcBase, mvBase, keyCols, valCol)
+      }
+      .start()
+
+  /** The foreachBatch body of [[commitStreamWithView]], visible so the
+    * re-delivery and crash-window behaviors are directly testable.
+    */
+  def commitBatchWithView(batch: DataFrame, batchId: Long, srcBase: String,
+                          mvBase: String, keyCols: Seq[String],
+                          valCol: String): Unit = {
+    import graft.ingest.{MatView, Snapshots}
+    val tag = s"append:b$batchId"
+    val delivered = Snapshots.versions(srcBase).lastOption
+      .exists(v => Snapshots.modeOf(srcBase, v) == tag)
+    if (!delivered && !batch.isEmpty)
+      Snapshots.commit(batch.sparkSession, batch, srcBase, mode = tag)
+    if (Snapshots.versions(srcBase).nonEmpty)
+      MatView.refresh(batch.sparkSession, mvBase, srcBase, keyCols, valCol)
+    ()
+  }
+
   def upsertStream(updates: DataFrame, base: String, checkpoint: String,
                    keyCol: String, tsCol: String,
                    maxAgeMs: Long = 1000L): StreamingQuery =

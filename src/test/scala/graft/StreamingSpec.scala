@@ -384,4 +384,40 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
+
+  test("stream -> snapshot table -> incremental MV stays exactly-once and fresh") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.ingest.Snapshots
+    val mem = MemoryStream[(String, Long)]
+    val root = tmpDir("graft_stream_mv")
+    val (src, mv, cp) = (s"$root/src", s"$root/mv", s"$root/cp")
+    val stream = mem.toDF().toDF("k", "v")
+    val q = StreamIngest.commitStreamWithView(stream, src, mv, cp,
+      Seq("k"), "v", maxAgeMs = 100L)
+    def mvState = Snapshots.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      assert(mvState === Set(("a", 2L, 3.0), ("b", 1L, 10.0)))
+      mem.addData(("a", 4L), ("c", 7L))
+      q.processAllAvailable()
+      assert(mvState === Set(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+    } finally q.stop()
+    // re-delivered batch (at-least-once foreachBatch): the batch-id tag
+    // heads the lineage, so the whole batch skips — no double count
+    val n0 = Snapshots.versions(src).size
+    StreamIngest.commitBatchWithView(Seq(("a", 4L), ("c", 7L)).toDF("k", "v"),
+      1L, src, mv, Seq("k"), "v")
+    assert(Snapshots.versions(src).size === n0, "re-delivery must not commit")
+    assert(mvState === Set(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+    // crash window: a batch whose commit landed but whose refresh didn't
+    // heals on the next batch (watermark is versions-based)
+    Snapshots.commit(spark, Seq(("b", 5L)).toDF("k", "v"), src, mode = "append:b9")
+    StreamIngest.commitBatchWithView(Seq(("d", 1L)).toDF("k", "v"),
+      10L, src, mv, Seq("k"), "v")
+    assert(mvState === Set(("a", 3L, 7.0), ("b", 2L, 15.0), ("c", 1L, 7.0), ("d", 1L, 1.0)))
+  }
 }
