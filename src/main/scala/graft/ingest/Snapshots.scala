@@ -416,13 +416,16 @@ object Snapshots {
     * AQE broadcasts it when small.
     */
   private def scanWithDvs(spark: SparkSession, m: Manifest,
-                          keepCoords: Boolean): DataFrame = {
+                          keepCoords: Boolean,
+                          mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, substring_index}
+    def readFiles(files: Seq[String]) =
+      spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
     def coords(df: DataFrame) = df
       .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
       .withColumn(DvPosCol, col("_metadata.row_index"))
     if (m.dvs.isEmpty) {
-      val scan = spark.read.parquet(m.files: _*)
+      val scan = readFiles(m.files)
       return if (keepCoords) coords(scan) else scan
     }
     val dv = spark.read.parquet(m.dvs: _*)
@@ -436,16 +439,19 @@ object Snapshots {
     val parts = Seq(
       if (clean.isEmpty) None
       else Some {
-        val scan = spark.read.parquet(clean: _*)
+        val scan = readFiles(clean)
         if (keepCoords) coords(scan) else scan
       },
       if (dirty.isEmpty) None
       else Some {
-        val sub = coords(spark.read.parquet(dirty: _*))
+        val sub = coords(readFiles(dirty))
           .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
         if (keepCoords) sub else sub.drop(DvFileCol, DvPosCol)
       }).flatten
-    parts.reduce(_ unionByName _)
+    // Under mergeSchema the clean and dirty slices may expose different
+    // column sets (each merges only its own footers) — fill the gaps with
+    // NULLs, which is exactly the additive-evolution contract.
+    parts.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
 
   /** Small-files compaction as a snapshot: rewrite the latest version's
@@ -489,14 +495,22 @@ object Snapshots {
     })
   }
 
-  /** Read the table at `asOf` (default: latest committed version). */
-  def read(spark: SparkSession, base: String, asOf: Option[Long] = None): DataFrame = {
+  /** Read the table at `asOf` (default: latest committed version).
+    * `mergeSchema = true` unions the footers of every live file, so a
+    * table that gained columns across appends reads with the full schema
+    * (old rows NULL in the new columns) — additive evolution, the same
+    * contract as `RangeQuery.queryEvolved`. Off by default: footer-union
+    * planning costs one footer read per file and the common case is a
+    * stable schema.
+    */
+  def read(spark: SparkSession, base: String, asOf: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(base)
     require(vs.nonEmpty, s"no committed snapshots under $base")
     val v = asOf.getOrElse(vs.max)
     require(vs.contains(v), s"snapshot $v not found (have ${vs.mkString(",")})")
     val m = readManifest(base, v)
-    scanWithDvs(spark, m, keepCoords = false)
+    scanWithDvs(spark, m, keepCoords = false, mergeSchema = mergeSchema)
   }
 
   /** Incremental read: rows in `toV`'s file set but not `fromV`'s — the

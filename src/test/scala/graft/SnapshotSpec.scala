@@ -310,6 +310,26 @@ class SnapshotSpec extends SparkSuite {
       Set((1L, 10L), (2L, 99L)))
   }
 
+  test("additive schema evolution: mergeSchema read unions columns across appends") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_evo")
+    Snapshots.commit(spark, Seq((1L, "x")).toDF("id", "a"), base)
+    Snapshots.commit(spark, Seq((2L, "y", 9L)).toDF("id", "a", "b"), base)
+    // default read keeps a stable schema; evolved read unions footers —
+    // old rows NULL in the new column
+    val evolved = Snapshots.read(spark, base, mergeSchema = true)
+    assert(evolved.columns.toSet === Set("id", "a", "b"))
+    val rows = evolved.select("id", "b").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows === Set((1L, None), (2L, Some(9L))))
+    // evolution composes with deletion vectors: DV-delete an old-schema
+    // row, evolved read still unions and subtracts correctly
+    Snapshots.deleteWhereDV(spark, base, col("id") === 1L)
+    assert(Snapshots.read(spark, base, mergeSchema = true)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("changes over a no-file delta is empty with the right schema") {
     val sess = spark
     import sess.implicits._
