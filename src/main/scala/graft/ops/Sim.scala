@@ -151,6 +151,155 @@ object Sim {
     topK(scored)
   }
 
+  val PqSubspaces = 8   // 64-d → 8 subvectors of 8 dims
+  val PqCodes = 16      // codebook entries per subspace (4-bit codes)
+  val PqCand = 10 * K   // ADC candidates re-ranked exactly per query
+  val PqTrain = 256     // deterministic training sample (vec_id < PqTrain)
+  val PqIters = 10      // Lloyd iterations per subspace codebook
+
+  /** Product-quantization ANN with asymmetric distance computation (the
+    * FAISS PQ/ADC tier): vectors compress to `PqSubspaces` 4-bit codes
+    * (64 floats → 4 bytes, 64×), each query precomputes per-subspace
+    * dot-product tables against the codebooks, and the base scan scores a
+    * vector with `PqSubspaces` TABLE LOOKUPS instead of a 64-float dot —
+    * then the top `PqCand` candidates per query re-rank through the exact
+    * kernel so the emitted cosines are true values, not approximations.
+    *
+    * Scale design: codebooks + query tables are a tiny broadcast; the
+    * scan keeps a bounded per-query heap PER PARTITION (mapPartitions),
+    * so the shuffle carries partitions×queries×PqCand candidate rows,
+    * never |base|×|queries| scores; the exact re-rank touches
+    * queries×PqCand vectors. At 100 TB the codes column would be
+    * precomputed at ingest (4 bytes/vector resident vs 256) — here
+    * encoding happens in-scan to keep the query self-contained.
+    * Codebook training is deterministic (the PqCodes lowest vec_ids'
+    * subvectors — the one-shot quantizer discipline v3 uses), so runs
+    * reproduce bit-for-bit.
+    */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = embeddings(s, d)
+    // Codebook training: per-subspace Lloyd's over a deterministic sample
+    // (the PqTrain lowest vec_ids), driver-side — the sample is
+    // PqTrain×8 doubles per subspace, trivially driver-sized, and
+    // deterministic init (first PqCodes sample rows) keeps runs
+    // reproducible. At 100 TB the sample stays FIXED-size: codebook
+    // quality needs a representative few hundred rows, not the corpus.
+    val train = VecOps.vectors(s, all.filter(col("vec_id") < PqTrain),
+      "vec_id", "embedding").sortBy(_.id)
+    require(train.length >= PqCodes, s"need >= $PqCodes training vectors")
+    val dim = train.head.emb.length
+    val sub = dim / PqSubspaces
+    def lloyd(pts: Array[Array[Double]]): Array[Array[Double]] = {
+      var cents = pts.take(PqCodes).map(_.clone)
+      for (_ <- 1 to PqIters) {
+        val sums = Array.fill(PqCodes)(new Array[Double](sub))
+        val cnts = new Array[Int](PqCodes)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < PqCodes) {
+            var dist = 0.0; var i = 0
+            while (i < sub) { val dx = p(i) - cents(c)(i); dist += dx * dx; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          cnts(best) += 1
+        }
+        cents = Array.tabulate(PqCodes)(c =>
+          if (cnts(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(_ / cnts(c)))
+      }
+      cents
+    }
+    // books(m)(c) = c-th codebook entry for subspace m; norms2(m)(c) its |·|²
+    val books: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
+      lloyd(train.map(_.emb.slice(m * sub, (m + 1) * sub).map(_.toDouble)))
+    }
+    val norms2: Array[Array[Double]] =
+      books.map(_.map(c => c.map(x => x * x).sum))
+    val qs = queryVecs(s, d)
+    // tables(q)(m)(c) = dot(query subvector m, books(m)(c))
+    val tables: Map[Long, Array[Array[Double]]] = qs.map { q =>
+      q.id -> Array.tabulate(PqSubspaces) { m =>
+        books(m).map { c =>
+          var acc = 0.0; var i = 0
+          while (i < sub) { acc += q.emb(m * sub + i) * c(i); i += 1 }
+          acc
+        }
+      }
+    }.toMap
+    val qNorms = qs.map(q => q.id -> q.norm).toMap
+    val bc = s.sparkContext.broadcast((books, norms2, tables, qNorms))
+    val cands = all.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (bks, n2, tbl, qn) = bc.value
+        val qids = tbl.keys.toArray.sorted
+        // per-query bounded worst-first heap of (approxCos, vec_id)
+        val heaps = qids.map(_ =>
+          collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), Double](-_._1)))
+        it.foreach { case (id, emb) =>
+          // encode: nearest codebook entry per subspace (L2 over subvector)
+          val codes = new Array[Int](PqSubspaces)
+          var m = 0
+          while (m < PqSubspaces) {
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < PqCodes) {
+              var dist = 0.0; var i = 0
+              while (i < bks(m)(c).length) {
+                val dx = emb(m * bks(m)(c).length + i) - bks(m)(c)(i)
+                dist += dx * dx; i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            codes(m) = best; m += 1
+          }
+          var approxN2 = 0.0
+          m = 0
+          while (m < PqSubspaces) { approxN2 += n2(m)(codes(m)); m += 1 }
+          val approxNorm = math.sqrt(approxN2).max(1e-12)
+          var qi = 0
+          while (qi < qids.length) {
+            val q = qids(qi)
+            if (q != id) {
+              val t = tbl(q)
+              var dot = 0.0; m = 0
+              while (m < PqSubspaces) { dot += t(m)(codes(m)); m += 1 }
+              val cos = dot / (qn(q) * approxNorm)
+              val h = heaps(qi)
+              if (h.size < PqCand) h.enqueue((cos, id))
+              else if (cos > h.head._1) { h.dequeue(); h.enqueue((cos, id)) }
+            }
+            qi += 1
+          }
+        }
+        qids.iterator.zip(heaps.iterator).flatMap { case (q, h) =>
+          h.iterator.map { case (cos, id) => (q, id, cos) }
+        }
+      }.toDF("q_id", "vec_id", "approx_cos")
+    // Global top-PqCand per query over the per-partition candidates, then
+    // exact re-rank: join the (tiny) candidate set back to the vectors
+    // and score with the true kernel.
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val topCand = cands.withColumn("r", row_number().over(wc))
+      .filter(col("r") <= PqCand).select(col("q_id"), col("vec_id"))
+    val qById = qs.map(v => v.id -> v).toMap
+    val bq = s.sparkContext.broadcast(qById)
+    val exact = topCand.join(all, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (q, id, emb) =>
+        val qv = bq.value(q)
+        (q, id, VecOps.round4(VecOps.dotD(emb, qv.emb) / (VecOps.normD(emb) * qv.norm)))
+      }.toDF("q_id", "vec_id", "cos")
+    topK(exact)
+  }
+
   /** Self-verifying harness for the approximate tiers: append each query's
     * recall@K against the in-Spark exact top-k, so every dump of v2/v3
     * carries its own deterministic, assertable correctness number even
@@ -270,6 +419,8 @@ object Sim {
     "v3_knn_ivf" -> { (s, d) => withRecall(s, d, knnIvf(s, d)) },
     "v2b_lsh_recall_gate" -> { (s, d) => recallGate(s, d, knnLsh(s, d), 0.9) },
     "v3b_ivf_recall_gate" -> { (s, d) => recallGate(s, d, knnIvf(s, d), 0.7) },
+    "v5_knn_pq" -> { (s, d) => withRecall(s, d, knnPq(s, d)) },
+    "v5b_pq_recall_gate" -> { (s, d) => recallGate(s, d, knnPq(s, d), 0.6) },
     "km1_kmeans_gate" -> { (s, d) =>
       // Engine-independent k-means gate: every vector assigned, cluster
       // count within [1, k], and the SSE trace non-increasing (Lloyd's
@@ -345,6 +496,10 @@ object Sim {
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "v3b_ivf_recall_gate" ->
+      """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |  true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "v5b_pq_recall_gate" ->
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |  true AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,

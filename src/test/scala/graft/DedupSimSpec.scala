@@ -275,6 +275,20 @@ class DedupSimSpec extends SparkSuite {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("PQ-ADC ANN recall@5 >= 0.6 vs brute force; emitted cosines are exact") {
+    val exactTop = Sim.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Sim.knnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recall = (exactTop.keySet & pq.keySet).size.toDouble / exactTop.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+    // the re-rank means every RETURNED cosine is the true value — any hit
+    // shared with brute force must carry an identical score
+    (exactTop.keySet & pq.keySet).foreach { k =>
+      assert(pq(k) === exactTop(k), s"cosine drift at $k")
+    }
+  }
+
   test("HLL sketch count-distinct lands within the 5-sigma rsd envelope") {
     val rows = graft.ops.Stats.queries("a3_hll_sketch")(spark, sf).collect()
     rows.foreach { r =>
