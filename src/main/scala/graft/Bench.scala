@@ -17,7 +17,7 @@ object Bench {
     "set3_union", "f3_math_fns", "f5_json_fns", "x1_wordcount",
     "t1_lang_id", "t6_tfidf", "t10_repetition", "mrg1_upsert", "p2_clean_corpus",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d6_neardup_clusters",
-    "v1_knn_brute", "v2_knn_lsh", "v3_knn_ivf",
+    "v1_knn_brute", "v2_knn_lsh", "v3_knn_ivf", "v5_knn_pq",
     "ts3_session_window", "m1_media_features", "ref_range_query",
     // round-6 family representatives: secondary-index point lookup (DV
     // read path), wedge-join graph analytics, BM25 retrieval, skyline
