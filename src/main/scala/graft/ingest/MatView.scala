@@ -45,13 +45,24 @@ object MatView {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
     val srcV = upTo.getOrElse(Snapshots.versions(srcBase).max)
     val mvVs = Snapshots.versions(mvBase)
-    // The watermark is the NEWEST view version carrying a ":vN" tag — not
-    // necessarily the newest version: maintenance commits on the view
-    // itself (compact's "overwrite") are tagless and must not be parsed
-    // as watermarks, just skipped over.
+    // A rolled-back view is un-refreshable: its additive state matches an
+    // OLD watermark while the walk-back below would find a newer one —
+    // refreshing would skip (or double-count) deltas. Rebuild instead.
+    mvVs.lastOption.foreach { v =>
+      require(!Snapshots.modeOf(mvBase, v).startsWith("rollback"),
+        "view was rolled back - its state no longer matches any watermark; " +
+          "delete the view tree and rebuild")
+    }
+    // The watermark is the NEWEST view version carrying an "append:vN" /
+    // "merge:vN" tag — not necessarily the newest version: maintenance
+    // commits on the view itself (compact's "overwrite") are tagless and
+    // must not be parsed as watermarks, just skipped over. Only MatView's
+    // own commit modes qualify, so a tag some other writer put on the
+    // tree can't be misread as a source version.
     val last = mvVs.reverse.iterator
       .map(v => Snapshots.modeOf(mvBase, v))
-      .collectFirst { case m if m.contains(':') => m.split(':').last.toLong }
+      .collectFirst { case m if m.matches("(append|merge):\\d+") =>
+        m.split(':').last.toLong }
       .getOrElse(0L)
     require(srcV >= last,
       s"upTo=$srcV is older than the view's watermark $last - " +

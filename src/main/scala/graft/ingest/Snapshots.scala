@@ -529,6 +529,21 @@ object Snapshots {
     else spark.read.parquet(added: _*)
   }
 
+  /** Roll the table back to version `v` — published as a NEW commit whose
+    * file list is `v`'s (Iceberg's rollback semantics): history stays
+    * intact, time travel still reaches the rolled-back-over versions, and
+    * the operation is itself undoable by another rollback. Metadata-only:
+    * no data file is read, written, or deleted (expire reclaims the
+    * orphaned ones once their versions age out).
+    */
+  def rollback(base: String, v: Long): Long = {
+    val vs = versions(base)
+    require(vs.contains(v), s"cannot roll back to unknown version $v")
+    val target = readManifest(base, v)
+    publish(base, Nil, Nil, mode = s"rollback:$v",
+      _ => (target.files, target.dvs))
+  }
+
   /** Named tags: an immutable label → version pointer (Iceberg's refs,
     * minus branches) — "training-set-v3 = snapshot 17". A tagged version
     * survives [[expire]] regardless of age, which is the point: tags make

@@ -72,6 +72,22 @@ class MatViewSpec extends SparkSuite {
     }
   }
 
+  test("a rolled-back view refuses refresh (state/watermark desync)") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_rb")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark, Seq(("a", 1L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    Snapshots.commit(spark, Seq(("a", 2L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    Snapshots.rollback(mv, Snapshots.versions(mv).head)
+    Snapshots.commit(spark, Seq(("a", 4L)).toDF("k", "v"), src)
+    intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv, src, Seq("k"), "v")
+    }
+  }
+
   test("a non-append source version fails the refresh loudly") {
     val sess = spark
     import sess.implicits._

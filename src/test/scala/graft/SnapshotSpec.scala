@@ -233,6 +233,23 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.read(spark, base, Some(v5))) === ((1L to 10L).toSet -- Set(2L, 7L)))
   }
 
+  test("rollback restores an old version as a new commit, history intact") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_rb")
+    val v1 = Snapshots.commit(spark, (1L to 3L).toDF("id"), base)
+    Snapshots.commit(spark, (4L to 6L).toDF("id"), base)
+    Snapshots.deleteWhereDV(spark, base, col("id") === 2L)
+    val rb = Snapshots.rollback(base, v1)
+    // latest reads v1's exact state (pre-append, pre-delete, DVs dropped)
+    assert(ids(Snapshots.read(spark, base)) === (1L to 3L).toSet)
+    // history is append-only: the rolled-over versions still time-travel
+    assert(ids(Snapshots.read(spark, base, Some(rb - 1))) === ((1L to 6L).toSet - 2L))
+    // the rollback is itself undoable
+    Snapshots.rollback(base, rb - 1)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 6L).toSet - 2L))
+  }
+
   test("tags pin versions through expire; history and files tables introspect") {
     val sess = spark
     import sess.implicits._
