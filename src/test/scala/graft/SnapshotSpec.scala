@@ -233,6 +233,38 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.read(spark, base, Some(v5))) === ((1L to 10L).toSet -- Set(2L, 7L)))
   }
 
+  test("DV read plans the anti join on the dirty slice only (clean files scan plain)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_dvplan")
+    Snapshots.commit(spark, (1L to 5L).toDF("id").repartition(1), base)
+    Snapshots.commit(spark, (6L to 10L).toDF("id").repartition(1), base)
+    Snapshots.deleteWhereDV(spark, base, col("id") === 7L)
+    val df = Snapshots.read(spark, base)
+    df.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val extra = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // exactly one anti join — the dirty file's subtraction; the clean
+    // file's branch reaches the union as a bare scan with no join above it
+    val joins = nodes.filter(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins.size === 1, s"expected one anti join, got:\n${df.queryExecution.executedPlan}")
+    assert(joins.head.asInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]
+      .joinType.toString == "LeftAnti")
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    // data-file scans: one clean + one dirty (+1 for the dv sidecar read)
+    assert(scans.size === 3, s"expected 3 scans, got ${scans.size}")
+  }
+
   test("rollback restores an old version as a new commit, history intact") {
     val sess = spark
     import sess.implicits._
