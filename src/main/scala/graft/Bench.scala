@@ -81,6 +81,16 @@ object Bench {
             try fn(spark, warmSf).count() catch { case _: Throwable => () }
           }
       }
+      // Stage the TIMED scale factor's fixture trees (ingest layout, Bloom
+      // sidecar, snapshot/DV/merge/MV caches) before any clock starts —
+      // the sf0.001 warmup above only stages sf0.001's trees, so after a
+      // cache wipe the first timed snap/mv query would otherwise absorb
+      // the whole staging cost (mv1 recorded 6.4x its isolated time in
+      // round 6 for exactly this reason).
+      try graft.query.RefParity.prestage(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH PRESTAGE FAIL: ${e.getClass.getName}: ${e.getMessage}")
+      }
     }
     // Fixed (sorted) execution order so per-query numbers are comparable
     // across runs and rounds — Map iteration order is arbitrary.
@@ -163,16 +173,14 @@ object Bench {
     val regressed = deltaMap(results)
       .collect { case (k, _, p, r) if r >= 1.5 && p >= 0.3 => s"\"$k\":" + fmt(r) }
       .mkString("{", ",", "}")
-    // 1-minute system load average at the end of the timed pass: numbers
-    // recorded on a contended box (load >> cpu count) are not comparable
-    // to idle-box baselines, and the record should say so itself.
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat,"sf":"$sfDir"}""")
-    // Full-registry record as a FILE artifact: the one-line summary above
+    // Full-registry record as a FILE artifact: the one-line summary below
     // must fit a bounded log tail, but a file has no such limit — so time
     // the rest of the registry too and write every per-query number to
     // BENCH_FULL.json. Non-headline queries run once (no repeat): the file
-    // is a round-over-round trend record, not an A/B instrument.
+    // is a round-over-round trend record, not an A/B instrument. This
+    // pass runs BEFORE the summary line is printed: round 6's summary was
+    // unparseable because this pass's trailing WARNs pushed the
+    // already-printed JSON line out of the driver's bounded tail capture.
     if (fullPath != "0") {
       val rest = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => results.exists(_._1 == n) }
@@ -199,6 +207,19 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
         body + "\"failed\": " + allFailed + ",\n\"deltas\": " + deltas + "\n}\n")
     }
+    // 1-minute system load average at the end of the timed pass: numbers
+    // recorded on a contended box (load >> cpu count) are not comparable
+    // to idle-box baselines, and the record should say so itself.
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat,"sf":"$sfDir"}"""
+    // Belt and braces against tail-capture loss: the summary also lands in
+    // a FILE (a bounded log tail cannot eat a file), and the stdout line
+    // prints as the PROCESS'S LAST OUTPUT — after spark.stop(), so no
+    // executor/scan WARN can print after it.
+    val headlinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE_PATH", "BENCH_HEADLINE.json")
+    if (headlinePath != "0")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(headlinePath), headlineJson + "\n")
     spark.stop()
+    println(headlineJson)
   }
 }

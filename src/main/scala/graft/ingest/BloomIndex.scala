@@ -53,6 +53,17 @@ object BloomIndex {
   def sidecar(base: String, column: String): String =
     s"$base/_bloom_$column"
 
+  /** Read a sidecar table. Via a `part-*` glob, not the dir path: the dir
+    * name is underscore-prefixed (deliberately, so data scans skip it),
+    * and passing a hidden dir as a read ROOT makes DataSource log a
+    * spurious `All paths were ignored` WARN per read — which, at the tail
+    * of a bench run, can push the summary JSON line out of the driver's
+    * bounded log capture. The expanded part files are not hidden, so the
+    * glob read is silent.
+    */
+  private def readSidecar(spark: SparkSession, sc: String): DataFrame =
+    spark.read.parquet(s"$sc/part-*")
+
   /** Build the per-file index for `column` under `dest` (defaults to the
     * in-layout sidecar path). `dest` is a parameter so callers can stage
     * to a temp dir and atomically rename — the same publish discipline as
@@ -97,7 +108,7 @@ object BloomIndex {
     val sc = sidecar(base, column)
     if (!new java.io.File(sc, "_SUCCESS").exists()) return build(spark, base, column)
     def pathOf(uri: String) = new java.net.URI(uri).getPath
-    val existing = spark.read.parquet(sc)
+    val existing = readSidecar(spark, sc)
     val head = existing.select("num_bits", "num_hashes").head()
     val (numBits, numHashes) = (head.getInt(0), head.getInt(1))
     val covered = existing.select("file").collect().map(r => pathOf(r.getString(0))).toSet
@@ -132,7 +143,7 @@ object BloomIndex {
     */
   def candidateFiles(spark: SparkSession, base: String, column: String,
                      value: Column): (Seq[String], Long) = {
-    val sc = spark.read.parquet(sidecar(base, column))
+    val sc = readSidecar(spark, sidecar(base, column))
     val total = sc.count()
     (survivors(spark, sc, base, column, value), total)
   }
@@ -161,7 +172,7 @@ object BloomIndex {
     */
   def lookup(spark: SparkSession, base: String, column: String,
              value: Column): DataFrame = {
-    val sc = spark.read.parquet(sidecar(base, column))
+    val sc = readSidecar(spark, sidecar(base, column))
     val files = survivors(spark, sc, base, column, value)
     if (files.isEmpty) spark.read.parquet(base).filter(lit(false))
     else {

@@ -45,25 +45,42 @@ object MatView {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
     val srcV = upTo.getOrElse(Snapshots.versions(srcBase).max)
     val mvVs = Snapshots.versions(mvBase)
+    // One newest→oldest walk over the view's commit modes decides both
+    // guards below: index of the newest watermark-bearing commit and of
+    // the newest rollback.
+    val modes = mvVs.sorted.reverse.map(v => Snapshots.modeOf(mvBase, v))
+    val wmIdx = modes.indexWhere(_.matches("(append|merge):\\d+"))
+    val rbIdx = modes.indexWhere(_.startsWith("rollback"))
     // A rolled-back view is un-refreshable: its additive state matches an
-    // OLD watermark while the walk-back below would find a newer one —
+    // OLD watermark while the walk-back would find a newer one —
     // refreshing would skip (or double-count) deltas. Rebuild instead.
-    mvVs.lastOption.foreach { v =>
-      require(!Snapshots.modeOf(mvBase, v).startsWith("rollback"),
-        "view was rolled back - its state no longer matches any watermark; " +
-          "delete the view tree and rebuild")
-    }
+    // The check is NOT just the head commit: a rollback followed by any
+    // tagless maintenance commit (compact) still poisons the watermark,
+    // so any rollback NEWER than the newest watermark-bearing commit
+    // refuses.
+    require(rbIdx < 0 || (wmIdx >= 0 && wmIdx < rbIdx),
+      "view was rolled back - its state no longer matches any watermark; " +
+        "delete the view tree and rebuild")
     // The watermark is the NEWEST view version carrying an "append:vN" /
     // "merge:vN" tag — not necessarily the newest version: maintenance
     // commits on the view itself (compact's "overwrite") are tagless and
     // must not be parsed as watermarks, just skipped over. Only MatView's
     // own commit modes qualify, so a tag some other writer put on the
-    // tree can't be misread as a source version.
-    val last = mvVs.reverse.iterator
-      .map(v => Snapshots.modeOf(mvBase, v))
-      .collectFirst { case m if m.matches("(append|merge):\\d+") =>
-        m.split(':').last.toLong }
-      .getOrElse(0L)
+    // tree can't be misread as a source version. A NON-EMPTY view whose
+    // lineage carries no watermark at all (e.g. compact followed by
+    // expire(keepLast=1) dropped every tagged commit) must NOT default to
+    // 0: treating it as an initial build would MERGE a full re-aggregate
+    // into existing state and double-count every group. Only an empty
+    // tree is an initial build.
+    val last = modes.lift(wmIdx) match {
+      case Some(m) if wmIdx >= 0 => m.split(':').last.toLong
+      case _ if mvVs.isEmpty     => 0L
+      case _ => throw new IllegalStateException(
+        "view has commits but no append:vN/merge:vN watermark survives in " +
+          "its lineage (expire removed the tagged commits?) - the additive " +
+          "state can't be aligned to any source version; delete the view " +
+          "tree and rebuild")
+    }
     require(srcV >= last,
       s"upTo=$srcV is older than the view's watermark $last - " +
         "a view cannot be refreshed backwards (time travel the source instead)")

@@ -316,9 +316,14 @@ object Snapshots {
     // Files this vector references — for the conflict check below.
     val referenced = spark.read.parquet(newDvs: _*)
       .select("dv_file").distinct().collect().map(_.getString(0)).toSet
-    // No-op delete: publish nothing (the empty staged dir is invisible —
-    // unreferenced — and reclaimed by expire's batch-dir sweep).
-    if (referenced.isEmpty) return v0
+    // No-op delete: publish nothing, and remove the staged (empty) vector
+    // dir eagerly — it is unreferenced, so nothing else ever would, and
+    // expire's sweep only reclaims .parquet files, leaving empty dirs to
+    // accumulate across repeated no-op deletes.
+    if (referenced.isEmpty) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dvPath)
+      return v0
+    }
     publish(base, Nil, newDvs, mode = "delete-dv", parent =>
       if (parent == v0) (m.files, m.dvs)
       else {

@@ -176,6 +176,23 @@ object RefParity {
     }
   )
 
+  /** Build every staged fixture tree for `sfDir` eagerly. The fixture
+    * builders above run lazily inside the query lambdas; after a cache
+    * wipe or LayoutVersion bump the first TIMED call would otherwise pay
+    * the full staging cost (round 6 recorded mv1 at 6.4× its isolated
+    * time for exactly this reason). Bench calls this in its warmup tier
+    * so timed queries only ever measure the read path.
+    */
+  def prestage(s: SparkSession, sfDir: String): Unit = {
+    ingestedEvents(s, sfDir)
+    bloomIndexedEvents(s, sfDir)
+    snapshotDir(s, sfDir)
+    dvSnapshotDir(s, sfDir)
+    mvDir(s, sfDir)
+    mergeSnapshotDir(s, sfDir)
+    ()
+  }
+
   /** Build-once cache tree: if `base/_STAGED` is absent, stage into a
     * pid-unique tmp dir via `build`, write the marker only after a FULL
     * build (a crashed half-build never renames into place), then rename

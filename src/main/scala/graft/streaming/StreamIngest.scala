@@ -166,8 +166,18 @@ object StreamIngest {
                           valCol: String): Unit = {
     import graft.ingest.{MatView, Snapshots}
     val tag = s"append:b$batchId"
-    val delivered = Snapshots.versions(srcBase).lastOption
-      .exists(v => Snapshots.modeOf(srcBase, v) == tag)
+    // Re-delivery detection must survive interleaved foreign commits: if a
+    // maintenance writer (compact, a manual Snapshots.commit, a DV delete)
+    // lands on srcBase between the original delivery and a re-delivery,
+    // the batch tag is no longer the HEAD version. Walk newest→oldest to
+    // the most recent append:b* commit — foreachBatch re-delivers only the
+    // last uncommitted batch, so the newest batch tag is either this
+    // batch's (re-delivery → skip) or the previous batch's (fresh). The
+    // walk is previous-batch-bounded, not history-length-bounded.
+    val delivered = Snapshots.versions(srcBase).sorted.reverse.iterator
+      .map(v => Snapshots.modeOf(srcBase, v))
+      .collectFirst { case m if m.startsWith("append:b") => m }
+      .contains(tag)
     if (!delivered && !batch.isEmpty)
       Snapshots.commit(batch.sparkSession, batch, srcBase, mode = tag)
     if (Snapshots.versions(srcBase).nonEmpty)

@@ -101,4 +101,34 @@ class BatchAssemblySpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 9))
     assert(rows.map(_.getLong(0)).distinct.length === rows.length)
   }
+
+  test("hist1: a single-valued column pins to bucket 0, never NaN") {
+    // hi == lo makes the equi-width bucket expression 0/0; the guard must
+    // route every row to bucket 0 (the oracle-matching choice) instead of
+    // NaN-casting. Staged as a real lineitem.parquet so the REGISTERED
+    // query lambda is what's exercised, not a re-derivation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_degen").toString
+    spark.range(100).select(lit(42.5).as("l_extendedprice"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = Profiling.queries("hist1_price_histogram")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 0L)
+    assert(rows.head.getLong(1) === 100L)
+  }
+
+  test("f21: NULL text round-trips as true under null-safe equality") {
+    // aes_decrypt(aes_encrypt(NULL)) is NULL; a plain === would grade the
+    // round trip NULL (dropped by the oracle's boolean compare), so the
+    // query uses <=> — NULL <=> NULL must surface as TRUE.
+    val dir = java.nio.file.Files.createTempDirectory("graft_f21_null").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "hello"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.Fns.queries("f21_crypto_fns")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rows(1L) === true)
+    assert(rows(2L) === true, "NULL text must round-trip true via <=>")
+  }
 }

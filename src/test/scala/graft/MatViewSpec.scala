@@ -88,6 +88,45 @@ class MatViewSpec extends SparkSuite {
     }
   }
 
+  test("a rollback buried under a maintenance commit still refuses refresh") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_rb_buried")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark, Seq(("a", 1L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    Snapshots.commit(spark, Seq(("a", 2L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    Snapshots.rollback(mv, Snapshots.versions(mv).head)
+    // a tagless maintenance commit lands ON TOP of the rollback — a
+    // head-only guard would miss it and the walk-back would then find the
+    // stale pre-rollback watermark against rolled-back state
+    Snapshots.compact(spark, mv, numFiles = 1)
+    Snapshots.commit(spark, Seq(("a", 4L)).toDF("k", "v"), src)
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv, src, Seq("k"), "v")
+    }
+    assert(e.getMessage.contains("rolled back"))
+  }
+
+  test("a non-empty view with no surviving watermark refuses, not rebuild-merges") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_nowm")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), src)
+    // a view TREE that holds state but no append:vN/merge:vN commit —
+    // what compact + expire(keepLast=1) leaves behind. Defaulting the
+    // watermark to 0 here would MERGE a full re-aggregate into the
+    // existing rows and double-count every group.
+    Snapshots.commit(spark,
+      Seq(("a", 1L, 1.0)).toDF("k", "n_rows", "sum_v"), mv)
+    val e = intercept[IllegalStateException] {
+      MatView.refresh(spark, mv, src, Seq("k"), "v")
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("a non-append source version fails the refresh loudly") {
     val sess = spark
     import sess.implicits._

@@ -223,8 +223,14 @@ class SnapshotSpec extends SparkSuite {
     assert(Snapshots.liveFiles(base, v3).toSet === Snapshots.liveFiles(base, v2).toSet)
     // time travel still sees the deleted row
     assert(ids(Snapshots.read(spark, base, Some(v2))).contains(7L))
-    // deleting an already-DV-deleted row is a no-op, not a new version
+    // deleting an already-DV-deleted row is a no-op, not a new version —
+    // and its staged (empty, unreferenced) vector dir is removed, not
+    // left to accumulate under data/
+    def dvDirs = new java.io.File(base, "data").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("dv_"))
+    val dvDirsBefore = dvDirs
     assert(Snapshots.deleteWhereDV(spark, base, col("id") === 7L) === v3)
+    assert(dvDirs === dvDirsBefore, "no-op delete must not leave an orphan dv dir")
     // a second vector stacks on the first
     Snapshots.deleteWhereDV(spark, base, col("id") === 2L)
     assert(ids(Snapshots.read(spark, base)) === ((1L to 10L).toSet -- Set(2L, 7L)))

@@ -419,5 +419,18 @@ class StreamingSpec extends SparkSuite {
     StreamIngest.commitBatchWithView(Seq(("d", 1L)).toDF("k", "v"),
       10L, src, mv, Seq("k"), "v")
     assert(mvState === Set(("a", 3L, 7.0), ("b", 2L, 15.0), ("c", 1L, 7.0), ("d", 1L, 1.0)))
+    // re-delivery AFTER a foreign commit: batch 10's tag no longer heads
+    // the lineage, but the walk back to the newest append:b* commit must
+    // still recognize it — a head-only check would re-commit and
+    // double-count batch 10 in both table and view
+    Snapshots.commit(spark, Seq(("e", 2L)).toDF("k", "v"), src) // untagged writer
+    val n1 = Snapshots.versions(src).size
+    StreamIngest.commitBatchWithView(Seq(("d", 1L)).toDF("k", "v"),
+      10L, src, mv, Seq("k"), "v")
+    assert(Snapshots.versions(src).size === n1,
+      "re-delivery behind a foreign commit must not re-commit")
+    // the refresh still consumed the foreign append; d did NOT double
+    assert(mvState === Set(("a", 3L, 7.0), ("b", 2L, 15.0), ("c", 1L, 7.0),
+      ("d", 1L, 1.0), ("e", 1L, 2.0)))
   }
 }

@@ -103,6 +103,18 @@ class TopKSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
   }
 
+  test("duplicate column names are refused, not silently bound") {
+    // Self-joins and un-aliased projections produce frames with repeated
+    // names; binding "the first match" would silently order by the wrong
+    // attribute, so perKey must refuse instead.
+    val dup = orders.select(col("o_orderkey").as("x"),
+      col("price").as("x"), col("o_orderpriority"))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(dup, Seq("o_orderpriority"), Seq(("x", true)), 2)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("k larger than every group keeps all rows; multi-key grouping works") {
     val s = spark
     import s.implicits._
