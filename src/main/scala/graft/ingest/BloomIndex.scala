@@ -106,7 +106,11 @@ object BloomIndex {
     */
   def update(spark: SparkSession, base: String, column: String): Unit = {
     val sc = sidecar(base, column)
-    if (!new java.io.File(sc, "_SUCCESS").exists()) return build(spark, base, column)
+    // All metadata IO through the Hadoop FileSystem of the base's scheme —
+    // the same registry seam the data path uses, so the sidecar swap works
+    // on graftfs:// / object-store bases, not just local disk.
+    val fs = new Path(sc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(sc, "_SUCCESS"))) return build(spark, base, column)
     def pathOf(uri: String) = new java.net.URI(uri).getPath
     val existing = readSidecar(spark, sc)
     val head = existing.select("num_bits", "num_hashes").head()
@@ -126,16 +130,18 @@ object BloomIndex {
     // repairs. True atomicity would need a pointer file — not worth it
     // for a rebuildable cache.
     val pid = java.lang.ProcessHandle.current().pid()
-    val tmp = new java.io.File(sc + s".new-$pid")
-    combined.write.mode("overwrite").parquet(tmp.getPath)
-    val old = new java.io.File(sc + s".old-$pid")
-    if (!new java.io.File(sc).renameTo(old))
+    val tmp = new Path(sc + s".new-$pid")
+    combined.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(sc + s".old-$pid")
+    val scPath = new Path(sc)
+    if (!fs.rename(scPath, old))
       throw new java.io.IOException(s"failed to retire sidecar $sc")
-    if (!tmp.renameTo(new java.io.File(sc))) {
-      old.renameTo(new java.io.File(sc)) // restore; the staged dir remains for inspection
+    if (!fs.rename(tmp, scPath)) {
+      fs.rename(old, scPath) // restore; the staged dir remains for inspection
       throw new java.io.IOException(s"failed to publish updated sidecar $sc")
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    fs.delete(old, true)
+    ()
   }
 
   /** (surviving files, total files) for a point predicate — the pruning

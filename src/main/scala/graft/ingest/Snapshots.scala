@@ -1,10 +1,9 @@
 package graft.ingest
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import java.io.File
-import java.nio.file.{Files, FileAlreadyExistsException, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** Snapshot isolation + time travel over the Parquet block layout — the
   * table-format core the reference's name points at but its code never
@@ -41,23 +40,83 @@ import scala.jdk.CollectionConverters._
   */
 object Snapshots {
 
-  private def snapDir(base: String) = new File(base, "_snapshots")
-  private def dataDir(base: String) = new File(base, "data")
+  /** ALL metadata IO goes through the Hadoop FileSystem resolved from the
+    * base URI's scheme — the same registry seam BlockWriter's data path
+    * uses — so the manifest/lock/tag layer runs unchanged on `file://`,
+    * the `graftfs://` test scheme, or a real object-store connector
+    * (`abfss://`, `s3a://`), mirroring the reference's storage-adapter
+    * role (/root/reference/azureStorageAdapter.go:34-147). The conf comes
+    * from the active Spark session (connectors and test schemes register
+    * there); outside a session the default Hadoop conf still serves
+    * `file://`.
+    *
+    * Atomicity notes per operation, in object-store terms: the commit
+    * lock is create-no-overwrite (a true CAS on HDFS/ABFS/GCS; S3 needs
+    * its conditional-write mode or an external lock table); the manifest
+    * publish is write-temp + rename (atomic on HDFS/ABFS; copy+delete on
+    * S3, acceptable because it happens under the lock).
+    */
+  private def hadoopConf =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(base: String): FileSystem =
+    new Path(base).getFileSystem(hadoopConf) match {
+      // Metadata bypasses the client-side checksum wrapper (local FS):
+      // KB-scale manifests gain nothing from .crc sidecars, and a manifest
+      // written by another tool (legacy trees, external writers) would
+      // fail checksum verification against a stale sidecar. HDFS/object
+      // stores are not ChecksumFileSystems — unaffected.
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
+  private def snapDir(base: String) = new Path(base, "_snapshots")
+  private def dataDir(base: String) = new Path(base, "data")
   private def manifestFile(base: String, v: Long) =
-    new File(snapDir(base), f"v$v%08d.manifest")
+    new Path(snapDir(base), f"v$v%08d.manifest")
 
-  private def versionFiles(base: String): Seq[File] =
-    Option(snapDir(base).listFiles()).getOrElse(Array.empty[File]).toSeq
-      .filter(_.getName.matches("v\\d{8}\\.manifest"))
+  private def listDir(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    if (!fs.exists(dir)) Nil else fs.listStatus(dir).toSeq
 
-  private def versionOf(f: File): Long =
-    f.getName.stripPrefix("v").stripSuffix(".manifest").toLong
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+    finally in.close()
+  }
+
+  /** Create-new + write + close; the create(overwrite=false) is the CAS
+    * primitive (throws when the path exists).
+    */
+  private def writeStringNew(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Scheme/authority-insensitive canonical form for comparing paths that
+    * arrive from different producers (manifest lines, FileSystem listings,
+    * `input_file_name()` URIs) — `file:/x`, `file:///x` and `/x` all
+    * compare equal as `/x`. Comparison only; never used for IO.
+    */
+  private def uriPath(p: String): String = {
+    val u = try new java.net.URI(p) catch { case _: Exception => null }
+    if (u == null || u.getPath == null || u.getPath.isEmpty) p else u.getPath
+  }
+
+  private def versionStatuses(base: String): Seq[FileStatus] =
+    listDir(fsFor(base), snapDir(base))
+      .filter(_.getPath.getName.matches("v\\d{8}\\.manifest"))
+
+  private def versionOf(name: String): Long =
+    name.stripPrefix("v").stripSuffix(".manifest").toLong
 
   /** Committed versions, ascending. Zero-length manifests are in-flight
     * claims (see [[commit]]) and are not listed.
     */
   def versions(base: String): Seq[Long] =
-    versionFiles(base).filter(_.length > 0).map(versionOf).sorted
+    versionStatuses(base).filter(_.getLen > 0)
+      .map(s => versionOf(s.getPath.getName)).sorted
 
   private case class Manifest(version: Long, parent: Long, mode: String,
                               files: Seq[String], dvs: Seq[String])
@@ -68,19 +127,26 @@ object Snapshots {
     * compares one consistent form.
     */
   private def relativize(base: String, path: String): String = {
-    val b = new File(base).getAbsolutePath + File.separator
-    if (path.startsWith(b)) path.substring(b.length) else path
+    // Compare in uriPath form so a fully-qualified listing entry
+    // (`file:/tmp/t/data/...`) still relativizes against a bare base
+    // (`/tmp/t`) — and vice versa.
+    val b = uriPath(new Path(base).toString)
+    val p = uriPath(path)
+    if (p.startsWith(b + "/")) p.substring(b.length + 1) else path
   }
 
   private def resolve(base: String, line: String): String =
-    if (new File(line).isAbsolute) line // legacy absolute manifest line
-    else new File(base, line).getAbsolutePath
+    // Absolute (legacy manifests, or a foreign-scheme URI) passes through;
+    // relative lines resolve against the base — carrying its scheme, which
+    // is what makes the tree relocatable ACROSS filesystems too.
+    if (line.startsWith("/") || line.contains(":/")) line
+    else new Path(base, line).toString
 
   /** Deletion-vector manifest lines are tagged `dv:`; every other line is
     * a data file. Old manifests have no dv lines and parse unchanged.
     */
   private def readManifest(base: String, v: Long): Manifest = {
-    val lines = Files.readAllLines(manifestFile(base, v).toPath).asScala.toSeq
+    val lines = readString(fsFor(base), manifestFile(base, v)).split("\n", -1).toSeq
     val header = lines.head.split("\t").map { kv =>
       val Array(k, value) = kv.split("=", 2); k -> value
     }.toMap
@@ -93,13 +159,18 @@ object Snapshots {
   /** Write `df`'s files under a fresh uncommitted batch dir. */
   private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String]): Seq[String] = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
-    val batchPath = new File(dataDir(base), s"b_$batchId")
+    val batchPath = new Path(dataDir(base), s"b_$batchId")
     val clustered =
       if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
     clustered.write.parquet(batchPath.toString)
-    Option(batchPath.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    listParquet(df.sparkSession, batchPath)
   }
+
+  /** The .parquet files of a just-written dir, sorted, as path strings. */
+  private def listParquet(spark: SparkSession, dir: Path): Seq[String] =
+    listDir(dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
 
   /** Mutual exclusion for the METADATA commit only — the ~ms manifest
     * read-compute-write, never the data-file writes (those stay fully
@@ -113,16 +184,24 @@ object Snapshots {
   private val StaleLockMs = 60000L
 
   private def withCommitLock[T](base: String)(body: => T): T = {
-    snapDir(base).mkdirs()
-    val lock = new File(snapDir(base), ".commit.lock")
+    val fs = fsFor(base)
+    fs.mkdirs(snapDir(base))
+    val lock = new Path(snapDir(base), ".commit.lock")
     var held = false
     while (!held) {
+      // create(overwrite=false) is the CAS; FS implementations differ on
+      // the exact exception for an existing path, so any IOException with
+      // the lock present reads as contention — and rethrows otherwise
+      // (a genuine IO failure must not spin forever as a phantom lock).
       try {
-        Files.createFile(lock.toPath)
+        fs.create(lock, false).close()
         held = true
       } catch {
-        case _: FileAlreadyExistsException =>
-          val mtime = lock.lastModified
+        case e: java.io.IOException =>
+          if (!fs.exists(lock)) throw e
+          val mtime =
+            try fs.getFileStatus(lock).getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L } // freed already
           if (mtime > 0 && System.currentTimeMillis - mtime > StaleLockMs) {
             // Takeover must be single-winner: deleting the shared path off a
             // stale mtime read is a TOCTOU race (two waiters can each delete
@@ -130,13 +209,14 @@ object Snapshots {
             // created, letting two writers into the critical section).
             // Renaming the stale lock to a unique tombstone is atomic: only
             // one renamer succeeds, and it removes only the file it renamed.
-            val tomb = new File(snapDir(base), s".commit.lock.dead_${System.nanoTime()}")
-            if (lock.renameTo(tomb)) tomb.delete()
-            // next loop re-races createFile for the now-absent lock
+            val tomb = new Path(snapDir(base), s".commit.lock.dead_${System.nanoTime()}")
+            if (try fs.rename(lock, tomb) catch { case _: java.io.IOException => false })
+              fs.delete(tomb, false)
+            // next loop re-races create() for the now-absent lock
           } else Thread.sleep(5)
       }
     }
-    try body finally lock.delete()
+    try body finally fs.delete(lock, false)
   }
 
   /** Publish `carried(parent) ++ (newFiles, newDvs)` as the next version.
@@ -149,24 +229,45 @@ object Snapshots {
                       mode: String,
                       carried: Long => (Seq[String], Seq[String])): Long =
     withCommitLock(base) {
-      val vs = versions(base)
-      val parent = if (vs.isEmpty) 0L else vs.max
-      // Number PAST any zero-length claim a pre-lock-era writer (or a
-      // crashed one) may have left: such a file is not a committed
-      // version, but its number is burned.
-      val next = (0L +: versionFiles(base).map(versionOf)).max.max(parent) + 1
-      val target = manifestFile(base, next)
-      val tmp = new File(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
-      val (carriedFiles, carriedDvs) = carried(parent)
-      Files.writeString(tmp.toPath,
-        (s"version=$next\tparent=$parent\tmode=$mode" +:
-          ((carriedFiles ++ newFiles).map(relativize(base, _)) ++
-            (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f))))
-          .mkString("\n"))
-      // Atomic move: the manifest appears fully written or not at all.
-      Files.move(tmp.toPath, target.toPath,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      next
+      val fs = fsFor(base)
+      // Optimistic claim loop. The LOCK serializes writers in the common
+      // case, but its create-no-overwrite CAS is advisory on filesystems
+      // where exclusive create is check-then-act (raw local FS) — so
+      // correctness rests on the RENAME: Hadoop rename fails when the
+      // destination exists (HDFS/ABFS/local all emulate this), making the
+      // manifest's appearance at its versioned name the true
+      // single-winner commit point. A loser recomputes parent (and with
+      // it `carried`'s conflict checks) and retries — Iceberg's
+      // optimistic-commit shape, with rename standing in for the
+      // metadata-pointer CAS.
+      var out = -1L
+      var attempts = 0
+      while (out < 0) {
+        val vs = versions(base)
+        val parent = if (vs.isEmpty) 0L else vs.max
+        // Number PAST any zero-length claim a pre-lock-era writer (or a
+        // crashed one) may have left: such a file is not a committed
+        // version, but its number is burned.
+        val next = (0L +: versionStatuses(base).map(s => versionOf(s.getPath.getName)))
+          .max.max(parent) + 1
+        val target = manifestFile(base, next)
+        val tmp = new Path(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
+        val (carriedFiles, carriedDvs) = carried(parent)
+        writeStringNew(fs, tmp,
+          (s"version=$next\tparent=$parent\tmode=$mode" +:
+            ((carriedFiles ++ newFiles).map(relativize(base, _)) ++
+              (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f))))
+            .mkString("\n"))
+        // Atomic rename: the manifest appears fully written or not at all.
+        if (fs.rename(tmp, target)) out = next
+        else {
+          fs.delete(tmp, false)
+          attempts += 1
+          if (attempts > 100) throw new java.io.IOException(
+            s"failed to publish manifest $target after $attempts attempts")
+        }
+      }
+      out
     }
 
   /** Write `df` as a new snapshot of the table at `base`; returns the new
@@ -228,14 +329,18 @@ object Snapshots {
       "table has deletion vectors - run compact() to materialize them " +
         "before a copy-on-write delete, or use deleteWhereDV")
     val files = m0.files
-    val touched = spark.read.parquet(files: _*).filter(cond)
+    // Keep the scan's full URIs for READING (they carry the scheme); the
+    // comparison set is uriPath-canonical so it matches manifest paths
+    // whatever their qualification.
+    val touchedUris = spark.read.parquet(files: _*).filter(cond)
       .select(org.apache.spark.sql.functions.input_file_name().as("f")).distinct()
-      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      .collect().map(_.getString(0)).toSeq
+    val touched = touchedUris.map(uriPath).toSet
     if (touched.isEmpty) return vs.max
     // SQL DELETE semantics: only rows where cond is TRUE are deleted; rows
     // where cond is NULL (three-valued logic) must SURVIVE the rewrite, so
     // keep !coalesce(cond, false), never a bare !cond.
-    val rewritten = spark.read.parquet(touched.toSeq: _*)
+    val rewritten = spark.read.parquet(touchedUris: _*)
       .filter(!coalesce(cond, lit(false)))
     val newFiles = writeBatch(rewritten, base, Nil)
     val v0 = vs.max
@@ -251,10 +356,11 @@ object Snapshots {
     // (mirror of compact's conflict check).
     publish(base, newFiles, Nil, mode = "delete", parent =>
       if (parent == 0) (Nil, Nil)
-      else if (parent == v0) (readManifest(base, parent).files.filterNot(touched), Nil)
+      else if (parent == v0)
+        (readManifest(base, parent).files.filterNot(f => touched(uriPath(f))), Nil)
       else {
         val p = readManifest(base, parent)
-        val rewrittenAway = touched -- p.files.toSet
+        val rewrittenAway = touched -- p.files.map(uriPath).toSet
         if (rewrittenAway.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"deleteWhere based on v$v0 conflicts with a concurrent overwrite " +
@@ -267,7 +373,7 @@ object Snapshots {
           throw new java.util.ConcurrentModificationException(
             s"deleteWhere based on v$v0 conflicts with a concurrent " +
               "deletion-vector delete; retry from the new version")
-        (p.files.filterNot(touched), Nil)
+        (p.files.filterNot(f => touched(uriPath(f))), Nil)
       })
   }
 
@@ -309,10 +415,9 @@ object Snapshots {
     val matches = scanWithDvs(spark, m, keepCoords = true)
       .filter(cond)
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
-    val dvPath = new File(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
+    val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
     matches.write.parquet(dvPath.toString)
-    val newDvs = Option(dvPath.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    val newDvs = listParquet(spark, dvPath)
     // Files this vector references — for the conflict check below.
     val referenced = spark.read.parquet(newDvs: _*)
       .select("dv_file").distinct().collect().map(_.getString(0)).toSet
@@ -321,7 +426,7 @@ object Snapshots {
     // expire's sweep only reclaims .parquet files, leaving empty dirs to
     // accumulate across repeated no-op deletes.
     if (referenced.isEmpty) {
-      org.apache.commons.io.FileUtils.deleteQuietly(dvPath)
+      fsFor(base).delete(dvPath, true)
       return v0
     }
     publish(base, Nil, newDvs, mode = "delete-dv", parent =>
@@ -377,13 +482,16 @@ object Snapshots {
     val matched = scanWithDvs(spark, m, keepCoords = true)
       .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
-    val dvPath = new File(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
+    val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
     matched.write.parquet(dvPath.toString)
-    val written = Option(dvPath.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted.toSeq
+    val written = listParquet(spark, dvPath)
     val referenced = spark.read.parquet(written: _*)
       .select("dv_file").distinct().collect().map(_.getString(0)).toSet
-    val newDvs = if (referenced.isEmpty) Nil else written
+    // An insert-only merge (no matched keys) drops its empty vector dir
+    // eagerly, same as a no-op DV delete.
+    val newDvs =
+      if (referenced.isEmpty) { fsFor(base).delete(dvPath, true); Nil }
+      else written
     // The insert leg: the whole source (updates are delete+insert).
     val newFiles = writeBatch(source, base, keyCols)
     beforePublish()
@@ -560,11 +668,13 @@ object Snapshots {
   def tag(base: String, name: String, v: Long): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name $name")
     require(versions(base).contains(v), s"cannot tag unknown version $v")
-    val f = new File(snapDir(base), s"tag_$name")
-    try Files.writeString(f.toPath, v.toString,
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val fs = fsFor(base)
+    val f = new Path(snapDir(base), s"tag_$name")
+    // create-new CAS: retagging a name is an error, not a silent repoint
+    try writeStringNew(fs, f, v.toString)
     catch {
-      case _: FileAlreadyExistsException =>
+      case e: java.io.IOException =>
+        if (!fs.exists(f)) throw e
         throw new IllegalArgumentException(
           s"tag $name already exists (points at version ${tagVersion(base, name)})")
     }
@@ -572,16 +682,18 @@ object Snapshots {
   }
 
   def tagVersion(base: String, name: String): Long =
-    Files.readString(new File(snapDir(base), s"tag_$name").toPath).trim.toLong
+    readString(fsFor(base), new Path(snapDir(base), s"tag_$name")).trim.toLong
 
-  def tags(base: String): Map[String, Long] =
-    Option(snapDir(base).listFiles()).getOrElse(Array.empty[File]).toSeq
-      .filter(_.getName.startsWith("tag_"))
-      .map(f => f.getName.stripPrefix("tag_") ->
-        Files.readString(f.toPath).trim.toLong).toMap
+  def tags(base: String): Map[String, Long] = {
+    val fs = fsFor(base)
+    listDir(fs, snapDir(base))
+      .filter(_.getPath.getName.startsWith("tag_"))
+      .map(s => s.getPath.getName.stripPrefix("tag_") ->
+        readString(fs, s.getPath).trim.toLong).toMap
+  }
 
   def dropTag(base: String, name: String): Unit = {
-    new File(snapDir(base), s"tag_$name").delete(); ()
+    fsFor(base).delete(new Path(snapDir(base), s"tag_$name"), false); ()
   }
 
   /** Read the table at a named tag. */
@@ -610,7 +722,8 @@ object Snapshots {
     import spark.implicits._
     val vs = versions(base)
     val m = readManifest(base, asOf.getOrElse(vs.max))
-    m.files.map(f => (relKey(f), new File(f).length()))
+    val fs = fsFor(base)
+    m.files.map(f => (relKey(f), fs.getFileStatus(new Path(f)).getLen))
       .toDF("file", "size_bytes")
   }
 
@@ -622,21 +735,25 @@ object Snapshots {
     * fail on the missing manifest, not with silently wrong rows.
     */
   def expire(base: String, keepLast: Int = 1): Unit = {
+    val fs = fsFor(base)
     val vs = versions(base)
     val pinned = tags(base).values.toSet
     val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
     val (kept, drop) = dropCand.partition(pinned)
     val keep = kept ++ keepTail
-    drop.foreach(v => manifestFile(base, v).delete())
+    drop.foreach(v => fs.delete(manifestFile(base, v), false))
+    // Liveness compares uriPath-canonical forms: manifest lines resolve
+    // unqualified while FileSystem listings come back fully qualified.
     val live = keep.flatMap { v =>
       val m = readManifest(base, v); m.files ++ m.dvs
-    }.toSet
-    Option(dataDir(base).listFiles()).getOrElse(Array.empty[File]).foreach { batch =>
-      Option(batch.listFiles()).getOrElse(Array.empty[File])
-        .filter(f => f.getName.endsWith(".parquet") && !live(f.getAbsolutePath))
-        .foreach(_.delete())
-      if (Option(batch.listFiles()).exists(_.forall(!_.getName.endsWith(".parquet"))))
-        org.apache.commons.io.FileUtils.deleteDirectory(batch)
+    }.map(uriPath).toSet
+    listDir(fs, dataDir(base)).filter(_.isDirectory).foreach { batch =>
+      listDir(fs, batch.getPath)
+        .filter(f => f.getPath.getName.endsWith(".parquet") &&
+          !live(uriPath(f.getPath.toString)))
+        .foreach(f => fs.delete(f.getPath, false))
+      if (listDir(fs, batch.getPath).forall(f => !f.getPath.getName.endsWith(".parquet")))
+        fs.delete(batch.getPath, true)
     }
   }
 }

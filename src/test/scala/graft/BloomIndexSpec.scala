@@ -73,6 +73,30 @@ class BloomIndexSpec extends SparkSuite {
     assert(again === after)
   }
 
+  test("build, incremental update, and lookup run on a non-file scheme (graftfs://)") {
+    // The sidecar swap (retire → publish renames) and _SUCCESS probe go
+    // through the Hadoop FileSystem of the base's scheme — pinned here on
+    // a registry-resolved non-file FS, the abfss:// stand-in.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val dir = "graftfs://" + tmpDir("graft_bloom_scheme") + "/blocks"
+    val ev = Tables.events(spark, sf).drop("ts", "ts_t")
+    BlockWriter.write(ev.filter(col("event_id") < 500), dir,
+      partitionCol = "user_id", keyCol = "ts_us", numBuckets = 4, maxRecordsPerFile = 128)
+    BloomIndex.build(spark, dir, "event_id")
+    BlockWriter.append(ev.filter(col("event_id") >= 500), dir,
+      partitionCol = "user_id", keyCol = "ts_us", numBuckets = 4, maxRecordsPerFile = 128)
+    BloomIndex.update(spark, dir, "event_id")
+    val viaIndex = BloomIndex.lookup(spark, dir, "event_id", lit(700L))
+      .select("event_id", "user_id", "ts_us").collect().toSet
+    val direct = spark.read.parquet(dir).filter(col("event_id") === 700L)
+      .select("event_id", "user_id", "ts_us").collect().toSet
+    assert(viaIndex === direct && viaIndex.nonEmpty)
+    val (files, total) = BloomIndex.candidateFiles(spark, dir, "event_id", lit(700L))
+    assert(files.nonEmpty && files.size < total,
+      s"index must prune on graftfs: ${files.size} of $total files survive")
+  }
+
   test("string column round-trips through the typed probe cast") {
     // The probe literal is cast to the layout column's type before
     // hashing — a string column indexed and probed with a string literal

@@ -24,6 +24,45 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.changes(spark, base, v1, v2)) === (6L to 8L).toSet)
   }
 
+  test("the full table lifecycle runs against a non-file scheme (graftfs://)") {
+    // The object-store seam for the METADATA layer: manifests, the commit
+    // lock, tags, DV sidecars, rollback and expire must all resolve their
+    // FileSystem from the base URI's scheme (the registry entry an
+    // abfss:// deployment uses), not from java.io. graftfs:// is
+    // registered only through fs.graftfs.impl, so any hardcoded local-FS
+    // assumption fails here.
+    val sess = spark
+    import sess.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val base = "graftfs://" + tmpDir("graft_snapshot_scheme") + "/table"
+    val v1 = Snapshots.commit(spark, (1L to 5L).toDF("id"), base)
+    val v2 = Snapshots.commit(spark, (6L to 8L).toDF("id"), base)
+    assert(ids(Snapshots.read(spark, base)) === (1L to 8L).toSet)
+    assert(ids(Snapshots.read(spark, base, Some(v1))) === (1L to 5L).toSet)
+    assert(ids(Snapshots.changes(spark, base, v1, v2)) === (6L to 8L).toSet)
+    // merge-on-read delete + batch merge, metadata-only ops, introspection
+    Snapshots.deleteWhereDV(spark, base, col("id") === 3L)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 8L).toSet - 3L))
+    Snapshots.merge(spark, base,
+      Seq(2L, 100L).toDF("id"), Seq("id"))
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 8L).toSet - 3L) + 100L)
+    Snapshots.tag(base, "pinned", v1)
+    assert(Snapshots.tagVersion(base, "pinned") === v1)
+    assert(ids(Snapshots.readTag(spark, base, "pinned")) === (1L to 5L).toSet)
+    val rb = Snapshots.rollback(base, v2)
+    assert(ids(Snapshots.read(spark, base)) === (1L to 8L).toSet)
+    assert(Snapshots.history(spark, base).count() === Snapshots.versions(base).size.toLong)
+    assert(Snapshots.filesTable(spark, base).collect().forall(_.getLong(1) > 0))
+    // vacuum: tagged v1 survives, dropped versions fail loudly
+    Snapshots.expire(base, keepLast = 1)
+    assert(ids(Snapshots.readTag(spark, base, "pinned")) === (1L to 5L).toSet)
+    assert(ids(Snapshots.read(spark, base, Some(rb))) === (1L to 8L).toSet)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, base, Some(v2)).collect()
+    }
+  }
+
   test("a renamed table base keeps every snapshot readable (relocatable manifests)") {
     // Manifests store base-relative paths, so moving the whole tree —
     // rename, cp -r, a staging-dir promote like RefParity's snapshot
