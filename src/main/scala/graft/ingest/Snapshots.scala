@@ -700,6 +700,156 @@ object Snapshots {
   def readTag(spark: SparkSession, base: String, name: String): DataFrame =
     read(spark, base, Some(tagVersion(base, name)))
 
+  // ---------------------------------------------------------------------
+  // Branches: named MUTABLE lineages forked from a main version (Iceberg
+  // refs, the half tags leave out). The write-audit-publish workflow rides
+  // them: stage commits on a branch (invisible to main readers), audit the
+  // branch, then fast-forward main to the branch head — one atomic
+  // metadata publish, no data rewrite.
+  //
+  // Mechanics: branch manifests live beside main's under
+  // `_snapshots/branch-<name>.vNNNNNNNN.manifest` with a branch-LOCAL
+  // version sequence; the fork point (a main version) sits in a
+  // `branch_<name>` pointer file and is pinned against [[expire]] exactly
+  // like a tag. Data files of branch commits share the main data/ dir —
+  // they are invisible until a manifest (branch or main) references them,
+  // and expire counts every branch manifest's files as live.
+  // ---------------------------------------------------------------------
+
+  private def branchPointer(base: String, name: String) =
+    new Path(snapDir(base), s"branch_$name")
+
+  private def branchManifest(base: String, name: String, v: Long) =
+    new Path(snapDir(base), f"branch-$name.v$v%08d.manifest")
+
+  private def branchStatuses(base: String, name: String): Seq[FileStatus] =
+    listDir(fsFor(base), snapDir(base))
+      .filter(_.getPath.getName.matches(
+        s"branch-${java.util.regex.Pattern.quote(name)}\\.v\\d{8}\\.manifest"))
+
+  private def branchVersionOf(name: String): Long =
+    name.substring(name.lastIndexOf(".v") + 2).stripSuffix(".manifest").toLong
+
+  /** Branch-local committed versions, ascending (empty for a fresh branch
+    * that only points at its fork).
+    */
+  def branchVersions(base: String, name: String): Seq[Long] =
+    branchStatuses(base, name).filter(_.getLen > 0)
+      .map(s => branchVersionOf(s.getPath.getName)).sorted
+
+  /** The main version a branch forked from. */
+  def branchFork(base: String, name: String): Long =
+    readString(fsFor(base), branchPointer(base, name)).trim.toLong
+
+  def branches(base: String): Map[String, Long] = {
+    val fs = fsFor(base)
+    listDir(fs, snapDir(base))
+      .filter(_.getPath.getName.startsWith("branch_"))
+      .map(s => s.getPath.getName.stripPrefix("branch_") ->
+        readString(fs, s.getPath).trim.toLong).toMap
+  }
+
+  /** Fork a branch from `from` (default: the current main head). Same
+    * create-new CAS as [[tag]] — re-creating an existing branch is an
+    * error, not a silent re-fork.
+    */
+  def createBranch(base: String, name: String, from: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name $name")
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val fork = from.getOrElse(vs.max)
+    require(vs.contains(fork), s"cannot branch from unknown version $fork")
+    val fs = fsFor(base)
+    try writeStringNew(fs, branchPointer(base, name), fork.toString)
+    catch {
+      case e: java.io.IOException =>
+        if (!fs.exists(branchPointer(base, name))) throw e
+        throw new IllegalArgumentException(s"branch $name already exists")
+    }
+    fork
+  }
+
+  /** The (files, dvs) state at a branch's head: its newest branch commit,
+    * or the fork-point main manifest when the branch has none yet.
+    */
+  private def branchHeadState(base: String, name: String): (Seq[String], Seq[String]) = {
+    val bvs = branchVersions(base, name)
+    if (bvs.isEmpty) {
+      val m = readManifest(base, branchFork(base, name))
+      (m.files, m.dvs)
+    } else {
+      val text = readString(fsFor(base), branchManifest(base, name, bvs.max))
+      val lines = text.split("\n", -1).toSeq
+      val (dvLines, dataLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("dv:"))
+      (dataLines.map(resolve(base, _)), dvLines.map(l => resolve(base, l.stripPrefix("dv:"))))
+    }
+  }
+
+  /** Append `df` to a branch: data files land in the shared data/ dir
+    * (invisible to main), the branch manifest carries the branch head's
+    * files plus the new batch, and main's lineage is untouched. Runs
+    * under the same commit lock as main publishes.
+    */
+  def commitToBranch(spark: SparkSession, df: DataFrame, base: String,
+                     name: String, sortCols: Seq[String] = Nil): Long = {
+    val fs = fsFor(base)
+    require(fs.exists(branchPointer(base, name)), s"no branch $name under $base")
+    val newFiles = writeBatch(df, base, sortCols)
+    withCommitLock(base) {
+      val (headFiles, headDvs) = branchHeadState(base, name)
+      val bvs = branchVersions(base, name)
+      val next = (0L +: bvs).max + 1
+      val target = branchManifest(base, name, next)
+      val tmp = new Path(snapDir(base), s".tmp_b_${name}_${next}_${System.nanoTime()}")
+      writeStringNew(fs, tmp,
+        (s"version=$next\tparent=${next - 1}\tmode=append" +:
+          ((headFiles ++ newFiles).map(relativize(base, _)) ++
+            headDvs.map(f => "dv:" + relativize(base, f)))).mkString("\n"))
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"failed to publish branch manifest $target")
+      next
+    }
+  }
+
+  /** Read a branch's head (staged-but-unpublished state — the audit read
+    * of write-audit-publish).
+    */
+  def readBranch(spark: SparkSession, base: String, name: String): DataFrame = {
+    val (files, dvs) = branchHeadState(base, name)
+    scanWithDvs(spark, Manifest(0L, 0L, "branch", files, dvs), keepCoords = false)
+  }
+
+  /** Publish a branch into main — the WAP publish step. Strict
+    * fast-forward semantics (Iceberg's fastForward): main must still sit
+    * at the branch's fork point; if main advanced past it the branches
+    * diverged, and silently taking the branch state would drop main's
+    * commits — abort and let the caller re-stage. The publish itself is
+    * one metadata commit (mode `fastforward:<name>`); the branch pointer
+    * stays for [[dropBranch]].
+    */
+  def fastForward(base: String, name: String): Long = {
+    val fork = branchFork(base, name)
+    val (files, dvs) = branchHeadState(base, name)
+    publish(base, Nil, Nil, mode = s"fastforward:$name", parent => {
+      if (parent != fork)
+        throw new java.util.ConcurrentModificationException(
+          s"branch $name forked at v$fork but main is at v$parent - " +
+            "not a fast-forward; re-stage the branch from the new head")
+      (files, dvs)
+    })
+  }
+
+  /** Delete a branch's pointer and manifests. Its data files become
+    * unreferenced (unless published) and the next [[expire]] reclaims
+    * them.
+    */
+  def dropBranch(base: String, name: String): Unit = {
+    val fs = fsFor(base)
+    branchStatuses(base, name).foreach(s => fs.delete(s.getPath, false))
+    fs.delete(branchPointer(base, name), false)
+    ()
+  }
+
   /** Metadata table: one row per committed version — (version, parent,
     * mode, n_files, n_dvs, tags) — the `history` introspection surface
     * (Iceberg's snapshots/history metadata tables). Manifest-sized work,
@@ -737,16 +887,24 @@ object Snapshots {
   def expire(base: String, keepLast: Int = 1): Unit = {
     val fs = fsFor(base)
     val vs = versions(base)
-    val pinned = tags(base).values.toSet
+    // Tagged versions are reproducibility pins; branch FORK versions stay
+    // readable so an empty branch (and fastForward's conflict check) still
+    // resolves its state.
+    val pinned = tags(base).values.toSet ++ branches(base).values
     val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
     val (kept, drop) = dropCand.partition(pinned)
     val keep = kept ++ keepTail
     drop.foreach(v => fs.delete(manifestFile(base, v), false))
     // Liveness compares uriPath-canonical forms: manifest lines resolve
     // unqualified while FileSystem listings come back fully qualified.
-    val live = keep.flatMap { v =>
+    // Staged-but-unpublished BRANCH data shares the data/ dir and must
+    // survive the sweep: every branch head's files count as live.
+    val branchLive = branches(base).keys.toSeq.flatMap { b =>
+      val (f, d) = branchHeadState(base, b); f ++ d
+    }
+    val live = (keep.flatMap { v =>
       val m = readManifest(base, v); m.files ++ m.dvs
-    }.map(uriPath).toSet
+    } ++ branchLive).map(uriPath).toSet
     listDir(fs, dataDir(base)).filter(_.isDirectory).foreach { batch =>
       listDir(fs, batch.getPath)
         .filter(f => f.getPath.getName.endsWith(".parquet") &&

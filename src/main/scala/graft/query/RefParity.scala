@@ -158,6 +158,24 @@ object RefParity {
       Snapshots.read(s, mvDir(s, d))
         .select(col("l_orderkey"), col("n_rows"), col("sum_v"))
     },
+    // Write-audit-publish through a branch: the staged tree commits the
+    // pre-1996 lineitem slice to main, stages the 1996+ slice on an
+    // `audit` branch (invisible to main), and fast-forwards. Row 1 = the
+    // fork version main readers saw during the audit window, row 2 = the
+    // branch-head (audit) read, row 3 = published main. The oracle
+    // recomputes all three from lineitem — a staged row leaking into the
+    // fork read, or the publish dropping/duplicating a file, breaks the
+    // hash.
+    "snap4_wap" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = wapSnapshotDir(s, d)
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_qty"))
+      summarize(Snapshots.read(s, dir, Some(Snapshots.versions(dir).min)), 1)
+        .unionAll(summarize(Snapshots.readBranch(s, dir, "audit"), 2))
+        .unionAll(summarize(Snapshots.read(s, dir), 3))
+    },
     // Batch MERGE (upsert) through deletion vectors: the staged tree
     // commits (o_orderkey, o_custkey), then merges key%10 updates
     // (+1_000_000 marker) and key%100 inserts (negated keys) as ONE
@@ -190,6 +208,7 @@ object RefParity {
     dvSnapshotDir(s, sfDir)
     mvDir(s, sfDir)
     mergeSnapshotDir(s, sfDir)
+    wapSnapshotDir(s, sfDir)
     ()
   }
 
@@ -267,6 +286,24 @@ object RefParity {
     }
   }
 
+  /** Staged WAP lifecycle for snap4: main commit → branch stage →
+    * fast-forward, all at STAGE time; the registered query reads the
+    * immutable result (fork read, branch read, published read).
+    */
+  private def wapSnapshotDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_wap", sfDir, "lineitem")) { tmp =>
+      import graft.ingest.Snapshots
+      val li = Tables.table(s, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      Snapshots.commit(s, li.filter(col("l_shipdate") < lit("1996-01-01")),
+        tmp, sortCols = Seq("l_orderkey"))
+      Snapshots.createBranch(tmp, "audit")
+      Snapshots.commitToBranch(s, li.filter(col("l_shipdate") >= lit("1996-01-01")),
+        tmp, "audit", sortCols = Seq("l_orderkey"))
+      Snapshots.fastForward(tmp, "audit")
+      ()
+    }
+
   /** Staged commit + one atomic merge for snap3. Updates mark themselves
     * with a +1_000_000 offset on v, inserts negate the key: both are
     * invertible in exact long arithmetic, so the DuckDB oracle
@@ -311,6 +348,13 @@ object RefParity {
         |UNION ALL
         |SELECT 2, count(*), round(sum(l_quantity), 2)
         |FROM lineitem WHERE NOT (l_quantity < 5)""".stripMargin,
+    "snap4_wap" ->
+      """SELECT 1 AS snap, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |UNION ALL
+        |SELECT 2, count(*), round(sum(l_quantity), 2) FROM lineitem
+        |UNION ALL
+        |SELECT 3, count(*), round(sum(l_quantity), 2) FROM lineitem""".stripMargin,
     "mv1_incremental_agg" ->
       """SELECT l_orderkey, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v

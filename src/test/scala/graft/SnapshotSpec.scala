@@ -63,6 +63,55 @@ class SnapshotSpec extends SparkSuite {
     }
   }
 
+  test("branches stage commits invisibly; fast-forward publishes atomically (WAP)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_wap")
+    val v1 = Snapshots.commit(spark, (1L to 5L).toDF("id"), base)
+    Snapshots.createBranch(base, "audit")
+    Snapshots.commitToBranch(spark, (6L to 9L).toDF("id"), base, "audit")
+    // staged rows are INVISIBLE to main readers — the audit gate's premise
+    assert(ids(Snapshots.read(spark, base)) === (1L to 5L).toSet)
+    assert(Snapshots.versions(base) === Seq(v1))
+    // the audit read sees fork + staged
+    assert(ids(Snapshots.readBranch(spark, base, "audit")) === (1L to 9L).toSet)
+    // a second staged commit stacks on the branch
+    Snapshots.commitToBranch(spark, Seq(10L).toDF("id"), base, "audit")
+    assert(ids(Snapshots.readBranch(spark, base, "audit")) === (1L to 10L).toSet)
+    // publish: one metadata commit, main now reflects the branch head
+    val v2 = Snapshots.fastForward(base, "audit")
+    assert(ids(Snapshots.read(spark, base)) === (1L to 10L).toSet)
+    assert(Snapshots.modeOf(base, v2) === "fastforward:audit")
+    // pre-publish main is intact under time travel
+    assert(ids(Snapshots.read(spark, base, Some(v1))) === (1L to 5L).toSet)
+    Snapshots.dropBranch(base, "audit")
+    assert(Snapshots.branches(base).isEmpty)
+    // published data survives the branch's removal and an expire
+    Snapshots.expire(base, keepLast = 1)
+    assert(ids(Snapshots.read(spark, base)) === (1L to 10L).toSet)
+  }
+
+  test("fast-forward refuses a diverged main; expire keeps staged branch data") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_wap_div")
+    Snapshots.commit(spark, (1L to 3L).toDF("id"), base)
+    Snapshots.createBranch(base, "stage")
+    Snapshots.commitToBranch(spark, (4L to 6L).toDF("id"), base, "stage")
+    // main advances past the fork — publishing the branch now would drop
+    // main's commit, so fastForward must refuse
+    Snapshots.commit(spark, (7L to 9L).toDF("id"), base)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.fastForward(base, "stage")
+    }
+    // vacuum with the branch still staged: the fork manifest is pinned
+    // and the branch's data files are live — the audit read must survive
+    Snapshots.expire(base, keepLast = 1)
+    assert(ids(Snapshots.readBranch(spark, base, "stage")) === (1L to 6L).toSet)
+    // duplicate branch names are refused, like tags
+    intercept[IllegalArgumentException] { Snapshots.createBranch(base, "stage") }
+  }
+
   test("a renamed table base keeps every snapshot readable (relocatable manifests)") {
     // Manifests store base-relative paths, so moving the whole tree —
     // rename, cp -r, a staging-dir promote like RefParity's snapshot
