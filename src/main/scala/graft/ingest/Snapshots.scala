@@ -119,7 +119,8 @@ object Snapshots {
       .map(s => versionOf(s.getPath.getName)).sorted
 
   private case class Manifest(version: Long, parent: Long, mode: String,
-                              files: Seq[String], dvs: Seq[String])
+                              files: Seq[String], dvs: Seq[String],
+                              schema: Option[org.apache.spark.sql.types.StructType])
 
   /** Manifest lines are base-relative; everything in memory is absolute.
     * Relativize at the WRITE boundary, resolve at the READ boundary, so
@@ -153,17 +154,129 @@ object Snapshots {
     val (dvLines, dataLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("dv:"))
     Manifest(header("version").toLong, header("parent").toLong,
       header("mode"), dataLines.map(resolve(base, _)),
-      dvLines.map(l => resolve(base, l.stripPrefix("dv:"))))
+      dvLines.map(l => resolve(base, l.stripPrefix("dv:"))),
+      header.get("schema").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
   }
 
   /** Write `df`'s files under a fresh uncommitted batch dir. */
   private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String]): Seq[String] = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
     val batchPath = new Path(dataDir(base), s"b_$batchId")
+    // Field ids ride the df's schema metadata into the parquet footers
+    // (default-on in Spark, pinned here because id-tracked tables DEPEND
+    // on every data file carrying ids).
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val clustered =
       if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
     clustered.write.parquet(batchPath.toString)
     listParquet(df.sparkSession, batchPath)
+  }
+
+  // ---------------------------------------------------------------------
+  // Field-id schema tracking (Iceberg's column-identity model via Spark's
+  // native parquet field-id support): every column of an id-TRACKED table
+  // owns a stable numeric id, written into each parquet footer
+  // (`parquet.field.id` metadata + fieldId.write conf) and matched by id
+  // at read time (fieldId.read conf + an explicit id-carrying read
+  // schema). Names then become labels: [[renameColumn]] and
+  // [[dropColumn]] are metadata-only commits that rewrite the CURRENT
+  // schema header — old files resolve renamed columns by id, dropped
+  // columns simply stop being requested, and time travel reads each era
+  // under its own manifest's schema. Tables created before schema headers
+  // existed stay name-based end to end (their files carry no ids).
+  // ---------------------------------------------------------------------
+
+  private val FieldIdKey = "parquet.field.id"
+
+  import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+
+  private def fieldId(f: StructField): Long = f.metadata.getLong(FieldIdKey)
+
+  /** Align `df` to the table's id space: columns matching a parent-schema
+    * name keep that field's id, new columns mint fresh ids. Returns the
+    * id-attached frame plus the table schema AFTER this commit —
+    * `keepParentFields` keeps parent columns absent from `df` in the
+    * schema (append semantics: an old column stays readable, null for new
+    * files); overwrite replaces the column set. Id assignment reads the
+    * parent outside the commit lock, so concurrent commits that both ADD
+    * columns can race ids — schema changes are single-writer by contract,
+    * same as Iceberg's catalog-serialized schema updates.
+    */
+  private def withFieldIds(df: DataFrame, parentSchema: Option[StructType],
+                           keepParentFields: Boolean): (DataFrame, StructType) = {
+    val parentFields = parentSchema.map(_.fields.toSeq).getOrElse(Nil)
+    val byName = parentFields.map(f => f.name -> f).toMap
+    var next = (0L +: parentFields.map(fieldId)).max
+    val dfFields = df.schema.fields.toSeq.map { f =>
+      val id = byName.get(f.name).map(fieldId).getOrElse { next += 1; next }
+      StructField(f.name, f.dataType, nullable = true,
+        new MetadataBuilder().withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+    }
+    val aligned = df.select(dfFields.map(f => col(f.name).as(f.name, f.metadata)): _*)
+    val table =
+      if (keepParentFields)
+        StructType(parentFields.map(pf => dfFields.find(_.name == pf.name).getOrElse(pf)) ++
+          dfFields.filterNot(f => byName.contains(f.name)))
+      else StructType(dfFields)
+    (aligned, table)
+  }
+
+  /** The current schema of an id-tracked table (None for legacy tables). */
+  def currentSchema(base: String): Option[StructType] = {
+    val vs = versions(base)
+    if (vs.isEmpty) None else readManifest(base, vs.max).schema
+  }
+
+  private def readWithSchema(spark: SparkSession, schema: Option[StructType],
+                             files: Seq[String],
+                             mergeSchema: Boolean = false): DataFrame =
+    schema match {
+      case Some(s) =>
+        // Id-based column resolution: the explicit schema carries the
+        // CURRENT names + ids; files written under old names still bind
+        // (rename), files missing an id null-fill (late-added column).
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(s).parquet(files: _*)
+      case None =>
+        spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
+    }
+
+  /** Rename a column, metadata-only: one commit rewriting the schema
+    * header. Every existing data file keeps its bytes; reads bind the new
+    * name to the old field id. Time travel before this commit still sees
+    * the old name.
+    */
+  def renameColumn(base: String, from: String, to: String): Long =
+    alterSchema(base, s"alter:rename:$from:$to") { s =>
+      require(s.fieldNames.contains(from), s"no column $from to rename")
+      require(!s.fieldNames.contains(to), s"column $to already exists")
+      StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** Drop a column, metadata-only: the field leaves the schema header, so
+    * no read requests it again — the bytes stay in old files for time
+    * travel and are reclaimed as their versions expire.
+    */
+  def dropColumn(base: String, name: String): Long =
+    alterSchema(base, s"alter:drop:$name") { s =>
+      require(s.fieldNames.contains(name), s"no column $name to drop")
+      require(s.fields.length > 1, "cannot drop the last column")
+      StructType(s.fields.filterNot(_.name == name))
+    }
+
+  private def alterSchema(base: String, mode: String)(xf: StructType => StructType): Long = {
+    require(versions(base).nonEmpty, s"no committed snapshots under $base")
+    publish(base, Nil, Nil, mode,
+      parent => { val p = readManifest(base, parent); (p.files, p.dvs) },
+      schemaFor = parent => {
+        val s = readManifest(base, parent).schema.getOrElse(
+          throw new IllegalStateException(
+            "table predates field-id tracking (no schema header); rename/drop " +
+              "need id-carrying files - recommit the data to a fresh base"))
+        Some(xf(s).json)
+      })
   }
 
   /** The .parquet files of a just-written dir, sorted, as path strings. */
@@ -225,10 +338,18 @@ object Snapshots {
     * the true newest committed state — concurrent appends serialize
     * instead of dropping each other's files from the lineage.
     */
+  /** `schemaFor` supplies the schema header of the new manifest given the
+    * resolved parent (default: inherit the parent's era schema verbatim —
+    * correct for every operation that doesn't change the table's shape).
+    */
   private def publish(base: String, newFiles: Seq[String], newDvs: Seq[String],
                       mode: String,
-                      carried: Long => (Seq[String], Seq[String])): Long =
+                      carried: Long => (Seq[String], Seq[String]),
+                      schemaFor: Long => Option[String] = null): Long =
     withCommitLock(base) {
+      val schemaOf: Long => Option[String] =
+        if (schemaFor != null) schemaFor
+        else parent => if (parent <= 0) None else readManifest(base, parent).schema.map(_.json)
       val fs = fsFor(base)
       // Optimistic claim loop. The LOCK serializes writers in the common
       // case, but its create-no-overwrite CAS is advisory on filesystems
@@ -253,8 +374,12 @@ object Snapshots {
         val target = manifestFile(base, next)
         val tmp = new Path(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
         val (carriedFiles, carriedDvs) = carried(parent)
+        // Compact JSON holds no tabs/newlines, so the schema rides the
+        // one-line header like any other kv — era schemas travel WITH
+        // their manifests, which is what makes time travel see old names.
+        val schemaKv = schemaOf(parent).map(j => s"\tschema=$j").getOrElse("")
         writeStringNew(fs, tmp,
-          (s"version=$next\tparent=$parent\tmode=$mode" +:
+          (s"version=$next\tparent=$parent\tmode=$mode$schemaKv" +:
             ((carriedFiles ++ newFiles).map(relativize(base, _)) ++
               (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f))))
             .mkString("\n"))
@@ -284,12 +409,22 @@ object Snapshots {
     // commit itself.
     val base0 = mode.takeWhile(_ != ':')
     require(base0 == "append" || base0 == "overwrite", s"unknown mode $mode")
-    val newFiles = writeBatch(df, base, sortCols)
+    // Field-id tracking engages for NEW tables and stays on for tables
+    // already carrying a schema header; legacy (header-less) tables keep
+    // their name-based path so their id-less files never meet an id read.
+    val vs0 = versions(base)
+    val parentSchema = if (vs0.isEmpty) None else readManifest(base, vs0.max).schema
+    val tracked = vs0.isEmpty || parentSchema.isDefined
+    val (toWrite, tableSchema) =
+      if (tracked) withFieldIds(df, parentSchema, keepParentFields = base0 == "append")
+      else (df, null)
+    val newFiles = writeBatch(toWrite, base, sortCols)
     publish(base, newFiles, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {
         val p = readManifest(base, parent)
         (p.files, p.dvs)
-      } else (Nil, Nil))
+      } else (Nil, Nil),
+      schemaFor = if (!tracked) null else _ => Some(tableSchema.json))
   }
 
   /** The mode string a version was committed with (including any ":<tag>"
@@ -331,16 +466,18 @@ object Snapshots {
     val files = m0.files
     // Keep the scan's full URIs for READING (they carry the scheme); the
     // comparison set is uriPath-canonical so it matches manifest paths
-    // whatever their qualification.
-    val touchedUris = spark.read.parquet(files: _*).filter(cond)
+    // whatever their qualification. Reads go through the era schema so a
+    // post-rename cond binds by field id in pre-rename files.
+    val touchedUris = readWithSchema(spark, m0.schema, files).filter(cond)
       .select(org.apache.spark.sql.functions.input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSeq
     val touched = touchedUris.map(uriPath).toSet
     if (touched.isEmpty) return vs.max
     // SQL DELETE semantics: only rows where cond is TRUE are deleted; rows
     // where cond is NULL (three-valued logic) must SURVIVE the rewrite, so
-    // keep !coalesce(cond, false), never a bare !cond.
-    val rewritten = spark.read.parquet(touchedUris: _*)
+    // keep !coalesce(cond, false), never a bare !cond. The rewrite's df
+    // carries the era schema's field ids, so its files stay id-tracked.
+    val rewritten = readWithSchema(spark, m0.schema, touchedUris)
       .filter(!coalesce(cond, lit(false)))
     val newFiles = writeBatch(rewritten, base, Nil)
     val v0 = vs.max
@@ -473,6 +610,17 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed snapshots under $base")
     val v0 = vs.max
     val m = readManifest(base, v0)
+    // On an id-tracked table the source aligns to the table's field ids
+    // (same names required — the documented merge contract), so its
+    // insert-leg files are id-carrying like every other data file.
+    val src = m.schema match {
+      case Some(s) =>
+        require(source.columns.toSet == s.fieldNames.toSet,
+          s"merge source columns ${source.columns.mkString(",")} must match " +
+            s"the table schema ${s.fieldNames.mkString(",")}")
+        source.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
+      case None => source
+    }
     // Coordinates of target rows whose key appears in the source: the
     // DV-delete leg. left_semi keeps the scan side's columns only, so the
     // projection is (coords + keys) — column pruning drops the rest. ONE
@@ -480,7 +628,7 @@ object Snapshots {
     // and referenced-file list both come from the written (KB-scale)
     // sidecar, never from re-running the target scan.
     val matched = scanWithDvs(spark, m, keepCoords = true)
-      .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .join(src.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
     val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
     matched.write.parquet(dvPath.toString)
@@ -493,7 +641,7 @@ object Snapshots {
       if (referenced.isEmpty) { fsFor(base).delete(dvPath, true); Nil }
       else written
     // The insert leg: the whole source (updates are delete+insert).
-    val newFiles = writeBatch(source, base, keyCols)
+    val newFiles = writeBatch(src, base, keyCols)
     beforePublish()
     publish(base, newFiles, newDvs,
       mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
@@ -533,7 +681,7 @@ object Snapshots {
                           mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, substring_index}
     def readFiles(files: Seq[String]) =
-      spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
+      readWithSchema(spark, m.schema, files, mergeSchema)
     def coords(df: DataFrame) = df
       .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -639,7 +787,9 @@ object Snapshots {
     // empty result with the right schema, not a zero-path read error.
     if (added.isEmpty)
       read(spark, base, Some(toV)).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(added: _*)
+    // Added files read under toV's era schema (they were written in it);
+    // an id-tracked delta therefore surfaces current names.
+    else readWithSchema(spark, readManifest(base, toV).schema, added)
   }
 
   /** Roll the table back to version `v` — published as a NEW commit whose
@@ -653,8 +803,11 @@ object Snapshots {
     val vs = versions(base)
     require(vs.contains(v), s"cannot roll back to unknown version $v")
     val target = readManifest(base, v)
+    // The rolled-back-to era's schema comes along with its files — a
+    // rollback across a rename restores the old name too.
     publish(base, Nil, Nil, mode = s"rollback:$v",
-      _ => (target.files, target.dvs))
+      _ => (target.files, target.dvs),
+      schemaFor = _ => target.schema.map(_.json))
   }
 
   /** Named tags: an immutable label → version pointer (Iceberg's refs,
@@ -794,7 +947,18 @@ object Snapshots {
                      name: String, sortCols: Seq[String] = Nil): Long = {
     val fs = fsFor(base)
     require(fs.exists(branchPointer(base, name)), s"no branch $name under $base")
-    val newFiles = writeBatch(df, base, sortCols)
+    // Branch data aligns to the FORK era's field ids (no schema evolution
+    // on branches — a WAP stage shares the table's shape), so published
+    // files are indistinguishable from main-written ones.
+    val toWrite = readManifest(base, branchFork(base, name)).schema match {
+      case Some(s) =>
+        require(df.columns.toSet == s.fieldNames.toSet,
+          s"branch commit columns ${df.columns.mkString(",")} must match " +
+            s"the fork schema ${s.fieldNames.mkString(",")}")
+        df.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
+      case None => df
+    }
+    val newFiles = writeBatch(toWrite, base, sortCols)
     withCommitLock(base) {
       val (headFiles, headDvs) = branchHeadState(base, name)
       val bvs = branchVersions(base, name)
@@ -816,7 +980,8 @@ object Snapshots {
     */
   def readBranch(spark: SparkSession, base: String, name: String): DataFrame = {
     val (files, dvs) = branchHeadState(base, name)
-    scanWithDvs(spark, Manifest(0L, 0L, "branch", files, dvs), keepCoords = false)
+    scanWithDvs(spark, Manifest(0L, 0L, "branch", files, dvs,
+      readManifest(base, branchFork(base, name)).schema), keepCoords = false)
   }
 
   /** Publish a branch into main — the WAP publish step. Strict

@@ -158,6 +158,23 @@ object RefParity {
       Snapshots.read(s, mvDir(s, d))
         .select(col("l_orderkey"), col("n_rows"), col("sum_v"))
     },
+    // Non-additive schema evolution: the staged tree commits even-keyed
+    // orders rows as (k, c), RENAMES c→cust (metadata-only), then appends
+    // the odd-keyed rows under the new name. Row 1 = time travel to the
+    // pre-rename era (old files, old name), row 2 = the latest read where
+    // pre-rename files bind `cust` BY FIELD ID. A name-based resolver
+    // would null out half the sum and break the hash.
+    "snap5_rename" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = renameSnapshotDir(s, d)
+      val v1 = Snapshots.versions(dir).min
+      Snapshots.read(s, dir, Some(v1))
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("sum_c"))
+        .select(lit(1).as("snap"), col("n_rows"), col("sum_c"))
+        .unionAll(Snapshots.read(s, dir)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cust")).as("sum_c"))
+          .select(lit(2).as("snap"), col("n_rows"), col("sum_c")))
+    },
     // Write-audit-publish through a branch: the staged tree commits the
     // pre-1996 lineitem slice to main, stages the 1996+ slice on an
     // `audit` branch (invisible to main), and fast-forwards. Row 1 = the
@@ -209,6 +226,7 @@ object RefParity {
     mvDir(s, sfDir)
     mergeSnapshotDir(s, sfDir)
     wapSnapshotDir(s, sfDir)
+    renameSnapshotDir(s, sfDir)
     ()
   }
 
@@ -286,6 +304,21 @@ object RefParity {
     }
   }
 
+  /** Staged rename lifecycle for snap5: commit evens as (k, c), rename
+    * c→cust, append odds as (k, cust) — all at STAGE time.
+    */
+  private def renameSnapshotDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_rename", sfDir, "orders")) { tmp =>
+      import graft.ingest.Snapshots
+      val o = Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      Snapshots.commit(s, o.filter(col("k") % 2 === 0), tmp, sortCols = Seq("k"))
+      Snapshots.renameColumn(tmp, "c", "cust")
+      Snapshots.commit(s, o.filter(col("k") % 2 === 1)
+        .select(col("k"), col("c").as("cust")), tmp, sortCols = Seq("k"))
+      ()
+    }
+
   /** Staged WAP lifecycle for snap4: main commit → branch stage →
     * fast-forward, all at STAGE time; the registered query reads the
     * immutable result (fork read, branch read, published read).
@@ -348,6 +381,11 @@ object RefParity {
         |UNION ALL
         |SELECT 2, count(*), round(sum(l_quantity), 2)
         |FROM lineitem WHERE NOT (l_quantity < 5)""".stripMargin,
+    "snap5_rename" ->
+      """SELECT 1 AS snap, count(*) AS n_rows, CAST(sum(o_custkey) AS BIGINT) AS sum_c
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(o_custkey) AS BIGINT) FROM orders""".stripMargin,
     "snap4_wap" ->
       """SELECT 1 AS snap, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'

@@ -63,6 +63,45 @@ class SnapshotSpec extends SparkSuite {
     }
   }
 
+  test("rename/drop resolve by field id across eras (non-additive evolution)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_evolve")
+    val v1 = Snapshots.commit(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "c"), base)
+    // metadata-only rename: zero data files rewritten
+    val filesBefore = Snapshots.liveFiles(base, v1).toSet
+    Snapshots.renameColumn(base, "c", "cust")
+    assert(Snapshots.liveFiles(base, Snapshots.versions(base).max).toSet === filesBefore)
+    // a new-era file under the new name joins old-era files seamlessly
+    Snapshots.commit(spark, Seq((3L, 30L)).toDF("k", "cust"), base)
+    def state = Snapshots.read(spark, base).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    assert(Snapshots.read(spark, base).columns.toSeq === Seq("k", "cust"))
+    assert(state === Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "old files must bind the renamed column BY FIELD ID, not by name")
+    // time travel BEFORE the rename still sees the era name
+    assert(Snapshots.read(spark, base, Some(v1)).columns.toSeq === Seq("k", "c"))
+    // additive add (null-fills old files by missing id), then drop it again
+    Snapshots.commit(spark, Seq((4L, 40L, "x")).toDF("k", "cust", "note"), base)
+    val withNote = Snapshots.read(spark, base)
+    assert(withNote.columns.toSeq === Seq("k", "cust", "note"))
+    assert(withNote.filter(col("k") === 1L).select("note").head().isNullAt(0))
+    Snapshots.dropColumn(base, "note")
+    assert(Snapshots.read(spark, base).columns.toSeq === Seq("k", "cust"))
+    assert(state === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // write-path ops bind the CURRENT name in old-era files too
+    Snapshots.deleteWhereDV(spark, base, col("cust") === 10L)
+    assert(state === Set((2L, 20L), (3L, 30L), (4L, 40L)))
+    Snapshots.merge(spark, base, Seq((2L, 200L)).toDF("k", "cust"), Seq("k"))
+    assert(state === Set((2L, 200L), (3L, 30L), (4L, 40L)))
+    // compaction materializes under the current schema and stays readable
+    Snapshots.compact(spark, base, numFiles = 1)
+    assert(state === Set((2L, 200L), (3L, 30L), (4L, 40L)))
+    // rollback across the rename restores the old era's NAME as well
+    Snapshots.rollback(base, v1)
+    assert(Snapshots.read(spark, base).columns.toSeq === Seq("k", "c"))
+  }
+
   test("branches stage commits invisibly; fast-forward publishes atomically (WAP)") {
     val sess = spark
     import sess.implicits._
