@@ -85,18 +85,24 @@ object MatView {
       s"upTo=$srcV is older than the view's watermark $last - " +
         "a view cannot be refreshed backwards (time travel the source instead)")
     if (last == srcV) return mvVs.max
-    // Additive maintenance is only sound over appends: check every source
-    // commit being consumed incrementally. The INITIAL build reads the
-    // full snapshot, which is correct whatever the source's history.
+    // Incremental maintenance is sound over appends (additive leg), and —
+    // since round 7 — over merges and DV deletes too: their removed rows
+    // surface through [[Snapshots.removedRows]] and SUBTRACT from the
+    // view (count and sum are abelian, so +new −old composes in any
+    // order). File-rewriting commits (overwrite/compact, delete,
+    // rollback) still refuse: their row identity diffs aren't recoverable
+    // from metadata. The INITIAL build reads the full snapshot, which is
+    // correct whatever the source's history.
     if (last > 0L) {
       val consumed = Snapshots.versions(srcBase).filter(v => v > last && v <= srcV)
-      val nonAppend = consumed.filterNot(v =>
-        Snapshots.modeOf(srcBase, v).takeWhile(_ != ':') == "append")
-      require(nonAppend.isEmpty,
-        s"source versions ${nonAppend.mkString(",")} are not appends - " +
+      val bad = consumed.filterNot(v =>
+        Set("append", "merge", "delete-dv")(
+          Snapshots.modeOf(srcBase, v).takeWhile(_ != ':')))
+      require(bad.isEmpty,
+        s"source versions ${bad.mkString(",")} rewrite files - " +
           "rebuild the view (delete its tree) instead of refreshing")
     }
-    val delta =
+    val added =
       if (last == 0L) Snapshots.read(spark, srcBase, Some(srcV))
       else Snapshots.changes(spark, srcBase, last, srcV)
     // sum as DOUBLE from the start so the initial build and every
@@ -104,12 +110,27 @@ object MatView {
     // input type. (Incremental double sums add in delta order, not scan
     // order — use decimal or integral value columns where bit-exactness
     // against a full recompute matters; the registered query does.)
-    val dAgg = delta.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), sum(col(valCol)).cast("double").as("sum_v"))
+    def agg(df: DataFrame, n: String, s: String) = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(n), sum(col(valCol)).cast("double").as(s))
     if (mvVs.isEmpty)
-      Snapshots.commit(spark, dAgg, mvBase, mode = s"append:$srcV",
-        sortCols = keyCols)
+      Snapshots.commit(spark, agg(added, "n_rows", "sum_v"), mvBase,
+        mode = s"append:$srcV", sortCols = keyCols)
     else {
+      val removed =
+        if (last == 0L) None
+        else Some(Snapshots.removedRows(spark, srcBase, last, srcV))
+          .filterNot(_.isEmpty)
+      // Net per-group delta: +appended/merged-in rows, −merge/DV-removed
+      // rows. A group can net to zero (every row it had was upserted away)
+      // — those rows are tombstoned out below.
+      val dAgg = removed match {
+        case None => agg(added, "n_rows", "sum_v")
+        case Some(rm) =>
+          agg(added, "n_add", "s_add").join(agg(rm, "n_rem", "s_rem"), keyCols, "full_outer")
+            .select(keyCols.map(col) ++ Seq(
+              (coalesce(col("n_add"), lit(0L)) - coalesce(col("n_rem"), lit(0L))).as("n_rows"),
+              (coalesce(col("s_add"), lit(0.0)) - coalesce(col("s_rem"), lit(0.0))).as("sum_v")): _*)
+      }
       // Combine the delta's groups with their current view rows; merge
       // touches exactly these groups (update or insert), nothing else.
       val old = Snapshots.read(spark, mvBase)
@@ -118,7 +139,14 @@ object MatView {
         .select(keyCols.map(col) ++ Seq(
           (col("n_rows") + coalesce(col("old_n"), lit(0L))).as("n_rows"),
           (col("sum_v") + coalesce(col("old_s"), lit(0.0))).as("sum_v")): _*)
-      Snapshots.merge(spark, mvBase, combined, keyCols, modeTag = srcV.toString)
+      val out = Snapshots.merge(spark, mvBase, combined, keyCols, modeTag = srcV.toString)
+      // Groups whose count hit zero no longer exist in a full recompute —
+      // DV-delete their tombstones. The watermark already rode the merge
+      // commit, so a crash between the two leaves only a visible
+      // (n_rows=0) row that the next refresh's pass here re-cleans; the
+      // call no-ops (no new version) when nothing matched.
+      Snapshots.deleteWhereDV(spark, mvBase, col("n_rows") === 0L)
+      out
     }
   }
 }

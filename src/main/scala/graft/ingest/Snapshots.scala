@@ -792,6 +792,36 @@ object Snapshots {
     else readWithSchema(spark, readManifest(base, toV).schema, added)
   }
 
+  /** The complement of [[changes]]: rows HIDDEN between two versions by
+    * deletion vectors added in the window — the subtractive half of a
+    * row-level change feed (changes = inserts, removedRows = deletes;
+    * a merge's updates appear in both, new value there, old value here).
+    * Cost is proportional to the DV-dirty file set, never the table:
+    * only files the new vectors reference are read, inner-joined against
+    * the (rows-deleted-sized) vector coordinates.
+    */
+  def removedRows(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val mFrom = readManifest(base, fromV)
+    val mTo = readManifest(base, toV)
+    val newDvs = mTo.dvs.filterNot(mFrom.dvs.toSet)
+    if (newDvs.isEmpty)
+      return read(spark, base, Some(toV)).filter(lit(false))
+    val dv = spark.read.parquet(newDvs: _*)
+      .withColumnRenamed("dv_file", DvFileCol)
+      .withColumnRenamed("dv_pos", DvPosCol)
+    val dirtyRel = dv.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    // The referenced files are live at toV (merge/delete carry all parent
+    // files); read them under toV's schema so a post-rename consumer sees
+    // current names in BOTH halves of the feed.
+    val dirty = mTo.files.filter(f => dirtyRel(relKey(f)))
+    readWithSchema(spark, mTo.schema, dirty)
+      .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+      .join(dv, Seq(DvFileCol, DvPosCol), "inner")
+      .drop(DvFileCol, DvPosCol)
+  }
+
   /** Roll the table back to version `v` — published as a NEW commit whose
     * file list is `v`'s (Iceberg's rollback semantics): history stays
     * intact, time travel still reaches the rolled-back-over versions, and

@@ -113,25 +113,6 @@ object StreamIngest {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** Streaming MERGE: maintain a keyed latest-state snapshot under `base`
-    * from an update stream — the streaming complement of the batch
-    * `mrg1_upsert` operator, and the write pattern the reference's
-    * append-only block store cannot express.
-    *
-    * Each micro-batch runs one deduplicated full-outer merge:
-    * batch-internal re-deliveries collapse to the latest row per key
-    * (row_number over the ts ordering), then matched keys take the update
-    * and unmatched snapshot rows carry over. The snapshot rewrite is
-    * transactional per batch (write to `<base>.next`, swap) — a real lake
-    * table format would commit a manifest instead; the merge JOIN, which is
-    * what scales, is identical. Exactly-once comes from the checkpoint:
-    * a replayed batch re-merges the same updates into the same snapshot
-    * (the merge is idempotent on (key, ts)).
-    *
-    * Scale: state lives in the table, not executor memory — the per-batch
-    * cost is one join of |batch| against |snapshot| on the merge key,
-    * bucketable to a co-located join via BlockWriter's layout.
-    */
   /** Stream → snapshot table → incrementally-maintained materialized
     * view, one micro-batch at a time: each batch appends to the
     * [[graft.ingest.Snapshots]] table at `srcBase` and then brings the
@@ -185,79 +166,83 @@ object StreamIngest {
     ()
   }
 
+  /** Streaming MERGE: maintain a keyed latest-state [[graft.ingest.
+    * Snapshots]] table under `base` from an update stream — the streaming
+    * complement of the batch `mrg1_upsert` operator, and the write
+    * pattern the reference's append-only block store cannot express.
+    * State lives in the table, not executor memory; per-batch cost is a
+    * batch-vs-keys join plus a batch-sized write (see [[upsertBatch]]).
+    * The table is a full citizen of the snapshot layer: time travel shows
+    * the state as of any batch, and [[graft.ingest.MatView.refresh]]
+    * maintains aggregates over it incrementally (the merge's removed rows
+    * subtract through `Snapshots.removedRows`).
+    */
   def upsertStream(updates: DataFrame, base: String, checkpoint: String,
                    keyCol: String, tsCol: String,
                    maxAgeMs: Long = 1000L): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(maxAgeMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col(keyCol))
-          .orderBy(col(tsCol).desc)
-        val latest = batch
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        // Crash recovery for the two-step swap below: if a previous batch
-        // died between "base → old" and "next → base", the snapshot
-        // survives under .old — restore it before merging. (A lake table
-        // format's manifest commit makes this atomic; this is the local-FS
-        // equivalent.)
-        locally {
-          val b = java.nio.file.Paths.get(base)
-          val old = java.nio.file.Paths.get(base + ".old")
-          if (!java.nio.file.Files.exists(b) && java.nio.file.Files.exists(old))
-            java.nio.file.Files.move(old, b)
-        }
-        val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(base))
-        val merged =
-          if (!exists) latest
-          else {
-            val snap = spark.read.parquet(base)
-            val cols = snap.columns
-            // Rows are chosen WHOLE, never spliced per column: a per-column
-            // coalesce would resurrect the stale snapshot value whenever an
-            // update column is legitimately NULL. And a matched key only
-            // takes the update when its ts is not older than the stored ts,
-            // so a late/re-delivered update from an earlier micro-batch
-            // cannot regress state — this is what makes the merge idempotent
-            // on (key, ts) ACROSS batches, not just within one.
-            val uRow = struct(cols.map(c => col(s"u.$c")): _*)
-            val sRow = struct(cols.map(c => col(s"s.$c")): _*)
-            val winner = when(col(s"s.$keyCol").isNull, uRow)        // insert
-              .when(col(s"u.$keyCol").isNull, sRow)                  // carry
-              .when(col(s"u.$tsCol") >= col(s"s.$tsCol"), uRow)      // update
-              .otherwise(sRow)                                       // stale
-            snap.as("s").join(latest.as("u"),
-                col(s"s.$keyCol") === col(s"u.$keyCol"), "full_outer")
-              .select(winner.as("r"))
-              .select(cols.map(c => col(s"r.$c").as(c)): _*)
-          }
-        val next = base + ".next"
-        merged.write.mode("overwrite").parquet(next)
-        // swap: atomic-enough for a local filesystem; a table format's
-        // manifest commit replaces this two-step on object storage
-        val target = java.nio.file.Paths.get(base)
-        def rmTree(p: java.nio.file.Path): Unit =
-          if (java.nio.file.Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.delete)
-          }
-        if (exists) {
-          val old = java.nio.file.Paths.get(base + ".old")
-          rmTree(old)
-          java.nio.file.Files.move(target, old,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          java.nio.file.Files.move(java.nio.file.Paths.get(next), target)
-          rmTree(old)
-        } else {
-          java.nio.file.Files.move(java.nio.file.Paths.get(next), target)
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertBatch(batch, id, base, keyCol, tsCol)
       }
       .start()
+
+  /** The foreachBatch body of [[upsertStream]] — a [[graft.ingest.
+    * Snapshots.merge]] per micro-batch against a real snapshot table.
+    * Until round 7 this path rewrote the whole snapshot per batch behind
+    * a dir-swap; merge-on-read replaces that with a DV-delete of matched
+    * keys plus a batch-sized append, published atomically — per-batch
+    * write cost drops from table-sized to batch-sized, and the table
+    * gains time travel, tags, and MV refresh for free.
+    *
+    * Cross-batch ordering: a row only upserts when its ts is >= the ts
+    * currently stored for its key, so a late or re-delivered update from
+    * an earlier micro-batch cannot regress state. Exactly-once across
+    * foreachBatch re-deliveries: the batch id tags the commit mode, and a
+    * re-delivered batch whose tag already appears at the newest
+    * batch-tagged commit skips whole (same walk as
+    * [[commitBatchWithView]] — robust to interleaved foreign commits).
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, base: String,
+                  keyCol: String, tsCol: String): Unit = {
+    import graft.ingest.Snapshots
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    // Batch-internal re-deliveries collapse to the latest row per key
+    // first (deterministic: ties on ts broken by the later row losing —
+    // row_number, not rank).
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+    val latest = batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    if (latest.isEmpty) return
+    val appendTag = s"append:b$batchId"
+    val mergeTag = s"merge:b$batchId"
+    val delivered = Snapshots.versions(base).sorted.reverse.iterator
+      .map(v => Snapshots.modeOf(base, v))
+      .collectFirst { case m if m.startsWith("append:b") || m.startsWith("merge:b") => m }
+      .exists(m => m == appendTag || m == mergeTag)
+    if (delivered) return
+    if (Snapshots.versions(base).isEmpty) {
+      Snapshots.commit(spark, latest, base, mode = appendTag, sortCols = Seq(keyCol))
+      ()
+    } else {
+      // Stale-ts guard: rows older than the stored state for their key
+      // drop BEFORE the merge (merge itself takes source rows whole).
+      // One key-projected target scan — batch-vs-keys sized, the same
+      // class as the merge's own semi join.
+      val cur = Snapshots.read(spark, base)
+        .select(col(keyCol).as("_cur_k"), col(tsCol).as("_cur_ts"))
+      val fresh = latest.join(cur, latest(keyCol) === col("_cur_k"), "left")
+        .filter(col("_cur_k").isNull || col(tsCol) >= col("_cur_ts"))
+        .drop("_cur_k", "_cur_ts")
+      if (!fresh.isEmpty) {
+        Snapshots.merge(spark, base, fresh, Seq(keyCol), modeTag = s"b$batchId")
+        ()
+      }
+    }
+  }
 
   /** Event-time tumbling-window counts with a watermark — the late-data
     * policy the reference lacks (SURVEY.md §2.2: late rows there just open

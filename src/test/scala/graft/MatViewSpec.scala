@@ -88,6 +88,29 @@ class MatViewSpec extends SparkSuite {
     }
   }
 
+  test("incremental refresh consumes merges and DV deletes (subtractive IVM)") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_subtract")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark, Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(state(mv) === Map("a" -> (2L, 3.0), "b" -> (1L, 10.0)))
+    // a MERGE replaces both of a's rows with one: +new −old must net out
+    Snapshots.merge(spark, src, Seq(("a", 100L)).toDF("k", "v"), Seq("k"))
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(state(mv) === Map("a" -> (1L, 100.0), "b" -> (1L, 10.0)))
+    // a DV delete empties group b entirely — its view row must VANISH
+    // (tombstone cleanup), matching a full recompute
+    Snapshots.deleteWhereDV(spark, src, col("v") === 10L)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(state(mv) === Map("a" -> (1L, 100.0)))
+    // append still composes after subtractive deltas
+    Snapshots.commit(spark, Seq(("a", 7L), ("c", 1L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(state(mv) === Map("a" -> (2L, 107.0), "c" -> (1L, 1.0)))
+  }
+
   test("a rollback buried under a maintenance commit still refuses refresh") {
     val sess = spark
     import sess.implicits._

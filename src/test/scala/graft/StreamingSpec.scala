@@ -289,30 +289,53 @@ class StreamingSpec extends SparkSuite {
     val s = spark
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
+    import graft.ingest.Snapshots
     val base = tmpDir("graft_upsert_spec") + "/snapshot"
     val cp = tmpDir("graft_upsert_cp")
     val mem = MemoryStream[(Long, Long, Double)]
     val q = graft.streaming.StreamIngest.upsertStream(
       mem.toDF().toDF("k", "ts", "v"), base, cp, keyCol = "k", tsCol = "ts")
+    def state = Snapshots.read(spark, base).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
     try {
       // batch 1: two keys, plus an in-batch re-delivery of k=1 (older ts
       // must lose to the newer one)
       mem.addData((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 10L, 5.0))
       q.processAllAvailable()
-      val snap1 = spark.read.parquet(base).as[(Long, Long, Double)]
-        .collect().map(r => r._1 -> r).toMap
+      val snap1 = state
       assert(snap1(1L) === ((1L, 20L, 2.0)))
       assert(snap1(2L) === ((2L, 10L, 5.0)))
       // batch 2: update k=2, insert k=3; k=1 must carry over untouched
       mem.addData((2L, 30L, 7.0), (3L, 5L, 9.0))
       q.processAllAvailable()
-      val snap2 = spark.read.parquet(base).as[(Long, Long, Double)]
-        .collect().map(r => r._1 -> r).toMap
+      val snap2 = state
       assert(snap2.keySet === Set(1L, 2L, 3L))
       assert(snap2(1L) === ((1L, 20L, 2.0)))
       assert(snap2(2L) === ((2L, 30L, 7.0)))
       assert(snap2(3L) === ((3L, 5L, 9.0)))
     } finally q.stop()
+    // merge-on-read, not a per-batch rewrite: batch 2 is a real snapshot
+    // MERGE, so time travel still shows batch 1's state
+    val vs = Snapshots.versions(base).sorted
+    assert(Snapshots.read(spark, base, Some(vs.head)).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap === Map(1L -> 2.0, 2L -> 5.0))
+    // foreachBatch re-delivery of batch 1 skips whole (batch-id tag)
+    val n0 = vs.size
+    graft.streaming.StreamIngest.upsertBatch(
+      Seq((2L, 30L, 7.0), (3L, 5L, 9.0)).toDF("k", "ts", "v"), 1L, base, "k", "ts")
+    assert(Snapshots.versions(base).size === n0, "re-delivered batch must skip")
+    // an incrementally-maintained MV rides the upsert table: the merge's
+    // removed rows SUBTRACT, so the per-key sum tracks latest state
+    val mv = base + "_mv"
+    graft.ingest.MatView.refresh(spark, mv, base, Seq("k"), "v")
+    def mvState = Snapshots.read(spark, mv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mvState === Set((1L, 1L, 2.0), (2L, 1L, 7.0), (3L, 1L, 9.0)))
+    // another upsert batch, then an incremental (not rebuild) refresh
+    graft.streaming.StreamIngest.upsertBatch(
+      Seq((2L, 40L, 11.0), (4L, 1L, 1.5)).toDF("k", "ts", "v"), 2L, base, "k", "ts")
+    graft.ingest.MatView.refresh(spark, mv, base, Seq("k"), "v")
+    assert(mvState === Set((1L, 1L, 2.0), (2L, 1L, 11.0), (3L, 1L, 9.0), (4L, 1L, 1.5)))
   }
 
   test("AvailableNow drain catches up the backlog and is exactly-once on re-run") {
@@ -356,7 +379,7 @@ class StreamingSpec extends SparkSuite {
       // stale 5.0 via per-column coalesce — the row is taken whole
       mem.addData((1L, 5L, Some(9.9)), (2L, 20L, None))
       q.processAllAvailable()
-      val snap = spark.read.parquet(base).as[(Long, Long, Option[Double])]
+      val snap = graft.ingest.Snapshots.read(spark, base).as[(Long, Long, Option[Double])]
         .collect().map(r => r._1 -> r).toMap
       assert(snap(1L) === ((1L, 10L, Some(1.0))), "older-ts update must lose")
       assert(snap(2L) === ((2L, 20L, None)), "NULL update column must win whole-row")
