@@ -1,0 +1,362 @@
+package graft.connector
+
+import graft.ingest.{FileStats, Snapshots}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `format("graft")` — the Snapshots table layer as a standard Spark data
+  * source, so the table format is reachable from SQL (`CREATE TABLE t
+  * USING graft OPTIONS (path '…')`), `spark.read`, and `readStream`
+  * without touching the Scala API:
+  *
+  *  - **batch read** with time travel (`versionAsOf`), named refs (`tag`),
+  *    and branch heads (`branch`) as reader options;
+  *  - **planning-time file pruning**: pushed filters meet the commit-time
+  *    footer stats ([[FileStats]]) and files that provably contain no
+  *    matching row never reach the scan — the connector is where
+  *    Catalyst's pushdown machinery and the manifest layer actually meet;
+  *  - **streaming read**: each micro-batch is the file-list diff between
+  *    snapshot versions ([[Snapshots.changes]]), giving a Delta-style
+  *    "table as a stream of appends" with exactly-once offsets
+  *    checkpointed by the engine.
+  *
+  * Execution strategy: the scan surfaces through [[V1Scan]], so the rows
+  * come from a full Catalyst-planned inner DataFrame
+  * ([[Snapshots.scanPinned]]) — deletion-vector subtraction, field-id era
+  * schemas, and parquet row-group pushdown all ride along instead of
+  * being reimplemented in a bespoke `PartitionReader`. Writes stay on the
+  * Snapshots API: commit/merge/DV-delete are multi-file atomic protocols
+  * with conflict detection, which the blind per-task `BatchWrite` contract
+  * can't express faithfully.
+  *
+  * The reference stops at a storage adapter behind a Query RPC
+  * (/root/reference/storageAdapter.go:4); this is the corresponding
+  * "query your stored blocks from the engine you already use" surface,
+  * Spark-first.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
+
+  override def shortName(): String = "graft"
+
+  private def basePath(options: java.util.Map[String, String]): String = {
+    val m = new CaseInsensitiveStringMap(options)
+    val p = m.get("path")
+    require(p != null && p.nonEmpty, "graft source requires a 'path' option")
+    p
+  }
+
+  private def pinOf(options: java.util.Map[String, String]): Snapshots.Pin = {
+    val m = new CaseInsensitiveStringMap(options)
+    val picks = Seq(
+      Option(m.get("versionAsOf")).map(v => Snapshots.Pin.AsOf(v.trim.toLong)),
+      Option(m.get("tag")).map(Snapshots.Pin.AtTag(_)),
+      Option(m.get("branch")).map(Snapshots.Pin.AtBranch(_))).flatten
+    require(picks.size <= 1,
+      "versionAsOf, tag and branch are mutually exclusive graft options")
+    picks.headOption.getOrElse(Snapshots.Pin.Latest)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (b, p) = (basePath(options), pinOf(options))
+    // A not-yet-created table (streaming sink target, first batch write)
+    // has no schema; reads of it still fail loudly at scan build.
+    if (p == Snapshots.Pin.Latest && Snapshots.versions(b).isEmpty) new StructType()
+    // Era schema straight off the manifest header — no data file listed or
+    // validated at inference time. Legacy header-less tables fall back to
+    // planning a scan (parquet footer inference).
+    else Snapshots.pinnedSchema(b, p)
+      .getOrElse(Snapshots.scanPinned(SparkSession.active, b, p).schema)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftTable(basePath(properties), pinOf(properties), schema)
+
+  // ----- streaming (V1 Source: getOffset/getBatch over snapshot versions)
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    import scala.jdk.CollectionConverters._
+    val b = basePath(parameters.asJava)
+    (shortName(), Snapshots.pinnedSchema(b, Snapshots.Pin.Latest)
+      .getOrElse(Snapshots.scanPinned(sqlContext.sparkSession, b,
+        Snapshots.Pin.Latest).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    import scala.jdk.CollectionConverters._
+    new GraftStreamSource(sqlContext.sparkSession, basePath(parameters.asJava))
+  }
+
+  /** `writeStream.format("graft")` — micro-batches become snapshot
+    * commits. Append → append commit; Complete → overwrite commit (the
+    * whole result, with history); Update → [[Snapshots.merge]] keyed by
+    * the required `mergeKeys` option. Exactly-once across engine
+    * re-deliveries via the batch-id commit tag.
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    import scala.jdk.CollectionConverters._
+    val keys = parameters.get("mergeKeys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    new GraftSink(basePath(parameters.asJava), outputMode, keys)
+  }
+}
+
+/** One pinned graft table state for the DSv2 read/write path. Batch
+  * writes surface as snapshot commits through the V1 write fallback —
+  * `INSERT INTO` / append = an `append` commit, `INSERT OVERWRITE` /
+  * overwrite = an `overwrite` commit, and an append against a `branch`
+  * option stages onto that branch (the WAP flow from SQL). SQL
+  * `DELETE FROM … WHERE` maps to [[Snapshots.deleteWhereDV]] — a
+  * merge-on-read metadata delete, refused loudly when a predicate shape
+  * can't be translated exactly (a partial delete would be silent data
+  * corruption).
+  */
+private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
+                                    tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  override def name(): String = s"graft.`$base`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+    // A first write CREATES the table — there is no schema to validate
+    // against yet, so accept the writer's.
+    if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(base, pin, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(base, pin)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pin == Snapshots.Pin.Latest && filters.forall(f => GraftRelation.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pin == Snapshots.Pin.Latest,
+      "DELETE targets the current table state - drop the versionAsOf/tag/branch option")
+    val conds = filters.map(f => GraftRelation.filterColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot translate delete predicate $f exactly; a partial translation " +
+          "would delete the wrong rows")))
+    Snapshots.deleteWhereDV(SparkSession.active, base,
+      conds.reduceOption(_ && _).getOrElse(lit(true)))
+    ()
+  }
+}
+
+private[connector] class GraftWriteBuilder(base: String, pin: Snapshots.Pin)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+        val ow = overwrite || legacyOverwrite
+        pin match {
+          case Snapshots.Pin.Latest =>
+            Snapshots.commit(data.sparkSession, data, base,
+              mode = if (ow) "overwrite" else "append")
+          case Snapshots.Pin.AtBranch(b) =>
+            require(!ow, "overwrite of a branch head is not supported - " +
+              "drop the branch and re-create it from the desired state")
+            Snapshots.commitToBranch(data.sparkSession, data, base, b)
+          case other =>
+            throw new UnsupportedOperationException(
+              s"cannot write to a read-only pin $other (versionAsOf/tag)")
+        }
+        ()
+      }
+    }
+  }
+}
+
+/** Records Catalyst's pushed filters + pruned columns, then builds the
+  * V1 scan. Every filter is RETURNED as residual (Spark re-applies it
+  * post-scan), so stats pruning and the inner filter are pure
+  * optimizations — a filter shape the evaluator can't model costs
+  * skipping power, never correctness.
+  */
+private[connector] class GraftScanBuilder(base: String, pin: Snapshots.Pin,
+                                          tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = { filters = fs; fs }
+  override def pushedFilters(): Array[Filter] = filters.filter(FileStats.supportsPruning)
+  override def pruneColumns(s: StructType): Unit = required = s
+  override def build(): Scan = new GraftScan(base, pin, required, filters)
+}
+
+private[connector] class GraftScan(base: String, pin: Snapshots.Pin,
+                                   required: StructType, filters: Array[Filter])
+    extends V1Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftScan(base=$base, pin=$pin, pruneFilters=${pushable.mkString(",")})"
+
+  private def pushable = filters.filter(FileStats.supportsPruning)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftRelation(context, base, pin, required, filters).asInstanceOf[T]
+}
+
+private[connector] class GraftRelation(context: SQLContext, base: String,
+                                       pin: Snapshots.Pin,
+                                       required: StructType,
+                                       filters: Array[Filter])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = context.sparkSession
+    // File-level pruning from the pushed filters, then the same filters as
+    // a Catalyst predicate on the inner scan — that second application is
+    // what reaches parquet's row-group stats. Spark ALSO re-applies the
+    // residual above the scan, so a translation gap here is only lost
+    // skipping.
+    val scan = Snapshots.scanPinned(spark, base, pin, pruneFilters = filters.toSeq)
+    val cond = filters.flatMap(GraftRelation.filterColumn).reduceOption(_ && _)
+    val filtered = cond.map(scan.filter).getOrElse(scan)
+    filtered.select(required.fieldNames.map(n => col(GraftRelation.quote(n))).toSeq: _*).rdd
+  }
+}
+
+private[connector] object GraftRelation {
+  def quote(n: String): String = s"`${n.replace("`", "``")}`"
+
+  /** Data-source Filter → Column, for re-applying pushed predicates inside
+    * the inner scan. Conjunctions keep their translatable half; OR/NOT
+    * must translate exactly or not at all.
+    */
+  def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(quote(a)) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(quote(a)) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(quote(a)) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(quote(a)) >= lit(v))
+    case LessThan(a, v)           => Some(col(quote(a)) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(quote(a)) <= lit(v))
+    case In(a, vs)                => Some(col(quote(a)).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(quote(a)).isNull)
+    case IsNotNull(a)             => Some(col(quote(a)).isNotNull)
+    case StringStartsWith(a, p)   => Some(col(quote(a)).startsWith(p))
+    case StringEndsWith(a, p)     => Some(col(quote(a)).endsWith(p))
+    case StringContains(a, p)     => Some(col(quote(a)).contains(p))
+    case And(l, r) =>
+      (filterColumn(l).toSeq ++ filterColumn(r).toSeq).reduceOption(_ && _)
+    case Or(l, r) =>
+      for { x <- filterColumn(l); y <- filterColumn(r) } yield x || y
+    case Not(x) => filterColumn(x).map(!_)
+    case _ => None
+  }
+}
+
+/** Snapshot-version offsets: `getOffset` is the table's newest committed
+  * version (a manifest listing — metadata-sized), and each batch is
+  * [[Snapshots.changes]] between the checkpointed version and the head —
+  * the APPEND feed (inserts). DV deletes are metadata-only and don't
+  * appear; [[Snapshots.removedRows]] is the subtractive feed for callers
+  * that need full CDC. First batch = the whole table as of the head
+  * (initial load), matching Delta's streaming-source semantics.
+  *
+  * Contract notes, enforced loudly rather than silently: the stream
+  * follows ONE schema (era changes mid-stream fail analysis), and offsets
+  * reference manifests — an [[Snapshots.expire]] that drops a version the
+  * checkpoint still points at fails the restart instead of skipping data.
+  */
+private[connector] class GraftStreamSource(spark: SparkSession, base: String)
+    extends Source {
+
+  override val schema: StructType =
+    Snapshots.pinnedSchema(base, Snapshots.Pin.Latest)
+      .getOrElse(Snapshots.scanPinned(spark, base, Snapshots.Pin.Latest).schema)
+
+  override def getOffset: Option[OffsetV1] = {
+    val vs = Snapshots.versions(base)
+    if (vs.isEmpty) None else Some(Bridge.versionOffset(vs.max))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = Bridge.offsetVersion(end)
+    val batch = start match {
+      case None    => Snapshots.read(spark, base, Some(endV))
+      case Some(s) => Snapshots.changes(spark, base, Bridge.offsetVersion(s), endV)
+    }
+    Bridge.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Micro-batches as snapshot commits. The batch id rides the commit mode
+  * (`append:b7`), so a re-delivered batch — engine crash between sink
+  * write and checkpoint advance — is recognized and skipped WHOLE: the
+  * walk to the newest batch-tagged commit tolerates interleaved foreign
+  * commits (compaction, manual appends), the same discipline as
+  * `StreamIngest.commitBatchWithView`. Single-writer per batch-id space,
+  * like every Structured Streaming sink.
+  *
+  * Output modes: Append commits the batch's rows; Complete overwrites the
+  * table with the batch (aggregation results WITH history — time travel
+  * across refreshes for free); Update upserts by `mergeKeys` through the
+  * DV merge path (batch-sized write cost, not table-sized).
+  */
+private[connector] class GraftSink(base: String, outputMode: OutputMode,
+                                   mergeKeys: Seq[String]) extends Sink {
+
+  private val BatchTag = ".*:b(\\d+)$".r
+
+  override def addBatch(batchId: Long, rawData: DataFrame): Unit = {
+    // The engine hands a STREAMING-flagged frame; batch writes (and the
+    // merge path's multi-action plan) need the foreachBatch rewrap.
+    val data = Bridge.asBatch(rawData)
+    val spark = data.sparkSession
+    val delivered = Snapshots.versions(base).sorted.reverse.iterator
+      .map(v => Snapshots.modeOf(base, v))
+      .collectFirst { case BatchTag(id) => id.toLong }
+    if (delivered.contains(batchId)) return // re-delivery: already durable
+    val tag = s"b$batchId"
+    outputMode match {
+      case m if m == OutputMode.Append() =>
+        Snapshots.commit(spark, data, base, mode = s"append:$tag")
+      case m if m == OutputMode.Complete() =>
+        Snapshots.commit(spark, data, base, mode = s"overwrite:$tag")
+      case _ =>
+        require(mergeKeys.nonEmpty,
+          "graft sink in Update mode needs a mergeKeys option " +
+            "(comma-separated key columns for the upsert)")
+        // Merge requires key-unique sources; within a batch the last
+        // occurrence is as good as any absent an event-time column.
+        val deduped = data.dropDuplicates(mergeKeys)
+        if (Snapshots.versions(base).isEmpty)
+          Snapshots.commit(spark, deduped, base, mode = s"append:$tag")
+        else Snapshots.merge(spark, base, deduped, mergeKeys, modeTag = tag)
+    }
+    ()
+  }
+}

@@ -1,0 +1,317 @@
+package graft.ingest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** Per-file column min/max/null-count statistics, collected ONCE at commit
+  * time from the parquet footers of a just-written batch and stored in a
+  * KB-scale sidecar beside the data — so the READ path can drop files that
+  * cannot contain a matching row before Spark ever sees the file list.
+  *
+  * This is Iceberg's scan-planning move (its manifests carry
+  * lower_bounds/upper_bounds per data file for exactly this purpose),
+  * re-expressed on the batch-dir layout: parquet already row-group-prunes
+  * with the same stats at EXECUTOR scan time, but at 100 TB the win is
+  * earlier — a table of 10⁵ files whose sort column clusters the data
+  * prunes to a handful of files at PLANNING time, so the scheduler never
+  * launches 10⁵ no-op tasks and the scan's task count tracks the
+  * selectivity, not the table size. (The reference encodes the same idea
+  * at block grain: its filename key range IS a one-column zone map,
+  * /root/reference/block.go:29-47.)
+  *
+  * Stats collection is footer reads of files this job just wrote — IO the
+  * page cache still holds — and the sidecar is one small file per batch
+  * dir, so commit cost grows with the batch's file count, never the
+  * table's. Pruning is CONSERVATIVE: a file is dropped only when its stats
+  * PROVE no row can match; missing sidecars (pre-stats trees), missing
+  * columns (post-rename files record the old name), and filter shapes the
+  * evaluator doesn't model all keep the file. Correctness never depends on
+  * a stat — the full predicate still runs on every surviving row.
+  */
+object FileStats {
+
+  /** Hidden (dot-prefixed) so Spark's recursive listings never take it for
+    * data; our readers pass explicit file lists anyway.
+    */
+  val SidecarName = ".graft_stats.tsv"
+
+  /** One column's stats in its comparison domain: `long` (integers),
+    * `date` (epoch days), `ts` (epoch micros), `double`, `string`.
+    * `min`/`max` are None when every value in the file is NULL.
+    */
+  case class ColStat(t: String, min: Option[String], max: Option[String], nulls: Long)
+  case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  // -------------------------------------------------------------------
+  // Collection (commit-time, driver-side, just-written files)
+  // -------------------------------------------------------------------
+
+  private def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+  private def unb64(s: String) = new String(Base64.getDecoder.decode(s), UTF_8)
+
+  /** Read one parquet footer into per-column stats. Columns whose physical
+    * or logical type the comparison domains don't model (INT96, decimals,
+    * nested paths, binary non-UTF8) are skipped — absent stats only cost
+    * pruning power. Returns None when the footer can't be read at all.
+    */
+  private def collectOne(conf: Configuration, file: Path): Option[FileStat] =
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // (domain, min, max, nulls) folded across row groups per column;
+        // a single chunk without stats poisons its column (conservative).
+        val acc = scala.collection.mutable.Map[String, Option[(String, Option[String], Option[String], Long)]]()
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          if (c.getPath.size == 1) {
+            val name = c.getPath.iterator.next()
+            val pt = c.getPrimitiveType
+            val domain: Option[String] = pt.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT32 =>
+                pt.getLogicalTypeAnnotation match {
+                  case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+                  case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+                  case _ => Some("long")
+                }
+              case PrimitiveTypeName.INT64 =>
+                pt.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some("ts")
+                  case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => None
+                  case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+                  case _ => Some("long")
+                }
+              case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("double")
+              case PrimitiveTypeName.BINARY =>
+                pt.getLogicalTypeAnnotation match {
+                  case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("string")
+                  case _ => None
+                }
+              case _ => None
+            }
+            domain match {
+              case None => acc(name) = None
+              case Some(d) =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty) acc(name) = None
+                else if (!acc.contains(name) || acc(name).isDefined) {
+                  val (mn, mx) =
+                    if (!st.hasNonNullValue) (None, None)
+                    else {
+                      def render(v: Any): String = v match {
+                        case b: Binary => b.toStringUsingUTF8
+                        case f: java.lang.Float => java.lang.Double.toString(f.doubleValue())
+                        case other => other.toString
+                      }
+                      (Some(render(st.genericGetMin)), Some(render(st.genericGetMax)))
+                    }
+                  val merged = acc.get(name).flatten match {
+                    case None => (d, mn, mx, st.getNumNulls)
+                    case Some((d0, mn0, mx0, n0)) =>
+                      (d0, minOf(d0, mn0, mn), maxOf(d0, mx0, mx), n0 + st.getNumNulls)
+                  }
+                  acc(name) = Some(merged)
+                }
+            }
+          }
+        }
+        Some(FileStat(rows, acc.toMap.collect {
+          case (n, Some((d, mn, mx, nulls))) => n -> ColStat(d, mn, mx, nulls)
+        }))
+      } finally reader.close()
+    } catch { case _: Exception => None }
+
+  private def cmp(domain: String, a: String, b: String): Int = domain match {
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "string" => a.compareTo(b)
+    case _        => java.lang.Long.compare(a.toLong, b.toLong)
+  }
+
+  private def minOf(d: String, a: Option[String], b: Option[String]): Option[String] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(d, x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  private def maxOf(d: String, a: Option[String], b: Option[String]): Option[String] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmp(d, x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  /** Collect stats for `files` (absolute paths, same directory) and write
+    * the sidecar into `dir`. Failures are swallowed file-by-file: a stats
+    * sidecar is an optimization, never a correctness dependency, so a
+    * commit must not fail because a footer read did.
+    */
+  def writeSidecar(conf: Configuration, dir: Path, files: Seq[String]): Unit =
+    try {
+      val stats = files.flatMap { f =>
+        val p = new Path(f)
+        collectOne(conf, p).map(p.getName -> _)
+      }
+      if (stats.nonEmpty) {
+        val sb = new StringBuilder
+        for ((name, fs) <- stats.sortBy(_._1)) {
+          sb.append(s"f\t${b64(name)}\t${fs.rows}\n")
+          for ((cn, c) <- fs.cols.toSeq.sortBy(_._1))
+            sb.append(s"c\t${b64(name)}\t${b64(cn)}\t${c.t}\t" +
+              s"${c.min.map(b64).getOrElse("-")}\t${c.max.map(b64).getOrElse("-")}\t${c.nulls}\n")
+        }
+        val fs = dir.getFileSystem(conf)
+        val out = fs.create(new Path(dir, SidecarName), true)
+        try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+      }
+    } catch { case _: Exception => () }
+
+  /** Parse a batch dir's sidecar; None when absent or unreadable (both
+    * mean "no pruning for these files").
+    */
+  def readSidecar(conf: Configuration, dir: Path): Option[Map[String, FileStat]] =
+    try {
+      val fs = dir.getFileSystem(conf)
+      val p = new Path(dir, SidecarName)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+                 finally in.close()
+      val rows = scala.collection.mutable.Map[String, Long]()
+      val cols = scala.collection.mutable.Map[String, Map[String, ColStat]]().withDefaultValue(Map.empty)
+      text.split("\n").filter(_.nonEmpty).foreach { line =>
+        line.split("\t", -1) match {
+          case Array("f", name, r) => rows(unb64(name)) = r.toLong
+          case Array("c", name, cn, t, mn, mx, nulls) =>
+            val f = unb64(name)
+            cols(f) = cols(f) + (unb64(cn) -> ColStat(t,
+              if (mn == "-") None else Some(unb64(mn)),
+              if (mx == "-") None else Some(unb64(mx)), nulls.toLong))
+          case _ => ()
+        }
+      }
+      Some(rows.map { case (f, r) => f -> FileStat(r, cols(f)) }.toMap)
+    } catch { case _: Exception => None }
+
+  // -------------------------------------------------------------------
+  // Pruning (plan-time, driver-side, manifest file list in, survivors out)
+  // -------------------------------------------------------------------
+
+  /** Convert a filter's comparison value into a stat domain's canonical
+    * string; None = not convertible → that comparison can't prune.
+    */
+  private def toDomain(t: String, v: Any): Option[String] = (t, v) match {
+    case (_, null) => None
+    case ("long", x: Byte)  => Some(x.toLong.toString)
+    case ("long", x: Short) => Some(x.toLong.toString)
+    case ("long", x: Int)   => Some(x.toLong.toString)
+    case ("long", x: Long)  => Some(x.toString)
+    case ("double", x: Float)  => Some(java.lang.Double.toString(x.toDouble))
+    case ("double", x: Double) => Some(java.lang.Double.toString(x))
+    case ("double", x: Number) => Some(java.lang.Double.toString(x.doubleValue()))
+    case ("string", x: String) => Some(x)
+    case ("date", x: java.sql.Date)      => Some(x.toLocalDate.toEpochDay.toString)
+    case ("date", x: java.time.LocalDate) => Some(x.toEpochDay.toString)
+    case ("ts", x: java.sql.Timestamp) =>
+      // getTime's millis already include the nanos' millisecond part —
+      // rebuild whole seconds first so the micros don't double-count it.
+      Some((Math.floorDiv(x.getTime, 1000L) * 1000000L + x.getNanos / 1000L).toString)
+    case ("ts", x: java.time.Instant) =>
+      Some((x.getEpochSecond * 1000000L + x.getNano / 1000L).toString)
+    case _ => None
+  }
+
+  /** True when the evaluator can use `f` to prune (for connector
+    * `pushedFilters` reporting — the subset that actually participates).
+    */
+  def supportsPruning(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith => true
+    case And(l, r) => supportsPruning(l) || supportsPruning(r)
+    case Or(l, r)  => supportsPruning(l) && supportsPruning(r)
+    case _ => false
+  }
+
+  /** Might any row of a file with stats `fs` satisfy `filter`? Errs to
+    * `true` on anything it can't prove. NULL semantics: value comparisons
+    * (=, <, >, IN, LIKE-prefix) never match NULL rows, so an all-NULL
+    * column legitimately prunes them.
+    */
+  def mightMatch(fs: FileStat, filter: Filter): Boolean = {
+    def stat(a: String): Option[ColStat] = fs.cols.get(a)
+    // Range check helpers: absent stats → true; all-null column (min/max
+    // None with stats PRESENT) → no non-null value exists → false.
+    def withRange(a: String)(p: (String, String, String) => Boolean): Boolean =
+      stat(a) match {
+        case None => true
+        case Some(c) => (c.min, c.max) match {
+          case (Some(mn), Some(mx)) => p(c.t, mn, mx)
+          case _ => false // every value NULL: no value predicate can match
+        }
+      }
+    def ge(t: String, a: String, b: String) = cmp(t, a, b) >= 0
+    def le(t: String, a: String, b: String) = cmp(t, a, b) <= 0
+    filter match {
+      case EqualTo(a, v) => withRange(a) { (t, mn, mx) =>
+        toDomain(t, v).forall(x => ge(t, x, mn) && le(t, x, mx))
+      }
+      case GreaterThan(a, v) => withRange(a) { (t, _, mx) =>
+        toDomain(t, v).forall(x => cmp(t, mx, x) > 0)
+      }
+      case GreaterThanOrEqual(a, v) => withRange(a) { (t, _, mx) =>
+        toDomain(t, v).forall(x => ge(t, mx, x))
+      }
+      case LessThan(a, v) => withRange(a) { (t, mn, _) =>
+        toDomain(t, v).forall(x => cmp(t, mn, x) < 0)
+      }
+      case LessThanOrEqual(a, v) => withRange(a) { (t, mn, _) =>
+        toDomain(t, v).forall(x => le(t, mn, x))
+      }
+      case In(a, vs) => withRange(a) { (t, mn, mx) =>
+        // Untranslatable values err to "might match"; an all-translatable,
+        // all-out-of-range list proves a miss.
+        vs.isEmpty || vs.exists(v => toDomain(t, v) match {
+          case None => true
+          case Some(x) => ge(t, x, mn) && le(t, x, mx)
+        })
+      }
+      case IsNull(a) => stat(a).forall(_.nulls > 0)
+      case IsNotNull(a) => stat(a).forall(c => c.nulls < fs.rows || fs.rows == 0)
+      case StringStartsWith(a, p) => withRange(a) { (t, mn, mx) =>
+        // Strings with prefix p live in [p, p + U+10FFFF…): miss iff the
+        // whole file sorts below p or at/above the exclusive upper bound.
+        t != "string" || (mx.compareTo(p) >= 0 && mn.compareTo(p + "􏿿") < 0)
+      }
+      case And(l, r) => mightMatch(fs, l) && mightMatch(fs, r)
+      case Or(l, r)  => mightMatch(fs, l) || mightMatch(fs, r)
+      case _ => true
+    }
+  }
+
+  /** Drop files whose stats prove no row satisfies ALL `filters` (the
+    * conjunction). Sidecars load once per distinct parent dir — batch-
+    * count-sized driver IO. Files without stats always survive.
+    */
+  def prune(conf: Configuration, files: Seq[String], filters: Seq[Filter]): Seq[String] = {
+    if (filters.isEmpty || files.isEmpty) return files
+    val byDir = files.groupBy(f => new Path(f).getParent)
+    val sidecars: Map[Path, Map[String, FileStat]] =
+      byDir.keys.map(d => d -> readSidecar(conf, d).getOrElse(Map.empty)).toMap
+    files.filter { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName) match {
+        case None => true
+        case Some(fs) => filters.forall(mightMatch(fs, _))
+      }
+    }
+  }
+}

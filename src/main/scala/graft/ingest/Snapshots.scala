@@ -168,10 +168,32 @@ object Snapshots {
     // (default-on in Spark, pinned here because id-tracked tables DEPEND
     // on every data file carrying ids).
     df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // Table-format physical encoding: timestamps are INT64 micros (the
+    // Iceberg spec's choice), never legacy INT96 — INT96 carries no
+    // usable footer stats, so it would silently disable both row-group
+    // skipping and [[FileStats]] planning-time pruning on time columns.
+    // SCOPED to this write (save/restore): leaking it session-wide would
+    // change the encoding of every unrelated parquet write on the session.
+    // A racing writer that sees the restored value merely writes INT96 —
+    // stats absent for its ts columns, pruning conservative, rows correct.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = df.sparkSession.conf.getOption(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
     val clustered =
       if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
-    clustered.write.parquet(batchPath.toString)
-    listParquet(df.sparkSession, batchPath)
+    try clustered.write.parquet(batchPath.toString)
+    finally prevTs match {
+      case Some(v) => df.sparkSession.conf.set(tsKey, v)
+      case None    => df.sparkSession.conf.unset(tsKey)
+    }
+    val files = listParquet(df.sparkSession, batchPath)
+    // Commit-time footer stats → batch-dir sidecar, so filtered reads
+    // ([[readWhere]], the `graft` connector) prune files at PLANNING time.
+    // Best-effort by design: a failed footer read costs pruning power,
+    // never the commit.
+    FileStats.writeSidecar(df.sparkSession.sparkContext.hadoopConfiguration,
+      batchPath, files)
+    files
   }
 
   // ---------------------------------------------------------------------
@@ -756,6 +778,88 @@ object Snapshots {
     })
   }
 
+  /** Where a read is pinned: the latest committed version, an explicit
+    * version (time travel), a named tag, or a branch head — ONE vocabulary
+    * shared by the Scala API and the `graft` DataSource V2 connector's
+    * options, so both resolve state through the same code path.
+    */
+  sealed trait Pin
+  object Pin {
+    case object Latest extends Pin
+    final case class AsOf(v: Long) extends Pin
+    final case class AtTag(name: String) extends Pin
+    final case class AtBranch(name: String) extends Pin
+  }
+
+  private def pinnedManifest(base: String, pin: Pin): Manifest = pin match {
+    case Pin.Latest =>
+      val vs = versions(base)
+      require(vs.nonEmpty, s"no committed snapshots under $base")
+      readManifest(base, vs.max)
+    case Pin.AsOf(v) =>
+      val vs = versions(base)
+      require(vs.nonEmpty, s"no committed snapshots under $base")
+      require(vs.contains(v), s"snapshot $v not found (have ${vs.mkString(",")})")
+      readManifest(base, v)
+    case Pin.AtTag(n) => pinnedManifest(base, Pin.AsOf(tagVersion(base, n)))
+    case Pin.AtBranch(n) =>
+      val (files, dvs) = branchHeadState(base, n)
+      Manifest(0L, 0L, "branch", files, dvs,
+        readManifest(base, branchFork(base, n)).schema)
+  }
+
+  /** The era schema of a pinned state WITHOUT planning a scan — metadata
+    * IO only, so schema inference (the connector's hot path) never lists
+    * or validates data files. None for legacy (header-less) tables.
+    */
+  def pinnedSchema(base: String, pin: Pin): Option[StructType] =
+    pinnedManifest(base, pin).schema
+
+  /** The DV-aware scan of a pinned state, with OPTIONAL planning-time file
+    * pruning: `pruneFilters` (data-source `Filter`s, the connector's
+    * currency) are checked against each file's commit-time footer stats
+    * ([[FileStats]]) and files that provably contain no matching row never
+    * reach Spark's scan — at 100 TB, a selective filter on a sort-
+    * clustered column turns a 10⁵-task scan into a handful of tasks at
+    * PLANNING time. Pruning is conservative (stat-less files survive) and
+    * the caller still applies the full predicate to surviving rows.
+    */
+  def scanPinned(spark: SparkSession, base: String, pin: Pin = Pin.Latest,
+                 pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                 mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val m = pinnedManifest(base, pin)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    // All files pruned: an empty result with the right schema — plan over
+    // the full list behind a false literal (the optimizer folds it to an
+    // empty LocalRelation; no task ever launches).
+    if (kept.isEmpty && m.files.nonEmpty)
+      scanWithDvs(spark, m, keepCoords = false, mergeSchema = mergeSchema)
+        .filter(lit(false))
+    else
+      scanWithDvs(spark, m.copy(files = kept), keepCoords = false,
+        mergeSchema = mergeSchema)
+  }
+
+  /** [[read]] with a pushed-down predicate: `cond`'s conjuncts translate
+    * to data-source filters (the same translation Spark's own scan
+    * planning uses), prune files through the stats sidecars, and the FULL
+    * `cond` still filters surviving rows — so this is exactly
+    * `read(...).filter(cond)` with planning-time file skipping on top.
+    */
+  def readWhere(spark: SparkSession, base: String,
+                cond: org.apache.spark.sql.Column,
+                asOf: Option[Long] = None): DataFrame = {
+    val pin = asOf.map(Pin.AsOf).getOrElse(Pin.Latest)
+    // Translation needs the table schema only (an analyzer probe over an
+    // empty frame — no file IO, so pruning can drop files the plan never
+    // has to see). Legacy header-less tables infer from their footers.
+    val schema = pinnedSchema(base, pin)
+      .getOrElse(scanPinned(spark, base, pin).schema)
+    val filters = org.apache.spark.sql.graft.Bridge.pushableFilters(spark, schema, cond)
+    scanPinned(spark, base, pin, filters).filter(cond)
+  }
+
   /** Read the table at `asOf` (default: latest committed version).
     * `mergeSchema = true` unions the footers of every live file, so a
     * table that gained columns across appends reads with the full schema
@@ -765,14 +869,9 @@ object Snapshots {
     * stable schema.
     */
   def read(spark: SparkSession, base: String, asOf: Option[Long] = None,
-           mergeSchema: Boolean = false): DataFrame = {
-    val vs = versions(base)
-    require(vs.nonEmpty, s"no committed snapshots under $base")
-    val v = asOf.getOrElse(vs.max)
-    require(vs.contains(v), s"snapshot $v not found (have ${vs.mkString(",")})")
-    val m = readManifest(base, v)
-    scanWithDvs(spark, m, keepCoords = false, mergeSchema = mergeSchema)
-  }
+           mergeSchema: Boolean = false): DataFrame =
+    scanPinned(spark, base, asOf.map(Pin.AsOf).getOrElse(Pin.Latest),
+      mergeSchema = mergeSchema)
 
   /** Incremental read: rows in `toV`'s file set but not `fromV`'s — the
     * appended data between two snapshots, consumed as a file-list diff
@@ -1008,11 +1107,8 @@ object Snapshots {
   /** Read a branch's head (staged-but-unpublished state — the audit read
     * of write-audit-publish).
     */
-  def readBranch(spark: SparkSession, base: String, name: String): DataFrame = {
-    val (files, dvs) = branchHeadState(base, name)
-    scanWithDvs(spark, Manifest(0L, 0L, "branch", files, dvs,
-      readManifest(base, branchFork(base, name)).schema), keepCoords = false)
-  }
+  def readBranch(spark: SparkSession, base: String, name: String): DataFrame =
+    scanPinned(spark, base, Pin.AtBranch(name))
 
   /** Publish a branch into main — the WAP publish step. Strict
     * fast-forward semantics (Iceberg's fastForward): main must still sit
@@ -1072,6 +1168,31 @@ object Snapshots {
       .toDF("file", "size_bytes")
   }
 
+  /** Metadata table: the commit-time footer stats of a version's live
+    * files — (file, column, domain, min, max, null_count, row_count), one
+    * row per (file, stat-carrying column). The introspection surface for
+    * [[readWhere]]'s pruning (Iceberg's `files` table exposes
+    * lower/upper_bounds the same way); sidecar-sized driver IO, no data
+    * file opened. Files committed before stats existed simply have no
+    * rows here.
+    */
+  def statsTable(spark: SparkSession, base: String, asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val m = pinnedManifest(base, asOf.map(Pin.AsOf).getOrElse(Pin.Latest))
+    val conf = hadoopConf
+    m.files.groupBy(f => new Path(f).getParent).toSeq.flatMap { case (dir, files) =>
+      val stats = FileStats.readSidecar(conf, dir).getOrElse(Map.empty)
+      files.flatMap { f =>
+        val name = new Path(f).getName
+        stats.get(name).toSeq.flatMap { fs =>
+          fs.cols.toSeq.sortBy(_._1).map { case (c, st) =>
+            (relKey(f), c, st.t, st.min.orNull, st.max.orNull, st.nulls, fs.rows)
+          }
+        }
+      }
+    }.toDF("file", "column", "domain", "min", "max", "null_count", "row_count")
+  }
+
   /** Drop all but the newest `keepLast` snapshots, then delete data files
     * no surviving manifest references (the vacuum that makes overwrites
     * and compactions actually reclaim space). TAGGED versions are always
@@ -1079,6 +1200,39 @@ object Snapshots {
     * reproducibility contract tags exist for. Readers of expired versions
     * fail on the missing manifest, not with silently wrong rows.
     */
+  /** Delete data files NO manifest (main, any version, or any branch
+    * head) references — the garbage a crashed writer leaves: [[expire]]
+    * only reclaims files that were once LIVE, while a job that died
+    * between `writeBatch` and `publish` leaves files nothing ever pointed
+    * at. Only files older than `olderThanMs` are candidates, so an
+    * IN-FLIGHT commit's just-written (not yet published) batch is never
+    * swept — the same grace-period discipline as Iceberg's
+    * remove_orphan_files (default 3 days; tests shrink it). Returns the
+    * deleted paths. Listing-sized driver work, no data file opened.
+    */
+  def removeOrphans(base: String, olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
+    val fs = fsFor(base)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val live = (versions(base).flatMap { v =>
+      val m = readManifest(base, v); m.files ++ m.dvs
+    } ++ branches(base).keys.toSeq.flatMap { b =>
+      val (f, d) = branchHeadState(base, b); f ++ d
+    }).map(uriPath).toSet
+    val deleted = Seq.newBuilder[String]
+    listDir(fs, dataDir(base)).filter(_.isDirectory).foreach { batch =>
+      listDir(fs, batch.getPath)
+        .filter(f => f.getPath.getName.endsWith(".parquet") &&
+          f.getModificationTime < cutoff &&
+          !live(uriPath(f.getPath.toString)))
+        .foreach { f =>
+          if (fs.delete(f.getPath, false)) deleted += f.getPath.toString
+        }
+      if (listDir(fs, batch.getPath).forall(f => !f.getPath.getName.endsWith(".parquet")))
+        fs.delete(batch.getPath, true)
+    }
+    deleted.result()
+  }
+
   def expire(base: String, keepLast: Int = 1): Unit = {
     val fs = fsFor(base)
     val vs = versions(base)

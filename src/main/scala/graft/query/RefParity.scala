@@ -27,7 +27,7 @@ object RefParity {
     * mtime, recursive for directories) — regenerated testdata at the same
     * path gets a fresh ingest instead of silently reading stale rows.
     */
-  private val LayoutVersion = "v2"
+  private val LayoutVersion = "v3" // v3: stats sidecars + INT64-micros timestamps
 
   private def fingerprint(f: java.io.File): Long = {
     val self = f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21)
@@ -192,6 +192,32 @@ object RefParity {
       summarize(Snapshots.read(s, dir, Some(Snapshots.versions(dir).min)), 1)
         .unionAll(summarize(Snapshots.readBranch(s, dir, "audit"), 2))
         .unionAll(summarize(Snapshots.read(s, dir), 3))
+    },
+    // The table format through its DataSource V2 surface: the same staged
+    // two-commit tree read via format("graft") with a pushed-down
+    // predicate. The late-shipdate filter's data lives ENTIRELY in the v2
+    // commit's files, so commit-time footer stats prune every v1 file at
+    // PLANNING time (files are l_orderkey-clustered, but each file's
+    // l_shipdate range still splits cleanly at the commit boundary) —
+    // correctness is the oracle's recompute from lineitem; the pruning it
+    // rides on is pinned by ConnectorSpec's missing-file proof.
+    "cn1_connector_read" -> { (s, d) =>
+      val dir = snapshotDir(s, d)
+      s.read.format("graft").load(dir)
+        .filter(col("l_shipdate") >= lit("1998-06-01"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+    // The SQL surface: a temporary view over the connector with TIME
+    // TRAVEL in the options — `versionAsOf` pins the view to the first
+    // commit (the pre-1997 slice), so a catalog user gets reproducible
+    // dataset versions in plain SQL.
+    "cn2_connector_sql" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = snapshotDir(s, d)
+      val v1 = Snapshots.versions(dir).min
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW cn2_view USING graft " +
+        s"OPTIONS (path '$dir', versionAsOf '$v1')")
+      s.sql("SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty FROM cn2_view")
     },
     // Batch MERGE (upsert) through deletion vectors: the staged tree
     // commits (o_orderkey, o_custkey), then merges key%10 updates
@@ -397,6 +423,12 @@ object RefParity {
       """SELECT l_orderkey, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "cn1_connector_read" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'""".stripMargin,
+    "cn2_connector_sql" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin,
     "snap3_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
         |final AS (

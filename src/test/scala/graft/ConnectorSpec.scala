@@ -1,0 +1,327 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import graft.ingest.{FileStats, Snapshots}
+
+/** The commit-time stats layer ([[FileStats]]), the pruned read path
+  * (`Snapshots.readWhere`), and the `graft` DataSource V2 connector
+  * (batch options, SQL surface, streaming source) — guarantees the DuckDB
+  * oracle can't express: conservative pruning, planning-time file
+  * skipping, offset-checkpointed incremental streams.
+  */
+class ConnectorSpec extends SparkSuite {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(col("id")).collect().map(_.getLong(0)).toSet
+
+  /** Three single-file commits with disjoint id ranges [1,10] [11,20]
+    * [21,30]; returns (base, files ascending by range).
+    */
+  private def rangedTable(prefix: String): (String, Seq[String]) = {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir(prefix)
+    Snapshots.commit(spark, (1L to 10L).toDF("id").repartition(1), base, sortCols = Seq("id"))
+    Snapshots.commit(spark, (11L to 20L).toDF("id").repartition(1), base, sortCols = Seq("id"))
+    Snapshots.commit(spark, (21L to 30L).toDF("id").repartition(1), base, sortCols = Seq("id"))
+    val files = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+    assert(files.size === 3)
+    val byMin = files.sortBy { f =>
+      spark.read.parquet(f).agg(min(col("id"))).collect()(0).getLong(0)
+    }
+    (base, byMin)
+  }
+
+  test("footer stats prune files conservatively across filter shapes") {
+    val (base, files) = rangedTable("graft_stats_prune")
+    def prune(fs: Filter*): Set[String] =
+      FileStats.prune(conf, files, fs.toSeq).toSet
+    // range shapes
+    assert(prune(GreaterThan("id", 20L)) === Set(files(2)))
+    assert(prune(GreaterThanOrEqual("id", 20L)) === Set(files(1), files(2)))
+    assert(prune(LessThan("id", 11L)) === Set(files(0)))
+    assert(prune(EqualTo("id", 15L)) === Set(files(1)))
+    assert(prune(EqualTo("id", 31L)) === Set.empty)
+    assert(prune(In("id", Array(5L, 25L))) === Set(files(0), files(2)))
+    assert(prune(Or(LessThan("id", 5L), GreaterThan("id", 25L))) === Set(files(0), files(2)))
+    assert(prune(And(GreaterThan("id", 12L), LessThan("id", 18L))) === Set(files(1)))
+    // int literal in a long domain — the translated value class differs
+    assert(prune(EqualTo("id", 15)) === Set(files(1)))
+    // a no-null column: IS NULL prunes everything, IS NOT NULL nothing
+    assert(prune(IsNull("id")) === Set.empty)
+    assert(prune(IsNotNull("id")) === files.toSet)
+    // shapes the evaluator doesn't model keep everything
+    assert(prune(Not(EqualTo("id", 15L))) === files.toSet)
+    // unknown column keeps everything
+    assert(prune(EqualTo("nope", 1L)) === files.toSet)
+    // a missing sidecar disables pruning for that dir only
+    val fs = new Path(files(2)).getFileSystem(conf)
+    fs.delete(new Path(new Path(files(2)).getParent, FileStats.SidecarName), false)
+    assert(prune(GreaterThan("id", 20L)) === Set(files(2)))
+    assert(prune(LessThan("id", 5L)) === Set(files(0), files(2)))
+  }
+
+  test("string, null-count and all-null stats prune correctly") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_stats_str")
+    Snapshots.commit(spark,
+      Seq(("apple", Some(1L)), ("banana", Some(2L))).toDF("s", "v").repartition(1),
+      base)
+    Snapshots.commit(spark,
+      Seq(("melon", None: Option[Long]), ("peach", Some(4L))).toDF("s", "v").repartition(1),
+      base)
+    Snapshots.commit(spark,
+      Seq(("zebra", None: Option[Long]), ("zoo", None: Option[Long])).toDF("s", "v").repartition(1),
+      base)
+    val files = Snapshots.liveFiles(base, Snapshots.versions(base).max).sortBy { f =>
+      spark.read.parquet(f).agg(min(col("s"))).collect()(0).getString(0)
+    }
+    def prune(fs: Filter*): Set[String] =
+      FileStats.prune(conf, files, fs.toSeq).toSet
+    assert(prune(EqualTo("s", "melon")) === Set(files(1)))
+    assert(prune(GreaterThan("s", "peach")) === Set(files(2)))
+    assert(prune(StringStartsWith("s", "ze")) === Set(files(2)))
+    assert(prune(StringStartsWith("s", "m")) === Set(files(1)))
+    // nulls: only files 2 and 3 contain NULL v; file 3 is ALL null, so a
+    // value predicate on v prunes it even though the range is unknown
+    assert(prune(IsNull("v")) === Set(files(1), files(2)))
+    assert(prune(IsNotNull("v")) === Set(files(0), files(1)))
+    assert(prune(EqualTo("v", 4L)) === Set(files(1)))
+    assert(prune(GreaterThan("v", 0L)) === Set(files(0), files(1)))
+  }
+
+  test("readWhere equals read.filter and drops pruned files at planning time") {
+    val (base, files) = rangedTable("graft_readwhere")
+    val cond = col("id") > 20L && col("id") % 2 === 0
+    assert(ids(Snapshots.readWhere(spark, base, cond)) ===
+      ids(Snapshots.read(spark, base).filter(cond)))
+    // all-pruned: empty result, correct schema, no error
+    val none = Snapshots.readWhere(spark, base, col("id") > 100L)
+    assert(none.columns.toSeq === Seq("id") && none.count() === 0L)
+    // DVs and pruning compose (the DV anti join runs on surviving files)
+    Snapshots.deleteWhereDV(spark, base, col("id") === 25L)
+    assert(ids(Snapshots.readWhere(spark, base, col("id") > 20L)) ===
+      (21L to 30L).toSet - 25L)
+    // THE planning-time proof: delete the [1,10] data file from disk. The
+    // unpruned read must fail on the missing file; the pruned read never
+    // plans it, so it succeeds.
+    val fs = new Path(files(0)).getFileSystem(conf)
+    fs.delete(new Path(files(0)), false)
+    intercept[Exception] { Snapshots.read(spark, base).count() }
+    assert(ids(Snapshots.readWhere(spark, base, col("id") > 20L)) ===
+      (21L to 30L).toSet - 25L)
+  }
+
+  test("readWhere prunes on date and timestamp domains") {
+    val base = tmpDir("graft_readwhere_time")
+    def slice(lo: Int, hi: Int) = spark.sql(
+      s"""SELECT id, date_add(date'2024-01-01', CAST(id AS INT)) AS d,
+         |  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts
+         |FROM range($lo, $hi)""".stripMargin).repartition(1)
+    Snapshots.commit(spark, slice(0, 10), base, sortCols = Seq("id"))
+    Snapshots.commit(spark, slice(10, 20), base, sortCols = Seq("id"))
+    val files = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+    // one typed literal, one string-cast literal: the translation probe
+    // folds the cast, so BOTH shapes prune
+    val dCond = col("d") >= lit("2024-01-15").cast("date")
+    val tCond = col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:05"))
+    assert(Snapshots.readWhere(spark, base, dCond).count() ===
+      Snapshots.read(spark, base).filter(dCond).count())
+    assert(Snapshots.readWhere(spark, base, tCond).count() ===
+      Snapshots.read(spark, base).filter(tCond).count())
+    // and the stats actually engage on both domains
+    val schema = Snapshots.pinnedSchema(base, Snapshots.Pin.Latest).get
+    def translated(c: org.apache.spark.sql.Column): Seq[Filter] =
+      org.apache.spark.sql.graft.Bridge.pushableFilters(spark, schema, c)
+    assert(FileStats.prune(conf, files, translated(dCond)).size === 1)
+    assert(FileStats.prune(conf, files, translated(tCond)).size === 1)
+  }
+
+  test("format(graft) batch read matches the Snapshots API across pins") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_batch")
+    val v1 = Snapshots.commit(spark, (1L to 5L).toDF("id"), base)
+    Snapshots.commit(spark, (6L to 9L).toDF("id"), base)
+    Snapshots.deleteWhereDV(spark, base, col("id") === 7L)
+    Snapshots.tag(base, "first", v1)
+    Snapshots.createBranch(base, "wip")
+    Snapshots.commitToBranch(spark, (100L to 101L).toDF("id"), base, "wip")
+    def load(opts: (String, String)*) =
+      opts.foldLeft(spark.read.format("graft"))((r, o) => r.option(o._1, o._2)).load(base)
+    assert(ids(load()) === ((1L to 9L).toSet - 7L))
+    assert(ids(load("versionAsOf" -> v1.toString)) === (1L to 5L).toSet)
+    assert(ids(load("tag" -> "first")) === (1L to 5L).toSet)
+    assert(ids(load("branch" -> "wip")) === ((1L to 9L).toSet - 7L) ++ Set(100L, 101L))
+    intercept[IllegalArgumentException] {
+      load("tag" -> "first", "branch" -> "wip").collect()
+    }
+    // column pruning + filters through the DSv2 path, incl. 3VL NULLs
+    val withNulls = load().select((col("id") * 2).as("dbl"), col("id"))
+      .filter(col("id") > 3L)
+    assert(withNulls.select(col("dbl")).collect().map(_.getLong(0)).toSet ===
+      ((4L to 9L).toSet - 7L).map(_ * 2))
+    assert(load().count() === 8L) // empty required-column projection
+    assert(load().filter(col("id").isNull).count() === 0L)
+  }
+
+  test("the connector's pushed filters prune files at planning time") {
+    val (base, files) = rangedTable("graft_conn_prune")
+    // same missing-file proof as readWhere, through format("graft")
+    val fs = new Path(files(0)).getFileSystem(conf)
+    fs.delete(new Path(files(0)), false)
+    intercept[Exception] {
+      spark.read.format("graft").load(base).count()
+    }
+    assert(ids(spark.read.format("graft").load(base).filter(col("id") > 20L))
+      === (21L to 30L).toSet)
+  }
+
+  test("SQL: CREATE TABLE USING graft reads through the catalog") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_sql")
+    Snapshots.commit(spark, (1L to 6L).toDF("id"), base)
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$base')")
+    try {
+      assert(spark.sql("SELECT sum(id) AS s FROM graft_sql_t WHERE id > 2")
+        .collect()(0).getLong(0) === (3L to 6L).sum)
+    } finally spark.sql("DROP TABLE graft_sql_t")
+  }
+
+  test("batch writes through the connector commit snapshots") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_write")
+    // first write CREATES the table (TableProvider writes need an explicit
+    // append/overwrite mode — Spark rejects ErrorIfExists for v2 sources)
+    (1L to 5L).toDF("id").write.format("graft").mode("append").save(base)
+    (6L to 8L).toDF("id").write.format("graft").mode("append").save(base)
+    assert(ids(Snapshots.read(spark, base)) === (1L to 8L).toSet)
+    // overwrite = an overwrite COMMIT: old state stays time-travelable
+    val vPre = Snapshots.versions(base).max
+    (100L to 101L).toDF("id").write.format("graft").mode("overwrite").save(base)
+    assert(ids(Snapshots.read(spark, base)) === Set(100L, 101L))
+    assert(ids(Snapshots.read(spark, base, Some(vPre))) === (1L to 8L).toSet)
+    // SQL DML through the catalog: INSERT INTO + DELETE FROM (DV delete)
+    spark.sql(s"CREATE TABLE graft_dml_t USING graft OPTIONS (path '$base')")
+    try {
+      spark.sql("INSERT INTO graft_dml_t VALUES (102)")
+      assert(ids(spark.table("graft_dml_t")) === Set(100L, 101L, 102L))
+      spark.sql("DELETE FROM graft_dml_t WHERE id = 101")
+      assert(ids(spark.table("graft_dml_t")) === Set(100L, 102L))
+      assert(Snapshots.modeOf(base, Snapshots.versions(base).max) === "delete-dv")
+    } finally spark.sql("DROP TABLE graft_dml_t")
+    // branch writes stage without touching main (WAP from the writer API)
+    Snapshots.createBranch(base, "stage")
+    (200L to 201L).toDF("id").write.format("graft")
+      .option("branch", "stage").mode("append").save(base)
+    assert(ids(Snapshots.readBranch(spark, base, "stage")) === Set(100L, 102L, 200L, 201L))
+    assert(ids(Snapshots.read(spark, base)) === Set(100L, 102L))
+    // read-only pins refuse writes
+    intercept[Exception] {
+      (1L to 2L).toDF("id").write.format("graft")
+        .option("versionAsOf", vPre.toString).mode("append").save(base)
+    }
+  }
+
+  test("streaming sink: append replication, update upserts, complete aggregates") {
+    val sess = spark
+    import sess.implicits._
+    // table→table incremental replication: graft source feeding graft sink
+    val src = tmpDir("graft_sink_src")
+    val dst = tmpDir("graft_sink_dst")
+    Snapshots.commit(spark, (1L to 5L).toDF("id"), src)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", dst)
+      .option("checkpointLocation", tmpDir("graft_sink_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(ids(Snapshots.read(spark, dst)) === (1L to 5L).toSet)
+      Snapshots.commit(spark, (6L to 8L).toDF("id"), src)
+      q.processAllAvailable()
+      assert(ids(Snapshots.read(spark, dst)) === (1L to 8L).toSet)
+    } finally q.stop()
+
+    // Update mode: DV-merge upserts keyed by mergeKeys
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val upBase = tmpDir("graft_sink_up")
+    val mem = MemoryStream[(Long, String)]
+    val uq = mem.toDF().toDF("k", "v").writeStream.format("graft")
+      .outputMode("update")
+      .option("path", upBase).option("mergeKeys", "k")
+      .option("checkpointLocation", tmpDir("graft_sink_up_ckpt"))
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      uq.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "c"))
+      uq.processAllAvailable()
+      val state = Snapshots.read(spark, upBase).as[(Long, String)].collect().toMap
+      assert(state === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+      assert(Snapshots.modeOf(upBase, Snapshots.versions(upBase).max).startsWith("merge:b"))
+    } finally uq.stop()
+
+    // Complete mode: each refresh overwrites, history keeps the old ones
+    val aggBase = tmpDir("graft_sink_agg")
+    val mem2 = MemoryStream[Long]
+    val aq = mem2.toDF().toDF("id")
+      .groupBy((col("id") % 2).as("parity")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graft").outputMode("complete")
+      .option("path", aggBase)
+      .option("checkpointLocation", tmpDir("graft_sink_agg_ckpt"))
+      .start()
+    try {
+      mem2.addData(1L, 2L, 3L)
+      aq.processAllAvailable()
+      mem2.addData(4L)
+      aq.processAllAvailable()
+      val byParity = Snapshots.read(spark, aggBase).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byParity === Map(0L -> 2L, 1L -> 2L))
+      assert(Snapshots.versions(aggBase).size >= 2)
+    } finally aq.stop()
+  }
+
+  test("streaming source: initial snapshot, per-commit deltas, restart from checkpoint") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_stream")
+    val ckpt = tmpDir("graft_conn_stream_ckpt")
+    Snapshots.commit(spark, (1L to 5L).toDF("id"), base)
+    val q1 = spark.readStream.format("graft").load(base)
+      .writeStream.format("memory").queryName("graft_stream_1")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q1.processAllAvailable()
+      assert(ids(spark.table("graft_stream_1")) === (1L to 5L).toSet)
+      Snapshots.commit(spark, (6L to 8L).toDF("id"), base)
+      q1.processAllAvailable()
+      assert(ids(spark.table("graft_stream_1")) === (1L to 8L).toSet)
+    } finally q1.stop()
+    // restart against the SAME checkpoint: only data committed after the
+    // checkpointed version arrives (SerializedOffset round trip). Memory
+    // sinks refuse checkpoint recovery, so the restarted query collects
+    // through foreachBatch.
+    Snapshots.commit(spark, (9L to 10L).toDF("id"), base)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q2 = spark.readStream.format("graft").load(base)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSet === Set(9L, 10L))
+    } finally q2.stop()
+  }
+}

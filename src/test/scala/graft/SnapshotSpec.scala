@@ -545,4 +545,34 @@ class SnapshotSpec extends SparkSuite {
     Snapshots.deleteWhere(spark, promoted, col("id") === 1L)
     assert(ids(Snapshots.read(spark, promoted)) === (2L to 6L).toSet)
   }
+
+  test("removeOrphans reclaims unreferenced files, respects grace + branches") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snapshot_orphan")
+    Snapshots.commit(spark, (1L to 5L).toDF("id"), base)
+    Snapshots.createBranch(base, "wip")
+    Snapshots.commitToBranch(spark, (6L to 7L).toDF("id"), base, "wip")
+    // a crashed writer's never-published batch: bytes on disk, no manifest
+    val orphanDir = new java.io.File(base, "data/b_orphan00")
+    orphanDir.mkdirs()
+    (8L to 9L).toDF("id").repartition(1).write.mode("overwrite")
+      .parquet(orphanDir.getPath + "/stage")
+    val orphan = new java.io.File(orphanDir.getPath + "/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(orphan.renameTo(new java.io.File(orphanDir, "part-orphan.parquet")))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(orphanDir.getPath + "/stage"))
+    // inside the grace period nothing moves (an in-flight commit's batch
+    // looks exactly like this)
+    assert(Snapshots.removeOrphans(base).isEmpty)
+    // past the grace period: the orphan goes, live + branch files stay
+    val swept = Snapshots.removeOrphans(base, olderThanMs = -10000L)
+    assert(swept.size === 1 && swept.head.contains("part-orphan"))
+    assert(!orphanDir.exists()) // emptied batch dir removed too
+    assert(ids(Snapshots.read(spark, base)) === (1L to 5L).toSet)
+    assert(ids(Snapshots.readBranch(spark, base, "wip")) === (1L to 7L).toSet)
+    // idempotent
+    assert(Snapshots.removeOrphans(base, olderThanMs = -10000L).isEmpty)
+  }
 }
