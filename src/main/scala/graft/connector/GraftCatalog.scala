@@ -1,0 +1,325 @@
+package graft.connector
+
+import graft.ingest.Snapshots
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The snapshot table layer as a Spark **catalog plugin** — the step past
+  * path-based `format("graft")`: register once,
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.connector.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  * }}}
+  *
+  * and the whole table lifecycle is plain SQL — `CREATE TABLE
+  * graft.ns.t (…)`, CTAS, `INSERT INTO/OVERWRITE`, `DELETE FROM` (DV
+  * deletes), `ALTER TABLE … ADD/RENAME/DROP COLUMN` (metadata-only
+  * field-id evolution), `DROP/SHOW/DESCRIBE`, plus engine-integrated time
+  * travel: `SELECT … FROM graft.ns.t VERSION AS OF 3` (or a tag/branch
+  * name) and `TIMESTAMP AS OF …`. Iceberg-style metadata tables ride the
+  * nested-identifier form: `graft.ns.t.history|files|stats|tags|branches`.
+  *
+  * Layout: one directory per namespace level under `warehouse`, one
+  * directory per table. A table IS its snapshot tree (`_snapshots`
+  * present) — existence, schema, and every read/write go through
+  * [[Snapshots]], so the catalog holds no state of its own and any
+  * metastore-less deployment (the 100 TB object-store case) gets
+  * concurrent-writer safety from the commit protocol, not from this
+  * class. The reference has no catalog at all (tables are addressed by
+  * partition-key path, filesystemStorageAdapter.go:50); this is the
+  * "address your blocks from SQL" surface a Spark user expects.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+    fs.mkdirs(warehouse)
+    ()
+  }
+
+  override def name(): String = catalogName
+
+  // ----- identifier <-> directory mapping
+
+  /** Directory-name discipline: a legal segment can't escape the
+    * warehouse, collide with snapshot metadata (`_snapshots`, `data`,
+    * sidecars start with `_`/`.`), or smuggle path separators.
+    */
+  private def checkSegment(s: String): String = {
+    require(s.nonEmpty && !s.startsWith("_") && !s.startsWith(".") &&
+      !s.contains("/") && !s.contains("\\"),
+      s"illegal graft identifier segment '$s'")
+    s
+  }
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, s) => new Path(p, checkSegment(s)))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), checkSegment(ident.name))
+
+  /** A table IS a directory with a published snapshot tree. */
+  private def isTable(dir: Path): Boolean =
+    fs.exists(new Path(dir, "_snapshots"))
+
+  private def propsFile(dir: Path) = new Path(dir, "_table_props")
+
+  private def readProps(dir: Path): Map[String, String] = {
+    val p = propsFile(dir)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val props = new java.util.Properties()
+        props.load(in)
+        import scala.jdk.CollectionConverters._
+        props.asScala.toMap
+      } finally in.close()
+    }
+  }
+
+  private def writeProps(dir: Path, m: Map[String, String]): Unit = {
+    val props = new java.util.Properties()
+    m.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = fs.create(propsFile(dir), true)
+    try props.store(out, null) finally out.close()
+  }
+
+  // ----- tables
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir) || isTable(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable).map(p => Identifier.of(namespace, p.getName))
+  }
+
+  private def loadPinned(ident: Identifier, pin: Snapshots.Pin): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) {
+      val base = dir.toString
+      val schema = Snapshots.pinnedSchema(base, pin)
+        .getOrElse(Snapshots.scanPinned(spark, base, pin).schema)
+      new GraftTable(base, pin, schema,
+        displayName = Some((catalogName +: ident.namespace :+ ident.name).mkString(".")),
+        props = readProps(dir))
+    } else metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, Snapshots.Pin.Latest)
+
+  /** `VERSION AS OF x` — a numeric x pins a snapshot version; otherwise x
+    * names a tag, then a branch (Iceberg's ref resolution order).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = tableDir(ident).toString
+    val pin =
+      if (version.forall(_.isDigit)) Snapshots.Pin.AsOf(version.toLong)
+      else if (Snapshots.tags(base).contains(version)) Snapshots.Pin.AtTag(version)
+      else if (Snapshots.branches(base).contains(version)) Snapshots.Pin.AtBranch(version)
+      else throw new IllegalArgumentException(
+        s"$version is neither a snapshot version, tag nor branch of $ident")
+    loadPinned(ident, pin)
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands micros since epoch; resolve to the
+    * newest version committed at or before that wall-clock instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = tableDir(ident).toString
+    if (!isTable(tableDir(ident))) throw new NoSuchTableException(ident)
+    loadPinned(ident, Snapshots.Pin.AsOf(Snapshots.versionAt(base, timestamp / 1000L)))
+  }
+
+  /** Iceberg-style metadata tables through the NESTED identifier:
+    * `graft.ns.t.history` arrives as Identifier(ns=[ns, t],
+    * name=history). All are manifest/listing-sized — no data file opened.
+    */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val owner = nsDir(ident.namespace) // last namespace element = the table
+    if (!isTable(owner)) return None
+    val base = owner.toString
+    val df: Option[() => DataFrame] = ident.name.toLowerCase match {
+      case "history" | "snapshots" => Some(() => Snapshots.history(spark, base))
+      case "files" => Some(() => Snapshots.filesTable(spark, base))
+      case "stats" => Some(() => Snapshots.statsTable(spark, base))
+      case "tags" => Some(() => {
+        val s = spark
+        import s.implicits._
+        Snapshots.tags(base).toSeq.sorted.toDF("tag", "version")
+      })
+      case "branches" => Some(() => {
+        val s = spark
+        import s.implicits._
+        Snapshots.branches(base).toSeq.sorted.toDF("branch", "head_version")
+      })
+      case _ => None
+    }
+    df.map(f => new GraftMetaTable(s"$base#${ident.name}", f))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster within snapshot commits (sortCols/Z-order) " +
+        "instead of static partition transforms")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val ns = nsDir(ident.namespace)
+    if (ident.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    // v1 is an EMPTY commit carrying the schema: existence, schema header
+    // and field-id assignment all ride the ordinary commit protocol (a
+    // concurrent CREATE of the same name loses the v1 rename and fails).
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    Snapshots.commit(spark, empty, dir.toString, mode = "append:create")
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.toMap
+    if (props.nonEmpty) writeProps(dir, props)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val base = dir.toString
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft supports top-level ADD COLUMN only")
+        Snapshots.addColumn(base, add.fieldNames.head, add.dataType)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          "graft supports top-level RENAME COLUMN only")
+        Snapshots.renameColumn(base, ren.fieldNames.head, ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft supports top-level DROP COLUMN only")
+        Snapshots.dropColumn(base, del.fieldNames.head)
+      case set: TableChange.SetProperty =>
+        writeProps(dir, readProps(dir) + (set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        writeProps(dir, readProps(dir) - rm.property)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft does not support table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    isTable(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tableDir(from)
+    if (!isTable(src)) throw new NoSuchTableException(from)
+    val dst = tableDir(to)
+    if (isTable(dst)) throw new TableAlreadyExistsException(to)
+    val ns = nsDir(to.namespace)
+    if (to.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
+      throw new NoSuchNamespaceException(to.namespace)
+    require(fs.rename(src, dst), s"rename $from -> $to failed")
+  }
+
+  // ----- namespaces (directories that are not tables)
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = nsDir(namespace)
+    namespace.isEmpty || (fs.exists(dir) && !isTable(dir))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") && !isTable(p))
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    import scala.jdk.CollectionConverters._
+    Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && fs.exists(nsDir(namespace)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.nonEmpty, "cannot drop the warehouse root")
+    val dir = nsDir(namespace)
+    if (!namespaceExists(namespace) || !fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs.delete(dir, true)
+  }
+}
+
+/** A read-only metadata table (`t.history`, `t.files`, `t.stats`,
+  * `t.tags`, `t.branches`). The backing frame is driver-built from
+  * manifest listings, so the "scan" is a local relation — V1Scan keeps it
+  * on the same path as the data scan without a bespoke reader.
+  */
+private[connector] class GraftMetaTable(tableName: String, build: () => DataFrame)
+    extends Table with SupportsRead {
+  private lazy val df: DataFrame = build()
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = df.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): RDD[Row] = df.rdd
+          }.asInstanceOf[T]
+      }
+    }
+}

@@ -3,7 +3,7 @@ package graft.connector
 import graft.ingest.{FileStats, Snapshots}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -130,10 +130,31 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * corruption).
   */
 private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
-                                    tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
-  override def name(): String = s"graft.`$base`"
+                                    tableSchema: StructType,
+                                    displayName: Option[String] = None,
+                                    props: Map[String, String] = Map.empty)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with TruncatableTable {
+  override def name(): String = displayName.getOrElse(s"graft.`$base`")
   override def schema(): StructType = tableSchema
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asJava
+  }
+
+  /** SQL `TRUNCATE TABLE`: an empty overwrite commit — history (and time
+    * travel to the pre-truncate state) is preserved, like every other
+    * destructive op on the snapshot layer.
+    */
+  override def truncateTable(): Boolean = {
+    require(pin == Snapshots.Pin.Latest,
+      "TRUNCATE targets the current table state - drop the version pin")
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), tableSchema)
+    Snapshots.commit(spark, empty, base, mode = "overwrite:truncate")
+    true
+  }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,

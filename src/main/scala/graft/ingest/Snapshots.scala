@@ -288,6 +288,34 @@ object Snapshots {
       StructType(s.fields.filterNot(_.name == name))
     }
 
+  /** Add a nullable column, metadata-only: the field joins the schema
+    * header under a freshly-minted field id — no data file is touched, and
+    * every existing file null-fills the new column on read (it carries no
+    * such id). The additive half of `ALTER TABLE`, symmetric with
+    * [[renameColumn]]/[[dropColumn]].
+    */
+  def addColumn(base: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Long =
+    alterSchema(base, s"alter:add:$name") { s =>
+      require(!s.fieldNames.contains(name), s"column $name already exists")
+      val next = s.fields.map(fieldId).max + 1
+      StructType(s.fields :+ StructField(name, dataType, nullable = true,
+        new MetadataBuilder().putLong(FieldIdKey, next).build()))
+    }
+
+  /** The newest version committed at or before `tsMillis` (wall-clock
+    * time travel — `TIMESTAMP AS OF`). Resolution is the manifest file's
+    * modification time: the commit rename IS the publish instant, so no
+    * separate clock needs recording.
+    */
+  def versionAt(base: String, tsMillis: Long): Long = {
+    val eligible = versionStatuses(base).filter(_.getLen > 0)
+      .filter(_.getModificationTime <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no snapshot committed at or before timestamp $tsMillis under $base")
+    eligible.map(s => versionOf(s.getPath.getName)).max
+  }
+
   private def alterSchema(base: String, mode: String)(xf: StructType => StructType): Long = {
     require(versions(base).nonEmpty, s"no committed snapshots under $base")
     publish(base, Nil, Nil, mode,

@@ -219,6 +219,22 @@ object RefParity {
         s"OPTIONS (path '$dir', versionAsOf '$v1')")
       s.sql("SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty FROM cn2_view")
     },
+    // The TableCatalog plugin end-to-end: namespace + CTAS + INSERT staged
+    // once through PURE SQL DDL, then read back through the catalog with
+    // SQL time travel (VERSION AS OF the CTAS commit) and at the head.
+    // The oracle recomputes both slices from orders — a catalog
+    // resolution bug, a version mis-pin, or an INSERT landing in the
+    // wrong table breaks the hash.
+    "cat1_catalog_sql" -> { (s, d) =>
+      val cat = catalogFor(s, d)
+      s.sql(
+        s"""SELECT 1 AS snap, count(*) AS n_rows,
+           |  round(sum(o_totalprice), 2) AS sum_p
+           |FROM $cat.core.orders VERSION AS OF 2
+           |UNION ALL
+           |SELECT 2, count(*), round(sum(o_totalprice), 2)
+           |FROM $cat.core.orders""".stripMargin)
+    },
     // Batch MERGE (upsert) through deletion vectors: the staged tree
     // commits (o_orderkey, o_custkey), then merges key%10 updates
     // (+1_000_000 marker) and key%100 inserts (negated keys) as ONE
@@ -253,7 +269,39 @@ object RefParity {
     mergeSnapshotDir(s, sfDir)
     wapSnapshotDir(s, sfDir)
     renameSnapshotDir(s, sfDir)
+    catalogFor(s, sfDir)
     ()
+  }
+
+  /** Staged catalog warehouse for cat1 (namespace `core`, table `orders`:
+    * v1 = CREATE's empty schema commit, v2 = CTAS append of the
+    * even-keyed slice, v3 = INSERT of the odd), built once per (sf,
+    * layout) through pure SQL DDL. Build and query use DIFFERENT catalog
+    * names keyed by the warehouse fingerprint: catalog instances are
+    * cached by name at first use, and the build's instance points at the
+    * pre-rename staging dir.
+    */
+  private def catalogFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_cat", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bld_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("cat1_orders_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.orders AS " +
+        "SELECT * FROM cat1_orders_src WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $bld.core.orders " +
+        "SELECT * FROM cat1_orders_src WHERE o_orderkey % 2 = 1")
+      ()
+    }
+    val cat = s"graft_cat_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
   }
 
   /** Build-once cache tree: if `base/_STAGED` is absent, stage into a
@@ -429,6 +477,11 @@ object RefParity {
     "cn2_connector_sql" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin,
+    "cat1_catalog_sql" ->
+      """SELECT 1 AS snap, count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_p
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
     "snap3_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
         |final AS (

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Snapshots
+
+/** The `GraftCatalog` TableCatalog plugin: the snapshot table layer
+  * driven entirely from SQL — DDL, DML, time travel, schema evolution,
+  * metadata tables. Every assertion here runs through `spark.sql` (no
+  * Scala-API shortcuts) because the catalog's whole point is that a SQL
+  * user never needs the Scala surface.
+  */
+class CatalogSpec extends SparkSuite {
+
+  /** One catalog (fresh warehouse) shared by the suite; registered
+    * lazily on the shared session — catalog lookup reads runtime conf.
+    */
+  private lazy val cat: String = {
+    val wh = tmpDir("graft_catalog_wh")
+    spark.conf.set("spark.sql.catalog.gcat", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    "gcat"
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  test("namespace + table DDL, INSERT, SELECT round trip") {
+    spark.sql(s"CREATE NAMESPACE $cat.sales")
+    spark.sql(s"CREATE TABLE $cat.sales.orders (id BIGINT, amount DOUBLE, region STRING)")
+    // created-but-empty table reads as zero rows with the declared schema
+    assert(spark.table(s"$cat.sales.orders").count() === 0)
+    assert(spark.table(s"$cat.sales.orders").columns.toSeq ===
+      Seq("id", "amount", "region"))
+    spark.sql(s"INSERT INTO $cat.sales.orders VALUES " +
+      "(1, 10.5, 'EU'), (2, 20.0, 'US'), (3, 7.25, 'EU')")
+    assert(rows(s"SELECT count(*), round(sum(amount), 2) FROM $cat.sales.orders").head ===
+      Seq(3L, 37.75))
+    // SHOW TABLES sees it; SHOW NAMESPACES sees the namespace
+    assert(rows(s"SHOW TABLES IN $cat.sales").map(_(1)).contains("orders"))
+    assert(rows(s"SHOW NAMESPACES IN $cat").map(_.head).contains("sales"))
+  }
+
+  test("CTAS, INSERT OVERWRITE, and DROP TABLE") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ctas")
+    spark.sql(s"CREATE TABLE $cat.ctas.squares AS " +
+      "SELECT id, id * id AS sq FROM range(5)")
+    assert(rows(s"SELECT sum(sq) FROM $cat.ctas.squares").head === Seq(30L))
+    spark.sql(s"INSERT OVERWRITE $cat.ctas.squares " +
+      "SELECT id, id * id AS sq FROM range(3)")
+    assert(rows(s"SELECT count(*), sum(sq) FROM $cat.ctas.squares").head === Seq(3L, 5L))
+    spark.sql(s"DROP TABLE $cat.ctas.squares")
+    assert(!spark.catalog.tableExists(s"$cat.ctas.squares"))
+  }
+
+  test("VERSION AS OF: versions, tags and branches from SQL") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tt")
+    spark.sql(s"CREATE TABLE $cat.tt.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.tt.t VALUES (1), (2)")   // v2
+    spark.sql(s"INSERT INTO $cat.tt.t VALUES (3)")        // v3
+    val base = tableBase("tt", "t")
+    val vs = Snapshots.versions(base).sorted
+    assert(vs.size === 3)
+    assert(rows(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF ${vs(1)}").head === Seq(2L))
+    assert(rows(s"SELECT count(*) FROM $cat.tt.t").head === Seq(3L))
+    // a tag pins a version by name, readable from SQL
+    Snapshots.tag(base, "golden", vs(1))
+    assert(rows(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF 'golden'").head === Seq(2L))
+    // a branch head resolves through the same clause
+    Snapshots.createBranch(base, "audit")
+    Snapshots.commitToBranch(spark,
+      spark.range(10).select(col("id").as("k")), base, "audit")
+    assert(rows(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF 'audit'").head === Seq(13L))
+    // main stays isolated from the branch append
+    assert(rows(s"SELECT count(*) FROM $cat.tt.t").head === Seq(3L))
+  }
+
+  test("TIMESTAMP AS OF resolves the newest version at that instant") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ts")
+    spark.sql(s"CREATE TABLE $cat.ts.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ts.t VALUES (1)")
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql(s"INSERT INTO $cat.ts.t VALUES (2)")
+    val tsLit = new java.sql.Timestamp(afterV2).toInstant.toString
+    assert(rows(s"SELECT count(*) FROM $cat.ts.t TIMESTAMP AS OF '$tsLit'").head === Seq(1L))
+    assert(rows(s"SELECT count(*) FROM $cat.ts.t").head === Seq(2L))
+    // an instant before the table existed fails loudly
+    val tooEarly = java.time.Instant.ofEpochMilli(1000L).toString
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.ts.t TIMESTAMP AS OF '$tooEarly'").collect()
+    }
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN ride field-id evolution") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev.t (a BIGINT, b STRING)")
+    spark.sql(s"INSERT INTO $cat.ev.t VALUES (1, 'x'), (2, 'y')")
+    // rename: old files bind the new name by field id
+    spark.sql(s"ALTER TABLE $cat.ev.t RENAME COLUMN a TO key")
+    assert(rows(s"SELECT sum(key) FROM $cat.ev.t").head === Seq(3L))
+    // add: existing rows null-fill, new writes carry it
+    spark.sql(s"ALTER TABLE $cat.ev.t ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $cat.ev.t VALUES (3, 'z', 9.5)")
+    assert(rows(s"SELECT count(*), count(score), sum(score) FROM $cat.ev.t").head ===
+      Seq(3L, 1L, 9.5))
+    // drop: the column leaves the schema; pre-drop data still time-travels
+    spark.sql(s"ALTER TABLE $cat.ev.t DROP COLUMN b")
+    assert(spark.table(s"$cat.ev.t").columns.toSeq === Seq("key", "score"))
+    val base = tableBase("ev", "t")
+    val preDrop = Snapshots.versions(base).sorted.takeRight(2).head
+    assert(rows(s"SELECT count(b) FROM $cat.ev.t VERSION AS OF $preDrop").head === Seq(3L))
+  }
+
+  test("DELETE FROM is a merge-on-read DV delete; TRUNCATE keeps history") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.del")
+    spark.sql(s"CREATE TABLE $cat.del.t AS SELECT id FROM range(100)")
+    spark.sql(s"DELETE FROM $cat.del.t WHERE id >= 90")
+    assert(rows(s"SELECT count(*), max(id) FROM $cat.del.t").head === Seq(90L, 89L))
+    val base = tableBase("del", "t")
+    // the delete must be metadata-only: head version carries a DV, and
+    // the data file list is unchanged from the pre-delete version
+    val vs = Snapshots.versions(base).sorted
+    assert(Snapshots.modeOf(base, vs.last).startsWith("delete-dv"))
+    assert(Snapshots.liveFiles(base, vs.last).toSet ===
+      Snapshots.liveFiles(base, vs(vs.size - 2)).toSet)
+    spark.sql(s"TRUNCATE TABLE $cat.del.t")
+    assert(rows(s"SELECT count(*) FROM $cat.del.t").head === Seq(0L))
+    assert(rows(s"SELECT count(*) FROM $cat.del.t VERSION AS OF ${vs.last}").head === Seq(90L))
+  }
+
+  test("metadata tables: history, files, stats, tags, branches") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.meta")
+    spark.sql(s"CREATE TABLE $cat.meta.t AS SELECT id FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.meta.t SELECT id FROM range(10, 30)")
+    val base = tableBase("meta", "t")
+    Snapshots.tag(base, "release", Snapshots.versions(base).max)
+    Snapshots.createBranch(base, "wip")
+    // three versions: the CREATE's empty schema commit + CTAS append + insert
+    val hist = spark.table(s"$cat.meta.t.history")
+    assert(hist.count() === 3 &&
+      hist.columns.toSeq.take(3) === Seq("version", "parent", "mode"))
+    assert(spark.table(s"$cat.meta.t.files")
+      .agg(count(lit(1)), sum(when(col("size_bytes") > 0, 1L).otherwise(0L)))
+      .collect().head.toSeq.forall(_ != 0L))
+    // stats carry per-file min/max for id — pruning's introspection view
+    val stats = spark.table(s"$cat.meta.t.stats")
+      .filter(col("column") === "id")
+    assert(stats.count() >= 2)
+    assert(rows(s"SELECT tag, version FROM $cat.meta.t.tags").head.head === "release")
+    assert(rows(s"SELECT branch FROM $cat.meta.t.branches").head === Seq("wip"))
+    // a table named like a metadata suffix still loads as a real table
+    spark.sql(s"CREATE TABLE $cat.meta.history AS SELECT id FROM range(7)")
+    assert(rows(s"SELECT count(*) FROM $cat.meta.history").head === Seq(7L))
+  }
+
+  test("RENAME TABLE moves the snapshot tree; catalog stays consistent") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mv1")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mv2")
+    spark.sql(s"CREATE TABLE $cat.mv1.src AS SELECT id FROM range(12)")
+    // the rename TARGET is catalog-relative (Spark hands it through
+    // unresolved — same SQL convention as Iceberg's SparkCatalog)
+    spark.sql(s"ALTER TABLE $cat.mv1.src RENAME TO mv2.dst")
+    assert(!spark.catalog.tableExists(s"$cat.mv1.src"))
+    assert(rows(s"SELECT count(*) FROM $cat.mv2.dst").head === Seq(12L))
+    // history (and time travel) survived the move
+    assert(spark.table(s"$cat.mv2.dst.history").count() === 2)
+  }
+
+  test("table properties persist through CREATE and ALTER") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.props")
+    spark.sql(s"CREATE TABLE $cat.props.t (k BIGINT) TBLPROPERTIES ('owner.team' = 'data')")
+    def props(): Map[String, String] =
+      rows(s"SHOW TBLPROPERTIES $cat.props.t")
+        .map(r => r(0).toString -> r(1).toString).toMap
+    assert(props().get("owner.team") === Some("data"))
+    spark.sql(s"ALTER TABLE $cat.props.t SET TBLPROPERTIES ('tier' = 'gold')")
+    assert(props().get("tier") === Some("gold"))
+    spark.sql(s"ALTER TABLE $cat.props.t UNSET TBLPROPERTIES ('owner.team')")
+    assert(!props().contains("owner.team"))
+  }
+
+  test("DDL guards: duplicate create, missing table, non-empty namespace") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.guard")
+    spark.sql(s"CREATE TABLE $cat.guard.t (k BIGINT)")
+    intercept[Exception] { spark.sql(s"CREATE TABLE $cat.guard.t (k BIGINT)") }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.guard.t (k BIGINT)") // no-op, no throw
+    intercept[Exception] { spark.table(s"$cat.guard.nope").collect() }
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.guard") }
+    spark.sql(s"DROP NAMESPACE $cat.guard CASCADE")
+    assert(!spark.catalog.tableExists(s"$cat.guard.t"))
+  }
+
+  /** The filesystem path the catalog maps `ns.table` to. */
+  private def tableBase(ns: String, table: String): String =
+    new java.io.File(new java.io.File(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse"), ns), table).toString
+}
