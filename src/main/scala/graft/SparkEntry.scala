@@ -28,6 +28,7 @@ object SparkEntry {
         // uses the row_number-filter idiom (w1, kNN ranking, keep-first
         // dedup), not only through the explicit TopK API.
         graft.plans.TopKRewriteRule.install(s)
+        graft.connector.StatsPropagationRule.install(s)
         fn(s, d)
       }
     }

@@ -5,7 +5,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
@@ -69,6 +69,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // Schema inference runs at load() — analysis time, before this
+    // query's optimization — so the stats rule is in place for the very
+    // first read through the path-based surface too.
+    StatsPropagationRule.install(SparkSession.active)
     val (b, p) = (basePath(options), pinOf(options))
     // A not-yet-created table (streaming sink target, first batch write)
     // has no schema; reads of it still fail loudly at scan build.
@@ -234,12 +238,28 @@ private[connector] class GraftScanBuilder(base: String, pin: Snapshots.Pin,
 
 private[connector] class GraftScan(base: String, pin: Snapshots.Pin,
                                    required: StructType, filters: Array[Filter])
-    extends V1Scan {
+    extends V1Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftScan(base=$base, pin=$pin, pruneFilters=${pushable.mkString(",")})"
 
   private def pushable = filters.filter(FileStats.supportsPruning)
+
+  /** Manifest-derived stats AFTER file pruning, reported to Catalyst —
+    * this is what lets a dimension-sized snapshot table auto-broadcast
+    * (no hint) while the stat-less default would force every graft join
+    * onto sort-merge. Computed once per scan instance: the optimizer may
+    * ask repeatedly during join planning, the file list doesn't change.
+    */
+  private lazy val est: (Long, Option[Long]) =
+    Snapshots.scanStats(base, pin, pushable.toSeq)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(est._1)
+    override def numRows(): java.util.OptionalLong =
+      est._2.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

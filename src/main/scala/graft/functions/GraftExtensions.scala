@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // heap operator, so plain window-top-k user queries get the pruned
     // exchange without calling the TopK API.
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    // Re-expose V1Scan statistics hidden by Spark's V1ScanWrapper, so
+    // graft snapshot scans feed real sizes into join selection.
+    ext.injectOptimizerRule(_ => graft.connector.StatsPropagationRule)
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),

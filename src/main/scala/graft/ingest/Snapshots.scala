@@ -869,6 +869,35 @@ object Snapshots {
         mergeSchema = mergeSchema)
   }
 
+  /** Planning-time size/row estimate of a pinned scan AFTER stats
+    * pruning — what the connector reports to Catalyst so join strategy
+    * sees real numbers instead of the "unknown, assume huge" default: a
+    * dimension-sized snapshot table then auto-broadcasts with no hint,
+    * and a selective pruned scan stops looking like a full table to the
+    * optimizer. Driver cost is one `getFileStatus` + one sidecar load per
+    * file/batch — the same metadata class as the manifest listing itself.
+    * Row counts are pre-DV (a merge-on-read delete leaves them slightly
+    * high — an ESTIMATE, conservative in the safe direction); None when
+    * any surviving file predates stats sidecars.
+    */
+  def scanStats(base: String, pin: Pin = Pin.Latest,
+                pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): (Long, Option[Long]) = {
+    val m = pinnedManifest(base, pin)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val fs = fsFor(base)
+    val bytes = kept.map { f =>
+      try fs.getFileStatus(new Path(f)).getLen catch { case _: Exception => 0L }
+    }.sum
+    val sidecars = kept.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
+      .toMap
+    val counts = kept.map { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName).map(_.rows)
+    }
+    (bytes, if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
+  }
+
   /** [[read]] with a pushed-down predicate: `cond`'s conjuncts translate
     * to data-source filters (the same translation Spark's own scan
     * planning uses), prune files through the stats sidecars, and the FULL

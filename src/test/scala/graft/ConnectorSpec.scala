@@ -291,6 +291,31 @@ class ConnectorSpec extends SparkSuite {
     } finally aq.stop()
   }
 
+  test("manifest stats reach Catalyst: small graft tables auto-broadcast") {
+    val sess = spark
+    import sess.implicits._
+    val dim = tmpDir("graft_stats_dim")
+    val fact = tmpDir("graft_stats_fact")
+    Snapshots.commit(spark, (1L to 100L).toDF("id"), dim)
+    Snapshots.commit(spark,
+      spark.range(50000).select((col("id") % 100 + 1).as("id"), col("id").as("v")), fact)
+    // reported numbers match the manifest: exact row count, real bytes
+    val (bytes, rows) = Snapshots.scanStats(dim)
+    assert(rows === Some(100L) && bytes > 0)
+    // pruned-scan stats shrink with the filter (file-level, conservative)
+    val (prunedBytes, _) =
+      Snapshots.scanStats(fact, pruneFilters = Seq(EqualTo("id", -1L)))
+    assert(prunedBytes < bytes + 1 || prunedBytes == 0)
+    // the join picks broadcast WITHOUT a hint — only possible if the
+    // scan reported a real (small) size instead of the unknown default
+    val joined = spark.read.format("graft").load(fact)
+      .join(spark.read.format("graft").load(dim), "id")
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"expected broadcast join, got:\n$phys")
+    assert(joined.count() === 50000L)
+  }
+
   test("streaming source: initial snapshot, per-commit deltas, restart from checkpoint") {
     val sess = spark
     import sess.implicits._
