@@ -5,7 +5,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
@@ -38,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * partition-key path, filesystemStorageAdapter.go:50); this is the
   * "address your blocks from SQL" surface a Spark user expects.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -289,6 +290,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  // ----- stored procedures (`CALL graft.system.<proc>(...)`)
+
+  /** Maintenance ops under the reserved `system` namespace; a table
+    * argument is a catalog-relative name ('ns.t'), resolved through the
+    * same directory mapping as the identifier path.
+    */
+  private lazy val procedures = new GraftProcedures(name => {
+    val parts = name.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table reference '$name' (expected 'ns.table')")
+    val dir = new Path(nsDir(parts.init.toArray), checkSegment(parts.last))
+    require(isTable(dir), s"$name is not a table of catalog $catalogName")
+    dir.toString
+  })
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace.sameElements(Array("system")) &&
+      procedures.all.contains(ident.name.toLowerCase)
+    if (!known) throw new IllegalArgumentException(
+      s"unknown procedure $ident - see ${catalogName}.system: " +
+        procedures.all.keys.toSeq.sorted.mkString(", "))
+    procedures.all(ident.name.toLowerCase)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.all.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     require(namespace.nonEmpty, "cannot drop the warehouse root")

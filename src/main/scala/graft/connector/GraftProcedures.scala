@@ -1,0 +1,153 @@
+package graft.connector
+
+import graft.ingest.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for the table-maintenance surface —
+  * `CALL graft.system.compact(table => 'sales.orders', num_files => 4)` —
+  * the same catalog-procedure shape Iceberg ships, over graft's snapshot
+  * ops. Every op here already exists on the Scala API; the procedures
+  * make the MAINTENANCE lifecycle (compaction, retention, refs, rollback,
+  * orphan sweep) reachable from a pure-SQL deployment, which at 100 TB is
+  * usually an orchestrated SQL job, not a Scala program.
+  *
+  * Each call returns a one-row result (new version / counts) as a
+  * [[LocalScan]] — Spark's analyzer requires procedure results to be
+  * driver-local rows, which maintenance summaries are.
+  */
+private[connector] class GraftProcedures(resolve: String => String) {
+
+  import ProcedureParameter.in
+
+  private def spark = SparkSession.active
+
+  private def out(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) })
+
+  private abstract class Proc(procName: String, desc: String,
+                              ps: Seq[ProcedureParameter], outSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = ps.toArray
+    override def isDeterministic: Boolean = false
+
+    /** Computed result row; strings must already be UTF8String. */
+    protected def exec(args: InternalRow): Seq[Any]
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = InternalRow.fromSeq(exec(input))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = outSchema
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+  private def table(r: InternalRow): String = resolve(str(r, 0))
+  private val tableParam = in("table", StringType)
+    .comment("table name relative to this catalog, e.g. 'ns.t'").build()
+
+  val all: Map[String, UnboundProcedure] = Seq[Proc](
+
+    new Proc("compact", "rewrite the current snapshot into num_files files " +
+        "(materializing deletion vectors), published as a new version",
+      Seq(tableParam, in("num_files", IntegerType).defaultValue("4").build(),
+        in("sort_cols", StringType).defaultValue("''")
+          .comment("comma-separated cluster columns").build()),
+      out("version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        val sorts = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(Snapshots.compact(spark, table(r), r.getInt(1), sorts))
+      }
+    },
+
+    new Proc("expire", "drop all but the newest keep_last snapshots " +
+        "(tagged versions always survive) and reclaim unreferenced data files",
+      Seq(tableParam, in("keep_last", IntegerType).defaultValue("1").build()),
+      out("versions_kept" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        val t = table(r)
+        Snapshots.expire(t, r.getInt(1))
+        Seq(Snapshots.versions(t).size.toLong)
+      }
+    },
+
+    new Proc("rollback", "publish a new version whose content is an older " +
+        "version's - history is preserved, nothing is deleted",
+      Seq(tableParam, in("version", LongType).build()),
+      out("version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.rollback(table(r), r.getLong(1)))
+    },
+
+    new Proc("create_tag", "pin a version (default: latest) under an " +
+        "immutable name that expire never reclaims",
+      Seq(tableParam, in("name", StringType).build(),
+        in("version", LongType).defaultValue("-1").build()),
+      out("tagged_version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        val t = table(r)
+        val v = if (r.getLong(2) >= 0) r.getLong(2) else Snapshots.versions(t).max
+        Snapshots.tag(t, str(r, 1), v)
+        Seq(v)
+      }
+    },
+
+    new Proc("drop_tag", "release a named version pin",
+      Seq(tableParam, in("name", StringType).build()),
+      out("dropped_tag" -> StringType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        Snapshots.dropTag(table(r), str(r, 1))
+        Seq(UTF8String.fromString(str(r, 1)))
+      }
+    },
+
+    new Proc("create_branch", "fork an isolated line of commits from a " +
+        "version (default: latest) - the write-audit-publish staging surface",
+      Seq(tableParam, in("name", StringType).build(),
+        in("from_version", LongType).defaultValue("-1").build()),
+      out("fork_version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        val from = if (r.getLong(2) >= 0) Some(r.getLong(2)) else None
+        Seq(Snapshots.createBranch(table(r), str(r, 1), from))
+      }
+    },
+
+    new Proc("drop_branch", "delete a branch head (its staged-only files " +
+        "become orphans for remove_orphans)",
+      Seq(tableParam, in("name", StringType).build()),
+      out("dropped_branch" -> StringType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        Snapshots.dropBranch(table(r), str(r, 1))
+        Seq(UTF8String.fromString(str(r, 1)))
+      }
+    },
+
+    new Proc("fast_forward", "publish a branch head onto main as a new " +
+        "version (the WAP publish step)",
+      Seq(tableParam, in("branch", StringType).build()),
+      out("version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.fastForward(table(r), str(r, 1)))
+    },
+
+    new Proc("remove_orphans", "delete data files no manifest or branch " +
+        "references, older than the grace period - a crashed writer's litter",
+      Seq(tableParam,
+        in("older_than_hours", IntegerType).defaultValue("72").build()),
+      out("removed_files" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.removeOrphans(table(r),
+          r.getInt(1).toLong * 3600 * 1000).size.toLong)
+    }
+  ).map(p => p.name() -> (p: UnboundProcedure)).toMap
+}

@@ -190,6 +190,57 @@ class CatalogSpec extends SparkSuite {
     assert(!spark.catalog.tableExists(s"$cat.guard.t"))
   }
 
+  test("CALL procedures: compact, tag, rollback, expire") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.proc")
+    spark.sql(s"CREATE TABLE $cat.proc.t AS SELECT id FROM range(1000)")
+    spark.sql(s"INSERT INTO $cat.proc.t SELECT id FROM range(1000, 2000)")
+    val base = tableBase("proc", "t")
+    val preFiles = Snapshots.liveFiles(base, Snapshots.versions(base).max).size
+    // compact into 1 file, published as a new version the reads pick up
+    val v = rows(s"CALL $cat.system.compact(table => 'proc.t', num_files => 1)").head.head
+    assert(v === Snapshots.versions(base).max)
+    assert(Snapshots.liveFiles(base, Snapshots.versions(base).max).size === 1)
+    assert(preFiles > 1)
+    assert(rows(s"SELECT count(*) FROM $cat.proc.t").head === Seq(2000L))
+    // tag the compacted version, roll back to the PRE-insert state, verify
+    rows(s"CALL $cat.system.create_tag(table => 'proc.t', name => 'tidy')")
+    val v2 = Snapshots.versions(base).sorted.apply(1) // the CTAS append
+    rows(s"CALL $cat.system.rollback(table => 'proc.t', version => $v2)")
+    assert(rows(s"SELECT count(*) FROM $cat.proc.t").head === Seq(1000L))
+    // expire everything but the head; the tagged version must survive
+    val kept = rows(s"CALL $cat.system.expire(table => 'proc.t', keep_last => 1)").head.head
+    assert(rows(s"SELECT count(*) FROM $cat.proc.t VERSION AS OF 'tidy'").head === Seq(2000L))
+    assert(kept.asInstanceOf[Long] >= 2L) // head + tagged
+    // positional form works too; unknown procedure fails loudly
+    assert(rows(s"CALL $cat.system.compact('proc.t', 2)").head.head ===
+      Snapshots.versions(base).max)
+    intercept[Exception] { spark.sql(s"CALL $cat.system.nope('proc.t')") }
+  }
+
+  test("CALL procedures: branch lifecycle and orphan sweep from SQL") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.proc2")
+    spark.sql(s"CREATE TABLE $cat.proc2.t AS SELECT id FROM range(100)")
+    val base = tableBase("proc2", "t")
+    spark.sql(s"INSERT INTO $cat.proc2.t VALUES (999)") // lands on main
+    rows(s"CALL $cat.system.create_branch(table => 'proc2.t', name => 'audit')")
+    Snapshots.commitToBranch(spark,
+      spark.range(100, 200).toDF("id"), base, "audit")
+    // main does not see the staged rows until fast_forward publishes
+    assert(rows(s"SELECT count(*) FROM $cat.proc2.t").head === Seq(101L))
+    rows(s"CALL $cat.system.fast_forward(table => 'proc2.t', branch => 'audit')")
+    assert(rows(s"SELECT count(*) FROM $cat.proc2.t").head === Seq(201L))
+    rows(s"CALL $cat.system.drop_branch(table => 'proc2.t', name => 'audit')")
+    assert(spark.table(s"$cat.proc2.t.branches").count() === 0)
+    // orphan sweep with zero grace removes nothing here (all files live)
+    val removed = rows(s"CALL $cat.system.remove_orphans(table => 'proc2.t', older_than_hours => 0)").head.head
+    assert(removed === 0L)
+    assert(rows(s"SELECT count(*) FROM $cat.proc2.t").head === Seq(201L))
+    // SHOW PROCEDURES lists the maintenance surface
+    val procs = rows(s"SHOW PROCEDURES IN $cat").map(_.mkString(","))
+    assert(procs.exists(_.contains("compact")) &&
+      procs.exists(_.contains("fast_forward")))
+  }
+
   /** The filesystem path the catalog maps `ns.table` to. */
   private def tableBase(ns: String, table: String): String =
     new java.io.File(new java.io.File(
