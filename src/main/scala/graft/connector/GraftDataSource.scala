@@ -139,6 +139,8 @@ private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
                                     props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with TruncatableTable {
+  private[connector] def tableBase: String = base
+  private[connector] def tablePin: Snapshots.Pin = pin
   override def name(): String = displayName.getOrElse(s"graft.`$base`")
   override def schema(): StructType = tableSchema
   override def properties(): java.util.Map[String, String] = {

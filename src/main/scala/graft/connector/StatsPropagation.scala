@@ -70,5 +70,8 @@ object StatsPropagationRule extends Rule[LogicalPlan] {
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ StatsPropagationRule
     }
+    // The SQL DML strategy rides the same install points: anywhere graft
+    // scans can be planned, MERGE/UPDATE against them should plan too.
+    GraftMergeStrategy.install(spark)
   }
 }

@@ -23,6 +23,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // SQL MERGE INTO / UPDATE on graft tables as atomic DV merges.
+    ext.injectPlannerStrategy(_ => graft.connector.GraftMergeStrategy)
     // Auto-rewrite Filter(row_number <= k, Window(...)) into the bounded-
     // heap operator, so plain window-top-k user queries get the pruned
     // exchange without calling the TopK API.

@@ -717,6 +717,74 @@ object Snapshots {
   private val DvFileCol = "_graft_dv_file"
   private val DvPosCol = "_graft_dv_pos"
 
+  /** The (file, position) coordinate column names of [[scanWithCoords]]
+    * output — public so row-level executors (SQL MERGE/UPDATE) can name
+    * them without hardcoding. */
+  def rowCoordColumns: (String, String) = (DvFileCol, DvPosCol)
+
+  /** The latest version's rows WITH their row coordinates (existing DVs
+    * already subtracted), plus that version number — the read half of a
+    * generalized row-level change; feed the coordinates of rows to
+    * remove into [[applyRowChanges]] against the returned version.
+    */
+  def scanWithCoords(spark: SparkSession, base: String): (DataFrame, Long) = {
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    (scanWithDvs(spark, readManifest(base, vs.max), keepCoords = true), vs.max)
+  }
+
+  /** Generalized atomic row change against `fromVersion` (the version
+    * [[scanWithCoords]] was taken at): DV-delete every coordinate in
+    * `deleteCoords` (columns [[rowCoordColumns]]) and append `inserts`,
+    * published as ONE `merge` commit — SQL MERGE/UPDATE's storage
+    * primitive. Same merge-on-read economics and serializable conflict
+    * behavior as [[merge]]: no data file is rewritten, and ANY concurrent
+    * data-file change aborts (a concurrent append could hold rows the
+    * caller's join never saw).
+    */
+  def applyRowChanges(spark: SparkSession, base: String, fromVersion: Long,
+                      deleteCoords: DataFrame, inserts: Option[DataFrame],
+                      modeTag: String = ""): Long = {
+    import org.apache.spark.sql.functions.col
+    val m = readManifest(base, fromVersion)
+    val aligned = inserts.map { ins =>
+      m.schema match {
+        case Some(s) =>
+          require(ins.columns.toSet == s.fieldNames.toSet,
+            s"row-change inserts (${ins.columns.mkString(",")}) must match " +
+              s"the table schema (${s.fieldNames.mkString(",")})")
+          ins.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
+        case None => ins
+      }
+    }
+    val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
+    deleteCoords
+      .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
+      .write.parquet(dvPath.toString)
+    val written = listParquet(spark, dvPath)
+    val referenced = spark.read.parquet(written: _*)
+      .select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    val newDvs =
+      if (referenced.isEmpty) { fsFor(base).delete(dvPath, true); Nil }
+      else written
+    val newFiles = aligned.map(writeBatch(_, base, Nil)).getOrElse(Nil)
+    if (newDvs.isEmpty && newFiles.isEmpty) return fromVersion // full no-op
+    publish(base, newFiles, newDvs,
+      mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
+      if (parent == fromVersion) (m.files, m.dvs)
+      else {
+        val p = readManifest(base, parent)
+        val added = p.files.toSet -- m.files.toSet
+        val gone = referenced -- p.files.map(relKey).toSet
+        if (added.nonEmpty || gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"row change based on v$fromVersion conflicts with a concurrent " +
+              s"commit (${added.size} file(s) added, ${gone.size} referenced " +
+              "file(s) rewritten); retry from the new version")
+        (p.files, p.dvs)
+      })
+  }
+
   /** DV-aware scan of a manifest. Row coordinates (`_graft_dv_file`
     * relocatable last-3 key + `_graft_dv_pos` parquet row index) come from
     * Spark's `_metadata` struct — no shuffle, no row-number window. Only

@@ -219,6 +219,25 @@ object RefParity {
         s"OPTIONS (path '$dir', versionAsOf '$v1')")
       s.sql("SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty FROM cn2_view")
     },
+    // SQL MERGE INTO through the planner strategy: the staged build runs
+    // a three-group MERGE (conditional DELETE on k%10, UPDATE +1e6 on the
+    // other matched evens, NOT-MATCHED-BY-SOURCE zeroing odd multiples of
+    // 3) as ONE atomic merge:sql commit; row 1 = time travel to the
+    // pre-merge version, row 2 = post-merge. The oracle recomputes both
+    // states from orders with the same CASE logic — wrong clause
+    // precedence, a lost DV coordinate, or a non-atomic publish breaks
+    // the hash.
+    "mrg3_merge_sql" -> { (s, d) =>
+      val cat = catalogMergeFor(s, d)
+      s.sql(
+        s"""SELECT 1 AS snap, count(*) AS n_rows, sum(v) AS sum_v,
+           |  sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS n_upd
+           |FROM $cat.core.om VERSION AS OF 2
+           |UNION ALL
+           |SELECT 2, count(*), sum(v),
+           |  sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END)
+           |FROM $cat.core.om""".stripMargin)
+    },
     // The TableCatalog plugin end-to-end: namespace + CTAS + INSERT staged
     // once through PURE SQL DDL, then read back through the catalog with
     // SQL time travel (VERSION AS OF the CTAS commit) and at the head.
@@ -270,6 +289,7 @@ object RefParity {
     wapSnapshotDir(s, sfDir)
     renameSnapshotDir(s, sfDir)
     catalogFor(s, sfDir)
+    catalogMergeFor(s, sfDir)
     ()
   }
 
@@ -299,6 +319,39 @@ object RefParity {
       ()
     }
     val cat = s"graft_cat_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
+
+  /** Staged warehouse for mrg3: `core.om` = (o_orderkey, o_custkey) as
+    * (k, v), then ONE SQL MERGE (v3) applying delete/update/
+    * not-matched-by-source clauses. Same build/query catalog-name split
+    * as [[catalogFor]].
+    */
+  private def catalogMergeFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_catm", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bldm_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+        .createOrReplaceTempView("mrg3_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.om AS SELECT k, v FROM mrg3_src")
+      s.sql(
+        s"""MERGE INTO $bld.core.om AS t
+           |USING (SELECT k, v FROM mrg3_src WHERE k % 2 = 0) AS s
+           |ON t.k = s.k
+           |WHEN MATCHED AND t.k % 10 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = t.v + 1000000
+           |WHEN NOT MATCHED BY SOURCE AND t.k % 3 = 0 THEN UPDATE SET v = 0
+           |""".stripMargin)
+      ()
+    }
+    val cat = s"graft_catm_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
     cat
@@ -482,6 +535,19 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "mrg3_merge_sql" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
+        |final AS (
+        |  SELECT k, CASE WHEN k % 2 = 0 THEN v + 1000000
+        |                 WHEN k % 3 = 0 THEN 0 ELSE v END AS v
+        |  FROM o WHERE NOT (k % 10 = 0))
+        |SELECT 1 AS snap, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+        |FROM o
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(v) AS BIGINT),
+        |  CAST(sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM final""".stripMargin,
     "snap3_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
         |final AS (

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Snapshots
+
+/** SQL `MERGE INTO` / `UPDATE` on graft tables ([[graft.connector.GraftMergeStrategy]]):
+  * full three-group clause semantics, first-match-wins ordering, the
+  * cardinality contract, merge-on-read physics (DV leg, no file rewrite),
+  * and atomic time travel across the change.
+  */
+class MergeSqlSpec extends SparkSuite {
+
+  private lazy val cat: String = {
+    val wh = tmpDir("graft_merge_wh")
+    spark.conf.set("spark.sql.catalog.gm", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.d")
+    "gm"
+  }
+
+  private def rows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq)
+
+  private def freshTable(name: String, n: Int): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.$name")
+    spark.sql(s"CREATE TABLE $cat.d.$name AS " +
+      s"SELECT id, id * 10 AS v FROM range($n)")
+    s"$cat.d.$name"
+  }
+
+  test("MERGE: update, conditional delete, insert, not-matched-by-source") {
+    val t = freshTable("m1", 10) // ids 0..9, v = id*10
+    spark.range(5, 15).select(col("id"), lit(-1L).as("v"))
+      .createOrReplaceTempView("m1_src") // ids 5..14
+    spark.sql(
+      s"""MERGE INTO $t AS t USING m1_src AS s ON t.id = s.id
+         |WHEN MATCHED AND t.id = 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = t.v + 1
+         |WHEN NOT MATCHED AND s.id < 13 THEN INSERT (id, v) VALUES (s.id, 0)
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN UPDATE SET v = -t.v
+         |""".stripMargin)
+    val got = spark.table(t).orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Seq(
+      0L -> 0L,     // nbs + id<2: v = -0
+      1L -> -10L,   // nbs + id<2: negated
+      2L -> 20L, 3L -> 30L, 4L -> 40L, // nbs, condition false: untouched
+      // 5 deleted
+      6L -> 61L, 7L -> 71L, 8L -> 81L, 9L -> 91L, // matched update
+      10L -> 0L, 11L -> 0L, 12L -> 0L) // inserts; 13, 14 filtered out
+    assert(got === expected)
+  }
+
+  test("MERGE is merge-on-read and atomic: DV leg, no rewrite, time travel") {
+    val t = freshTable("m2", 1000)
+    val base = tableBase("m2")
+    val preVs = Snapshots.versions(base).sorted
+    val preFiles = Snapshots.liveFiles(base, preVs.last).toSet
+    spark.range(0, 1000, 100).select(col("id"), lit(0L).as("v"))
+      .createOrReplaceTempView("m2_src")
+    spark.sql(
+      s"""MERGE INTO $t AS t USING m2_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = -1""".stripMargin)
+    val vs = Snapshots.versions(base).sorted
+    assert(vs.size === preVs.size + 1, "one atomic commit")
+    assert(Snapshots.modeOf(base, vs.last) === "merge:sql")
+    // every pre-merge data file survives untouched (the delete leg is a
+    // deletion vector); the update leg appends
+    assert(preFiles.subsetOf(Snapshots.liveFiles(base, vs.last).toSet))
+    assert(rows(s"SELECT count(*), sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) FROM $t").head ===
+      Seq(1000L, 10L))
+    // time travel to the pre-merge version still sees the original rows
+    assert(rows(s"SELECT sum(v) FROM $t VERSION AS OF ${preVs.last}").head ===
+      Seq((0 until 1000).map(_ * 10L).sum))
+  }
+
+  test("MERGE star forms and duplicate-source cardinality error") {
+    val t = freshTable("m3", 6)
+    spark.range(3, 9).select(col("id"), lit(7L).as("v"))
+      .createOrReplaceTempView("m3_src")
+    spark.sql(
+      s"""MERGE INTO $t AS t USING m3_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(s"SELECT count(*), sum(v) FROM $t").head ===
+      Seq(9L, 0L + 10 + 20 + 7 * 6))
+    // duplicate source matches for one target row must error, not
+    // nondeterministically pick one
+    spark.range(2).select(lit(1L).as("id"), col("id").as("v"))
+      .createOrReplaceTempView("m3_dup")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $t AS t USING m3_dup AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("cardinality"))
+  }
+
+  test("MERGE with aggregated/joined source plan") {
+    val t = freshTable("m4", 5)
+    // source is a non-trivial plan: aggregate over a generated frame
+    spark.range(20).select((col("id") % 5).as("k"), col("id").as("x"))
+      .createOrReplaceTempView("m4_raw")
+    spark.sql(
+      s"""MERGE INTO $t AS t
+         |USING (SELECT k, sum(x) AS sx FROM m4_raw GROUP BY k) AS s
+         |ON t.id = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.sx""".stripMargin)
+    // sum over {k, k+5, k+10, k+15} = 4k + 30
+    val got = spark.table(t).orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(got === (0 until 5).map(k => 4L * k + 30))
+  }
+
+  test("UPDATE statement: expressions, WHERE, merge-on-read commit") {
+    val t = freshTable("u1", 100)
+    val base = tableBase("u1")
+    val preFiles = Snapshots.liveFiles(base, Snapshots.versions(base).max).toSet
+    spark.sql(s"UPDATE $t SET v = v + id WHERE id % 10 = 3")
+    assert(Snapshots.modeOf(base, Snapshots.versions(base).max) === "merge:sql-update")
+    assert(preFiles.subsetOf(
+      Snapshots.liveFiles(base, Snapshots.versions(base).max).toSet))
+    val got = spark.table(t).orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(got === (0 until 100).map(i => if (i % 10 == 3) i * 10L + i else i * 10L))
+    // unconditional UPDATE touches every row
+    spark.sql(s"UPDATE $t SET v = 1")
+    assert(rows(s"SELECT sum(v) FROM $t").head === Seq(100L))
+  }
+
+  test("MERGE guards: version pin refused, schema evolution refused") {
+    val t = freshTable("g1", 5)
+    spark.range(5).createOrReplaceTempView("g1_src")
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $t VERSION AS OF 1 AS t USING g1_src AS s ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $t AS t USING g1_src AS s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 1)""".stripMargin)
+    }
+  }
+
+  private def tableBase(name: String): String =
+    new java.io.File(new java.io.File(
+      spark.conf.get("spark.sql.catalog.gm.warehouse"), "d"), name).toString
+}
