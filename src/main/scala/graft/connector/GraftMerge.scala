@@ -73,6 +73,14 @@ object GraftMergeStrategy extends SparkStrategy {
       graftBase(u.table).map { base =>
         GraftUpdateExec(base, u.table.output, u.assignments, u.condition)
       }.toSeq
+    // Translatable DELETE predicates never reach here: the optimizer's
+    // metadata-only rewrite routes them to SupportsDelete
+    // (GraftTable.deleteWhere) first. This catches the remainder — any
+    // deterministic predicate shape — as the same DV delete.
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+      graftBase(d.table).map { base =>
+        GraftDeleteExec(base, d.table.output, d.condition)
+      }.toSeq
     case _ => Nil
   }
 
@@ -109,6 +117,17 @@ private[connector] case class GraftUpdateExec(
   override def output: Seq[Attribute] = Nil
   private lazy val done: Unit =
     GraftRowLevel.runUpdate(session, base, tOut, assignments, cond)
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = {
+    done; sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+private[connector] case class GraftDeleteExec(
+    base: String, tOut: Seq[Attribute], cond: Expression) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Unit =
+    GraftRowLevel.runDelete(session, base, tOut, cond)
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
   override protected def doExecute(): RDD[InternalRow] = {
     done; sparkContext.emptyRDD[InternalRow]
@@ -278,6 +297,18 @@ private[connector] object GraftRowLevel {
     val inserts = (mIns.toSeq ++ iIns.toSeq ++ nIns.toSeq)
       .reduceOption(_.unionAll(_))
     Snapshots.applyRowChanges(spark, base, v0, deletes, inserts, modeTag = "sql")
+    ()
+  }
+
+  /** SQL DELETE whose predicate Spark could not translate to data-source
+    * filters: rewrite the condition onto the table's own column names and
+    * hand it to the DV delete — full expression power (functions, CASE,
+    * arithmetic), same metadata-only commit.
+    */
+  def runDelete(spark: SparkSession, base: String, tOut: Seq[Attribute],
+                cond: Expression): Unit = {
+    val mapping = tOut.map(a => a.exprId -> a.name).toMap
+    Snapshots.deleteWhereDV(spark, base, substitute(cond, mapping))
     ()
   }
 

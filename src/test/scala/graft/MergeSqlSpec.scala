@@ -125,6 +125,22 @@ class MergeSqlSpec extends SparkSuite {
     assert(rows(s"SELECT sum(v) FROM $t").head === Seq(100L))
   }
 
+  test("DELETE with untranslatable predicates falls back to the DV strategy") {
+    val t = freshTable("d1", 100)
+    val base = tableBase("d1")
+    // pmod(id*7, 13) = 2 has no data-source Filter shape - SupportsDelete
+    // refuses it (canDeleteWhere false) and the strategy takes over
+    spark.sql(s"DELETE FROM $t WHERE pmod(id * 7, 13) = 2")
+    val survivors = (0 until 100).filterNot(i => ((i * 7) % 13) == 2)
+    assert(Snapshots.modeOf(base, Snapshots.versions(base).max) === "delete-dv")
+    assert(rows(s"SELECT count(*), sum(id) FROM $t").head ===
+      Seq(survivors.size.toLong, survivors.map(_.toLong).sum))
+    // a plain translatable predicate still deletes (SupportsDelete path)
+    spark.sql(s"DELETE FROM $t WHERE id < 10")
+    assert(rows(s"SELECT count(*), min(id) FROM $t").head ===
+      Seq(survivors.count(_ >= 10).toLong, survivors.filter(_ >= 10).min.toLong))
+  }
+
   test("MERGE guards: version pin refused, schema evolution refused") {
     val t = freshTable("g1", 5)
     spark.range(5).createOrReplaceTempView("g1_src")
