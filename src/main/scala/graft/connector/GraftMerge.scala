@@ -205,18 +205,6 @@ private[connector] object GraftRowLevel {
     val tOnly = col("__tx").isNotNull && col("__sx").isNull
     val sOnly = col("__tx").isNull && col("__sx").isNotNull
 
-    // SQL MERGE cardinality contract: a target row matched by more than
-    // one source row is nondeterministic under UPDATE/DELETE — error, the
-    // same behavior as Spark's row-level path and Delta. One extra
-    // aggregate job over the (matched-rows-sized) join.
-    if (matched.nonEmpty) {
-      val dup = joined.filter(isMatched).groupBy(col("__tf"), col("__tp"))
-        .count().filter(col("count") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "MERGE cardinality violation: a target row matches more than one " +
-          "source row; aggregate or de-duplicate the source first")
-    }
-
     def condOf(a: MergeAction): Column =
       a.condition.map(substitute(_, mapping)).getOrElse(lit(true))
 
@@ -246,57 +234,71 @@ private[connector] object GraftRowLevel {
       }
     }
 
-    /** One clause group: rows passing `rowsFilter` evaluate their
-      * first-matching action; returns (coordinates an action removes,
-      * replacement/insert rows), either empty.
-      */
-    def leg(rowsFilter: Column, actions: Seq[MergeAction],
-            defaultOf: Int => Column): (Option[DataFrame], Option[DataFrame]) = {
-      if (actions.isEmpty) return (None, None)
-      val acted = joined.filter(rowsFilter)
-        .withColumn("__act", firstAction(actions, condOf))
-        .filter(col("__act") > 0)
-      val removes = Some(acted
-        .select(col("__tf").as(fileCol), col("__tp").as(posCol)))
-      val producing = actions.zipWithIndex
-        .collect { case (a, i) if !a.isInstanceOf[DeleteAction] => (a, i + 1) }
-      val produces =
+    // ONE evaluation of the join, narrowed to the rows the merge can
+    // possibly touch, persisted: the cardinality check, the DV-delete leg
+    // and the insert leg all derive from this changed-rows-sized frame
+    // instead of each re-running the (table-sized) join — at 100 TB that
+    // is one target scan for the whole MERGE, not three. Matched rows are
+    // kept even when no clause fires (the cardinality contract inspects
+    // ALL matches); s-only/t-only rows are kept only when their group
+    // acts.
+    val mAct = when(isMatched, firstAction(matched, condOf)).otherwise(0)
+    val iAct = when(sOnly, firstAction(notMatched, condOf)).otherwise(0)
+    val nAct = when(tOnly, firstAction(notMatchedBySource, condOf)).otherwise(0)
+    val working = joined
+      .withColumn("__m", mAct).withColumn("__i", iAct).withColumn("__n", nAct)
+      .withColumn("__im", isMatched)
+      .filter(col("__im") || col("__i") > 0 || col("__n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // SQL MERGE cardinality contract: a target row matched by more than
+      // one source row is nondeterministic under UPDATE/DELETE — error,
+      // the same behavior as Spark's row-level path and Delta.
+      if (matched.nonEmpty) {
+        val dup = working.filter(col("__im")).groupBy(col("__tf"), col("__tp"))
+          .count().filter(col("count") > 1).limit(1).count()
+        if (dup > 0) throw new IllegalStateException(
+          "MERGE cardinality violation: a target row matches more than one " +
+            "source row; aggregate or de-duplicate the source first")
+      }
+
+      val keepOriginal: Int => Column = i => col(tNames(i))
+      val nullFill: Int => Column = i => lit(null).cast(tOut(i).dataType)
+
+      /** Replacement/insert rows of one clause group from the working
+        * frame: rows whose group index (`actCol`) selected a producing
+        * action, each column a when-chain over those actions.
+        */
+      def produces(actCol: Column, actions: Seq[MergeAction],
+                   defaultOf: Int => Column): Option[DataFrame] = {
+        val producing = actions.zipWithIndex
+          .collect { case (a, i) if !a.isInstanceOf[DeleteAction] => (a, i + 1) }
         if (producing.isEmpty) None
         else Some {
-          acted.filter(col("__act").isin(producing.map(_._2): _*))
+          working.filter(actCol.isin(producing.map(_._2): _*))
             .select(tOut.indices.map { i =>
               producing.tail.foldLeft(
-                when(col("__act") === producing.head._2,
+                when(actCol === producing.head._2,
                   fieldValue(producing.head._1, i, defaultOf(i)))) {
                 case (c, (a, k)) =>
-                  c.when(col("__act") === k, fieldValue(a, i, defaultOf(i)))
+                  c.when(actCol === k, fieldValue(a, i, defaultOf(i)))
               }.as(tOut(i).name)
             }: _*)
         }
-      (removes, produces)
-    }
+      }
 
-    val keepOriginal: Int => Column = i => col(tNames(i))
-    val nullFill: Int => Column = i => lit(null).cast(tOut(i).dataType)
-
-    val (mDel, mIns) = leg(isMatched, matched, keepOriginal)
-    // inserts never remove target rows — there are none on their side
-    val (_, iIns) = leg(sOnly, notMatched, nullFill) match {
-      case (_, ins) => (None, ins)
-    }
-    val (nDel, nIns) = leg(tOnly, notMatchedBySource, keepOriginal)
-
-    val deletes = (mDel.toSeq ++ nDel.toSeq).reduceOption(_.unionAll(_))
-      .getOrElse(spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(fileCol,
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField(posCol,
-            org.apache.spark.sql.types.LongType)))))
-    val inserts = (mIns.toSeq ++ iIns.toSeq ++ nIns.toSeq)
-      .reduceOption(_.unionAll(_))
-    Snapshots.applyRowChanges(spark, base, v0, deletes, inserts, modeTag = "sql")
+      // every fired matched/not-matched-by-source action removes the
+      // original row (updates re-insert the replacement); insert-group
+      // rows have no target side to remove
+      val deletes = working.filter(col("__m") > 0 || col("__n") > 0)
+        .select(col("__tf").as(fileCol), col("__tp").as(posCol))
+      val inserts = Seq(
+        produces(col("__m"), matched, keepOriginal),
+        produces(col("__i"), notMatched, nullFill),
+        produces(col("__n"), notMatchedBySource, keepOriginal)
+      ).flatten.reduceOption(_.unionAll(_))
+      Snapshots.applyRowChanges(spark, base, v0, deletes, inserts, modeTag = "sql")
+    } finally working.unpersist()
     ()
   }
 
