@@ -4,8 +4,8 @@ import graft.ingest.Snapshots
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, NonEmptyNamespaceException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * partition-key path, filesystemStorageAdapter.go:50); this is the
   * "address your blocks from SQL" surface a Spark user expects.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -195,6 +196,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "instead of static partition transforms")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     val ns = nsDir(ident.namespace)
     if (ident.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
       throw new NoSuchNamespaceException(ident.namespace)
@@ -290,6 +292,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  // ----- SQL views (metadata files next to the table directories)
+
+  private def viewFile(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), checkSegment(ident.name) + GraftViews.Suffix)
+
+  override def viewExists(ident: Identifier): Boolean =
+    fs.isFile(viewFile(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = nsDir(ns)
+    if (!fs.exists(dir) || isTable(dir)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(GraftViews.Suffix))
+      .map(n => Identifier.of(ns, n.stripSuffix(GraftViews.Suffix)))
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    GraftViews.read(fs, viewFile(ident),
+      (catalogName +: ident.namespace :+ ident.name).mkString("."))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val ns = nsDir(ident.namespace)
+    if (ident.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    GraftViews.write(fs, viewFile(ident), info, overwrite = false)
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    if (!viewExists(ident) && !orCreate) throw new NoSuchViewException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    GraftViews.write(fs, viewFile(ident), info, overwrite = true)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident)
+    import scala.jdk.CollectionConverters._
+    val props = changes.foldLeft(v.properties.asScala.toMap) {
+      case (m, set: ViewChange.SetProperty) => m + (set.property -> set.value)
+      case (m, rm: ViewChange.RemoveProperty) => m - rm.property
+      case (m, _) => m
+    }
+    GraftViews.write(fs, viewFile(ident),
+      new ViewInfo(ident, v.query, v.currentCatalog, v.currentNamespace,
+        v.schema, v.queryColumnNames, v.columnAliases, v.columnComments,
+        props.asJava),
+      overwrite = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExists(ident) && fs.delete(viewFile(ident), false)
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    require(fs.rename(viewFile(from), viewFile(to)),
+      s"rename view $from -> $to failed")
+  }
 
   // ----- stored procedures (`CALL graft.system.<proc>(...)`)
 

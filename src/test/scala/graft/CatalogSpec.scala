@@ -241,6 +241,44 @@ class CatalogSpec extends SparkSuite {
       procs.exists(_.contains("fast_forward")))
   }
 
+  test("ViewCatalog API: create, load, replace, rename, drop, guards") {
+    // Stock Spark 4.1 routes CREATE VIEW only to the session catalog
+    // (ResolveSessionCatalog raises MISSING_CATALOG_ABILITY.VIEWS for
+    // every v2 catalog, ViewCatalog or not — the same gap Iceberg fills
+    // with its own extension rules), so the catalog's view support is
+    // exercised through the connector API it implements.
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.vw")
+    spark.sql(s"CREATE TABLE $cat.vw.t AS SELECT id, id * 2 AS v FROM range(10)")
+    val vc = spark.sessionState.catalogManager.catalog(cat).asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("vw"), "big")
+    val schema = spark.sql(s"SELECT id, v FROM $cat.vw.t WHERE v >= 10").schema
+    def info(sql: String) = new ViewInfo(ident, sql, cat, Array("vw"), schema,
+      schema.fieldNames, Array.empty, Array.empty,
+      java.util.Collections.singletonMap("owner.team", "data"))
+    val v = vc.createView(info(s"SELECT id, v FROM $cat.vw.t WHERE v >= 10"))
+    assert(v.query.contains("WHERE v >= 10") && v.currentCatalog === cat)
+    assert(v.properties.get("owner.team") === "data")
+    // the stored definition round-trips and evaluates against live data
+    assert(spark.sql(vc.loadView(ident).query).count() === 5)
+    spark.sql(s"INSERT INTO $cat.vw.t VALUES (100, 200)")
+    assert(spark.sql(vc.loadView(ident).query).count() === 6)
+    // replace, list, rename, clash guards, drop
+    vc.replaceView(info(s"SELECT id, v FROM $cat.vw.t WHERE v < 10"), false)
+    assert(spark.sql(vc.loadView(ident).query).count() === 5)
+    assert(vc.listViews("vw").map(_.name).toSeq === Seq("big"))
+    val ident2 = Identifier.of(Array("vw"), "small")
+    vc.renameView(ident, ident2)
+    assert(!vc.viewExists(ident) && vc.viewExists(ident2))
+    intercept[Exception] { // a view may not shadow a table and vice versa
+      vc.createView(new ViewInfo(Identifier.of(Array("vw"), "t"), "SELECT 1",
+        cat, Array("vw"), schema, schema.fieldNames, Array.empty, Array.empty,
+        java.util.Collections.emptyMap()))
+    }
+    intercept[Exception] { spark.sql(s"CREATE TABLE $cat.vw.small (k BIGINT)") }
+    assert(vc.dropView(ident2) && vc.listViews("vw").isEmpty)
+  }
+
   /** The filesystem path the catalog maps `ns.table` to. */
   private def tableBase(ns: String, table: String): String =
     new java.io.File(new java.io.File(
