@@ -22,8 +22,9 @@ object Bench {
     // round-6 family representatives: secondary-index point lookup (DV
     // read path), wedge-join graph analytics, BM25 retrieval, skyline
     "snap2_dv_delete", "g3_triangle_count", "t14_bm25", "sky1_pareto_parts",
-    // round-7: the DSv2 connector read with planning-time stats pruning
-    "cn1_connector_read",
+    // round-7: the DSv2 connector read with planning-time stats pruning,
+    // the catalog SQL read with time travel, and the SQL MERGE table read
+    "cn1_connector_read", "cat1_catalog_sql", "mrg3_merge_sql",
     // the iterative-fixpoint family: single-shot numbers for it are noisy
     // (15.7s vs 6.9s min-of-4 in the same JVM), so it belongs in the
     // min-of-N headline tier rather than the one-shot registry tail

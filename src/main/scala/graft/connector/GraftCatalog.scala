@@ -368,14 +368,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * argument is a catalog-relative name ('ns.t'), resolved through the
     * same directory mapping as the identifier path.
     */
-  private lazy val procedures = new GraftProcedures(name => {
+  private def procTableDir(name: String): Path = {
     val parts = name.split('.').toSeq
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"bad table reference '$name' (expected 'ns.table')")
-    val dir = new Path(nsDir(parts.init.toArray), checkSegment(parts.last))
-    require(isTable(dir), s"$name is not a table of catalog $catalogName")
-    dir.toString
-  })
+    new Path(nsDir(parts.init.toArray), checkSegment(parts.last))
+  }
+
+  private lazy val procedures = new GraftProcedures(
+    name => {
+      val dir = procTableDir(name)
+      require(isTable(dir), s"$name is not a table of catalog $catalogName")
+      dir.toString
+    },
+    // not-yet-created target (e.g. the view table refresh_mv builds):
+    // the namespace must exist, the table need not
+    name => procTableDir(name).toString)
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known = ident.namespace.sameElements(Array("system")) &&

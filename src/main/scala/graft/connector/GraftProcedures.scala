@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[LocalScan]] — Spark's analyzer requires procedure results to be
   * driver-local rows, which maintenance summaries are.
   */
-private[connector] class GraftProcedures(resolve: String => String) {
+private[connector] class GraftProcedures(resolve: String => String,
+                                         resolveNew: String => String) {
 
   import ProcedureParameter.in
 
@@ -52,7 +53,10 @@ private[connector] class GraftProcedures(resolve: String => String) {
   }
 
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
-  private def table(r: InternalRow): String = resolve(str(r, 0))
+  private def table(r: InternalRow, i: Int = 0): String = resolve(str(r, i))
+  /** Resolve a name whose directory may not exist yet (a view table the
+    * first refresh creates). */
+  private def tableOrNew(name: String): String = resolveNew(name)
   private val tableParam = in("table", StringType)
     .comment("table name relative to this catalog, e.g. 'ns.t'").build()
 
@@ -148,6 +152,24 @@ private[connector] class GraftProcedures(resolve: String => String) {
       override def exec(r: InternalRow): Seq[Any] =
         Seq(Snapshots.removeOrphans(table(r),
           r.getInt(1).toLong * 3600 * 1000).size.toLong)
+    },
+
+    new Proc("refresh_mv", "incrementally refresh a materialized aggregate " +
+        "view (count/sum per key group) from its append-only source table: " +
+        "scans only files appended since the stored watermark, upserts only " +
+        "touched groups, publishes state+watermark atomically",
+      Seq(in("view", StringType)
+          .comment("view table name relative to this catalog; created on first refresh").build(),
+        in("source", StringType).build(),
+        in("keys", StringType).comment("comma-separated group columns").build(),
+        in("value", StringType).comment("summed column").build()),
+      out("view_version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        val viewDir = tableOrNew(str(r, 0))
+        val keys = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(graft.ingest.MatView.refresh(spark, viewDir, table(r, 1),
+          keys, str(r, 3)))
+      }
     }
   ).map(p => p.name() -> (p: UnboundProcedure)).toMap
 }

@@ -241,6 +241,27 @@ class CatalogSpec extends SparkSuite {
       procs.exists(_.contains("fast_forward")))
   }
 
+  test("CALL refresh_mv maintains an incremental materialized view") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mvp")
+    spark.sql(s"CREATE TABLE $cat.mvp.src AS " +
+      "SELECT id % 7 AS k, id AS x FROM range(1000)")
+    // first refresh CREATES the view; it is a real catalog table afterwards
+    rows(s"CALL $cat.system.refresh_mv(view => 'mvp.agg', source => 'mvp.src', " +
+      "keys => 'k', value => 'x')")
+    def expect(n: Long): Unit =
+      assert(rows(s"SELECT count(*), sum(n_rows), sum(sum_v) FROM $cat.mvp.agg").head
+        .map(_.toString.toDouble) === Seq(7.0, n.toDouble, (0L until n).sum.toDouble))
+    expect(1000L)
+    // append + second refresh: incremental (only the appended files scan)
+    spark.sql(s"INSERT INTO $cat.mvp.src SELECT id % 7, id FROM range(1000, 3000)")
+    val v = rows(s"CALL $cat.system.refresh_mv(view => 'mvp.agg', source => 'mvp.src', " +
+      "keys => 'k', value => 'x')").head.head
+    expect(3000L)
+    // idempotent when fresh
+    assert(rows(s"CALL $cat.system.refresh_mv(view => 'mvp.agg', source => 'mvp.src', " +
+      "keys => 'k', value => 'x')").head.head === v)
+  }
+
   test("ViewCatalog API: create, load, replace, rename, drop, guards") {
     // Stock Spark 4.1 routes CREATE VIEW only to the session catalog
     // (ResolveSessionCatalog raises MISSING_CATALOG_ABILITY.VIEWS for
