@@ -63,14 +63,29 @@ private[connector] class GraftProcedures(resolve: String => String,
   val all: Map[String, UnboundProcedure] = Seq[Proc](
 
     new Proc("compact", "rewrite the current snapshot into num_files files " +
-        "(materializing deletion vectors), published as a new version",
+        "(materializing deletion vectors), published as a new version; " +
+        "zorder takes two numeric columns for a Morton-interleaved layout " +
+        "so 2-D box predicates prune files on both dimensions",
       Seq(tableParam, in("num_files", IntegerType).defaultValue("4").build(),
         in("sort_cols", StringType).defaultValue("''")
-          .comment("comma-separated cluster columns").build()),
+          .comment("comma-separated cluster columns").build(),
+        in("zorder", StringType).defaultValue("''")
+          .comment("two comma-separated numeric columns").build()),
       out("version" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val sorts = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        Seq(Snapshots.compact(spark, table(r), r.getInt(1), sorts))
+        val z = str(r, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val n = r.getInt(1)
+        val zLayout = z match {
+          case Seq(a, b) =>
+            require(sorts.isEmpty, "sort_cols and zorder are mutually exclusive")
+            Some((df: org.apache.spark.sql.DataFrame) =>
+              graft.ingest.ZOrder.layout(df, a, b, n))
+          case Seq() => None
+          case other => throw new IllegalArgumentException(
+            s"zorder needs exactly two columns, got ${other.mkString(",")}")
+        }
+        Seq(Snapshots.compact(spark, table(r), n, sorts, zLayout))
       }
     },
 

@@ -842,12 +842,18 @@ object Snapshots {
     * them: the rewritten files carry no deleted rows and the new manifest
     * carries no dv lines — compact is the DV table's maintenance op.
     */
+  /** `layout` overrides the default `repartition(numFiles)` with a custom
+    * physical arrangement of the rewritten rows (e.g. Z-order) — the
+    * conflict protocol is unchanged, so every layout strategy shares it.
+    */
   def compact(spark: SparkSession, base: String, numFiles: Int,
-              sortCols: Seq[String] = Nil): Long = {
+              sortCols: Seq[String] = Nil,
+              layout: Option[DataFrame => DataFrame] = None): Long = {
     val v0 = versions(base).max
     val m0 = readManifest(base, v0)
     val files0 = m0.files.toSet
-    val compacted = read(spark, base, Some(v0)).repartition(numFiles)
+    val full = read(spark, base, Some(v0))
+    val compacted = layout.map(_(full)).getOrElse(full.repartition(numFiles))
     val newFiles = writeBatch(compacted, base, sortCols)
     // Conflict handling inside the claim loop: files appended concurrently
     // (parent files not in our compacted input) carry forward untouched; a

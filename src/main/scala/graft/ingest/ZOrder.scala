@@ -49,9 +49,13 @@ object ZOrder {
     * `maxRecordsPerFile` rows. Normalization bounds are computed in one
     * pre-pass aggregation (batch layout jobs can afford the extra scan).
     */
-  def writeZOrdered(df: DataFrame, base: String, colA: String, colB: String,
-                    numFiles: Int = 32,
-                    maxRecordsPerFile: Long = BlockWriter.DefaultMaxRecordsPerFile): Unit = {
+  /** `df` range-partitioned and sorted by the Morton code of (colA,
+    * colB) — the reusable layout step behind [[writeZOrdered]] and
+    * z-ordered snapshot compaction. Normalization bounds are computed in
+    * one pre-pass aggregation (batch layout jobs can afford the extra
+    * scan).
+    */
+  def layout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame = {
     val b = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
@@ -62,6 +66,15 @@ object ZOrder {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
+  }
+
+  /** Write `df` sorted by the Morton code of (colA, colB), files capped at
+    * `maxRecordsPerFile` rows.
+    */
+  def writeZOrdered(df: DataFrame, base: String, colA: String, colB: String,
+                    numFiles: Int = 32,
+                    maxRecordsPerFile: Long = BlockWriter.DefaultMaxRecordsPerFile): Unit = {
+    layout(df, colA, colB, numFiles)
       .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

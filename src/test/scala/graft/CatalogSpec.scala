@@ -241,6 +241,37 @@ class CatalogSpec extends SparkSuite {
       procs.exists(_.contains("fast_forward")))
   }
 
+  test("CALL compact with zorder: 2-D box queries prune more files") {
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.zo")
+    // two independent uniform dims: a 1-D sort leaves dim b unclustered
+    spark.sql(s"CREATE TABLE $cat.zo.t AS " +
+      "SELECT pmod(id * 2654435761, 1024) AS a, pmod(id * 40503, 1024) AS b " +
+      "FROM range(20000)")
+    val base = tableBase("zo", "t")
+    def candidates(): Int = {
+      val files = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+      val box = Seq(
+        And(GreaterThanOrEqual("a", 100L), LessThanOrEqual("a", 200L)),
+        And(GreaterThanOrEqual("b", 100L), LessThanOrEqual("b", 200L)))
+      graft.ingest.FileStats.prune(
+        spark.sparkContext.hadoopConfiguration, files, box).size
+    }
+    rows(s"CALL $cat.system.compact(table => 'zo.t', num_files => 16, sort_cols => 'a')")
+    val sorted1d = candidates()
+    rows(s"CALL $cat.system.compact(table => 'zo.t', num_files => 16, zorder => 'a,b')")
+    val zordered = candidates()
+    assert(zordered < sorted1d,
+      s"z-order should prune a 2-D box harder: z=$zordered vs 1d=$sorted1d")
+    // rows survive both rewrites
+    assert(rows(s"SELECT count(*), sum(a), sum(b) FROM $cat.zo.t").head ===
+      rows("SELECT count(*), sum(pmod(id * 2654435761, 1024)), " +
+        "sum(pmod(id * 40503, 1024)) FROM range(20000)").head)
+    intercept[Exception] {
+      rows(s"CALL $cat.system.compact(table => 'zo.t', zorder => 'a')")
+    }
+  }
+
   test("CALL refresh_mv maintains an incremental materialized view") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mvp")
     spark.sql(s"CREATE TABLE $cat.mvp.src AS " +
