@@ -118,6 +118,51 @@ object Quality {
           coalesce(col("n_hits"), lit(0L)).as("n_overlap_5grams"),
           (coalesce(col("n_hits"), lit(0L)) >= 3).as("contaminated"))
     },
+    "t16_lm_perplexity" -> { (s, d) =>
+      // CCNet-style n-gram LM quality scoring: train an add-1-smoothed
+      // bigram LM on the reference half of the corpus (even doc_ids),
+      // score EVERY document's per-bigram log-likelihood, and emit
+      // per-doc perplexity — the classic "how surprising is this text
+      // under in-domain language statistics" filter (low ppl ≈ fluent
+      // in-domain text, high ppl ≈ noise/boilerplate/foreign).
+      //
+      // Scale shape: the model is two hash aggregations over the train
+      // slice (context counts c1, bigram counts c2 — vocab- and
+      // bigram-vocab-sized, NOT corpus-sized); scoring is the doc bigram
+      // stream joined against those two count tables. No broadcast hint
+      // on purpose: AQE sees the post-aggregation sizes and broadcasts
+      // when the model fits (word-level vocab does), else falls back to a
+      // shuffle join — exactly the right behavior when a 100 TB corpus
+      // produces an unexpectedly large bigram table. p(w2|w1) =
+      // (c2+1)/(c1+V) with the integer adds done before ONE double
+      // division, so both engines compute bit-identical probabilities;
+      // ln/exp land within an ulp and ppl surfaces rounded (t15's
+      // precedent for libm-adjacent oracle columns).
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      val pairs = docs.select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val train = pairs.filter(col("doc_id") % 2 === 0)
+      val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val c2 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val vocab = docs.filter(col("doc_id") % 2 === 0)
+        .select(explode(col("ws")).as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      pairs
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("lp"),
+          when(col("c2").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("oov_bigrams"),
+          round(exp(-(sum(col("lp")) / count(lit(1)))), 2).as("ppl"))
+    },
     "t11_bigrams" -> { (s, d) =>
       // Corpus-level top-20 bigrams: per-document bigram arrays built with
       // array primitives (slice + zip_with — codegen'd, no UDF), exploded
@@ -248,6 +293,33 @@ object Quality {
         |  coalesce(h.n_hits, 0) >= 3 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id >= 10""".stripMargin,
+    // Same discipline as t15 for the libm-adjacent math: the probability
+    // itself is ONE double division of exact integers (bit-identical on
+    // both engines), ln/exp differ at most in the last ulp, and the
+    // 2-decimal rounding absorbs that plus the engines' different
+    // log-summation orders.
+    "t16_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |db AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+        |       FROM w),
+        |tr AS (SELECT * FROM db WHERE doc_id % 2 = 0),
+        |c1 AS (SELECT w1, count(*) AS c FROM tr GROUP BY 1),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY 1, 2),
+        |vocab AS (SELECT count(DISTINCT tok) AS v
+        |          FROM (SELECT unnest(ws) AS tok FROM w WHERE doc_id % 2 = 0)),
+        |scored AS (
+        |  SELECT db.doc_id,
+        |    ln(CAST(COALESCE(c2.c, 0) + 1 AS DOUBLE) /
+        |       CAST(COALESCE(c1.c, 0) + vocab.v AS DOUBLE)) AS lp,
+        |    CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+        |  round(exp(-(sum(lp) / count(*))), 2) AS ppl
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "t11_bigrams" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |b AS (

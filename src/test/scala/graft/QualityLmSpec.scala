@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Closed-form checks for the bigram-LM perplexity operator: the DuckDB
+  * oracle mirrors the same counting logic, so a shared misunderstanding
+  * would pass both — these pin the MATH against hand computation.
+  */
+class QualityLmSpec extends SparkSuite {
+
+  private def scored(texts: Seq[(Long, String)]): Map[Long, (Long, Long, Double)] = {
+    val sess = spark
+    val df = sess.createDataFrame(
+      new java.util.ArrayList[Row](texts.map(t => Row(t._1, t._2, "en", "synth", 0L)).asJava),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    val dir = tmpDir("graft_lm_docs")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    graft.ops.Quality.queries("t16_lm_perplexity")(sess, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+  }
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  test("hand-computed perplexity on a two-token model") {
+    // train doc 0: "a b a b" -> contexts: c1(a)=2, c1(b)=1;
+    // bigrams: c2(a,b)=2, c2(b,a)=1; vocab V={a,b} -> 2
+    // doc 1 (odd, scored only): "a b" -> one bigram (a,b):
+    //   p = (2+1)/(2+2) = 0.75 ; ppl = exp(-ln 0.75) = 4/3
+    val out = scored(Seq(0L -> "a b a b", 1L -> "a b"))
+    assert(out(1L) === ((1L, 0L, 1.33)))
+    // the train doc scores too: bigrams (a,b) (b,a) (a,b)
+    //   p(ab)=3/4 (twice), p(ba)=(1+1)/(1+2)=2/3
+    //   ppl = exp(-(2*ln .75 + ln(2/3))/3) = (0.75^2 * 2/3)^(-1/3)
+    val expected0 = math.rint(math.pow(0.75 * 0.75 * (2.0 / 3.0), -1.0 / 3.0) * 100) / 100
+    assert(out(0L)._3 === expected0 && out(0L)._1 === 3L && out(0L)._2 === 0L)
+  }
+
+  test("unseen bigrams raise perplexity and count as OOV") {
+    // doc 3's bigrams never occur in training -> all OOV, each
+    // p = 1/(c1+V) or 1/V-ish; its ppl must exceed the in-domain doc 1
+    val out = scored(Seq(
+      0L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      1L -> "the cat sat",
+      3L -> "zap quux blorp"))
+    assert(out(3L)._2 === 2L)           // both bigrams OOV
+    assert(out(1L)._2 === 0L)
+    assert(out(3L)._3 > out(1L)._3)     // noise scores worse than in-domain
+  }
+}
