@@ -250,6 +250,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(src)) throw new NoSuchTableException(from)
     val dst = tableDir(to)
     if (isTable(dst)) throw new TableAlreadyExistsException(to)
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
     val ns = nsDir(to.namespace)
     if (to.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
       throw new NoSuchNamespaceException(to.namespace)
@@ -283,7 +284,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
                                metadata: java.util.Map[String, String]): Unit = {
-    if (namespaceExists(namespace) && fs.exists(nsDir(namespace)))
+    // Any existing path refuses — including a TABLE directory, which
+    // namespaceExists deliberately reports false for; mkdirs would no-op
+    // on it and report a "namespace" that is really a table.
+    if (fs.exists(nsDir(namespace)))
       throw new NamespaceAlreadyExistsException(namespace)
     fs.mkdirs(nsDir(namespace))
     ()
@@ -382,8 +386,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       dir.toString
     },
     // not-yet-created target (e.g. the view table refresh_mv builds):
-    // the namespace must exist, the table need not
-    name => procTableDir(name).toString)
+    // the namespace must exist, the table need not — a typo'd namespace
+    // must error, not silently grow a fresh directory tree
+    name => {
+      val dir = procTableDir(name)
+      val ns = dir.getParent
+      require(ns == warehouse || (fs.exists(ns) && !isTable(ns)),
+        s"namespace of $name does not exist in catalog $catalogName")
+      dir.toString
+    })
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known = ident.namespace.sameElements(Array("system")) &&

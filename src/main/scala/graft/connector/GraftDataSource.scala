@@ -253,12 +253,12 @@ private[connector] class GraftScan(base: String, pin: Snapshots.Pin,
     * onto sort-merge. Computed once per scan instance: the optimizer may
     * ask repeatedly during join planning, the file list doesn't change.
     */
-  private lazy val est: (Long, Option[Long]) =
+  private lazy val est: (Option[Long], Option[Long]) =
     Snapshots.scanStats(base, pin, pushable.toSeq)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(est._1)
+      est._1.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
     override def numRows(): java.util.OptionalLong =
       est._2.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
   }

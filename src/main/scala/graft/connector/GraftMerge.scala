@@ -154,6 +154,23 @@ private[connector] object GraftRowLevel {
     })
   }
 
+  /** Refuse assignment keys that are not top-level target columns
+    * (nested fields arrive as GetStructField keys) — they would
+    * otherwise silently fail the per-field exprId match and keep the old
+    * value, completing the statement having changed nothing.
+    */
+  def checkAssignmentKeys(assigns: Seq[Assignment], tOut: Seq[Attribute]): Unit =
+    assigns.foreach { asn =>
+      asn.key match {
+        case k: AttributeReference =>
+          require(tOut.exists(_.exprId == k.exprId),
+            s"assignment targets $k, which is not a column of the target table")
+        case other => throw new UnsupportedOperationException(
+          s"nested-field assignment to $other is not supported on graft " +
+            "tables - assign the whole top-level column")
+      }
+    }
+
   /** 1-based index of the FIRST action whose condition holds, else 0 —
     * SQL MERGE's clause-order semantics as one when-chain.
     */
@@ -208,6 +225,15 @@ private[connector] object GraftRowLevel {
     def condOf(a: MergeAction): Column =
       a.condition.map(substitute(_, mapping)).getOrElse(lit(true))
 
+    // Every assignment key must be a TOP-LEVEL target column: a
+    // GetStructField key (UPDATE SET s.x = …) would silently no-op if it
+    // merely failed the per-field match below, so refuse up front.
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
+      case u: UpdateAction => GraftRowLevel.checkAssignmentKeys(u.assignments, tOut)
+      case ins: InsertAction => GraftRowLevel.checkAssignmentKeys(ins.assignments, tOut)
+      case _ => ()
+    }
+
     /** Per-target-field value of `action`, `default` when unassigned. */
     def fieldValue(action: MergeAction, i: Int, default: Column): Column = {
       val ta = tOut(i)
@@ -216,8 +242,6 @@ private[connector] object GraftRowLevel {
           case k: AttributeReference => k.exprId == ta.exprId
           case _ => false
         }).map { asn =>
-          require(asn.key.isInstanceOf[AttributeReference],
-            s"nested-field assignment ${asn.key} is not supported")
           substitute(asn.value, mapping).cast(ta.dataType)
         }.getOrElse(default)
       action match {
@@ -245,10 +269,15 @@ private[connector] object GraftRowLevel {
     val mAct = when(isMatched, firstAction(matched, condOf)).otherwise(0)
     val iAct = when(sOnly, firstAction(notMatched, condOf)).otherwise(0)
     val nAct = when(tOnly, firstAction(notMatchedBySource, condOf)).otherwise(0)
+    // matched rows are retained only when a matched clause group exists:
+    // the cardinality check is skipped without one, so caching every
+    // matched pair of an insert-only MERGE would persist a potentially
+    // table-sized set of rows nothing reads
+    val keepMatched = if (matched.nonEmpty) col("__im") else lit(false)
     val working = joined
       .withColumn("__m", mAct).withColumn("__i", iAct).withColumn("__n", nAct)
       .withColumn("__im", isMatched)
-      .filter(col("__im") || col("__i") > 0 || col("__n") > 0)
+      .filter(keepMatched || col("__i") > 0 || col("__n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // SQL MERGE cardinality contract: a target row matched by more than
@@ -319,6 +348,7 @@ private[connector] object GraftRowLevel {
     */
   def runUpdate(spark: SparkSession, base: String, tOut: Seq[Attribute],
                 assignments: Seq[Assignment], cond: Option[Expression]): Unit = {
+    checkAssignmentKeys(assignments, tOut)
     val (t0, v0) = Snapshots.scanWithCoords(spark, base)
     val (fileCol, posCol) = Snapshots.rowCoordColumns
     val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
@@ -327,19 +357,27 @@ private[connector] object GraftRowLevel {
     val aliased = t0.select(
       dataCols.zipWithIndex.map { case (c, i) => col(quote(c)).as(tNames(i)) } ++
         Seq(col(fileCol), col(posCol)): _*)
+    // Persisted like runMerge's working frame: the delete-coords leg and
+    // the updated-rows leg must see the SAME row set — re-running the
+    // scan+filter would diverge under a nondeterministic predicate (rows
+    // vanishing or duplicating), and even deterministically it would cost
+    // a second full target scan.
     val hit = cond.map(c => aliased.filter(substitute(c, mapping))).getOrElse(aliased)
-    val updated = hit.select(tOut.indices.map { i =>
-      val ta = tOut(i)
-      assignments.find(_.key match {
-        case k: AttributeReference => k.exprId == ta.exprId
-        case _ => false
-      }).map(asn => substitute(asn.value, mapping).cast(ta.dataType))
-        .getOrElse(col(tNames(i)))
-        .as(ta.name)
-    }: _*)
-    Snapshots.applyRowChanges(spark, base, v0,
-      hit.select(col(fileCol), col(posCol)), Some(updated),
-      modeTag = "sql-update")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updated = hit.select(tOut.indices.map { i =>
+        val ta = tOut(i)
+        assignments.find(_.key match {
+          case k: AttributeReference => k.exprId == ta.exprId
+          case _ => false
+        }).map(asn => substitute(asn.value, mapping).cast(ta.dataType))
+          .getOrElse(col(tNames(i)))
+          .as(ta.name)
+      }: _*)
+      Snapshots.applyRowChanges(spark, base, v0,
+        hit.select(col(fileCol), col(posCol)), Some(updated),
+        modeTag = "sql-update")
+    } finally hit.unpersist()
     ()
   }
 }

@@ -295,13 +295,23 @@ object Snapshots {
     * [[renameColumn]]/[[dropColumn]].
     */
   def addColumn(base: String, name: String,
-                dataType: org.apache.spark.sql.types.DataType): Long =
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    // The fresh id must clear the max id EVER assigned, not the current
+    // schema's max: after DROP of the highest-id column, current-max+1
+    // would REUSE the dropped id, and id-based reads would bind the new
+    // column to the dropped column's bytes in old files (type crash at
+    // best, silent data resurrection at worst). Ids are monotone across
+    // the whole manifest history, like Iceberg's last-column-id.
+    val ids = versions(base).iterator
+      .flatMap(v => readManifest(base, v).schema)
+      .flatMap(_.fields.map(fieldId)).toSeq
+    val everMax = if (ids.isEmpty) 0L else ids.max // legacy: alterSchema raises
     alterSchema(base, s"alter:add:$name") { s =>
       require(!s.fieldNames.contains(name), s"column $name already exists")
-      val next = s.fields.map(fieldId).max + 1
       StructType(s.fields :+ StructField(name, dataType, nullable = true,
-        new MetadataBuilder().putLong(FieldIdKey, next).build()))
+        new MetadataBuilder().putLong(FieldIdKey, everMax + 1).build()))
     }
+  }
 
   /** The newest version committed at or before `tsMillis` (wall-clock
     * time travel — `TIMESTAMP AS OF`). Resolution is the manifest file's
@@ -776,11 +786,17 @@ object Snapshots {
         val p = readManifest(base, parent)
         val added = p.files.toSet -- m.files.toSet
         val gone = referenced -- p.files.map(relKey).toSet
-        if (added.nonEmpty || gone.nonEmpty)
+        // A concurrent DV commit deleted rows this change's insert leg may
+        // have READ pre-delete and be re-inserting — carrying it would
+        // resurrect the delete (no serial order produces that). Same
+        // abort discipline as deleteWhere's file-level check.
+        val dvChanged = p.dvs.toSet != m.dvs.toSet
+        if (added.nonEmpty || gone.nonEmpty || dvChanged)
           throw new java.util.ConcurrentModificationException(
             s"row change based on v$fromVersion conflicts with a concurrent " +
               s"commit (${added.size} file(s) added, ${gone.size} referenced " +
-              "file(s) rewritten); retry from the new version")
+              s"file(s) rewritten, dv change: $dvChanged); retry from the " +
+              "new version")
         (p.files, p.dvs)
       })
   }
@@ -955,13 +971,18 @@ object Snapshots {
     * any surviving file predates stats sidecars.
     */
   def scanStats(base: String, pin: Pin = Pin.Latest,
-                pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): (Long, Option[Long]) = {
+                pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): (Option[Long], Option[Long]) = {
     val m = pinnedManifest(base, pin)
     val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
     val fs = fsFor(base)
-    val bytes = kept.map { f =>
-      try fs.getFileStatus(new Path(f)).getLen catch { case _: Exception => 0L }
-    }.sum
+    // A failed status call (concurrent expire, transient FS error) means
+    // UNKNOWN, never 0 — an undercounted size would let join selection
+    // broadcast a huge table. Unknown is exactly the pre-stats behavior.
+    val sizes = kept.map { f =>
+      try Some(fs.getFileStatus(new Path(f)).getLen)
+      catch { case _: Exception => None }
+    }
+    val bytes = if (sizes.forall(_.isDefined)) Some(sizes.flatten.sum) else None
     val sidecars = kept.groupBy(f => new Path(f).getParent).keys
       .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
       .toMap

@@ -179,6 +179,21 @@ class CatalogSpec extends SparkSuite {
     assert(!props().contains("owner.team"))
   }
 
+  test("ADD COLUMN after dropping the highest-id column never reuses its id") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.fid")
+    spark.sql(s"CREATE TABLE $cat.fid.t (a BIGINT, b STRING)")
+    spark.sql(s"INSERT INTO $cat.fid.t VALUES (1, 'old-b1'), (2, 'old-b2')")
+    spark.sql(s"ALTER TABLE $cat.fid.t DROP COLUMN b")
+    // same type as the dropped column: id reuse would SILENTLY resurrect
+    // b's bytes instead of null-filling (the observable worst case)
+    spark.sql(s"ALTER TABLE $cat.fid.t ADD COLUMN c STRING")
+    val got = spark.table(s"$cat.fid.t").orderBy("a").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got === Seq(1L -> None, 2L -> None))
+    spark.sql(s"INSERT INTO $cat.fid.t VALUES (3, 'new-c')")
+    assert(rows(s"SELECT count(c) FROM $cat.fid.t").head === Seq(1L))
+  }
+
   test("DDL guards: duplicate create, missing table, non-empty namespace") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.guard")
     spark.sql(s"CREATE TABLE $cat.guard.t (k BIGINT)")

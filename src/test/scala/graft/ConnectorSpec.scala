@@ -300,12 +300,15 @@ class ConnectorSpec extends SparkSuite {
     Snapshots.commit(spark,
       spark.range(50000).select((col("id") % 100 + 1).as("id"), col("id").as("v")), fact)
     // reported numbers match the manifest: exact row count, real bytes
-    val (bytes, rows) = Snapshots.scanStats(dim)
-    assert(rows === Some(100L) && bytes > 0)
-    // pruned-scan stats shrink with the filter (file-level, conservative)
-    val (prunedBytes, _) =
+    val (dimBytes, dimRows) = Snapshots.scanStats(dim)
+    assert(dimRows === Some(100L) && dimBytes.exists(_ > 0))
+    // a filter provably matching no row prunes every FACT file: the
+    // fact's pruned size drops to zero while its unpruned size is real
+    val (factBytes, factRows) = Snapshots.scanStats(fact)
+    assert(factRows === Some(50000L) && factBytes.exists(_ > 0))
+    val (prunedBytes, prunedRows) =
       Snapshots.scanStats(fact, pruneFilters = Seq(EqualTo("id", -1L)))
-    assert(prunedBytes < bytes + 1 || prunedBytes == 0)
+    assert(prunedBytes === Some(0L) && prunedRows === Some(0L))
     // the join picks broadcast WITHOUT a hint — only possible if the
     // scan reported a real (small) size instead of the unknown default
     val joined = spark.read.format("graft").load(fact)

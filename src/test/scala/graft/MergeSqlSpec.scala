@@ -141,6 +141,25 @@ class MergeSqlSpec extends SparkSuite {
       Seq(survivors.count(_ >= 10).toLong, survivors.filter(_ >= 10).min.toLong))
   }
 
+  test("nested-field assignments refuse loudly instead of no-oping") {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.nest")
+    spark.sql(s"CREATE TABLE $cat.d.nest AS " +
+      "SELECT id, named_struct('x', id * 10) AS s FROM range(4)")
+    val eu = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.d.nest SET s.x = 99 WHERE id = 1")
+    }
+    assert(eu.getMessage.toLowerCase.contains("nested"))
+    spark.range(4).createOrReplaceTempView("nest_src")
+    val em = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.d.nest AS t USING nest_src AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET t.s.x = 99""".stripMargin)
+    }
+    assert(em.getMessage.toLowerCase.contains("nested"))
+    // and nothing changed
+    assert(spark.table(s"$cat.d.nest").selectExpr("sum(s.x)").collect()(0).getLong(0) === 60L)
+  }
+
   test("MERGE guards: version pin refused, schema evolution refused") {
     val t = freshTable("g1", 5)
     spark.range(5).createOrReplaceTempView("g1_src")
