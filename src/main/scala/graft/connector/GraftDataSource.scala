@@ -35,10 +35,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * come from a full Catalyst-planned inner DataFrame
   * ([[Snapshots.scanPinned]]) — deletion-vector subtraction, field-id era
   * schemas, and parquet row-group pushdown all ride along instead of
-  * being reimplemented in a bespoke `PartitionReader`. Writes stay on the
-  * Snapshots API: commit/merge/DV-delete are multi-file atomic protocols
-  * with conflict detection, which the blind per-task `BatchWrite` contract
-  * can't express faithfully.
+  * being reimplemented in a bespoke `PartitionReader`. The known cost of
+  * that bridge: `buildScan` returns `df.rdd`, whose `InternalRow → Row`
+  * materialization breaks the inner scan out of whole-stage codegen — a
+  * per-row conversion tax on scan-bound queries. Scan-dominated batch
+  * jobs that care should read through the Scala API
+  * (`Snapshots.read`/`readWhere`), which plans natively; the connector
+  * optimizes for SQL/engine integration, not for being the fastest path
+  * to bulk rows. Writes stay on the Snapshots API: commit/merge/DV-delete
+  * are multi-file atomic protocols with conflict detection, which the
+  * blind per-task `BatchWrite` contract can't express faithfully.
   *
   * The reference stops at a storage adapter behind a Query RPC
   * (/root/reference/storageAdapter.go:4); this is the corresponding

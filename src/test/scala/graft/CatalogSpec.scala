@@ -256,6 +256,27 @@ class CatalogSpec extends SparkSuite {
       procs.exists(_.contains("fast_forward")))
   }
 
+  test("catalog reads push filters, prune columns and report stats") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.plan")
+    spark.sql(s"CREATE TABLE $cat.plan.t AS " +
+      "SELECT id, id * 2 AS v, CAST(id AS STRING) AS s FROM range(100000)")
+    rows(s"CALL $cat.system.compact(table => 'plan.t', num_files => 4, sort_cols => 'id')")
+    val q = spark.table(s"$cat.plan.t").filter(col("id") < 10).select(col("v"))
+    val phys = q.queryExecution.executedPlan.toString
+    // the filter reached the connector (pushed) and the projection pruned
+    // the unused string column from the read schema
+    assert(phys.contains("PushedFilters") && phys.contains("LessThan(id,10)"), phys)
+    assert(phys.contains("ReadSchema: struct<id:bigint,v:bigint>"), phys)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (0L until 10L).map(_ * 2))
+    // DESCRIBE works through the catalog identifier
+    assert(rows(s"DESCRIBE TABLE $cat.plan.t").map(_.head).take(3) ===
+      Seq("id", "v", "s"))
+    // stats flow: the optimized plan of a pruned scan carries a real
+    // (small) sizeInBytes, not the unknown default
+    val stats = q.queryExecution.optimizedPlan.collectLeaves().head.stats
+    assert(stats.sizeInBytes < BigInt(Long.MaxValue) / 4, stats.toString)
+  }
+
   test("CALL compact with zorder: 2-D box queries prune more files") {
     import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.zo")
