@@ -352,6 +352,8 @@ private[connector] object GraftRowLevel {
     val (t0, v0) = Snapshots.scanWithCoords(spark, base)
     val (fileCol, posCol) = Snapshots.rowCoordColumns
     val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
+    require(dataCols.size == tOut.size,
+      s"target schema drift: scan has ${dataCols.size} columns, plan has ${tOut.size}")
     val tNames = tOut.indices.map(i => s"__t_$i")
     val mapping = (tOut.map(_.exprId) zip tNames).toMap
     val aliased = t0.select(

@@ -120,7 +120,8 @@ object Snapshots {
 
   private case class Manifest(version: Long, parent: Long, mode: String,
                               files: Seq[String], dvs: Seq[String],
-                              schema: Option[org.apache.spark.sql.types.StructType])
+                              schema: Option[org.apache.spark.sql.types.StructType],
+                              lastColumnId: Option[Long])
 
   /** Manifest lines are base-relative; everything in memory is absolute.
     * Relativize at the WRITE boundary, resolve at the READ boundary, so
@@ -157,8 +158,20 @@ object Snapshots {
       dvLines.map(l => resolve(base, l.stripPrefix("dv:"))),
       header.get("schema").map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      header.get("lastColumnId").map(_.toLong))
   }
+
+  /** The highest field id this table has EVER assigned, as of `m` —
+    * Iceberg's last-column-id. Recorded in the manifest header from the
+    * first id-minting commit onward (so it survives [[expire]] pruning
+    * history and DROP COLUMN removing the id from the schema); manifests
+    * from before the header derive it from their era schema, which is
+    * exact as long as no high-id column was dropped before the header
+    * existed.
+    */
+  private def lastColumnIdOf(m: Manifest): Option[Long] =
+    m.lastColumnId.orElse(m.schema.map(s => (0L +: s.fields.map(fieldId).toSeq).max))
 
   /** Write `df`'s files under a fresh uncommitted batch dir. */
   private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String]): Seq[String] = {
@@ -226,11 +239,17 @@ object Snapshots {
     * columns can race ids — schema changes are single-writer by contract,
     * same as Iceberg's catalog-serialized schema updates.
     */
+  /** `parentLastId` floors fresh-id minting at the table's last-column-id
+    * so a NEW column never reuses an id a DROPPED column's files still
+    * carry — the current schema's max alone forgets dropped high ids.
+    * Returns the frame, the post-commit schema, and the new last id.
+    */
   private def withFieldIds(df: DataFrame, parentSchema: Option[StructType],
-                           keepParentFields: Boolean): (DataFrame, StructType) = {
+                           keepParentFields: Boolean,
+                           parentLastId: Long): (DataFrame, StructType, Long) = {
     val parentFields = parentSchema.map(_.fields.toSeq).getOrElse(Nil)
     val byName = parentFields.map(f => f.name -> f).toMap
-    var next = (0L +: parentFields.map(fieldId)).max
+    var next = ((0L +: parentFields.map(fieldId)).max).max(parentLastId)
     val dfFields = df.schema.fields.toSeq.map { f =>
       val id = byName.get(f.name).map(fieldId).getOrElse { next += 1; next }
       StructField(f.name, f.dataType, nullable = true,
@@ -242,7 +261,7 @@ object Snapshots {
         StructType(parentFields.map(pf => dfFields.find(_.name == pf.name).getOrElse(pf)) ++
           dfFields.filterNot(f => byName.contains(f.name)))
       else StructType(dfFields)
-    (aligned, table)
+    (aligned, table, next)
   }
 
   /** The current schema of an id-tracked table (None for legacy tables). */
@@ -271,10 +290,10 @@ object Snapshots {
     * the old name.
     */
   def renameColumn(base: String, from: String, to: String): Long =
-    alterSchema(base, s"alter:rename:$from:$to") { s =>
+    alterSchema(base, s"alter:rename:$from:$to") { (s, last) =>
       require(s.fieldNames.contains(from), s"no column $from to rename")
       require(!s.fieldNames.contains(to), s"column $to already exists")
-      StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      (StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f)), last)
     }
 
   /** Drop a column, metadata-only: the field leaves the schema header, so
@@ -282,10 +301,12 @@ object Snapshots {
     * travel and are reclaimed as their versions expire.
     */
   def dropColumn(base: String, name: String): Long =
-    alterSchema(base, s"alter:drop:$name") { s =>
+    alterSchema(base, s"alter:drop:$name") { (s, last) =>
       require(s.fieldNames.contains(name), s"no column $name to drop")
       require(s.fields.length > 1, "cannot drop the last column")
-      StructType(s.fields.filterNot(_.name == name))
+      // last-column-id is UNCHANGED: the dropped id stays burned so no
+      // future column can reuse it while old files still carry its bytes
+      (StructType(s.fields.filterNot(_.name == name)), last)
     }
 
   /** Add a nullable column, metadata-only: the field joins the schema
@@ -295,23 +316,20 @@ object Snapshots {
     * [[renameColumn]]/[[dropColumn]].
     */
   def addColumn(base: String, name: String,
-                dataType: org.apache.spark.sql.types.DataType): Long = {
+                dataType: org.apache.spark.sql.types.DataType): Long =
     // The fresh id must clear the max id EVER assigned, not the current
     // schema's max: after DROP of the highest-id column, current-max+1
     // would REUSE the dropped id, and id-based reads would bind the new
     // column to the dropped column's bytes in old files (type crash at
-    // best, silent data resurrection at worst). Ids are monotone across
-    // the whole manifest history, like Iceberg's last-column-id.
-    val ids = versions(base).iterator
-      .flatMap(v => readManifest(base, v).schema)
-      .flatMap(_.fields.map(fieldId)).toSeq
-    val everMax = if (ids.isEmpty) 0L else ids.max // legacy: alterSchema raises
-    alterSchema(base, s"alter:add:$name") { s =>
+    // best, silent data resurrection at worst). The persisted
+    // last-column-id (resolved against the true parent INSIDE the commit
+    // lock, so concurrent adds cannot race to the same id, and monotone
+    // through expire/rollback) is the floor — Iceberg's model.
+    alterSchema(base, s"alter:add:$name") { (s, last) =>
       require(!s.fieldNames.contains(name), s"column $name already exists")
-      StructType(s.fields :+ StructField(name, dataType, nullable = true,
-        new MetadataBuilder().putLong(FieldIdKey, everMax + 1).build()))
+      (StructType(s.fields :+ StructField(name, dataType, nullable = true,
+        new MetadataBuilder().putLong(FieldIdKey, last + 1).build())), last + 1)
     }
-  }
 
   /** The newest version committed at or before `tsMillis` (wall-clock
     * time travel — `TIMESTAMP AS OF`). Resolution is the manifest file's
@@ -326,17 +344,25 @@ object Snapshots {
     eligible.map(s => versionOf(s.getPath.getName)).max
   }
 
-  private def alterSchema(base: String, mode: String)(xf: StructType => StructType): Long = {
+  /** `xf` maps (parent schema, parent last-column-id) → (new schema, new
+    * last-column-id), resolved against the true parent INSIDE the commit
+    * lock — a retried publish re-runs it against the winner's state.
+    */
+  private def alterSchema(base: String, mode: String)(
+      xf: (StructType, Long) => (StructType, Long)): Long = {
     require(versions(base).nonEmpty, s"no committed snapshots under $base")
+    def resolved(parent: Long): (StructType, Long) = {
+      val m = readManifest(base, parent)
+      val s = m.schema.getOrElse(
+        throw new IllegalStateException(
+          "table predates field-id tracking (no schema header); rename/drop " +
+            "need id-carrying files - recommit the data to a fresh base"))
+      xf(s, lastColumnIdOf(m).getOrElse(0L))
+    }
     publish(base, Nil, Nil, mode,
       parent => { val p = readManifest(base, parent); (p.files, p.dvs) },
-      schemaFor = parent => {
-        val s = readManifest(base, parent).schema.getOrElse(
-          throw new IllegalStateException(
-            "table predates field-id tracking (no schema header); rename/drop " +
-              "need id-carrying files - recommit the data to a fresh base"))
-        Some(xf(s).json)
-      })
+      schemaFor = parent => Some(resolved(parent)._1.json),
+      lastIdFor = parent => Some(resolved(parent)._2))
   }
 
   /** The .parquet files of a just-written dir, sorted, as path strings. */
@@ -402,14 +428,24 @@ object Snapshots {
     * resolved parent (default: inherit the parent's era schema verbatim —
     * correct for every operation that doesn't change the table's shape).
     */
+  /** `lastIdFor` supplies the last-column-id header given the resolved
+    * parent (default: inherit the parent's — monotone across every
+    * non-minting commit, including DROP of the highest-id column and
+    * rollback past an ADD). Only id-MINTING commits override it.
+    */
   private def publish(base: String, newFiles: Seq[String], newDvs: Seq[String],
                       mode: String,
                       carried: Long => (Seq[String], Seq[String]),
-                      schemaFor: Long => Option[String] = null): Long =
+                      schemaFor: Long => Option[String] = null,
+                      lastIdFor: Long => Option[Long] = null): Long =
     withCommitLock(base) {
       val schemaOf: Long => Option[String] =
         if (schemaFor != null) schemaFor
         else parent => if (parent <= 0) None else readManifest(base, parent).schema.map(_.json)
+      val lastIdOf: Long => Option[Long] =
+        if (lastIdFor != null) lastIdFor
+        else parent => if (parent <= 0) None
+          else lastColumnIdOf(readManifest(base, parent))
       val fs = fsFor(base)
       // Optimistic claim loop. The LOCK serializes writers in the common
       // case, but its create-no-overwrite CAS is advisory on filesystems
@@ -438,8 +474,9 @@ object Snapshots {
         // one-line header like any other kv — era schemas travel WITH
         // their manifests, which is what makes time travel see old names.
         val schemaKv = schemaOf(parent).map(j => s"\tschema=$j").getOrElse("")
+        val lastIdKv = lastIdOf(parent).map(v => s"\tlastColumnId=$v").getOrElse("")
         writeStringNew(fs, tmp,
-          (s"version=$next\tparent=$parent\tmode=$mode$schemaKv" +:
+          (s"version=$next\tparent=$parent\tmode=$mode$schemaKv$lastIdKv" +:
             ((carriedFiles ++ newFiles).map(relativize(base, _)) ++
               (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f))))
             .mkString("\n"))
@@ -473,18 +510,22 @@ object Snapshots {
     // already carrying a schema header; legacy (header-less) tables keep
     // their name-based path so their id-less files never meet an id read.
     val vs0 = versions(base)
-    val parentSchema = if (vs0.isEmpty) None else readManifest(base, vs0.max).schema
+    val parentM = if (vs0.isEmpty) None else Some(readManifest(base, vs0.max))
+    val parentSchema = parentM.flatMap(_.schema)
     val tracked = vs0.isEmpty || parentSchema.isDefined
-    val (toWrite, tableSchema) =
-      if (tracked) withFieldIds(df, parentSchema, keepParentFields = base0 == "append")
-      else (df, null)
+    val parentLast = parentM.flatMap(lastColumnIdOf).getOrElse(0L)
+    val (toWrite, tableSchema, newLast) =
+      if (tracked) withFieldIds(df, parentSchema,
+        keepParentFields = base0 == "append", parentLastId = parentLast)
+      else (df, null, 0L)
     val newFiles = writeBatch(toWrite, base, sortCols)
     publish(base, newFiles, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {
         val p = readManifest(base, parent)
         (p.files, p.dvs)
       } else (Nil, Nil),
-      schemaFor = if (!tracked) null else _ => Some(tableSchema.json))
+      schemaFor = if (!tracked) null else _ => Some(tableSchema.json),
+      lastIdFor = if (!tracked) null else _ => Some(newLast))
   }
 
   /** The mode string a version was committed with (including any ":<tag>"
@@ -922,8 +963,8 @@ object Snapshots {
     case Pin.AtTag(n) => pinnedManifest(base, Pin.AsOf(tagVersion(base, n)))
     case Pin.AtBranch(n) =>
       val (files, dvs) = branchHeadState(base, n)
-      Manifest(0L, 0L, "branch", files, dvs,
-        readManifest(base, branchFork(base, n)).schema)
+      val fork = readManifest(base, branchFork(base, n))
+      Manifest(0L, 0L, "branch", files, dvs, fork.schema, fork.lastColumnId)
   }
 
   /** The era schema of a pinned state WITHOUT planning a scan — metadata

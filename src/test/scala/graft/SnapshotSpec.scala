@@ -575,4 +575,29 @@ class SnapshotSpec extends SparkSuite {
     // idempotent
     assert(Snapshots.removeOrphans(base, olderThanMs = -10000L).isEmpty)
   }
+
+  test("last-column-id survives drop + expire; neither evolution path reuses ids") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_lastid")
+    Snapshots.commit(spark,
+      Seq((1L, "old-b1"), (2L, "old-b2")).toDF("a", "b"), base)
+    Snapshots.dropColumn(base, "b")
+    // expire prunes the pre-drop manifests - the burned id must survive
+    // in the CURRENT manifest's header, not be re-derived from history
+    Snapshots.expire(base, keepLast = 1)
+    // path 1: APPEND with a fresh column (commit-side minting). Id reuse
+    // would bind c to b's bytes in the v1 files -> 'old-b1' not null.
+    Snapshots.commit(spark, Seq((3L, "new-c")).toDF("a", "c"), base)
+    val got = Snapshots.read(spark, base).orderBy("a").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got === Seq(1L -> None, 2L -> None, 3L -> Some("new-c")))
+    // path 2: ALTER ADD with another fresh column after another drop of
+    // the (again) highest id
+    Snapshots.dropColumn(base, "c")
+    Snapshots.addColumn(base, "d", org.apache.spark.sql.types.StringType)
+    val got2 = Snapshots.read(spark, base).orderBy("a").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got2 === Seq(1L -> None, 2L -> None, 3L -> None))
+  }
 }
