@@ -219,6 +219,21 @@ object RefParity {
         s"OPTIONS (path '$dir', versionAsOf '$v1')")
       s.sql("SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty FROM cn2_view")
     },
+    // The reference's NATIVE block format, end to end: the staged fixture
+    // writes the events slice as Avro OCF (one container file per
+    // partition, every field union[null, T] like streamAdapter.go's
+    // writer), and the query reads it back through the avro-core OCF
+    // source and aggregates. The oracle recomputes from the parquet
+    // events directly — any encode/decode corruption (union unwrap, Utf8
+    // handling, per-file schema alignment) breaks the hash.
+    "avro1_ocf_roundtrip" -> { (s, d) =>
+      val dir = avroOcfDir(s, d)
+      graft.sources.AvroOcf.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          round(sum(col("value")), 2).as("sum_v"))
+    },
     // SQL MERGE INTO through the planner strategy: the staged build runs
     // a three-group MERGE (conditional DELETE on k%10, UPDATE +1e6 on the
     // other matched evens, NOT-MATCHED-BY-SOURCE zeroing odd multiples of
@@ -290,8 +305,19 @@ object RefParity {
     renameSnapshotDir(s, sfDir)
     catalogFor(s, sfDir)
     catalogMergeFor(s, sfDir)
+    avroOcfDir(s, sfDir)
     ()
   }
+
+  /** Staged Avro OCF copy of the events slice for avro1, built once per
+    * (sf, layout). */
+  private def avroOcfDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_avro", sfDir, "events")) { tmp =>
+      graft.sources.AvroOcf.write(
+        s.read.parquet(s"$sfDir/events.parquet")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        tmp)
+    }
 
   /** Staged catalog warehouse for cat1 (namespace `core`, table `orders`:
     * v1 = CREATE's empty schema commit, v2 = CTAS append of the
@@ -535,6 +561,12 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "avro1_ocf_roundtrip" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events""".stripMargin,
     "mrg3_merge_sql" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
         |final AS (

@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Avro Object Container File source/sink on avro-core — the reference's
+  * native block format (streamAdapter.go:15-42 writes OCF blocks;
+  * filesystemStorageAdapter.go:50-60 reads them), previously substituted
+  * with parquet because the spark-avro CONNECTOR is absent offline; the
+  * avro runtime itself ships with Spark, so the format reads and writes
+  * natively here:
+  *
+  *  - **schema**: one driver-side header read maps the Avro record schema
+  *    to a Spark StructType; `union[null, T]` fields unwrap to nullable
+  *    columns — the reference's union-unwrap projection (§2.1 #3) exactly;
+  *  - **read**: the OCF files list through Spark's `binaryFile` source
+  *    (distributed, one task per file) and decode per-partition with
+  *    `DataFileStream` — each file decodes under its OWN embedded writer
+  *    schema, then aligns to the table schema BY NAME (missing fields
+  *    null-fill), so mixed-schema directories read like the reference's
+  *    lenient block listing. Per-FILE parallelism is the granularity:
+  *    OCF splits only at sync markers, and the reference's blocks are
+  *    flush-bounded (8192 rows) — many small files, not one huge one;
+  *  - **write**: one OCF file per partition via `foreachPartition`,
+  *    task-unique names so speculative/retried tasks never collide, every
+  *    field wrapped `union[null, T]` like the reference's writer.
+  *
+  * Flat records of primitive types only — the reference's data model
+  * (SURVEY §1); nested shapes refuse loudly rather than half-work.
+  */
+object AvroOcf {
+
+  // ----- schema mapping
+
+  private def unwrap(s: Schema): (Schema, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes
+      import scala.jdk.CollectionConverters._
+      val nonNull = branches.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"only union-with-null unwraps; got $s")
+      (nonNull.head, nonNull.size < branches.size)
+    case _ => (s, false)
+  }
+
+  private def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.ENUM    => StringType
+    case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.FIXED   => BinaryType
+    case other => throw new UnsupportedOperationException(
+      s"avro type $other is outside the flat-record model this source supports")
+  }
+
+  /** Avro record schema → Spark schema (union-with-null → nullable). */
+  def toStruct(record: Schema): StructType = {
+    require(record.getType == Schema.Type.RECORD, s"not a record schema: $record")
+    import scala.jdk.CollectionConverters._
+    StructType(record.getFields.asScala.toSeq.map { f =>
+      val (inner, nullable) = unwrap(f.schema)
+      StructField(f.name, sparkType(inner), nullable)
+    })
+  }
+
+  /** Spark schema → Avro record schema, every field `union[null, T]` —
+    * the reference writer's convention, and what makes re-reading unwrap
+    * to the same nullable columns.
+    */
+  def toAvro(schema: StructType, name: String = "graft_record"): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    schema.fields.foreach { f =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case other => throw new UnsupportedOperationException(
+          s"column ${f.name}: $other is outside the flat-record model")
+      }
+      val union = Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+      fields.add(new Schema.Field(f.name, union, null, Schema.Field.NULL_DEFAULT_VALUE))
+    }
+    Schema.createRecord(name, null, "graft", false, fields)
+  }
+
+  // ----- read
+
+  private def decodeValue(v: Any, t: DataType): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s: String => s
+    case e: GenericData.EnumSymbol => e.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case f: GenericData.Fixed => f.bytes().clone()
+    case other => other // primitives pass through
+  }
+
+  /** Read every `.avro` OCF under `dir` (non-recursive) as a DataFrame.
+    * The table schema comes from the newest file's header; older files
+    * with fewer/renamed-away fields null-fill by NAME at decode time.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .sortBy(_.getModificationTime)
+    require(files.nonEmpty, s"no .avro files under $dir")
+    val headerSchema = {
+      val in = fs.open(files.last.getPath)
+      try {
+        val s = new DataFileStream(in,
+          new GenericDatumReader[GenericRecord]()).getSchema
+        s
+      } finally in.close()
+    }
+    val schema = toStruct(headerSchema)
+    val fieldNames = schema.fieldNames.toSeq
+    val fieldTypes = schema.fields.map(_.dataType).toSeq
+    val rows = spark.read.format("binaryFile")
+      .load(files.map(_.getPath.toString): _*)
+      .select(col("content")).rdd.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](0)
+        val stream = new DataFileStream(
+          new java.io.ByteArrayInputStream(bytes),
+          new GenericDatumReader[GenericRecord]()) // per-file writer schema
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        try {
+          while (stream.hasNext) {
+            val rec = stream.next()
+            val recSchema = rec.getSchema
+            out += Row.fromSeq(fieldNames.zip(fieldTypes).map { case (n, t) =>
+              if (recSchema.getField(n) == null) null // absent in this era
+              else decodeValue(rec.get(n), t)
+            })
+          }
+        } finally stream.close()
+        out
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ----- write
+
+  private def encodeValue(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case other => other
+  }
+
+  /** Write `df` as one OCF file per partition under `dir`. Task-unique
+    * names (partition id + uuid) keep retried/speculative attempts from
+    * colliding; empty partitions write nothing.
+    */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schemaJson = toAvro(df.schema).toString
+    val names = df.schema.fieldNames.toSeq
+    val dirStr = dir
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val name = s"part-$pid-${java.util.UUID.randomUUID().toString.take(8)}.avro"
+        val path = new Path(dirStr, name)
+        val fs = path.getFileSystem(new Configuration())
+        fs.mkdirs(path.getParent)
+        val out = fs.create(path, false)
+        val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        try {
+          writer.create(schema, out)
+          rows.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            names.zipWithIndex.foreach { case (n, i) =>
+              rec.put(n, encodeValue(r.get(i)))
+            }
+            writer.append(rec)
+            ()
+          }
+        } finally writer.close() // closes the stream
+      }
+    }
+  }
+}
