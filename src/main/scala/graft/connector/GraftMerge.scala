@@ -154,6 +154,29 @@ private[connector] object GraftRowLevel {
     })
   }
 
+  /** The scan the exec sees must still be SHAPE-compatible with the plan
+    * the analyzer resolved — a concurrent schema change between analysis
+    * and execution would otherwise bind values positionally to the wrong
+    * attributes. Count alone misses same-arity drift (drop+add), so
+    * compare positional data types too (names legitimately differ only
+    * through rename, which keeps the type).
+    */
+  def checkDrift(scan: DataFrame, dataCols: Seq[String],
+                 tOut: Seq[Attribute]): Unit = {
+    val scanTypes = dataCols.map(c => scan.schema(c).dataType)
+    // nullability-insensitive: the snapshot layer stores everything
+    // nullable while plan attributes may carry tighter nullability
+    val ok = scanTypes.size == tOut.size &&
+      scanTypes.zip(tOut).forall { case (a, b) =>
+        org.apache.spark.sql.types.DataType.equalsStructurally(
+          a, b.dataType, ignoreNullability = true)
+      }
+    require(ok,
+      s"target schema drift: scan columns (${scanTypes.mkString(",")}) no " +
+        s"longer match the analyzed plan (${tOut.map(_.dataType).mkString(",")}) " +
+        "- a concurrent schema change landed; re-run the statement")
+  }
+
   /** Refuse assignment keys that are not top-level target columns
     * (nested fields arrive as GetStructField keys) — they would
     * otherwise silently fail the per-field exprId match and keep the old
@@ -194,8 +217,7 @@ private[connector] object GraftRowLevel {
     val (t0, v0) = Snapshots.scanWithCoords(spark, base)
     val (fileCol, posCol) = Snapshots.rowCoordColumns
     val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
-    require(dataCols.size == tOut.size,
-      s"target schema drift: scan has ${dataCols.size} columns, plan has ${tOut.size}")
+    GraftRowLevel.checkDrift(t0, dataCols, tOut)
 
     val tNames = tOut.indices.map(i => s"__t_$i")
     val sOut = source.output
@@ -352,8 +374,7 @@ private[connector] object GraftRowLevel {
     val (t0, v0) = Snapshots.scanWithCoords(spark, base)
     val (fileCol, posCol) = Snapshots.rowCoordColumns
     val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
-    require(dataCols.size == tOut.size,
-      s"target schema drift: scan has ${dataCols.size} columns, plan has ${tOut.size}")
+    checkDrift(t0, dataCols, tOut)
     val tNames = tOut.indices.map(i => s"__t_$i")
     val mapping = (tOut.map(_.exprId) zip tNames).toMap
     val aliased = t0.select(

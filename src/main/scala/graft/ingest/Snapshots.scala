@@ -173,6 +173,21 @@ object Snapshots {
   private def lastColumnIdOf(m: Manifest): Option[Long] =
     m.lastColumnId.orElse(m.schema.map(s => (0L +: s.fields.map(fieldId).toSeq).max))
 
+  /** The id floor for MINTING at `m`: the recorded last-column-id, or —
+    * for pre-header tables only — the max id over every SURVIVING
+    * manifest's era schema, so a high id dropped before the header
+    * existed stays burned as long as any manifest remembers it. Paid
+    * once: the first minting commit writes the header and the scan never
+    * runs again.
+    */
+  private def mintFloor(base: String, m: Manifest): Long =
+    m.lastColumnId.getOrElse {
+      versions(base).iterator
+        .flatMap(v => readManifest(base, v).schema)
+        .flatMap(_.fields.map(fieldId))
+        .foldLeft(0L)(_ max _)
+    }
+
   /** Write `df`'s files under a fresh uncommitted batch dir. */
   private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String]): Seq[String] = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
@@ -351,14 +366,18 @@ object Snapshots {
   private def alterSchema(base: String, mode: String)(
       xf: (StructType, Long) => (StructType, Long)): Long = {
     require(versions(base).nonEmpty, s"no committed snapshots under $base")
-    def resolved(parent: Long): (StructType, Long) = {
-      val m = readManifest(base, parent)
-      val s = m.schema.getOrElse(
-        throw new IllegalStateException(
-          "table predates field-id tracking (no schema header); rename/drop " +
-            "need id-carrying files - recommit the data to a fresh base"))
-      xf(s, lastColumnIdOf(m).getOrElse(0L))
-    }
+    // One resolution per distinct parent, shared by schemaFor/lastIdFor
+    // (publish consults both per attempt — no duplicate manifest read/xf).
+    val memo = new java.util.concurrent.ConcurrentHashMap[Long, (StructType, Long)]()
+    def resolved(parent: Long): (StructType, Long) =
+      memo.computeIfAbsent(parent, { p =>
+        val m = readManifest(base, p)
+        val s = m.schema.getOrElse(
+          throw new IllegalStateException(
+            "table predates field-id tracking (no schema header); rename/drop " +
+              "need id-carrying files - recommit the data to a fresh base"))
+        xf(s, mintFloor(base, m))
+      })
     publish(base, Nil, Nil, mode,
       parent => { val p = readManifest(base, parent); (p.files, p.dvs) },
       schemaFor = parent => Some(resolved(parent)._1.json),
@@ -445,7 +464,15 @@ object Snapshots {
       val lastIdOf: Long => Option[Long] =
         if (lastIdFor != null) lastIdFor
         else parent => if (parent <= 0) None
-          else lastColumnIdOf(readManifest(base, parent))
+          else {
+            val m = readManifest(base, parent)
+            // The FIRST header this table ever writes must come from the
+            // full mint floor (surviving-history scan on pre-header
+            // tables) — inheriting the parent's era-schema max would
+            // permanently record a floor that forgets pre-upgrade drops.
+            if (m.schema.isEmpty && m.lastColumnId.isEmpty) None
+            else Some(mintFloor(base, m))
+          }
       val fs = fsFor(base)
       // Optimistic claim loop. The LOCK serializes writers in the common
       // case, but its create-no-overwrite CAS is advisory on filesystems
@@ -513,7 +540,7 @@ object Snapshots {
     val parentM = if (vs0.isEmpty) None else Some(readManifest(base, vs0.max))
     val parentSchema = parentM.flatMap(_.schema)
     val tracked = vs0.isEmpty || parentSchema.isDefined
-    val parentLast = parentM.flatMap(lastColumnIdOf).getOrElse(0L)
+    val parentLast = parentM.map(mintFloor(base, _)).getOrElse(0L)
     val (toWrite, tableSchema, newLast) =
       if (tracked) withFieldIds(df, parentSchema,
         keepParentFields = base0 == "append", parentLastId = parentLast)
@@ -525,7 +552,13 @@ object Snapshots {
         (p.files, p.dvs)
       } else (Nil, Nil),
       schemaFor = if (!tracked) null else _ => Some(tableSchema.json),
-      lastIdFor = if (!tracked) null else _ => Some(newLast))
+      // Floored at the RESOLVED parent's recorded id: if a concurrent
+      // alter minted past our pre-lock snapshot, the retried publish must
+      // not write a REGRESSED header (the schema itself stays the
+      // single-writer contract; the id floor at least remains monotone).
+      lastIdFor = if (!tracked) null else parent =>
+        Some(newLast.max(
+          if (parent <= 0) 0L else mintFloor(base, readManifest(base, parent)))))
   }
 
   /** The mode string a version was committed with (including any ":<tag>"

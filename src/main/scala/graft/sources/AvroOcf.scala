@@ -111,8 +111,13 @@ object AvroOcf {
   }
 
   /** Read every `.avro` OCF under `dir` (non-recursive) as a DataFrame.
-    * The table schema comes from the newest file's header; older files
-    * with fewer/renamed-away fields null-fill by NAME at decode time.
+    * The table schema is the NAME-UNION of every file's header fields
+    * (newest-first field order — deterministic under mtime ties, unlike a
+    * newest-header-wins pick), with a type conflict across eras refusing
+    * loudly at planning time; files with fewer fields null-fill by NAME
+    * at decode time. Header reads are one per file, driver-side —
+    * listing-sized metadata IO, the same class as the snapshot layer's
+    * manifest reads.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
@@ -120,17 +125,25 @@ object AvroOcf {
     val fs = p.getFileSystem(conf)
     val files = fs.listStatus(p).filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".avro"))
-      .sortBy(_.getModificationTime)
+      .sortBy(f => (f.getModificationTime, f.getPath.getName))
     require(files.nonEmpty, s"no .avro files under $dir")
-    val headerSchema = {
-      val in = fs.open(files.last.getPath)
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    files.reverse.foreach { f =>
+      val in = fs.open(f.getPath)
       try {
-        val s = new DataFileStream(in,
+        val header = new DataFileStream(in,
           new GenericDatumReader[GenericRecord]()).getSchema
-        s
+        toStruct(header).fields.foreach { sf =>
+          fields.get(sf.name) match {
+            case None => fields += sf.name -> sf.copy(nullable = true)
+            case Some(prev) => require(prev.dataType == sf.dataType,
+              s"column ${sf.name} has conflicting types across OCF eras: " +
+                s"${prev.dataType} vs ${sf.dataType} (${f.getPath.getName})")
+          }
+        }
       } finally in.close()
     }
-    val schema = toStruct(headerSchema)
+    val schema = StructType(fields.values.toSeq)
     val fieldNames = schema.fieldNames.toSeq
     val fieldTypes = schema.fields.map(_.dataType).toSeq
     val rows = spark.read.format("binaryFile")
@@ -164,36 +177,72 @@ object AvroOcf {
     case other => other
   }
 
-  /** Write `df` as one OCF file per partition under `dir`. Task-unique
-    * names (partition id + uuid) keep retried/speculative attempts from
-    * colliding; empty partitions write nothing.
+  /** Write `df` as one OCF file per partition under `dir`, with a
+    * write-then-rename commit per task: the final `part-<pid>.avro` name
+    * is claimed by a RENAME that fails when the destination exists, so a
+    * retried or speculative attempt can never leave a second readable
+    * copy of a partition (the loser deletes its staging file) — unique
+    * temp names alone would prevent collision but not duplication. The
+    * session's Hadoop conf travels to the tasks as properties (a bare
+    * executor-side Configuration would drop spark.hadoop.* credentials).
+    * An empty frame still commits one schema-only file, so the round
+    * trip preserves schema.
     */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = toAvro(df.schema).toString
     val names = df.schema.fieldNames.toSeq
     val dirStr = dir
+    // One driver-side id per write() call, captured into the task
+    // closure: retried attempts of the same job share it (so the rename
+    // dedups them), while a LATER write() to the same directory appends
+    // under fresh names instead of colliding with committed files.
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val confProps: Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
+    }
+    def taskConf(): Configuration = {
+      val c = new Configuration(false)
+      confProps.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    def writeOne(conf: Configuration, rows: Iterator[Row], pid: Int): Unit = {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val target = new Path(dirStr, s"part-$jobId-$pid.avro")
+      val tmp = new Path(dirStr,
+        s".tmp-$jobId-$pid-${java.util.UUID.randomUUID().toString.take(8)}.avro")
+      val fs = target.getFileSystem(conf)
+      fs.mkdirs(target.getParent)
+      val out = fs.create(tmp, false)
+      val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      try {
+        writer.create(schema, out)
+        rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          names.zipWithIndex.foreach { case (n, i) =>
+            rec.put(n, encodeValue(r.get(i)))
+          }
+          writer.append(rec)
+          ()
+        }
+      } finally writer.close() // closes the stream
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost to a sibling attempt
+      ()
+    }
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val schema = new Schema.Parser().parse(schemaJson)
-        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        val name = s"part-$pid-${java.util.UUID.randomUUID().toString.take(8)}.avro"
-        val path = new Path(dirStr, name)
-        val fs = path.getFileSystem(new Configuration())
-        fs.mkdirs(path.getParent)
-        val out = fs.create(path, false)
-        val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        try {
-          writer.create(schema, out)
-          rows.foreach { r =>
-            val rec = new GenericData.Record(schema)
-            names.zipWithIndex.foreach { case (n, i) =>
-              rec.put(n, encodeValue(r.get(i)))
-            }
-            writer.append(rec)
-            ()
-          }
-        } finally writer.close() // closes the stream
+        val pid = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0)
+        writeOne(taskConf(), rows, pid)
       }
     }
+    // all partitions empty: commit the schema alone from the driver
+    val fs = new Path(dirStr).getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dirStr)) ||
+        !fs.listStatus(new Path(dirStr)).exists(_.getPath.getName.endsWith(".avro")))
+      writeOne(df.sparkSession.sessionState.newHadoopConf(),
+        Iterator.empty, pid = 0)
   }
 }

@@ -46,7 +46,8 @@ class AvroOcfSpec extends SparkSuite {
     import sess.implicits._
     val dir = tmpDir("graft_avro_era")
     AvroOcf.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
-    Thread.sleep(1100) // the newest header wins the table schema
+    // no mtime gap needed: the table schema is the field-set UNION over
+    // every header, not a newest-header-wins pick
     AvroOcf.write(Seq((3L, "c", 30.0)).toDF("id", "v", "score"), dir)
     val back = AvroOcf.read(sess, dir)
     assert(back.columns.toSeq === Seq("id", "v", "score"))
@@ -68,6 +69,21 @@ class AvroOcfSpec extends SparkSuite {
       .collect().head
     assert(a.getLong(0) === b.getLong(0) && a.getLong(2) === b.getLong(2))
     assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-6)
+  }
+
+  test("empty frames round-trip schema-only; era type conflicts refuse") {
+    val sess = spark
+    import sess.implicits._
+    val dir = tmpDir("graft_avro_empty")
+    AvroOcf.write(spark.range(0).select(col("id"), lit("x").as("v")), dir)
+    val back = AvroOcf.read(sess, dir)
+    assert(back.columns.toSeq === Seq("id", "v") && back.count() === 0)
+    // same column name, different type across eras -> loud planning error
+    val dir2 = tmpDir("graft_avro_conflict")
+    AvroOcf.write(Seq((1L, 1)).toDF("id", "v"), dir2)
+    AvroOcf.write(Seq((2L, 2L)).toDF("id", "v"), dir2)
+    val e = intercept[IllegalArgumentException] { AvroOcf.read(sess, dir2) }
+    assert(e.getMessage.contains("conflicting types"))
   }
 
   test("nested shapes refuse loudly") {
