@@ -25,6 +25,7 @@ object Bench {
     // round-7: the DSv2 connector read with planning-time stats pruning,
     // the catalog SQL read with time travel, and the SQL MERGE table read
     "cn1_connector_read", "cat1_catalog_sql", "mrg3_merge_sql",
+    "avro1_ocf_roundtrip",
     // the iterative-fixpoint family: single-shot numbers for it are noisy
     // (15.7s vs 6.9s min-of-4 in the same JVM), so it belongs in the
     // min-of-N headline tier rather than the one-shot registry tail
