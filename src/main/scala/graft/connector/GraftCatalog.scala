@@ -137,17 +137,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     loadPinned(ident, Snapshots.Pin.Latest)
 
-  /** `VERSION AS OF x` — a numeric x pins a snapshot version; otherwise x
-    * names a tag, then a branch (Iceberg's ref resolution order).
+  /** `VERSION AS OF x` — a numeric x naming an EXISTING snapshot version
+    * pins it; otherwise x resolves as a tag, then a branch (Iceberg's ref
+    * resolution order). The numeric path requires both a clean parse AND
+    * version existence before it wins: a tag or branch NAMED '2' must
+    * stay reachable when no snapshot 2 exists, and a degenerate digit
+    * string ("", 20+ digits) must fall through to the descriptive error,
+    * not throw a raw NumberFormatException.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = tableDir(ident).toString
-    val pin =
-      if (version.forall(_.isDigit)) Snapshots.Pin.AsOf(version.toLong)
-      else if (Snapshots.tags(base).contains(version)) Snapshots.Pin.AtTag(version)
-      else if (Snapshots.branches(base).contains(version)) Snapshots.Pin.AtBranch(version)
-      else throw new IllegalArgumentException(
+    val asVersion = scala.util.Try(version.toLong).toOption
+      .filter(v => Snapshots.versions(base).contains(v))
+    val pin = asVersion match {
+      case Some(v) => Snapshots.Pin.AsOf(v)
+      case None if Snapshots.tags(base).contains(version) => Snapshots.Pin.AtTag(version)
+      case None if Snapshots.branches(base).contains(version) => Snapshots.Pin.AtBranch(version)
+      case None => throw new IllegalArgumentException(
         s"$version is neither a snapshot version, tag nor branch of $ident")
+    }
     loadPinned(ident, pin)
   }
 

@@ -40,6 +40,36 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object Snapshots {
 
+  /** Commit-serialization seam. The default strategy is the lock FILE
+    * below ([[withCommitLock]]) — correct wherever
+    * `create(overwrite=false)` is exclusive and rename refuses an
+    * existing destination. Supported-store matrix for the DEFAULT
+    * strategy:
+    *
+    *  - HDFS, ABFS (`abfss://`), GCS (`gs://`): exclusive create AND
+    *    atomic rename-no-overwrite — the full CAS holds.
+    *  - local `file://` (incl. tests): exclusive create is check-then-act
+    *    in RawLocalFileSystem, but rename-fails-on-existing makes the
+    *    manifest's appearance at its versioned name the single-winner
+    *    commit point — holds.
+    *  - plain S3 (`s3://`, `s3a://`, `s3n://`), OSS: NEITHER primitive is
+    *    exclusive — a lost update would be SILENT. Commits to these
+    *    schemes therefore fail LOUDLY up front (conf
+    *    `spark.graft.commit.nonAtomicSchemes`, default "s3,s3a,s3n,oss")
+    *    unless the deployment either (a) plugs an external lock via
+    *    `spark.graft.commit.lockStrategy` = FQCN of a [[CommitLock]]
+    *    (DynamoDB-style lock table, S3 conditional writes, a catalog
+    *    service — Iceberg's answer), or (b) sets
+    *    `spark.graft.commit.allowNonAtomicStore=true`, asserting that
+    *    writer serialization exists OUTSIDE this library (single-writer
+    *    pipelines). With a correct external lock the whole
+    *    list→compose→rename sequence is serialized, so rename atomicity
+    *    is no longer load-bearing against other lock holders.
+    */
+  trait CommitLock {
+    def withLock[T](base: String)(body: => T): T
+  }
+
   /** ALL metadata IO goes through the Hadoop FileSystem resolved from the
     * base URI's scheme — the same registry seam BlockWriter's data path
     * uses — so the manifest/lock/tag layer runs unchanged on `file://`,
@@ -121,7 +151,8 @@ object Snapshots {
   private case class Manifest(version: Long, parent: Long, mode: String,
                               files: Seq[String], dvs: Seq[String],
                               schema: Option[org.apache.spark.sql.types.StructType],
-                              lastColumnId: Option[Long])
+                              lastColumnId: Option[Long],
+                              commitTs: Option[Long])
 
   /** Manifest lines are base-relative; everything in memory is absolute.
     * Relativize at the WRITE boundary, resolve at the READ boundary, so
@@ -159,8 +190,36 @@ object Snapshots {
       header.get("schema").map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
-      header.get("lastColumnId").map(_.toLong))
+      header.get("lastColumnId").map(_.toLong),
+      header.get("commitTs").map(_.toLong))
   }
+
+  /** The first (header) line of a manifest without materializing the file
+    * list — `versionAt` scans every version's header, so at 10⁵-line
+    * manifests reading whole files would turn timestamp time travel into
+    * an O(versions × manifest-size) read. A '\n' byte can never occur
+    * inside a UTF-8 multi-byte sequence, so splitting on the raw byte
+    * before decoding is safe for any column names the schema JSON carries.
+    */
+  private def readHeaderLine(fs: FileSystem, p: Path): String = {
+    val in = new java.io.BufferedInputStream(fs.open(p), 64 * 1024)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      var c = in.read()
+      while (c != -1 && c != '\n') { buf.write(c); c = in.read() }
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  /** The wall-clock commit instant recorded in a version's manifest
+    * header, if present (manifests written before commitTs existed have
+    * none).
+    */
+  private def commitTsOf(base: String, v: Long): Option[Long] =
+    readHeaderLine(fsFor(base), manifestFile(base, v))
+      .split("\t").iterator
+      .map(_.split("=", 2))
+      .collectFirst { case Array("commitTs", value) => value.toLong }
 
   /** The highest field id this table has EVER assigned, as of `m` —
     * Iceberg's last-column-id. Recorded in the manifest header from the
@@ -347,13 +406,20 @@ object Snapshots {
     }
 
   /** The newest version committed at or before `tsMillis` (wall-clock
-    * time travel — `TIMESTAMP AS OF`). Resolution is the manifest file's
-    * modification time: the commit rename IS the publish instant, so no
-    * separate clock needs recording.
+    * time travel — `TIMESTAMP AS OF`). Resolution PREFERS the `commitTs`
+    * recorded in each manifest header at publish time: file mtimes are
+    * copy-fragile — relocating a table (a supported operation: manifests
+    * are base-relative) resets every mtime to the copy instant, which
+    * would silently re-date history and resolve timestamps to wrong
+    * versions. Manifests from before the header field fall back to mtime
+    * (correct until the tree is copied — the documented legacy caveat).
     */
   def versionAt(base: String, tsMillis: Long): Long = {
-    val eligible = versionStatuses(base).filter(_.getLen > 0)
-      .filter(_.getModificationTime <= tsMillis)
+    val committed = versionStatuses(base).filter(_.getLen > 0)
+    val eligible = committed.filter { s =>
+      val v = versionOf(s.getPath.getName)
+      commitTsOf(base, v).getOrElse(s.getModificationTime) <= tsMillis
+    }
     require(eligible.nonEmpty,
       s"no snapshot committed at or before timestamp $tsMillis under $base")
     eligible.map(s => versionOf(s.getPath.getName)).max
@@ -401,7 +467,43 @@ object Snapshots {
     */
   private val StaleLockMs = 60000L
 
-  private def withCommitLock[T](base: String)(body: => T): T = {
+  private def runtimeConf(key: String, dflt: String): String =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(key)).getOrElse(dflt)
+
+  private val lockCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitLock]()
+
+  /** Route the commit critical section through the configured
+    * [[CommitLock]] strategy; the default file lock first guards against
+    * known non-atomic stores (see the [[CommitLock]] matrix) — failing
+    * loudly at commit time beats a silently lost update discovered in an
+    * audit.
+    */
+  private def withCommitLock[T](base: String)(body: => T): T =
+    runtimeConf("spark.graft.commit.lockStrategy", "file") match {
+      case "file" =>
+        val scheme = Option(new Path(base).toUri.getScheme).getOrElse("file")
+        val lax = runtimeConf("spark.graft.commit.nonAtomicSchemes", "s3,s3a,s3n,oss")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
+        if (lax(scheme) &&
+            runtimeConf("spark.graft.commit.allowNonAtomicStore", "false") != "true")
+          throw new IllegalStateException(
+            s"refusing to commit to $base: scheme '$scheme' does not provide " +
+              "exclusive create or atomic rename-no-overwrite, so the default " +
+              "file-lock commit protocol could LOSE a concurrent commit " +
+              "silently. Configure spark.graft.commit.lockStrategy with an " +
+              "external CommitLock implementation, or set " +
+              "spark.graft.commit.allowNonAtomicStore=true if writers are " +
+              "serialized outside this library.")
+        fileLock(base)(body)
+      case fqcn =>
+        lockCache.computeIfAbsent(fqcn, cls =>
+          Class.forName(cls).getDeclaredConstructor().newInstance()
+            .asInstanceOf[CommitLock]).withLock(base)(body)
+    }
+
+  private def fileLock[T](base: String)(body: => T): T = {
     val fs = fsFor(base)
     fs.mkdirs(snapDir(base))
     val lock = new Path(snapDir(base), ".commit.lock")
@@ -502,8 +604,14 @@ object Snapshots {
         // their manifests, which is what makes time travel see old names.
         val schemaKv = schemaOf(parent).map(j => s"\tschema=$j").getOrElse("")
         val lastIdKv = lastIdOf(parent).map(v => s"\tlastColumnId=$v").getOrElse("")
+        // Wall-clock commit instant, recorded IN the manifest so it
+        // survives relocation/copy (mtimes don't) — what `TIMESTAMP AS
+        // OF` resolves against. Publish-attempt time, not rename time:
+        // the gap is milliseconds and only ordering between commits
+        // matters, which the versions-ascending invariant below keeps.
+        val tsKv = s"\tcommitTs=${System.currentTimeMillis}"
         writeStringNew(fs, tmp,
-          (s"version=$next\tparent=$parent\tmode=$mode$schemaKv$lastIdKv" +:
+          (s"version=$next\tparent=$parent\tmode=$mode$tsKv$schemaKv$lastIdKv" +:
             ((carriedFiles ++ newFiles).map(relativize(base, _)) ++
               (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f))))
             .mkString("\n"))
@@ -997,7 +1105,8 @@ object Snapshots {
     case Pin.AtBranch(n) =>
       val (files, dvs) = branchHeadState(base, n)
       val fork = readManifest(base, branchFork(base, n))
-      Manifest(0L, 0L, "branch", files, dvs, fork.schema, fork.lastColumnId)
+      Manifest(0L, 0L, "branch", files, dvs, fork.schema, fork.lastColumnId,
+        fork.commitTs)
   }
 
   /** The era schema of a pinned state WITHOUT planning a scan — metadata
@@ -1378,8 +1487,9 @@ object Snapshots {
     versions(base).map { v =>
       val m = readManifest(base, v)
       (m.version, m.parent, m.mode, m.files.size.toLong, m.dvs.size.toLong,
-        tagged.getOrElse(v, Nil).sorted)
-    }.toDF("version", "parent", "mode", "n_files", "n_dvs", "tags")
+        tagged.getOrElse(v, Nil).sorted, m.commitTs.getOrElse(0L))
+    }.toDF("version", "parent", "mode", "n_files", "n_dvs", "tags",
+      "committed_at_ms")
   }
 
   /** Metadata table: the live data files of a version with their sizes —

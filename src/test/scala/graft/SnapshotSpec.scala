@@ -600,4 +600,76 @@ class SnapshotSpec extends SparkSuite {
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(got2 === Seq(1L -> None, 2L -> None, 3L -> None))
   }
+
+  test("commits to a non-atomic store fail loudly, not as silent lost updates") {
+    // The default file-lock protocol's CAS primitives (exclusive create,
+    // rename-no-overwrite) do not exist on plain S3-class stores — there
+    // a concurrent commit would be LOST SILENTLY. The guard must turn
+    // that into an up-front refusal with remediation in the message,
+    // removable only by an explicit conf assertion. graftfs:// stands in
+    // for the lax store by listing it in nonAtomicSchemes.
+    val sess = spark
+    import sess.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val base = "graftfs://" + tmpDir("graft_lax_store") + "/table"
+    spark.conf.set("spark.graft.commit.nonAtomicSchemes", "s3,s3a,s3n,oss,graftfs")
+    try {
+      val e = intercept[IllegalStateException] {
+        Snapshots.commit(spark, Seq(1L).toDF("id"), base)
+      }
+      assert(e.getMessage.contains("lockStrategy"))
+      // no torn state: the refused commit left nothing behind
+      assert(Snapshots.versions(base).isEmpty)
+      // explicit override (externally-serialized writers) proceeds
+      spark.conf.set("spark.graft.commit.allowNonAtomicStore", "true")
+      Snapshots.commit(spark, Seq(1L, 2L).toDF("id"), base)
+      assert(Snapshots.read(spark, base).count() === 2)
+    } finally {
+      spark.conf.unset("spark.graft.commit.nonAtomicSchemes")
+      spark.conf.unset("spark.graft.commit.allowNonAtomicStore")
+    }
+  }
+
+  test("an external CommitLock strategy plugs in by FQCN and serializes commits") {
+    val sess = spark
+    import sess.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val base = "graftfs://" + tmpDir("graft_lock_seam") + "/table"
+    // An external lock on a lax-listed scheme must BYPASS the guard: the
+    // user-provided strategy is the assertion that commits are serialized.
+    spark.conf.set("spark.graft.commit.nonAtomicSchemes", "s3,s3a,s3n,oss,graftfs")
+    spark.conf.set("spark.graft.commit.lockStrategy",
+      classOf[CountingCommitLock].getName)
+    try {
+      CountingCommitLock.acquisitions.set(0)
+      val v1 = Snapshots.commit(spark, Seq(1L, 2L).toDF("id"), base)
+      Snapshots.commit(spark, Seq(3L).toDF("id"), base)
+      assert(CountingCommitLock.acquisitions.get() >= 2,
+        "every commit must pass through the configured lock")
+      assert(Snapshots.read(spark, base).count() === 3)
+      assert(Snapshots.read(spark, base, Some(v1)).count() === 2)
+    } finally {
+      spark.conf.unset("spark.graft.commit.lockStrategy")
+      spark.conf.unset("spark.graft.commit.nonAtomicSchemes")
+    }
+  }
+}
+
+/** Test [[graft.ingest.Snapshots.CommitLock]]: counts acquisitions and
+  * serializes through a JVM-local mutex (what a DynamoDB/ZooKeeper-backed
+  * implementation would do across drivers). Top-level with a no-arg
+  * constructor — the seam instantiates it reflectively from conf.
+  */
+class CountingCommitLock extends graft.ingest.Snapshots.CommitLock {
+  def withLock[T](base: String)(body: => T): T =
+    CountingCommitLock.synchronized {
+      CountingCommitLock.acquisitions.incrementAndGet()
+      body
+    }
+}
+
+object CountingCommitLock {
+  val acquisitions = new java.util.concurrent.atomic.AtomicInteger(0)
 }
