@@ -29,7 +29,11 @@ object Bench {
     // the iterative-fixpoint family: single-shot numbers for it are noisy
     // (15.7s vs 6.9s min-of-4 in the same JVM), so it belongs in the
     // min-of-N headline tier rather than the one-shot registry tail
-    "g1_pagerank")
+    "g1_pagerank",
+    // round-8: the three heaviest registry members (8.5/8.3/5.4 s
+    // one-shot in round 7, all in the load-contaminated band) promoted so
+    // the most expensive plans get stable min-of-N timing
+    "pair2_hard_negatives", "g2_pagerank_directed", "p3_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,6 +76,7 @@ object Bench {
     // exactly the plans the timed run executes, without touching the timed
     // scale factor's data. Skipped when the tiny SF isn't present.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH", "BENCH_FULL.json")
+    var prestageFailed: String = null
     locally {
       val warmSf = "/root/testdata/sf0.001"
       if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
@@ -91,9 +96,16 @@ object Bench {
       // cache wipe the first timed snap/mv query would otherwise absorb
       // the whole staging cost (mv1 recorded 6.4x its isolated time in
       // round 6 for exactly this reason).
+      // A prestage failure is never fatal to the run (queries self-stage
+      // lazily) but must be LOUD and self-identifying: round 7's one-line
+      // print fell out of the bounded log tail, leaving a 6x-inflated
+      // ref_bloom_point number with no visible cause. Full stack to
+      // stderr + a flag that rides the summary JSON itself.
       try graft.query.RefParity.prestage(spark, sfDir)
       catch { case e: Throwable =>
-        System.err.println(s"BENCH PRESTAGE FAIL: ${e.getClass.getName}: ${e.getMessage}")
+        prestageFailed = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"BENCH PRESTAGE FAIL: $prestageFailed")
+        e.printStackTrace()
       }
     }
     // Fixed (sorted) execution order so per-query numbers are comparable
@@ -107,13 +119,12 @@ object Bench {
     // load. The codegen warmup above already paid JVM/compile cost, so the
     // second sample is not measuring a different (warmer) regime.
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
-      // A throwing query must read as a FAILURE, not as its (often tiny)
-      // wall time — with min-of-N a fast exception path would otherwise
-      // masquerade as an excellent number. Sentinel -1 + failed list.
-      val times = (1 to repeat).map { _ =>
+    // A throwing query must read as a FAILURE, not as its (often tiny)
+    // wall time — with min-of-N a fast exception path would otherwise
+    // masquerade as an excellent number. Sentinel -1 + failed list.
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  reps: Int): Double = {
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
@@ -122,8 +133,11 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
       val good = times.filterNot(_.isNaN)
-      name -> (if (good.isEmpty) -1.0 else good.min)
+      if (good.isEmpty) -1.0 else good.min
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) => name -> timeQuery(name, fn, repeat) }
     // Millisecond precision keeps the one-line summary compact — the
     // harness captures only a bounded tail of the run log, and a line that
     // overflows it is unparseable (worse than a slightly rounded number).
@@ -180,27 +194,27 @@ object Bench {
     // Full-registry record as a FILE artifact: the one-line summary below
     // must fit a bounded log tail, but a file has no such limit — so time
     // the rest of the registry too and write every per-query number to
-    // BENCH_FULL.json. Non-headline queries run once (no repeat): the file
-    // is a round-over-round trend record, not an A/B instrument. This
+    // BENCH_FULL.json. Non-headline queries ALSO run min-of-2: round 7's
+    // one-shot pass recorded 96/188 queries >=1.5x inflated (an
+    // alphabetical band at 6-15x) from a mid-run load transient — a trend
+    // instrument that cries wolf is worse than none, and one extra pass
+    // of the registry tail (~60 s idle) buys numbers that survive
+    // transient contention the same way the headline tier's do. This
     // pass runs BEFORE the summary line is printed: round 6's summary was
     // unparseable because this pass's trailing WARNs pushed the
     // already-printed JSON line out of the driver's bounded tail capture.
     if (fullPath != "0") {
       val rest = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => results.exists(_._1 == n) }
-        .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case e: Throwable =>
-                     System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-                     false }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-        }
+        .map { case (name, fn) => name -> timeQuery(name, fn, repeat) }
       val allResults = (results ++ rest).sortBy(_._1)
       val loadEnd = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       val body = allResults.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
         .mkString("{\n\"sf\": \"" + sfDir + "\",\n\"unit\": \"sec\",\n" +
-          "\"load\": " + fmt(loadEnd) + ",\n\"queries\": {\n", ",\n", "\n},\n")
+          "\"load\": " + fmt(loadEnd) + ",\n\"repeat\": " + repeat + ",\n" +
+          "\"prestage_failed\": " +
+          (if (prestageFailed == null) "null" else "\"" + prestageFailed + "\"") +
+          ",\n\"queries\": {\n", ",\n", "\n},\n")
       val allFailed = allResults.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       // Full per-query round-over-round record (no size limit in a file):
@@ -215,7 +229,9 @@ object Bench {
     // recorded on a contended box (load >> cpu count) are not comparable
     // to idle-box baselines, and the record should say so itself.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat,"sf":"$sfDir"}"""
+    val prestageKv =
+      if (prestageFailed == null) "" else s""","prestage_failed":"$prestageFailed""""
+    val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat$prestageKv,"sf":"$sfDir"}"""
     // Belt and braces against tail-capture loss: the summary also lands in
     // a FILE (a bounded log tail cannot eat a file), and the stdout line
     // prints as the PROCESS'S LAST OUTPUT — after spark.stop(), so no

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL stored procedures for the table-maintenance surface —
@@ -64,26 +64,26 @@ private[connector] class GraftProcedures(resolve: String => String,
 
     new Proc("compact", "rewrite the current snapshot into num_files files " +
         "(materializing deletion vectors), published as a new version; " +
-        "zorder takes two numeric columns for a Morton-interleaved layout " +
-        "so 2-D box predicates prune files on both dimensions",
+        "zorder takes two or more numeric columns for a Morton-interleaved " +
+        "layout so N-D box predicates prune files on every listed dimension",
       Seq(tableParam, in("num_files", IntegerType).defaultValue("4").build(),
         in("sort_cols", StringType).defaultValue("''")
           .comment("comma-separated cluster columns").build(),
         in("zorder", StringType).defaultValue("''")
-          .comment("two comma-separated numeric columns").build()),
+          .comment("two or more comma-separated numeric columns").build()),
       out("version" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val sorts = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val z = str(r, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val n = r.getInt(1)
         val zLayout = z match {
-          case Seq(a, b) =>
+          case Seq() => None
+          case one if one.size < 2 => throw new IllegalArgumentException(
+            s"zorder needs at least two columns, got ${one.mkString(",")}")
+          case zs =>
             require(sorts.isEmpty, "sort_cols and zorder are mutually exclusive")
             Some((df: org.apache.spark.sql.DataFrame) =>
-              graft.ingest.ZOrder.layout(df, a, b, n))
-          case Seq() => None
-          case other => throw new IllegalArgumentException(
-            s"zorder needs exactly two columns, got ${other.mkString(",")}")
+              graft.ingest.ZOrder.layoutN(df, zs, n))
         }
         Seq(Snapshots.compact(spark, table(r), n, sorts, zLayout))
       }
@@ -170,20 +170,24 @@ private[connector] class GraftProcedures(resolve: String => String,
     },
 
     new Proc("refresh_mv", "incrementally refresh a materialized aggregate " +
-        "view (count/sum per key group) from its append-only source table: " +
-        "scans only files appended since the stored watermark, upserts only " +
-        "touched groups, publishes state+watermark atomically",
+        "view (count/sum per key group; optionally min/max) from its source " +
+        "table: scans only files appended since the stored watermark, " +
+        "subtracts merge/DV-removed rows, upserts only touched groups, " +
+        "publishes state+watermark atomically; min/max recompute only the " +
+        "groups whose deletes threaten a stored extremum",
       Seq(in("view", StringType)
           .comment("view table name relative to this catalog; created on first refresh").build(),
         in("source", StringType).build(),
         in("keys", StringType).comment("comma-separated group columns").build(),
-        in("value", StringType).comment("summed column").build()),
+        in("value", StringType).comment("summed column").build(),
+        in("with_minmax", BooleanType).defaultValue("false")
+          .comment("also maintain min_v/max_v (choose at CREATION; the view schema is fixed)").build()),
       out("view_version" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val viewDir = tableOrNew(str(r, 0))
         val keys = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         Seq(graft.ingest.MatView.refresh(spark, viewDir, table(r, 1),
-          keys, str(r, 3)))
+          keys, str(r, 3), withMinMax = r.getBoolean(4)))
       }
     }
   ).map(p => p.name() -> (p: UnboundProcedure)).toMap

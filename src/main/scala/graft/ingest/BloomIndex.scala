@@ -53,16 +53,46 @@ object BloomIndex {
   def sidecar(base: String, column: String): String =
     s"$base/_bloom_$column"
 
-  /** Read a sidecar table. Via a `part-*` glob, not the dir path: the dir
-    * name is underscore-prefixed (deliberately, so data scans skip it),
-    * and passing a hidden dir as a read ROOT makes DataSource log a
-    * spurious `All paths were ignored` WARN per read — which, at the tail
-    * of a bench run, can push the summary JSON line out of the driver's
-    * bounded log capture. The expanded part files are not hidden, so the
-    * glob read is silent.
+  /** Read a sidecar table. Via EXPLICIT part-file paths, not the dir and
+    * not a glob: the dir name is underscore-prefixed (deliberately, so
+    * data scans skip it), and passing a hidden dir as a read ROOT makes
+    * DataSource log a spurious `All paths were ignored` WARN per read —
+    * while a `part-*` GLOB path (round 7's workaround) makes
+    * FileStreamSink.hasMetadata log a WARN with a FULL STACK TRACE per
+    * read (it stats the literal glob string before expansion and treats
+    * the miss as an exceptional condition). That stack was round 7's
+    * "swallowed exception" in the bench tail — planning noise from a
+    * SUCCESSFUL read, indistinguishable in a bounded log from a real
+    * failure. Concrete leaf files are neither hidden nor globs, so this
+    * read is silent. The listing is one metadata RPC against a dir whose
+    * cardinality is already file-count-sized.
     */
-  private def readSidecar(spark: SparkSession, sc: String): DataFrame =
-    spark.read.parquet(s"$sc/part-*")
+  private def readSidecar(spark: SparkSession, sc: String): DataFrame = {
+    val fs = new Path(sc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(sc))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    require(parts.nonEmpty, s"bloom sidecar $sc has no part files")
+    spark.read.parquet(parts.toIndexedSeq: _*)
+  }
+
+  /** The sidecar path for (`base`, `column`), rebuilt in place if missing
+    * or partial. A sidecar is a REBUILDABLE cache: a crashed build (or a
+    * wiped /tmp) must cost one loud rebuild on the next probe — never a
+    * silent mis-prune from partial entries, and never an opaque
+    * path-does-not-exist planning error (round 7's bench tail swallowed
+    * exactly that stack). `_SUCCESS` is the completion marker: present ⇒
+    * every part file of the committed build is in place.
+    */
+  private def ensureSidecar(spark: SparkSession, base: String, column: String): String = {
+    val sc = sidecar(base, column)
+    val fs = new Path(sc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(sc, "_SUCCESS"))) {
+      System.err.println(s"BloomIndex: sidecar $sc absent or partial - rebuilding")
+      build(spark, base, column)
+    }
+    sc
+  }
 
   /** Build the per-file index for `column` under `dest` (defaults to the
     * in-layout sidecar path). `dest` is a parameter so callers can stage
@@ -149,7 +179,7 @@ object BloomIndex {
     */
   def candidateFiles(spark: SparkSession, base: String, column: String,
                      value: Column): (Seq[String], Long) = {
-    val sc = readSidecar(spark, sidecar(base, column))
+    val sc = readSidecar(spark, ensureSidecar(spark, base, column))
     val total = sc.count()
     (survivors(spark, sc, base, column, value), total)
   }
@@ -178,7 +208,7 @@ object BloomIndex {
     */
   def lookup(spark: SparkSession, base: String, column: String,
              value: Column): DataFrame = {
-    val sc = readSidecar(spark, sidecar(base, column))
+    val sc = readSidecar(spark, ensureSidecar(spark, base, column))
     val files = survivors(spark, sc, base, column, value)
     if (files.isEmpty) spark.read.parquet(base).filter(lit(false))
     else {

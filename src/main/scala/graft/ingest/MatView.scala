@@ -26,12 +26,22 @@ import org.apache.spark.sql.functions._
   * delta-sized scan + a changed-groups-sized merge. The full recompute it
   * replaces costs a table scan — the gap IS the feature.
   *
-  * Count and sum are the mergeable pair (avg = sum/count derives at read
-  * time); min/max are NOT incrementally maintainable under deletes and are
-  * deliberately out of scope. The source must be append-only between
-  * refreshes — [[refresh]] verifies this from the manifest modes and
-  * fails loudly otherwise (a rewritten source file would need the
-  * subtractive IVM half).
+  * Count and sum are the fully-mergeable pair (avg = sum/count derives at
+  * read time): +new −old composes in any order, so appends AND removals
+  * maintain them from deltas alone. Min/max (`withMinMax = true`) are
+  * mergeable under APPENDS (least/greatest against the stored extremum)
+  * but not under removals — deleting the extremum row leaves no way to
+  * know the runner-up from the view's state. The fallback is
+  * RECOMPUTE-TOUCHED-GROUPS: only groups whose removed rows tie-or-beat
+  * the stored extremum (a value-equality-conservative test, so removing
+  * one of two duplicate minima still recomputes) re-aggregate min/max
+  * from the source at the target version, via a broadcast semi-join on
+  * the at-risk keys. Cost: one source scan filtered to at-risk groups —
+  * at 100 TB that is a scan-heavy but shuffle-light pass that runs ONLY
+  * when a delete actually threatens an extremum, vs. the full
+  * rebuild-the-view alternative (scan + full re-aggregate + view
+  * rewrite). Groups whose removals stay strictly inside (min, max) keep
+  * the additive path entirely.
   */
 object MatView {
 
@@ -41,7 +51,8 @@ object MatView {
     */
   def refresh(spark: SparkSession, mvBase: String, srcBase: String,
               keyCols: Seq[String], valCol: String,
-              upTo: Option[Long] = None): Long = {
+              upTo: Option[Long] = None,
+              withMinMax: Boolean = false): Long = {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
     val srcV = upTo.getOrElse(Snapshots.versions(srcBase).max)
     val mvVs = Snapshots.versions(mvBase)
@@ -110,10 +121,18 @@ object MatView {
     // input type. (Incremental double sums add in delta order, not scan
     // order — use decimal or integral value columns where bit-exactness
     // against a full recompute matters; the registered query does.)
-    def agg(df: DataFrame, n: String, s: String) = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as(n), sum(col(valCol)).cast("double").as(s))
+    // min/max ride as double (same schema-stability choice as sum_v).
+    def agg(df: DataFrame, n: String, s: String, mn: String = null, mx: String = null) = {
+      val basics = Seq(count(lit(1)).as(n), sum(col(valCol)).cast("double").as(s))
+      val extremes = if (mn == null) Nil else Seq(
+        min(col(valCol)).cast("double").as(mn), max(col(valCol)).cast("double").as(mx))
+      df.groupBy(keyCols.map(col): _*).agg(basics.head, (basics.tail ++ extremes): _*)
+    }
+    def initAgg(df: DataFrame) =
+      if (withMinMax) agg(df, "n_rows", "sum_v", "min_v", "max_v")
+      else agg(df, "n_rows", "sum_v")
     if (mvVs.isEmpty)
-      Snapshots.commit(spark, agg(added, "n_rows", "sum_v"), mvBase,
+      Snapshots.commit(spark, initAgg(added), mvBase,
         mode = s"append:$srcV", sortCols = keyCols)
     else {
       val removed =
@@ -122,23 +141,72 @@ object MatView {
           .filterNot(_.isEmpty)
       // Net per-group delta: +appended/merged-in rows, −merge/DV-removed
       // rows. A group can net to zero (every row it had was upserted away)
-      // — those rows are tombstoned out below.
+      // — those rows are tombstoned out below. With min/max the delta also
+      // carries the added-rows extremes (additive candidates) and the
+      // removed-rows extremes (the at-risk test's evidence).
       val dAgg = removed match {
-        case None => agg(added, "n_rows", "sum_v")
+        case None =>
+          if (withMinMax) agg(added, "n_rows", "sum_v", "mn_add", "mx_add")
+          else agg(added, "n_rows", "sum_v")
         case Some(rm) =>
-          agg(added, "n_add", "s_add").join(agg(rm, "n_rem", "s_rem"), keyCols, "full_outer")
+          val a = if (withMinMax) agg(added, "n_add", "s_add", "mn_add", "mx_add")
+                  else agg(added, "n_add", "s_add")
+          val r = if (withMinMax) agg(rm, "n_rem", "s_rem", "mn_rem", "mx_rem")
+                  else agg(rm, "n_rem", "s_rem")
+          val extra =
+            if (withMinMax) Seq(col("mn_add"), col("mx_add"), col("mn_rem"), col("mx_rem"))
+            else Nil
+          a.join(r, keyCols, "full_outer")
             .select(keyCols.map(col) ++ Seq(
               (coalesce(col("n_add"), lit(0L)) - coalesce(col("n_rem"), lit(0L))).as("n_rows"),
-              (coalesce(col("s_add"), lit(0.0)) - coalesce(col("s_rem"), lit(0.0))).as("sum_v")): _*)
+              (coalesce(col("s_add"), lit(0.0)) - coalesce(col("s_rem"), lit(0.0))).as("sum_v"))
+              ++ extra: _*)
       }
       // Combine the delta's groups with their current view rows; merge
       // touches exactly these groups (update or insert), nothing else.
       val old = Snapshots.read(spark, mvBase)
         .withColumnRenamed("n_rows", "old_n").withColumnRenamed("sum_v", "old_s")
-      val combined = dAgg.join(old, keyCols, "left")
-        .select(keyCols.map(col) ++ Seq(
-          (col("n_rows") + coalesce(col("old_n"), lit(0L))).as("n_rows"),
-          (col("sum_v") + coalesce(col("old_s"), lit(0.0))).as("sum_v")): _*)
+        .withColumnsRenamed(
+          if (withMinMax) Map("min_v" -> "old_mn", "max_v" -> "old_mx")
+          else Map.empty[String, String])
+      val joined = dAgg.join(old, keyCols, "left")
+      val nSum = Seq(
+        (col("n_rows") + coalesce(col("old_n"), lit(0L))).as("n_rows"),
+        (col("sum_v") + coalesce(col("old_s"), lit(0.0))).as("sum_v"))
+      val combined =
+        if (!withMinMax) joined.select(keyCols.map(col) ++ nSum: _*)
+        else {
+          val mnRem = if (removed.isDefined) col("mn_rem") else lit(null).cast("double")
+          val mxRem = if (removed.isDefined) col("mx_rem") else lit(null).cast("double")
+          // At-risk: the group HAS removals and either (a) it is NEW in
+          // this window (no stored extremum — its additive candidates
+          // come from mn_add/mx_add, which INCLUDE the rows removed in
+          // the same window, e.g. an append+delete consumed by one
+          // refresh) or (b) some removed value ties-or-beats the stored
+          // extremum (ties are conservative — one of two duplicate
+          // minima removed still recomputes). A group with no removals
+          // is never at risk.
+          val risk = mnRem.isNotNull && coalesce(
+            col("old_mn").isNull || mnRem <= col("old_mn") || mxRem >= col("old_mx"),
+            lit(true))
+          val withRisk = joined.select(keyCols.map(col) ++ nSum ++ Seq(
+            least(col("old_mn"), col("mn_add")).as("cand_mn"),
+            greatest(col("old_mx"), col("mx_add")).as("cand_mx"),
+            risk.as("at_risk")): _*)
+          // Recompute min/max ONLY for at-risk groups, from the source at
+          // srcV: broadcast semi-join on the (changed-groups-sized) risky
+          // key set, so the source scan never shuffles.
+          val riskyKeys = withRisk.filter(col("at_risk")).select(keyCols.map(col): _*)
+          val recomputed = Snapshots.read(spark, srcBase, Some(srcV))
+            .join(broadcast(riskyKeys), keyCols, "left_semi")
+            .groupBy(keyCols.map(col): _*)
+            .agg(min(col(valCol)).cast("double").as("r_mn"),
+              max(col(valCol)).cast("double").as("r_mx"))
+          withRisk.join(broadcast(recomputed), keyCols, "left")
+            .select(keyCols.map(col) ++ Seq(col("n_rows"), col("sum_v"),
+              when(col("at_risk"), col("r_mn")).otherwise(col("cand_mn")).as("min_v"),
+              when(col("at_risk"), col("r_mx")).otherwise(col("cand_mx")).as("max_v")): _*)
+        }
       val out = Snapshots.merge(spark, mvBase, combined, keyCols, modeTag = srcV.toString)
       // Groups whose count hit zero no longer exist in a full recompute —
       // DV-delete their tombstones. The watermark already rode the merge

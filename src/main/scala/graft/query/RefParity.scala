@@ -27,7 +27,18 @@ object RefParity {
     * mtime, recursive for directories) — regenerated testdata at the same
     * path gets a fresh ingest instead of silently reading stale rows.
     */
-  private val LayoutVersion = "v3" // v3: stats sidecars + INT64-micros timestamps
+  // v3: stats sidecars + INT64-micros timestamps
+  // v4: cache dir names no longer start with "_" — `/root/...` used to
+  //     sanitize to `_root_...`, a HIDDEN-looking read root that made
+  //     DataSource log `All paths were ignored` once per read (cosmetic —
+  //     explicit roots are exempt from hidden filtering — but five of
+  //     them per bench run is exactly the noise that crowds a bounded
+  //     log tail)
+  private val LayoutVersion = "v4"
+
+  /** A filesystem-safe, NON-HIDDEN cache key segment for an sf dir. */
+  private def sfKey(sfDir: String): String =
+    sfDir.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")
 
   private def fingerprint(f: java.io.File): Long = {
     val self = f.length ^ java.lang.Long.rotateLeft(f.lastModified, 21)
@@ -43,8 +54,31 @@ object RefParity {
   private def ingestDir(sfDir: String): String = {
     val fp = java.lang.Long.toHexString(
       fingerprint(new java.io.File(sfDir, "events.parquet")))
-    s"/tmp/graft_ingest/$LayoutVersion/" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+    s"/tmp/graft_ingest/$LayoutVersion/" + sfKey(sfDir) + s"_$fp"
+  }
+
+  /** Publish a staged tmp dir at `base` with single-winner semantics that
+    * survive CORPSES. A failed rename means EITHER a concurrent builder
+    * won (its completion marker is in place — our duplicate build is
+    * dropped; same fingerprinted input, identical output) OR a crashed
+    * run left a marker-less partial tree squatting on `base` — evict it
+    * and retry. Round 7's bench hit the corpse case: the old "assume we
+    * lost the race" path deleted the FRESH build, left the partial tree
+    * in place, and the first timed `ref_bloom_point` absorbed a rebuild
+    * plus a swallowed sidecar-read failure. Publishing must end with a
+    * marker-valid `base` or throw — never both delete tmp and leave
+    * `base` invalid.
+    */
+  private def publishStaged(tmp: String, base: String, marker: String): Unit = {
+    val (tmpF, baseF) = (new java.io.File(tmp), new java.io.File(base))
+    if (baseF.exists() && !new java.io.File(baseF, marker).exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(baseF)
+    if (!tmpF.renameTo(baseF)) {
+      if (new java.io.File(baseF, marker).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpF)
+      else throw new java.io.IOException(
+        s"failed to publish staged tree $base and no completed winner is present")
+    }
   }
 
   def ingestedEvents(spark: SparkSession, sfDir: String): String = {
@@ -55,11 +89,7 @@ object RefParity {
       val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
       BlockWriter.write(Tables.events(spark, sfDir).drop("ts", "ts_t"),
         tmp, partitionCol = "user_id", keyCol = "ts_us")
-      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
-        // lost the race to a concurrent run that finished first — its
-        // output is identical (same fingerprinted input, same layout)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
+      publishStaged(tmp, base, "_SUCCESS")
     }
     base
   }
@@ -78,9 +108,7 @@ object RefParity {
     if (!new java.io.File(sc, "_SUCCESS").exists()) {
       val tmp = sc.getPath + ".tmp-" + java.lang.ProcessHandle.current().pid()
       BloomIndex.build(s, base, "event_id", dest = tmp)
-      if (!new java.io.File(tmp).renameTo(sc)) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
+      publishStaged(tmp, sc.getPath, "_SUCCESS")
     }
     base
   }
@@ -157,6 +185,21 @@ object RefParity {
       import graft.ingest.Snapshots
       Snapshots.read(s, mvDir(s, d))
         .select(col("l_orderkey"), col("n_rows"), col("sum_v"))
+    },
+    // Min/max MV with the subtractive leg: built at v1 (pre-1997), then
+    // one refresh consuming BOTH an append (post-1997 rows) and a DV
+    // delete (l_quantity < 5 — removes the true minimum from nearly every
+    // group, forcing the recompute-touched-groups fallback; groups whose
+    // extremes survive take the additive path). The oracle recomputes
+    // every per-group count/sum/min/max from lineitem directly, so a
+    // missed recompute (stale extremum) or an over-eager one breaks the
+    // hash. Quantities are small integers — double arithmetic is exact at
+    // any accumulation order.
+    "mv2_minmax_view" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      Snapshots.read(s, mv2Dir(s, d) + "/mv")
+        .select(col("l_orderkey"), col("n_rows"), col("sum_v"),
+          col("min_v"), col("max_v"))
     },
     // Non-additive schema evolution: the staged tree commits even-keyed
     // orders rows as (k, c), RENAMES c→cust (metadata-only), then appends
@@ -300,6 +343,7 @@ object RefParity {
     snapshotDir(s, sfDir)
     dvSnapshotDir(s, sfDir)
     mvDir(s, sfDir)
+    mv2Dir(s, sfDir)
     mergeSnapshotDir(s, sfDir)
     wapSnapshotDir(s, sfDir)
     renameSnapshotDir(s, sfDir)
@@ -399,9 +443,7 @@ object RefParity {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       build(tmp)
       new java.io.File(tmp, "_STAGED").createNewFile()
-      if (!new java.io.File(tmp).renameTo(new java.io.File(base))) {
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
+      publishStaged(tmp, base, "_STAGED")
     }
     base
   }
@@ -409,8 +451,7 @@ object RefParity {
   private def cacheBase(root: String, sfDir: String, table: String): String = {
     val fp = java.lang.Long.toHexString(
       fingerprint(new java.io.File(sfDir, s"$table.parquet")))
-    s"/tmp/$root/$LayoutVersion/" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"_$fp"
+    s"/tmp/$root/$LayoutVersion/" + sfKey(sfDir) + s"_$fp"
   }
 
   /** Staged two-commit snapshot tree for snap1, built once per
@@ -456,6 +497,30 @@ object RefParity {
       ()
     }
   }
+
+  /** Staged min/max MV for mv2: initial build at the source's v1
+    * (pre-1997 slice), then one refresh consuming an append (the
+    * post-1997 rows) plus a DV delete (l_quantity < 5) — the delete
+    * removes per-group minima, exercising the recompute-touched-groups
+    * fallback at stage time. The tree is immutable afterwards.
+    */
+  private def mv2Dir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_mv2", sfDir, "lineitem")) { tmp =>
+      import graft.ingest.{MatView, Snapshots}
+      val li = Tables.table(s, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      val src = tmp + "/src"
+      val mv = tmp + "/mv"
+      val v1 = Snapshots.commit(s,
+        li.filter(col("l_shipdate") < "1997-01-01"), src, sortCols = Seq("l_orderkey"))
+      MatView.refresh(s, mv, src, Seq("l_orderkey"), "l_quantity",
+        upTo = Some(v1), withMinMax = true)
+      Snapshots.commit(s, li.filter(col("l_shipdate") >= "1997-01-01"), src)
+      Snapshots.deleteWhereDV(s, src, col("l_quantity") < 5)
+      MatView.refresh(s, mv, src, Seq("l_orderkey"), "l_quantity",
+        withMinMax = true)
+      ()
+    }
 
   /** Staged rename lifecycle for snap5: commit evens as (k, c), rename
     * c→cust, append odds as (k, cust) — all at STAGE time.
@@ -550,6 +615,13 @@ object RefParity {
       """SELECT l_orderkey, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "mv2_minmax_view" ->
+      """SELECT l_orderkey, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_v,
+        |  CAST(max(l_quantity) AS DOUBLE) AS max_v
+        |FROM lineitem WHERE NOT (l_quantity < 5)
+        |GROUP BY l_orderkey""".stripMargin,
     "cn1_connector_read" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'""".stripMargin,

@@ -162,4 +162,53 @@ class MatViewSpec extends SparkSuite {
       MatView.refresh(spark, mv, src, Seq("k"), "v")
     }
   }
+
+  private def mmState(mv: String): Map[String, (Long, Double, Double, Double)] =
+    Snapshots.read(spark, mv).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+  test("min/max views: additive under appends, recompute-touched under deletes") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_minmax")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark,
+      Seq(("a", 5L), ("a", 9L), ("b", 3L), ("b", 7L), ("b", 10L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v", withMinMax = true)
+    assert(mmState(mv) === Map(
+      "a" -> ((2L, 14.0, 5.0, 9.0)), "b" -> ((3L, 20.0, 3.0, 10.0))))
+    // additive leg: appended extremes fold in via least/greatest
+    Snapshots.commit(spark, Seq(("a", 1L), ("b", 12L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v", withMinMax = true)
+    assert(mmState(mv) === Map(
+      "a" -> ((3L, 15.0, 1.0, 9.0)), "b" -> ((4L, 32.0, 3.0, 12.0))))
+    // subtractive leg, extremum removed: a's max (9) dies -> recompute
+    // must find the runner-up (5), while b's interior delete (7: strictly
+    // inside 3..12) must stay on the additive path and keep both extremes
+    Snapshots.deleteWhereDV(spark, src, (col("k") === "a" && col("v") === 9L) ||
+      (col("k") === "b" && col("v") === 7L))
+    MatView.refresh(spark, mv, src, Seq("k"), "v", withMinMax = true)
+    assert(mmState(mv) === Map(
+      "a" -> ((2L, 6.0, 1.0, 5.0)), "b" -> ((3L, 25.0, 3.0, 12.0))))
+    // the view still equals a full recompute of the live source
+    val full = Snapshots.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").cast("double").as("s"),
+        min("v").cast("double").as("mn"), max("v").cast("double").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(mmState(mv) === full)
+    // a group deleted entirely is tombstoned out, not left as a zombie row
+    Snapshots.deleteWhereDV(spark, src, col("k") === "a")
+    MatView.refresh(spark, mv, src, Seq("k"), "v", withMinMax = true)
+    assert(mmState(mv).keySet === Set("b"))
+    // a group NEW in the window whose rows are appended AND partially
+    // deleted before ONE refresh consumes both: its additive candidates
+    // include the dead rows (changes() reads added files raw), so the
+    // at-risk test must treat no-stored-extremum + removals as at risk
+    Snapshots.commit(spark, Seq(("c", 1L), ("c", 20L), ("c", 6L)).toDF("k", "v"), src)
+    Snapshots.deleteWhereDV(spark, src, col("k") === "c" && col("v") === 1L)
+    MatView.refresh(spark, mv, src, Seq("k"), "v", withMinMax = true)
+    assert(mmState(mv)("c") === ((2L, 26.0, 6.0, 20.0)))
+  }
 }
