@@ -280,33 +280,34 @@ private[connector] object GraftRowLevel {
       }
     }
 
-    // ONE evaluation of the join, narrowed to the rows the merge can
-    // possibly touch, persisted: the cardinality check, the DV-delete leg
-    // and the insert leg all derive from this changed-rows-sized frame
-    // instead of each re-running the (table-sized) join — at 100 TB that
-    // is one target scan for the whole MERGE, not three. Matched rows are
-    // kept even when no clause fires (the cardinality contract inspects
-    // ALL matches); s-only/t-only rows are kept only when their group
-    // acts.
+    // The PERSISTED working frame holds only rows where an action
+    // actually FIRES — delete/insert legs both derive from it, so its
+    // footprint is changed-rows-sized even under a broadly-matching ON
+    // condition whose clause conditions select almost nothing (persisting
+    // every matched pair there would cache a near-table-sized frame; the
+    // round-7 shape did exactly that to feed the cardinality check). The
+    // cardinality contract instead runs as a SEPARATE count-only
+    // aggregate over the join: no row payload, so Catalyst prunes it to
+    // the join keys + (file, pos) — a second pass over the target, but a
+    // columnar scan-and-count, not a table-sized cache. Net: one narrow
+    // scan for the check + one full scan for the changed rows.
     val mAct = when(isMatched, firstAction(matched, condOf)).otherwise(0)
     val iAct = when(sOnly, firstAction(notMatched, condOf)).otherwise(0)
     val nAct = when(tOnly, firstAction(notMatchedBySource, condOf)).otherwise(0)
-    // matched rows are retained only when a matched clause group exists:
-    // the cardinality check is skipped without one, so caching every
-    // matched pair of an insert-only MERGE would persist a potentially
-    // table-sized set of rows nothing reads
-    val keepMatched = if (matched.nonEmpty) col("__im") else lit(false)
     val working = joined
       .withColumn("__m", mAct).withColumn("__i", iAct).withColumn("__n", nAct)
-      .withColumn("__im", isMatched)
-      .filter(keepMatched || col("__i") > 0 || col("__n") > 0)
+      .filter(col("__m") > 0 || col("__i") > 0 || col("__n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // SQL MERGE cardinality contract: a target row matched by more than
       // one source row is nondeterministic under UPDATE/DELETE — error,
-      // the same behavior as Spark's row-level path and Delta.
+      // the same behavior as Spark's row-level path and Delta. Checked
+      // over ALL matched pairs (not just firing rows: a duplicate match
+      // whose clauses fire on only one copy is still nondeterministic).
       if (matched.nonEmpty) {
-        val dup = working.filter(col("__im")).groupBy(col("__tf"), col("__tp"))
+        val dup = joined.filter(isMatched)
+          .select(col("__tf"), col("__tp"))
+          .groupBy(col("__tf"), col("__tp"))
           .count().filter(col("count") > 1).limit(1).count()
         if (dup > 0) throw new IllegalStateException(
           "MERGE cardinality violation: a target row matches more than one " +

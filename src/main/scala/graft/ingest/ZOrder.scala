@@ -38,12 +38,64 @@ object ZOrder {
   def zValue(a32: Column, b32: Column): Column =
     spreadBits(a32).bitwiseOR(shiftleft(spreadBits(b32), 1))
 
+  /** Spread the low 21 bits of `x` to every THIRD bit position (the 3-D
+    * magic-mask sequence) — 3 × 21 = 63 bits fills a long.
+    */
+  def spreadBits3(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0x1FFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+    val c = b.bitwiseOR(shiftleft(b, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+    val d = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val e = d.bitwiseOR(shiftleft(d, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    e.bitwiseOR(shiftleft(e, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Bits per dimension at arity `n`: the widest equal split of a long's
+    * 63 usable bits (32 for the classic 2-D path, 21 for 3-D, …).
+    */
+  def bitsPerDim(n: Int): Int = if (n == 2) 32 else 63 / n
+
+  /** Morton code of N normalized keys, each [[bitsPerDim]] bits wide —
+    * dimension d occupies bit positions i*N + d. Arities 2 and 3 use the
+    * magic-mask spreads (5–6 shift/mask ops per key, fully codegen'd);
+    * higher arities fall back to a per-bit interleave (bitsPerDim OR
+    * terms per key — still plain column arithmetic, just a wider
+    * expression; 4+-dimensional z-orders are rare because per-dimension
+    * resolution drops to ≤15 bits).
+    */
+  def zValueN(keys: Seq[Column]): Column = keys match {
+    case Seq(a, b) => zValue(a, b)
+    case Seq(a, b, c) =>
+      spreadBits3(a)
+        .bitwiseOR(shiftleft(spreadBits3(b), 1))
+        .bitwiseOR(shiftleft(spreadBits3(c), 2))
+    case ks =>
+      require(ks.size >= 2, s"z-order needs at least 2 keys, got ${ks.size}")
+      val bits = bitsPerDim(ks.size)
+      ks.zipWithIndex.map { case (k, d) =>
+        (0 until bits).map { i =>
+          shiftleft(shiftright(k, i).bitwiseAND(lit(1L)), i * ks.size + d)
+        }.reduce(_ bitwiseOR _)
+      }.reduce(_ bitwiseOR _)
+  }
+
+  /** Order-preserving normalization of a numeric column to [0, 2^bits),
+    * clamped at both ends: bounds are collected as truncated longs, so a
+    * fractional value epsilon past the max must saturate rather than
+    * carry into a neighboring dimension's bit positions.
+    */
+  def normalizeBits(v: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val top = (1L << bits) - 1
+    when(mx > mn,
+      least(greatest(
+        ((v.cast("double") - mn.cast("double")) / (mx.cast("double") - mn.cast("double"))
+          * top.toDouble).cast("long"), lit(0L)), lit(top)))
+      .otherwise(lit(0L))
+  }
+
   /** Order-preserving normalization of a numeric column to [0, 2^32). */
   def normalize32(v: Column, mn: Column, mx: Column): Column =
-    when(mx > mn,
-      ((v.cast("double") - mn.cast("double")) / (mx.cast("double") - mn.cast("double"))
-        * 4294967295.0).cast("long"))
-      .otherwise(lit(0L))
+    normalizeBits(v, mn, mx, 32)
 
   /** Write `df` sorted by the Morton code of (colA, colB), files capped at
     * `maxRecordsPerFile` rows. Normalization bounds are computed in one
@@ -55,14 +107,28 @@ object ZOrder {
     * one pre-pass aggregation (batch layout jobs can afford the extra
     * scan).
     */
-  def layout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame = {
-    val b = df.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    val (aMn, aMx, bMn, bMx) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    df.withColumn("_z", zValue(
-        normalize32(col(colA), lit(aMn), lit(aMx)),
-        normalize32(col(colB), lit(bMn), lit(bMx))))
+  def layout(df: DataFrame, colA: String, colB: String, numFiles: Int): DataFrame =
+    layoutN(df, Seq(colA, colB), numFiles)
+
+  /** N-dimensional generalization: range-partition + sort by the Morton
+    * code of `cols` (each normalized to [[bitsPerDim]] bits). One bounds
+    * aggregation pre-pass over all N columns — same single extra scan as
+    * the 2-D path regardless of arity. Event tables commonly constrain
+    * THREE dimensions (entity, time, attribute); at N=3 each keeps 21
+    * bits ≈ 2M distinct buckets of resolution, far beyond file-count
+    * granularity.
+    */
+  def layoutN(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    require(cols.size >= 2, s"z-order needs at least 2 columns, got ${cols.mkString(",")}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = cols.indices.map(i => (b.getLong(2 * i), b.getLong(2 * i + 1)))
+    val bits = bitsPerDim(cols.size)
+    val keys = cols.zip(bounds).map { case (c, (mn, mx)) =>
+      normalizeBits(col(c), lit(mn), lit(mx), bits)
+    }
+    df.withColumn("_z", zValueN(keys))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -149,22 +149,33 @@ object AvroOcf {
     val rows = spark.read.format("binaryFile")
       .load(files.map(_.getPath.toString): _*)
       .select(col("content")).rdd.flatMap { r =>
+        // The raw byte[] is resident per task (binaryFile's granularity),
+        // but decoding streams LAZILY: buffering every decoded Row before
+        // returning would hold file-bytes AND all rows at once, so one
+        // large container file could OOM a task even though the format is
+        // stream-decodable. The iterator closes the stream on exhaustion;
+        // an abandoned iterator leaks nothing beyond the heap bytes the
+        // task already holds (ByteArrayInputStream has no OS resources).
         val bytes = r.getAs[Array[Byte]](0)
         val stream = new DataFileStream(
           new java.io.ByteArrayInputStream(bytes),
           new GenericDatumReader[GenericRecord]()) // per-file writer schema
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          while (stream.hasNext) {
+        new Iterator[Row] {
+          private var open = true
+          def hasNext: Boolean = open && {
+            if (stream.hasNext) true
+            else { stream.close(); open = false; false }
+          }
+          def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException("exhausted OCF stream")
             val rec = stream.next()
             val recSchema = rec.getSchema
-            out += Row.fromSeq(fieldNames.zip(fieldTypes).map { case (n, t) =>
+            Row.fromSeq(fieldNames.zip(fieldTypes).map { case (n, t) =>
               if (recSchema.getField(n) == null) null // absent in this era
               else decodeValue(rec.get(n), t)
             })
           }
-        } finally stream.close()
-        out
+        }
       }
     spark.createDataFrame(rows, schema)
   }
@@ -227,7 +238,17 @@ object AvroOcf {
           ()
         }
       } finally writer.close() // closes the stream
-      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost to a sibling attempt
+      // Claim the final name. rename-fails-on-existing is the commit
+      // primitive on HDFS/ABFS, but RawLocalFileSystem (and some
+      // object-store adapters) OVERWRITE on rename — so check the target
+      // first and stand down if a sibling attempt already committed. The
+      // check-then-rename window is not zero on such stores; a racer
+      // landing inside it overwrites with ROW-IDENTICAL content (same
+      // rows, same schema, same jobId — only the random OCF sync marker
+      // differs), so the residual failure mode is idempotent overwrite,
+      // never a duplicate readable copy.
+      if (fs.exists(target) || !fs.rename(tmp, target))
+        fs.delete(tmp, false) // lost to a sibling attempt
       ()
     }
     df.foreachPartition { (rows: Iterator[Row]) =>

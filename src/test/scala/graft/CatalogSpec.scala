@@ -72,6 +72,16 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF 'audit'").head === Seq(13L))
     // main stays isolated from the branch append
     assert(rows(s"SELECT count(*) FROM $cat.tt.t").head === Seq(3L))
+    // an all-digit TAG naming no existing snapshot version still resolves
+    // as a tag (the numeric path only wins when the version exists)
+    Snapshots.tag(base, "999", vs(1))
+    assert(rows(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF '999'").head === Seq(2L))
+    // degenerate digit strings get the descriptive error, not a raw
+    // NumberFormatException
+    val e = intercept[Exception] {
+      rows(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF '99999999999999999999'")
+    }
+    assert(e.getMessage.contains("neither a snapshot version"))
   }
 
   test("TIMESTAMP AS OF resolves the newest version at that instant") {
@@ -327,6 +337,15 @@ class CatalogSpec extends SparkSuite {
     // idempotent when fresh
     assert(rows(s"CALL $cat.system.refresh_mv(view => 'mvp.agg', source => 'mvp.src', " +
       "keys => 'k', value => 'x')").head.head === v)
+    // a min/max view from SQL: delete the global maximum, refresh, and the
+    // recompute-touched-groups path must surface the runner-up
+    rows(s"CALL $cat.system.refresh_mv(view => 'mvp.mm', source => 'mvp.src', " +
+      "keys => 'k', value => 'x', with_minmax => true)")
+    assert(rows(s"SELECT max_v FROM $cat.mvp.mm WHERE k = ${2999 % 7}").head === Seq(2999.0))
+    spark.sql(s"DELETE FROM $cat.mvp.src WHERE x = 2999")
+    rows(s"CALL $cat.system.refresh_mv(view => 'mvp.mm', source => 'mvp.src', " +
+      "keys => 'k', value => 'x', with_minmax => true)")
+    assert(rows(s"SELECT max_v FROM $cat.mvp.mm WHERE k = ${2999 % 7}").head === Seq(2992.0))
   }
 
   test("ViewCatalog API: create, load, replace, rename, drop, guards") {
@@ -365,6 +384,38 @@ class CatalogSpec extends SparkSuite {
     }
     intercept[Exception] { spark.sql(s"CREATE TABLE $cat.vw.small (k BIGINT)") }
     assert(vc.dropView(ident2) && vc.listViews("vw").isEmpty)
+  }
+
+  test("TIMESTAMP AS OF survives relocation: header commitTs beats mtimes") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.reloc")
+    spark.sql(s"CREATE TABLE $cat.reloc.src (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.reloc.src VALUES (1)")
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql(s"INSERT INTO $cat.reloc.src VALUES (2), (3)")
+    val srcBase = tableBase("reloc", "src")
+    val pinned = Snapshots.versionAt(srcBase, afterV2)
+    // Copy the tree WITHOUT preserving mtimes — what an object-store copy
+    // or a cp without -p does. Under mtime-based resolution every
+    // manifest would now post-date `afterV2` and the lookup would fail;
+    // the recorded commitTs must keep resolving the pre-copy version.
+    val dstBase = tableBase("reloc", "cp")
+    val sp = java.nio.file.Paths.get(srcBase)
+    val dp = java.nio.file.Paths.get(dstBase)
+    java.nio.file.Files.walk(sp).forEach { p =>
+      val t = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    assert(Snapshots.versionAt(dstBase, afterV2) === pinned)
+    val tsLit = java.time.Instant.ofEpochMilli(afterV2).toString
+    assert(rows(s"SELECT count(*) FROM $cat.reloc.cp TIMESTAMP AS OF '$tsLit'").head ===
+      Seq(1L))
+    assert(rows(s"SELECT count(*) FROM $cat.reloc.cp").head === Seq(3L))
+    // history surfaces the recorded instant (0 only for pre-commitTs
+    // legacy manifests, which this table has none of)
+    assert(spark.table(s"$cat.reloc.cp.history")
+      .filter(col("committed_at_ms") > 0).count() === 3)
   }
 
   /** The filesystem path the catalog maps `ns.table` to. */

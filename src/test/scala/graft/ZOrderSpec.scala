@@ -50,4 +50,60 @@ class ZOrderSpec extends SparkSuite {
       .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(rows(byZ) === rows(byTime))
   }
+
+  test("3-D z-order beats 1-D sort AND 2-D Morton on 3-D box candidate files") {
+    // Third dimension is `value` — event_id is useless here because the
+    // generator assigns ids in time order (corr ≈ 0.99998 with ts_us), so
+    // an event_id box is implicitly a time box; value is uncorrelated.
+    val events = Tables.events(spark, "/root/testdata/sf0.01").drop("ts", "ts_t")
+    val byTime = tmpDir("graft_zorder3_time")
+    val byZ2 = tmpDir("graft_zorder3_z2")
+    val byZ3 = tmpDir("graft_zorder3_z3")
+    // 256 files: 8 shared z-bits of file granularity, so the 3-D split
+    // still keeps ~3 bits per dimension (64 files would leave 2 — too
+    // coarse for the box to show the third dimension's pruning)
+    events.repartitionByRange(256, col("ts_us")).sortWithinPartitions(col("ts_us"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 64).parquet(byTime)
+    ZOrder.layout(events, "user_id", "ts_us", 256)
+      .write.mode("overwrite").option("maxRecordsPerFile", 64).parquet(byZ2)
+    ZOrder.layoutN(events, Seq("user_id", "ts_us", "value"), 256)
+      .write.mode("overwrite").option("maxRecordsPerFile", 64).parquet(byZ3)
+    assert(spark.read.parquet(byZ3).count() === events.count())
+
+    val b = events.agg(min(col("ts_us")), max(col("ts_us")),
+      min(col("value")), max(col("value"))).head()
+    val (tMin, tMax) = (b.getLong(0), b.getLong(1))
+    val (vMin, vMax) = (b.getDouble(2), b.getDouble(3))
+    // box constraining ALL THREE dims: a user band × middle third of time
+    // × the UPPER HALF of value ("high-value events"). Value is skewed
+    // (75% of rows sit in the bottom ~15% of the range), so a low-value
+    // box is file-granularity-invisible under linear normalization; the
+    // upper half aligns with the top normalized bit and prunes hard.
+    val (uLo, uHi) = (30L, 60L)
+    val (tLo, tHi) = (tMin + (tMax - tMin) / 3, tMin + 2 * ((tMax - tMin) / 3))
+    val (vLo, vHi) = (vMin + (vMax - vMin) / 2, vMax)
+
+    def candidates(base: String): Long = spark.read.parquet(base)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("u0"), max(col("user_id")).as("u1"),
+        min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
+        min(col("value")).as("v0"), max(col("value")).as("v1"))
+      .filter(!(col("u0") > uHi || col("u1") < uLo ||
+        col("t0") > tHi || col("t1") < tLo ||
+        col("v0") > vHi || col("v1") < vLo))
+      .count()
+
+    val (cTime, cZ2, cZ3) = (candidates(byTime), candidates(byZ2), candidates(byZ3))
+    assert(cZ3 < cTime,
+      s"3-D z-order should beat the 1-D sort: z3=$cZ3 vs time=$cTime")
+    assert(cZ3 < cZ2,
+      s"3-D z-order should beat 2-D Morton on a 3-D box: z3=$cZ3 vs z2=$cZ2")
+
+    // identical rows on every layout
+    def rows(base: String) = spark.read.parquet(base)
+      .filter(col("user_id").between(uLo, uHi) && col("ts_us").between(tLo, tHi) &&
+        col("value").between(vLo, vHi))
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows(byZ3) === rows(byTime) && rows(byZ2) === rows(byTime))
+  }
 }
