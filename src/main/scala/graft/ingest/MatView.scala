@@ -56,6 +56,20 @@ object MatView {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
     val srcV = upTo.getOrElse(Snapshots.versions(srcBase).max)
     val mvVs = Snapshots.versions(mvBase)
+    // min/max is a CREATION-time property of the view's state, so an
+    // existing view's stored schema wins over the caller's flag: a
+    // min/max view refreshed without the flag keeps maintaining its
+    // extremes (forgetting the flag must not silently null them for
+    // touched groups), and a plain view cannot be retrofitted (its state
+    // never recorded extremes) — that asks for a rebuild, loudly. The
+    // schema probe is the manifest header, metadata-only.
+    val mm = if (mvVs.isEmpty) withMinMax else {
+      val stored = Snapshots.currentSchema(mvBase).exists(_.fieldNames.contains("min_v"))
+      if (withMinMax && !stored) throw new IllegalArgumentException(
+        "view was built without min/max - existing state cannot be " +
+          "retrofitted; delete the view tree and rebuild with withMinMax=true")
+      stored
+    }
     // One newest→oldest walk over the view's commit modes decides both
     // guards below: index of the newest watermark-bearing commit and of
     // the newest rollback.
@@ -129,7 +143,7 @@ object MatView {
       df.groupBy(keyCols.map(col): _*).agg(basics.head, (basics.tail ++ extremes): _*)
     }
     def initAgg(df: DataFrame) =
-      if (withMinMax) agg(df, "n_rows", "sum_v", "min_v", "max_v")
+      if (mm) agg(df, "n_rows", "sum_v", "min_v", "max_v")
       else agg(df, "n_rows", "sum_v")
     if (mvVs.isEmpty)
       Snapshots.commit(spark, initAgg(added), mvBase,
@@ -146,15 +160,15 @@ object MatView {
       // removed-rows extremes (the at-risk test's evidence).
       val dAgg = removed match {
         case None =>
-          if (withMinMax) agg(added, "n_rows", "sum_v", "mn_add", "mx_add")
+          if (mm) agg(added, "n_rows", "sum_v", "mn_add", "mx_add")
           else agg(added, "n_rows", "sum_v")
         case Some(rm) =>
-          val a = if (withMinMax) agg(added, "n_add", "s_add", "mn_add", "mx_add")
+          val a = if (mm) agg(added, "n_add", "s_add", "mn_add", "mx_add")
                   else agg(added, "n_add", "s_add")
-          val r = if (withMinMax) agg(rm, "n_rem", "s_rem", "mn_rem", "mx_rem")
+          val r = if (mm) agg(rm, "n_rem", "s_rem", "mn_rem", "mx_rem")
                   else agg(rm, "n_rem", "s_rem")
           val extra =
-            if (withMinMax) Seq(col("mn_add"), col("mx_add"), col("mn_rem"), col("mx_rem"))
+            if (mm) Seq(col("mn_add"), col("mx_add"), col("mn_rem"), col("mx_rem"))
             else Nil
           a.join(r, keyCols, "full_outer")
             .select(keyCols.map(col) ++ Seq(
@@ -167,14 +181,14 @@ object MatView {
       val old = Snapshots.read(spark, mvBase)
         .withColumnRenamed("n_rows", "old_n").withColumnRenamed("sum_v", "old_s")
         .withColumnsRenamed(
-          if (withMinMax) Map("min_v" -> "old_mn", "max_v" -> "old_mx")
+          if (mm) Map("min_v" -> "old_mn", "max_v" -> "old_mx")
           else Map.empty[String, String])
       val joined = dAgg.join(old, keyCols, "left")
       val nSum = Seq(
         (col("n_rows") + coalesce(col("old_n"), lit(0L))).as("n_rows"),
         (col("sum_v") + coalesce(col("old_s"), lit(0.0))).as("sum_v"))
       val combined =
-        if (!withMinMax) joined.select(keyCols.map(col) ++ nSum: _*)
+        if (!mm) joined.select(keyCols.map(col) ++ nSum: _*)
         else {
           val mnRem = if (removed.isDefined) col("mn_rem") else lit(null).cast("double")
           val mxRem = if (removed.isDefined) col("mx_rem") else lit(null).cast("double")

@@ -210,5 +210,17 @@ class MatViewSpec extends SparkSuite {
     Snapshots.deleteWhereDV(spark, src, col("k") === "c" && col("v") === 1L)
     MatView.refresh(spark, mv, src, Seq("k"), "v", withMinMax = true)
     assert(mmState(mv)("c") === ((2L, 26.0, 6.0, 20.0)))
+    // the stored schema wins over the caller's flag: a refresh that
+    // forgets withMinMax keeps maintaining the extremes
+    Snapshots.commit(spark, Seq(("b", 99L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(mmState(mv)("b") === ((4L, 124.0, 3.0, 99.0)))
+    // and a plain view cannot be silently retrofitted with min/max
+    val plain = s"$root/mv_plain"
+    MatView.refresh(spark, plain, src, Seq("k"), "v")
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq(("z", 1L)).toDF("k", "v"), src)
+      MatView.refresh(spark, plain, src, Seq("k"), "v", withMinMax = true)
+    }
   }
 }
