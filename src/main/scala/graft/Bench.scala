@@ -121,7 +121,12 @@ object Bench {
     val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(2)
     // A throwing query must read as a FAILURE, not as its (often tiny)
     // wall time — with min-of-N a fast exception path would otherwise
-    // masquerade as an excellent number. Sentinel -1 + failed list.
+    // masquerade as an excellent number. Sentinel -1 + failed list. A
+    // query that throws on SOME repeats but succeeds on others would
+    // otherwise record its fastest good time and hide the throw in
+    // stderr — those land in a "flaky" list so intermittent
+    // nondeterminism is visible in the artifact itself.
+    val flaky = scala.collection.mutable.TreeSet.empty[String]
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                   reps: Int): Double = {
       val times = (1 to reps).map { _ =>
@@ -133,6 +138,7 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
       val good = times.filterNot(_.isNaN)
+      if (good.nonEmpty && good.size < times.size) flaky += name
       if (good.isEmpty) -1.0 else good.min
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -217,13 +223,15 @@ object Bench {
           ",\n\"queries\": {\n", ",\n", "\n},\n")
       val allFailed = allResults.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
+      val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
       // Full per-query round-over-round record (no size limit in a file):
       // {now, prev, ratio} for every query the prior artifact also timed.
       val deltas = deltaMap(allResults).map { case (k, now, p, r) =>
         s"""  "$k": {"now": ${fmt(now)}, "prev": ${fmt(p)}, "ratio": ${fmt(r)}}"""
       }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-        body + "\"failed\": " + allFailed + ",\n\"deltas\": " + deltas + "\n}\n")
+        body + "\"failed\": " + allFailed + ",\n\"flaky\": " + flakyJson +
+          ",\n\"deltas\": " + deltas + "\n}\n")
     }
     // 1-minute system load average at the end of the timed pass: numbers
     // recorded on a contended box (load >> cpu count) are not comparable
@@ -231,7 +239,11 @@ object Bench {
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val prestageKv =
       if (prestageFailed == null) "" else s""","prestage_failed":"$prestageFailed""""
-    val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat$prestageKv,"sf":"$sfDir"}"""
+    // flaky names only when present — the summary line stays compact
+    val flakyKv =
+      if (flaky.isEmpty) ""
+      else ","+"\"flaky\":" + flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat$prestageKv$flakyKv,"sf":"$sfDir"}"""
     // Belt and braces against tail-capture loss: the summary also lands in
     // a FILE (a bounded log tail cannot eat a file), and the stdout line
     // prints as the PROCESS'S LAST OUTPUT — after spark.stop(), so no

@@ -89,7 +89,22 @@ object BloomIndex {
     val fs = new Path(sc).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(sc, "_SUCCESS"))) {
       System.err.println(s"BloomIndex: sidecar $sc absent or partial - rebuilding")
-      build(spark, base, column)
+      // Stage-and-publish, not overwrite-in-place: two processes that
+      // both see the missing marker would otherwise interleave their
+      // delete-then-write into the SAME destination, and the mixed-parts
+      // result can carry a _SUCCESS that vouches for neither build.
+      // Single-winner publish: evict a marker-less corpse, rename; the
+      // loser (a completed winner is present) discards its rebuild.
+      val tmp = new Path(sc + s".rebuild-${java.lang.ProcessHandle.current().pid()}")
+      build(spark, base, column, dest = tmp.toString)
+      val scPath = new Path(sc)
+      if (fs.exists(scPath) && !fs.exists(new Path(sc, "_SUCCESS")))
+        fs.delete(scPath, true)
+      if (!fs.rename(tmp, scPath)) {
+        if (fs.exists(new Path(sc, "_SUCCESS"))) fs.delete(tmp, true)
+        else throw new java.io.IOException(
+          s"failed to publish rebuilt sidecar $sc and no completed winner is present")
+      }
     }
     sc
   }

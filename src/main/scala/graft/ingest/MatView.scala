@@ -54,6 +54,12 @@ object MatView {
               upTo: Option[Long] = None,
               withMinMax: Boolean = false): Long = {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
+    // The view's aggregate columns are fixed names; a key column reusing
+    // one would collide in the view schema (and false-positive the
+    // min/max schema probe below).
+    val reserved = Set("n_rows", "sum_v", "min_v", "max_v")
+    require(keyCols.forall(k => !reserved(k)),
+      s"group columns may not use the reserved view column names ${reserved.mkString(", ")}")
     val srcV = upTo.getOrElse(Snapshots.versions(srcBase).max)
     val mvVs = Snapshots.versions(mvBase)
     // min/max is a CREATION-time property of the view's state, so an
@@ -208,18 +214,31 @@ object MatView {
             greatest(col("old_mx"), col("mx_add")).as("cand_mx"),
             risk.as("at_risk")): _*)
           // Recompute min/max ONLY for at-risk groups, from the source at
-          // srcV: broadcast semi-join on the (changed-groups-sized) risky
-          // key set, so the source scan never shuffles.
+          // srcV. The risky key set is counted first: zero at-risk groups
+          // (interior-only deletes — common) skips the source scan
+          // entirely, a changed-groups-sized set broadcasts so the scan
+          // never shuffles, and a mass delete threatening most extrema
+          // degrades to a shuffled semi-join instead of forcing a
+          // too-large broadcast into an OOM.
           val riskyKeys = withRisk.filter(col("at_risk")).select(keyCols.map(col): _*)
-          val recomputed = Snapshots.read(spark, srcBase, Some(srcV))
-            .join(broadcast(riskyKeys), keyCols, "left_semi")
-            .groupBy(keyCols.map(col): _*)
-            .agg(min(col(valCol)).cast("double").as("r_mn"),
-              max(col(valCol)).cast("double").as("r_mx"))
-          withRisk.join(broadcast(recomputed), keyCols, "left")
-            .select(keyCols.map(col) ++ Seq(col("n_rows"), col("sum_v"),
-              when(col("at_risk"), col("r_mn")).otherwise(col("cand_mn")).as("min_v"),
-              when(col("at_risk"), col("r_mx")).otherwise(col("cand_mx")).as("max_v")): _*)
+          val nRisky = riskyKeys.count()
+          if (nRisky == 0L)
+            withRisk.select(keyCols.map(col) ++ Seq(col("n_rows"), col("sum_v"),
+              col("cand_mn").as("min_v"), col("cand_mx").as("max_v")): _*)
+          else {
+            val BroadcastCap = 4000000L
+            def sized(df: DataFrame) =
+              if (nRisky <= BroadcastCap) broadcast(df) else df
+            val recomputed = Snapshots.read(spark, srcBase, Some(srcV))
+              .join(sized(riskyKeys), keyCols, "left_semi")
+              .groupBy(keyCols.map(col): _*)
+              .agg(min(col(valCol)).cast("double").as("r_mn"),
+                max(col(valCol)).cast("double").as("r_mx"))
+            withRisk.join(sized(recomputed), keyCols, "left")
+              .select(keyCols.map(col) ++ Seq(col("n_rows"), col("sum_v"),
+                when(col("at_risk"), col("r_mn")).otherwise(col("cand_mn")).as("min_v"),
+                when(col("at_risk"), col("r_mx")).otherwise(col("cand_mx")).as("max_v")): _*)
+          }
         }
       val out = Snapshots.merge(spark, mvBase, combined, keyCols, modeTag = srcV.toString)
       // Groups whose count hit zero no longer exist in a full recompute —

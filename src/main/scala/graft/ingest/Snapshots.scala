@@ -415,14 +415,23 @@ object Snapshots {
     * (correct until the tree is copied — the documented legacy caveat).
     */
   def versionAt(base: String, tsMillis: Long): Long = {
-    val committed = versionStatuses(base).filter(_.getLen > 0)
-    val eligible = committed.filter { s =>
+    // Newest-first walk with EARLY EXIT: publishes serialize under the
+    // commit lock, so commitTs is monotone with version and the first
+    // (highest) version at or before `ts` is the answer — one header
+    // read for a recent timestamp instead of O(versions) metadata RPCs
+    // per lookup on an object store. Clock regressions across restarts
+    // would break strict monotonicity; the walk then returns the highest
+    // version whose recorded instant qualifies, which is still the
+    // defensible read ("the table as the newest commit at that time").
+    val newestFirst = versionStatuses(base).filter(_.getLen > 0)
+      .sortBy(s => -versionOf(s.getPath.getName))
+    newestFirst.iterator.map { s =>
       val v = versionOf(s.getPath.getName)
-      commitTsOf(base, v).getOrElse(s.getModificationTime) <= tsMillis
-    }
-    require(eligible.nonEmpty,
-      s"no snapshot committed at or before timestamp $tsMillis under $base")
-    eligible.map(s => versionOf(s.getPath.getName)).max
+      (v, commitTsOf(base, v).getOrElse(s.getModificationTime))
+    }.collectFirst { case (v, ts) if ts <= tsMillis => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no snapshot committed at or before timestamp " +
+          s"$tsMillis under $base"))
   }
 
   /** `xf` maps (parent schema, parent last-column-id) → (new schema, new
