@@ -512,22 +512,39 @@ object Snapshots {
             .asInstanceOf[CommitLock]).withLock(base)(body)
     }
 
+  /** Atomically claim `p` as a brand-new file; false when it already
+    * exists. On RawLocalFileSystem this CANNOT be `create(overwrite =
+    * false)` — that implementation is exists()-then-create, so two local
+    * writers can both pass the check, and POSIX rename() silently
+    * OVERWRITES files, so nothing downstream catches the double entry
+    * either (the round-8 concurrency stress lost 2/20 commits to exactly
+    * this once the critical section grew by one header read).
+    * `File.createNewFile` is O_CREAT|O_EXCL — a true kernel-level CAS.
+    * Every other supported FileSystem (HDFS, ABFS, GCS) implements
+    * exclusive create atomically server-side; genuinely non-atomic
+    * stores are refused up front by the scheme guard.
+    */
+  private def tryClaim(fs: FileSystem, p: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      new java.io.File(p.toUri.getPath).createNewFile()
+    case _ =>
+      try { fs.create(p, false).close(); true }
+      catch { case e: java.io.IOException =>
+        // FS implementations differ on the exception for an existing
+        // path; with the lock present it reads as contention, otherwise
+        // it is a genuine IO failure that must not spin as a phantom lock.
+        if (fs.exists(p)) false else throw e }
+  }
+
   private def fileLock[T](base: String)(body: => T): T = {
     val fs = fsFor(base)
     fs.mkdirs(snapDir(base))
     val lock = new Path(snapDir(base), ".commit.lock")
     var held = false
     while (!held) {
-      // create(overwrite=false) is the CAS; FS implementations differ on
-      // the exact exception for an existing path, so any IOException with
-      // the lock present reads as contention — and rethrows otherwise
-      // (a genuine IO failure must not spin forever as a phantom lock).
-      try {
-        fs.create(lock, false).close()
-        held = true
-      } catch {
-        case e: java.io.IOException =>
-          if (!fs.exists(lock)) throw e
+      if (tryClaim(fs, lock)) held = true
+      else {
+        if (fs.exists(lock)) {
           val mtime =
             try fs.getFileStatus(lock).getModificationTime
             catch { case _: java.io.FileNotFoundException => 0L } // freed already
@@ -541,8 +558,11 @@ object Snapshots {
             val tomb = new Path(snapDir(base), s".commit.lock.dead_${System.nanoTime()}")
             if (try fs.rename(lock, tomb) catch { case _: java.io.IOException => false })
               fs.delete(tomb, false)
-            // next loop re-races create() for the now-absent lock
+            // next loop re-races the claim for the now-absent lock
           } else Thread.sleep(5)
+        }
+        // lock vanished between the failed claim and the exists probe:
+        // just re-race the claim immediately
       }
     }
     try body finally fs.delete(lock, false)
@@ -585,16 +605,18 @@ object Snapshots {
             else Some(mintFloor(base, m))
           }
       val fs = fsFor(base)
-      // Optimistic claim loop. The LOCK serializes writers in the common
-      // case, but its create-no-overwrite CAS is advisory on filesystems
-      // where exclusive create is check-then-act (raw local FS) — so
-      // correctness rests on the RENAME: Hadoop rename fails when the
-      // destination exists (HDFS/ABFS/local all emulate this), making the
-      // manifest's appearance at its versioned name the true
-      // single-winner commit point. A loser recomputes parent (and with
-      // it `carried`'s conflict checks) and retries — Iceberg's
-      // optimistic-commit shape, with rename standing in for the
-      // metadata-pointer CAS.
+      // Optimistic claim loop. The LOCK is the correctness anchor: its
+      // claim is a true atomic CAS on every supported store (O_EXCL via
+      // File.createNewFile on raw local — see tryClaim — and server-side
+      // exclusive create on HDFS/ABFS/GCS), so at most one writer is in
+      // this section per table. The RENAME is the publish point and a
+      // SECONDARY guard: on HDFS/ABFS rename fails when the destination
+      // exists, catching even a pathological double entry (stale-lock
+      // takeover of a live-but-stalled holder); POSIX rename OVERWRITES,
+      // so on raw local the lock alone carries the guarantee — which is
+      // why its claim had to be O_EXCL, not check-then-act. A loser
+      // recomputes parent (and with it `carried`'s conflict checks) and
+      // retries — Iceberg's optimistic-commit shape.
       var out = -1L
       var attempts = 0
       while (out < 0) {
@@ -617,8 +639,14 @@ object Snapshots {
         // survives relocation/copy (mtimes don't) — what `TIMESTAMP AS
         // OF` resolves against. Publish-attempt time, not rename time:
         // the gap is milliseconds and only ordering between commits
-        // matters, which the versions-ascending invariant below keeps.
-        val tsKv = s"\tcommitTs=${System.currentTimeMillis}"
+        // matters. CLAMPED to the parent's instant so commitTs is
+        // monotone with version even across a clock regression (NTP
+        // step, restart on a skewed host) — versionAt's newest-first
+        // early exit depends on exactly this invariant, and the clamp
+        // costs one header read under the lock.
+        val parentTs =
+          if (parent <= 0) 0L else commitTsOf(base, parent).getOrElse(0L)
+        val tsKv = s"\tcommitTs=${System.currentTimeMillis.max(parentTs)}"
         writeStringNew(fs, tmp,
           (s"version=$next\tparent=$parent\tmode=$mode$tsKv$schemaKv$lastIdKv" +:
             ((carriedFiles ++ newFiles).map(relativize(base, _)) ++

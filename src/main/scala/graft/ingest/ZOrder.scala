@@ -50,18 +50,35 @@ object ZOrder {
     e.bitwiseOR(shiftleft(e, 2)).bitwiseAND(lit(0x1249249249249249L))
   }
 
+  /** Spread the low 15 bits of `x` to every FOURTH bit position (the 4-D
+    * magic-mask sequence) — 4 × 15 = 60 bits of a long.
+    */
+  def spreadBits4(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0x7FFFL))
+    val b = a.bitwiseOR(shiftleft(a, 24)).bitwiseAND(lit(0x000000FF000000FFL))
+    val c = b.bitwiseOR(shiftleft(b, 12)).bitwiseAND(lit(0x000F000F000F000FL))
+    val d = c.bitwiseOR(shiftleft(c, 6)).bitwiseAND(lit(0x0303030303030303L))
+    d.bitwiseOR(shiftleft(d, 3)).bitwiseAND(lit(0x1111111111111111L))
+  }
+
+  /** The widest arity with a magic-mask spread; beyond it the per-bit
+    * interleave's expression tree grows linearly with arity while
+    * per-dimension resolution shrinks below 13 bits — at that point a
+    * multi-column sort key expresses the layout better than a space-
+    * filling curve, so zValueN refuses rather than degrades.
+    */
+  val MaxDims = 4
+
   /** Bits per dimension at arity `n`: the widest equal split of a long's
-    * 63 usable bits (32 for the classic 2-D path, 21 for 3-D, …).
+    * 63 usable bits (32 for the classic 2-D path, 21 for 3-D, 15 for
+    * 4-D).
     */
   def bitsPerDim(n: Int): Int = if (n == 2) 32 else 63 / n
 
   /** Morton code of N normalized keys, each [[bitsPerDim]] bits wide —
-    * dimension d occupies bit positions i*N + d. Arities 2 and 3 use the
-    * magic-mask spreads (5–6 shift/mask ops per key, fully codegen'd);
-    * higher arities fall back to a per-bit interleave (bitsPerDim OR
-    * terms per key — still plain column arithmetic, just a wider
-    * expression; 4+-dimensional z-orders are rare because per-dimension
-    * resolution drops to ≤15 bits).
+    * dimension d occupies bit positions i*N + d. Every supported arity
+    * (2–4) uses a magic-mask spread: 4–6 shift/mask ops per key, fully
+    * codegen'd, constant-size expression trees.
     */
   def zValueN(keys: Seq[Column]): Column = keys match {
     case Seq(a, b) => zValue(a, b)
@@ -69,14 +86,15 @@ object ZOrder {
       spreadBits3(a)
         .bitwiseOR(shiftleft(spreadBits3(b), 1))
         .bitwiseOR(shiftleft(spreadBits3(c), 2))
-    case ks =>
-      require(ks.size >= 2, s"z-order needs at least 2 keys, got ${ks.size}")
-      val bits = bitsPerDim(ks.size)
-      ks.zipWithIndex.map { case (k, d) =>
-        (0 until bits).map { i =>
-          shiftleft(shiftright(k, i).bitwiseAND(lit(1L)), i * ks.size + d)
-        }.reduce(_ bitwiseOR _)
-      }.reduce(_ bitwiseOR _)
+    case Seq(a, b, c, d) =>
+      spreadBits4(a)
+        .bitwiseOR(shiftleft(spreadBits4(b), 1))
+        .bitwiseOR(shiftleft(spreadBits4(c), 2))
+        .bitwiseOR(shiftleft(spreadBits4(d), 3))
+    case ks => throw new IllegalArgumentException(
+      s"z-order supports 2 to $MaxDims keys, got ${ks.size}: beyond " +
+        s"$MaxDims dimensions per-dimension resolution drops below " +
+        "13 bits and a plain multi-column sort clusters better")
   }
 
   /** Order-preserving normalization of a numeric column to [0, 2^bits),

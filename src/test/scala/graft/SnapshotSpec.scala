@@ -304,7 +304,11 @@ class SnapshotSpec extends SparkSuite {
     val sess = spark
     import sess.implicits._
     val base = tmpDir("graft_snapshot_race")
-    val writers = 4
+    // 8 writers: the 4-writer variant never tripped the raw-local
+    // check-then-act lock hole (POSIX rename overwrites, so a double
+    // entry CLOBBERS a manifest silently) that the O_EXCL claim fixes —
+    // more contention keeps the regression reachable.
+    val writers = 8
     val perWriter = 5
     // Each thread commits its own disjoint id batches; the claim loop must
     // serialize them so no append is lost and versions stay contiguous.

@@ -106,4 +106,30 @@ class ZOrderSpec extends SparkSuite {
       .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(rows(byZ3) === rows(byTime) && rows(byZ2) === rows(byTime))
   }
+
+  test("3-D/4-D magic-mask spreads are bit-exact; arity beyond 4 refuses") {
+    val sess = spark
+    import sess.implicits._
+    def refInterleave(ks: Seq[Long], n: Int, bits: Int): Long = {
+      var out = 0L
+      for (d <- 0 until n; i <- 0 until bits)
+        out |= (((ks(d) >> i) & 1L) << (i * n + d))
+      out
+    }
+    val rnd = new scala.util.Random(42)
+    val tuples = Seq.fill(200)((rnd.nextLong() & 0x7FFFL, rnd.nextLong() & 0x7FFFL,
+      rnd.nextLong() & 0x7FFFL, rnd.nextLong() & 0x7FFFL))
+    val df = tuples.toDF("a", "b", "c", "d")
+    val got4 = df.select(ZOrder.zValueN(
+      Seq(col("a"), col("b"), col("c"), col("d"))).as("z")).as[Long].collect().toSeq
+    assert(got4 === tuples.map { case (a, b, c, d) =>
+      refInterleave(Seq(a, b, c, d), 4, 15) })
+    val got3 = df.select(ZOrder.zValueN(
+      Seq(col("a"), col("b"), col("c"))).as("z")).as[Long].collect().toSeq
+    assert(got3 === tuples.map { case (a, b, c, _) =>
+      refInterleave(Seq(a, b, c), 3, 21) })
+    intercept[IllegalArgumentException] {
+      ZOrder.zValueN(Seq(col("a"), col("b"), col("c"), col("d"), col("a")))
+    }
+  }
 }
