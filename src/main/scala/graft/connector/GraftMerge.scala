@@ -289,14 +289,26 @@ private[connector] object GraftRowLevel {
     // cardinality contract instead runs as a SEPARATE count-only
     // aggregate over the join: no row payload, so Catalyst prunes it to
     // the join keys + (file, pos) — a second pass over the target, but a
-    // columnar scan-and-count, not a table-sized cache. Net: one narrow
-    // scan for the check + one full scan for the changed rows.
+    // columnar scan-and-count, not a table-sized cache. EXCEPT for small
+    // targets, where two scans cost more than caching every matched pair:
+    // the manifest-derived size (the same estimate join selection uses)
+    // picks the shape — below the threshold the matched pairs ride the
+    // persisted frame and the check reads the cache, one target scan
+    // total; above it, or when the size is unknown, the two-pass shape
+    // keeps the cache changed-rows-sized.
+    val smallTarget = matched.nonEmpty && {
+      val cap = spark.conf.getOption("spark.graft.merge.smallTargetBytes")
+        .map(_.toLong).getOrElse(256L << 20)
+      Snapshots.scanStats(base, Snapshots.Pin.AsOf(v0))._1.exists(_ <= cap)
+    }
     val mAct = when(isMatched, firstAction(matched, condOf)).otherwise(0)
     val iAct = when(sOnly, firstAction(notMatched, condOf)).otherwise(0)
     val nAct = when(tOnly, firstAction(notMatchedBySource, condOf)).otherwise(0)
+    val keepForCheck = if (smallTarget) col("__im") else lit(false)
     val working = joined
       .withColumn("__m", mAct).withColumn("__i", iAct).withColumn("__n", nAct)
-      .filter(col("__m") > 0 || col("__i") > 0 || col("__n") > 0)
+      .withColumn("__im", isMatched)
+      .filter(keepForCheck || col("__m") > 0 || col("__i") > 0 || col("__n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // SQL MERGE cardinality contract: a target row matched by more than
@@ -305,7 +317,9 @@ private[connector] object GraftRowLevel {
       // over ALL matched pairs (not just firing rows: a duplicate match
       // whose clauses fire on only one copy is still nondeterministic).
       if (matched.nonEmpty) {
-        val dup = joined.filter(isMatched)
+        val matchedPairs =
+          if (smallTarget) working.filter(col("__im")) else joined.filter(isMatched)
+        val dup = matchedPairs
           .select(col("__tf"), col("__tp"))
           .groupBy(col("__tf"), col("__tp"))
           .count().filter(col("count") > 1).limit(1).count()
