@@ -64,26 +64,39 @@ private[connector] class GraftProcedures(resolve: String => String,
 
     new Proc("compact", "rewrite the current snapshot into num_files files " +
         "(materializing deletion vectors), published as a new version; " +
-        "zorder takes two or more numeric columns for a Morton-interleaved " +
-        "layout so N-D box predicates prune files on every listed dimension",
+        "zorder takes two or more numeric columns for a space-filling-curve " +
+        "layout so N-D box predicates prune files on every listed dimension; " +
+        "curve picks morton (any arity) or hilbert (2-D, tighter locality)",
       Seq(tableParam, in("num_files", IntegerType).defaultValue("4").build(),
         in("sort_cols", StringType).defaultValue("''")
           .comment("comma-separated cluster columns").build(),
         in("zorder", StringType).defaultValue("''")
-          .comment("two or more comma-separated numeric columns").build()),
+          .comment("two or more comma-separated numeric columns").build(),
+        in("curve", StringType).defaultValue("'morton'")
+          .comment("morton | hilbert (hilbert needs exactly two columns)").build()),
       out("version" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val sorts = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val z = str(r, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val n = r.getInt(1)
+        val curve = str(r, 4)
         val zLayout = z match {
           case Seq() => None
           case one if one.size < 2 => throw new IllegalArgumentException(
             s"zorder needs at least two columns, got ${one.mkString(",")}")
           case zs =>
             require(sorts.isEmpty, "sort_cols and zorder are mutually exclusive")
-            Some((df: org.apache.spark.sql.DataFrame) =>
-              graft.ingest.ZOrder.layoutN(df, zs, n))
+            curve match {
+              case "morton" => Some((df: org.apache.spark.sql.DataFrame) =>
+                graft.ingest.ZOrder.layoutN(df, zs, n))
+              case "hilbert" =>
+                require(zs.size == 2,
+                  s"hilbert curve layout is 2-D; got ${zs.size} columns")
+                Some((df: org.apache.spark.sql.DataFrame) =>
+                  graft.ingest.ZOrder.layoutHilbert(df, zs.head, zs(1), n))
+              case other => throw new IllegalArgumentException(
+                s"unknown curve '$other' (morton | hilbert)")
+            }
         }
         Seq(Snapshots.compact(spark, table(r), n, sorts, zLayout))
       }

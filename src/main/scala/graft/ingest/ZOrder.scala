@@ -164,4 +164,77 @@ object ZOrder {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(base)
   }
+
+  // ----- Hilbert curve (2-D)
+
+  /** Hilbert index of a 2-D cell — the standard iterative xy2d form
+    * (rotate/reflect per level, public-domain algorithm). Hilbert beats
+    * Morton on locality: consecutive indices are ALWAYS adjacent cells
+    * (no quadrant jumps), so range-partitioned files cover tighter
+    * (minA,maxA,minB,maxB) boxes on average. The loop carries rotation
+    * state, which has no compact Column-arithmetic form — so the curve
+    * runs as a plain JVM function inside a layout-time UDF: a layout job
+    * pays it once per row at REWRITE time; no query plan ever contains
+    * it (reads prune on footer stats exactly as with Morton).
+    */
+  def hilbertIndex(order: Int, x0: Long, y0: Long): Long = {
+    var (x, y) = (x0, y0)
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate the quadrant so the sub-curve orients correctly
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse of [[hilbertIndex]] (d2xy) — test/introspection surface for
+    * the adjacency property that defines the curve.
+    */
+  def hilbertCell(order: Int, d0: Long): (Long, Long) = {
+    var (x, y) = (0L, 0L)
+    var d = d0
+    var s = 1L
+    while (s < (1L << order)) {
+      val rx = 1L & (d / 2)
+      val ry = 1L & (d ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      x += s * rx
+      y += s * ry
+      d /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  /** `df` range-partitioned and sorted by the HILBERT index of (colA,
+    * colB) — same contract as [[layout]], better worst-case locality.
+    * 21-bit keys per dimension (42-bit index), same one-pass bounds
+    * normalization.
+    */
+  def layoutHilbert(df: DataFrame, colA: String, colB: String,
+                    numFiles: Int): DataFrame = {
+    val b = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val (aMn, aMx, bMn, bMx) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val order = 21
+    val h = udf((x: Long, y: Long) => hilbertIndex(order, x, y))
+    df.withColumn("_h", h(
+        normalizeBits(col(colA), lit(aMn), lit(aMx), order),
+        normalizeBits(col(colB), lit(bMn), lit(bMx), order)))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+  }
 }

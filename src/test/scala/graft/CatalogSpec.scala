@@ -309,12 +309,21 @@ class CatalogSpec extends SparkSuite {
     val zordered = candidates()
     assert(zordered < sorted1d,
       s"z-order should prune a 2-D box harder: z=$zordered vs 1d=$sorted1d")
-    // rows survive both rewrites
+    // the hilbert curve prunes at least as hard as morton from SQL too
+    rows(s"CALL $cat.system.compact(table => 'zo.t', num_files => 16, " +
+      "zorder => 'a,b', curve => 'hilbert')")
+    val hilberted = candidates()
+    assert(hilberted <= zordered && hilberted < sorted1d,
+      s"hilbert should prune like morton or better: h=$hilberted vs z=$zordered")
+    // rows survive all rewrites
     assert(rows(s"SELECT count(*), sum(a), sum(b) FROM $cat.zo.t").head ===
       rows("SELECT count(*), sum(pmod(id * 2654435761, 1024)), " +
         "sum(pmod(id * 40503, 1024)) FROM range(20000)").head)
     intercept[Exception] {
       rows(s"CALL $cat.system.compact(table => 'zo.t', zorder => 'a')")
+    }
+    intercept[Exception] {
+      rows(s"CALL $cat.system.compact(table => 'zo.t', zorder => 'a,b', curve => 'peano')")
     }
   }
 

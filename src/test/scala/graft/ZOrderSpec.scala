@@ -132,4 +132,57 @@ class ZOrderSpec extends SparkSuite {
       ZOrder.zValueN(Seq(col("a"), col("b"), col("c"), col("d"), col("a")))
     }
   }
+
+  test("hilbert curve: adjacency property holds; layout prunes like morton or better") {
+    // The defining property: consecutive Hilbert indices are ALWAYS
+    // Manhattan-adjacent cells — Morton has quadrant jumps. Full sweep of
+    // a 32x32 grid pins both directions of the transform.
+    val order = 5
+    for (d <- 0L until (1L << (2 * order)) - 1) {
+      val (x1, y1) = ZOrder.hilbertCell(order, d)
+      val (x2, y2) = ZOrder.hilbertCell(order, d + 1)
+      assert((x1 - x2).abs + (y1 - y2).abs === 1L,
+        s"cells $d and ${d + 1} must be adjacent: ($x1,$y1) vs ($x2,$y2)")
+      assert(ZOrder.hilbertIndex(order, x1, y1) === d, "xy2d must invert d2xy")
+    }
+
+    // Layout quality: summed over several box shapes, Hilbert candidate
+    // files never exceed Morton's (its locality guarantee), and both beat
+    // the 1-D sort.
+    val events = Tables.events(spark, "/root/testdata/sf0.01").drop("ts", "ts_t")
+    val byTime = tmpDir("graft_hilbert_time")
+    val byM = tmpDir("graft_hilbert_m")
+    val byH = tmpDir("graft_hilbert_h")
+    events.repartitionByRange(64, col("ts_us")).sortWithinPartitions(col("ts_us"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 256).parquet(byTime)
+    ZOrder.layout(events, "user_id", "ts_us", 64)
+      .write.mode("overwrite").option("maxRecordsPerFile", 256).parquet(byM)
+    ZOrder.layoutHilbert(events, "user_id", "ts_us", 64)
+      .write.mode("overwrite").option("maxRecordsPerFile", 256).parquet(byH)
+    assert(spark.read.parquet(byH).count() === events.count())
+
+    val b = events.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (tMin, tMax) = (b.getLong(0), b.getLong(1))
+    val span = tMax - tMin
+    val boxes = Seq(
+      (30L, 60L, tMin + span / 3, tMin + 2 * (span / 3)),
+      (0L, 30L, tMin, tMin + span / 4),
+      (100L, 140L, tMin + span / 2, tMax),
+      (60L, 90L, tMin + span / 8, tMin + 3 * (span / 8)))
+    def total(base: String): Long =
+      boxes.map { case (uLo, uHi, tLo, tHi) =>
+        intersectingFiles(base, uLo, uHi, tLo, tHi)
+      }.sum
+    val (cTime, cM, cH) = (total(byTime), total(byM), total(byH))
+    assert(cH < cTime, s"hilbert should beat the 1-D sort: $cH vs $cTime")
+    assert(cH <= cM, s"hilbert should not lose to morton: $cH vs $cM")
+
+    // identical rows on every layout for every box
+    boxes.foreach { case (uLo, uHi, tLo, tHi) =>
+      def rows(base: String) = spark.read.parquet(base)
+        .filter(col("user_id").between(uLo, uHi) && col("ts_us").between(tLo, tHi))
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows(byH) === rows(byTime) && rows(byM) === rows(byTime))
+    }
+  }
 }
