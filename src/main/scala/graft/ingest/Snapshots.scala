@@ -1523,8 +1523,14 @@ object Snapshots {
     val tagged = tags(base).toSeq.groupMap(_._2)(_._1)
     versions(base).map { v =>
       val m = readManifest(base, v)
+      // Legacy (pre-commitTs) manifests display their file mtime — best
+      // effort and copy-fragile, but more useful than a 0; resolution
+      // (`versionAt`) applies the same fallback.
+      val ts = m.commitTs.getOrElse(
+        try fsFor(base).getFileStatus(manifestFile(base, v)).getModificationTime
+        catch { case _: Exception => 0L })
       (m.version, m.parent, m.mode, m.files.size.toLong, m.dvs.size.toLong,
-        tagged.getOrElse(v, Nil).sorted, m.commitTs.getOrElse(0L))
+        tagged.getOrElse(v, Nil).sorted, ts)
     }.toDF("version", "parent", "mode", "n_files", "n_dvs", "tags",
       "committed_at_ms")
   }

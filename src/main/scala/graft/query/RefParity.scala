@@ -201,6 +201,18 @@ object RefParity {
         .select(col("l_orderkey"), col("n_rows"), col("sum_v"),
           col("min_v"), col("max_v"))
     },
+    // 3-D box query against the z-ordered snapshot table: readWhere's
+    // planning-time file pruning runs over the compacted Morton layout;
+    // the oracle recomputes the box from raw events, so the layout
+    // rewrite must be row-exact and the pruning must never drop a
+    // matching file.
+    "zo1_zorder_box" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      Snapshots.readWhere(s, zorderDir(s, d),
+        col("user_id").between(30L, 60L) && col("ts_us").between(LO, HI) &&
+          col("value") >= 200.0)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    },
     // Non-additive schema evolution: the staged tree commits even-keyed
     // orders rows as (k, c), RENAMES c→cust (metadata-only), then appends
     // the odd-keyed rows under the new name. Row 1 = time travel to the
@@ -344,6 +356,7 @@ object RefParity {
     dvSnapshotDir(s, sfDir)
     mvDir(s, sfDir)
     mv2Dir(s, sfDir)
+    zorderDir(s, sfDir)
     mergeSnapshotDir(s, sfDir)
     wapSnapshotDir(s, sfDir)
     renameSnapshotDir(s, sfDir)
@@ -498,6 +511,25 @@ object RefParity {
     }
   }
 
+  /** Staged 3-D z-ordered snapshot table for zo1: the events slice
+    * committed once, then compacted through `ZOrder.layoutN(user_id,
+    * ts_us, value)` — the registered query reads a 3-D box back through
+    * the stats-pruned path, so the layout rewrite, the footer-stats
+    * sidecar refresh at compaction time, and the pruning read are all
+    * inside the oracle gate (results must equal the raw-parquet box scan
+    * regardless of layout; a row lost or duplicated by the rewrite
+    * breaks the hash).
+    */
+  private def zorderDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_zo", sfDir, "events")) { tmp =>
+      import graft.ingest.{Snapshots, ZOrder}
+      val ev = Tables.events(s, sfDir).drop("ts", "ts_t")
+      Snapshots.commit(s, ev, tmp)
+      Snapshots.compact(s, tmp, numFiles = 32,
+        layout = Some(df => ZOrder.layoutN(df, Seq("user_id", "ts_us", "value"), 32)))
+      ()
+    }
+
   /** Staged min/max MV for mv2: initial build at the source's v1
     * (pre-1997 slice), then one refresh consuming an append (the
     * post-1997 rows) plus a DV delete (l_quantity < 5) — the delete
@@ -622,6 +654,12 @@ object RefParity {
         |  CAST(max(l_quantity) AS DOUBLE) AS max_v
         |FROM lineitem WHERE NOT (l_quantity < 5)
         |GROUP BY l_orderkey""".stripMargin,
+    "zo1_zorder_box" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         |FROM events
+         |WHERE user_id BETWEEN 30 AND 60
+         |  AND epoch_us(ts) BETWEEN $LO AND $HI
+         |  AND value >= 200.0""".stripMargin,
     "cn1_connector_read" ->
       """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'""".stripMargin,
