@@ -33,7 +33,10 @@ object Bench {
     // round-8: the three heaviest registry members (8.5/8.3/5.4 s
     // one-shot in round 7, all in the load-contaminated band) promoted so
     // the most expensive plans get stable min-of-N timing
-    "pair2_hard_negatives", "g2_pagerank_directed", "p3_pipeline_e2e")
+    "pair2_hard_negatives", "g2_pagerank_directed", "p3_pipeline_e2e",
+    // round-8: runtime file pruning for star joins (dim keys → manifest
+    // stats → fact files skipped before any task launches)
+    "j15_runtime_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -295,11 +295,19 @@ private[connector] object GraftRowLevel {
     // picks the shape — below the threshold the matched pairs ride the
     // persisted frame and the check reads the cache, one target scan
     // total; above it, or when the size is unknown, the two-pass shape
-    // keeps the cache changed-rows-sized.
+    // keeps the cache changed-rows-sized. The SOURCE side gates too: the
+    // cached matched-pair set is bounded by target rows × source match
+    // multiplicity, so a tiny target merged against a huge (or unknown-
+    // sized) source could still inflate the cache past the cap before
+    // the cardinality check gets a chance to refuse the duplicates —
+    // Catalyst's own plan-size estimate (which defaults to "huge" when
+    // it cannot tell, conservative in the safe direction) vetoes the
+    // single-pass shape for such sources.
     val smallTarget = matched.nonEmpty && {
       val cap = spark.conf.getOption("spark.graft.merge.smallTargetBytes")
         .map(_.toLong).getOrElse(256L << 20)
-      Snapshots.scanStats(base, Snapshots.Pin.AsOf(v0))._1.exists(_ <= cap)
+      Snapshots.scanStats(base, Snapshots.Pin.AsOf(v0))._1.exists(_ <= cap) &&
+        sAliased.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(cap)
     }
     val mAct = when(isMatched, firstAction(matched, condOf)).otherwise(0)
     val iAct = when(sOnly, firstAction(notMatched, condOf)).otherwise(0)

@@ -520,13 +520,18 @@ object Snapshots {
     * either (the round-8 concurrency stress lost 2/20 commits to exactly
     * this once the critical section grew by one header read).
     * `File.createNewFile` is O_CREAT|O_EXCL — a true kernel-level CAS.
+    * The local file is resolved through `pathToFile`, not `p.toUri`, so a
+    * RawLocalFileSystem SUBCLASS that remaps paths (a chroot-style test
+    * FS, a relocating wrapper) still gets its CAS on the file it actually
+    * stores — keying the branch on the Hadoop path string would race such
+    * a wrapper against itself on a path nobody writes.
     * Every other supported FileSystem (HDFS, ABFS, GCS) implements
     * exclusive create atomically server-side; genuinely non-atomic
     * stores are refused up front by the scheme guard.
     */
   private def tryClaim(fs: FileSystem, p: Path): Boolean = fs match {
-    case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-      new java.io.File(p.toUri.getPath).createNewFile()
+    case raw: org.apache.hadoop.fs.RawLocalFileSystem =>
+      raw.pathToFile(p).createNewFile()
     case _ =>
       try { fs.create(p, false).close(); true }
       catch { case e: java.io.IOException =>

@@ -339,6 +339,26 @@ object RefParity {
           .select(lit(snap).as("snap"), col("n_rows"), col("sum_v"), col("n_upd"))
       summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
         .unionAll(summarize(Snapshots.read(s, dir, Some(vs.last)), 2))
+    },
+    // Runtime file pruning on a star join — the reference's scatter-
+    // gather block skipping generalized to JOIN grain: fact = the events
+    // snapshot range-clustered on user_id, dim = the distinct custkeys
+    // holding a ≥499k order, computed at RUN time. Static planning can't
+    // see those keys, so a plain join scans every fact file;
+    // [[graft.query.RuntimePrune]] runs the dim side first and the
+    // manifest footer stats drop the fact files owning none of the
+    // matched users before any task launches. The oracle replays the
+    // same join from the raw parquet — over-pruning (a dropped matching
+    // file) or a mistranslated key set breaks the hash.
+    "j15_runtime_prune" -> { (s, d) =>
+      val dir = clusteredEventsDir(s, d)
+      val dim = Tables.table(s, d, "orders")
+        .filter(col("o_totalprice") > 499000)
+        .select(col("o_custkey")).distinct()
+      graft.query.RuntimePrune.join(s, dir, "user_id", dim, "o_custkey")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_v"))
     }
   )
 
@@ -363,8 +383,25 @@ object RefParity {
     catalogFor(s, sfDir)
     catalogMergeFor(s, sfDir)
     avroOcfDir(s, sfDir)
+    clusteredEventsDir(s, sfDir)
     ()
   }
+
+  /** Staged events snapshot range-clustered on user_id for j15: runtime
+    * pruning needs per-file key locality to have files to skip. 64 range
+    * partitions stand in for the many-file layout a real multi-executor
+    * ingest produces.
+    */
+  private def clusteredEventsDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_rtp", sfDir, "events")) { tmp =>
+      import graft.ingest.Snapshots
+      Snapshots.commit(s,
+        Tables.events(s, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .repartitionByRange(64, col("user_id")),
+        tmp, sortCols = Seq("user_id"))
+      ()
+    }
 
   /** Staged Avro OCF copy of the events slice for avro1, built once per
     * (sf, layout). */
@@ -677,6 +714,14 @@ object RefParity {
         |  count(DISTINCT event_type) AS n_types,
         |  round(sum(value), 2) AS sum_v
         |FROM events""".stripMargin,
+    "j15_runtime_prune" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  round(sum(e.value), 2) AS sum_v
+        |FROM events e
+        |JOIN (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_totalprice > 499000) c
+        |  ON e.user_id = c.o_custkey""".stripMargin,
     "mrg3_merge_sql" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
         |final AS (
