@@ -87,28 +87,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isTable(dir: Path): Boolean =
     fs.exists(new Path(dir, "_snapshots"))
 
-  private def propsFile(dir: Path) = new Path(dir, "_table_props")
+  // Properties persist beside the snapshot tree ([[TableProps]]) so the
+  // WRITE path sees them too (write.cluster-by drives write clustering).
+  private def readProps(dir: Path): Map[String, String] =
+    TableProps.read(dir.toString)
 
-  private def readProps(dir: Path): Map[String, String] = {
-    val p = propsFile(dir)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      try {
-        val props = new java.util.Properties()
-        props.load(in)
-        import scala.jdk.CollectionConverters._
-        props.asScala.toMap
-      } finally in.close()
-    }
-  }
-
-  private def writeProps(dir: Path, m: Map[String, String]): Unit = {
-    val props = new java.util.Properties()
-    m.foreach { case (k, v) => props.setProperty(k, v) }
-    val out = fs.create(propsFile(dir), true)
-    try props.store(out, null) finally out.close()
-  }
+  private def writeProps(dir: Path, m: Map[String, String]): Unit =
+    TableProps.write(dir.toString, m)
 
   // ----- tables
 
@@ -199,9 +184,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster within snapshot commits (sortCols/Z-order) " +
-        "instead of static partition transforms")
+    // Identity transforms translate to write clustering: `PARTITIONED BY
+    // (user_id)` records `write.cluster-by=user_id`, and every write
+    // range-clusters on it — the graft equivalent of a static partition
+    // layout (files own key ranges; manifest stats prune them), without
+    // the small-files explosion of one-directory-per-value. Non-identity
+    // transforms (bucket/days/truncate) have no equivalent here and are
+    // refused loudly.
+    val clusterCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft tables cluster within snapshot commits: PARTITIONED BY " +
+          s"$other is not supported - use plain column names (identity) " +
+          "or the write.cluster-by table property")
+    }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
@@ -215,7 +213,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       java.util.Collections.emptyList[Row](), schema)
     Snapshots.commit(spark, empty, dir.toString, mode = "append:create")
     import scala.jdk.CollectionConverters._
-    val props = properties.asScala.toMap
+    val declared = properties.asScala.toMap
+    require(clusterCols.isEmpty || !declared.contains(TableProps.ClusterBy),
+      s"both PARTITIONED BY and ${TableProps.ClusterBy} given - declare " +
+        "the clustering once")
+    val props =
+      if (clusterCols.isEmpty) declared
+      else declared + (TableProps.ClusterBy -> clusterCols.mkString(","))
     if (props.nonEmpty) writeProps(dir, props)
     loadTable(ident)
   }

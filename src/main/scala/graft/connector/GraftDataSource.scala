@@ -206,14 +206,27 @@ private[connector] class GraftWriteBuilder(base: String, pin: Snapshots.Pin)
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
         val ow = overwrite || legacyOverwrite
+        // Declared write clustering (`write.cluster-by` table property):
+        // range-repartition + in-file sort on the declared columns so
+        // every commit's footer stats stay selective — filter pushdown
+        // and RuntimePrune join skipping then bite on freshly-written
+        // data, not only after a compact. A cluster column the frame
+        // doesn't carry (post-DROP, stale property) skips clustering for
+        // this write: layout is an optimization, never a write gate.
+        val cluster = TableProps.clusterBy(base)
+          .filter(c => data.columns.contains(c))
+        val (toWrite, sortCols) =
+          if (cluster.isEmpty) (data, Nil)
+          else (data.repartitionByRange(cluster.map(col): _*), cluster)
         pin match {
           case Snapshots.Pin.Latest =>
-            Snapshots.commit(data.sparkSession, data, base,
-              mode = if (ow) "overwrite" else "append")
+            Snapshots.commit(toWrite.sparkSession, toWrite, base,
+              mode = if (ow) "overwrite" else "append", sortCols = sortCols)
           case Snapshots.Pin.AtBranch(b) =>
             require(!ow, "overwrite of a branch head is not supported - " +
               "drop the branch and re-create it from the desired state")
-            Snapshots.commitToBranch(data.sparkSession, data, base, b)
+            Snapshots.commitToBranch(toWrite.sparkSession, toWrite, base, b,
+              sortCols = sortCols)
           case other =>
             throw new UnsupportedOperationException(
               s"cannot write to a read-only pin $other (versionAsOf/tag)")

@@ -1,0 +1,64 @@
+package graft.connector
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-level properties persisted beside the snapshot tree
+  * (`<base>/_table_props`, java.util.Properties text format — human-
+  * readable, append-free, atomic via `create(overwrite)` of a tiny
+  * file). Shared by the catalog (DDL `TBLPROPERTIES`, `ALTER TABLE SET`)
+  * and the write path, which honors:
+  *
+  *  - `write.cluster-by` = comma-separated column names. Every batch
+  *    write through the connector range-repartitions + sorts on these
+  *    columns before committing, so each data file owns a narrow key
+  *    range and the commit-time footer stats ([[graft.ingest.FileStats]])
+  *    stay selective — static filter pushdown AND
+  *    [[graft.query.RuntimePrune]] join-time file skipping then prune on
+  *    every write, not only after a manual compact. The 100 TB point:
+  *    clustering at WRITE time costs one shuffle the load pipeline was
+  *    usually paying anyway, while clustering after the fact costs a
+  *    full-table rewrite.
+  *
+  * Missing columns degrade gracefully: a cluster column absent from the
+  * written frame (legitimate after `DROP COLUMN`, or a stale property)
+  * skips clustering for that write rather than failing it — layout is an
+  * optimization, never a correctness gate.
+  */
+private[connector] object TableProps {
+  val ClusterBy = "write.cluster-by"
+
+  private def propsFile(base: String) = new Path(base, "_table_props")
+
+  private def fsFor(base: String) = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    new Path(base).getFileSystem(conf)
+  }
+
+  def read(base: String): Map[String, String] = {
+    val fs = fsFor(base)
+    val p = propsFile(base)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val props = new java.util.Properties()
+        props.load(in)
+        import scala.jdk.CollectionConverters._
+        props.asScala.toMap
+      } finally in.close()
+    }
+  }
+
+  def write(base: String, m: Map[String, String]): Unit = {
+    val props = new java.util.Properties()
+    m.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = fsFor(base).create(propsFile(base), true)
+    try props.store(out, null) finally out.close()
+  }
+
+  /** The cluster-by column list of `base` (empty = unclustered). */
+  def clusterBy(base: String): Seq[String] =
+    read(base).get(ClusterBy).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+}

@@ -427,6 +427,45 @@ class CatalogSpec extends SparkSuite {
       .filter(col("committed_at_ms") > 0).count() === 3)
   }
 
+  test("PARTITIONED BY / write.cluster-by: writes range-cluster so files prune") {
+    val sess = spark
+    import sess.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cl")
+    // identity PARTITIONED BY records the property; non-identity refuses
+    spark.sql(s"CREATE TABLE $cat.cl.ev (k BIGINT, v STRING) PARTITIONED BY (k)")
+    assert(rows(s"SHOW TBLPROPERTIES $cat.cl.ev")
+      .exists(r => r.head == "write.cluster-by" && r(1) == "k"))
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.cl.bad (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    }
+    assert(e.getMessage.toLowerCase.contains("cluster"))
+    // a deliberately scattered insert (keys round-robin across input
+    // partitions) must still land range-clustered: a narrow key band then
+    // prunes most files at planning time. AQE legitimately coalesces this
+    // tiny shuffle to one partition (the right call at real scale —
+    // target-sized files); cap records-per-file so the SORTED partition
+    // still splits into several contiguous-range files to prune between.
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "250")
+    try
+      spark.sql(s"INSERT INTO $cat.cl.ev " +
+        "SELECT (id * 37) % 1000 AS k, CAST(id AS STRING) AS v FROM range(1000)")
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val base = tableBase("cl", "ev")
+    val dim = Seq(5L, 6L, 7L).toDF("dk")
+    val (kept, total) = graft.query.RuntimePrune.candidateFiles(
+      spark, base, "k", dim, "dk")
+    assert(total > 1, s"expected a multi-file layout, got $total")
+    assert(kept.size < total, s"clustered write should prune (kept ${kept.size}/$total)")
+    // and the pruned join still answers exactly
+    val got = graft.query.RuntimePrune.join(spark, base, "k", dim, "dk")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(5L, 6L, 7L))
+    // a stale cluster column (dropped) degrades gracefully: writes succeed
+    spark.sql(s"ALTER TABLE $cat.cl.ev SET TBLPROPERTIES('write.cluster-by'='gone')")
+    spark.sql(s"INSERT INTO $cat.cl.ev VALUES (2000, 'x')")
+    assert(rows(s"SELECT count(*) FROM $cat.cl.ev").head === Seq(1001L))
+  }
+
   /** The filesystem path the catalog maps `ns.table` to. */
   private def tableBase(ns: String, table: String): String =
     new java.io.File(new java.io.File(
