@@ -403,11 +403,21 @@ private[connector] class GraftSink(base: String, outputMode: OutputMode,
       .collectFirst { case BatchTag(id) => id.toLong }
     if (delivered.contains(batchId)) return // re-delivery: already durable
     val tag = s"b$batchId"
+    // Declared write clustering applies per micro-batch too (batch-sized
+    // shuffle): a streamed-into table keeps selective footer stats
+    // without waiting for a compact. The merge path is exempt — its
+    // rewrite targets existing files' layouts.
+    val cluster = TableProps.clusterBy(base).filter(data.columns.contains)
+    val (clustered, sortCols) =
+      if (cluster.isEmpty) (data, Nil)
+      else (data.repartitionByRange(cluster.map(col): _*), cluster)
     outputMode match {
       case m if m == OutputMode.Append() =>
-        Snapshots.commit(spark, data, base, mode = s"append:$tag")
+        Snapshots.commit(spark, clustered, base, mode = s"append:$tag",
+          sortCols = sortCols)
       case m if m == OutputMode.Complete() =>
-        Snapshots.commit(spark, data, base, mode = s"overwrite:$tag")
+        Snapshots.commit(spark, clustered, base, mode = s"overwrite:$tag",
+          sortCols = sortCols)
       case _ =>
         require(mergeKeys.nonEmpty,
           "graft sink in Update mode needs a mergeKeys option " +

@@ -24,8 +24,12 @@ import org.apache.spark.sql.SparkSession
   * written frame (legitimate after `DROP COLUMN`, or a stale property)
   * skips clustering for that write rather than failing it — layout is an
   * optimization, never a correctness gate.
+  *
+  * Public: path-based (non-catalog) tables declare clustering by calling
+  * [[write]] directly — the SQL route is `TBLPROPERTIES` / `ALTER TABLE
+  * SET` through the catalog.
   */
-private[connector] object TableProps {
+object TableProps {
   val ClusterBy = "write.cluster-by"
 
   private def propsFile(base: String) = new Path(base, "_table_props")

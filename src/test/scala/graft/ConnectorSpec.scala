@@ -291,6 +291,38 @@ class ConnectorSpec extends SparkSuite {
     } finally aq.stop()
   }
 
+  test("streaming sink honors write.cluster-by per micro-batch") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmpDir("graft_sink_cl")
+    // declare clustering before the first batch lands
+    graft.connector.TableProps.write(base, Map("write.cluster-by" -> "k"))
+    val mem = MemoryStream[Long]
+    // several contiguous-range files per SORTED batch partition
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+    val q = mem.toDF().toDF("k").writeStream.format("graft")
+      .option("path", base)
+      .option("checkpointLocation", tmpDir("graft_sink_cl_ckpt"))
+      .start()
+    try {
+      // scattered keys: without the range-repartition+sort the arrival
+      // order would leave every file spanning the whole key domain
+      mem.addData(scala.util.Random.shuffle((0L until 400L).toList): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+    assert(Snapshots.read(spark, base).count() === 400)
+    val dim = Seq(7L, 8L).toDF("dk")
+    val (kept, total) = graft.query.RuntimePrune.candidateFiles(
+      spark, base, "k", dim, "dk")
+    assert(total >= 3, s"expected several files, got $total")
+    assert(kept.size <= 1, s"streamed files should range-cluster (kept ${kept.size}/$total)")
+  }
+
   test("manifest stats reach Catalyst: small graft tables auto-broadcast") {
     val sess = spark
     import sess.implicits._
