@@ -297,6 +297,43 @@ object FileStats {
     }
   }
 
+  /** Data-source filters equivalent to "some row of `keys` equi-matches
+    * on every column", derived by RUNNING the (small) key frame: one
+    * aggregate for per-column min/max envelopes, plus per-column `In`
+    * sets when the key count fits `maxInKeys` (collected once). The
+    * runtime half of dynamic file pruning — static planning can't see
+    * the VALUES a join's build side will produce, so this executes it
+    * first and turns the result into prunable filters.
+    *
+    * None = NO row of `keys` can equi-match anything: the frame is empty,
+    * or some column is entirely NULL (NULL never equi-joins, and the
+    * match needs every column). Conservative per construction otherwise:
+    * per-column envelopes admit value combinations no key row has, and
+    * NULL values are excluded from each column's envelope.
+    */
+  def keyFilters(keys: org.apache.spark.sql.DataFrame,
+                 maxInKeys: Int = 10000): Option[Seq[Filter]] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val cols = keys.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val head = keys.agg(aggs.head, aggs.tail: _*).head()
+    val n = head.getLong(0)
+    if (n == 0L || cols.indices.exists(i => head.get(1 + 2 * i) == null))
+      return None
+    val collected =
+      if (n <= maxInKeys) keys.collect().toSeq
+      else Seq.empty[org.apache.spark.sql.Row]
+    Some(cols.zipWithIndex.flatMap { case (c, i) =>
+      val range = Seq[Filter](GreaterThanOrEqual(c, head.get(1 + 2 * i)),
+        LessThanOrEqual(c, head.get(2 + 2 * i)))
+      val inSet = collected.map(_.get(i)).filter(_ != null).distinct
+      // range first: O(1) per file, and prune's conjunction short-
+      // circuits the O(keys) In scan to range-surviving files
+      if (inSet.isEmpty) range else range :+ In(c, inSet.toArray)
+    })
+  }
+
   /** Drop files whose stats prove no row satisfies ALL `filters` (the
     * conjunction). Sidecars load once per distinct parent dir — batch-
     * count-sized driver IO. Files without stats always survive.

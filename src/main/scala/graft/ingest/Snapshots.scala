@@ -833,7 +833,19 @@ object Snapshots {
     // a no-op, not a new version). ONE scan: coordinates are written
     // straight out, and the emptiness check + referenced-file list come
     // from the written (KB-scale) sidecar, never a target re-scan.
-    val matches = scanWithDvs(spark, m, keepCoords = true)
+    // The scan plans only files whose footer stats admit `cond` (the
+    // readWhere translation): a selective delete on a clustered column
+    // costs a neighborhood scan, not a table scan. Pure optimization —
+    // pruned files contain no matching row, so no coordinate is lost.
+    val schema = m.schema.getOrElse(scanWithDvs(spark, m, keepCoords = false).schema)
+    val pruneFs = org.apache.spark.sql.graft.Bridge.pushableFilters(spark, schema, cond)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFs)
+    val matchScan =
+      if (kept.isEmpty && m.files.nonEmpty)
+        scanWithDvs(spark, m, keepCoords = true)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else scanWithDvs(spark, m.copy(files = kept), keepCoords = true)
+    val matches = matchScan
       .filter(cond)
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
     val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -911,8 +923,29 @@ object Snapshots {
     // scan: the coordinate set is written first, and the emptiness check
     // and referenced-file list both come from the written (KB-scale)
     // sidecar, never from re-running the target scan.
-    val matched = scanWithDvs(spark, m, keepCoords = true)
-      .join(src.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    //
+    // The scan is RUNTIME-PRUNED by the source's key envelope
+    // ([[FileStats.keyFilters]]): on a key-clustered table, a batch-sized
+    // upsert touches a batch-sized file neighborhood, and target files
+    // whose footer stats can't hold any source key never reach the
+    // left_semi join — the merge cost tracks the SOURCE size, not the
+    // table size. Safe because this scan only feeds the matched
+    // (equi-join) leg; the insert leg below never reads the target.
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
+    val matchedScan = FileStats.keyFilters(srcKeys, maxInKeys) match {
+      case None => // no joinable source key at all: nothing can match
+        scanWithDvs(spark, m, keepCoords = true)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      case Some(fs) =>
+        val kept = FileStats.prune(hadoopConf, m.files, fs)
+        if (kept.isEmpty && m.files.nonEmpty)
+          scanWithDvs(spark, m, keepCoords = true)
+            .filter(org.apache.spark.sql.functions.lit(false))
+        else scanWithDvs(spark, m.copy(files = kept), keepCoords = true)
+    }
+    val matched = matchedScan
+      .join(srcKeys, keyCols, "left_semi")
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
     val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
     matched.write.parquet(dvPath.toString)

@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, In, LessThanOrEqual}
+import org.apache.spark.sql.sources.Filter
 import graft.ingest.{FileStats, Snapshots}
 
 /** Runtime file pruning for joins against snapshot tables — the
@@ -55,19 +55,10 @@ object RuntimePrune {
     * non-null key at all — every fact file is prunable.
     */
   def filtersFor(factKey: String, dim: DataFrame, dimKey: String,
-                 maxInKeys: Int = 10000): Option[Seq[Filter]] = {
-    val dk = dim.select(col(dimKey).as("k")).where(col("k").isNotNull).distinct()
-    val head = dk.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
-      count(lit(1)).as("n")).head()
-    if (head.getLong(2) == 0L) return None
-    val range = Seq[Filter](GreaterThanOrEqual(factKey, head.get(0)),
-      LessThanOrEqual(factKey, head.get(1)))
-    val exact =
-      if (head.getLong(2) <= maxInKeys)
-        Seq[Filter](In(factKey, dk.collect().map(_.get(0))))
-      else Nil
-    Some(range ++ exact)
-  }
+                 maxInKeys: Int = 10000): Option[Seq[Filter]] =
+    FileStats.keyFilters(
+      dim.select(col(dimKey).as(factKey)).where(col(factKey).isNotNull).distinct(),
+      maxInKeys)
 
   /** Equi-join `snapshot(factBase).factKey = dim.dimKey` with runtime
     * file pruning on the fact side. `joinType` must be fact-prunable

@@ -659,6 +659,59 @@ class SnapshotSpec extends SparkSuite {
       spark.conf.unset("spark.graft.commit.nonAtomicSchemes")
     }
   }
+
+  test("merge and DV-delete plan only the files their keys/condition can touch") {
+    val sess = spark
+    import sess.implicits._
+    import graft.ingest.FileStats
+    val base = tmpDir("graft_merge_prune")
+    Snapshots.commit(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")),
+      base, sortCols = Seq("id"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val all = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+    assert(all.size >= 3)
+    // the missing-file proof (same as ConnectorSpec's): delete a file
+    // whose stats CANNOT hold any id <= 10 — if the merge/delete scans
+    // were unpruned they would plan it and fail
+    val lowCapable = FileStats.prune(conf, all,
+      Seq(org.apache.spark.sql.sources.LessThanOrEqual("id", 10L))).toSet
+    val victim = (all.toSet -- lowCapable).head
+    new java.io.File(new java.net.URI("file:" + victim).getPath).delete()
+    intercept[Exception] { Snapshots.read(spark, base).count() }
+    // batch-sized upsert against low keys: target scan prunes to the low
+    // files, so the missing high file is never planned
+    Snapshots.merge(spark, base,
+      Seq((3L, "NEW3"), (7L, "NEW7"), (200L, "ins")).toDF("id", "v"), Seq("id"))
+    // selective DV delete, same discipline through the cond translation
+    Snapshots.deleteWhereDV(spark, base, col("id") === 4L)
+    val state = Snapshots.readWhere(spark, base, col("id") <= 10L || col("id") === 200L)
+      .as[(Long, String)].collect().toMap
+    assert(state(3L) === "NEW3" && state(7L) === "NEW7" && state(200L) === "ins")
+    assert(!state.contains(4L) && state(5L) === "v5")
+  }
+
+  test("keyFilters derives sound envelopes from a key frame") {
+    val sess = spark
+    import sess.implicits._
+    import graft.ingest.FileStats
+    // multi-column keys: per-column range + In envelopes
+    val keys = Seq((5L, "b"), (9L, "a")).toDF("k1", "k2")
+    val fs = FileStats.keyFilters(keys).get
+    import org.apache.spark.sql.sources._
+    assert(fs.contains(GreaterThanOrEqual("k1", 5L)) && fs.contains(LessThanOrEqual("k1", 9L)))
+    assert(fs.collect { case In("k2", vs) => vs.toSet }.head === Set("a", "b"))
+    // an all-null key column can never equi-match: everything prunable
+    assert(FileStats.keyFilters(
+      Seq((1L, null), (2L, null)).map { case (a, b) => (a, b: String) }.toDF("k1", "k2")).isEmpty)
+    // empty frame: same
+    assert(FileStats.keyFilters(Seq.empty[(Long, String)].toDF("k1", "k2")).isEmpty)
+    // over-cap: range-only (no In), still Some
+    val big = FileStats.keyFilters(spark.range(100).toDF("k"), maxInKeys = 10).get
+    assert(big.exists { case _: GreaterThanOrEqual => true; case _ => false })
+    assert(!big.exists { case _: In => true; case _ => false })
+  }
 }
 
 /** Test [[graft.ingest.Snapshots.CommitLock]]: counts acquisitions and
