@@ -1,11 +1,11 @@
 package graft.connector
 
-import graft.ingest.Snapshots
+import graft.ingest.{FileStats, Snapshots}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, ExprId, Expression, PlanExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -214,24 +214,65 @@ private[connector] object GraftRowLevel {
     require(!withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables - " +
         "ALTER TABLE ADD COLUMN first")
-    val (t0, v0) = Snapshots.scanWithCoords(spark, base)
     val (fileCol, posCol) = Snapshots.rowCoordColumns
-    val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
-    GraftRowLevel.checkDrift(t0, dataCols, tOut)
-
     val tNames = tOut.indices.map(i => s"__t_$i")
     val sOut = source.output
     val sNames = sOut.indices.map(i => s"__s_$i")
     val mapping: Map[ExprId, String] =
       (tOut.map(_.exprId) zip tNames).toMap ++ (sOut.map(_.exprId) zip sNames)
-
-    val tAliased = t0.select(
-      dataCols.zipWithIndex.map { case (c, i) => col(quote(c)).as(tNames(i)) } ++
-        Seq(col(fileCol).as("__tf"), col(posCol).as("__tp"), lit(true).as("__tx")): _*)
     val sAliased = Bridge.ofRows(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], source)
       .toDF(sNames: _*)
       .withColumn("__sx", lit(true))
+
+    // Runtime target-file pruning by the source's equi-key envelope —
+    // the same move as Snapshots.merge, lifted to arbitrary ON
+    // conditions: every top-level `t.col = <source-only expr>` conjunct
+    // contributes a key column, the source runs once to derive the
+    // envelope ([[FileStats.keyFilters]]), and target files that can't
+    // hold any matched row never reach the scan. Sound ONLY without NOT
+    // MATCHED BY SOURCE clauses (those need every unmatched target row),
+    // and only worth the extra source evaluation when the target is big —
+    // a small target's full scan is cheaper than re-running the source,
+    // so the same size estimate that picks the cardinality-check shape
+    // gates this too (unknown size counts as big on the target side).
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val targetIds = tOut.map(_.exprId).toSet
+    val sourceIds = sOut.map(_.exprId).toSet
+    val sizeCap = spark.conf.getOption("spark.graft.merge.smallTargetBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val equiKeys: Seq[(Attribute, Expression)] =
+      if (notMatchedBySource.nonEmpty ||
+          Snapshots.scanStats(base)._1.exists(_ <= sizeCap)) Nil
+      else conjuncts(cond).collect {
+        case EqualTo(a: AttributeReference, r) if targetIds(a.exprId) &&
+            r.references.forall(x => sourceIds(x.exprId)) && r.deterministic =>
+          (tOut.find(_.exprId == a.exprId).get, r)
+        case EqualTo(l, a: AttributeReference) if targetIds(a.exprId) &&
+            l.references.forall(x => sourceIds(x.exprId)) && l.deterministic =>
+          (tOut.find(_.exprId == a.exprId).get, l)
+      }
+    val maxInKeys = spark.conf.getOption("spark.graft.prune.maxInKeys")
+      .map(_.toInt).getOrElse(10000)
+    // None envelope = no source row can equi-match (empty / all-null key):
+    // scan an empty target — inserts still flow through the outer join.
+    val envelope: Option[Seq[org.apache.spark.sql.sources.Filter]] =
+      if (equiKeys.isEmpty) Some(Nil)
+      else FileStats.keyFilters(
+        sAliased.select(equiKeys.map { case (ta, e) =>
+          substitute(e, mapping).as(ta.name) }: _*).distinct(),
+        maxInKeys)
+    val (t0raw, v0) = Snapshots.scanWithCoords(spark, base, envelope.getOrElse(Nil))
+    val t0 = if (envelope.isEmpty) t0raw.filter(lit(false)) else t0raw
+    val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
+    GraftRowLevel.checkDrift(t0, dataCols, tOut)
+
+    val tAliased = t0.select(
+      dataCols.zipWithIndex.map { case (c, i) => col(quote(c)).as(tNames(i)) } ++
+        Seq(col(fileCol).as("__tf"), col(posCol).as("__tp"), lit(true).as("__tx")): _*)
 
     val joinType = (notMatched.nonEmpty, notMatchedBySource.nonEmpty) match {
       case (true, true)   => "full_outer"
@@ -394,7 +435,18 @@ private[connector] object GraftRowLevel {
   def runUpdate(spark: SparkSession, base: String, tOut: Seq[Attribute],
                 assignments: Seq[Assignment], cond: Option[Expression]): Unit = {
     checkAssignmentKeys(assignments, tOut)
-    val (t0, v0) = Snapshots.scanWithCoords(spark, base)
+    // A selective WHERE prunes the coordinate scan at planning time (the
+    // deleteWhereDV discipline): rewrite the condition onto the table's
+    // own names, translate what's pushable, and never plan files whose
+    // stats refuse it. Untranslatable shapes prune nothing and the full
+    // condition still filters every surviving row below.
+    val pruneFs = cond.map { c =>
+      val real = substitute(c, tOut.map(a => a.exprId -> a.name).toMap)
+      val schema = org.apache.spark.sql.types.StructType(
+        tOut.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+      org.apache.spark.sql.graft.Bridge.pushableFilters(spark, schema, real)
+    }.getOrElse(Nil)
+    val (t0, v0) = Snapshots.scanWithCoords(spark, base, pruneFs)
     val (fileCol, posCol) = Snapshots.rowCoordColumns
     val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
     checkDrift(t0, dataCols, tOut)

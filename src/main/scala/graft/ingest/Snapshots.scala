@@ -994,10 +994,28 @@ object Snapshots {
     * generalized row-level change; feed the coordinates of rows to
     * remove into [[applyRowChanges]] against the returned version.
     */
-  def scanWithCoords(spark: SparkSession, base: String): (DataFrame, Long) = {
+  def scanWithCoords(spark: SparkSession, base: String): (DataFrame, Long) =
+    scanWithCoords(spark, base, Nil)
+
+  /** [[scanWithCoords]] with planning-time file pruning: files whose
+    * footer stats prove no row satisfies `pruneFilters` never reach the
+    * scan. Callers must only prune when unseen rows cannot matter (e.g.
+    * a MERGE without NOT MATCHED BY SOURCE prunes by the source's key
+    * envelope: unmatched target rows produce nothing, and pruned files
+    * can't hold matched ones).
+    */
+  def scanWithCoords(spark: SparkSession, base: String,
+                     pruneFilters: Seq[org.apache.spark.sql.sources.Filter]): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.lit
     val vs = versions(base)
     require(vs.nonEmpty, s"no committed snapshots under $base")
-    (scanWithDvs(spark, readManifest(base, vs.max), keepCoords = true), vs.max)
+    val m = readManifest(base, vs.max)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val scan =
+      if (kept.isEmpty && m.files.nonEmpty)
+        scanWithDvs(spark, m, keepCoords = true).filter(lit(false))
+      else scanWithDvs(spark, m.copy(files = kept), keepCoords = true)
+    (scan, vs.max)
   }
 
   /** Generalized atomic row change against `fromVersion` (the version

@@ -175,6 +175,60 @@ class MergeSqlSpec extends SparkSuite {
     }
   }
 
+  test("MERGE/UPDATE prune the target scan by the source key envelope") {
+    val sess = spark
+    import sess.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.pr")
+    spark.sql(s"CREATE TABLE $cat.d.pr (id BIGINT, v BIGINT) PARTITIONED BY (id)")
+    // clustered multi-file layout (the connector's write clustering +
+    // a record cap so the tiny sorted shuffle still splits into files)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    // force the envelope path for this toy-sized table
+    spark.conf.set("spark.graft.merge.smallTargetBytes", "0")
+    try {
+      spark.sql(s"INSERT INTO $cat.d.pr SELECT id, id * 10 AS v FROM range(100)")
+      val base = tableBase("pr")
+      val all = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+      assert(all.size >= 3)
+      // missing-file proof: drop a file that cannot hold any id <= 10
+      val lowCapable = graft.ingest.FileStats.prune(
+        spark.sparkContext.hadoopConfiguration, all,
+        Seq(org.apache.spark.sql.sources.LessThanOrEqual("id", 10L))).toSet
+      val victim = (all.toSet -- lowCapable).head
+      new java.io.File(new java.net.URI("file:" + victim).getPath).delete()
+      intercept[Exception] { spark.table(s"$cat.d.pr").count() }
+      // equi-ON MERGE with no NOT-MATCHED-BY-SOURCE: target scan prunes
+      // to the source envelope, so the missing file is never planned
+      Seq((3L, 1L), (7L, 1L), (200L, 1L)).toDF("id", "v")
+        .createOrReplaceTempView("pr_src")
+      spark.sql(
+        s"""MERGE INTO $cat.d.pr AS t USING pr_src AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+           |""".stripMargin)
+      // UPDATE with a selective pushable WHERE prunes the same way
+      spark.sql(s"UPDATE $cat.d.pr SET v = -1 WHERE id = 5")
+      val state = Snapshots.readWhere(spark, base, col("id") <= 10L || col("id") === 200L)
+        .as[(Long, Long)].collect().toMap
+      assert(state(3L) === 1L && state(7L) === 1L && state(200L) === 1L)
+      assert(state(5L) === -1L && state(6L) === 60L)
+      // a NOT-MATCHED-BY-SOURCE merge needs every target row: unpruned
+      // scan, which must now fail on the missing file — proving the
+      // pruned variants above genuinely skipped it
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO $cat.d.pr AS t USING pr_src AS s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET v = s.v
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0
+             |""".stripMargin)
+      }
+      assert(e.getMessage != null)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      spark.conf.unset("spark.graft.merge.smallTargetBytes")
+    }
+  }
+
   private def tableBase(name: String): String =
     new java.io.File(new java.io.File(
       spark.conf.get("spark.sql.catalog.gm.warehouse"), "d"), name).toString
