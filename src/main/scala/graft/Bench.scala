@@ -36,7 +36,10 @@ object Bench {
     "pair2_hard_negatives", "g2_pagerank_directed", "p3_pipeline_e2e",
     // round-8: runtime file pruning for star joins (dim keys → manifest
     // stats → fact files skipped before any task launches)
-    "j15_runtime_prune")
+    "j15_runtime_prune",
+    // round-8: equality deletes (no-scan upsert read path) and the
+    // change-data-feed replay
+    "eq1_upsert_noscan", "cdc1_change_feed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

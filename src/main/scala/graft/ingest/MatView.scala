@@ -120,14 +120,17 @@ object MatView {
     // since round 7 — over merges and DV deletes too: their removed rows
     // surface through [[Snapshots.removedRows]] and SUBTRACT from the
     // view (count and sum are abelian, so +new −old composes in any
-    // order). File-rewriting commits (overwrite/compact, delete,
-    // rollback) still refuse: their row identity diffs aren't recoverable
-    // from metadata. The INITIAL build reads the full snapshot, which is
-    // correct whatever the source's history.
+    // order). Round 8 adds the equality-delete commits (delete-eq,
+    // merge-eq): removedRows accounts their key-hidden rows exactly
+    // (visible-at-fromV semantics, no double count against DVs), so the
+    // same subtraction applies. File-rewriting commits (overwrite/
+    // compact, delete, rollback) still refuse: their row identity diffs
+    // aren't recoverable from metadata. The INITIAL build reads the full
+    // snapshot, which is correct whatever the source's history.
     if (last > 0L) {
       val consumed = Snapshots.versions(srcBase).filter(v => v > last && v <= srcV)
       val bad = consumed.filterNot(v =>
-        Set("append", "merge", "delete-dv")(
+        Set("append", "merge", "delete-dv", "delete-eq", "merge-eq")(
           Snapshots.modeOf(srcBase, v).takeWhile(_ != ':')))
       require(bad.isEmpty,
         s"source versions ${bad.mkString(",")} rewrite files - " +

@@ -150,6 +150,7 @@ object Snapshots {
 
   private case class Manifest(version: Long, parent: Long, mode: String,
                               files: Seq[String], dvs: Seq[String],
+                              eqs: Seq[String],
                               schema: Option[org.apache.spark.sql.types.StructType],
                               lastColumnId: Option[Long],
                               commitTs: Option[Long])
@@ -175,18 +176,23 @@ object Snapshots {
     if (line.startsWith("/") || line.contains(":/")) line
     else new Path(base, line).toString
 
-  /** Deletion-vector manifest lines are tagged `dv:`; every other line is
-    * a data file. Old manifests have no dv lines and parse unchanged.
+  /** Deletion-vector manifest lines are tagged `dv:`, equality-delete key
+    * files `eq:`; every other line is a data file. Old manifests have no
+    * tagged lines and parse unchanged.
     */
   private def readManifest(base: String, v: Long): Manifest = {
     val lines = readString(fsFor(base), manifestFile(base, v)).split("\n", -1).toSeq
     val header = lines.head.split("\t").map { kv =>
       val Array(k, value) = kv.split("=", 2); k -> value
     }.toMap
-    val (dvLines, dataLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("dv:"))
+    val body = lines.tail.filter(_.nonEmpty)
+    val eqLines = body.filter(_.startsWith("eq:"))
+    val (dvLines, dataLines) =
+      body.filterNot(_.startsWith("eq:")).partition(_.startsWith("dv:"))
     Manifest(header("version").toLong, header("parent").toLong,
       header("mode"), dataLines.map(resolve(base, _)),
       dvLines.map(l => resolve(base, l.stripPrefix("dv:"))),
+      eqLines.map(l => resolve(base, l.stripPrefix("eq:"))),
       header.get("schema").map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType]),
@@ -364,7 +370,7 @@ object Snapshots {
     * the old name.
     */
   def renameColumn(base: String, from: String, to: String): Long =
-    alterSchema(base, s"alter:rename:$from:$to") { (s, last) =>
+    alterSchema(base, s"alter:rename:$from:$to", guardEqKeyColumn(from)) { (s, last) =>
       require(s.fieldNames.contains(from), s"no column $from to rename")
       require(!s.fieldNames.contains(to), s"column $to already exists")
       (StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f)), last)
@@ -375,7 +381,7 @@ object Snapshots {
     * travel and are reclaimed as their versions expire.
     */
   def dropColumn(base: String, name: String): Long =
-    alterSchema(base, s"alter:drop:$name") { (s, last) =>
+    alterSchema(base, s"alter:drop:$name", guardEqKeyColumn(name)) { (s, last) =>
       require(s.fieldNames.contains(name), s"no column $name to drop")
       require(s.fields.length > 1, "cannot drop the last column")
       // last-column-id is UNCHANGED: the dropped id stays burned so no
@@ -434,11 +440,24 @@ object Snapshots {
           s"$tsMillis under $base"))
   }
 
+  /** Refuses a rename/drop of a column an OUTSTANDING equality delete
+    * keys on: eq keys bind by name at read time, so changing the name
+    * would silently detach the delete. Metadata-only check (refs-sidecar
+    * headers); compact materializes the deletes and lifts the refusal.
+    */
+  private def guardEqKeyColumn(name: String): Manifest => Unit = m =>
+    if (loadEqBatches(m).exists(_.keyCols.contains(name)))
+      throw new IllegalStateException(
+        s"column $name is a key column of an outstanding equality delete " +
+          "(eq keys bind by name) - run compact() to materialize row-level " +
+          "deletes before renaming or dropping it")
+
   /** `xf` maps (parent schema, parent last-column-id) → (new schema, new
     * last-column-id), resolved against the true parent INSIDE the commit
     * lock — a retried publish re-runs it against the winner's state.
     */
-  private def alterSchema(base: String, mode: String)(
+  private def alterSchema(base: String, mode: String,
+                          guard: Manifest => Unit = _ => ())(
       xf: (StructType, Long) => (StructType, Long)): Long = {
     require(versions(base).nonEmpty, s"no committed snapshots under $base")
     // One resolution per distinct parent, shared by schemaFor/lastIdFor
@@ -447,6 +466,7 @@ object Snapshots {
     def resolved(parent: Long): (StructType, Long) =
       memo.computeIfAbsent(parent, { p =>
         val m = readManifest(base, p)
+        guard(m)
         val s = m.schema.getOrElse(
           throw new IllegalStateException(
             "table predates field-id tracking (no schema header); rename/drop " +
@@ -454,7 +474,7 @@ object Snapshots {
         xf(s, mintFloor(base, m))
       })
     publish(base, Nil, Nil, mode,
-      parent => { val p = readManifest(base, parent); (p.files, p.dvs) },
+      parent => { val p = readManifest(base, parent); (p.files, p.dvs, p.eqs) },
       schemaFor = parent => Some(resolved(parent)._1.json),
       lastIdFor = parent => Some(resolved(parent)._2))
   }
@@ -590,9 +610,10 @@ object Snapshots {
     */
   private def publish(base: String, newFiles: Seq[String], newDvs: Seq[String],
                       mode: String,
-                      carried: Long => (Seq[String], Seq[String]),
+                      carried: Long => (Seq[String], Seq[String], Seq[String]),
                       schemaFor: Long => Option[String] = null,
-                      lastIdFor: Long => Option[Long] = null): Long =
+                      lastIdFor: Long => Option[Long] = null,
+                      newEqs: Seq[String] = Nil): Long =
     withCommitLock(base) {
       val schemaOf: Long => Option[String] =
         if (schemaFor != null) schemaFor
@@ -634,7 +655,7 @@ object Snapshots {
           .max.max(parent) + 1
         val target = manifestFile(base, next)
         val tmp = new Path(snapDir(base), s".tmp_${next}_${System.nanoTime()}")
-        val (carriedFiles, carriedDvs) = carried(parent)
+        val (carriedFiles, carriedDvs, carriedEqs) = carried(parent)
         // Compact JSON holds no tabs/newlines, so the schema rides the
         // one-line header like any other kv — era schemas travel WITH
         // their manifests, which is what makes time travel see old names.
@@ -655,7 +676,8 @@ object Snapshots {
         writeStringNew(fs, tmp,
           (s"version=$next\tparent=$parent\tmode=$mode$tsKv$schemaKv$lastIdKv" +:
             ((carriedFiles ++ newFiles).map(relativize(base, _)) ++
-              (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f))))
+              (carriedDvs ++ newDvs).map(f => "dv:" + relativize(base, f)) ++
+              (carriedEqs ++ newEqs).map(f => "eq:" + relativize(base, f))))
             .mkString("\n"))
         // Atomic rename: the manifest appears fully written or not at all.
         if (fs.rename(tmp, target)) out = next
@@ -699,8 +721,8 @@ object Snapshots {
     publish(base, newFiles, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {
         val p = readManifest(base, parent)
-        (p.files, p.dvs)
-      } else (Nil, Nil),
+        (p.files, p.dvs, p.eqs)
+      } else (Nil, Nil, Nil),
       schemaFor = if (!tracked) null else _ => Some(tableSchema.json),
       // Floored at the RESOLVED parent's recorded id: if a concurrent
       // alter minted past our pre-lock snapshot, the retried publish must
@@ -747,6 +769,11 @@ object Snapshots {
     require(m0.dvs.isEmpty,
       "table has deletion vectors - run compact() to materialize them " +
         "before a copy-on-write delete, or use deleteWhereDV")
+    // Same hazard for equality deletes: the raw rewrite would resurrect
+    // key-deleted rows into the surviving files.
+    require(m0.eqs.isEmpty,
+      "table has equality deletes - run compact() to materialize them " +
+        "before a copy-on-write delete, or use deleteWhereDV")
     val files = m0.files
     // Keep the scan's full URIs for READING (they carry the scheme); the
     // comparison set is uriPath-canonical so it matches manifest paths
@@ -776,9 +803,9 @@ object Snapshots {
     // rows and duplicate survivors from our rewrite. Abort loudly instead
     // (mirror of compact's conflict check).
     publish(base, newFiles, Nil, mode = "delete", parent =>
-      if (parent == 0) (Nil, Nil)
+      if (parent == 0) (Nil, Nil, Nil)
       else if (parent == v0)
-        (readManifest(base, parent).files.filterNot(f => touched(uriPath(f))), Nil)
+        (readManifest(base, parent).files.filterNot(f => touched(uriPath(f))), Nil, Nil)
       else {
         val p = readManifest(base, parent)
         val rewrittenAway = touched -- p.files.map(uriPath).toSet
@@ -787,14 +814,14 @@ object Snapshots {
             s"deleteWhere based on v$v0 conflicts with a concurrent overwrite " +
               s"that rewrote ${rewrittenAway.size} of its ${touched.size} touched " +
               "file(s); retry the delete from the new version")
-        // A concurrent DV delete's vector may reference a file we just
+        // A concurrent DV/equality delete may reference a file we just
         // rewrote - carrying it would re-hide rows our rewrite kept, and
         // dropping it would resurrect that delete. Abort loudly.
-        if (p.dvs.nonEmpty)
+        if (p.dvs.nonEmpty || p.eqs.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"deleteWhere based on v$v0 conflicts with a concurrent " +
-              "deletion-vector delete; retry from the new version")
-        (p.files.filterNot(f => touched(uriPath(f))), Nil)
+              "row-level (DV or equality) delete; retry from the new version")
+        (p.files.filterNot(f => touched(uriPath(f))), Nil, Nil)
       })
   }
 
@@ -863,20 +890,176 @@ object Snapshots {
       return v0
     }
     publish(base, Nil, newDvs, mode = "delete-dv", parent =>
-      if (parent == v0) (m.files, m.dvs)
+      if (parent == v0) (m.files, m.dvs, m.eqs)
       else {
         val p = readManifest(base, parent)
         // Concurrent appends carry fine (a DV never references their
         // files); an overwrite that rewrote a file this vector points at
         // would orphan its coordinates AND resurrect the delete - abort.
+        // Concurrent DV/equality DELETES commute with this delete (both
+        // only hide rows; double-hiding is idempotent) and carry fine.
         val gone = referenced -- p.files.map(relKey).toSet
         if (gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"deleteWhereDV based on v$v0 conflicts with a concurrent " +
               s"overwrite of ${gone.size} referenced file(s); retry from " +
               "the new version")
-        (p.files, p.dvs)
+        (p.files, p.dvs, p.eqs)
       })
+  }
+
+  /** Equality delete (the Iceberg v2 equality-delete file, re-expressed):
+    * remove every row whose key tuple appears in `keys` (column names =
+    * key columns) with ZERO target data IO — no target file is scanned,
+    * rewritten, or even opened. The write costs one aggregate over `keys`
+    * (its min/max envelope), a footer-stats metadata prune to pin the
+    * files the delete applies to, and a keys-sized parquet write; readers
+    * anti-join the key set against ONLY those referenced files, and
+    * [[compact]] materializes the delete away. This is the streaming-CDC
+    * write primitive: at 100 TB, a positional (DV) delete must first SCAN
+    * the target to find coordinates — even runtime-pruned, that's data IO
+    * per batch — while an equality delete defers all data IO to reads of
+    * the touched neighborhood and to compaction (exactly why Flink writes
+    * equality deletes into Iceberg v2 tables).
+    *
+    * Semantics: refs are pinned at this delete's commit, so keys
+    * re-inserted LATER are untouched (sequence-number behavior); rows
+    * with a NULL key component never match (SQL equality); the delete is
+    * snapshot-isolated against its base version — concurrently APPENDED
+    * rows are not affected (same stance as [[deleteWhereDV]] toward
+    * concurrent appends). Key columns bind by NAME at read time;
+    * [[renameColumn]]/[[dropColumn]] refuse while an outstanding equality
+    * delete references the column (compact first).
+    *
+    * Returns the new version; a delete whose keys provably touch no live
+    * file (empty keys, all-NULL keys, or full stats prune) publishes
+    * nothing and returns the current version.
+    */
+  def deleteByKeys(spark: SparkSession, base: String, keys: DataFrame,
+                   beforePublish: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v0 = vs.max
+    val m = readManifest(base, v0)
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    m.schema.foreach { s =>
+      val missing = keyCols.filterNot(s.fieldNames.contains)
+      require(missing.isEmpty,
+        s"key column(s) ${missing.mkString(",")} not in table schema " +
+          s"${s.fieldNames.mkString(",")}")
+    }
+    // NULL-component tuples can never match (SQL equality) — dropping
+    // them up front keeps the stored key set and the read-side join
+    // build minimal.
+    val k = keys.filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
+    val refs = FileStats.keyFilters(k, maxInKeys) match {
+      case None => Nil // no non-null key tuple: nothing can match
+      case Some(fs) => FileStats.prune(hadoopConf, m.files, fs).map(relKey)
+    }
+    if (refs.isEmpty) return v0
+    val eqPath = new Path(dataDir(base), s"eq_${java.util.UUID.randomUUID().toString.take(8)}")
+    k.write.parquet(eqPath.toString)
+    val keyFiles = listParquet(spark, eqPath)
+    writeStringNew(fsFor(base), new Path(eqPath, EqRefsName),
+      (keyCols.mkString("\t") +: refs).mkString("\n"))
+    beforePublish()
+    publish(base, Nil, Nil, mode = "delete-eq", parent =>
+      if (parent == v0) (m.files, m.dvs, m.eqs)
+      else {
+        val p = readManifest(base, parent)
+        // Concurrent appends/deletes commute (refs are pinned; deletes
+        // only hide rows); an overwrite that rewrote a referenced file
+        // MATERIALIZED rows this delete targets into files it does not
+        // reference — the delete would be silently lost. Abort.
+        val gone = refs.toSet -- p.files.map(relKey).toSet
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deleteByKeys based on v$v0 conflicts with a concurrent " +
+              s"overwrite of ${gone.size} referenced file(s); retry from " +
+              "the new version")
+        (p.files, p.dvs, p.eqs)
+      }, newEqs = keyFiles)
+  }
+
+  /** No-scan upsert: [[merge]]'s WHEN MATCHED UPDATE / NOT MATCHED INSERT
+    * semantics with the matched leg expressed as an EQUALITY delete
+    * instead of a DV-coordinate scan — the write path never opens a
+    * target data file. One atomic commit: the source appends as new
+    * files, and an equality delete pinned to the PRE-commit file set
+    * hides the old rows of matched keys (the new files are not in its
+    * refs, so the fresh rows survive — same-commit sequence semantics).
+    * This is what a per-batch streaming upsert should write at 100 TB:
+    * cost is one source aggregate + a source-sized write, independent of
+    * target size and of target IO entirely; reads of the touched
+    * neighborhood pay the key anti-join until [[compact]] folds it in.
+    *
+    * Same contract as [[merge]]: `source` must be key-unique and share
+    * the table's schema. Source rows with a NULL key component simply
+    * append (they can match nothing).
+    */
+  def upsertByKeys(spark: SparkSession, base: String, source: DataFrame,
+                   keyCols: Seq[String], modeTag: String = "",
+                   beforePublish: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsertByKeys needs at least one key column")
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v0 = vs.max
+    val m = readManifest(base, v0)
+    val src = m.schema match {
+      case Some(s) =>
+        require(source.columns.toSet == s.fieldNames.toSet,
+          s"upsert source columns ${source.columns.mkString(",")} must match " +
+            s"the table schema ${s.fieldNames.mkString(",")}")
+        source.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
+      case None => source
+    }
+    val srcKeys = src.select(keyCols.map(col): _*)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
+    val refs = FileStats.keyFilters(srcKeys, maxInKeys) match {
+      case None => Nil
+      case Some(fs) => FileStats.prune(hadoopConf, m.files, fs).map(relKey)
+    }
+    // Pure-insert fast path: no live file can hold a matched key, so the
+    // commit is a plain append of the source (no eq sidecar at all).
+    val newEqs: Seq[String] =
+      if (refs.isEmpty) Nil
+      else {
+        val eqPath = new Path(dataDir(base),
+          s"eq_${java.util.UUID.randomUUID().toString.take(8)}")
+        srcKeys.write.parquet(eqPath.toString)
+        val keyFiles = listParquet(spark, eqPath)
+        writeStringNew(fsFor(base), new Path(eqPath, EqRefsName),
+          (keyCols.mkString("\t") +: refs).mkString("\n"))
+        keyFiles
+      }
+    val newFiles = writeBatch(src, base, keyCols)
+    beforePublish()
+    publish(base, newFiles, Nil,
+      mode = if (modeTag.isEmpty) "merge-eq" else s"merge-eq:$modeTag", parent =>
+      if (parent == v0) (m.files, m.dvs, m.eqs)
+      else {
+        val p = readManifest(base, parent)
+        // Serializable behavior, mirroring [[merge]]: a concurrent append
+        // may hold keys this upsert targets (refs pinned at v0 would miss
+        // them — duplicate keys); a concurrent overwrite of a referenced
+        // file materializes target rows outside the refs (lost update); a
+        // concurrent equality delete's keys were chosen against a state
+        // this upsert changes. Abort on all three; concurrent DVs commute
+        // (they only hide rows this upsert also hides or never touches).
+        val added = p.files.toSet -- m.files.toSet
+        val gone = refs.toSet -- p.files.map(relKey).toSet
+        if (added.nonEmpty || gone.nonEmpty || p.eqs.toSet != m.eqs.toSet)
+          throw new java.util.ConcurrentModificationException(
+            s"upsertByKeys based on v$v0 conflicts with a concurrent " +
+              s"commit (${added.size} file(s) added, ${gone.size} referenced " +
+              "file(s) rewritten); retry from the new version")
+        (p.files, p.dvs, p.eqs)
+      }, newEqs = newEqs)
   }
 
   /** Batch MERGE (upsert): rows from `source` replace same-key rows in the
@@ -962,7 +1145,7 @@ object Snapshots {
     beforePublish()
     publish(base, newFiles, newDvs,
       mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
-      if (parent == v0) (m.files, m.dvs)
+      if (parent == v0) (m.files, m.dvs, m.eqs)
       else {
         val p = readManifest(base, parent)
         // A concurrent APPEND may have added rows for keys this merge is
@@ -970,19 +1153,29 @@ object Snapshots {
         // key rows, silently breaking the upsert invariant. Serializable
         // behavior (Iceberg's choice for MERGE): abort on ANY concurrent
         // data-file change and let the caller retry against the new state.
+        // Same for a concurrent EQUALITY delete: its keys were chosen
+        // against a state this merge is changing (it may delete keys the
+        // merge re-inserts, or miss the merge's inserts) — no serial
+        // order reproduces carrying both.
         val added = p.files.toSet -- m.files.toSet
         val gone = referenced -- p.files.map(relKey).toSet
-        if (added.nonEmpty || gone.nonEmpty)
+        if (added.nonEmpty || gone.nonEmpty || p.eqs.toSet != m.eqs.toSet)
           throw new java.util.ConcurrentModificationException(
             s"merge based on v$v0 conflicts with a concurrent commit " +
               s"(${added.size} file(s) added, ${gone.size} referenced file(s) " +
               "rewritten); retry from the new version")
-        (p.files, p.dvs)
+        (p.files, p.dvs, p.eqs)
       })
   }
 
   private val DvFileCol = "_graft_dv_file"
   private val DvPosCol = "_graft_dv_pos"
+
+  /** Per-eq-batch sidecar: first line = tab-joined key column names, one
+    * referenced data-file rel key per following line. Rel keys make the
+    * delete relocation-safe, same as DV coordinates.
+    */
+  private val EqRefsName = "_refs.txt"
 
   /** The (file, position) coordinate column names of [[scanWithCoords]]
     * output — public so row-level executors (SQL MERGE/UPDATE) can name
@@ -1056,56 +1249,114 @@ object Snapshots {
     if (newDvs.isEmpty && newFiles.isEmpty) return fromVersion // full no-op
     publish(base, newFiles, newDvs,
       mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
-      if (parent == fromVersion) (m.files, m.dvs)
+      if (parent == fromVersion) (m.files, m.dvs, m.eqs)
       else {
         val p = readManifest(base, parent)
         val added = p.files.toSet -- m.files.toSet
         val gone = referenced -- p.files.map(relKey).toSet
-        // A concurrent DV commit deleted rows this change's insert leg may
-        // have READ pre-delete and be re-inserting — carrying it would
-        // resurrect the delete (no serial order produces that). Same
-        // abort discipline as deleteWhere's file-level check.
-        val dvChanged = p.dvs.toSet != m.dvs.toSet
+        // A concurrent DV or equality commit deleted rows this change's
+        // insert leg may have READ pre-delete and be re-inserting —
+        // carrying it would resurrect the delete (no serial order
+        // produces that). Same abort discipline as deleteWhere's
+        // file-level check.
+        val dvChanged = p.dvs.toSet != m.dvs.toSet || p.eqs.toSet != m.eqs.toSet
         if (added.nonEmpty || gone.nonEmpty || dvChanged)
           throw new java.util.ConcurrentModificationException(
             s"row change based on v$fromVersion conflicts with a concurrent " +
               s"commit (${added.size} file(s) added, ${gone.size} referenced " +
-              s"file(s) rewritten, dv change: $dvChanged); retry from the " +
-              "new version")
-        (p.files, p.dvs)
+              s"file(s) rewritten, row-level-delete change: $dvChanged); " +
+              "retry from the new version")
+        (p.files, p.dvs, p.eqs)
       })
   }
 
-  /** DV-aware scan of a manifest. Row coordinates (`_graft_dv_file`
-    * relocatable last-3 key + `_graft_dv_pos` parquet row index) come from
-    * Spark's `_metadata` struct — no shuffle, no row-number window. Only
-    * files a vector actually REFERENCES pay the anti join; every clean
-    * file takes the plain scan path, so at scale the subtraction cost is
-    * proportional to the dirty file set, not the table. The anti join's
-    * build side is rows-deleted-sized and hash-partitions like any join —
-    * AQE broadcasts it when small.
+  /** One equality-delete batch as loaded from its sidecar: the key column
+    * names, the files it applies to (live-intersected rel keys), and the
+    * key-tuple parquet paths.
+    */
+  private case class EqBatch(keyCols: Seq[String], refs: Seq[String],
+                             keyFiles: Seq[String])
+
+  /** Load the latest state of a manifest's equality deletes: one batch per
+    * eq dir, refs intersected with the live file set (a ref whose file was
+    * since rewritten away contributes nothing). Metadata-sized driver IO —
+    * one `_refs.txt` read per eq batch.
+    */
+  private def loadEqBatches(m: Manifest): Seq[EqBatch] = {
+    if (m.eqs.isEmpty) return Nil
+    m.eqs.groupBy(f => new Path(f).getParent).toSeq.sortBy(_._1.toString)
+      .flatMap { case (dir, keyFiles) =>
+        val fs = dir.getFileSystem(hadoopConf)
+        val lines = readString(fs, new Path(dir, EqRefsName)).split("\n", -1)
+          .toSeq.filter(_.nonEmpty)
+        val keyCols = lines.head.split("\t").toSeq
+        val refs = lines.tail
+        if (refs.isEmpty) None else Some(EqBatch(keyCols, refs, keyFiles))
+      }
+  }
+
+  /** Scan of a manifest with row-level deletes applied — deletion vectors
+    * (positional) AND equality deletes (key-tuple). Row coordinates
+    * (`_graft_dv_file` relocatable last-3 key + `_graft_dv_pos` parquet
+    * row index) come from Spark's `_metadata` struct — no shuffle, no
+    * row-number window. Only files a delete actually REFERENCES pay the
+    * anti joins; every clean file takes the plain scan path, so at scale
+    * the subtraction cost is proportional to the dirty file set, not the
+    * table. Build sides are rows-deleted-sized (DV) or keys×refs-sized
+    * (equality — refs are footer-stats-pruned at write, so on a
+    * key-clustered table the product stays batch-neighborhood-sized) and
+    * hash-partition like any join — AQE broadcasts them when small.
+    *
+    * Equality semantics: a delete's keys remove rows ONLY in the files the
+    * delete referenced at its commit (refs pinned at write), so rows
+    * re-inserted for a deleted key AFTER the delete are never touched —
+    * the Iceberg v2 sequence-number rule, carried by the refs list
+    * instead of per-file sequence numbers. NULL key components never
+    * match (SQL equality), mirroring MERGE's join.
     */
   private def scanWithDvs(spark: SparkSession, m: Manifest,
                           keepCoords: Boolean,
                           mergeSchema: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, substring_index}
+    import org.apache.spark.sql.functions.{col, explode, lit, substring_index, typedlit}
     def readFiles(files: Seq[String]) =
       readWithSchema(spark, m.schema, files, mergeSchema)
     def coords(df: DataFrame) = df
       .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
       .withColumn(DvPosCol, col("_metadata.row_index"))
-    if (m.dvs.isEmpty) {
+    val eqBatches = loadEqBatches(m)
+    if (m.dvs.isEmpty && eqBatches.isEmpty) {
       val scan = readFiles(m.files)
       return if (keepCoords) coords(scan) else scan
     }
-    val dv = spark.read.parquet(m.dvs: _*)
-      .withColumnRenamed("dv_file", DvFileCol)
-      .withColumnRenamed("dv_pos", DvPosCol)
+    val dvOpt =
+      if (m.dvs.isEmpty) None
+      else Some(spark.read.parquet(m.dvs: _*)
+        .withColumnRenamed("dv_file", DvFileCol)
+        .withColumnRenamed("dv_pos", DvPosCol))
     // Dirty-file set: same cardinality class as the manifest listing
     // itself (bounded by file count), so the driver hop is the one the
-    // read path already makes.
-    val dirtyRel = dv.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    // read path already makes. Equality refs are already rel keys.
+    val dvDirtyRel = dvOpt.map(
+        _.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    val liveRel = m.files.map(relKey).toSet
+    val eqDirtyRel = eqBatches.flatMap(_.refs).filter(liveRel).toSet
+    val dirtyRel = dvDirtyRel ++ eqDirtyRel
     val (dirty, clean) = m.files.partition(f => dirtyRel(relKey(f)))
+    // One decorated scan for every dirty file; a row in a DV-only file
+    // meets the equality anti join too (and vice versa) — no match, only
+    // join traffic, and the traffic is bounded by the dirty slice.
+    def applyEq(df: DataFrame): DataFrame =
+      eqBatches.filter(_.refs.exists(liveRel)).foldLeft(df) { (d, b) =>
+        val keys = spark.read.parquet(b.keyFiles: _*)
+        val prod = keys
+          .select(b.keyCols.map(c => col(c).as(s"_graft_eq_$c")): _*)
+          .withColumn("_graft_eq_file",
+            explode(typedlit(b.refs.filter(liveRel))))
+        val cond = b.keyCols.map(c => d(c) === prod(s"_graft_eq_$c"))
+          .reduce(_ && _) && d(DvFileCol) === prod("_graft_eq_file")
+        d.join(prod, cond, "left_anti")
+      }
     val parts = Seq(
       if (clean.isEmpty) None
       else Some {
@@ -1114,8 +1365,11 @@ object Snapshots {
       },
       if (dirty.isEmpty) None
       else Some {
-        val sub = coords(readFiles(dirty))
-          .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+        val decorated = coords(readFiles(dirty))
+        val sub0 = dvOpt.map(dv =>
+          decorated.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+          .getOrElse(decorated)
+        val sub = applyEq(sub0)
         if (keepCoords) sub else sub.drop(DvFileCol, DvPosCol)
       }).flatten
     // Under mergeSchema the clean and dirty slices may expose different
@@ -1151,7 +1405,7 @@ object Snapshots {
     // concurrent DELETE of a file we already rewrote would resurrect its
     // rows, so that case aborts loudly instead of losing the delete.
     publish(base, newFiles, Nil, mode = "overwrite", parent => {
-      if (parent == v0) (Nil, Nil)
+      if (parent == v0) (Nil, Nil, Nil)
       else {
         val p = readManifest(base, parent)
         val removed = files0 -- p.files.toSet
@@ -1159,14 +1413,15 @@ object Snapshots {
           throw new java.util.ConcurrentModificationException(
             s"compact of v$v0 conflicts with a concurrent delete of " +
               s"${removed.size} file(s); retry compaction from the new version")
-        // A DV published after our rewrite started references pre-compact
-        // files — our output already lacks its coordinates, so carrying it
-        // is wrong and dropping it loses the delete. Abort loudly.
-        if (p.dvs.toSet != m0.dvs.toSet)
+        // A DV or equality delete published after our rewrite started
+        // references pre-compact state — our output already lacks its
+        // rows-to-hide, so carrying it is wrong and dropping it loses the
+        // delete. Abort loudly.
+        if (p.dvs.toSet != m0.dvs.toSet || p.eqs.toSet != m0.eqs.toSet)
           throw new java.util.ConcurrentModificationException(
-            s"compact of v$v0 conflicts with a concurrent deletion-vector " +
+            s"compact of v$v0 conflicts with a concurrent row-level " +
               "delete; retry compaction from the new version")
-        (p.files.filterNot(files0), Nil)
+        (p.files.filterNot(files0), Nil, Nil)
       }
     })
   }
@@ -1196,10 +1451,10 @@ object Snapshots {
       readManifest(base, v)
     case Pin.AtTag(n) => pinnedManifest(base, Pin.AsOf(tagVersion(base, n)))
     case Pin.AtBranch(n) =>
-      val (files, dvs) = branchHeadState(base, n)
+      val (files, dvs, eqs) = branchHeadState(base, n)
       val fork = readManifest(base, branchFork(base, n))
-      Manifest(0L, 0L, "branch", files, dvs, fork.schema, fork.lastColumnId,
-        fork.commitTs)
+      Manifest(0L, 0L, "branch", files, dvs, eqs, fork.schema,
+        fork.lastColumnId, fork.commitTs)
   }
 
   /** The era schema of a pinned state WITHOUT planning a scan — metadata
@@ -1328,25 +1583,160 @@ object Snapshots {
     * the (rows-deleted-sized) vector coordinates.
     */
   def removedRows(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    import org.apache.spark.sql.functions.{col, explode, lit, substring_index, typedlit}
     val mFrom = readManifest(base, fromV)
     val mTo = readManifest(base, toV)
     val newDvs = mTo.dvs.filterNot(mFrom.dvs.toSet)
-    if (newDvs.isEmpty)
+    val newEqPaths = mTo.eqs.filterNot(mFrom.eqs.toSet).toSet
+    val toEqBatches = loadEqBatches(mTo)
+    val newEqBatches = toEqBatches.filter(_.keyFiles.exists(newEqPaths))
+    val oldEqBatches = toEqBatches.filterNot(_.keyFiles.exists(newEqPaths))
+    if (newDvs.isEmpty && newEqBatches.isEmpty)
       return read(spark, base, Some(toV)).filter(lit(false))
-    val dv = spark.read.parquet(newDvs: _*)
-      .withColumnRenamed("dv_file", DvFileCol)
-      .withColumnRenamed("dv_pos", DvPosCol)
-    val dirtyRel = dv.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    def coords(df: DataFrame) = df
+      .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val liveRel = mTo.files.map(relKey).toSet
+    // Equality anti/semi join against a batch's keys×refs product —
+    // `semi=false` subtracts matched rows, `semi=true` keeps only them.
+    def eqJoin(df: DataFrame, batches: Seq[EqBatch], semi: Boolean): DataFrame =
+      batches.filter(_.refs.exists(liveRel)).foldLeft(df) { (d, b) =>
+        val prod = spark.read.parquet(b.keyFiles: _*)
+          .select(b.keyCols.map(c => col(c).as(s"_graft_eq_$c")): _*)
+          .withColumn("_graft_eq_file", explode(typedlit(b.refs.filter(liveRel))))
+        val cond = b.keyCols.map(c => d(c) === prod(s"_graft_eq_$c"))
+          .reduce(_ && _) && d(DvFileCol) === prod("_graft_eq_file")
+        d.join(prod, cond, if (semi) "left_semi" else "left_anti")
+      }
+    // Semi over the UNION of new-eq batches needs one pass per batch with
+    // accumulation, not a fold of semis (a fold would intersect). Collect
+    // each batch's hits and de-duplicate by coordinate.
+    def eqHits(df: DataFrame): Option[DataFrame] = {
+      val hits = newEqBatches.filter(_.refs.exists(liveRel)).map(b =>
+        eqJoin(df, Seq(b), semi = true))
+      if (hits.isEmpty) None
+      else Some(hits.reduce(_.unionByName(_)).dropDuplicates(DvFileCol, DvPosCol))
+    }
     // The referenced files are live at toV (merge/delete carry all parent
     // files); read them under toV's schema so a post-rename consumer sees
     // current names in BOTH halves of the feed.
-    val dirty = mTo.files.filter(f => dirtyRel(relKey(f)))
-    readWithSchema(spark, mTo.schema, dirty)
-      .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
-      .withColumn(DvPosCol, col("_metadata.row_index"))
-      .join(dv, Seq(DvFileCol, DvPosCol), "inner")
-      .drop(DvFileCol, DvPosCol)
+    val dvHalf: Option[DataFrame] =
+      if (newDvs.isEmpty) None
+      else {
+        val dv = spark.read.parquet(newDvs: _*)
+          .withColumnRenamed("dv_file", DvFileCol)
+          .withColumnRenamed("dv_pos", DvPosCol)
+        val dirtyRel = dv.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+        val dirty = mTo.files.filter(f => dirtyRel(relKey(f)))
+        // New vectors never reference rows already hidden at their commit
+        // (DV writers scan with all deletes applied), so no old-state
+        // subtraction is needed here.
+        Some(coords(readWithSchema(spark, mTo.schema, dirty))
+          .join(dv, Seq(DvFileCol, DvPosCol), "inner"))
+      }
+    // Equality half: rows hidden by the window's new eq batches that were
+    // VISIBLE at fromV — eq deletes are written blind (no target scan), so
+    // their keys may hit rows already DV- or eq-hidden; subtract the full
+    // toV DV state (covers old and new vectors — a row can't be removed
+    // here if a DV also claims it: the dv half owns it) and fromV's eq
+    // state before keeping the new-eq matches.
+    val eqHalf: Option[DataFrame] =
+      if (newEqBatches.isEmpty) None
+      else {
+        val eqDirtyRel = newEqBatches.flatMap(_.refs).filter(liveRel).toSet
+        val dirty = mTo.files.filter(f => eqDirtyRel(relKey(f)))
+        if (dirty.isEmpty) None
+        else {
+          val scan0 = coords(readWithSchema(spark, mTo.schema, dirty))
+          val noDv =
+            if (mTo.dvs.isEmpty) scan0
+            else scan0.join(
+              spark.read.parquet(mTo.dvs: _*)
+                .withColumnRenamed("dv_file", DvFileCol)
+                .withColumnRenamed("dv_pos", DvPosCol),
+              Seq(DvFileCol, DvPosCol), "left_anti")
+          val visibleAtFrom = eqJoin(noDv, oldEqBatches, semi = false)
+          eqHits(visibleAtFrom)
+        }
+      }
+    val parts = Seq(dvHalf, eqHalf).flatten
+    if (parts.isEmpty)
+      read(spark, base, Some(toV)).filter(lit(false))
+    else parts.reduce(_.unionByName(_)).drop(DvFileCol, DvPosCol)
+  }
+
+  /** Change data feed (Delta's CDF / Iceberg's changelog, re-expressed):
+    * every row-level change in `(fromV, toV]`, one commit at a time, as
+    * the table's columns plus `_change_type` ('insert' | 'delete'),
+    * `_commit_version` and `_commit_ts`. A merge's update appears as a
+    * delete of the old row and an insert of the new one (the storage
+    * truth — consumers needing update pairing join the halves on key).
+    * `fromV = 0` starts before the first commit, so v1's rows feed as
+    * inserts.
+    *
+    * Cost is proportional to CHANGED data, never the table: the insert
+    * half of each step is a manifest file-diff ([[changes]]) and the
+    * delete half reads only delete-referenced files ([[removedRows]]).
+    * A row inserted and deleted within the window appears twice (once per
+    * commit) — the feed is a log, not a net diff, so downstream
+    * accumulators (incremental MVs) stay exact.
+    *
+    * Commit modes and the feed:
+    *  - `append` / `merge` / `merge-eq` / `delete-dv` / `delete-eq` /
+    *    `alter:*` feed exactly;
+    *  - `overwrite` (compaction / full replacement) and `rollback` /
+    *    `fastforward` commits are SKIPPED: a compact is a physical
+    *    rewrite with no logical change (skipping is exact), while replace
+    *    / rollback / branch-publish rewrite table state wholesale — a
+    *    row-level feed for them is the full table, which callers should
+    *    read directly (Iceberg's incremental read takes the same stance);
+    *  - copy-on-write `delete` commits REFUSE loudly: the file diff
+    *    cannot attribute their rewritten survivors, so a CDC-consumed
+    *    table should delete via [[deleteWhereDV]] / [[deleteByKeys]]
+    *    (merge-on-read) instead.
+    */
+  def changeFeed(spark: SparkSession, base: String, fromV: Long,
+                 toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(base)
+    require(fromV == 0 || vs.contains(fromV),
+      s"unknown feed start version $fromV")
+    require(vs.contains(toV), s"unknown feed end version $toV")
+    require(fromV < toV, s"empty feed window ($fromV, $toV]")
+    val window = vs.filter(v => v > fromV && v <= toV).sorted
+    def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_ts", lit(commitTsOf(base, v).getOrElse(0L)))
+    val steps = window.foldLeft((fromV, Seq.empty[DataFrame])) {
+      case ((prev, acc), v) =>
+        val mode = modeOf(base, v).takeWhile(_ != ':')
+        mode match {
+          case "delete" =>
+            throw new IllegalStateException(
+              s"v$v is a copy-on-write delete - its rewritten files cannot " +
+                "be attributed row-level; CDC-consumed tables should delete " +
+                "via deleteWhereDV/deleteByKeys (merge-on-read)")
+          case "overwrite" | "rollback" | "fastforward" =>
+            // physical rewrite / wholesale state change: no row-level feed
+            // (see scaladoc); the step still advances the diff base.
+            (v, acc)
+          case _ =>
+            val ins =
+              if (prev == 0) stamp(read(spark, base, Some(v)), "insert", v)
+              else stamp(changes(spark, base, prev, v), "insert", v)
+            val del =
+              if (prev == 0) None
+              else Some(stamp(removedRows(spark, base, prev, v), "delete", v))
+            (v, acc ++ (Some(ins) ++ del))
+        }
+    }._2
+    if (steps.isEmpty)
+      stamp(read(spark, base, Some(toV)), "insert", toV).filter(lit(false))
+    // Era schemas may differ across the window (renames/adds) — align by
+    // name, null-filling columns a step's era lacks (the additive
+    // contract; renamed columns fragment by design, same as mergeSchema).
+    else steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Roll the table back to version `v` — published as a NEW commit whose
@@ -1363,7 +1753,7 @@ object Snapshots {
     // The rolled-back-to era's schema comes along with its files — a
     // rollback across a rename restores the old name too.
     publish(base, Nil, Nil, mode = s"rollback:$v",
-      _ => (target.files, target.dvs),
+      _ => (target.files, target.dvs, target.eqs),
       schemaFor = _ => target.schema.map(_.json))
   }
 
@@ -1479,19 +1869,24 @@ object Snapshots {
     fork
   }
 
-  /** The (files, dvs) state at a branch's head: its newest branch commit,
-    * or the fork-point main manifest when the branch has none yet.
+  /** The (files, dvs, eqs) state at a branch's head: its newest branch
+    * commit, or the fork-point main manifest when the branch has none yet.
     */
-  private def branchHeadState(base: String, name: String): (Seq[String], Seq[String]) = {
+  private def branchHeadState(base: String, name: String): (Seq[String], Seq[String], Seq[String]) = {
     val bvs = branchVersions(base, name)
     if (bvs.isEmpty) {
       val m = readManifest(base, branchFork(base, name))
-      (m.files, m.dvs)
+      (m.files, m.dvs, m.eqs)
     } else {
       val text = readString(fsFor(base), branchManifest(base, name, bvs.max))
       val lines = text.split("\n", -1).toSeq
-      val (dvLines, dataLines) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("dv:"))
-      (dataLines.map(resolve(base, _)), dvLines.map(l => resolve(base, l.stripPrefix("dv:"))))
+      val body = lines.tail.filter(_.nonEmpty)
+      val eqLines = body.filter(_.startsWith("eq:"))
+      val (dvLines, dataLines) =
+        body.filterNot(_.startsWith("eq:")).partition(_.startsWith("dv:"))
+      (dataLines.map(resolve(base, _)),
+        dvLines.map(l => resolve(base, l.stripPrefix("dv:"))),
+        eqLines.map(l => resolve(base, l.stripPrefix("eq:"))))
     }
   }
 
@@ -1517,7 +1912,7 @@ object Snapshots {
     }
     val newFiles = writeBatch(toWrite, base, sortCols)
     withCommitLock(base) {
-      val (headFiles, headDvs) = branchHeadState(base, name)
+      val (headFiles, headDvs, headEqs) = branchHeadState(base, name)
       val bvs = branchVersions(base, name)
       val next = (0L +: bvs).max + 1
       val target = branchManifest(base, name, next)
@@ -1525,7 +1920,8 @@ object Snapshots {
       writeStringNew(fs, tmp,
         (s"version=$next\tparent=${next - 1}\tmode=append" +:
           ((headFiles ++ newFiles).map(relativize(base, _)) ++
-            headDvs.map(f => "dv:" + relativize(base, f)))).mkString("\n"))
+            headDvs.map(f => "dv:" + relativize(base, f)) ++
+            headEqs.map(f => "eq:" + relativize(base, f)))).mkString("\n"))
       if (!fs.rename(tmp, target))
         throw new java.io.IOException(s"failed to publish branch manifest $target")
       next
@@ -1548,13 +1944,13 @@ object Snapshots {
     */
   def fastForward(base: String, name: String): Long = {
     val fork = branchFork(base, name)
-    val (files, dvs) = branchHeadState(base, name)
+    val (files, dvs, eqs) = branchHeadState(base, name)
     publish(base, Nil, Nil, mode = s"fastforward:$name", parent => {
       if (parent != fork)
         throw new java.util.ConcurrentModificationException(
           s"branch $name forked at v$fork but main is at v$parent - " +
             "not a fast-forward; re-stage the branch from the new head")
-      (files, dvs)
+      (files, dvs, eqs)
     })
   }
 
@@ -1649,9 +2045,9 @@ object Snapshots {
     val fs = fsFor(base)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val live = (versions(base).flatMap { v =>
-      val m = readManifest(base, v); m.files ++ m.dvs
+      val m = readManifest(base, v); m.files ++ m.dvs ++ m.eqs
     } ++ branches(base).keys.toSeq.flatMap { b =>
-      val (f, d) = branchHeadState(base, b); f ++ d
+      val (f, d, e) = branchHeadState(base, b); f ++ d ++ e
     }).map(uriPath).toSet
     val deleted = Seq.newBuilder[String]
     listDir(fs, dataDir(base)).filter(_.isDirectory).foreach { batch =>
@@ -1684,10 +2080,10 @@ object Snapshots {
     // Staged-but-unpublished BRANCH data shares the data/ dir and must
     // survive the sweep: every branch head's files count as live.
     val branchLive = branches(base).keys.toSeq.flatMap { b =>
-      val (f, d) = branchHeadState(base, b); f ++ d
+      val (f, d, e) = branchHeadState(base, b); f ++ d ++ e
     }
     val live = (keep.flatMap { v =>
-      val m = readManifest(base, v); m.files ++ m.dvs
+      val m = readManifest(base, v); m.files ++ m.dvs ++ m.eqs
     } ++ branchLive).map(uriPath).toSet
     listDir(fs, dataDir(base)).filter(_.isDirectory).foreach { batch =>
       listDir(fs, batch.getPath)

@@ -340,6 +340,43 @@ object RefParity {
       summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
         .unionAll(summarize(Snapshots.read(s, dir, Some(vs.last)), 2))
     },
+    // Equality deletes + no-scan upsert: the staged tree commits
+    // (k=o_orderkey, v=o_custkey), upserts key%10 updates (+1_000_000
+    // marker) and key%100 inserts (negated keys) WITHOUT scanning the
+    // target (upsertByKeys: the matched leg is an equality delete pinned
+    // by footer-stats metadata), then equality-deletes every visible key
+    // divisible by 7. Row 1 = pre-upsert, row 2 = final; the oracle
+    // replays the same algebra from orders in exact long arithmetic — a
+    // key the eq anti-join misses (delete lost), a same-commit insert the
+    // delete wrongly hides (refs leaking into the new files), or a
+    // non-atomic publish breaks the hash.
+    "eq1_upsert_noscan" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = eqSnapshotDir(s, d)
+      val v1 = Snapshots.versions(dir).min
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+            sum(when(col("v") >= 1000000L, 1L).otherwise(0L)).as("n_upd"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_v"), col("n_upd"))
+      summarize(Snapshots.read(s, dir, Some(v1)), 1)
+        .unionAll(summarize(Snapshots.read(s, dir), 2))
+    },
+    // Change data feed: the staged tree commits evens, appends odds,
+    // DV-deletes v < 1000, then no-scan-upserts key%10 (+1_000_000). The
+    // feed replays all four commits as (version, type) grains; the oracle
+    // recomputes every grain's count and sum from orders — a delete
+    // attributed to the wrong commit, a double-counted row (DV vs eq
+    // overlap), or an upsert's old generation missing from the delete
+    // half breaks the hash.
+    "cdc1_change_feed" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = cdcSnapshotDir(s, d)
+      Snapshots.changeFeed(s, dir, 0L, Snapshots.versions(dir).max)
+        .select(col("_commit_version").cast("int").as("cv"),
+          col("_change_type").as("ct"), col("v"))
+        .groupBy(col("cv"), col("ct"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    },
     // Runtime file pruning on a star join — the reference's scatter-
     // gather block skipping generalized to JOIN grain: fact = the events
     // snapshot range-clustered on user_id, dim = the distinct custkeys
@@ -378,6 +415,8 @@ object RefParity {
     mv2Dir(s, sfDir)
     zorderDir(s, sfDir)
     mergeSnapshotDir(s, sfDir)
+    eqSnapshotDir(s, sfDir)
+    cdcSnapshotDir(s, sfDir)
     wapSnapshotDir(s, sfDir)
     renameSnapshotDir(s, sfDir)
     catalogFor(s, sfDir)
@@ -629,6 +668,45 @@ object RefParity {
     * invertible in exact long arithmetic, so the DuckDB oracle
     * reconstructs the post-merge state from `orders` directly.
     */
+  /** Staged equality-delete lifecycle for eq1: commit, no-scan upsert
+    * (same algebra as snap3's merge — updates +1e6, inserts negate the
+    * key), then an equality delete of every visible key % 7 == 0. All at
+    * stage time; the tree is immutable afterwards.
+    */
+  private def eqSnapshotDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_eq", sfDir, "orders")) { tmp =>
+      import graft.ingest.Snapshots
+      val o = Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      Snapshots.commit(s, o, tmp, sortCols = Seq("k"))
+      val src = o.filter(col("k") % 10 === 0)
+        .select(col("k"), (col("v") + 1000000L).as("v"))
+        .unionAll(o.filter(col("k") % 100 === 0)
+          .select((-col("k")).as("k"), col("v")))
+      Snapshots.upsertByKeys(s, tmp, src, Seq("k"))
+      Snapshots.deleteByKeys(s, tmp,
+        Snapshots.read(s, tmp).filter(col("k") % 7 === 0).select(col("k")))
+      ()
+    }
+
+  /** Staged four-commit CDC lifecycle for cdc1: evens append, odds
+    * append, DV delete (v < 1000), no-scan upsert (key%10 → +1e6) — every
+    * merge-on-read change class the feed must attribute.
+    */
+  private def cdcSnapshotDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_cdc", sfDir, "orders")) { tmp =>
+      import graft.ingest.Snapshots
+      val o = Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      Snapshots.commit(s, o.filter(col("k") % 2 === 0), tmp, sortCols = Seq("k"))
+      Snapshots.commit(s, o.filter(col("k") % 2 === 1), tmp, sortCols = Seq("k"))
+      Snapshots.deleteWhereDV(s, tmp, col("v") < 1000L)
+      Snapshots.upsertByKeys(s, tmp,
+        o.filter(col("k") % 10 === 0).select(col("k"), (col("v") + 1000000L).as("v")),
+        Seq("k"))
+      ()
+    }
+
   private def mergeSnapshotDir(s: SparkSession, sfDir: String): String =
     stagedTree(cacheBase("graft_merge", sfDir, "orders")) { tmp =>
       import graft.ingest.Snapshots
@@ -735,6 +813,36 @@ object RefParity {
         |SELECT 2, count(*), CAST(sum(v) AS BIGINT),
         |  CAST(sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
         |FROM final""".stripMargin,
+    "eq1_upsert_noscan" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
+        |upserted AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN v + 1000000 ELSE v END AS v FROM o
+        |  UNION ALL
+        |  SELECT -k, v FROM o WHERE k % 100 = 0),
+        |final AS (SELECT * FROM upserted WHERE k % 7 <> 0)
+        |SELECT 1 AS snap, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+        |FROM o
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(v) AS BIGINT),
+        |  CAST(sum(CASE WHEN v >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM final""".stripMargin,
+    "cdc1_change_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders)
+        |SELECT 1 AS cv, 'insert' AS ct, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v FROM o WHERE k % 2 = 0
+        |UNION ALL
+        |SELECT 2, 'insert', count(*), CAST(sum(v) AS BIGINT)
+        |FROM o WHERE k % 2 = 1
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(v) AS BIGINT)
+        |FROM o WHERE v < 1000
+        |UNION ALL
+        |SELECT 4, 'insert', count(*), CAST(sum(v + 1000000) AS BIGINT)
+        |FROM o WHERE k % 10 = 0
+        |UNION ALL
+        |SELECT 4, 'delete', count(*), CAST(sum(v) AS BIGINT)
+        |FROM o WHERE k % 10 = 0 AND NOT (v < 1000)""".stripMargin,
     "snap3_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
         |final AS (

@@ -1,0 +1,270 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Snapshots
+
+/** Equality deletes ([[Snapshots.deleteByKeys]] / [[Snapshots.upsertByKeys]])
+  * and the change feed ([[Snapshots.changeFeed]]) — the guarantees SQL
+  * can't express: zero-target-IO physics, sequence (refs-pinning)
+  * semantics, DV/eq stacking, compaction materialization, relocation,
+  * conflict aborts, and exact removedRows accounting under blind deletes.
+  */
+class EqDeleteSpec extends SparkSuite {
+
+  private def kv(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def seed(base: String, n: Int = 20): Long = {
+    val sess = spark
+    import sess.implicits._
+    Snapshots.commit(spark,
+      (1L to n.toLong).map(i => (i, i * 10L)).toDF("k", "v"),
+      base, sortCols = Seq("k"))
+  }
+
+  test("deleteByKeys hides matching rows with no data file written or rewritten") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_basic")
+    val v1 = seed(base)
+    val filesBefore = Snapshots.liveFiles(base, v1)
+    val v2 = Snapshots.deleteByKeys(spark, base,
+      Seq(3L, 7L, 999L).toDF("k")) // 999 absent: matches nothing, still fine
+    assert(v2 > v1)
+    // physics: the data file list is IDENTICAL — no rewrite, no new files
+    assert(Snapshots.liveFiles(base, v2) === filesBefore)
+    assert(kv(Snapshots.read(spark, base)).keySet === ((1L to 20L).toSet -- Set(3L, 7L)))
+    // time travel still sees the pre-delete rows
+    assert(kv(Snapshots.read(spark, base, Some(v1))).keySet === (1L to 20L).toSet)
+  }
+
+  test("rows re-inserted after an equality delete survive (refs pinned at commit)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_seq")
+    seed(base)
+    Snapshots.deleteByKeys(spark, base, Seq(5L).toDF("k"))
+    assert(!kv(Snapshots.read(spark, base)).contains(5L))
+    // re-insert the key: the new file is not in the delete's refs
+    Snapshots.commit(spark, Seq((5L, 5000L)).toDF("k", "v"), base)
+    assert(kv(Snapshots.read(spark, base))(5L) === 5000L)
+    // and deleting it AGAIN hides only the new row's generation
+    Snapshots.deleteByKeys(spark, base, Seq(5L).toDF("k"))
+    assert(!kv(Snapshots.read(spark, base)).contains(5L))
+  }
+
+  test("no-op equality deletes publish nothing") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_noop")
+    val v1 = seed(base)
+    // empty keys, all-NULL keys, and fully-pruned keys all return v1
+    assert(Snapshots.deleteByKeys(spark, base,
+      Seq.empty[Long].toDF("k")) === v1)
+    assert(Snapshots.deleteByKeys(spark, base,
+      Seq[java.lang.Long](null).toDF("k")) === v1)
+    assert(Snapshots.deleteByKeys(spark, base,
+      Seq(java.lang.Long.MAX_VALUE).toDF("k")) === v1)
+    assert(Snapshots.versions(base) === Seq(v1))
+  }
+
+  test("upsertByKeys matches merge semantics without touching target data") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_upsert")
+    val v1 = seed(base)
+    val filesBefore = Snapshots.liveFiles(base, v1).toSet
+    val src = Seq((2L, 222L), (4L, 444L), (100L, 1000L)).toDF("k", "v")
+    val v2 = Snapshots.upsertByKeys(spark, base, src, Seq("k"))
+    val got = kv(Snapshots.read(spark, base))
+    assert(got(2L) === 222L && got(4L) === 444L && got(100L) === 1000L)
+    assert(got(1L) === 10L && got.size === 21)
+    // old files all carried untouched; only the source batch is new
+    assert(filesBefore.subsetOf(Snapshots.liveFiles(base, v2).toSet))
+    // equivalent merge on a sibling table produces the same rows
+    val base2 = tmpDir("graft_eq_upsert_ref")
+    seed(base2)
+    Snapshots.merge(spark, base2, src, Seq("k"))
+    assert(kv(Snapshots.read(spark, base2)) === got)
+  }
+
+  test("DV deletes and equality deletes stack on the same table") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_stack")
+    seed(base)
+    Snapshots.deleteWhereDV(spark, base, col("k") <= 2L)     // hides 1, 2
+    Snapshots.deleteByKeys(spark, base, Seq(2L, 3L).toDF("k")) // 2 doubly, 3 newly
+    Snapshots.upsertByKeys(spark, base,
+      Seq((4L, 40404L), (1L, 10101L)).toDF("k", "v"), Seq("k"))
+    val got = kv(Snapshots.read(spark, base))
+    assert(!got.contains(2L) && !got.contains(3L))
+    assert(got(1L) === 10101L) // upsert resurrects a DV-deleted key with new value
+    assert(got(4L) === 40404L)
+    assert(got(5L) === 50L)
+    assert(got.size === 18)
+  }
+
+  test("compact materializes equality deletes and lifts the rename guard") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_compact")
+    seed(base)
+    Snapshots.deleteByKeys(spark, base, Seq(1L, 2L).toDF("k"))
+    // rename of the eq key column refuses while the delete is outstanding
+    val e = intercept[IllegalStateException] {
+      Snapshots.renameColumn(base, "k", "key")
+    }
+    assert(e.getMessage.contains("equality delete"))
+    val expected = kv(Snapshots.read(spark, base))
+    Snapshots.compact(spark, base, numFiles = 2)
+    assert(kv(Snapshots.read(spark, base)) === expected)
+    // materialized: a fresh CoW delete (which refuses under eqs) now works
+    Snapshots.deleteWhere(spark, base, col("k") === 4L)
+    assert(!kv(Snapshots.read(spark, base)).contains(4L))
+    Snapshots.renameColumn(base, "k", "key") // guard lifted
+    assert(Snapshots.read(spark, base).columns.contains("key"))
+  }
+
+  test("a relocated table still applies its equality deletes") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_move") + "/t"
+    seed(base)
+    Snapshots.deleteByKeys(spark, base, Seq(9L, 10L).toDF("k"))
+    val moved = tmpDir("graft_eq_moved") + "/t2"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(base), new java.io.File(moved))
+    assert(kv(Snapshots.read(spark, moved)).keySet ===
+      ((1L to 20L).toSet -- Set(9L, 10L)))
+  }
+
+  test("concurrent compact aborts an in-flight deleteByKeys; appends abort upsertByKeys") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_conflict")
+    seed(base)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.deleteByKeys(spark, base, Seq(1L).toDF("k"),
+        beforePublish = () => { Snapshots.compact(spark, base, 1); () })
+    }
+    val base2 = tmpDir("graft_eq_conflict2")
+    seed(base2)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.upsertByKeys(spark, base2,
+        Seq((1L, 111L)).toDF("k", "v"), Seq("k"),
+        beforePublish = () =>
+          { Snapshots.commit(spark, Seq((50L, 500L)).toDF("k", "v"), base2); () })
+    }
+  }
+
+  test("removedRows accounts equality deletes exactly (no double count, blind keys)") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_removed")
+    val v1 = seed(base, n = 10)
+    // DV-hide 1 first; then a BLIND eq delete of {1, 2}: 1 was already
+    // hidden, so the window's removed rows must be exactly {1's dv row}
+    // then {2} — never 1 twice.
+    val v2 = Snapshots.deleteWhereDV(spark, base, col("k") === 1L)
+    val v3 = Snapshots.deleteByKeys(spark, base, Seq(1L, 2L).toDF("k"))
+    assert(kv(Snapshots.removedRows(spark, base, v2, v3)).keySet === Set(2L))
+    assert(kv(Snapshots.removedRows(spark, base, v1, v3)).keySet === Set(1L, 2L))
+    // an upsert window: removed = old generations of matched keys only
+    val v4 = Snapshots.upsertByKeys(spark, base,
+      Seq((3L, 303L), (77L, 770L)).toDF("k", "v"), Seq("k"))
+    val rem = Snapshots.removedRows(spark, base, v3, v4)
+    assert(kv(rem) === Map(3L -> 30L))
+  }
+
+  test("incremental MV refresh stays exact across upsertByKeys and deleteByKeys") {
+    val sess = spark
+    import sess.implicits._
+    val src = tmpDir("graft_eq_mv") + "/src"
+    val mv = tmpDir("graft_eq_mv") + "/mv"
+    // groups of 4 keys each sharing g = k % 5
+    Snapshots.commit(spark,
+      (1L to 20L).map(i => (i, i % 5, i * 10L)).toDF("k", "g", "v"), src,
+      sortCols = Seq("k"))
+    graft.ingest.MatView.refresh(spark, mv, src, Seq("g"), "v")
+    Snapshots.upsertByKeys(spark, src,
+      Seq((2L, 2L % 5, 99999L), (21L, 21L % 5, 7L)).toDF("k", "g", "v"), Seq("k"))
+    Snapshots.deleteByKeys(spark, src, Seq(5L, 10L).toDF("k"))
+    graft.ingest.MatView.refresh(spark, mv, src, Seq("g"), "v")
+    val got = Snapshots.read(spark, mv)
+      .select(col("g"), col("n_rows"), col("sum_v")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = Snapshots.read(spark, src)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+  }
+
+  test("changeFeed replays inserts and deletes per commit") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_cdc")
+    val v1 = seed(base, n = 6) // 1..6
+    val v2 = Snapshots.commit(spark,
+      Seq((7L, 70L), (8L, 80L)).toDF("k", "v"), base)
+    val v3 = Snapshots.deleteWhereDV(spark, base, col("k") === 2L)
+    val v4 = Snapshots.upsertByKeys(spark, base,
+      Seq((3L, 333L), (9L, 90L)).toDF("k", "v"), Seq("k"))
+    val feed = Snapshots.changeFeed(spark, base, 0L, v4)
+      .select(col("_commit_version"), col("_change_type"), col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = (1L to 6L).map(i => (v1, "insert", i, i * 10L)).toSet ++
+      Set((v2, "insert", 7L, 70L), (v2, "insert", 8L, 80L),
+        (v3, "delete", 2L, 20L),
+        (v4, "insert", 3L, 333L), (v4, "insert", 9L, 90L),
+        (v4, "delete", 3L, 30L))
+    assert(feed === want)
+    // commit timestamps ride every row and are monotone with version
+    val ts = Snapshots.changeFeed(spark, base, 0L, v4)
+      .select(col("_commit_version"), col("_commit_ts")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ts.map(_._2).sorted === ts.map(_._2).toSeq)
+    assert(ts.forall(_._2 > 0L))
+  }
+
+  test("changeFeed skips compaction and refuses copy-on-write deletes") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_cdc2")
+    val v1 = seed(base, n = 4)
+    val v2 = Snapshots.compact(spark, base, numFiles = 1)
+    val v3 = Snapshots.commit(spark, Seq((5L, 50L)).toDF("k", "v"), base)
+    // compact contributes nothing; the append after it feeds normally
+    val feed = Snapshots.changeFeed(spark, base, v1, v3)
+      .select(col("_commit_version"), col("_change_type"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed === Set((v3, "insert", 5L)))
+    val v4 = Snapshots.deleteWhere(spark, base, col("k") === 1L)
+    val e = intercept[IllegalStateException] {
+      Snapshots.changeFeed(spark, base, v3, v4)
+    }
+    assert(e.getMessage.contains("copy-on-write"))
+  }
+
+  test("expire keeps live eq sidecars and reclaims materialized ones") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_expire")
+    seed(base)
+    Snapshots.deleteByKeys(spark, base, Seq(1L).toDF("k"))
+    Snapshots.expire(base, keepLast = 1)
+    // the delete's key file must survive (its manifest is the head)
+    assert(!kv(Snapshots.read(spark, base)).contains(1L))
+    val expected = kv(Snapshots.read(spark, base))
+    Snapshots.compact(spark, base, numFiles = 1)
+    Snapshots.expire(base, keepLast = 1)
+    // eq parquet now unreferenced: swept, and reads stay correct
+    val eqDirs = new java.io.File(base, "data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("eq_"))
+    assert(eqDirs.forall(d =>
+      !d.exists() || d.listFiles().forall(!_.getName.endsWith(".parquet"))))
+    assert(kv(Snapshots.read(spark, base)) === expected)
+  }
+}
