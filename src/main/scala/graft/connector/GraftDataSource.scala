@@ -29,7 +29,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - **streaming read**: each micro-batch is the file-list diff between
   *    snapshot versions ([[Snapshots.changes]]), giving a Delta-style
   *    "table as a stream of appends" with exactly-once offsets
-  *    checkpointed by the engine.
+  *    checkpointed by the engine;
+  *  - **change data feed** (`readChangeFeed true`): batch reads replay
+  *    [[Snapshots.changeFeed]] — every commit in
+  *    [`startingVersion` (inclusive, default 1), `endingVersion`
+  *    (inclusive, default latest)] as rows with `_change_type` /
+  *    `_commit_version` / `_commit_ts`; the same option on `readStream`
+  *    turns each micro-batch into the per-commit CDC delta (deletes
+  *    included), Delta CDF's shape.
   *
   * Execution strategy: the scan surfaces through [[V1Scan]], so the rows
   * come from a full Catalyst-planned inner DataFrame
@@ -74,6 +81,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     picks.headOption.getOrElse(Snapshots.Pin.Latest)
   }
 
+  /** Some((fromV, toV)) when `readChangeFeed` is set: the exclusive-from /
+    * inclusive-to window [[Snapshots.changeFeed]] takes, mapped from the
+    * Delta-style inclusive `startingVersion`/`endingVersion` options.
+    */
+  private def cdcOf(options: java.util.Map[String, String]): Option[(Long, Option[Long])] = {
+    val m = new CaseInsensitiveStringMap(options)
+    if (!m.getBoolean("readChangeFeed", false)) {
+      require(m.get("startingVersion") == null && m.get("endingVersion") == null,
+        "startingVersion/endingVersion require readChangeFeed true")
+      return None
+    }
+    require(pinOf(options) == Snapshots.Pin.Latest,
+      "readChangeFeed and versionAsOf/tag/branch are mutually exclusive - " +
+        "the feed window is startingVersion/endingVersion")
+    val from = Option(m.get("startingVersion")).map(_.trim.toLong).getOrElse(1L) - 1
+    val to = Option(m.get("endingVersion")).map(_.trim.toLong)
+    Some((from, to))
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // Schema inference runs at load() — analysis time, before this
     // query's optimization — so the stats rule is in place for the very
@@ -82,35 +108,50 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val (b, p) = (basePath(options), pinOf(options))
     // A not-yet-created table (streaming sink target, first batch write)
     // has no schema; reads of it still fail loudly at scan build.
-    if (p == Snapshots.Pin.Latest && Snapshots.versions(b).isEmpty) new StructType()
-    // Era schema straight off the manifest header — no data file listed or
-    // validated at inference time. Legacy header-less tables fall back to
-    // planning a scan (parquet footer inference).
-    else Snapshots.pinnedSchema(b, p)
-      .getOrElse(Snapshots.scanPinned(SparkSession.active, b, p).schema)
+    val tbl =
+      if (p == Snapshots.Pin.Latest && Snapshots.versions(b).isEmpty) new StructType()
+      // Era schema straight off the manifest header — no data file listed or
+      // validated at inference time. Legacy header-less tables fall back to
+      // planning a scan (parquet footer inference).
+      else Snapshots.pinnedSchema(b, p)
+        .getOrElse(Snapshots.scanPinned(SparkSession.active, b, p).schema)
+    if (cdcOf(options).isEmpty) tbl else GraftChangeFeedTable.feedSchema(tbl)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new GraftTable(basePath(properties), pinOf(properties), schema)
+    cdcOf(properties) match {
+      case Some((from, to)) =>
+        new GraftChangeFeedTable(basePath(properties), from, to, schema)
+      case None =>
+        new GraftTable(basePath(properties), pinOf(properties), schema)
+    }
 
   // ----- streaming (V1 Source: getOffset/getBatch over snapshot versions)
+
+  private def streamCdc(parameters: Map[String, String]): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.trim.toBoolean
+    }.getOrElse(false)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     import scala.jdk.CollectionConverters._
     val b = basePath(parameters.asJava)
-    (shortName(), Snapshots.pinnedSchema(b, Snapshots.Pin.Latest)
+    val tbl = Snapshots.pinnedSchema(b, Snapshots.Pin.Latest)
       .getOrElse(Snapshots.scanPinned(sqlContext.sparkSession, b,
-        Snapshots.Pin.Latest).schema))
+        Snapshots.Pin.Latest).schema)
+    (shortName(),
+      if (streamCdc(parameters)) GraftChangeFeedTable.feedSchema(tbl) else tbl)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     import scala.jdk.CollectionConverters._
-    new GraftStreamSource(sqlContext.sparkSession, basePath(parameters.asJava))
+    new GraftStreamSource(sqlContext.sparkSession, basePath(parameters.asJava),
+      cdc = streamCdc(parameters))
   }
 
   /** `writeStream.format("graft")` — micro-batches become snapshot
@@ -125,7 +166,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     import scala.jdk.CollectionConverters._
     val keys = parameters.get("mergeKeys").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    new GraftSink(basePath(parameters.asJava), outputMode, keys)
+    val upsertMode = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("upsertMode") => v.trim.toLowerCase
+    }.getOrElse("dv")
+    require(upsertMode == "dv" || upsertMode == "eq",
+      s"unknown upsertMode '$upsertMode' (expected dv or eq)")
+    new GraftSink(basePath(parameters.asJava), outputMode, keys,
+      eqUpsert = upsertMode == "eq")
   }
 }
 
@@ -338,25 +385,89 @@ private[connector] object GraftRelation {
   }
 }
 
+private[connector] object GraftChangeFeedTable {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTsCol = "_commit_ts"
+
+  /** The feed's schema: the table's columns plus the three CDC columns. */
+  def feedSchema(table: StructType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    var s = table
+    s = s.add(ChangeTypeCol, StringType, nullable = false)
+    s = s.add(CommitVersionCol, LongType, nullable = false)
+    s.add(CommitTsCol, LongType, nullable = false)
+  }
+}
+
+/** The batch change-feed surface (`readChangeFeed true`): a read-only
+  * table whose scan replays [[Snapshots.changeFeed]] over the option
+  * window. No filter pushdown — the feed is already proportional to
+  * changed data, and Spark applies predicates above the scan; column
+  * pruning is honored.
+  */
+private[connector] class GraftChangeFeedTable(base: String, fromV: Long,
+                                              toV: Option[Long],
+                                              tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$base`.changes"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(s: StructType): Unit = required = s
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"GraftChangeFeedScan(base=$base, from=$fromV, to=$toV)"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = req
+            override def buildScan(): RDD[Row] = {
+              val spark = context.sparkSession
+              val endV = toV.getOrElse(Snapshots.versions(base).max)
+              Snapshots.changeFeed(spark, base, fromV, endV)
+                .select(req.fieldNames.map(n =>
+                  col(GraftRelation.quote(n))).toSeq: _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}
+
 /** Snapshot-version offsets: `getOffset` is the table's newest committed
   * version (a manifest listing — metadata-sized), and each batch is
   * [[Snapshots.changes]] between the checkpointed version and the head —
   * the APPEND feed (inserts). DV deletes are metadata-only and don't
-  * appear; [[Snapshots.removedRows]] is the subtractive feed for callers
-  * that need full CDC. First batch = the whole table as of the head
-  * (initial load), matching Delta's streaming-source semantics.
+  * appear in that mode; `readChangeFeed true` switches the batches to
+  * [[Snapshots.changeFeed]] (per-commit insert AND delete rows with
+  * `_change_type`/`_commit_version`/`_commit_ts`) for callers that need
+  * full CDC. First batch = the whole table as of the head (initial
+  * load; in CDC mode, replayed commit by commit from version 0),
+  * matching Delta's streaming-source semantics.
   *
   * Contract notes, enforced loudly rather than silently: the stream
   * follows ONE schema (era changes mid-stream fail analysis), and offsets
   * reference manifests — an [[Snapshots.expire]] that drops a version the
   * checkpoint still points at fails the restart instead of skipping data.
   */
-private[connector] class GraftStreamSource(spark: SparkSession, base: String)
+private[connector] class GraftStreamSource(spark: SparkSession, base: String,
+                                           cdc: Boolean = false)
     extends Source {
 
-  override val schema: StructType =
+  private val tableSchema: StructType =
     Snapshots.pinnedSchema(base, Snapshots.Pin.Latest)
       .getOrElse(Snapshots.scanPinned(spark, base, Snapshots.Pin.Latest).schema)
+
+  override val schema: StructType =
+    if (cdc) GraftChangeFeedTable.feedSchema(tableSchema) else tableSchema
 
   override def getOffset: Option[OffsetV1] = {
     val vs = Snapshots.versions(base)
@@ -365,10 +476,17 @@ private[connector] class GraftStreamSource(spark: SparkSession, base: String)
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = Bridge.offsetVersion(end)
-    val batch = start match {
-      case None    => Snapshots.read(spark, base, Some(endV))
-      case Some(s) => Snapshots.changes(spark, base, Bridge.offsetVersion(s), endV)
-    }
+    val batch =
+      if (cdc)
+        // CDC mode: the per-commit change feed, deletes included. The
+        // first batch replays from version 0 (every commit up to the
+        // head), mirroring the batch feed's startingVersion default.
+        Snapshots.changeFeed(spark, base,
+          start.map(Bridge.offsetVersion).getOrElse(0L), endV)
+      else start match {
+        case None    => Snapshots.read(spark, base, Some(endV))
+        case Some(s) => Snapshots.changes(spark, base, Bridge.offsetVersion(s), endV)
+      }
     Bridge.asStreamingBatch(batch)
   }
 
@@ -385,11 +503,16 @@ private[connector] class GraftStreamSource(spark: SparkSession, base: String)
   *
   * Output modes: Append commits the batch's rows; Complete overwrites the
   * table with the batch (aggregation results WITH history — time travel
-  * across refreshes for free); Update upserts by `mergeKeys` through the
-  * DV merge path (batch-sized write cost, not table-sized).
+  * across refreshes for free); Update upserts by `mergeKeys` — through
+  * the DV merge path by default (one runtime-pruned target scan per
+  * batch), or with `upsertMode eq` through [[Snapshots.upsertByKeys]]
+  * (equality delete: ZERO target data IO per batch — the high-frequency
+  * CDC-ingestion choice; reads of the touched neighborhood pay the key
+  * anti-join until compaction folds it in).
   */
 private[connector] class GraftSink(base: String, outputMode: OutputMode,
-                                   mergeKeys: Seq[String]) extends Sink {
+                                   mergeKeys: Seq[String],
+                                   eqUpsert: Boolean = false) extends Sink {
 
   private val BatchTag = ".*:b(\\d+)$".r
 
@@ -427,6 +550,8 @@ private[connector] class GraftSink(base: String, outputMode: OutputMode,
         val deduped = data.dropDuplicates(mergeKeys)
         if (Snapshots.versions(base).isEmpty)
           Snapshots.commit(spark, deduped, base, mode = s"append:$tag")
+        else if (eqUpsert)
+          Snapshots.upsertByKeys(spark, base, deduped, mergeKeys, modeTag = tag)
         else Snapshots.merge(spark, base, deduped, mergeKeys, modeTag = tag)
     }
     ()

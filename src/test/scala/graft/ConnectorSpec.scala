@@ -384,4 +384,90 @@ class ConnectorSpec extends SparkSuite {
       assert(seen.asScala.toSet === Set(9L, 10L))
     } finally q2.stop()
   }
+
+  test("streaming sink upsertMode=eq: keyed upserts with zero target scans") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_equp")
+    val src = tmpDir("graft_conn_equp_src")
+    def push(rows: (Long, Long)*): Unit = {
+      Snapshots.commit(spark, rows.toDF("k", "v"), src)
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", base).option("mergeKeys", "k").option("upsertMode", "eq")
+        .option("checkpointLocation", src + "_ck").outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    push((1L, 10L), (2L, 20L))
+    push((2L, 222L), (3L, 30L))
+    val got = spark.read.format("graft").load(base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 10L, 2L -> 222L, 3L -> 30L))
+    // physics: the second batch upserted via an equality delete (merge-eq
+    // commit), and the first batch's data files were never rewritten
+    val modes = Snapshots.versions(base).map(v => Snapshots.modeOf(base, v))
+    assert(modes.exists(_.startsWith("merge-eq:")))
+  }
+
+  test("batch change feed: readChangeFeed replays inserts and deletes with windows") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_cdc")
+    val v1 = Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), base)
+    val v2 = Snapshots.deleteWhereDV(spark, base, org.apache.spark.sql.functions.col("k") === 2L)
+    val v3 = Snapshots.upsertByKeys(spark, base,
+      Seq((3L, 333L), (4L, 40L)).toDF("k", "v"), Seq("k"))
+    def feed(opts: (String, String)*) = {
+      val r = spark.read.format("graft").option("readChangeFeed", "true")
+      opts.foreach { case (k, x) => r.option(k, x) }
+      r.load(base)
+        .select("_commit_version", "_change_type", "k", "v").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    }
+    val full = feed()
+    assert(full === Set(
+      (v1, "insert", 1L, 10L), (v1, "insert", 2L, 20L), (v1, "insert", 3L, 30L),
+      (v2, "delete", 2L, 20L),
+      (v3, "insert", 3L, 333L), (v3, "insert", 4L, 40L), (v3, "delete", 3L, 30L)))
+    // inclusive startingVersion/endingVersion window
+    assert(feed("startingVersion" -> v2.toString, "endingVersion" -> v2.toString) ===
+      Set((v2, "delete", 2L, 20L)))
+    // option guards
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("startingVersion", "1").load(base).collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("versionAsOf", v1.toString).load(base).collect()
+    }
+  }
+
+  test("streaming change feed: per-commit CDC batches incl. deletes") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_cdc_stream")
+    val v1 = Snapshots.commit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), base)
+    val rows = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String, Long, Long)]()
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+      .load(base)
+      .writeStream.option("checkpointLocation", tmpDir("graft_conn_cdc_stream_ck"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_commit_version", "_change_type", "k", "v").collect()
+          .foreach(r => rows.add((r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(rows.asScala.toSet ===
+        Set((v1, "insert", 1L, 10L), (v1, "insert", 2L, 20L)))
+      val v2 = Snapshots.deleteByKeys(spark, base, Seq(1L).toDF("k"))
+      q.processAllAvailable()
+      assert(rows.asScala.toSet ===
+        Set((v1, "insert", 1L, 10L), (v1, "insert", 2L, 20L),
+          (v2, "delete", 1L, 10L)))
+    } finally q.stop()
+  }
 }
