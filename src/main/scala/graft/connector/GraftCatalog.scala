@@ -27,7 +27,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * field-id evolution), `DROP/SHOW/DESCRIBE`, plus engine-integrated time
   * travel: `SELECT … FROM graft.ns.t VERSION AS OF 3` (or a tag/branch
   * name) and `TIMESTAMP AS OF …`. Iceberg-style metadata tables ride the
-  * nested-identifier form: `graft.ns.t.history|files|stats|tags|branches`.
+  * nested-identifier form: `graft.ns.t.history|files|stats|tags|branches|changes`.
   *
   * Layout: one directory per namespace level under `warehouse`, one
   * directory per table. A table IS its snapshot tree (`_snapshots`
@@ -176,6 +176,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         import s.implicits._
         Snapshots.branches(base).toSeq.sorted.toDF("branch", "head_version")
       })
+      // The full change feed as SQL (`SELECT * FROM cat.ns.t.changes`):
+      // every commit replayed with _change_type/_commit_version/
+      // _commit_ts. Cost ∝ changed data, not versions × table size;
+      // windowed reads use the connector's readChangeFeed options.
+      case "changes" => Some(() =>
+        Snapshots.changeFeed(spark, base, 0L, Snapshots.versions(base).max))
       case _ => None
     }
     df.map(f => new GraftMetaTable(s"$base#${ident.name}", f))
@@ -434,7 +440,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 /** A read-only metadata table (`t.history`, `t.files`, `t.stats`,
-  * `t.tags`, `t.branches`). The backing frame is driver-built from
+  * `t.tags`, `t.branches`, `t.changes`). The backing frame is driver-built from
   * manifest listings, so the "scan" is a local relation — V1Scan keeps it
   * on the same path as the data scan without a bespoke reader.
   */

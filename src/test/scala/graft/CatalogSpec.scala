@@ -163,6 +163,21 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.meta.history").head === Seq(7L))
   }
 
+  test("metadata table t.changes replays the change feed from SQL") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cdc")
+    spark.sql(s"CREATE TABLE $cat.cdc.t AS SELECT id FROM range(5)")
+    spark.sql(s"INSERT INTO $cat.cdc.t SELECT id FROM range(5, 8)")
+    spark.sql(s"DELETE FROM $cat.cdc.t WHERE id = 1")
+    val feed = rows(s"SELECT _change_type, id FROM $cat.cdc.t.changes")
+      .map(r => (r.head, r(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(feed("insert") === (0L until 8L).toSet)
+    assert(feed("delete") === Set(1L))
+    // versions are attributed and monotone
+    val vs = rows(s"SELECT DISTINCT _commit_version FROM $cat.cdc.t.changes")
+      .map(_.head.asInstanceOf[Long]).sorted
+    assert(vs.size >= 3)
+  }
+
   test("RENAME TABLE moves the snapshot tree; catalog stays consistent") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mv1")
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mv2")
