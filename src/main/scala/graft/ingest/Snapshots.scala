@@ -1302,9 +1302,11 @@ object Snapshots {
     * row-number window. Only files a delete actually REFERENCES pay the
     * anti joins; every clean file takes the plain scan path, so at scale
     * the subtraction cost is proportional to the dirty file set, not the
-    * table. Build sides are rows-deleted-sized (DV) or keys×refs-sized
-    * (equality — refs are footer-stats-pruned at write, so on a
-    * key-clustered table the product stays batch-neighborhood-sized) and
+    * table. Build sides are rows-deleted-sized (DV) or key-set-sized
+    * (equality: the anti join keys on the key columns and checks the
+    * delete's referenced-file membership as an InSet residual on the
+    * matched pair — never a keys×refs product, so an unclustered table
+    * with file-spanning refs still pays only a keys-sized build) and
     * hash-partition like any join — AQE broadcasts them when small.
     *
     * Equality semantics: a delete's keys remove rows ONLY in the files the
@@ -1317,7 +1319,7 @@ object Snapshots {
   private def scanWithDvs(spark: SparkSession, m: Manifest,
                           keepCoords: Boolean,
                           mergeSchema: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, lit, substring_index, typedlit}
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
     def readFiles(files: Seq[String]) =
       readWithSchema(spark, m.schema, files, mergeSchema)
     def coords(df: DataFrame) = df
@@ -1349,13 +1351,11 @@ object Snapshots {
     def applyEq(df: DataFrame): DataFrame =
       eqBatches.filter(_.refs.exists(liveRel)).foldLeft(df) { (d, b) =>
         val keys = spark.read.parquet(b.keyFiles: _*)
-        val prod = keys
           .select(b.keyCols.map(c => col(c).as(s"_graft_eq_$c")): _*)
-          .withColumn("_graft_eq_file",
-            explode(typedlit(b.refs.filter(liveRel))))
-        val cond = b.keyCols.map(c => d(c) === prod(s"_graft_eq_$c"))
-          .reduce(_ && _) && d(DvFileCol) === prod("_graft_eq_file")
-        d.join(prod, cond, "left_anti")
+        val cond = b.keyCols.map(c => d(c) === keys(s"_graft_eq_$c"))
+          .reduce(_ && _) &&
+          d(DvFileCol).isInCollection(b.refs.filter(liveRel))
+        d.join(keys, cond, "left_anti")
       }
     val parts = Seq(
       if (clean.isEmpty) None
@@ -1583,7 +1583,7 @@ object Snapshots {
     * the (rows-deleted-sized) vector coordinates.
     */
   def removedRows(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, lit, substring_index, typedlit}
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
     val mFrom = readManifest(base, fromV)
     val mTo = readManifest(base, toV)
     val newDvs = mTo.dvs.filterNot(mFrom.dvs.toSet)
@@ -1597,16 +1597,17 @@ object Snapshots {
       .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
       .withColumn(DvPosCol, col("_metadata.row_index"))
     val liveRel = mTo.files.map(relKey).toSet
-    // Equality anti/semi join against a batch's keys×refs product —
-    // `semi=false` subtracts matched rows, `semi=true` keeps only them.
+    // Equality anti/semi join against a batch's key set (file membership
+    // as an InSet residual, same shape as the read path) — `semi=false`
+    // subtracts matched rows, `semi=true` keeps only them.
     def eqJoin(df: DataFrame, batches: Seq[EqBatch], semi: Boolean): DataFrame =
       batches.filter(_.refs.exists(liveRel)).foldLeft(df) { (d, b) =>
-        val prod = spark.read.parquet(b.keyFiles: _*)
+        val keys = spark.read.parquet(b.keyFiles: _*)
           .select(b.keyCols.map(c => col(c).as(s"_graft_eq_$c")): _*)
-          .withColumn("_graft_eq_file", explode(typedlit(b.refs.filter(liveRel))))
-        val cond = b.keyCols.map(c => d(c) === prod(s"_graft_eq_$c"))
-          .reduce(_ && _) && d(DvFileCol) === prod("_graft_eq_file")
-        d.join(prod, cond, if (semi) "left_semi" else "left_anti")
+        val cond = b.keyCols.map(c => d(c) === keys(s"_graft_eq_$c"))
+          .reduce(_ && _) &&
+          d(DvFileCol).isInCollection(b.refs.filter(liveRel))
+        d.join(keys, cond, if (semi) "left_semi" else "left_anti")
       }
     // Semi over the UNION of new-eq batches needs one pass per batch with
     // accumulation, not a fold of semis (a fold would intersect). Collect
