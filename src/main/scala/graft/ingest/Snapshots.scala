@@ -1967,7 +1967,7 @@ object Snapshots {
   }
 
   /** Metadata table: one row per committed version — (version, parent,
-    * mode, n_files, n_dvs, tags) — the `history` introspection surface
+    * mode, n_files, n_dvs, n_eqs, tags) — the `history` introspection surface
     * (Iceberg's snapshots/history metadata tables). Manifest-sized work,
     * no data file touched.
     */
@@ -1983,8 +1983,8 @@ object Snapshots {
         try fsFor(base).getFileStatus(manifestFile(base, v)).getModificationTime
         catch { case _: Exception => 0L })
       (m.version, m.parent, m.mode, m.files.size.toLong, m.dvs.size.toLong,
-        tagged.getOrElse(v, Nil).sorted, ts)
-    }.toDF("version", "parent", "mode", "n_files", "n_dvs", "tags",
+        m.eqs.size.toLong, tagged.getOrElse(v, Nil).sorted, ts)
+    }.toDF("version", "parent", "mode", "n_files", "n_dvs", "n_eqs", "tags",
       "committed_at_ms")
   }
 

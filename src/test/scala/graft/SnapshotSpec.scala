@@ -432,7 +432,8 @@ class SnapshotSpec extends SparkSuite {
     assert(ids(Snapshots.readTag(spark, base, "train-v1")) === (1L to 3L).toSet)
     // history rows carry lineage + tag labels without touching data files
     val h = Snapshots.history(spark, base).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getSeq[String](5)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getSeq[String](r.fieldIndex("tags"))))
     assert(h.map(x => (x._1, x._2)).toSeq === Seq((v1, 0L), (v2, v1), (v3, v2)))
     assert(h.find(_._1 == v1).get._4 === Seq("train-v1"))
     assert(Snapshots.filesTable(spark, base).collect()
