@@ -190,22 +190,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    // Identity transforms translate to write clustering: `PARTITIONED BY
+    // Transforms translate to write clustering: `PARTITIONED BY
     // (user_id)` records `write.cluster-by=user_id`, and every write
     // range-clusters on it — the graft equivalent of a static partition
     // layout (files own key ranges; manifest stats prune them), without
-    // the small-files explosion of one-directory-per-value. Non-identity
-    // transforms (bucket/days/truncate) have no equivalent here and are
-    // refused loudly.
+    // the small-files explosion of one-directory-per-value. MONOTONE
+    // transforms (Iceberg's hidden partitioning: days/months/years/hours
+    // on a timestamp, truncate on a string/number) cluster by their BASE
+    // column: range-clustering on `ts` is strictly finer than on
+    // `days(ts)`, so every file owns a tighter raw-column range and
+    // footer-stats pruning serves any `ts` predicate directly — the
+    // transform declares intent, the engine clusters finer, and no
+    // reader-side transform evaluation is ever needed. `bucket(n, c)`
+    // hash-scatters the key range (footer stats on `c` become useless),
+    // so it is refused — co-located joins are `BucketTables`' job.
+    val Monotone = Set("identity", "days", "months", "years", "hours",
+      "date", "truncate")
     val clusterCols = partitions.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
+      case t if Monotone(t.name.toLowerCase) && t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
         t.references.head.fieldNames.head
       case other => throw new UnsupportedOperationException(
         s"graft tables cluster within snapshot commits: PARTITIONED BY " +
-          s"$other is not supported - use plain column names (identity) " +
-          "or the write.cluster-by table property")
-    }
+          s"$other is not supported - monotone transforms " +
+          "(days/months/years/hours/truncate) and plain column names " +
+          "cluster by the base column; bucket(n, c) has no range-cluster " +
+          "equivalent (use bucketed catalog tables for co-located joins)")
+    }.distinct
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)

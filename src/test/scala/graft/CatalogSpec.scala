@@ -446,12 +446,16 @@ class CatalogSpec extends SparkSuite {
     val sess = spark
     import sess.implicits._
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cl")
-    // identity PARTITIONED BY records the property; non-identity refuses
+    // identity PARTITIONED BY records the property; monotone transforms
+    // (hidden partitioning) cluster by their BASE column; bucket refuses
     spark.sql(s"CREATE TABLE $cat.cl.ev (k BIGINT, v STRING) PARTITIONED BY (k)")
     assert(rows(s"SHOW TBLPROPERTIES $cat.cl.ev")
       .exists(r => r.head == "write.cluster-by" && r(1) == "k"))
+    spark.sql(s"CREATE TABLE $cat.cl.hp (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    assert(rows(s"SHOW TBLPROPERTIES $cat.cl.hp")
+      .exists(r => r.head == "write.cluster-by" && r(1) == "ts"))
     val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.cl.bad (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+      spark.sql(s"CREATE TABLE $cat.cl.bad (k BIGINT, ts TIMESTAMP) PARTITIONED BY (bucket(16, k))")
     }
     assert(e.getMessage.toLowerCase.contains("cluster"))
     // a deliberately scattered insert (keys round-robin across input
