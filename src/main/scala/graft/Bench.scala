@@ -37,9 +37,9 @@ object Bench {
     // round-8: runtime file pruning for star joins (dim keys → manifest
     // stats → fact files skipped before any task launches)
     "j15_runtime_prune",
-    // round-8: equality deletes (no-scan upsert read path) and the
-    // change-data-feed replay
-    "eq1_upsert_noscan", "cdc1_change_feed")
+    // round-8: equality deletes (no-scan upsert read path), the
+    // change-data-feed replay, and BPE tokenizer training
+    "eq1_upsert_noscan", "cdc1_change_feed", "vocab2_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

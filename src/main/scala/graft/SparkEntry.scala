@@ -39,6 +39,7 @@ object SparkEntry {
     Windows.queries ++
     Fns.queries ++
     TextAnalysis.queries ++
+    Bpe.queries ++
     Dedup.queries ++
     Sim.queries ++
     TimeWindows.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
     Windows.oracleSql ++
     Fns.oracleSql ++
     TextAnalysis.oracleSql ++
+    Bpe.oracleSql ++
     Dedup.oracleSql ++
     Sim.oracleSql ++
     TimeWindows.oracleSql ++

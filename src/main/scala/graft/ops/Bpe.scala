@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary training — the
+  * tokenizer-training half of the LLM data pipeline (Sennrich et al.
+  * 2016's word-level algorithm, the public one every subword tokenizer
+  * descends from). The reference has nothing like it; this is
+  * north_star surface.
+  *
+  * Spark-first decomposition:
+  *  - the CORPUS-scale work is one pass: lowercase word extraction +
+  *    a weighted word histogram (`flatMap`-style explode + one
+  *    groupBy shuffle). At 100 TB this is the only stage that touches
+  *    the data, and it is embarrassingly map-side-combinable;
+  *  - the histogram is capped to the top `maxWords` words
+  *    (deterministic (cnt DESC, word) order) — BPE statistics above a
+  *    few thousand distinct words change merges negligibly, and the
+  *    cap bounds every later stage's state to KB–MB scale;
+  *  - each merge round then runs on the capped word table: adjacent
+  *    symbol pairs exploded with their word weights (one vocab-sized
+  *    aggregate per round), the argmax pair chosen with a total
+  *    deterministic order (count DESC, then pair lexicographically),
+  *    and the merge applied to every word's symbol string.
+  *
+  * The merge application is exact GREEDY LEFT-TO-RIGHT pair merging
+  * expressed with plain `replace` (no regex lookaround, so the same
+  * expression runs on any engine, including RE2-based ones): doubling
+  * the symbol separators first (` ` → `  `) gives every symbol its own
+  * private boundary spaces, which makes non-overlapping left-to-right
+  * `replace` of ` l  r ` → ` lr ` EQUAL to BPE's overlap rule ("a a a"
+  * merges once, "a a a a" twice) — the shared-space consumption bug of
+  * the naive ` l r ` replace cannot occur. Collapsing the doubles
+  * restores the canonical form.
+  *
+  * Symbols are drawn from `[a-z]` plus the end-of-word marker `_`
+  * (appended as its own symbol; words are `[a-z]+` so it cannot
+  * collide), so replace patterns never need escaping and string
+  * comparisons agree across engines in binary/ASCII order.
+  */
+object Bpe {
+
+  val Rounds = 6
+  val MaxWords = 5000
+  private val MinLen = 2
+  private val MaxLen = 20
+
+  /** The capped, weighted word histogram: the one corpus-scale stage. */
+  private def wordHistogram(docs: DataFrame, textCol: String,
+                            maxWords: Int): DataFrame =
+    docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(MinLen, MaxLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(maxWords)
+
+  /** One greedy left-to-right merge of (l, r) over a symbol string
+    * column (space-separated), via the doubled-separator trick.
+    */
+  private def applyMerge(s: Column, l: String, r: String): Column = {
+    val doubled = concat(lit(" "), replace(s, lit(" "), lit("  ")), lit(" "))
+    val merged = replace(doubled, lit(s" $l  $r "), lit(s" $l$r "))
+    trim(replace(merged, lit("  "), lit(" ")))
+  }
+
+  /** Train `rounds` BPE merges over `docs(textCol)`; returns one row per
+    * merge: (round, l, r, merged, cnt) where cnt is the pair's weighted
+    * corpus count at selection time. Deterministic end to end — exact
+    * integer counts, total tie-break order, greedy-left merge
+    * application — so an independent engine replays it bit-for-bit
+    * (the registered oracle does, as `Rounds` unrolled CTEs).
+    */
+  def train(spark: SparkSession, docs: DataFrame, textCol: String,
+            rounds: Int = Rounds, maxWords: Int = MaxWords): DataFrame = {
+    import spark.implicits._
+    // Initial tokenization: chars spaced out + the end-of-word marker.
+    // Vocab-sized from here on; localCheckpoint bounds round lineage
+    // (same discipline as Graph's power iteration).
+    var toks = wordHistogram(docs, textCol, maxWords)
+      .select(col("cnt"),
+        concat(rtrim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" _")).as("s"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (k <- 1 to rounds) {
+      val pairs = toks
+        .select(col("cnt"), split(col("s"), " ").as("a"))
+        // A fully-merged word (one symbol) has no pairs — and must be
+        // excluded BEFORE sequence(0, size-2), which would descend into
+        // negative indices for size = 1. The oracle's range(1, len) is
+        // empty there for free.
+        .filter(size(col("a")) > 1)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      // The argmax pair: one vocab-sized aggregate + a driver scalar per
+      // round (rounds are bounded; the frame is KB-scale) — the same
+      // shape as PageRank's per-iteration dangling-mass read.
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).head()
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k, l, r, l + r, c))
+      toks = toks.select(col("cnt"), applyMerge(col("s"), l, r).as("s"))
+        .localCheckpoint(true)
+    }
+    merges.result().toDF("round", "l", "r", "merged", "cnt")
+  }
+
+  /** Tokenize words of `docs(textCol)` with a trained merge table —
+    * the APPLY side: each learned merge replays in order over the
+    * word-level symbol strings, then per-word token sequences join
+    * back. Vocabulary application at corpus scale is a broadcast of
+    * the (tiny) merge list + one map-side pass; here expressed over
+    * the capped histogram for the spec's round-trip check.
+    */
+  def tokenizeWords(spark: SparkSession, docs: DataFrame, textCol: String,
+                    merges: Seq[(String, String)],
+                    maxWords: Int = MaxWords): DataFrame = {
+    var toks = wordHistogram(docs, textCol, maxWords)
+      .select(col("word"), col("cnt"),
+        concat(rtrim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" _")).as("s"))
+    for ((l, r) <- merges)
+      toks = toks.select(col("word"), col("cnt"), applyMerge(col("s"), l, r).as("s"))
+    toks.select(col("word"), col("cnt"), split(col("s"), " ").as("tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distributed tokenizer training end to end on the documents
+    // corpus: the oracle replays all `Rounds` merges as unrolled CTEs
+    // (like g1/g2's power iteration), so pair counting, the
+    // deterministic argmax, AND the greedy merge application must all
+    // be exact — a single mis-merged word shifts later rounds' counts
+    // and breaks the hash.
+    "vocab2_bpe_merges" -> { (s, d) =>
+      train(s, s.read.parquet(s"$d/documents.parquet"), "text")
+    }
+  )
+
+  /** The unrolled-CTE oracle: the same algorithm in pure SQL. Every CTE
+    * is `AS MATERIALIZED` and each round consumes its predecessor via a
+    * cross join with the one-row argmax (never repeated scalar
+    * subqueries): inlined CTEs would re-evaluate the whole chain per
+    * reference — ~4^rounds blowup — while materialization keeps the
+    * oracle linear in rounds, mirroring the engine's per-round
+    * checkpoints.
+    */
+  private def bpeOracle(rounds: Int, maxWords: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = s"t${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l, r, c FROM (
+         |    SELECT a[i] AS l, a[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |    FROM (SELECT cnt, string_split(s, ' ') AS a FROM $prev),
+         |         LATERAL (SELECT unnest(range(1, len(a))) AS i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, l, r LIMIT 1
+         |),
+         |t$k AS MATERIALIZED (
+         |  SELECT cnt,
+         |    trim(replace(
+         |      replace(' ' || replace(s, ' ', '  ') || ' ',
+         |              ' ' || p$k.l || '  ' || p$k.r || ' ',
+         |              ' ' || p$k.l || p$k.r || ' '),
+         |      '  ', ' ')) AS s
+         |  FROM $prev, p$k
+         |)""".stripMargin
+    }
+    val tail = (1 to rounds).map(k =>
+      s"SELECT $k AS round, l, r, l || r AS merged, c AS cnt FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN $MinLen AND $MaxLen
+       |  GROUP BY w
+       |  ORDER BY cnt DESC, word LIMIT $maxWords
+       |),
+       |t0 AS MATERIALIZED (SELECT cnt, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS s FROM words),
+       |${roundCtes.mkString(",\n")}
+       |$tail""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "vocab2_bpe_merges" -> bpeOracle(Rounds, MaxWords)
+  )
+}
