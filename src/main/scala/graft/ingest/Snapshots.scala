@@ -1062,6 +1062,82 @@ object Snapshots {
       }, newEqs = newEqs)
   }
 
+  /** Generalized one-commit delta: equality-delete `deleteKeys` (column
+    * names = key columns; may be empty) AND append `inserts` (may be
+    * empty), published atomically as ONE `merge-eq[:tag]` commit — the
+    * CDC APPLY primitive. [[upsertByKeys]] is the special case where the
+    * delete keys are the insert rows' keys; replication of a source
+    * commit whose delete and insert sets differ (a pure delete, a pure
+    * append, or a merge) needs them independent. Same zero-target-IO
+    * physics and refs-pinning semantics as [[deleteByKeys]] (the eq
+    * delete never references this commit's own inserts), same
+    * serializable conflict behavior as [[upsertByKeys]].
+    *
+    * Publishes even when both legs are empty iff `modeTag` is non-empty
+    * — the tag is an idempotency MARKER for exactly-once replay
+    * ([[graft.streaming.StreamIngest.replicateBatch]]), and a marker
+    * that silently vanished on an empty delta would re-apply its source
+    * commit forever.
+    */
+  def applyDelta(spark: SparkSession, base: String,
+                 deleteKeys: Option[DataFrame], inserts: Option[DataFrame],
+                 modeTag: String = ""): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v0 = vs.max
+    val m = readManifest(base, v0)
+    val ins = inserts.map { df =>
+      m.schema match {
+        case Some(s) =>
+          require(df.columns.toSet == s.fieldNames.toSet,
+            s"delta inserts (${df.columns.mkString(",")}) must match " +
+              s"the table schema (${s.fieldNames.mkString(",")})")
+          df.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
+        case None => df
+      }
+    }
+    val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
+    val (newEqs: Seq[String], refs: Seq[String]) = deleteKeys match {
+      case None => (Nil, Nil)
+      case Some(keysDf) =>
+        val keyCols = keysDf.columns.toSeq
+        require(keyCols.nonEmpty, "applyDelta delete keys need >= 1 column")
+        val k = keysDf
+          .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+        val rs = FileStats.keyFilters(k, maxInKeys) match {
+          case None => Nil
+          case Some(fs) => FileStats.prune(hadoopConf, m.files, fs).map(relKey)
+        }
+        if (rs.isEmpty) (Nil, Nil)
+        else {
+          val eqPath = new Path(dataDir(base),
+            s"eq_${java.util.UUID.randomUUID().toString.take(8)}")
+          k.write.parquet(eqPath.toString)
+          val keyFiles = listParquet(spark, eqPath)
+          writeStringNew(fsFor(base), new Path(eqPath, EqRefsName),
+            (keyCols.mkString("\t") +: rs).mkString("\n"))
+          (keyFiles, rs)
+        }
+    }
+    val newFiles = ins.map(writeBatch(_, base, Nil)).getOrElse(Nil)
+    if (newFiles.isEmpty && newEqs.isEmpty && modeTag.isEmpty) return v0
+    publish(base, newFiles, Nil,
+      mode = if (modeTag.isEmpty) "merge-eq" else s"merge-eq:$modeTag", parent =>
+      if (parent == v0) (m.files, m.dvs, m.eqs)
+      else {
+        val p = readManifest(base, parent)
+        val added = p.files.toSet -- m.files.toSet
+        val gone = refs.toSet -- p.files.map(relKey).toSet
+        if (added.nonEmpty || gone.nonEmpty || p.eqs.toSet != m.eqs.toSet)
+          throw new java.util.ConcurrentModificationException(
+            s"applyDelta based on v$v0 conflicts with a concurrent commit " +
+              s"(${added.size} file(s) added, ${gone.size} referenced " +
+              "file(s) rewritten); retry from the new version")
+        (p.files, p.dvs, p.eqs)
+      }, newEqs = newEqs)
+  }
+
   /** Batch MERGE (upsert): rows from `source` replace same-key rows in the
     * table and new keys append — SQL MERGE's WHEN MATCHED THEN UPDATE /
     * WHEN NOT MATCHED THEN INSERT, taking source rows WHOLE. Built on

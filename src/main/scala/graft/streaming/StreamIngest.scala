@@ -244,6 +244,84 @@ object StreamIngest {
     }
   }
 
+  /** Table→table replication INCLUDING deletes — the consumption side of
+    * the change feed (`readChangeFeed`): each micro-batch carries the
+    * source's per-commit insert AND delete rows, and [[replicateBatch]]
+    * replays them commit by commit into the destination. The append-only
+    * replication the plain graft stream gives (ConnectorSpec's
+    * graft→graft case) cannot propagate a DV/equality delete; this can —
+    * a downstream mirror tracks upserts and deletes at batch-sized cost.
+    */
+  def replicateStream(spark: org.apache.spark.sql.SparkSession,
+                      srcBase: String, dstBase: String,
+                      checkpoint: String): StreamingQuery =
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(srcBase)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        replicateBatch(batch, dstBase)
+      }
+      .start()
+
+  /** Apply one CDC micro-batch to `dstBase`: group rows by source
+    * `_commit_version` ascending and replay each as ONE atomic
+    * [[graft.ingest.Snapshots.applyDelta]] commit (equality-delete the
+    * delete half's keys — zero target IO — and append the insert half),
+    * tagged `merge-eq:r<srcVersion>`. Exactly-once across foreachBatch
+    * re-deliveries and mid-batch crashes: the highest applied source
+    * version is recovered from the newest `:r<N>` tag in the
+    * destination's commit modes (robust to interleaved foreign
+    * commits), and already-applied source commits skip whole. A source
+    * merge's update pair (delete old + insert new of the same key)
+    * therefore lands atomically at the destination too.
+    *
+    * The feed carries whole deleted rows, so replication needs no
+    * side-channel key agreement: with `keyCols` empty, a delete removes
+    * rows matching the FULL column tuple (always faithful, since the
+    * destination mirrors the source's rows); naming `keyCols`
+    * explicitly deletes by that identity instead — equivalent on a
+    * key-unique table and cheaper when keys are a small projection.
+    */
+  def replicateBatch(batch: DataFrame, dstBase: String,
+                     keyCols: Seq[String] = Nil): Unit = {
+    import graft.ingest.Snapshots
+    val spark = batch.sparkSession
+    val Marker = ".*:r(\\d+)$".r
+    def appliedThrough: Long =
+      Snapshots.versions(dstBase).sorted.reverse.iterator
+        .map(v => Snapshots.modeOf(dstBase, v))
+        .collectFirst { case Marker(n) => n.toLong }.getOrElse(0L)
+    val cdcCols = Seq("_change_type", "_commit_version", "_commit_ts")
+    val dataCols = batch.columns.filterNot(cdcCols.contains).toSeq
+    val keys = if (keyCols.nonEmpty) keyCols else dataCols
+    val versions = batch.select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (versions.isEmpty) return
+    // The batch frame re-evaluates per version below; localCheckpoint
+    // once so the (possibly expensive) feed plan runs a single time.
+    val mat = batch.localCheckpoint(true)
+    for (v <- versions) {
+      val done = Snapshots.versions(dstBase).nonEmpty && appliedThrough >= v
+      if (!done) {
+        val slice = mat.filter(col("_commit_version") === v)
+        val inserts = slice.filter(col("_change_type") === "insert")
+          .select(dataCols.map(col): _*)
+        val deletes = slice.filter(col("_change_type") === "delete")
+          .select(keys.map(col): _*)
+        if (Snapshots.versions(dstBase).isEmpty)
+          // first ever commit CREATES the destination (no deletes can
+          // precede existence in a well-formed feed)
+          Snapshots.commit(spark, inserts, dstBase, mode = s"append:r$v")
+        else
+          Snapshots.applyDelta(spark, dstBase,
+            deleteKeys = Some(deletes), inserts = Some(inserts),
+            modeTag = s"r$v")
+        ()
+      }
+    }
+  }
+
   /** Event-time tumbling-window counts with a watermark — the late-data
     * policy the reference lacks (SURVEY.md §2.2: late rows there just open
     * a new block; here they merge into their true event-time window until
