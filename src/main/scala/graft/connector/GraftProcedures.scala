@@ -182,6 +182,16 @@ private[connector] class GraftProcedures(resolve: String => String,
           r.getInt(1).toLong * 3600 * 1000).size.toLong)
     },
 
+    new Proc("convert_eq_deletes", "fold every outstanding equality " +
+        "delete into one deletion vector (no data file rewritten): after " +
+        "a stream of eq-upserts, readers pay one coordinate anti join " +
+        "again instead of one join per accumulated delete batch",
+      Seq(tableParam),
+      out("version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.convertEqToDv(spark, table(r)))
+    },
+
     new Proc("refresh_mv", "incrementally refresh a materialized aggregate " +
         "view (count/sum per key group; optionally min/max) from its source " +
         "table: scans only files appended since the stored watermark, " +

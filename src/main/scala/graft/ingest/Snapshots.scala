@@ -1062,6 +1062,90 @@ object Snapshots {
       }, newEqs = newEqs)
   }
 
+  /** Convert every outstanding equality delete into ONE deletion vector
+    * (Iceberg's "convert equality deletes to position deletes"
+    * maintenance op): scan only the eq-referenced files, locate the rows
+    * the key sets hide, write their (file, row) coordinates as a DV, and
+    * publish a metadata commit that carries all data files + existing
+    * DVs + the new vector and DROPS the eq lines. No data file is
+    * rewritten.
+    *
+    * Why it matters: a high-frequency eq-upsert stream accumulates one
+    * eq batch per micro-batch, and every reader pays one anti join PER
+    * BATCH (each batch pins its own refs). DVs union into a single
+    * frame, so after conversion readers pay ONE coordinate anti join no
+    * matter how many deletes accumulated — this op is the cheap
+    * maintenance step between streaming ingest and full [[compact]]
+    * (which also materializes DVs away but rewrites data files to do
+    * it). Returns the current version unchanged when no eq delete is
+    * outstanding.
+    */
+  def convertEqToDv(spark: SparkSession, base: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v0 = vs.max
+    val m = readManifest(base, v0)
+    if (m.eqs.isEmpty) return v0
+    // Rows hidden by the eq state = (eq-dirty scan with coords, existing
+    // DVs subtracted) MINUS the same scan with eqs also applied — i.e.
+    // the coordinates scanWithDvs would drop. Compute directly: rows in
+    // eq-referenced files, visible under DVs, matched by any eq batch.
+    val eqBatches = loadEqBatches(m)
+    val liveRel = m.files.map(relKey).toSet
+    val dirtyRel = eqBatches.flatMap(_.refs).filter(liveRel).toSet
+    val dirty = m.files.filter(f => dirtyRel(relKey(f)))
+    if (dirty.isEmpty) return v0
+    val scan0 = {
+      import org.apache.spark.sql.functions.substring_index
+      readWithSchema(spark, m.schema, dirty)
+        .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+    }
+    val noDv =
+      if (m.dvs.isEmpty) scan0
+      else scan0.join(
+        spark.read.parquet(m.dvs: _*)
+          .withColumnRenamed("dv_file", DvFileCol)
+          .withColumnRenamed("dv_pos", DvPosCol),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    // Semi per batch, union, dedup by coordinate (a row matched by two
+    // batches must coord once).
+    val hidden = eqBatches.filter(_.refs.exists(liveRel)).map { b =>
+      val keys = spark.read.parquet(b.keyFiles: _*)
+        .select(b.keyCols.map(c => col(c).as(s"_graft_eq_$c")): _*)
+      val cond = b.keyCols.map(c => noDv(c) === keys(s"_graft_eq_$c"))
+        .reduce(_ && _) &&
+        noDv(DvFileCol).isInCollection(b.refs.filter(liveRel))
+      noDv.join(keys, cond, "left_semi")
+    }.reduce(_.unionByName(_))
+      .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
+      .dropDuplicates("dv_file", "dv_pos")
+    val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
+    hidden.write.parquet(dvPath.toString)
+    val written = listParquet(spark, dvPath)
+    val referenced = spark.read.parquet(written: _*)
+      .select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    val newDvs =
+      if (referenced.isEmpty) { fsFor(base).delete(dvPath, true); Nil }
+      else written
+    publish(base, Nil, newDvs, mode = "eq-convert", parent =>
+      if (parent == v0) (m.files, m.dvs, Nil)
+      else {
+        val p = readManifest(base, parent)
+        // The conversion snapshot-read the v0 eq/dv/file state; ANY
+        // concurrent change to it invalidates the computed coordinates
+        // (a new eq delete would be silently DROPPED by our eq-free
+        // manifest). Abort on any difference.
+        if (p.files.toSet != m.files.toSet || p.dvs.toSet != m.dvs.toSet ||
+            p.eqs.toSet != m.eqs.toSet)
+          throw new java.util.ConcurrentModificationException(
+            s"convertEqToDv based on v$v0 conflicts with a concurrent " +
+              "commit; retry from the new version")
+        (p.files, p.dvs, Nil)
+      })
+  }
+
   /** Generalized one-commit delta: equality-delete `deleteKeys` (column
     * names = key columns; may be empty) AND append `inserts` (may be
     * empty), published atomically as ONE `merge-eq[:tag]` commit — the

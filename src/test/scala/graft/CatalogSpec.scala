@@ -255,6 +255,14 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"CALL $cat.system.compact('proc.t', 2)").head.head ===
       Snapshots.versions(base).max)
     intercept[Exception] { spark.sql(s"CALL $cat.system.nope('proc.t')") }
+    // equality deletes fold to one DV from SQL; rows unchanged after
+    spark.sql(s"DELETE FROM $cat.proc.t WHERE id = 0") // a DV beside the eqs
+    Snapshots.deleteByKeys(spark, base, spark.range(1, 3).toDF("id"))
+    val n = rows(s"SELECT count(*) FROM $cat.proc.t").head.head
+    rows(s"CALL $cat.system.convert_eq_deletes(table => 'proc.t')")
+    assert(rows(s"SELECT count(*) FROM $cat.proc.t").head.head === n)
+    assert(rows(s"SELECT n_eqs FROM $cat.proc.t.history " +
+      "ORDER BY version DESC LIMIT 1").head === Seq(0L))
   }
 
   test("CALL procedures: branch lifecycle and orphan sweep from SQL") {

@@ -248,6 +248,37 @@ class EqDeleteSpec extends SparkSuite {
     assert(e.getMessage.contains("copy-on-write"))
   }
 
+  test("convertEqToDv folds accumulated eq deletes into one vector, rows unchanged") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_eq_convert")
+    seed(base)
+    // a small DV first, then a stack of eq batches (the streaming shape)
+    Snapshots.deleteWhereDV(spark, base, col("k") === 20L)
+    Snapshots.deleteByKeys(spark, base, Seq(1L).toDF("k"))
+    Snapshots.upsertByKeys(spark, base, Seq((2L, 222L), (30L, 300L)).toDF("k", "v"), Seq("k"))
+    Snapshots.deleteByKeys(spark, base, Seq(3L, 30L).toDF("k"))
+    val before = kv(Snapshots.read(spark, base))
+    assert(before.get(2L).contains(222L) && !before.contains(30L) &&
+      !before.contains(1L) && !before.contains(3L) && !before.contains(20L))
+    val filesBefore = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+    val v = Snapshots.convertEqToDv(spark, base)
+    // physics: same data files, no eq lines left, rows identical
+    assert(Snapshots.liveFiles(base, v) === filesBefore)
+    assert(Snapshots.history(spark, base)
+      .filter(col("version") === v)
+      .select("n_eqs").head().getLong(0) === 0L)
+    assert(kv(Snapshots.read(spark, base)) === before)
+    // idempotent: nothing outstanding -> no new version
+    assert(Snapshots.convertEqToDv(spark, base) === v)
+    // time travel to the pre-conversion version still applies eqs
+    assert(kv(Snapshots.read(spark, base, Some(v - 1))) === before)
+    // and post-conversion life continues: another upsert + read
+    Snapshots.upsertByKeys(spark, base, Seq((2L, 7L)).toDF("k", "v"), Seq("k"))
+    assert(kv(Snapshots.read(spark, base))(2L) === 7L)
+  }
+
   test("expire keeps live eq sidecars and reclaims materialized ones") {
     val sess = spark
     import sess.implicits._
