@@ -129,8 +129,12 @@ object MatView {
     // snapshot, which is correct whatever the source's history.
     if (last > 0L) {
       val consumed = Snapshots.versions(srcBase).filter(v => v > last && v <= srcV)
+      // eq-convert is a logical no-op (removedRows reports nothing for
+      // it: its vector's rows were already eq-hidden at the window
+      // start), so a maintenance conversion never forces a rebuild.
       val bad = consumed.filterNot(v =>
-        Set("append", "merge", "delete-dv", "delete-eq", "merge-eq")(
+        Set("append", "merge", "delete-dv", "delete-eq", "merge-eq",
+          "eq-convert")(
           Snapshots.modeOf(srcBase, v).takeWhile(_ != ':')))
       require(bad.isEmpty,
         s"source versions ${bad.mkString(",")} rewrite files - " +

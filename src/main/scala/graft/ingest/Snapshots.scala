@@ -1789,11 +1789,15 @@ object Snapshots {
           .withColumnRenamed("dv_pos", DvPosCol)
         val dirtyRel = dv.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
         val dirty = mTo.files.filter(f => dirtyRel(relKey(f)))
-        // New vectors never reference rows already hidden at their commit
-        // (DV writers scan with all deletes applied), so no old-state
-        // subtraction is needed here.
-        Some(coords(readWithSchema(spark, mTo.schema, dirty))
-          .join(dv, Seq(DvFileCol, DvPosCol), "inner"))
+        // DV WRITERS scan with all deletes applied, so their vectors
+        // never reference rows already hidden at their commit — but
+        // [[convertEqToDv]]'s vector references EXACTLY the rows fromV's
+        // equality deletes were hiding. Subtract fromV's eq state so a
+        // window spanning a conversion reports nothing for it (the rows
+        // were not visible at fromV).
+        val raw = coords(readWithSchema(spark, mTo.schema, dirty))
+          .join(dv, Seq(DvFileCol, DvPosCol), "inner")
+        Some(eqJoin(raw, loadEqBatches(mFrom), semi = false))
       }
     // Equality half: rows hidden by the window's new eq batches that were
     // VISIBLE at fromV — eq deletes are written blind (no target scan), so
@@ -1878,9 +1882,11 @@ object Snapshots {
               s"v$v is a copy-on-write delete - its rewritten files cannot " +
                 "be attributed row-level; CDC-consumed tables should delete " +
                 "via deleteWhereDV/deleteByKeys (merge-on-read)")
-          case "overwrite" | "rollback" | "fastforward" =>
+          case "overwrite" | "rollback" | "fastforward" | "eq-convert" =>
             // physical rewrite / wholesale state change: no row-level feed
-            // (see scaladoc); the step still advances the diff base.
+            // (see scaladoc); eq-convert is a logical no-op (its vector
+            // re-hides rows equality deletes already hid). The step
+            // still advances the diff base.
             (v, acc)
           case _ =>
             val ins =

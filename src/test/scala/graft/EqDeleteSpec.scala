@@ -279,6 +279,39 @@ class EqDeleteSpec extends SparkSuite {
     assert(kv(Snapshots.read(spark, base))(2L) === 7L)
   }
 
+  test("windows spanning a conversion stay exact: feed, removedRows, MV") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val root = tmpDir("graft_eq_convwin")
+    val (src, mv) = (root + "/src", root + "/mv")
+    Snapshots.commit(spark,
+      (1L to 12L).map(i => (i, i % 3, i * 10L)).toDF("k", "g", "v"), src,
+      sortCols = Seq("k"))
+    graft.ingest.MatView.refresh(spark, mv, src, Seq("g"), "v")
+    val v1 = Snapshots.versions(src).max
+    // eq-delete BEFORE the window of interest, then convert INSIDE it:
+    // the conversion's vector re-hides rows already hidden at v2 — the
+    // window (v2, v3] must report NOTHING removed.
+    val v2 = Snapshots.deleteByKeys(spark, src, Seq(1L, 2L).toDF("k"))
+    val v3 = Snapshots.convertEqToDv(spark, src)
+    assert(Snapshots.removedRows(spark, src, v2, v3).count() === 0L)
+    assert(Snapshots.changeFeed(spark, src, v2, v3).count() === 0L)
+    // a window containing BOTH the delete and its conversion reports the
+    // deleted rows exactly once (via the conversion's vector)
+    assert(Snapshots.removedRows(spark, src, v1, v3)
+      .select(col("k")).collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // incremental MV refresh across delete + conversion stays ≡ recompute
+    graft.ingest.MatView.refresh(spark, mv, src, Seq("g"), "v")
+    val got = Snapshots.read(spark, mv)
+      .select(col("g"), col("n_rows"), col("sum_v")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = Snapshots.read(spark, src)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+  }
+
   test("expire keeps live eq sidecars and reclaims materialized ones") {
     val sess = spark
     import sess.implicits._
