@@ -288,6 +288,9 @@ object StreamIngest {
     import graft.ingest.Snapshots
     val spark = batch.sparkSession
     val Marker = ".*:r(\\d+)$".r
+    // One metadata walk per batch, not per contained version: the newest
+    // :rN marker bounds what is already applied; versions applied in
+    // this loop advance the bound locally.
     def appliedThrough: Long =
       Snapshots.versions(dstBase).sorted.reverse.iterator
         .map(v => Snapshots.modeOf(dstBase, v))
@@ -301,8 +304,10 @@ object StreamIngest {
     // The batch frame re-evaluates per version below; localCheckpoint
     // once so the (possibly expensive) feed plan runs a single time.
     val mat = batch.localCheckpoint(true)
+    val dstExists = Snapshots.versions(dstBase).nonEmpty
+    var applied = if (dstExists) appliedThrough else 0L
     for (v <- versions) {
-      val done = Snapshots.versions(dstBase).nonEmpty && appliedThrough >= v
+      val done = dstExists && applied >= v
       if (!done) {
         val slice = mat.filter(col("_commit_version") === v)
         val inserts = slice.filter(col("_change_type") === "insert")
@@ -317,7 +322,7 @@ object StreamIngest {
           Snapshots.applyDelta(spark, dstBase,
             deleteKeys = Some(deletes), inserts = Some(inserts),
             modeTag = s"r$v")
-        ()
+        applied = v
       }
     }
   }
