@@ -293,15 +293,59 @@ private[connector] class GraftWriteBuilder(base: String, pin: Snapshots.Pin)
 private[connector] class GraftScanBuilder(base: String, pin: Snapshots.Pin,
                                           tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
+  private var metadataCount: Option[Long] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = { filters = fs; fs }
   override def pushedFilters(): Array[Filter] = filters.filter(FileStats.supportsPruning)
   override def pruneColumns(s: StructType): Unit = required = s
-  override def build(): Scan = new GraftScan(base, pin, required, filters)
+
+  /** `SELECT count(*)` answered from manifest sidecars — ZERO data IO
+    * (Iceberg's metadata count). Pushed ONLY when metadata is exact: no
+    * predicate survived translation, no row-level delete (DV or
+    * equality) is outstanding, and every live file carries a sidecar
+    * row count; anything else falls back to the real scan, so the
+    * answer is never approximate.
+    */
+  private def countStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countStarOnly(agg) && filters.isEmpty &&
+      { metadataCount = Snapshots.exactRowCount(base, pin); metadataCount.isDefined }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg)
+
+  override def build(): Scan = metadataCount match {
+    case Some(n) => new GraftCountScan(base, n)
+    case None => new GraftScan(base, pin, required, filters)
+  }
+}
+
+/** The complete-pushdown count(*) result: one row, no data file opened. */
+private[connector] class GraftCountScan(base: String, n: Long) extends V1Scan {
+  import org.apache.spark.sql.types.{LongType, StructField}
+  private val out = StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def readSchema(): StructType = out
+  override def description(): String = s"GraftCountScan(base=$base, metadataCount=$n)"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = out
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(Seq(Row(n)), 1)
+    }.asInstanceOf[T]
 }
 
 private[connector] class GraftScan(base: String, pin: Snapshots.Pin,

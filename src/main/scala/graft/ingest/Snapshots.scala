@@ -1684,6 +1684,29 @@ object Snapshots {
     (bytes, if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
   }
 
+  /** The EXACT row count of a pinned state from metadata alone, or None
+    * when metadata can't answer exactly: any outstanding deletion vector
+    * or equality delete hides rows the sidecars still count, and any
+    * live file without a sidecar row count (pre-stats era) leaves a gap.
+    * When Some, the value equals `read(...).count()` without opening a
+    * single data file — what lets `SELECT count(*)` on a 100 TB table
+    * finish in manifest-read time (the connector's aggregate pushdown
+    * rides this).
+    */
+  def exactRowCount(base: String, pin: Pin = Pin.Latest): Option[Long] = {
+    val m = pinnedManifest(base, pin)
+    if (m.dvs.nonEmpty || m.eqs.nonEmpty) return None
+    val conf = hadoopConf
+    val sidecars = m.files.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(conf, d).getOrElse(Map.empty))
+      .toMap
+    val counts = m.files.map { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName).map(_.rows)
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   /** [[read]] with a pushed-down predicate: `cond`'s conjuncts translate
     * to data-source filters (the same translation Spark's own scan
     * planning uses), prune files through the stats sidecars, and the FULL

@@ -175,8 +175,10 @@ class ConnectorSpec extends SparkSuite {
     // same missing-file proof as readWhere, through format("graft")
     val fs = new Path(files(0)).getFileSystem(conf)
     fs.delete(new Path(files(0)), false)
+    // the probe must TOUCH data (a bare count() now answers from
+    // manifest metadata by design and never opens the missing file)
     intercept[Exception] {
-      spark.read.format("graft").load(base).count()
+      spark.read.format("graft").load(base).agg(sum(col("id"))).head()
     }
     assert(ids(spark.read.format("graft").load(base).filter(col("id") > 20L))
       === (21L to 30L).toSet)
@@ -383,6 +385,38 @@ class ConnectorSpec extends SparkSuite {
       import scala.jdk.CollectionConverters._
       assert(seen.asScala.toSet === Set(9L, 10L))
     } finally q2.stop()
+  }
+
+  test("count(*) pushes to manifest metadata; row-level deletes fall back") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_conn_count")
+    Snapshots.commit(spark, (1L to 100L).map(i => (i, i * 2L)).toDF("k", "v"), base)
+    Snapshots.commit(spark, (101L to 130L).map(i => (i, i * 2L)).toDF("k", "v"), base)
+    def table = spark.read.format("graft").load(base)
+    assert(table.count() === 130L)
+    // THE proof of zero data IO: physically remove a data file — the
+    // metadata count still answers, while any data-touching query fails
+    val victim = new java.io.File(
+      Snapshots.liveFiles(base, Snapshots.versions(base).max).head)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.delete(victim.toPath)
+    try {
+      assert(table.count() === 130L, "metadata count must not open data files")
+      intercept[Exception] { table.agg(org.apache.spark.sql.functions.sum("v")).head() }
+    } finally java.nio.file.Files.write(victim.toPath, bytes)
+    // a filter forces the real scan (correct, not metadata)
+    assert(table.filter(col("k") <= 10L).count() === 10L)
+    // outstanding row-level deletes make metadata inexact -> fallback
+    Snapshots.deleteWhereDV(spark, base, col("k") === 1L)
+    assert(table.count() === 129L)
+    Snapshots.deleteByKeys(spark, base, Seq(2L).toDF("k"))
+    assert(table.count() === 128L)
+    // compaction materializes the deletes; the metadata path returns
+    Snapshots.compact(spark, base, numFiles = 1)
+    assert(table.count() === 128L)
+    assert(table.queryExecution.optimizedPlan.toString.nonEmpty) // plan sanity
   }
 
   test("streaming sink upsertMode=eq: keyed upserts with zero target scans") {

@@ -196,7 +196,11 @@ class MergeSqlSpec extends SparkSuite {
         Seq(org.apache.spark.sql.sources.LessThanOrEqual("id", 10L))).toSet
       val victim = (all.toSet -- lowCapable).head
       new java.io.File(new java.net.URI("file:" + victim).getPath).delete()
-      intercept[Exception] { spark.table(s"$cat.d.pr").count() }
+      // (sum, not count: a bare count() answers from manifest metadata
+      // by design and would never open the missing file)
+      intercept[Exception] {
+        spark.table(s"$cat.d.pr").agg(org.apache.spark.sql.functions.sum("v")).head()
+      }
       // equi-ON MERGE with no NOT-MATCHED-BY-SOURCE: target scan prunes
       // to the source envelope, so the missing file is never planned
       Seq((3L, 1L), (7L, 1L), (200L, 1L)).toDF("id", "v")
