@@ -95,6 +95,30 @@ object Packing {
         .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
           round(col("tok").cast("double") / col("tot"), 6).as("token_share"))
     },
+    "mix4_weighted_sample" -> { (s, d) =>
+      // Weighted SYSTEMATIC sampling without RNG: docs order
+      // deterministically inside content-hash shards, integer quality
+      // weights accumulate, and a row is kept exactly when its weight
+      // interval crosses a stride boundary — inclusion probability ∝
+      // weight, expected sample size = shard_weight/stride, and the
+      // same rows come back on every engine and run (all-integer cumsum;
+      // the /19.0 floors are exact for int64 inputs — a 19-denominator
+      // rational sits ≥ 1/19 from any other integer). The window is
+      // SHARD-partitioned — no global ordering, so the one shuffle is
+      // by shard and the shape survives 100 TB; the weight here stands
+      // in for a quality score (mix2's rates play the same role).
+      val shard = expr(
+        "CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT)")
+      val win = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .withColumn("w", (lit(1L) + col("n_chars") % 7L).cast("long"))
+        .withColumn("shard", shard)
+        .withColumn("h", md5(col("text")))
+        .withColumn("cum", sum(col("w")).over(win))
+        .filter(floor((col("cum") - col("w")) / lit(19.0)) < floor(col("cum") / lit(19.0)))
+        .select(col("doc_id"), col("shard"), col("w"), col("cum"))
+    },
     "mix3_temperature_mixture" -> { (s, d) =>
       // Temperature-scaled mixture weights (the multilingual-pretraining
       // p^α reweighting, α = 0.5): upsample rare domains, downsample
@@ -285,6 +309,19 @@ object Packing {
     // share is exact-int division on both sides; sqrt is IEEE-exact; the
     // z normalizer's 20-term sum can differ in the last ulp across
     // engines' summation order — round(6) absorbs it.
+    "mix4_weighted_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(1 + n_chars % 7 AS BIGINT) AS w,
+        |    CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+        |    md5(text) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, w,
+        |    CAST(sum(w) OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS cum
+        |  FROM base)
+        |SELECT doc_id, shard, w, cum FROM c
+        |WHERE floor((cum - w) / 19.0) < floor(cum / 19.0)""".stripMargin,
     "mix3_temperature_mixture" ->
       """WITH per_src AS (
         |  SELECT source,
