@@ -298,53 +298,95 @@ private[connector] class GraftScanBuilder(base: String, pin: Snapshots.Pin,
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
-  private var metadataCount: Option[Long] = None
+  private var metadataAgg: Option[(StructType, Row)] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = { filters = fs; fs }
   override def pushedFilters(): Array[Filter] = filters.filter(FileStats.supportsPruning)
   override def pruneColumns(s: StructType): Unit = required = s
 
-  /** `SELECT count(*)` answered from manifest sidecars — ZERO data IO
-    * (Iceberg's metadata count). Pushed ONLY when metadata is exact: no
-    * predicate survived translation, no row-level delete (DV or
-    * equality) is outstanding, and every live file carries a sidecar
-    * row count; anything else falls back to the real scan, so the
-    * answer is never approximate.
+  /** Ungrouped `count(*)` / `min(bigint)` / `max(bigint)` answered from
+    * manifest sidecars — ZERO data IO (Iceberg's metadata aggregates).
+    * Pushed ONLY when metadata is exact: no predicate survived
+    * translation, no row-level delete (DV or equality) is outstanding,
+    * every live file carries sidecar stats, and min/max columns are
+    * BIGINT (integer parquet stats are never truncated; string stats
+    * can be, double stats are NaN-hostile — those fall back). Anything
+    * else runs the real scan, so the answer is never approximate.
     */
-  private def countStarOnly(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  private def tryPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (metadataAgg.isDefined) return true
+    if (agg.groupByExpressions.nonEmpty || filters.nonEmpty ||
+      agg.aggregateExpressions.isEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          tableSchema.fields.exists(f =>
+            f.name == r.fieldNames.head && f.dataType == LongType) =>
+          Some(r.fieldNames.head)
+        case _ => None
+      }
+    val needsRanges = agg.aggregateExpressions.exists {
+      case _: CountStar => false
+      case _ => true
+    }
+    lazy val ranges = Snapshots.exactLongRanges(base, pin)
+    lazy val count = Snapshots.exactRowCount(base, pin)
+    val fields = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        count.map(n => (StructField(s"agg_$i", LongType, nullable = false),
+          n: Any))
+      case (m: Min, i) =>
+        for {
+          c <- colOf(m.column); rs <- ranges; r <- rs.get(c)
+        } yield (StructField(s"agg_$i", LongType, nullable = true),
+          r._1.map(Long.box).orNull: Any)
+      case (m: Max, i) =>
+        for {
+          c <- colOf(m.column); rs <- ranges; r <- rs.get(c)
+        } yield (StructField(s"agg_$i", LongType, nullable = true),
+          r._2.map(Long.box).orNull: Any)
+      case _ => None
+    }
+    if (fields.exists(_.isEmpty) || (needsRanges && ranges.isEmpty)) false
+    else {
+      val fs = fields.flatten
+      metadataAgg = Some((StructType(fs.map(_._1)), Row(fs.map(_._2): _*)))
+      true
+    }
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countStarOnly(agg) && filters.isEmpty &&
-      { metadataCount = Snapshots.exactRowCount(base, pin); metadataCount.isDefined }
+    tryPush(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    supportCompletePushDown(agg)
+    tryPush(agg)
 
-  override def build(): Scan = metadataCount match {
-    case Some(n) => new GraftCountScan(base, n)
+  override def build(): Scan = metadataAgg match {
+    case Some((schema, row)) => new GraftMetaAggScan(base, schema, row)
     case None => new GraftScan(base, pin, required, filters)
   }
 }
 
-/** The complete-pushdown count(*) result: one row, no data file opened. */
-private[connector] class GraftCountScan(base: String, n: Long) extends V1Scan {
-  import org.apache.spark.sql.types.{LongType, StructField}
-  private val out = StructType(Seq(StructField("count_star", LongType, nullable = false)))
+/** The complete-pushdown metadata-aggregate result: one row, no data
+  * file opened.
+  */
+private[connector] class GraftMetaAggScan(base: String, out: StructType,
+                                          row: Row) extends V1Scan {
   override def readSchema(): StructType = out
-  override def description(): String = s"GraftCountScan(base=$base, metadataCount=$n)"
+  override def description(): String = s"GraftMetaAggScan(base=$base, row=$row)"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = out
       override def buildScan(): RDD[Row] =
-        context.sparkContext.parallelize(Seq(Row(n)), 1)
+        context.sparkContext.parallelize(Seq(row), 1)
     }.asInstanceOf[T]
 }
 

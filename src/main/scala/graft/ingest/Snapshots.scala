@@ -1707,6 +1707,42 @@ object Snapshots {
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
+  /** Exact per-column BIGINT min/max from metadata alone, over a pinned
+    * state whose [[exactRowCount]] preconditions hold (no row-level
+    * delete outstanding, complete sidecar coverage): Some(map) of
+    * column → (min, max) for every `long`-domain column EVERY live file
+    * carries stats for; a column's pair is (None, None) when all values
+    * are NULL. Parquet keeps integer footer stats exact (no truncation —
+    * unlike binary/string stats), which is what makes MIN/MAX answerable
+    * without opening a file; other domains are deliberately absent
+    * (string stats may be truncated, double stats are NaN-hostile).
+    */
+  def exactLongRanges(base: String, pin: Pin = Pin.Latest): Option[Map[String, (Option[Long], Option[Long])]] = {
+    val m = pinnedManifest(base, pin)
+    if (m.dvs.nonEmpty || m.eqs.nonEmpty) return None
+    val conf = hadoopConf
+    val sidecars = m.files.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(conf, d).getOrElse(Map.empty))
+      .toMap
+    val stats = m.files.map { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName)
+    }
+    if (stats.exists(_.isEmpty)) return None
+    val fs = stats.flatten
+    if (fs.isEmpty) return Some(Map.empty)
+    val common = fs.map(_.cols.keySet).reduce(_ intersect _)
+    Some(common.toSeq.flatMap { c =>
+      val cs = fs.map(_.cols(c))
+      if (cs.exists(_.t != "long")) None
+      else {
+        val mins = cs.flatMap(_.min).map(_.toLong)
+        val maxs = cs.flatMap(_.max).map(_.toLong)
+        Some(c -> (mins.minOption, maxs.maxOption))
+      }
+    }.toMap)
+  }
+
   /** [[read]] with a pushed-down predicate: `cond`'s conjuncts translate
     * to data-source filters (the same translation Spark's own scan
     * planning uses), prune files through the stats sidecars, and the FULL

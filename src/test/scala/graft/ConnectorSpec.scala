@@ -404,6 +404,13 @@ class ConnectorSpec extends SparkSuite {
     java.nio.file.Files.delete(victim.toPath)
     try {
       assert(table.count() === 130L, "metadata count must not open data files")
+      // min/max on BIGINT columns ride the same metadata path (integer
+      // parquet stats are exact), including mixed with count(*)
+      val r = table.agg(
+        org.apache.spark.sql.functions.min("k"),
+        org.apache.spark.sql.functions.max("v"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 260L, 130L)))
       intercept[Exception] { table.agg(org.apache.spark.sql.functions.sum("v")).head() }
     } finally java.nio.file.Files.write(victim.toPath, bytes)
     // a filter forces the real scan (correct, not metadata)
