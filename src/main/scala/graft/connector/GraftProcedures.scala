@@ -182,6 +182,18 @@ private[connector] class GraftProcedures(resolve: String => String,
           r.getInt(1).toLong * 3600 * 1000).size.toLong)
     },
 
+    new Proc("add_files", "register existing parquet files/directories " +
+        "as a snapshot commit WITHOUT rewriting a byte (zero-copy " +
+        "migration; the adopted table is name-resolved and maintenance " +
+        "never deletes the foreign files)",
+      Seq(in("table", StringType)
+          .comment("table name relative to this catalog; created on first add").build(),
+        in("source_path", StringType).build()),
+      out("version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.addFiles(spark, tableOrNew(str(r, 0)), Seq(str(r, 1))))
+    },
+
     new Proc("convert_eq_deletes", "fold every outstanding equality " +
         "delete into one deletion vector (no data file rewritten): after " +
         "a stream of eq-upserts, readers pay one coordinate anti join " +

@@ -733,6 +733,74 @@ object Snapshots {
           if (parent <= 0) 0L else mintFloor(base, readManifest(base, parent)))))
   }
 
+  /** Register EXISTING parquet files as a new snapshot — zero-copy
+    * migration (Iceberg's add_files/migrate): the manifest records the
+    * foreign files' absolute paths, no byte is read beyond a schema
+    * probe, no byte is written beyond the manifest. The onboarding path
+    * for a 100 TB directory tree: adopting it costs a listing + one
+    * metadata commit, not a rewrite.
+    *
+    * Contract and degradations, all deliberate:
+    *  - the table runs in NAME-resolved (legacy, header-less) mode —
+    *    foreign footers carry no graft field ids, and publishing an
+    *    id-carrying schema header over id-less files would break
+    *    id-based reads. Rename/drop evolution therefore refuses (as on
+    *    any legacy table) until the data is recommitted;
+    *  - appending into an id-TRACKED table refuses for the same reason;
+    *  - foreign files have no stats sidecars: planning-time pruning
+    *    keeps them (conservative) and metadata aggregates fall back to
+    *    real scans — correctness never depends on stats existing;
+    *  - [[expire]]/[[removeOrphans]] sweep only under `<base>/data/`, so
+    *    adopted files are never deleted by maintenance (they remain
+    *    owned by their producer); a [[compact]] rewrites them into
+    *    managed, stats-carrying files under the table and retires the
+    *    foreign references from the live manifest.
+    *
+    * Returns the new version. `paths` may be files or directories
+    * (listed non-recursively for `.parquet` files).
+    */
+  def addFiles(spark: SparkSession, base: String, paths: Seq[String],
+               mode: String = "append"): Long = {
+    require(paths.nonEmpty, "addFiles needs at least one path")
+    val base0 = mode.takeWhile(_ != ':')
+    require(base0 == "append" || base0 == "overwrite", s"unknown mode $mode")
+    val files = paths.flatMap { p =>
+      val fs = fsFor(p)
+      val path = new Path(p)
+      val st = fs.getFileStatus(path)
+      if (st.isDirectory)
+        listDir(fs, path).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).sorted
+      else Seq(path.toString)
+    }
+    require(files.nonEmpty, s"no parquet files under ${paths.mkString(",")}")
+    // Schema compatibility probe (footers only, no data read): the
+    // adopted files must agree among themselves and with any existing
+    // table state by NAME.
+    val adopted = spark.read.parquet(files: _*).schema
+    val vs0 = versions(base)
+    if (vs0.nonEmpty) {
+      val m = readManifest(base, vs0.max)
+      require(m.schema.isEmpty,
+        "cannot add foreign (field-id-less) files to a field-id-tracked " +
+          "table - their footers carry no ids; write through commit() or " +
+          "adopt into a fresh table")
+      if (base0 == "append" && m.files.nonEmpty) {
+        val existing = readWithSchema(spark, None, m.files).schema
+        require(adopted.fieldNames.sorted.sameElements(existing.fieldNames.sorted),
+          s"adopted schema ${adopted.fieldNames.mkString(",")} does not match " +
+            s"the table's ${existing.fieldNames.mkString(",")}")
+      }
+    }
+    publish(base, files, Nil, mode, parent =>
+      if (base0 == "append" && parent > 0) {
+        val p = readManifest(base, parent)
+        (p.files, p.dvs, p.eqs)
+      } else (Nil, Nil, Nil),
+      // explicit no-header: the adopted table is name-resolved
+      schemaFor = _ => None, lastIdFor = _ => None)
+  }
+
   /** The mode string a version was committed with (including any ":<tag>"
     * suffix) — public so MV refresh watermarks and ops tooling can read
     * lineage metadata without parsing manifests.

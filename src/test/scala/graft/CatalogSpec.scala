@@ -263,6 +263,12 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.proc.t").head.head === n)
     assert(rows(s"SELECT n_eqs FROM $cat.proc.t.history " +
       "ORDER BY version DESC LIMIT 1").head === Seq(0L))
+    // zero-copy adoption of a foreign parquet directory from SQL
+    val foreign = tmpDir("graft_call_adopt")
+    spark.range(40).toDF("id").write.mode("overwrite").parquet(foreign)
+    rows(s"CALL $cat.system.add_files(table => 'proc.adopted', source_path => '$foreign')")
+    assert(rows(s"SELECT count(*), min(id), max(id) FROM $cat.proc.adopted").head ===
+      Seq(40L, 0L, 39L))
   }
 
   test("CALL procedures: branch lifecycle and orphan sweep from SQL") {

@@ -12,6 +12,43 @@ class SnapshotSpec extends SparkSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select(col("id")).collect().map(_.getLong(0)).toSet
 
+  test("addFiles adopts foreign parquet zero-copy; maintenance never touches it") {
+    val sess = spark
+    import sess.implicits._
+    // a "pre-existing" parquet tree produced by some other system
+    val foreign1 = tmpDir("graft_adopt_src1")
+    val foreign2 = tmpDir("graft_adopt_src2")
+    (1L to 50L).toDF("id").write.mode("overwrite").parquet(foreign1)
+    (51L to 80L).toDF("id").write.mode("overwrite").parquet(foreign2)
+    val base = tmpDir("graft_adopt") + "/t"
+    val v1 = Snapshots.addFiles(spark, base, Seq(foreign1))
+    assert(ids(Snapshots.read(spark, base)) === (1L to 50L).toSet)
+    // adopted files live OUTSIDE the table tree, referenced absolutely
+    assert(Snapshots.liveFiles(base, v1).forall(_.contains(foreign1)))
+    val v2 = Snapshots.addFiles(spark, base, Seq(foreign2))
+    assert(ids(Snapshots.read(spark, base)) === (1L to 80L).toSet)
+    assert(ids(Snapshots.read(spark, base, Some(v1))) === (1L to 50L).toSet)
+    // managed commits, DV deletes and the whole table lifecycle compose
+    Snapshots.commit(spark, (81L to 90L).toDF("id"), base)
+    Snapshots.deleteWhereDV(spark, base, col("id") === 5L)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 90L).toSet - 5L))
+    // compact rewrites into MANAGED files; the foreign bytes stay put
+    Snapshots.compact(spark, base, numFiles = 2)
+    assert(Snapshots.liveFiles(base, Snapshots.versions(base).max)
+      .forall(f => !f.contains(foreign1) && !f.contains(foreign2)))
+    Snapshots.expire(base, keepLast = 1)
+    // the producer's files survive every maintenance op
+    assert(spark.read.parquet(foreign1).count() === 50L)
+    assert(spark.read.parquet(foreign2).count() === 30L)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 90L).toSet - 5L))
+    // id-tracked tables refuse foreign (id-less) adoption
+    val tracked = tmpDir("graft_adopt_tracked")
+    Snapshots.commit(spark, (1L to 3L).toDF("id"), tracked)
+    intercept[IllegalArgumentException] {
+      Snapshots.addFiles(spark, tracked, Seq(foreign1))
+    }
+  }
+
   test("append, time travel, and incremental reads see exactly their snapshot") {
     val sess = spark
     import sess.implicits._
