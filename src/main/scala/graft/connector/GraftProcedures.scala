@@ -73,13 +73,17 @@ private[connector] class GraftProcedures(resolve: String => String,
         in("zorder", StringType).defaultValue("''")
           .comment("two or more comma-separated numeric columns").build(),
         in("curve", StringType).defaultValue("'morton'")
-          .comment("morton | hilbert (hilbert needs exactly two columns)").build()),
+          .comment("morton | hilbert (hilbert needs exactly two columns)").build(),
+        in("smaller_than_bytes", LongType).defaultValue("0")
+          .comment("binpack: rewrite ONLY files below this size, carrying " +
+            "larger ones untouched (0 = full rewrite)").build()),
       out("version" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val sorts = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val z = str(r, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val n = r.getInt(1)
         val curve = str(r, 4)
+        val smallerThan = Some(r.getLong(5)).filter(_ > 0L)
         val zLayout = z match {
           case Seq() => None
           case one if one.size < 2 => throw new IllegalArgumentException(
@@ -98,7 +102,8 @@ private[connector] class GraftProcedures(resolve: String => String,
                 s"unknown curve '$other' (morton | hilbert)")
             }
         }
-        Seq(Snapshots.compact(spark, table(r), n, sorts, zLayout))
+        Seq(Snapshots.compact(spark, table(r), n, sorts, zLayout,
+          onlySmallerThan = smallerThan))
       }
     },
 

@@ -1618,22 +1618,47 @@ object Snapshots {
   /** `layout` overrides the default `repartition(numFiles)` with a custom
     * physical arrangement of the rewritten rows (e.g. Z-order) — the
     * conflict protocol is unchanged, so every layout strategy shares it.
+    *
+    * `onlySmallerThan` selects BINPACK compaction: only live files below
+    * the byte threshold rewrite (their row-level deletes applied); every
+    * larger file carries by path, untouched, along with the table's
+    * DVs/equality deletes (still needed by the carried files; entries
+    * referencing only rewritten files become inert). Maintenance cost is
+    * proportional to the small-file debt, never the table — the shape a
+    * streaming-ingested 100 TB table needs nightly, where the full
+    * rewrite is a quarterly event. A full compact (None) also
+    * MATERIALIZES all row-level deletes away.
     */
   def compact(spark: SparkSession, base: String, numFiles: Int,
               sortCols: Seq[String] = Nil,
-              layout: Option[DataFrame => DataFrame] = None): Long = {
+              layout: Option[DataFrame => DataFrame] = None,
+              onlySmallerThan: Option[Long] = None): Long = {
     val v0 = versions(base).max
     val m0 = readManifest(base, v0)
-    val files0 = m0.files.toSet
-    val full = read(spark, base, Some(v0))
+    val fs = fsFor(base)
+    val (smalls, bigs) = onlySmallerThan match {
+      case None => (m0.files, Seq.empty[String])
+      case Some(t) => m0.files.partition { f =>
+        // a stat failure counts as small: the rewrite READS the file, so
+        // a genuinely missing file fails loudly instead of silently
+        // surviving as "big"
+        (try fs.getFileStatus(new Path(f)).getLen
+         catch { case _: Exception => 0L }) < t
+      }
+    }
+    if (smalls.isEmpty) return v0
+    val files0 = smalls.toSet
+    val full = scanWithDvs(spark, m0.copy(files = smalls), keepCoords = false)
     val compacted = layout.map(_(full)).getOrElse(full.repartition(numFiles))
     val newFiles = writeBatch(compacted, base, sortCols)
+    val binpack = onlySmallerThan.isDefined
     // Conflict handling inside the claim loop: files appended concurrently
     // (parent files not in our compacted input) carry forward untouched; a
     // concurrent DELETE of a file we already rewrote would resurrect its
     // rows, so that case aborts loudly instead of losing the delete.
     publish(base, newFiles, Nil, mode = "overwrite", parent => {
-      if (parent == v0) (Nil, Nil, Nil)
+      if (parent == v0)
+        (bigs, if (binpack) m0.dvs else Nil, if (binpack) m0.eqs else Nil)
       else {
         val p = readManifest(base, parent)
         val removed = files0 -- p.files.toSet
@@ -1649,7 +1674,8 @@ object Snapshots {
           throw new java.util.ConcurrentModificationException(
             s"compact of v$v0 conflicts with a concurrent row-level " +
               "delete; retry compaction from the new version")
-        (p.files.filterNot(files0), Nil, Nil)
+        (p.files.filterNot(files0),
+          if (binpack) p.dvs else Nil, if (binpack) p.eqs else Nil)
       }
     })
   }

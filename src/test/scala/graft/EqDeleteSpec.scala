@@ -312,6 +312,42 @@ class EqDeleteSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("binpack compaction rewrites only small files and keeps deletes live") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_eq_binpack")
+    // one big commit (coalesced) + many tiny ones — the streaming shape
+    Snapshots.commit(spark,
+      (1L to 2000L).map(i => (i, i * 10L)).toDF("k", "v").coalesce(1),
+      base, sortCols = Seq("k"))
+    for (i <- 0 until 4)
+      Snapshots.commit(spark,
+        Seq((3000L + i, 1L)).toDF("k", "v").coalesce(1), base)
+    // row-level deletes against BOTH size classes
+    Snapshots.deleteWhereDV(spark, base, col("k") === 10L)    // in the big file
+    Snapshots.deleteByKeys(spark, base, Seq(3001L).toDF("k")) // in a tiny file
+    val before = kv(Snapshots.read(spark, base))
+    val all = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+    val sizes = all.map(f => new java.io.File(new java.net.URI("file:" + f).getPath).length)
+    val threshold = sizes.max // everything but the biggest is "small"
+    val big = all(sizes.indexOf(sizes.max))
+    val v = Snapshots.compact(spark, base, numFiles = 1,
+      onlySmallerThan = Some(threshold))
+    val after = Snapshots.liveFiles(base, v)
+    // the big file carried BY PATH; the tiny ones are gone
+    assert(after.contains(big))
+    assert(!after.exists(f => f != big && all.contains(f)))
+    assert(after.size === 2) // big + one packed file
+    // rows identical, deletes still honored (the big file's DV is live)
+    assert(kv(Snapshots.read(spark, base)) === before)
+    assert(!kv(Snapshots.read(spark, base)).contains(10L))
+    assert(!kv(Snapshots.read(spark, base)).contains(3001L))
+    // nothing small left: a repeat binpack is a no-op version-wise
+    assert(Snapshots.compact(spark, base, 1,
+      onlySmallerThan = Some(1L)) === v)
+  }
+
   test("expire keeps live eq sidecars and reclaims materialized ones") {
     val sess = spark
     import sess.implicits._
