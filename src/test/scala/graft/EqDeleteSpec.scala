@@ -348,6 +348,54 @@ class EqDeleteSpec extends SparkSuite {
       onlySmallerThan = Some(1L)) === v)
   }
 
+  test("randomized op sequence: table state tracks the model under every mix") {
+    val sess = spark
+    import sess.implicits._
+    // Deterministic LCG drives a 40-op interleaving of upserts, equality
+    // deletes, DV deletes, conversions and both compaction flavors; after
+    // every op the table must equal the reference Map. This is the
+    // many-interleavings net the single-scenario tests can't cast —
+    // e.g. delete-after-convert-after-binpack-after-reinsert.
+    var seed = 0x5DEECE66DL
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val base = tmpDir("graft_eq_fuzz")
+    val model = scala.collection.mutable.Map[Long, Long]()
+    def seedRows = (1L to 30L).map(i => (i, i * 100L))
+    Snapshots.commit(spark, seedRows.toDF("k", "v"), base, sortCols = Seq("k"))
+    model ++= seedRows
+    var convertsRun = 0
+    for (step <- 1 to 40) {
+      nextInt(6) match {
+        case 0 | 1 => // upsert a small batch (some existing, some fresh keys)
+          val ks = (0 until 1 + nextInt(4)).map(_ => 1L + nextInt(45))
+          val rows = ks.distinct.map(k => (k, k * 1000L + step))
+          Snapshots.upsertByKeys(spark, base, rows.toDF("k", "v"), Seq("k"))
+          model ++= rows
+        case 2 => // equality delete (possibly absent keys)
+          val ks = (0 until 1 + nextInt(3)).map(_ => 1L + nextInt(45)).distinct
+          Snapshots.deleteByKeys(spark, base, ks.toDF("k"))
+          ks.foreach(model.remove)
+        case 3 => // DV delete by predicate
+          val pivot = 1L + nextInt(45)
+          Snapshots.deleteWhereDV(spark, base,
+            org.apache.spark.sql.functions.col("k") === pivot)
+          model.remove(pivot)
+        case 4 =>
+          Snapshots.convertEqToDv(spark, base); convertsRun += 1
+        case 5 =>
+          if (step % 2 == 0) Snapshots.compact(spark, base, numFiles = 2)
+          else Snapshots.compact(spark, base, numFiles = 2,
+            onlySmallerThan = Some(4096L))
+      }
+      val got = kv(Snapshots.read(spark, base))
+      assert(got === model.toMap, s"divergence after step $step")
+    }
+    assert(convertsRun > 0) // the mix actually exercised conversion
+  }
+
   test("expire keeps live eq sidecars and reclaims materialized ones") {
     val sess = spark
     import sess.implicits._
