@@ -98,6 +98,20 @@ class SnapshotSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Snapshots.read(spark, base, Some(v2)).collect()
     }
+    // round-8 surfaces on the same non-file scheme: equality deletes
+    // (keys parquet + _refs.txt sidecar), no-scan upserts, eq→DV
+    // conversion and the change feed all resolve their FS by URI scheme
+    val fromV = Snapshots.versions(base).max
+    Snapshots.deleteByKeys(spark, base, Seq(2L).toDF("id"))
+    Snapshots.upsertByKeys(spark, base, Seq(4L, 200L).toDF("id"), Seq("id"))
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 8L).toSet - 2L) + 200L)
+    Snapshots.convertEqToDv(spark, base)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 8L).toSet - 2L) + 200L)
+    val feed = Snapshots.changeFeed(spark, base, fromV, Snapshots.versions(base).max)
+      .select(col("_change_type"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed === Set(("delete", 2L), ("delete", 4L),
+      ("insert", 4L), ("insert", 200L)))
   }
 
   test("rename/drop resolve by field id across eras (non-additive evolution)") {
