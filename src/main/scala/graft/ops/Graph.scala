@@ -53,9 +53,15 @@ object Graph {
     // contribution join shuffles only the node-sized rank side — the edge
     // list never moves again. This is the partitioning-reuse lever the
     // brief calls out; at 8 iterations it removes 8 edge-list exchanges.
+    // 8 partitions, not the session default 32: every per-iteration job
+    // (contribution join, aggregate, checkpoint) launches tasks per
+    // partition, and on node-sized frames the task-launch overhead
+    // dominates compute — fewer, fuller tasks win until the edge list
+    // genuinely needs the width (then raise spark.sql.shuffle.partitions
+    // for the session; the join still co-partitions on src).
     val withDeg = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src"))
+      .repartition(8, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Node set covers BOTH endpoints: a sink appears only as dst. On the
