@@ -95,6 +95,41 @@ object Packing {
         .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
           round(col("tok").cast("double") / col("tot"), 6).as("token_share"))
     },
+    "pair3_bitext_margin" -> { (s, d) =>
+      // Bitext mining (Artetxe & Schwenk's margin criterion, forward
+      // variant): for each English query vector, the best non-English
+      // candidate scored by cos / mean(top-4 cos) — raw cosine over-
+      // selects hub sentences that are near EVERYTHING; dividing by the
+      // query's own neighborhood density is what makes mined translation
+      // pairs precise. Spark-first shape: bounded query set broadcast
+      // through the exact JVM kernel (one scan over the candidate side,
+      // no pair shuffle), per-query top-4 via the window idiom the
+      // TopKPerKey rule rewrites to bounded heaps. Determinism: round4
+      // cosines (v1's contract), vec_id tie-break, and the margin's
+      // arithmetic written in one fixed order so both engines produce
+      // the identical double — emitted UNROUNDED.
+      val docs = Tables.table(s, d, "documents").select(col("doc_id"), col("lang"))
+      val embs = Tables.table(s, d, "embeddings")
+      val withLang = embs.join(docs, embs("vec_id") === docs("doc_id"))
+      val qs = VecOps.vectors(s,
+        withLang.filter(col("lang") === "en" && col("vec_id") < 64)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      val tgt = withLang.filter(col("lang") =!= "en")
+        .select(col("vec_id"), col("embedding"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      VecOps.scoreAgainst(s, tgt, "vec_id", "embedding", qs)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+        .groupBy(col("q_id")).agg(
+          max(when(col("rank") === 1, col("vec_id"))).as("best_id"),
+          max(when(col("rank") === 1, col("cos"))).as("c1"),
+          max(when(col("rank") === 2, col("cos"))).as("c2"),
+          max(when(col("rank") === 3, col("cos"))).as("c3"),
+          max(when(col("rank") === 4, col("cos"))).as("c4"))
+        .select(col("q_id"), col("best_id"), col("c1").as("cos"),
+          (col("c1") / ((col("c1") + col("c2") + col("c3") + col("c4")) / 4))
+            .as("margin"))
+    },
     "mix4_weighted_sample" -> { (s, d) =>
       // Weighted SYSTEMATIC sampling without RNG: docs order
       // deterministically inside content-hash shards, integer quality
@@ -309,6 +344,30 @@ object Packing {
     // share is exact-int division on both sides; sqrt is IEEE-exact; the
     // z normalizer's 20-term sum can differ in the last ulp across
     // engines' summation order — round(6) absorbs it.
+    "pair3_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |el AS (SELECT e.*, d.lang FROM e JOIN documents d ON e.vec_id = d.doc_id),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * b.nrm), 4) AS cos
+        |  FROM el q JOIN el b
+        |    ON q.lang = 'en' AND q.vec_id < 64 AND b.lang <> 'en'),
+        |ranked AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored),
+        |agg AS (SELECT q_id,
+        |    max(CASE WHEN rank = 1 THEN vec_id END) AS best_id,
+        |    max(CASE WHEN rank = 1 THEN cos END) AS c1,
+        |    max(CASE WHEN rank = 2 THEN cos END) AS c2,
+        |    max(CASE WHEN rank = 3 THEN cos END) AS c3,
+        |    max(CASE WHEN rank = 4 THEN cos END) AS c4
+        |  FROM ranked WHERE rank <= 4 GROUP BY q_id)
+        |SELECT q_id, best_id, c1 AS cos,
+        |  c1 / ((c1 + c2 + c3 + c4) / 4) AS margin FROM agg""".stripMargin,
     "mix4_weighted_sample" ->
       """WITH base AS (
         |  SELECT doc_id,
