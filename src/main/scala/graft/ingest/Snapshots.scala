@@ -2056,7 +2056,19 @@ object Snapshots {
     // Era schemas may differ across the window (renames/adds) — align by
     // name, null-filling columns a step's era lacks (the additive
     // contract; renamed columns fragment by design, same as mergeSchema).
-    else steps.reduce(_.unionByName(_, allowMissingColumns = true))
+    else if (steps.size <= 64)
+      steps.reduce(_.unionByName(_, allowMissingColumns = true))
+    else
+      // A thousand-commit window would otherwise union a thousand frames
+      // into one O(window)-wide Catalyst plan (driver analysis cost, not
+      // executor work). Fold in chunks through eager localCheckpoints so
+      // the plan stays O(chunk) wide — the feed turns partially eager
+      // for monster windows, which every consumer of such a window
+      // (replication catch-up, full-history t.changes) materializes
+      // anyway.
+      steps.grouped(32).map(
+        _.reduce(_.unionByName(_, allowMissingColumns = true)).localCheckpoint(true))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Roll the table back to version `v` — published as a NEW commit whose

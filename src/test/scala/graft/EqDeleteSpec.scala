@@ -396,6 +396,20 @@ class EqDeleteSpec extends SparkSuite {
     assert(convertsRun > 0) // the mix actually exercised conversion
   }
 
+  test("changeFeed over a many-commit window folds through checkpoints") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_widefeed")
+    // 70 commits: past the 64-frame chunking threshold
+    for (i <- 1 to 70)
+      Snapshots.commit(spark, Seq((i.toLong, i * 10L)).toDF("k", "v"), base)
+    val feed = Snapshots.changeFeed(spark, base, 0L, Snapshots.versions(base).max)
+    assert(feed.count() === 70L)
+    assert(feed.select(col("k")).collect().map(_.getLong(0)).toSet ===
+      (1L to 70L).toSet)
+    assert(feed.select(col("_commit_version")).distinct().count() === 70L)
+  }
+
   test("expire keeps live eq sidecars and reclaims materialized ones") {
     val sess = spark
     import sess.implicits._
