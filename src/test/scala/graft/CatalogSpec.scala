@@ -338,12 +338,16 @@ class CatalogSpec extends SparkSuite {
     val zordered = candidates()
     assert(zordered < sorted1d,
       s"z-order should prune a 2-D box harder: z=$zordered vs 1d=$sorted1d")
-    // the hilbert curve prunes at least as hard as morton from SQL too
+    // hilbert from SQL also beats the 1-D sort. (vs morton, a SINGLE box
+    // can go either way by one boundary file — the aggregate
+    // hilbert-≤-morton property is pinned by ZOrderSpec's box battery,
+    // not re-asserted on one probe here.)
     rows(s"CALL $cat.system.compact(table => 'zo.t', num_files => 16, " +
       "zorder => 'a,b', curve => 'hilbert')")
     val hilberted = candidates()
-    assert(hilberted <= zordered && hilberted < sorted1d,
-      s"hilbert should prune like morton or better: h=$hilberted vs z=$zordered")
+    assert(hilberted < sorted1d,
+      s"hilbert should prune a 2-D box harder than a 1-D sort: " +
+        s"h=$hilberted vs 1d=$sorted1d")
     // rows survive all rewrites
     assert(rows(s"SELECT count(*), sum(a), sum(b) FROM $cat.zo.t").head ===
       rows("SELECT count(*), sum(pmod(id * 2654435761, 1024)), " +
