@@ -34,6 +34,26 @@ object TextAnalysis {
       lit(0L), (acc, _) => acc + 1L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_lexical_diversity" -> { (s, d) =>
+      // Lexical diversity — the repetition-complement quality signals a
+      // corpus filter keys on: type-token ratio (distinct/total words; low
+      // TTR = templated/boilerplate text) and hapax share (fraction of
+      // the vocabulary used exactly once; low = looping generation). ONE
+      // shuffle at (doc, word) grain — explode, count per (doc, word),
+      // re-aggregate — never a per-doc quadratic lambda; the ratios are
+      // integer divisions, so the unrounded doubles match any engine.
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          (col("n_hapax").cast("double") / col("n_types")).as("hapax_share"))
+    },
     "t1_lang_id" -> { (s, d) =>
       // Stopword-hit language ID: count marker words per language, pick the
       // argmax (earlier language wins ties — "und"/"la" overlaps decided by
@@ -254,6 +274,20 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t17_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS ttr,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS hapax_share
+        |FROM per GROUP BY doc_id""".stripMargin,
     "t1_lang_id" ->
       s"""SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
          |  $langBestSql AS pred_lang
