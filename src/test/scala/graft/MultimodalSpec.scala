@@ -1,0 +1,114 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.ops.Multimodal
+
+/** Real-decode guarantees for the multimodal pillar: PNG pixel round
+  * trips through ImageIO, container demux, exact box-downsample values,
+  * WAV decode — all against hand-computed or independently recomputed
+  * expectations (the oracle covers the corpus-scale identity; these pin
+  * the kernels on known inputs).
+  */
+class MultimodalSpec extends SparkSuite {
+
+  private def png(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("PNG encode→decode round-trips every pixel exactly (lossless codec)") {
+    val pixels = Array(
+      Array(0xff0000, 0x00ff00),
+      Array(0x0000ff, 0x123456))
+    val img = Multimodal.decodeImage(png(pixels))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((img.getRGB(x, y) & 0xffffff) == pixels(y)(x),
+        s"pixel ($x,$y) corrupted in round trip")
+  }
+
+  test("pixelSums computes known channel sums from a decoded image") {
+    // r: 255 + 0 + 0 + 0x12; g: 0 + 255 + 0 + 0x34; b: 0 + 0 + 255 + 0x56
+    val pixels = Array(
+      Array(0xff0000, 0x00ff00),
+      Array(0x0000ff, 0x123456))
+    val (n, sr, sg, sb) = Multimodal.pixelSums(Multimodal.decodeImage(png(pixels)))
+    assert(n == 4)
+    assert(sr == 255 + 0x12)
+    assert(sg == 255 + 0x34)
+    assert(sb == 255 + 0x56)
+  }
+
+  test("box thumbnail: 4x4 → exact floor cell means, re-encodable as PNG") {
+    // 4x4 grayscale ramp 0,10,...,150 row-major; ThumbDim=8 but maxDim=4 <
+    // 8 would upscale — so build a 16x16 image instead (maxDim 16 → 8x8
+    // thumb, 2x2 cells). Value at (x, y) = y*16 + x (fits a channel).
+    val pixels = Array.tabulate(16, 16) { (y, x) =>
+      val v = (y * 16 + x) & 0xff; (v << 16) | (v << 8) | v
+    }
+    val (thumb, tr, tg, tb) = Multimodal.boxThumbnail(Multimodal.decodeImage(png(pixels)))
+    assert(thumb.getWidth == 8 && thumb.getHeight == 8)
+    // Cell (tx, ty) covers source {2tx, 2tx+1}x{2ty, 2ty+1}; mean of the
+    // four values (16*2ty + 2tx) + {0, 1, 16, 17} is 16*2ty + 2tx + 8 —
+    // wait: (0+1+16+17)/4 = 8.5 → floor 8. Recompute independently:
+    var expect = 0L
+    for (ty <- 0 until 8; tx <- 0 until 8) {
+      val vals = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield ((2 * ty + dy) * 16 + (2 * tx + dx)) & 0xff
+      expect += vals.sum / 4
+    }
+    assert(tr == expect && tg == expect && tb == expect)
+    // thumbnail pixel (0,0): floor((0+1+16+17)/4) = 8
+    assert((thumb.getRGB(0, 0) & 0xff) == 8)
+    // the thumbnail is a real image: PNG re-encode → decode preserves it
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(thumb, "png", out)
+    val back = Multimodal.decodeImage(out.toByteArray)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(back.getRGB(x, y) == thumb.getRGB(x, y))
+  }
+
+  test("container demux + frame decode match the generating formula") {
+    val rec = Multimodal.mediaTable(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 5L).head()
+    assert(rec.n_frames == 2) // 1 + 5 % 4
+    val frames = Multimodal.demux(rec.payload)
+    assert(frames.size == 2)
+    val img0 = Multimodal.decodeImage(frames(0))
+    assert(img0.getWidth == 13 && img0.getHeight == 13) // 8 + 5%17, 8 + 5%13
+    // frame 0 pixel (0, 0): r = 5, g = 10, b = 0
+    assert((img0.getRGB(0, 0) & 0xffffff) == ((5 << 16) | (10 << 8)))
+    // frame 1 pixel (2, 3): r = (5+2+11)%256, g = (10+3+23)%256, b = (6+21+31)%256
+    val img1 = Multimodal.decodeImage(frames(1))
+    assert((img1.getRGB(2, 3) & 0xffffff) == ((18 << 16) | (36 << 8) | 58))
+  }
+
+  test("corrupt container fails loudly, not with garbage features") {
+    intercept[Exception] { Multimodal.demux(Array[Byte](1, 2, 3)) }
+    val bogus = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bogus)
+    dos.writeInt(1); dos.writeInt(4); dos.write(Array[Byte](9, 9, 9, 9))
+    intercept[Exception] { Multimodal.decodeImage(Multimodal.demux(bogus.toByteArray).head) }
+  }
+
+  test("WAV decode recovers every 16-bit sample (incl. -32768 endpoint)") {
+    val docId = 0L // sample 0 is -32768, the asymmetric short endpoint
+    val feats = Multimodal.audioFeatures(docId, Multimodal.buildWav(docId))
+    // independent recompute from the generating formula
+    val n = 256
+    val vals = (0 until n).map(i => ((docId * 131 + i * 17L) % 65536 - 32768).toInt)
+    assert(feats.n_samples == n)
+    assert(feats.max_abs == 32768)
+    assert(feats.sum_abs == vals.map(v => math.abs(v).toLong).sum)
+    val sumSq = vals.map(v => v.toLong * v).sum
+    assert(feats.rms == math.sqrt(sumSq.toDouble / n))
+  }
+}
