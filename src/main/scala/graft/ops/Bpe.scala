@@ -97,7 +97,14 @@ object Bpe {
       // The argmax pair: one vocab-sized aggregate + a driver scalar per
       // round (rounds are bounded; the frame is KB-scale) — the same
       // shape as PageRank's per-iteration dangling-mass read.
-      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).head()
+      // headOption, not head: a degenerate corpus can fully merge every
+      // word before `rounds` rounds, leaving no pairs — terminate with
+      // fewer merges (the oracle's empty-CTE round is a no-op for free)
+      // instead of throwing NoSuchElementException.
+      val bestOpt = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .collect().headOption
+      if (bestOpt.isEmpty) return merges.result().toDF("round", "l", "r", "merged", "cnt")
+      val best = bestOpt.get
       val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k, l, r, l + r, c))
       toks = toks.select(col("cnt"), applyMerge(col("s"), l, r).as("s"))

@@ -105,35 +105,47 @@ object Graph {
       var ranks = nodeDeg.withColumn("rank", lit(1.0 / n))
       if (handleDangling) ranks = ranks.localCheckpoint(true)
       for (k <- 1 to iterations) {
-        val contribs = withDeg
-          .join(ranks.select(col("id"), col("rank")), col("src") === col("id"))
-          .select(col("dst"), (col("rank") / col("deg")).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
         val next =
           if (handleDangling) {
             // The dangling path references `ranks` THREE times per step
-            // (contribution join, dangling sum, node carry), so it
-            // checkpoints EVERY iteration — ranks is always materialized,
-            // and the per-step dangling mass collapses to one scalar read
-            // off the cached node-sized rows (mirroring the oracle's
-            // (SELECT dm FROM dmK) term) instead of a crossJoin subtree
-            // re-evaluated with each consumer.
+            // (contribution join, dangling sum, zero-row carry), so it
+            // checkpoints EVERY iteration — each reference reads the
+            // cached node-sized rows. Two driver-sync removals vs the
+            // naive form: (a) the dangling mass rides the plan as a
+            // broadcast ONE-ROW aggregate (the t6/t14 corpus-stats
+            // pattern) instead of a per-iteration `.head()` — 8 fewer
+            // blocking driver round trips; (b) the per-node carry is NOT
+            // a left join against the contribution aggregate but a
+            // zero-contribution leg UNIONED in before it — missing nodes
+            // surface as groups summing to their 0.0 leg (bit-exact:
+            // 0.0 + x = x for the positive ranks), and the static `deg`
+            // rides the zero leg via max() — so each iteration costs ONE
+            // node-sized shuffle where join-after-aggregate cost two.
             val dm = ranks.filter(col("deg").isNull)
-              .agg(coalesce(sum(col("rank")), lit(0.0)))
-              .head().getDouble(0)
-            ranks.select(col("id"), col("deg"))
-              .join(contribs, col("id") === col("dst"), "left")
-              .select(col("id"), col("deg"),
+              .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+            withDeg
+              .join(ranks.select(col("id"), col("rank")), col("src") === col("id"))
+              .select(col("dst"), (col("rank") / col("deg")).as("c"),
+                lit(null).cast("long").as("deg"))
+              .unionByName(ranks.select(col("id").as("dst"), lit(0.0).as("c"), col("deg")))
+              .groupBy(col("dst"))
+              .agg(sum(col("c")).as("in_rank"), max(col("deg")).as("deg"))
+              .crossJoin(broadcast(dm))
+              .select(col("dst").as("id"), col("deg"),
                 (lit((1 - damping) / n) + lit(damping) *
-                  (coalesce(col("in_rank"), lit(0.0)) + lit(dm) / n)).as("rank"))
+                  (col("in_rank") + col("dm") / n)).as("rank"))
           } else {
             // Sink-free ⇒ every node has an out-edge; with both directions
             // present every node also has an in-edge, so the contribution
             // aggregate already covers every node — no nodes re-join per
             // iteration (that join would double the per-iteration shuffle
             // count for rows that can never be missing).
-            contribs.select(col("dst").as("id"), lit(1L).as("deg"),
-              (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
+            withDeg
+              .join(ranks.select(col("id"), col("rank")), col("src") === col("id"))
+              .select(col("dst"), (col("rank") / col("deg")).as("c"))
+              .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
+              .select(col("dst").as("id"), lit(1L).as("deg"),
+                (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
           }
         ranks = next
         // Dangling path: checkpoint every iteration (see above). Sink-free

@@ -102,4 +102,13 @@ class BpeSpec extends SparkSuite {
     // something actually merged (not all single chars)
     assert(toks.values.exists(_.exists(_.length > 1)))
   }
+
+  test("degenerate corpus that fully merges terminates early, like the reference") {
+    // one 2-char word: merges 'a'+'b' then 'ab'+'_', then NO pairs remain —
+    // train must stop gracefully with 2 merges, not throw on round 3
+    val got = trained("ab ab ab", rounds = 6)
+    val want = referenceBpe(wordCounts("ab ab ab"), rounds = 6)
+    assert(got == want)
+    assert(got.size == 2)
+  }
 }
