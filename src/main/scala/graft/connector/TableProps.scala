@@ -32,6 +32,19 @@ import org.apache.spark.sql.SparkSession
 object TableProps {
   val ClusterBy = "write.cluster-by"
 
+  /** `write.eq-delete.max-batches` = N: after an equality-delete-writing
+    * commit ([[graft.ingest.Snapshots.upsertByKeys]] / `deleteByKeys` /
+    * `applyDelta`, incl. the streaming sink's eq-upsert mode), when the
+    * table holds MORE than N outstanding eq batches the committing writer
+    * auto-runs `convertEqToDv`, folding them into one deletion vector.
+    * Readers then pay one coordinate anti join instead of one join per
+    * batch — the read-cost bound an external maintenance scheduler would
+    * otherwise have to enforce. Unset = manual maintenance (the default;
+    * conversion scans the eq-referenced files, a cost a high-frequency
+    * writer may prefer to schedule off-peak).
+    */
+  val EqDeleteMaxBatches = "write.eq-delete.max-batches"
+
   private def propsFile(base: String) = new Path(base, "_table_props")
 
   private def fsFor(base: String) = {

@@ -792,11 +792,28 @@ object Snapshots {
             s"the table's ${existing.fieldNames.mkString(",")}")
       }
     }
+    // DV coordinates and eq-delete refs identify data files by their
+    // last-3-segment relative key ([[relKey]]) so they survive table
+    // relocation — but adopted foreign paths are arbitrary, and two live
+    // files sharing that key would let a row-level delete referencing one
+    // silently hide same-position/same-key rows in the other. Refuse
+    // adoption on collision; checked INSIDE the claim against the actual
+    // carried parent so a concurrent append cannot slip a collision in.
+    def requireUniqueRelKeys(live: Seq[String]): Unit = {
+      val dups = live.map(relKey).groupBy(identity)
+        .collect { case (k, fs) if fs.size > 1 => k }
+      require(dups.isEmpty,
+        s"addFiles would create rel-key collision(s) on " +
+          s"${dups.take(3).mkString(", ")} - row-level deletes identify " +
+          "files by their last 3 path segments; rename the source " +
+          "files/directories so the keys are unique")
+    }
     publish(base, files, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {
         val p = readManifest(base, parent)
+        requireUniqueRelKeys(p.files ++ files)
         (p.files, p.dvs, p.eqs)
-      } else (Nil, Nil, Nil),
+      } else { requireUniqueRelKeys(files); (Nil, Nil, Nil) },
       // explicit no-header: the adopted table is name-resolved
       schemaFor = _ => None, lastIdFor = _ => None)
   }
@@ -1034,7 +1051,7 @@ object Snapshots {
     writeStringNew(fsFor(base), new Path(eqPath, EqRefsName),
       (keyCols.mkString("\t") +: refs).mkString("\n"))
     beforePublish()
-    publish(base, Nil, Nil, mode = "delete-eq", parent =>
+    maybeConvertEq(spark, base, publish(base, Nil, Nil, mode = "delete-eq", parent =>
       if (parent == v0) (m.files, m.dvs, m.eqs)
       else {
         val p = readManifest(base, parent)
@@ -1049,7 +1066,7 @@ object Snapshots {
               s"overwrite of ${gone.size} referenced file(s); retry from " +
               "the new version")
         (p.files, p.dvs, p.eqs)
-      }, newEqs = keyFiles)
+      }, newEqs = keyFiles))
   }
 
   /** No-scan upsert: [[merge]]'s WHEN MATCHED UPDATE / NOT MATCHED INSERT
@@ -1107,7 +1124,7 @@ object Snapshots {
       }
     val newFiles = writeBatch(src, base, keyCols)
     beforePublish()
-    publish(base, newFiles, Nil,
+    maybeConvertEq(spark, base, publish(base, newFiles, Nil,
       mode = if (modeTag.isEmpty) "merge-eq" else s"merge-eq:$modeTag", parent =>
       if (parent == v0) (m.files, m.dvs, m.eqs)
       else {
@@ -1127,7 +1144,7 @@ object Snapshots {
               s"commit (${added.size} file(s) added, ${gone.size} referenced " +
               "file(s) rewritten); retry from the new version")
         (p.files, p.dvs, p.eqs)
-      }, newEqs = newEqs)
+      }, newEqs = newEqs))
   }
 
   /** Convert every outstanding equality delete into ONE deletion vector
@@ -1214,6 +1231,47 @@ object Snapshots {
       })
   }
 
+  /** Auto-maintenance hook honoring the `write.eq-delete.max-batches`
+    * table property ([[graft.connector.TableProps.EqDeleteMaxBatches]]):
+    * called by every eq-writing commit with the freshly published
+    * version; when the outstanding eq BATCH count (distinct sidecar
+    * dirs — one per delete/upsert commit) exceeds the bound, fold them
+    * into one deletion vector via [[convertEqToDv]] so read cost stays
+    * bounded without an external scheduler. Returns the post-conversion
+    * version (or `committed` unchanged). Losing a conversion race is
+    * non-fatal — the data commit already published; the next eq commit
+    * retries the fold.
+    */
+  private def maybeConvertEq(spark: SparkSession, base: String,
+                             committed: Long): Long = {
+    val prop = graft.connector.TableProps.read(base)
+      .get(graft.connector.TableProps.EqDeleteMaxBatches)
+    prop match {
+      case None => committed
+      case Some(raw) =>
+        val max =
+          try raw.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"table property write.eq-delete.max-batches must be an " +
+                s"integer, got '$raw'")
+          }
+        require(max >= 0, s"write.eq-delete.max-batches must be >= 0, got $max")
+        val m = readManifest(base, committed)
+        val batches = m.eqs.map(f => new Path(f).getParent.toString).distinct.size
+        if (batches <= max) committed
+        else
+          try convertEqToDv(spark, base)
+          catch { case e: java.util.ConcurrentModificationException =>
+            // the eq commit itself is durable; maintenance retries later
+            System.err.println(
+              s"[graft] auto convert_eq_deletes on $base lost a commit " +
+                s"race (will retry on the next eq commit): ${e.getMessage}")
+            committed
+          }
+    }
+  }
+
   /** Generalized one-commit delta: equality-delete `deleteKeys` (column
     * names = key columns; may be empty) AND append `inserts` (may be
     * empty), published atomically as ONE `merge-eq[:tag]` commit — the
@@ -1255,6 +1313,16 @@ object Snapshots {
       case Some(keysDf) =>
         val keyCols = keysDf.columns.toSeq
         require(keyCols.nonEmpty, "applyDelta delete keys need >= 1 column")
+        // Same schema-membership check as [[deleteByKeys]]: a misspelled
+        // key column would otherwise write an eq sidecar keyed on a
+        // nonexistent column, poisoning every subsequent read of the
+        // referenced files until compact().
+        m.schema.foreach { s =>
+          val missing = keyCols.filterNot(s.fieldNames.contains)
+          require(missing.isEmpty,
+            s"delete-key column(s) ${missing.mkString(",")} not in table " +
+              s"schema ${s.fieldNames.mkString(",")}")
+        }
         val k = keysDf
           .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
         val rs = FileStats.keyFilters(k, maxInKeys) match {
@@ -1274,7 +1342,7 @@ object Snapshots {
     }
     val newFiles = ins.map(writeBatch(_, base, Nil)).getOrElse(Nil)
     if (newFiles.isEmpty && newEqs.isEmpty && modeTag.isEmpty) return v0
-    publish(base, newFiles, Nil,
+    maybeConvertEq(spark, base, publish(base, newFiles, Nil,
       mode = if (modeTag.isEmpty) "merge-eq" else s"merge-eq:$modeTag", parent =>
       if (parent == v0) (m.files, m.dvs, m.eqs)
       else {
@@ -1287,7 +1355,7 @@ object Snapshots {
               s"(${added.size} file(s) added, ${gone.size} referenced " +
               "file(s) rewritten); retry from the new version")
         (p.files, p.dvs, p.eqs)
-      }, newEqs = newEqs)
+      }, newEqs = newEqs))
   }
 
   /** Batch MERGE (upsert): rows from `source` replace same-key rows in the
@@ -2002,12 +2070,15 @@ object Snapshots {
     * Commit modes and the feed:
     *  - `append` / `merge` / `merge-eq` / `delete-dv` / `delete-eq` /
     *    `alter:*` feed exactly;
-    *  - `overwrite` (compaction / full replacement) and `rollback` /
-    *    `fastforward` commits are SKIPPED: a compact is a physical
-    *    rewrite with no logical change (skipping is exact), while replace
-    *    / rollback / branch-publish rewrite table state wholesale — a
-    *    row-level feed for them is the full table, which callers should
-    *    read directly (Iceberg's incremental read takes the same stance);
+    *  - `overwrite` (compaction / full replacement) commits are SKIPPED:
+    *    a compact is a physical rewrite with no logical change (skipping
+    *    is exact), and a full replacement's row-level feed would be the
+    *    whole table, which callers should read directly (Iceberg's
+    *    incremental read takes the same stance);
+    *  - `rollback` / `fastforward` commits REFUSE loudly: they rewrite
+    *    table state wholesale with no incremental attribution, and
+    *    skipping them would silently diverge feed consumers (mirrors);
+    *    re-seed downstream from a full read, then resume the feed;
     *  - copy-on-write `delete` commits REFUSE loudly: the file diff
     *    cannot attribute their rewritten survivors, so a CDC-consumed
     *    table should delete via [[deleteWhereDV]] / [[deleteByKeys]]
@@ -2022,10 +2093,22 @@ object Snapshots {
     require(vs.contains(toV), s"unknown feed end version $toV")
     require(fromV < toV, s"empty feed window ($fromV, $toV]")
     val window = vs.filter(v => v > fromV && v <= toV).sorted
-    def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
+    def stamp(df: DataFrame, tpe: String, v: Long): DataFrame = {
+      // The three feed metadata columns are appended to each step's era
+      // schema; a table column with the same name would be silently
+      // REPLACED by withColumn — refuse feed construction instead of
+      // emitting a feed whose "_change_type" is not what the consumer
+      // thinks it is.
+      val clash = df.columns.toSet
+        .intersect(Set("_change_type", "_commit_version", "_commit_ts"))
+      require(clash.isEmpty,
+        s"table schema already contains feed metadata column(s) " +
+          s"${clash.mkString(", ")} - rename them (ALTER TABLE ... RENAME " +
+          "COLUMN) before consuming the change feed")
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_ts", lit(commitTsOf(base, v).getOrElse(0L)))
+    }
     val steps = window.foldLeft((fromV, Seq.empty[DataFrame])) {
       case ((prev, acc), v) =>
         val mode = modeOf(base, v).takeWhile(_ != ':')
@@ -2035,11 +2118,25 @@ object Snapshots {
               s"v$v is a copy-on-write delete - its rewritten files cannot " +
                 "be attributed row-level; CDC-consumed tables should delete " +
                 "via deleteWhereDV/deleteByKeys (merge-on-read)")
-          case "overwrite" | "rollback" | "fastforward" | "eq-convert" =>
-            // physical rewrite / wholesale state change: no row-level feed
-            // (see scaladoc); eq-convert is a logical no-op (its vector
-            // re-hides rows equality deletes already hid). The step
-            // still advances the diff base.
+          case "rollback" | "fastforward" =>
+            // A rollback/fast-forward rewrites table state WHOLESALE:
+            // rows it restores or removes have no incremental
+            // attribution, so silently skipping it (pre-round-9
+            // behavior) made replication mirrors diverge without any
+            // error. Refuse loudly, like the CoW-delete case — a
+            // consumer that rolled back upstream must re-seed from a
+            // full read (Iceberg's incremental read takes the same
+            // stance on replace operations).
+            throw new IllegalStateException(
+              s"v$v is a $mode commit - its state change has no row-level " +
+                "attribution and skipping it would silently diverge feed " +
+                "consumers; re-seed downstream from a full read at or " +
+                s"after v$v, then resume the feed from there")
+          case "overwrite" | "eq-convert" =>
+            // physical rewrite: no row-level feed (see scaladoc);
+            // eq-convert is a logical no-op (its vector re-hides rows
+            // equality deletes already hid). The step still advances the
+            // diff base.
             (v, acc)
           case _ =>
             val ins =

@@ -482,6 +482,15 @@ class ConnectorSpec extends SparkSuite {
       spark.read.format("graft").option("readChangeFeed", "true")
         .option("versionAsOf", v1.toString).load(base).collect()
     }
+    // metadata-column collision: a table already owning _commit_ts would
+    // have its column silently replaced by the feed's stamp — refuse
+    val clashBase = tmpDir("graft_conn_cdc_clash")
+    Snapshots.commit(spark, Seq((1L, 5L)).toDF("k", "_commit_ts"), clashBase)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(clashBase).collect()
+    }
+    assert(e.getMessage.contains("_commit_ts"))
   }
 
   test("streaming change feed: per-commit CDC batches incl. deletes") {

@@ -279,6 +279,69 @@ class EqDeleteSpec extends SparkSuite {
     assert(kv(Snapshots.read(spark, base))(2L) === 7L)
   }
 
+  test("write.eq-delete.max-batches auto-folds outstanding eq batches") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_eq_auto")
+    seed(base)
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.EqDeleteMaxBatches -> "2"))
+    def latestMode = Snapshots.modeOf(base, Snapshots.versions(base).max)
+    def nEqsLatest = Snapshots.history(spark, base)
+      .orderBy(col("version").desc).select("n_eqs").head().getLong(0)
+    // batches 1 and 2 stay at/under the bound: no conversion commit
+    Snapshots.upsertByKeys(spark, base, Seq((1L, 11L)).toDF("k", "v"), Seq("k"))
+    Snapshots.deleteByKeys(spark, base, Seq(2L).toDF("k"))
+    assert(latestMode === "delete-eq")
+    assert(nEqsLatest > 0L)
+    // batch 3 exceeds the bound: the writer itself folds them into one DV
+    val v = Snapshots.upsertByKeys(spark, base,
+      Seq((3L, 33L), (30L, 300L)).toDF("k", "v"), Seq("k"))
+    assert(latestMode === "eq-convert")
+    assert(Snapshots.versions(base).max === v) // returned version IS post-fold
+    assert(nEqsLatest === 0L) // <= 1 outstanding batch (here: zero)
+    // state is exact after the fold
+    val got = kv(Snapshots.read(spark, base))
+    assert(got(1L) === 11L && !got.contains(2L) && got(3L) === 33L &&
+      got(30L) === 300L && got(4L) === 40L)
+    // and a malformed bound refuses loudly instead of silently skipping
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.EqDeleteMaxBatches -> "often"))
+    intercept[IllegalArgumentException] {
+      Snapshots.upsertByKeys(spark, base, Seq((5L, 55L)).toDF("k", "v"), Seq("k"))
+    }
+  }
+
+  test("changeFeed refuses rollback/fastforward commits instead of diverging") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_feed_rb")
+    val v1 = seed(base, 5)
+    val v2 = Snapshots.commit(spark, Seq((50L, 500L)).toDF("k", "v"), base)
+    val v3 = Snapshots.rollback(base, v1)
+    // a window ending before the rollback still feeds
+    assert(Snapshots.changeFeed(spark, base, 0, v2).count() === 6L)
+    // any window containing it refuses with the re-seed instruction
+    val e = intercept[IllegalStateException] {
+      Snapshots.changeFeed(spark, base, v1, v3).count()
+    }
+    assert(e.getMessage.contains("rollback"))
+    assert(e.getMessage.contains("re-seed"))
+  }
+
+  test("changeFeed refuses tables whose schema collides with feed metadata columns") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_feed_meta")
+    Snapshots.commit(spark, Seq((1L, "x")).toDF("k", "_change_type"), base)
+    val v2 = Snapshots.commit(spark, Seq((2L, "y")).toDF("k", "_change_type"), base)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, base, 0, v2)
+    }
+    assert(e.getMessage.contains("_change_type"))
+  }
+
   test("windows spanning a conversion stay exact: feed, removedRows, MV") {
     val sess = spark
     import sess.implicits._
