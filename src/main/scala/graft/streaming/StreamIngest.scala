@@ -254,13 +254,14 @@ object StreamIngest {
     */
   def replicateStream(spark: org.apache.spark.sql.SparkSession,
                       srcBase: String, dstBase: String,
-                      checkpoint: String): StreamingQuery =
+                      checkpoint: String,
+                      keyCols: Seq[String] = Nil): StreamingQuery =
     spark.readStream.format("graft")
       .option("readChangeFeed", "true").load(srcBase)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        replicateBatch(batch, dstBase)
+        replicateBatch(batch, dstBase, keyCols)
       }
       .start()
 
@@ -278,10 +279,18 @@ object StreamIngest {
     *
     * The feed carries whole deleted rows, so replication needs no
     * side-channel key agreement: with `keyCols` empty, a delete removes
-    * rows matching the FULL column tuple (always faithful, since the
-    * destination mirrors the source's rows); naming `keyCols`
-    * explicitly deletes by that identity instead — equivalent on a
-    * key-unique table and cheaper when keys are a small projection.
+    * rows matching the FULL column tuple; naming `keyCols` explicitly
+    * deletes by that identity instead — equivalent on a key-unique table
+    * and cheaper when keys are a small projection.
+    *
+    * NULL precondition: equality deletes use SQL `=` semantics, so a
+    * delete tuple with a NULL component can never match — applyDelta
+    * drops such tuples, and a mirror that silently dropped a real
+    * source delete would diverge without any error. replicateBatch
+    * therefore REFUSES a batch containing NULL-bearing delete
+    * identities: pass `keyCols` naming NOT-NULL identity columns (the
+    * table's key), which is also the only identity under which "delete
+    * by tuple" is well-defined for NULL-bearing rows.
     */
   def replicateBatch(batch: DataFrame, dstBase: String,
                      keyCols: Seq[String] = Nil): Unit = {
@@ -314,6 +323,15 @@ object StreamIngest {
           .select(dataCols.map(col): _*)
         val deletes = slice.filter(col("_change_type") === "delete")
           .select(keys.map(col): _*)
+        // A NULL component in a delete identity can never equality-match:
+        // applyDelta would drop the tuple and the mirror would silently
+        // diverge from the source. Fail loudly with the fix in hand.
+        if (!deletes.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+          throw new IllegalStateException(
+            s"source v$v deletes row(s) with NULL in the delete identity " +
+              s"(${keys.mkString(", ")}) - equality deletes cannot match " +
+              "NULL; call replicateBatch/replicateStream with keyCols " +
+              "naming NOT-NULL identity columns of the table")
         if (Snapshots.versions(dstBase).isEmpty)
           // first ever commit CREATES the destination (no deletes can
           // precede existence in a well-formed feed)

@@ -497,4 +497,28 @@ class StreamingSpec extends SparkSuite {
     StreamIngest.replicateBatch(slice, dst)
     assert(dstState === Set((2L, 2222L), (4L, 40L), (5L, 50L)))
   }
+
+  test("CDC replication refuses NULL-bearing delete identities; keyCols fixes it") {
+    val s = spark
+    import s.implicits._
+    import graft.ingest.Snapshots
+    val root = tmpDir("graft_cdc_repl_null")
+    val (src, dstA, dstB) = (s"$root/src", s"$root/dstA", s"$root/dstB")
+    // v is nullable: row 2's NULL survives insert replication fine, but a
+    // full-tuple delete identity on it can never equality-match
+    Snapshots.commit(spark,
+      Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "v"), src)
+    Snapshots.deleteByKeys(spark, src, Seq(2L).toDF("k"))
+    val feed = Snapshots.changeFeed(spark, src, 0, Snapshots.versions(src).max)
+    // full-tuple identity: the NULL-bearing delete would silently vanish
+    // at the mirror - refuse instead
+    val e = intercept[IllegalStateException] { StreamIngest.replicateBatch(feed, dstA) }
+    assert(e.getMessage.contains("NULL"))
+    // naming the NOT-NULL key column replicates faithfully
+    StreamIngest.replicateBatch(feed, dstB, keyCols = Seq("k"))
+    assert(Snapshots.read(spark, dstB).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet ===
+      Set((1L, Some(10L))))
+  }
 }
