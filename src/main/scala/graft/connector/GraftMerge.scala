@@ -348,7 +348,21 @@ private[connector] object GraftRowLevel {
       val cap = spark.conf.getOption("spark.graft.merge.smallTargetBytes")
         .map(_.toLong).getOrElse(256L << 20)
       Snapshots.scanStats(base, Snapshots.Pin.AsOf(v0))._1.exists(_ <= cap) &&
-        sAliased.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(cap)
+        sAliased.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(cap) && {
+          // Input stats bound the INPUTS, not the join: a many-to-many ON
+          // condition inflates matched pairs far past both sides, and the
+          // single-pass shape would cache them all before the cardinality
+          // check could refuse the duplicates. Probe with a COUNT-LIMITED
+          // pass (LocalLimit stops each task at the cap, so the probe
+          // reads at most cap+1 matched pairs no matter how explosive the
+          // join is) and keep the two-pass changed-rows-sized shape when
+          // the cap is exceeded.
+          val rowCap = spark.conf
+            .getOption("spark.graft.merge.smallTargetMaxMatched")
+            .map(_.toLong).getOrElse(1L << 22)
+          val probeLimit = math.min(rowCap + 1, Int.MaxValue.toLong).toInt
+          joined.filter(isMatched).limit(probeLimit).count() <= rowCap
+        }
     }
     val mAct = when(isMatched, firstAction(matched, condOf)).otherwise(0)
     val iAct = when(sOnly, firstAction(notMatched, condOf)).otherwise(0)

@@ -95,6 +95,28 @@ class MergeSqlSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("cardinality"))
   }
 
+  test("MERGE inflated join multiplicity: probe caps the single-pass cache") {
+    // small target + small source stats, but a many-to-many ON condition
+    // inflates matched pairs (30 x 30 = 900) far past both inputs — the
+    // count-limited probe must veto the single-pass matched-pair cache and
+    // route through the two-pass cardinality check, which refuses. With
+    // the cap back at its roomy default the same statement still refuses
+    // identically — the probe changes the memory shape, never the answer.
+    val t = freshTable("m3b", 30)
+    spark.range(30).select(col("id"), lit(1L).as("v"))
+      .createOrReplaceTempView("m3b_src")
+    val mergeSql =
+      s"""MERGE INTO $t AS t USING m3b_src AS s ON t.v >= 0
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin
+    spark.conf.set("spark.graft.merge.smallTargetMaxMatched", "8")
+    try {
+      val e = intercept[Exception] { spark.sql(mergeSql) }
+      assert(e.getMessage.toLowerCase.contains("cardinality"))
+    } finally spark.conf.unset("spark.graft.merge.smallTargetMaxMatched")
+    val e2 = intercept[Exception] { spark.sql(mergeSql) }
+    assert(e2.getMessage.toLowerCase.contains("cardinality"))
+  }
+
   test("MERGE with aggregated/joined source plan") {
     val t = freshTable("m4", 5)
     // source is a non-trivial plan: aggregate over a generated frame
