@@ -134,6 +134,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.trim.toBoolean
     }.getOrElse(false)
 
+  private def streamSkipOverwrites(parameters: Map[String, String]): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("skipOverwrites") => v.trim.toBoolean
+    }.getOrElse(false)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
@@ -150,8 +155,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     import scala.jdk.CollectionConverters._
+    val skipOw = streamSkipOverwrites(parameters)
+    require(!(skipOw && streamCdc(parameters)),
+      "skipOverwrites applies to the append feed only - the change feed " +
+        "already skips compactions (and refuses wholesale state changes)")
     new GraftStreamSource(sqlContext.sparkSession, basePath(parameters.asJava),
-      cdc = streamCdc(parameters))
+      cdc = streamCdc(parameters), skipOverwrites = skipOw)
   }
 
   /** `writeStream.format("graft")` — micro-batches become snapshot
@@ -545,7 +554,8 @@ private[connector] class GraftChangeFeedTable(base: String, fromV: Long,
   * checkpoint still points at fails the restart instead of skipping data.
   */
 private[connector] class GraftStreamSource(spark: SparkSession, base: String,
-                                           cdc: Boolean = false)
+                                           cdc: Boolean = false,
+                                           skipOverwrites: Boolean = false)
     extends Source {
 
   private val tableSchema: StructType =
@@ -571,6 +581,14 @@ private[connector] class GraftStreamSource(spark: SparkSession, base: String,
           start.map(Bridge.offsetVersion).getOrElse(0L), endV)
       else start match {
         case None    => Snapshots.read(spark, base, Some(endV))
+        // skipOverwrites: a compact mid-stream rewrites live rows into
+        // new files, which the plain endpoint file-diff would re-deliver;
+        // the per-commit diff attributes each file to its commit and
+        // drops overwrite/rollback steps, keeping ETL consumers
+        // exactly-once across maintenance (opt-in: the default diff is
+        // the right answer for consumers that WANT replaced content).
+        case Some(s) if skipOverwrites =>
+          Snapshots.changesSkippingOverwrites(spark, base, Bridge.offsetVersion(s), endV)
         case Some(s) => Snapshots.changes(spark, base, Bridge.offsetVersion(s), endV)
       }
     Bridge.asStreamingBatch(batch)

@@ -1955,6 +1955,37 @@ object Snapshots {
     else readWithSchema(spark, readManifest(base, toV).schema, added)
   }
 
+  /** [[changes]] restricted to files added by APPENDING commits: each
+    * step's file diff is attributed to its commit, and steps whose base
+    * mode is `overwrite` (compaction / replacement), `rollback` or
+    * `fastforward` contribute nothing — so a mid-stream compact does not
+    * re-deliver the rows it physically rewrote. This is the
+    * `skipOverwrites` contract of [[graft.connector.GraftDataSource]]'s
+    * stream source (Iceberg's incremental append scan takes the same
+    * stance). Files appended then compacted away INSIDE the window still
+    * deliver from their original batch dirs — retention (`expire` age)
+    * must therefore cover consumer lag, the standard incremental-read
+    * contract.
+    */
+  def changesSkippingOverwrites(spark: SparkSession, base: String,
+                                fromV: Long, toV: Long): DataFrame = {
+    val window = versions(base).filter(v => v > fromV && v <= toV).sorted
+    val skip = Set("overwrite", "rollback", "fastforward")
+    var prev =
+      if (fromV == 0) Set.empty[String] else readManifest(base, fromV).files.toSet
+    val added = Seq.newBuilder[String]
+    for (v <- window) {
+      val m = readManifest(base, v)
+      if (!skip(modeOf(base, v).takeWhile(_ != ':')))
+        added ++= m.files.filterNot(prev)
+      prev = m.files.toSet
+    }
+    val files = added.result()
+    if (files.isEmpty)
+      read(spark, base, Some(toV)).filter(org.apache.spark.sql.functions.lit(false))
+    else readWithSchema(spark, readManifest(base, toV).schema, files)
+  }
+
   /** The complement of [[changes]]: rows HIDDEN between two versions by
     * deletion vectors added in the window — the subtractive half of a
     * row-level change feed (changes = inserts, removedRows = deletes;

@@ -387,6 +387,50 @@ class ConnectorSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming source skipOverwrites: mid-stream compact re-delivers nothing") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_stream_skip")
+    Snapshots.commit(spark, (1L to 5L).toDF("id"), base)
+    // Many tiny files so compact genuinely rewrites the live set
+    (6L to 9L).foreach(i => Snapshots.commit(spark, Seq(i).toDF("id"), base))
+    val counts = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def drain(skip: Boolean, ck: String): Set[Long] = {
+      counts.clear()
+      val q = spark.readStream.format("graft")
+        .option("skipOverwrites", skip.toString).load(base)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => counts.add(r.getLong(0))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSet
+    }
+    val (ckSkip, ckPlain) = (tmpDir("graft_skip_ck1"), tmpDir("graft_skip_ck2"))
+    assert(drain(skip = true, ckSkip) === (1L to 9L).toSet)
+    assert(drain(skip = false, ckPlain) === (1L to 9L).toSet)
+    // compact mid-stream, then append one genuinely new commit
+    Snapshots.compact(spark, base, numFiles = 1)
+    Snapshots.commit(spark, Seq(10L).toDF("id"), base)
+    // skipOverwrites: only the new row arrives - the compacted rewrite of
+    // 1..9 is not re-delivered
+    assert(drain(skip = true, ckSkip) === Set(10L))
+    // the plain diff (the default) re-delivers rewritten content - the
+    // documented behavior skipOverwrites exists to opt out of
+    assert(drain(skip = false, ckPlain) === (1L to 10L).toSet)
+    // guard: skipOverwrites composes only with the append feed
+    val qBad = spark.readStream.format("graft").option("skipOverwrites", "true")
+      .option("readChangeFeed", "true").load(base)
+      .writeStream.option("checkpointLocation", tmpDir("graft_skip_ck3"))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      val e = intercept[Exception] { qBad.processAllAvailable() }
+      assert(e.getMessage.contains("skipOverwrites"))
+    } finally qBad.stop()
+  }
+
   test("count(*) pushes to manifest metadata; row-level deletes fall back") {
     val sess = spark
     import sess.implicits._
