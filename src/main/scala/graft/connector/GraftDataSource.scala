@@ -417,11 +417,50 @@ private[connector] class GraftScan(base: String, pin: Snapshots.Pin,
   private lazy val est: (Option[Long], Option[Long]) =
     Snapshots.scanStats(base, pin, pushable.toSeq)
 
+  /** Per-column approximate distinct counts from the sidecars' merged HLL
+    * sketches — reported as DSv2 column statistics, which
+    * `DataSourceV2Relation.transformV2Stats` maps into Catalyst
+    * attributeStats (matched by `attribute.name == ref.describe()`), so
+    * with `spark.sql.cbo.enabled` aggregate/join cardinality estimation
+    * sees real NDVs: a GROUP BY over a low-NDV column estimates NDV-many
+    * output rows and that side auto-broadcasts with no hint. Columns
+    * whose quoted form differs from their name are skipped (describe()
+    * would not round-trip the match).
+    */
+  private lazy val ndv: Map[String, Long] =
+    try Snapshots.scanNdv(base, pin, pushable.toSeq)
+    catch { case _: Exception => Map.empty }
+
+  /** Exact NULL counts from the sidecars — Catalyst's `hasCountStats`
+    * gate (AggregateEstimation) needs nullCount beside distinctCount
+    * before any NDV is consulted.
+    */
+  private lazy val nulls: Map[String, Long] =
+    try Snapshots.scanNullCounts(base, pin, pushable.toSeq)
+    catch { case _: Exception => Map.empty }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       est._1.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
     override def numRows(): java.util.OptionalLong =
       est._2.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+    override def columnStats(): java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      ndv.foreach { case (name, n) =>
+        val ref = org.apache.spark.sql.connector.expressions.Expressions.column(name)
+        val nc = nulls.get(name)
+        if (ref.describe() == name && nc.isDefined)
+          m.put(ref, new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(n)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nc.get)
+          })
+      }
+      m
+    }
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

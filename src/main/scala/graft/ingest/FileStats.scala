@@ -48,7 +48,17 @@ object FileStats {
     * `min`/`max` are None when every value in the file is NULL.
     */
   case class ColStat(t: String, min: Option[String], max: Option[String], nulls: Long)
-  case class FileStat(rows: Long, cols: Map[String, ColStat])
+  /** `ndv`: per-column Datasketches HLL sketch bytes (approximate distinct
+    * count of the file's non-null values). MERGEABLE — table-level NDV is
+    * the union of the live files' sketches, manifest-read cost only —
+    * which is what lets scan statistics report distinct counts to
+    * Catalyst's CBO for join/aggregate cardinality estimation (Iceberg's
+    * manifests carry the same idea as theta sketches in its stats files).
+    * Absent for files written before round 9 or with collection disabled;
+    * every consumer treats absence as "unknown".
+    */
+  case class FileStat(rows: Long, cols: Map[String, ColStat],
+                      ndv: Map[String, Array[Byte]] = Map.empty)
 
   // -------------------------------------------------------------------
   // Collection (commit-time, driver-side, just-written files)
@@ -154,7 +164,8 @@ object FileStats {
     * sidecar is an optimization, never a correctness dependency, so a
     * commit must not fail because a footer read did.
     */
-  def writeSidecar(conf: Configuration, dir: Path, files: Seq[String]): Unit =
+  def writeSidecar(conf: Configuration, dir: Path, files: Seq[String],
+                   ndv: Map[String, Map[String, Array[Byte]]] = Map.empty): Unit =
     try {
       val stats = files.flatMap { f =>
         val p = new Path(f)
@@ -167,12 +178,68 @@ object FileStats {
           for ((cn, c) <- fs.cols.toSeq.sortBy(_._1))
             sb.append(s"c\t${b64(name)}\t${b64(cn)}\t${c.t}\t" +
               s"${c.min.map(b64).getOrElse("-")}\t${c.max.map(b64).getOrElse("-")}\t${c.nulls}\n")
+          // `n` lines are ignored by pre-round-9 readers (unknown tags
+          // skip), so the sidecar format stays forward/backward compatible
+          for ((cn, sk) <- ndv.getOrElse(name, Map.empty).toSeq.sortBy(_._1))
+            sb.append(s"n\t${b64(name)}\t${b64(cn)}\t" +
+              Base64.getEncoder.encodeToString(sk) + "\n")
         }
         val fs = dir.getFileSystem(conf)
         val out = fs.create(new Path(dir, SidecarName), true)
         try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
       }
     } catch { case _: Exception => () }
+
+  /** Per-file, per-column HLL sketches of a just-written batch, computed
+    * as ONE distributed aggregate grouped by file (commit-time cost: a
+    * columnar re-read of data this job just wrote — page-cache-warm, the
+    * price Iceberg pays for its NDV stats too). Only exactly-hashable
+    * domains participate: integers, strings, dates (cast to day number),
+    * micros timestamps (cast to long) — doubles are NaN/-0.0-hostile and
+    * deliberately absent, matching the min/max domains' stance. Returns
+    * fileName -> column -> sketch bytes; best-effort (empty on failure).
+    */
+  def collectNdv(spark: org.apache.spark.sql.SparkSession,
+                 files: Seq[String]): Map[String, Map[String, Array[Byte]]] =
+    try {
+      import org.apache.spark.sql.functions.{col, hll_sketch_agg, input_file_name}
+      import org.apache.spark.sql.types._
+      val df = spark.read.parquet(files: _*)
+      val eligible = df.schema.fields.flatMap { f =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType => Some(f.name -> col(quote(f.name)).cast("int"))
+          case LongType                           => Some(f.name -> col(quote(f.name)))
+          case StringType                         => Some(f.name -> col(quote(f.name)))
+          case DateType                           => Some(f.name -> col(quote(f.name)).cast("int"))
+          case TimestampType                      => Some(f.name -> col(quote(f.name)).cast("long"))
+          case _                                  => None
+        }
+      }.toSeq
+      if (eligible.isEmpty) Map.empty
+      else {
+        val aggs = eligible.map { case (n, c) => hll_sketch_agg(c).as(n) }
+        df.groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val name = new Path(r.getString(0)).getName
+            name -> eligible.indices.flatMap { i =>
+              Option(r.get(i + 1)).map(b => eligible(i)._1 -> b.asInstanceOf[Array[Byte]])
+            }.toMap
+          }.toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
+  private def quote(n: String): String = s"`${n.replace("`", "``")}`"
+
+  /** Union per-file sketches into one table-level estimate (rounded). */
+  def mergeNdv(sketches: Seq[Array[Byte]]): Long = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    import org.apache.datasketches.memory.Memory
+    val u = new Union(12)
+    sketches.foreach(b => u.update(HllSketch.heapify(Memory.wrap(b))))
+    math.round(u.getResult.getEstimate)
+  }
 
   /** Parse a batch dir's sidecar; None when absent or unreadable (both
     * mean "no pruning for these files").
@@ -187,6 +254,7 @@ object FileStats {
                  finally in.close()
       val rows = scala.collection.mutable.Map[String, Long]()
       val cols = scala.collection.mutable.Map[String, Map[String, ColStat]]().withDefaultValue(Map.empty)
+      val ndvs = scala.collection.mutable.Map[String, Map[String, Array[Byte]]]().withDefaultValue(Map.empty)
       text.split("\n").filter(_.nonEmpty).foreach { line =>
         line.split("\t", -1) match {
           case Array("f", name, r) => rows(unb64(name)) = r.toLong
@@ -195,10 +263,13 @@ object FileStats {
             cols(f) = cols(f) + (unb64(cn) -> ColStat(t,
               if (mn == "-") None else Some(unb64(mn)),
               if (mx == "-") None else Some(unb64(mx)), nulls.toLong))
+          case Array("n", name, cn, sk) =>
+            val f = unb64(name)
+            ndvs(f) = ndvs(f) + (unb64(cn) -> Base64.getDecoder.decode(sk))
           case _ => ()
         }
       }
-      Some(rows.map { case (f, r) => f -> FileStat(r, cols(f)) }.toMap)
+      Some(rows.map { case (f, r) => f -> FileStat(r, cols(f), ndvs(f)) }.toMap)
     } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

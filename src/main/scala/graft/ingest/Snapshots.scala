@@ -283,9 +283,16 @@ object Snapshots {
     // Commit-time footer stats → batch-dir sidecar, so filtered reads
     // ([[readWhere]], the `graft` connector) prune files at PLANNING time.
     // Best-effort by design: a failed footer read costs pruning power,
-    // never the commit.
+    // never the commit. NDV sketches ride the same sidecar (one columnar
+    // re-read of the just-written batch — `spark.graft.stats.ndv false`
+    // opts a latency-critical ingest out; everything degrades to the
+    // pre-NDV behavior).
+    val ndv =
+      if (runtimeConf("spark.graft.stats.ndv", "true").toBoolean)
+        FileStats.collectNdv(df.sparkSession, files)
+      else Map.empty[String, Map[String, Array[Byte]]]
     FileStats.writeSidecar(df.sparkSession.sparkContext.hadoopConfiguration,
-      batchPath, files)
+      batchPath, files, ndv)
     files
   }
 
@@ -1846,6 +1853,55 @@ object Snapshots {
     (bytes, if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
   }
 
+  /** Approximate distinct counts per column over the (stats-pruned) live
+    * file set, merged from the sidecars' per-file HLL sketches —
+    * manifest-read cost, no data file opened. A column reports only when
+    * EVERY surviving file carries its sketch: a partial union would
+    * UNDERcount, and an undercounted NDV makes CBO over-broadcast (the
+    * unsafe direction); absence degrades to the pre-NDV "unknown".
+    * Rows hidden by DVs/equality deletes still count (an overcount —
+    * safe for cardinality estimation, same stance as Iceberg manifests).
+    */
+  def scanNdv(base: String, pin: Pin = Pin.Latest,
+              pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Map[String, Long] = {
+    val m = pinnedManifest(base, pin)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    if (kept.isEmpty) return Map.empty
+    val sidecars = kept.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
+      .toMap
+    val perFile = kept.map { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName).map(_.ndv).getOrElse(Map.empty)
+    }
+    val common = perFile.map(_.keySet).reduce(_ intersect _)
+    common.toSeq.map { c =>
+      c -> FileStats.mergeNdv(perFile.map(_(c)))
+    }.toMap
+  }
+
+  /** Exact per-column NULL counts over the (stats-pruned) live file set,
+    * from the min/max sidecar lines — a column reports only when every
+    * surviving file carries it. Catalyst's `hasCountStats` gate needs
+    * nullCount BESIDE distinctCount before aggregate estimation engages,
+    * so [[scanNdv]]'s sketches are only half the CBO story.
+    */
+  def scanNullCounts(base: String, pin: Pin = Pin.Latest,
+                     pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Map[String, Long] = {
+    val m = pinnedManifest(base, pin)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    if (kept.isEmpty) return Map.empty
+    val sidecars = kept.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
+      .toMap
+    val perFile = kept.map { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName).map(_.cols).getOrElse(Map.empty)
+    }
+    val common = perFile.map(_.keySet).reduce(_ intersect _)
+    common.toSeq.map(c => c -> perFile.map(_(c).nulls).sum).toMap
+  }
+
   /** The EXACT row count of a pinned state from metadata alone, or None
     * when metadata can't answer exactly: any outstanding deletion vector
     * or equality delete hides rows the sidecars still count, and any
@@ -2477,11 +2533,12 @@ object Snapshots {
         val name = new Path(f).getName
         stats.get(name).toSeq.flatMap { fs =>
           fs.cols.toSeq.sortBy(_._1).map { case (c, st) =>
-            (relKey(f), c, st.t, st.min.orNull, st.max.orNull, st.nulls, fs.rows)
+            (relKey(f), c, st.t, st.min.orNull, st.max.orNull, st.nulls, fs.rows,
+              fs.ndv.get(c).map(sk => FileStats.mergeNdv(Seq(sk))))
           }
         }
       }
-    }.toDF("file", "column", "domain", "min", "max", "null_count", "row_count")
+    }.toDF("file", "column", "domain", "min", "max", "null_count", "row_count", "ndv")
   }
 
   /** Drop all but the newest `keepLast` snapshots, then delete data files

@@ -431,6 +431,49 @@ class ConnectorSpec extends SparkSuite {
     } finally qBad.stop()
   }
 
+  test("NDV sketches: stats table exposes ndv; CBO broadcasts the low-NDV aggregate") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("graft_conn_ndv")
+    val (withNdv, noNdv) = (s"$root/a", s"$root/b")
+    val data = spark.range(4000)
+      .select(col("id").as("k"), (col("id") % 3).as("g"))
+    Snapshots.commit(spark, data, withNdv)
+    spark.conf.set("spark.graft.stats.ndv", "false")
+    try Snapshots.commit(spark, data, noNdv)
+    finally spark.conf.unset("spark.graft.stats.ndv")
+    // stats table: per-file ndv column present and sane (HLL ±2% envelope)
+    val st = Snapshots.statsTable(spark, withNdv)
+    assert(st.columns.contains("ndv"))
+    val gNdv = st.filter(col("column") === "g").select("ndv").collect().map(_.getLong(0))
+    assert(gNdv.nonEmpty && gNdv.forall(_ === 3L))
+    // merged table-level estimates
+    val merged = Snapshots.scanNdv(withNdv)
+    assert(merged("g") === 3L)
+    assert(math.abs(merged("k") - 4000L) <= 200L)
+    assert(Snapshots.scanNdv(noNdv).isEmpty) // opt-out wrote no sketches
+    // CBO join planning: GROUP BY g estimates 3 output rows only when the
+    // scan reports g's distinct count — that side then sizes under the
+    // broadcast threshold. The sketch-less twin table estimates the
+    // aggregate at child scale and stays on the sort-merge plan: the NDV
+    // is precisely what flips the build-side decision, no hint anywhere.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    try {
+      def planOf(base: String): String = {
+        val t = spark.read.format("graft").load(base)
+        t.join(t.groupBy("g").agg(org.apache.spark.sql.functions.sum("k").as("s")), "g")
+          .queryExecution.executedPlan.toString
+      }
+      assert(planOf(withNdv).contains("BroadcastHashJoin"))
+      assert(!planOf(noNdv).contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("count(*) pushes to manifest metadata; row-level deletes fall back") {
     val sess = spark
     import sess.implicits._
