@@ -199,6 +199,19 @@ private[connector] class GraftProcedures(resolve: String => String,
         Seq(Snapshots.addFiles(spark, tableOrNew(str(r, 0)), Seq(str(r, 1))))
     },
 
+    new Proc("collect_stats", "backfill/refresh stats sidecars (min/max/" +
+        "null-count + NDV sketches) for live batch dirs missing them - " +
+        "the ANALYZE equivalent for legacy trees, stats-disabled ingests " +
+        "and (include_foreign) adopted directories; no manifest change, " +
+        "readers pick the new sidecars up immediately",
+      Seq(tableParam,
+        in("include_foreign", BooleanType).defaultValue("false")
+          .comment("also write sidecars into adopted (add_files) producer dirs").build()),
+      out("dirs_refreshed" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.collectStats(spark, table(r), r.getBoolean(1)))
+    },
+
     new Proc("convert_eq_deletes", "fold every outstanding equality " +
         "delete into one deletion vector (no data file rewritten): after " +
         "a stream of eq-upserts, readers pay one coordinate anti join " +

@@ -1853,6 +1853,49 @@ object Snapshots {
     (bytes, if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
   }
 
+  /** Backfill/refresh stats sidecars (min/max/null-count AND the r9 NDV
+    * sketches) for the live file set's batch dirs — the ANALYZE-equivalent
+    * for tables whose data predates stats collection: legacy trees,
+    * `spark.graft.stats.ndv false` ingests, and (opt-in) adopted foreign
+    * directories. A dir rewrites only when some live file lacks a sidecar
+    * entry or its NDV sketch, so re-running is cheap; managed dirs cover
+    * every parquet they hold (other versions' files share the sidecar),
+    * foreign dirs (`includeForeign = true` — it writes a hidden sidecar
+    * file into the producer's directory, which strict adopt-only
+    * deployments may not want) cover only the manifest's files. Returns
+    * the number of dirs refreshed. Metadata-free operation: no manifest
+    * changes, readers pick the new sidecars up immediately and a torn
+    * sidecar read degrades to no-pruning.
+    */
+  def collectStats(spark: SparkSession, base: String,
+                   includeForeign: Boolean = false): Long = {
+    val m = pinnedManifest(base, Pin.Latest)
+    val conf = hadoopConf
+    val dataRoot = uriPath(dataDir(base).toString) + "/"
+    var refreshed = 0L
+    for ((dir, files) <- m.files.groupBy(f => new Path(f).getParent)) {
+      val managed = (uriPath(dir.toString) + "/").startsWith(dataRoot)
+      if (managed || includeForeign) {
+        val existing = FileStats.readSidecar(conf, dir).getOrElse(Map.empty)
+        val needs = files.exists { f =>
+          existing.get(new Path(f).getName).forall(_.ndv.isEmpty)
+        }
+        if (needs) {
+          val covered =
+            if (managed)
+              listDir(dir.getFileSystem(conf), dir)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .map(_.getPath.toString).sorted
+            else files.sorted
+          FileStats.writeSidecar(conf, dir, covered,
+            FileStats.collectNdv(spark, covered))
+          refreshed += 1
+        }
+      }
+    }
+    refreshed
+  }
+
   /** Approximate distinct counts per column over the (stats-pruned) live
     * file set, merged from the sidecars' per-file HLL sketches —
     * manifest-read cost, no data file opened. A column reports only when

@@ -86,12 +86,15 @@ object Multimodal {
   private def encodePng(docId: Long, f: Int): Array[Byte] = {
     val w = widthOf(docId); val h = heightOf(docId)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: one array store per image, not a sync'd call per pixel
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, rgbAt(docId, x, y, f)); x += 1 }
+      while (x < w) { px(y * w + x) = rgbAt(docId, x, y, f); x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
@@ -156,16 +159,13 @@ object Multimodal {
   /** (n_pixels, sum_r, sum_g, sum_b) over every decoded pixel. */
   private[graft] def pixelSums(img: BufferedImage): (Long, Long, Long, Long) = {
     val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk read, one call
     var sr = 0L; var sg = 0L; var sb = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      i += 1
     }
     (w.toLong * h, sr, sg, sb)
   }
@@ -212,13 +212,14 @@ object Multimodal {
     val cells = newW * newH
     val sr = new Array[Long](cells); val sg = new Array[Long](cells)
     val sb = new Array[Long](cells); val cnt = new Array[Long](cells)
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk read, one call
     var y = 0
     while (y < h) {
       val ty = y * newH / h
       var x = 0
       while (x < w) {
         val c = ty * newW + (x * newW / w)
-        val rgb = img.getRGB(x, y)
+        val rgb = px(y * w + x)
         sr(c) += (rgb >> 16) & 0xff; sg(c) += (rgb >> 8) & 0xff; sb(c) += rgb & 0xff
         cnt(c) += 1
         x += 1
@@ -226,15 +227,17 @@ object Multimodal {
       y += 1
     }
     val thumb = new BufferedImage(newW, newH, BufferedImage.TYPE_INT_RGB)
+    val tpx = new Array[Int](cells)
     var tr = 0L; var tg = 0L; var tb = 0L
     var c = 0
     while (c < cells) {
       val r = (sr(c) / cnt(c)).toInt; val g = (sg(c) / cnt(c)).toInt
       val b = (sb(c) / cnt(c)).toInt
-      thumb.setRGB(c % newW, c / newW, (r << 16) | (g << 8) | b)
+      tpx(c) = (r << 16) | (g << 8) | b
       tr += r; tg += g; tb += b
       c += 1
     }
+    thumb.setRGB(0, 0, newW, newH, tpx, 0, newW)
     (thumb, tr, tg, tb)
   }
 

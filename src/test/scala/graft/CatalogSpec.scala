@@ -263,6 +263,10 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.proc.t").head.head === n)
     assert(rows(s"SELECT n_eqs FROM $cat.proc.t.history " +
       "ORDER BY version DESC LIMIT 1").head === Seq(0L))
+    // collect_stats from SQL: the stats table then exposes per-file NDV
+    rows(s"CALL $cat.system.collect_stats(table => 'proc.t')")
+    assert(rows(s"SELECT count(*) FROM $cat.proc.t.stats WHERE ndv IS NOT NULL")
+      .head.head.asInstanceOf[Long] > 0L)
     // zero-copy adoption of a foreign parquet directory from SQL
     val foreign = tmpDir("graft_call_adopt")
     spark.range(40).toDF("id").write.mode("overwrite").parquet(foreign)

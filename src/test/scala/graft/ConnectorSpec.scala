@@ -474,6 +474,34 @@ class ConnectorSpec extends SparkSuite {
     }
   }
 
+  test("collect_stats backfills NDV sketches for stats-disabled and adopted data") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("graft_conn_analyze")
+    val (legacy, adopted, foreignDir) = (s"$root/legacy", s"$root/adopted", s"$root/producer")
+    val data = spark.range(1000).select(col("id").as("k"), (col("id") % 5).as("g"))
+    // a table ingested with NDV collection off
+    spark.conf.set("spark.graft.stats.ndv", "false")
+    try Snapshots.commit(spark, data, legacy)
+    finally spark.conf.unset("spark.graft.stats.ndv")
+    assert(Snapshots.scanNdv(legacy).isEmpty)
+    assert(Snapshots.collectStats(spark, legacy) === 1L)
+    assert(Snapshots.scanNdv(legacy)("g") === 5L)
+    // idempotent: nothing missing -> nothing rewritten
+    assert(Snapshots.collectStats(spark, legacy) === 0L)
+    // adopted foreign files: no sidecar at all until include_foreign
+    data.write.parquet(foreignDir)
+    Snapshots.addFiles(spark, adopted, Seq(foreignDir))
+    assert(Snapshots.scanNdv(adopted).isEmpty)
+    assert(Snapshots.collectStats(spark, adopted) === 0L) // foreign dirs skipped by default
+    assert(Snapshots.collectStats(spark, adopted, includeForeign = true) === 1L)
+    assert(Snapshots.scanNdv(adopted)("g") === 5L)
+    // the backfilled min/max also restore planning-time pruning on the
+    // adopted tree: a no-match predicate now reads zero files
+    assert(Snapshots.readWhere(spark, adopted, col("k") === 999999L).count() === 0L)
+  }
+
   test("count(*) pushes to manifest metadata; row-level deletes fall back") {
     val sess = spark
     import sess.implicits._
