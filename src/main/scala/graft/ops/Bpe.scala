@@ -131,6 +131,37 @@ object Bpe {
     toks.select(col("word"), col("cnt"), split(col("s"), " ").as("tokens"))
   }
 
+  /** The APPLY side at corpus scale: tokenize every document with a
+    * trained merge list and emit per-doc token accounting — the numbers
+    * a training-data pipeline actually budgets with (sequence packing,
+    * mixture token shares, cost estimates all consume token counts).
+    *
+    * Scale shape: merges are a driver-side literal list (vocab-sized);
+    * the chain of `replace`s applies MAP-SIDE on the DISTINCT word grain
+    * (vocabulary-sized, not corpus-sized — the same word never re-pays
+    * the merge chain), then one word-keyed join carries per-word token
+    * counts back onto the (doc, word) stream and one doc-keyed aggregate
+    * finishes. Two shuffles total, both at most corpus-word-sized.
+    */
+  def encodeCorpus(spark: SparkSession, docs: DataFrame, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .filter(length(col("word")).between(MinLen, MaxLen))
+    var toks = words.select(col("word")).distinct()
+      .select(col("word"),
+        concat(rtrim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" _")).as("s"))
+    for ((l, r) <- merges)
+      toks = toks.select(col("word"), applyMerge(col("s"), l, r).as("s"))
+    val wordTokens = toks.select(col("word"), size(split(col("s"), " ")).as("wt"))
+    words.join(wordTokens, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wt")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words")).as("tokens_per_word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Distributed tokenizer training end to end on the documents
     // corpus: the oracle replays all `Rounds` merges as unrolled CTEs
@@ -140,6 +171,16 @@ object Bpe {
     // and breaks the hash.
     "vocab2_bpe_merges" -> { (s, d) =>
       train(s, s.read.parquet(s"$d/documents.parquet"), "text")
+    },
+    // Train-then-tokenize end to end: the learned merges replay over
+    // EVERY document and the oracle recomputes both halves (training
+    // CTEs + the same merge chain on the distinct-word grain), so a
+    // single mis-tokenized word occurrence breaks the per-doc hash.
+    "vocab3_bpe_encode" -> { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val merges = train(s, docs, "text").collect()
+        .sortBy(_.getInt(0)).toSeq.map(r => (r.getString(1), r.getString(2)))
+      encodeCorpus(s, docs, "text", merges)
     }
   )
 
@@ -151,7 +192,10 @@ object Bpe {
     * oracle linear in rounds, mirroring the engine's per-round
     * checkpoints.
     */
-  private def bpeOracle(rounds: Int, maxWords: Int): String = {
+  /** The shared WITH-prefix: word histogram + `rounds` training CTEs
+    * (p1..pN argmax rows, t1..tN merged symbol tables).
+    */
+  private def bpeOracleCtes(rounds: Int, maxWords: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       val prev = s"t${k - 1}"
       s"""p$k AS MATERIALIZED (
@@ -172,9 +216,6 @@ object Bpe {
          |  FROM $prev, p$k
          |)""".stripMargin
     }
-    val tail = (1 to rounds).map(k =>
-      s"SELECT $k AS round, l, r, l || r AS merged, c AS cnt FROM p$k")
-      .mkString("\nUNION ALL\n")
     s"""WITH words AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
@@ -183,11 +224,55 @@ object Bpe {
        |  ORDER BY cnt DESC, word LIMIT $maxWords
        |),
        |t0 AS MATERIALIZED (SELECT cnt, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS s FROM words),
-       |${roundCtes.mkString(",\n")}
-       |$tail""".stripMargin
+       |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracle(rounds: Int, maxWords: Int): String = {
+    val tail = (1 to rounds).map(k =>
+      s"SELECT $k AS round, l, r, l || r AS merged, c AS cnt FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"${bpeOracleCtes(rounds, maxWords)}\n$tail"
+  }
+
+  /** Training CTEs + the same merge chain replayed on the corpus's
+    * DISTINCT word grain, then per-doc token accounting.
+    */
+  private def bpeEncodeOracle(rounds: Int, maxWords: Int): String = {
+    val applyCtes = (1 to rounds).map { k =>
+      val prev = s"e${k - 1}"
+      s"""e$k AS MATERIALIZED (
+         |  SELECT word,
+         |    trim(replace(
+         |      replace(' ' || replace(s, ' ', '  ') || ' ',
+         |              ' ' || p$k.l || '  ' || p$k.r || ' ',
+         |              ' ' || p$k.l || p$k.r || ' '),
+         |      '  ', ' ')) AS s
+         |  FROM $prev, p$k
+         |)""".stripMargin
+    }
+    s"""${bpeOracleCtes(rounds, maxWords)},
+       |docwords AS MATERIALIZED (
+       |  SELECT doc_id, w AS word
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) BETWEEN $MinLen AND $MaxLen
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS s
+       |  FROM (SELECT DISTINCT word FROM docwords)
+       |),
+       |${applyCtes.mkString(",\n")},
+       |wt AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(s, ' ')) AS INT) AS wt FROM e$rounds
+       |)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(wt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wt) AS DOUBLE) / count(*) AS tokens_per_word
+       |FROM docwords JOIN wt USING (word)
+       |GROUP BY doc_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
-    "vocab2_bpe_merges" -> bpeOracle(Rounds, MaxWords)
+    "vocab2_bpe_merges" -> bpeOracle(Rounds, MaxWords),
+    "vocab3_bpe_encode" -> bpeEncodeOracle(Rounds, MaxWords)
   )
 }

@@ -48,6 +48,34 @@ object Packing {
   val PackBlockDocs = 64L  // docs per pack1 prefix-sum block (≫ at scale)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack2_length_batching" -> { (s, d) =>
+      // Length-grouped (dynamic) batching — pack1's complement for
+      // padding-based trainers: bucket similar-length sequences into
+      // fixed-size batches so each batch pads to its own max length,
+      // not the corpus max, and account the padding waste per batch
+      // (the number a batching strategy is judged by).
+      //
+      // Scale shape: docs hash (content md5, engine-stable) into shards;
+      // each shard sorts by (len, doc_id) under a SHARD-partitioned
+      // window — no global sort — and cuts into 16-doc batches. All
+      // integer arithmetic; the one double is a single division.
+      val batchSize = 16
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("len"),
+          (conv(substring(md5(col("text")), 1, 1), 16, 10).cast("long") % 4).as("shard"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("len"), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr(s"CAST((rn - 1) div $batchSize AS BIGINT)"))
+        .groupBy(col("shard"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+          sum(col("len")).cast("long").as("sum_len"))
+        .select(col("shard"), col("batch_id"), col("n_docs"), col("max_len"),
+          col("sum_len"),
+          (col("n_docs") * col("max_len") - col("sum_len")).as("padding_waste"),
+          ((col("n_docs") * col("max_len") - col("sum_len")).cast("double") /
+            (col("n_docs") * col("max_len"))).as("pad_ratio"))
+    },
     "pack1_sequence_packing" -> { (s, d) =>
       // Concat-and-chunk: within each source stream (ordered by doc_id),
       // documents concatenate into one token stream that is cut into
@@ -320,6 +348,23 @@ object Packing {
     // path lands as float64 while Spark emits int64 — CAST every window/
     // group sum back to BIGINT so both engines hash the same representation
     // (same representation-class issue as f16's decimal-as-string).
+    "pack2_length_batching" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS len,
+        |    CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) % 4 AS shard
+        |  FROM documents
+        |),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY len, doc_id) AS rn
+        |  FROM docs
+        |)
+        |SELECT shard, CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, max(len) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_waste,
+        |  CAST(count(*) * max(len) - sum(len) AS DOUBLE)
+        |    / (count(*) * max(len)) AS pad_ratio
+        |FROM rn GROUP BY shard, (rn - 1) // 16""".stripMargin,
     "pack1_sequence_packing" ->
       s"""SELECT doc_id, source,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -154,6 +154,43 @@ object TextAnalysis {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("term").as("top_term"), col("tfidf").as("top_tfidf"))
     },
+    "t18_retrieval_metrics" -> { (s, d) =>
+      // Retrieval EVALUATION harness — the measurement half of a RAG
+      // pipeline: per-query precision@10 / recall@10 / reciprocal rank
+      // of a deterministic tf-ranked retrieval, scored against
+      // position-derived pseudo-qrels (relevant = the query term appears
+      // in the document's first 200 chars — deliberately DECORRELATED
+      // from the tf ranking, so the metrics are non-trivial). Integer
+      // ranks + single-division doubles keep every emitted value
+      // bit-identical across engines (no sum-of-doubles whose order
+      // could wobble — per-QUERY grain, never a cross-query mean).
+      //
+      // Scale shape: the query set is a literal explode (|Q| rows per
+      // doc, map-side); ranking is one |Q|-partition window over only
+      // the docs that MATCH each query; qrel totals are one aggregate
+      // on the same frame. Nothing corpus-squared anywhere.
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "vector", "merge", "window", "stream")
+      val k = 10
+      val graded = Tables.table(s, d, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"),
+          explode(array(terms.map(lit): _*)).as("term"))
+        .select(col("doc_id"), col("term"),
+          expr("size(filter(split(t, ' '), x -> x = term))").as("tf"),
+          expr("CASE WHEN instr(t, term) BETWEEN 1 AND 200 THEN 1 ELSE 0 END").as("rel"))
+      val w = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+      val ranked = graded.filter(col("tf") > 0).withColumn("rank", row_number().over(w))
+      val rels = graded.groupBy(col("term")).agg(sum(col("rel")).as("n_relevant"))
+      ranked.groupBy(col("term")).agg(
+          count(lit(1)).as("n_retrieved"),
+          sum(when(col("rank") <= k && col("rel") === 1, 1L).otherwise(0L)).as("hits_at_10"),
+          min(when(col("rank") <= k && col("rel") === 1, col("rank"))).as("frr"))
+        .join(rels, "term")
+        .select(col("term"), col("n_relevant"), col("n_retrieved"), col("hits_at_10"),
+          (col("hits_at_10").cast("double") / lit(10)).as("precision_at_10"),
+          (col("hits_at_10").cast("double") / col("n_relevant")).as("recall_at_10"),
+          coalesce(lit(1.0) / col("frr"), lit(0.0)).as("rr_at_10"))
+    },
     "t14_bm25" -> { (s, d) =>
       // BM25 ranked retrieval (Robertson–Spärck Jones, the lexical
       // retrieval baseline behind most RAG pipelines): score every
@@ -342,6 +379,32 @@ object TextAnalysis {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
         |  FROM scored) t
         |WHERE rn = 1""".stripMargin,
+    "t18_retrieval_metrics" ->
+      """WITH graded AS (
+        |  SELECT d.doc_id, q.term,
+        |    len(list_filter(string_split(lower(d.text), ' '), x -> x = q.term)) AS tf,
+        |    CASE WHEN strpos(lower(d.text), q.term) BETWEEN 1 AND 200
+        |         THEN 1 ELSE 0 END AS rel
+        |  FROM documents d,
+        |       (SELECT unnest(['spark','vector','merge','window','stream']) AS term) q
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+        |  FROM graded WHERE tf > 0
+        |),
+        |rels AS (SELECT term, CAST(sum(rel) AS BIGINT) AS n_relevant
+        |         FROM graded GROUP BY term),
+        |ret AS (
+        |  SELECT term, count(*) AS n_retrieved,
+        |    CAST(sum(CASE WHEN rank <= 10 AND rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+        |    min(CASE WHEN rank <= 10 AND rel = 1 THEN rank END) AS frr
+        |  FROM ranked GROUP BY term
+        |)
+        |SELECT term, n_relevant, n_retrieved, hits_at_10,
+        |  CAST(hits_at_10 AS DOUBLE) / 10 AS precision_at_10,
+        |  CAST(hits_at_10 AS DOUBLE) / n_relevant AS recall_at_10,
+        |  coalesce(CAST(1 AS DOUBLE) / frr, CAST(0 AS DOUBLE)) AS rr_at_10
+        |FROM ret JOIN rels USING (term)""".stripMargin,
     // Constants pre-folded identically to the Spark side: k1+1 = 2.2,
     // 1-b = 0.25, k1 = 1.2, b = 0.75; avgdl = exact-int sum/count.
     "t14_bm25" ->
