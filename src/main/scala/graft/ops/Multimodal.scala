@@ -176,7 +176,7 @@ object Multimodal {
     */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
-      val img = decodeImage(demux(r.payload).head)
+      val img = decodeImage(r.payload)
       val (n, sr, sg, sb) = pixelSums(img)
       MediaFeatures(r.doc_id, img.getWidth, img.getHeight, n, sr, sg, sb,
         sr.toDouble / n)
@@ -242,7 +242,7 @@ object Multimodal {
   }
 
   private def thumbnail(r: MediaRecord): Thumb = {
-    val (thumb, tr, tg, tb) = boxThumbnail(decodeImage(demux(r.payload).head))
+    val (thumb, tr, tg, tb) = boxThumbnail(decodeImage(r.payload))
     Thumb(r.doc_id, thumb.getWidth, thumb.getHeight, tr, tg, tb)
   }
 
@@ -281,6 +281,19 @@ object Multimodal {
       }
   }
 
+  /** Per-doc still-image table (the poster frame as a raw PNG payload) —
+    * the `binary` image column. m1/m3 consume this: decoding an image
+    * column should not pay a video container's full frame-set synthesis
+    * (frame 0's pixels are identical either way, so the oracles are
+    * unchanged).
+    */
+  def imageTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.table(s, d, "documents").select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, encodePng(id, 0), "image/png",
+        widthOf(id), heightOf(id), 1))
+  }
+
   /** Per-doc WAV table — the `binary` audio column. */
   def audioTable(s: SparkSession, d: String): Dataset[AudioRecord] = {
     import s.implicits._
@@ -291,7 +304,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> { (s, d) =>
       import s.implicits._
-      mediaTable(s, d)
+      imageTable(s, d)
         .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
         .toDF()
     },
@@ -301,7 +314,7 @@ object Multimodal {
     },
     "m3_thumbnail" -> { (s, d) =>
       import s.implicits._
-      mediaTable(s, d).map(thumbnail _).toDF()
+      imageTable(s, d).map(thumbnail _).toDF()
     },
     "m4_audio_features" -> { (s, d) =>
       import s.implicits._

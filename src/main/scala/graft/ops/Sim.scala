@@ -413,7 +413,37 @@ object Sim {
           (countDistinct(col("q_id")) * K) >= floor).as("recall_ok"))
   }
 
+  /** Matryoshka dims kept by the v6 prefix ranking. */
+  val MatryoshkaDims = 16
+
+  /** Matryoshka-prefix retrieval evaluation (Kusupati et al. 2022's
+    * nested-representation trick): rank neighbors by the cosine of the
+    * FIRST [[MatryoshkaDims]] dims only — a 4× cheaper dot product, the
+    * production shape where the prefix ranking prunes candidates before
+    * full-dim re-ranking — and measure per query how much of the exact
+    * full-dim top-K the prefix ranking retains. Exact surface: both
+    * rankings are deterministic (round-4 cosine, vec_id tie-break), so
+    * the per-query overlap is an integer and the recall a single
+    * division — a full row/hash oracle, unlike the hash-seeded v2/v3/v5
+    * tiers.
+    */
+  def matryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    val full = knnBrute(s, d)
+    val truncDf = embeddings(s, d).select(col("vec_id"),
+      expr(s"slice(embedding, 1, $MatryoshkaDims)").as("embedding"))
+    val truncQs = VecOps.vectors(s, truncDf.filter(col("vec_id") < NumQueries),
+      "vec_id", "embedding")
+    val trunc = topK(VecOps.scoreAgainst(s, truncDf, "vec_id", "embedding", truncQs))
+    full.join(trunc.select(col("q_id"), col("vec_id"), lit(1).as("m")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("m"), lit(0))).cast("long").as("overlap_at_5"))
+      .select(col("q_id"), col("overlap_at_5"),
+        (col("overlap_at_5").cast("double") / K).as("prefix_recall_at_5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v6_matryoshka" -> { (s, d) => matryoshkaEval(s, d) },
     "v1_knn_brute" -> { (s, d) => knnBrute(s, d) },
     "v2_knn_lsh" -> { (s, d) => withRecall(s, d, knnLsh(s, d)) },
     "v3_knn_ivf" -> { (s, d) => withRecall(s, d, knnIvf(s, d)) },
@@ -460,6 +490,40 @@ object Sim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v6_matryoshka" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |et AS (SELECT vec_id, embedding[1:16] AS embedding,
+        |    sqrt(list_sum(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |fullk AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+        |        round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * b.nrm), 4) AS cos
+        |      FROM e q JOIN e b ON q.vec_id < 8 AND b.vec_id <> q.vec_id) s) t
+        |  WHERE rank <= 5),
+        |trunck AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+        |        round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |          / (q.nrm * b.nrm), 4) AS cos
+        |      FROM et q JOIN et b ON q.vec_id < 8 AND b.vec_id <> q.vec_id) s) t
+        |  WHERE rank <= 5)
+        |SELECT f.q_id, CAST(count(t.vec_id) AS BIGINT) AS overlap_at_5,
+        |  CAST(count(t.vec_id) AS DOUBLE) / 5 AS prefix_recall_at_5
+        |FROM fullk f LEFT JOIN trunck t
+        |  ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+        |GROUP BY f.q_id""".stripMargin,
     "v1_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
