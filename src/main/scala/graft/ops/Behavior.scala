@@ -35,6 +35,36 @@ object Behavior {
         sum(s2.cast("long")).as("reached_click"),
         sum(s3.cast("long")).as("converted"))
     },
+    "e3_attribution" -> { (s, d) =>
+      // Last-touch conversion attribution: a purchase attributes to the
+      // user's clicks within the preceding 24 h (the conversion-window
+      // semantics every ads pipeline computes; the as-of-join family's
+      // business form). Monetary sums ride as exact integer CENTS —
+      // summing raw doubles would make the result depend on engine
+      // aggregation order.
+      //
+      // Scale shape: the purchase–click join is per-user AND window-
+      // bounded, so candidate pairs are (per-user purchase density ×
+      // window clicks), never events²; both aggregates shuffle on
+      // (user, purchase) then user.
+      val win = 24L * 3600 * 1000000 // 24 h in micros
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("ts_us").as("pts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("cid"),
+          col("ts_us").as("cts"))
+      p.join(c, col("user_id") === col("cu") &&
+          col("cts") <= col("pts") && col("cts") > col("pts") - win, "left")
+        .groupBy(col("user_id"), col("pid"), col("cents"))
+        .agg(count(col("cid")).as("n_clicks"))
+        .groupBy(col("user_id")).agg(
+          count(lit(1)).as("n_purchases"),
+          sum((col("n_clicks") > 0).cast("long")).as("n_attributed"),
+          sum(when(col("n_clicks") > 0, col("cents")).otherwise(0L)).as("attributed_cents"),
+          sum(col("cents")).as("total_cents"))
+    },
     "e2_retention" -> { (s, d) =>
       // Cohort retention: users cohorted by first-activity day; retained(n)
       // = active on cohort_day + n. Day grain from the distinct
@@ -72,6 +102,24 @@ object Behavior {
         |                 AND t_click > t_view AND t_purchase IS NOT NULL
         |                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS converted
         |FROM per_user""".stripMargin,
+    "e3_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS cu, event_id AS cid, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |per_purchase AS (
+        |  SELECT p.user_id, p.pid, p.cents, count(c.cid) AS n_clicks
+        |  FROM p LEFT JOIN c ON p.user_id = c.cu
+        |    AND c.cts <= p.pts AND c.cts > p.pts - 86400000000
+        |  GROUP BY p.user_id, p.pid, p.cents)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN n_clicks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  CAST(sum(CASE WHEN n_clicks > 0 THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM per_purchase GROUP BY user_id""".stripMargin,
     "e2_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
