@@ -76,7 +76,10 @@ private[connector] class GraftProcedures(resolve: String => String,
           .comment("morton | hilbert (hilbert needs exactly two columns)").build(),
         in("smaller_than_bytes", LongType).defaultValue("0")
           .comment("binpack: rewrite ONLY files below this size, carrying " +
-            "larger ones untouched (0 = full rewrite)").build()),
+            "larger ones untouched (0 = full rewrite)").build(),
+        in("where", StringType).defaultValue("''")
+          .comment("predicate-scoped rewrite: only files whose stats might " +
+            "hold a matching row rewrite ('' = full rewrite)").build()),
       out("version" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val sorts = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -84,6 +87,8 @@ private[connector] class GraftProcedures(resolve: String => String,
         val n = r.getInt(1)
         val curve = str(r, 4)
         val smallerThan = Some(r.getLong(5)).filter(_ > 0L)
+        val onlyMatching = Some(str(r, 6)).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
         val zLayout = z match {
           case Seq() => None
           case one if one.size < 2 => throw new IllegalArgumentException(
@@ -103,7 +108,7 @@ private[connector] class GraftProcedures(resolve: String => String,
             }
         }
         Seq(Snapshots.compact(spark, table(r), n, sorts, zLayout,
-          onlySmallerThan = smallerThan))
+          onlySmallerThan = smallerThan, onlyMatching = onlyMatching))
       }
     },
 

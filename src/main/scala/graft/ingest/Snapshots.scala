@@ -1703,30 +1703,58 @@ object Snapshots {
     * streaming-ingested 100 TB table needs nightly, where the full
     * rewrite is a quarterly event. A full compact (None) also
     * MATERIALIZES all row-level deletes away.
+    *
+    * `onlyMatching` selects PREDICATE-SCOPED rewrite (Iceberg's
+    * `rewrite_data_files(where)`): only files whose commit-time footer
+    * stats might hold a matching row rewrite (row-level deletes applied),
+    * everything else carries by path — re-cluster or re-sort a hot key
+    * region for the cost of that region. Mutually exclusive with
+    * `onlySmallerThan`.
     */
   def compact(spark: SparkSession, base: String, numFiles: Int,
               sortCols: Seq[String] = Nil,
               layout: Option[DataFrame => DataFrame] = None,
-              onlySmallerThan: Option[Long] = None): Long = {
+              onlySmallerThan: Option[Long] = None,
+              onlyMatching: Option[org.apache.spark.sql.Column] = None): Long = {
+    require(onlySmallerThan.isEmpty || onlyMatching.isEmpty,
+      "choose ONE selector: onlySmallerThan (binpack) or onlyMatching " +
+        "(predicate-scoped rewrite)")
     val v0 = versions(base).max
     val m0 = readManifest(base, v0)
     val fs = fsFor(base)
-    val (smalls, bigs) = onlySmallerThan match {
-      case None => (m0.files, Seq.empty[String])
-      case Some(t) => m0.files.partition { f =>
+    val (smalls, bigs) = (onlySmallerThan, onlyMatching) match {
+      case (None, None) => (m0.files, Seq.empty[String])
+      case (Some(t), _) => m0.files.partition { f =>
         // a stat failure counts as small: the rewrite READS the file, so
         // a genuinely missing file fails loudly instead of silently
         // surviving as "big"
         (try fs.getFileStatus(new Path(f)).getLen
          catch { case _: Exception => 0L }) < t
       }
+      case (_, Some(cond)) =>
+        // Predicate-scoped rewrite (Iceberg's rewrite_data_files(where)):
+        // only files whose footer stats say they MIGHT hold a matching
+        // row rewrite — re-cluster a hot key region for the cost of that
+        // region, never the table. Selection is file-granular, so rows
+        // of a selected file that do NOT match the predicate rewrite
+        // along with it (compaction moves bytes, never changes rows).
+        val schema = pinnedSchema(base, Pin.AsOf(v0))
+          .getOrElse(scanPinned(spark, base, Pin.AsOf(v0)).schema)
+        val filters = org.apache.spark.sql.graft.Bridge
+          .pushableFilters(spark, schema, cond)
+        require(filters.nonEmpty,
+          s"onlyMatching predicate '$cond' has no stats-translatable " +
+            "conjunct - it would select every file; run a full compact " +
+            "instead")
+        val kept = FileStats.prune(hadoopConf, m0.files, filters).toSet
+        m0.files.partition(kept)
     }
     if (smalls.isEmpty) return v0
     val files0 = smalls.toSet
     val full = scanWithDvs(spark, m0.copy(files = smalls), keepCoords = false)
     val compacted = layout.map(_(full)).getOrElse(full.repartition(numFiles))
     val newFiles = writeBatch(compacted, base, sortCols)
-    val binpack = onlySmallerThan.isDefined
+    val binpack = onlySmallerThan.isDefined || onlyMatching.isDefined
     // Conflict handling inside the claim loop: files appended concurrently
     // (parent files not in our compacted input) carry forward untouched; a
     // concurrent DELETE of a file we already rewrote would resurrect its

@@ -267,6 +267,11 @@ class CatalogSpec extends SparkSuite {
     rows(s"CALL $cat.system.collect_stats(table => 'proc.t')")
     assert(rows(s"SELECT count(*) FROM $cat.proc.t.stats WHERE ndv IS NOT NULL")
       .head.head.asInstanceOf[Long] > 0L)
+    // predicate-scoped rewrite from SQL: rows unchanged afterwards
+    val nBefore = rows(s"SELECT count(*) FROM $cat.proc.t").head.head
+    rows(s"CALL $cat.system.compact(table => 'proc.t', num_files => 1, " +
+      "where => 'id < 10')")
+    assert(rows(s"SELECT count(*) FROM $cat.proc.t").head.head === nBefore)
     // zero-copy adoption of a foreign parquet directory from SQL
     val foreign = tmpDir("graft_call_adopt")
     spark.range(40).toDF("id").write.mode("overwrite").parquet(foreign)

@@ -411,6 +411,41 @@ class EqDeleteSpec extends SparkSuite {
       onlySmallerThan = Some(1L)) === v)
   }
 
+  test("predicate-scoped compact rewrites only the matching key region") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_eq_pcompact")
+    Snapshots.commit(spark,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("k", "v"), base, sortCols = Seq("k"))
+    val lowFiles = Snapshots.liveFiles(base, Snapshots.versions(base).max).toSet
+    Snapshots.commit(spark,
+      (100L to 120L).map(i => (i, i * 10L)).toDF("k", "v"), base, sortCols = Seq("k"))
+    val highFiles =
+      Snapshots.liveFiles(base, Snapshots.versions(base).max).toSet -- lowFiles
+    // row-level deletes in BOTH regions before the scoped rewrite
+    Snapshots.deleteWhereDV(spark, base, col("k") === 5L)   // carried region
+    Snapshots.deleteWhereDV(spark, base, col("k") === 105L) // rewritten region
+    val before = kv(Snapshots.read(spark, base))
+    val v = Snapshots.compact(spark, base, numFiles = 1, sortCols = Seq("k"),
+      onlyMatching = Some(col("k") >= 100L))
+    val post = Snapshots.liveFiles(base, v).toSet
+    // the low region carried BY PATH; the high region's files are gone
+    assert(lowFiles.subsetOf(post), "non-matching files must carry untouched")
+    assert(post.intersect(highFiles).isEmpty, "matching files must rewrite")
+    // rows identical: the carried DV still hides 5, the rewrite dropped 105
+    assert(kv(Snapshots.read(spark, base)) === before)
+    // selector conflict and stats-untranslatable predicates refuse loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, base, 1, onlySmallerThan = Some(1L),
+        onlyMatching = Some(col("k") === 1L))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, base, 1,
+        onlyMatching = Some(col("k") + col("v") > 0L))
+    }
+  }
+
   test("randomized op sequence: table state tracks the model under every mix") {
     val sess = spark
     import sess.implicits._
