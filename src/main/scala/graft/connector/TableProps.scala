@@ -45,6 +45,16 @@ object TableProps {
     */
   val EqDeleteMaxBatches = "write.eq-delete.max-batches"
 
+  /** `write.binpack.max-small-files` = N: after an append/overwrite
+    * commit, when more than N live files sit below
+    * `write.binpack.small-bytes` (default 32 MiB) the committing writer
+    * auto-runs a binpack compact of just those files — Delta's
+    * auto-optimize shape, bounding small-file debt from streaming
+    * ingests without an external scheduler. Unset = manual compaction.
+    */
+  val BinpackMaxSmallFiles = "write.binpack.max-small-files"
+  val BinpackSmallBytes = "write.binpack.small-bytes"
+
   private def propsFile(base: String) = new Path(base, "_table_props")
 
   private def fsFor(base: String) = {

@@ -725,7 +725,7 @@ object Snapshots {
         keepParentFields = base0 == "append", parentLastId = parentLast)
       else (df, null, 0L)
     val newFiles = writeBatch(toWrite, base, sortCols)
-    publish(base, newFiles, Nil, mode, parent =>
+    val committed = publish(base, newFiles, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {
         val p = readManifest(base, parent)
         (p.files, p.dvs, p.eqs)
@@ -738,6 +738,57 @@ object Snapshots {
       lastIdFor = if (!tracked) null else parent =>
         Some(newLast.max(
           if (parent <= 0) 0L else mintFloor(base, readManifest(base, parent)))))
+    maybeAutoBinpack(spark, base, committed, sortCols)
+  }
+
+  /** Auto-maintenance hook honoring `write.binpack.max-small-files`
+    * ([[graft.connector.TableProps]]): after an append/overwrite commit,
+    * when the live file set holds MORE than the bound's worth of files
+    * below `write.binpack.small-bytes` (default 32 MiB), the committing
+    * writer binpacks them — Delta's auto-optimize shape, bounding the
+    * small-file debt a streaming ingest accretes without an external
+    * scheduler. The rewrite targets ~4× the small-file threshold per
+    * output file; when the table is smaller than that, the single merged
+    * output stays "small" but the COUNT bound (≤ max) still prevents
+    * re-triggering until fresh debt accrues. Same race posture as
+    * [[maybeConvertEq]]: the data
+    * commit is already durable; a lost compaction race defers to the
+    * next commit.
+    */
+  private def maybeAutoBinpack(spark: SparkSession, base: String,
+                               committed: Long, sortCols: Seq[String]): Long = {
+    val props = graft.connector.TableProps.read(base)
+    props.get(graft.connector.TableProps.BinpackMaxSmallFiles) match {
+      case None => committed
+      case Some(raw) =>
+        val max =
+          try raw.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"table property write.binpack.max-small-files must be an " +
+                s"integer, got '$raw'")
+          }
+        require(max >= 0, s"write.binpack.max-small-files must be >= 0, got $max")
+        val smallBytes = props.get(graft.connector.TableProps.BinpackSmallBytes)
+          .map(_.trim.toLong).getOrElse(32L << 20)
+        val fs = fsFor(base)
+        val sizes = readManifest(base, committed).files.flatMap { f =>
+          try Some(fs.getFileStatus(new Path(f)).getLen)
+          catch { case _: Exception => None }
+        }.filter(_ < smallBytes)
+        if (sizes.size <= max) committed
+        else {
+          val numFiles = math.max(1L, sizes.sum / (smallBytes * 4)).toInt
+          try compact(spark, base, numFiles, sortCols,
+            onlySmallerThan = Some(smallBytes))
+          catch { case e: java.util.ConcurrentModificationException =>
+            System.err.println(
+              s"[graft] auto binpack on $base lost a commit race (will " +
+                s"retry on the next commit): ${e.getMessage}")
+            committed
+          }
+        }
+    }
   }
 
   /** Register EXISTING parquet files as a new snapshot — zero-copy

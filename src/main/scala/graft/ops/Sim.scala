@@ -442,7 +442,34 @@ object Sim {
         (col("overlap_at_5").cast("double") / K).as("prefix_recall_at_5"))
   }
 
+  /** Per-bucket sample cap for [[bucketBalancedSample]]. */
+  val BalanceCap = 16
+
+  /** Semantic-bucket balanced sampling: embeddings hash into 256
+    * sign-pattern buckets (the first 8 dims' signs — a deterministic,
+    * engine-replayable LSH cell), and each bucket keeps at most
+    * [[BalanceCap]] vectors (deterministic vec_id order). This is the
+    * cluster-balanced subset trick for training-data diversity (dense
+    * regions contribute a capped share instead of dominating the
+    * sample), with an exact surface where k-means cells would be
+    * hash-order-sensitive. One map-side bucket computation + one
+    * bucket-partitioned window (auto-rewritten to the bounded-heap
+    * TopKPerKey) — no global sort, no pairwise work.
+    */
+  def bucketBalancedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = (0 until 8).map(i =>
+      when(element_at(col("embedding"), i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    embeddings(s, d)
+      .select(col("vec_id"), bucket.as("bucket"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= BalanceCap)
+      .select(col("bucket"), col("vec_id"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_balanced_sample" -> { (s, d) => bucketBalancedSample(s, d) },
     "v6_matryoshka" -> { (s, d) => matryoshkaEval(s, d) },
     "v1_knn_brute" -> { (s, d) => knnBrute(s, d) },
     "v2_knn_lsh" -> { (s, d) => withRecall(s, d, knnLsh(s, d)) },
@@ -490,6 +517,23 @@ object Sim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "v7_balanced_sample" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) +
+        |    (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) +
+        |    (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) +
+        |    (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) +
+        |    (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings)
+        |SELECT bucket, vec_id, CAST(pos AS INT) AS pos FROM (
+        |  SELECT bucket, vec_id,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS pos
+        |  FROM b) t
+        |WHERE pos <= 16""".stripMargin,
     "v6_matryoshka" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm

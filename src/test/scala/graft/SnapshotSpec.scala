@@ -744,6 +744,37 @@ class SnapshotSpec extends SparkSuite {
     assert(!state.contains(4L) && state(5L) === "v5")
   }
 
+  test("write.binpack.max-small-files auto-compacts small-file debt") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snap_autobin")
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.BinpackMaxSmallFiles -> "3"))
+    // tiny commits accrete small files until the count bound trips; then
+    // the COMMITTING WRITER binpacks - latest mode flips to overwrite and
+    // the live set collapses to the single merged file
+    var v = 0L
+    var rounds = 0
+    while (Snapshots.modeOf(base,
+        { v = Snapshots.commit(spark,
+            Seq((rounds.toLong, rounds.toLong)).toDF("k", "s"), base); v })
+        .takeWhile(_ != ':') != "overwrite" && rounds < 10) rounds += 1
+    assert(rounds < 10, "auto binpack never triggered")
+    assert(Snapshots.liveFiles(base, v).size === 1)
+    // rows all survived the fold
+    assert(Snapshots.read(spark, base).count() === rounds + 1L)
+    // debt below the bound after the fold: the next commit does NOT
+    // immediately re-binpack
+    val v2 = Snapshots.commit(spark, Seq((100L, 100L)).toDF("k", "s"), base)
+    assert(Snapshots.modeOf(base, v2).takeWhile(_ != ':') === "append")
+    // malformed bound refuses loudly
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.BinpackMaxSmallFiles -> "soon"))
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq((200L, 200L)).toDF("k", "s"), base)
+    }
+  }
+
   test("keyFilters derives sound envelopes from a key frame") {
     val sess = spark
     import sess.implicits._
