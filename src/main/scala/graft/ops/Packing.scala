@@ -48,6 +48,44 @@ object Packing {
   val PackBlockDocs = 64L  // docs per pack1 prefix-sum block (≫ at scale)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix5_importance_resample" -> { (s, d) =>
+      // DSIR-style importance resampling (Xie et al. 2023's idea: select
+      // raw data whose n-gram distribution looks like a TARGET domain —
+      // here lang='en'), with an EXACT integer surface: the per-word
+      // likelihood ratio p_tgt(w)/p_raw(w) is compared by integer
+      // cross-multiplication (c_tgt·N_raw vs c_raw·N_tgt — no division,
+      // no log) and quantized to a ±2 weight; a doc's importance score
+      // is the weight sum over its token stream and the keep-list is
+      // score > 0. The quantization trades DSIR's real-valued log-ratio
+      // for cross-engine bit-exactness while keeping its monotone
+      // structure (commoner-in-target ⇒ higher weight).
+      //
+      // Scale shape: two vocab-sized count aggregates (target + raw),
+      // weights broadcast onto the one (doc, word) shuffle, one doc
+      // aggregate — t16's two-distribution shape.
+      val toks = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 3)
+      val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("c_raw"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("c_tgt"))
+      val totals = raw.agg(sum(col("c_raw")).as("n_raw"))
+        .crossJoin(tgt.agg(sum(col("c_tgt")).as("n_tgt")))
+      val a = col("c_tgt") * col("n_raw")
+      val b = col("c_raw") * col("n_tgt")
+      val weights = raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+        .crossJoin(broadcast(totals))
+        .select(col("w"),
+          when(a > b * 2, 2).when(a > b, 1).when(a === b, 0)
+            .when(a * 2 >= b, -1).otherwise(-2).as("wt"))
+      toks.join(broadcast(weights), "w")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+          (col("score") > 0).as("keep"))
+    },
     "pack2_length_batching" -> { (s, d) =>
       // Length-grouped (dynamic) batching — pack1's complement for
       // padding-based trainers: bucket similar-length sequences into
@@ -348,6 +386,30 @@ object Packing {
     // path lands as float64 while Spark emits int64 — CAST every window/
     // group sum back to BIGINT so both engines hash the same representation
     // (same representation-class issue as f16's decimal-as-string).
+    "mix5_importance_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 3),
+        |raw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_raw FROM toks GROUP BY w),
+        |tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS c_tgt
+        |        FROM toks WHERE lang = 'en' GROUP BY w),
+        |tot AS (SELECT (SELECT CAST(sum(c_raw) AS BIGINT) FROM raw) AS n_raw,
+        |               (SELECT CAST(sum(c_tgt) AS BIGINT) FROM tgt) AS n_tgt),
+        |weights AS (
+        |  SELECT raw.w,
+        |    CASE WHEN coalesce(c_tgt, 0) * n_raw > c_raw * n_tgt * 2 THEN 2
+        |         WHEN coalesce(c_tgt, 0) * n_raw > c_raw * n_tgt THEN 1
+        |         WHEN coalesce(c_tgt, 0) * n_raw = c_raw * n_tgt THEN 0
+        |         WHEN coalesce(c_tgt, 0) * n_raw * 2 >= c_raw * n_tgt THEN -1
+        |         ELSE -2 END AS wt
+        |  FROM raw LEFT JOIN tgt USING (w), tot)
+        |SELECT doc_id, lang, count(*) AS n_tokens,
+        |  CAST(sum(wt) AS BIGINT) AS score,
+        |  CAST(sum(wt) AS BIGINT) > 0 AS keep
+        |FROM toks JOIN weights USING (w)
+        |GROUP BY doc_id, lang""".stripMargin,
     "pack2_length_batching" ->
       """WITH docs AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS len,
