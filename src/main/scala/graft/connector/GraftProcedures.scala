@@ -239,13 +239,17 @@ private[connector] class GraftProcedures(resolve: String => String,
         in("keys", StringType).comment("comma-separated group columns").build(),
         in("value", StringType).comment("summed column").build(),
         in("with_minmax", BooleanType).defaultValue("false")
-          .comment("also maintain min_v/max_v (choose at CREATION; the view schema is fixed)").build()),
+          .comment("also maintain min_v/max_v (choose at CREATION; the view schema is fixed)").build(),
+        in("distinct_col", StringType).defaultValue("''")
+          .comment("also maintain an ndv_sketch (approx distinct) of this " +
+            "column; choose at CREATION and pass on every refresh").build()),
       out("view_version" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val viewDir = tableOrNew(str(r, 0))
         val keys = str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         Seq(graft.ingest.MatView.refresh(spark, viewDir, table(r, 1),
-          keys, str(r, 3), withMinMax = r.getBoolean(4)))
+          keys, str(r, 3), withMinMax = r.getBoolean(4),
+          distinctCol = Some(str(r, 5)).filter(_.nonEmpty).orNull))
       }
     }
   ).map(p => p.name() -> (p: UnboundProcedure)).toMap

@@ -49,15 +49,31 @@ object MatView {
     * version `upTo`, for staged/backfill refreshes); returns the new (or
     * current, when already fresh) view version.
     */
+  /** `distinctCol` (round 9) additionally maintains `ndv_sketch`, a
+    * per-group Datasketches HLL sketch of the column's distinct values —
+    * the approx-COUNT-DISTINCT materialized view. Sketches are
+    * union-mergeable, so APPENDS maintain them additively (delta sketch ∪
+    * stored sketch, register-wise — incremental state equals the
+    * from-scratch sketch exactly); removals cannot subtract from an HLL,
+    * so any group with removed rows recomputes its sketch from the source
+    * (the min/max recompute-touched-groups pattern, with "touched" =
+    * "had removals"). Small-cardinality groups sit in the sketch's exact
+    * (coupon) regime, where `hll_sketch_estimate` IS the exact distinct
+    * count. Like min/max, a creation-time property: the stored schema
+    * wins, and a sketch view must be refreshed with its distinctCol
+    * every time (the sketch cannot be maintained without knowing its
+    * source column).
+    */
   def refresh(spark: SparkSession, mvBase: String, srcBase: String,
               keyCols: Seq[String], valCol: String,
               upTo: Option[Long] = None,
-              withMinMax: Boolean = false): Long = {
+              withMinMax: Boolean = false,
+              distinctCol: String = null): Long = {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
     // The view's aggregate columns are fixed names; a key column reusing
     // one would collide in the view schema (and false-positive the
     // min/max schema probe below).
-    val reserved = Set("n_rows", "sum_v", "min_v", "max_v")
+    val reserved = Set("n_rows", "sum_v", "min_v", "max_v", "ndv_sketch")
     require(keyCols.forall(k => !reserved(k)),
       s"group columns may not use the reserved view column names ${reserved.mkString(", ")}")
     val srcV = upTo.getOrElse(Snapshots.versions(srcBase).max)
@@ -74,6 +90,17 @@ object MatView {
       if (withMinMax && !stored) throw new IllegalArgumentException(
         "view was built without min/max - existing state cannot be " +
           "retrofitted; delete the view tree and rebuild with withMinMax=true")
+      stored
+    }
+    val dn = if (mvVs.isEmpty) distinctCol != null else {
+      val stored = Snapshots.currentSchema(mvBase)
+        .exists(_.fieldNames.contains("ndv_sketch"))
+      if (distinctCol != null && !stored) throw new IllegalArgumentException(
+        "view was built without a distinct column - existing state cannot " +
+          "be retrofitted; delete the view tree and rebuild with distinctCol")
+      if (stored && distinctCol == null) throw new IllegalArgumentException(
+        "view maintains ndv_sketch - every refresh must pass distinctCol " +
+          "(the sketch cannot be maintained without its source column)")
       stored
     }
     // One newest→oldest walk over the view's commit modes decides both
@@ -149,15 +176,31 @@ object MatView {
     // order — use decimal or integral value columns where bit-exactness
     // against a full recompute matters; the registered query does.)
     // min/max ride as double (same schema-stability choice as sum_v).
-    def agg(df: DataFrame, n: String, s: String, mn: String = null, mx: String = null) = {
+    // hll_sketch_agg hashes int/long/string/binary only — other types
+    // (doubles here) sketch their canonical STRING form, which is
+    // injective per distinct value, so distinct counts are unchanged.
+    def sketchInput(df: DataFrame) = {
+      import org.apache.spark.sql.types._
+      df.schema(distinctCol).dataType match {
+        case IntegerType | LongType | StringType | BinaryType => col(distinctCol)
+        case ByteType | ShortType => col(distinctCol).cast("int")
+        case _ => col(distinctCol).cast("string")
+      }
+    }
+    def agg(df: DataFrame, n: String, s: String, mn: String = null, mx: String = null,
+            sk: String = null) = {
       val basics = Seq(count(lit(1)).as(n), sum(col(valCol)).cast("double").as(s))
       val extremes = if (mn == null) Nil else Seq(
         min(col(valCol)).cast("double").as(mn), max(col(valCol)).cast("double").as(mx))
-      df.groupBy(keyCols.map(col): _*).agg(basics.head, (basics.tail ++ extremes): _*)
+      val sketch = if (sk == null) Nil
+        else Seq(hll_sketch_agg(sketchInput(df)).as(sk))
+      df.groupBy(keyCols.map(col): _*)
+        .agg(basics.head, (basics.tail ++ extremes ++ sketch): _*)
     }
     def initAgg(df: DataFrame) =
-      if (mm) agg(df, "n_rows", "sum_v", "min_v", "max_v")
-      else agg(df, "n_rows", "sum_v")
+      agg(df, "n_rows", "sum_v",
+        if (mm) "min_v" else null, if (mm) "max_v" else null,
+        if (dn) "ndv_sketch" else null)
     if (mvVs.isEmpty)
       Snapshots.commit(spark, initAgg(added), mvBase,
         mode = s"append:$srcV", sortCols = keyCols)
@@ -173,16 +216,23 @@ object MatView {
       // removed-rows extremes (the at-risk test's evidence).
       val dAgg = removed match {
         case None =>
-          if (mm) agg(added, "n_rows", "sum_v", "mn_add", "mx_add")
-          else agg(added, "n_rows", "sum_v")
+          agg(added, "n_rows", "sum_v",
+            if (mm) "mn_add" else null, if (mm) "mx_add" else null,
+            if (dn) "sk_add" else null)
         case Some(rm) =>
-          val a = if (mm) agg(added, "n_add", "s_add", "mn_add", "mx_add")
-                  else agg(added, "n_add", "s_add")
+          val a = agg(added, "n_add", "s_add",
+            if (mm) "mn_add" else null, if (mm) "mx_add" else null,
+            if (dn) "sk_add" else null)
           val r = if (mm) agg(rm, "n_rem", "s_rem", "mn_rem", "mx_rem")
                   else agg(rm, "n_rem", "s_rem")
           val extra =
-            if (mm) Seq(col("mn_add"), col("mx_add"), col("mn_rem"), col("mx_rem"))
-            else Nil
+            (if (mm) Seq(col("mn_add"), col("mx_add"), col("mn_rem"), col("mx_rem"))
+             else Nil) ++
+            // has_rem marks the groups whose sketch must recompute (an
+            // HLL cannot subtract); computed here because only the
+            // full-outer join knows which groups the removals touched
+            (if (dn) Seq(col("sk_add"), col("n_rem").isNotNull.as("has_rem"))
+             else Nil)
           a.join(r, keyCols, "full_outer")
             .select(keyCols.map(col) ++ Seq(
               (coalesce(col("n_add"), lit(0L)) - coalesce(col("n_rem"), lit(0L))).as("n_rows"),
@@ -194,14 +244,29 @@ object MatView {
       val old = Snapshots.read(spark, mvBase)
         .withColumnRenamed("n_rows", "old_n").withColumnRenamed("sum_v", "old_s")
         .withColumnsRenamed(
-          if (mm) Map("min_v" -> "old_mn", "max_v" -> "old_mx")
-          else Map.empty[String, String])
+          (if (mm) Map("min_v" -> "old_mn", "max_v" -> "old_mx")
+           else Map.empty[String, String]) ++
+          (if (dn) Map("ndv_sketch" -> "old_sk") else Map.empty[String, String]))
       val joined = dAgg.join(old, keyCols, "left")
+      // Additive sketch leg: delta ∪ stored (register-wise union equals
+      // the from-scratch sketch). Groups with removals carry a risk mark
+      // and their sketches are REPLACED by a source recompute below.
+      val skCols: Seq[org.apache.spark.sql.Column] =
+        if (!dn) Nil
+        else Seq(
+          when(col("old_sk").isNull, col("sk_add"))
+            .when(col("sk_add").isNull, col("old_sk"))
+            .otherwise(hll_union(col("sk_add"), col("old_sk"))).as("ndv_sketch"),
+          (if (removed.isDefined) coalesce(col("has_rem"), lit(false))
+           else lit(false)).as("__dn_risk"))
       val nSum = Seq(
         (col("n_rows") + coalesce(col("old_n"), lit(0L))).as("n_rows"),
         (col("sum_v") + coalesce(col("old_s"), lit(0.0))).as("sum_v"))
+      // Names skCols OUTPUTS carry through the min/max branch's selects.
+      val dnCarry: Seq[org.apache.spark.sql.Column] =
+        if (dn) Seq(col("ndv_sketch"), col("__dn_risk")) else Nil
       val combined =
-        if (!mm) joined.select(keyCols.map(col) ++ nSum: _*)
+        if (!mm) joined.select(keyCols.map(col) ++ nSum ++ skCols: _*)
         else {
           val mnRem = if (removed.isDefined) col("mn_rem") else lit(null).cast("double")
           val mxRem = if (removed.isDefined) col("mx_rem") else lit(null).cast("double")
@@ -219,7 +284,7 @@ object MatView {
           val withRisk = joined.select(keyCols.map(col) ++ nSum ++ Seq(
             least(col("old_mn"), col("mn_add")).as("cand_mn"),
             greatest(col("old_mx"), col("mx_add")).as("cand_mx"),
-            risk.as("at_risk")): _*)
+            risk.as("at_risk")) ++ skCols: _*)
           // Recompute min/max ONLY for at-risk groups, from the source at
           // srcV. The risky key set is counted first: zero at-risk groups
           // (interior-only deletes — common) skips the source scan
@@ -231,7 +296,7 @@ object MatView {
           val nRisky = riskyKeys.count()
           if (nRisky == 0L)
             withRisk.select(keyCols.map(col) ++ Seq(col("n_rows"), col("sum_v"),
-              col("cand_mn").as("min_v"), col("cand_mx").as("max_v")): _*)
+              col("cand_mn").as("min_v"), col("cand_mx").as("max_v")) ++ dnCarry: _*)
           else {
             val BroadcastCap = 4000000L
             def sized(df: DataFrame) =
@@ -244,10 +309,39 @@ object MatView {
             withRisk.join(sized(recomputed), keyCols, "left")
               .select(keyCols.map(col) ++ Seq(col("n_rows"), col("sum_v"),
                 when(col("at_risk"), col("r_mn")).otherwise(col("cand_mn")).as("min_v"),
-                when(col("at_risk"), col("r_mx")).otherwise(col("cand_mx")).as("max_v")): _*)
+                when(col("at_risk"), col("r_mx")).otherwise(col("cand_mx")).as("max_v"))
+                ++ dnCarry: _*)
           }
         }
-      val out = Snapshots.merge(spark, mvBase, combined, keyCols, modeTag = srcV.toString)
+      // Distinct-sketch risk pass: groups whose rows were removed get
+      // their sketch REBUILT from the source at srcV (HLLs only merge
+      // forward). Zero risky groups — the append-only common case —
+      // skips the source scan entirely.
+      val finalCombined =
+        if (!dn) combined
+        else {
+          val risky = combined.filter(col("__dn_risk")).select(keyCols.map(col): _*)
+          val nRisky = risky.count()
+          val resolved =
+            if (nRisky == 0L) combined
+            else {
+              val BroadcastCap = 4000000L
+              def sized(df: DataFrame) =
+                if (nRisky <= BroadcastCap) broadcast(df) else df
+              val src = Snapshots.read(spark, srcBase, Some(srcV))
+              val rec = src
+                .join(sized(risky), keyCols, "left_semi")
+                .groupBy(keyCols.map(col): _*)
+                .agg(hll_sketch_agg(sketchInput(src)).as("r_sk"))
+              combined.join(sized(rec), keyCols, "left")
+                .withColumn("ndv_sketch",
+                  when(col("__dn_risk"), col("r_sk")).otherwise(col("ndv_sketch")))
+                .drop("r_sk")
+            }
+          resolved.drop("__dn_risk")
+        }
+      val out = Snapshots.merge(spark, mvBase, finalCombined, keyCols,
+        modeTag = srcV.toString)
       // Groups whose count hit zero no longer exist in a full recompute —
       // DV-delete their tombstones. The watermark already rode the merge
       // commit, so a crash between the two leaves only a visible

@@ -201,6 +201,12 @@ object RefParity {
         .select(col("l_orderkey"), col("n_rows"), col("sum_v"),
           col("min_v"), col("max_v"))
     },
+    "mv3_distinct_view" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      Snapshots.read(s, mv3Dir(s, d) + "/mv")
+        .select(col("l_orderkey"), col("n_rows"), col("sum_v"),
+          expr("hll_sketch_estimate(ndv_sketch)").as("ndv"))
+    },
     // 3-D box query against the z-ordered snapshot table: readWhere's
     // planning-time file pruning runs over the compacted Morton layout;
     // the oracle recomputes the box from raw events, so the layout
@@ -413,6 +419,7 @@ object RefParity {
     dvSnapshotDir(s, sfDir)
     mvDir(s, sfDir)
     mv2Dir(s, sfDir)
+    mv3Dir(s, sfDir)
     zorderDir(s, sfDir)
     mergeSnapshotDir(s, sfDir)
     eqSnapshotDir(s, sfDir)
@@ -612,6 +619,31 @@ object RefParity {
     * removes per-group minima, exercising the recompute-touched-groups
     * fallback at stage time. The tree is immutable afterwards.
     */
+  /** Staged distinct-sketch MV lifecycle for mv3: same append + DV-delete
+    * windows as mv2, with the HLL ndv_sketch column maintained — append
+    * windows union sketches, the delete window rebuilds touched groups'
+    * sketches from source. Per-order distinct-quantity counts sit deep in
+    * the sketch's exact (coupon) regime, so `hll_sketch_estimate` equals
+    * DuckDB's COUNT(DISTINCT) and the view gets a full hash oracle.
+    */
+  private def mv3Dir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_mv3", sfDir, "lineitem")) { tmp =>
+      import graft.ingest.{MatView, Snapshots}
+      val li = Tables.table(s, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      val src = tmp + "/src"
+      val mv = tmp + "/mv"
+      val v1 = Snapshots.commit(s,
+        li.filter(col("l_shipdate") < "1997-01-01"), src, sortCols = Seq("l_orderkey"))
+      MatView.refresh(s, mv, src, Seq("l_orderkey"), "l_quantity",
+        upTo = Some(v1), distinctCol = "l_quantity")
+      Snapshots.commit(s, li.filter(col("l_shipdate") >= "1997-01-01"), src)
+      Snapshots.deleteWhereDV(s, src, col("l_quantity") < 5)
+      MatView.refresh(s, mv, src, Seq("l_orderkey"), "l_quantity",
+        distinctCol = "l_quantity")
+      ()
+    }
+
   private def mv2Dir(s: SparkSession, sfDir: String): String =
     stagedTree(cacheBase("graft_mv2", sfDir, "lineitem")) { tmp =>
       import graft.ingest.{MatView, Snapshots}
@@ -767,6 +799,12 @@ object RefParity {
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
         |  CAST(min(l_quantity) AS DOUBLE) AS min_v,
         |  CAST(max(l_quantity) AS DOUBLE) AS max_v
+        |FROM lineitem WHERE NOT (l_quantity < 5)
+        |GROUP BY l_orderkey""".stripMargin,
+    "mv3_distinct_view" ->
+      """SELECT l_orderkey, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv
         |FROM lineitem WHERE NOT (l_quantity < 5)
         |GROUP BY l_orderkey""".stripMargin,
     "zo1_zorder_box" ->

@@ -223,4 +223,44 @@ class MatViewSpec extends SparkSuite {
       MatView.refresh(spark, plain, src, Seq("k"), "v", withMinMax = true)
     }
   }
+
+  test("distinct-sketch views: union under appends, rebuild-touched under deletes") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_dn")
+    val (src, mv, mvR) = (s"$root/src", s"$root/mv", s"$root/mvR")
+    def ndvState(v: String): Map[String, (Long, Long)] =
+      Snapshots.read(spark, v)
+        .select(col("k"), col("n_rows"), expr("hll_sketch_estimate(ndv_sketch)"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch 1: a has distinct values {1,2} (2 twice), b has {10}
+    Snapshots.commit(spark,
+      Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 10L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v", distinctCol = "v")
+    assert(ndvState(mv) === Map("a" -> (3L, 2L), "b" -> (1L, 1L)))
+    // append: a gains value 5 (union path), c is new
+    Snapshots.commit(spark, Seq(("a", 5L), ("c", 7L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v", distinctCol = "v")
+    assert(ndvState(mv) === Map("a" -> (4L, 3L), "b" -> (1L, 1L), "c" -> (1L, 1L)))
+    // delete BOTH rows of a's value 2: the union path could never shrink
+    // the sketch - the rebuild-touched pass must
+    Snapshots.deleteWhereDV(spark, src, col("k") === "a" && col("v") === 2L)
+    MatView.refresh(spark, mv, src, Seq("k"), "v", distinctCol = "v")
+    assert(ndvState(mv) === Map("a" -> (2L, 2L), "b" -> (1L, 1L), "c" -> (1L, 1L)))
+    // incremental state equals a from-scratch rebuild at the same version
+    MatView.refresh(spark, mvR, src, Seq("k"), "v", distinctCol = "v")
+    assert(ndvState(mv) === ndvState(mvR))
+    // guards: a sketch view must always receive its distinctCol; a plain
+    // view cannot be retrofitted
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq(("z", 1L)).toDF("k", "v"), src)
+      MatView.refresh(spark, mv, src, Seq("k"), "v")
+    }
+    val plain = s"$root/plain"
+    MatView.refresh(spark, plain, src, Seq("k"), "v")
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq(("y", 1L)).toDF("k", "v"), src)
+      MatView.refresh(spark, plain, src, Seq("k"), "v", distinctCol = "v")
+    }
+  }
 }
