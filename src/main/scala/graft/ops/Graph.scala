@@ -161,6 +161,32 @@ object Graph {
     } finally withDeg.unpersist(false)
   }
 
+  /** BFS min-hop distances from `source`, bounded at `maxHops` — the
+    * reachability/radius primitive (friend-of-friend expansion, blast-
+    * radius queries). Each round is ONE relaxation: current distances
+    * unioned with frontier-extended candidates, then a min-per-node
+    * aggregate — the same shape the unrolled-CTE oracle replays, so an
+    * iterative traversal gets an exact row/hash gate. All-integer state.
+    *
+    * Scale: per round, one edge⋈distance join (edge side cached and
+    * pre-partitioned by the caller via [[pageRank]]'s discipline — here
+    * distances are node-sized and rounds few, so the plain join wins) +
+    * one node-sized aggregate; localCheckpoint bounds lineage per round.
+    */
+  def bfsHops(s: SparkSession, edges: DataFrame, source: Long,
+              maxHops: Int): DataFrame = {
+    var dist = s.range(1).select(lit(source).as("id"), lit(0).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      dist = dist
+        .unionByName(edges.join(dist, col("src") === col("id"))
+          .select(col("dst").as("id"), (col("hops") + 1).as("hops")))
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** The customer↔supplier trade graph: an (undirected) edge per distinct
     * customer–supplier pair that ever traded, derived from orders ⋈
     * lineitem.
@@ -263,8 +289,14 @@ object Graph {
       // iteration 2 (suppliers would hoard mass; total would decay).
       pageRank(s, directedTradeEdges(s, d), handleDangling = true)
         .select(col("id"), round(col("rank"), 6).as("rank"))
+    },
+    "g4_bfs_hops" -> { (s, d) =>
+      bfsHops(s, tradeEdges(s, d), BfsSource, BfsMaxHops)
     }
   )
+
+  val BfsSource = 1L   // customer 1 exists at every sf
+  val BfsMaxHops = 4
 
   /** The same power iteration unrolled into chained CTEs — r1..rK each
     * computed from its predecessor exactly as the Spark loop does, with
@@ -311,7 +343,31 @@ object Graph {
       s"\nSELECT id, round(rank, 6) AS rank FROM r$iterations"
   }
 
+  /** BFS unrolled: each CTE is one min-relaxation round, exactly the
+    * Spark loop's union + min aggregate.
+    */
+  private def bfsOracle(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT id, CAST(min(hops) AS INT) AS hops FROM (
+         |    SELECT id, hops FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.hops + 1 AS hops
+         |    FROM edges e JOIN d${k - 1} d ON e.src = d.id)
+         |  GROUP BY id
+         |)""".stripMargin
+    }
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + $SupplierOffset AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |d0 AS (SELECT CAST($BfsSource AS BIGINT) AS id, CAST(0 AS INT) AS hops),
+       |${rounds.mkString(",\n")}
+       |SELECT id, hops FROM d$maxHops""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "g4_bfs_hops" -> bfsOracle(BfsMaxHops),
     "g1_pagerank" -> pageRankOracle(Iterations, Damping, directed = false),
     "g2_pagerank_directed" -> pageRankOracle(Iterations, Damping, directed = true),
     // The oracle orients by id (a<b<c); the Spark side orients by
