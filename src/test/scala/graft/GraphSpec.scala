@@ -123,4 +123,20 @@ class GraphSpec extends SparkSuite {
     assert(banded === brute)
     assert(banded.nonEmpty, "graph must be non-trivial at sf0.001")
   }
+
+  test("bfsHops: min-hop distances on a known graph, bounded depth") {
+    val sess = spark
+    import sess.implicits._
+    // path 1-2-3-4-5 with shortcut 1-4 (both directions)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val got = Graph.bfsHops(spark, edges, 1L, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the shortcut wins: 4 at hop 1, so 3 and 5 at hop 2; nothing deeper
+    assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // depth bound: maxHops = 1 must not see 3 or 5
+    val shallow = Graph.bfsHops(spark, edges, 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shallow === Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
 }
