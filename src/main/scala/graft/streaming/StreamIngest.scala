@@ -130,12 +130,14 @@ object StreamIngest {
   def commitStreamWithView(updates: DataFrame, srcBase: String, mvBase: String,
                            checkpoint: String, keyCols: Seq[String],
                            valCol: String,
-                           maxAgeMs: Long = 1000L): StreamingQuery =
+                           maxAgeMs: Long = 1000L,
+                           distinctCol: String = null): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(maxAgeMs))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitBatchWithView(batch, id, srcBase, mvBase, keyCols, valCol)
+        commitBatchWithView(batch, id, srcBase, mvBase, keyCols, valCol,
+          distinctCol)
       }
       .start()
 
@@ -144,7 +146,7 @@ object StreamIngest {
     */
   def commitBatchWithView(batch: DataFrame, batchId: Long, srcBase: String,
                           mvBase: String, keyCols: Seq[String],
-                          valCol: String): Unit = {
+                          valCol: String, distinctCol: String = null): Unit = {
     import graft.ingest.{MatView, Snapshots}
     val tag = s"append:b$batchId"
     // Re-delivery detection must survive interleaved foreign commits: if a
@@ -162,7 +164,8 @@ object StreamIngest {
     if (!delivered && !batch.isEmpty)
       Snapshots.commit(batch.sparkSession, batch, srcBase, mode = tag)
     if (Snapshots.versions(srcBase).nonEmpty)
-      MatView.refresh(batch.sparkSession, mvBase, srcBase, keyCols, valCol)
+      MatView.refresh(batch.sparkSession, mvBase, srcBase, keyCols, valCol,
+        distinctCol = distinctCol)
     ()
   }
 
