@@ -39,7 +39,12 @@ object Bench {
     "j15_runtime_prune",
     // round-8: equality deletes (no-scan upsert read path), the
     // change-data-feed replay, and BPE tokenizer training
-    "eq1_upsert_noscan", "cdc1_change_feed", "vocab2_bpe_merges")
+    "eq1_upsert_noscan", "cdc1_change_feed", "vocab2_bpe_merges",
+    // round-9: the heaviest new members get min-of-N timing — real-codec
+    // frame sampling, BFS reachability, corpus-scale BPE encode — plus
+    // the distinct-sketch MV read as the table-format representative
+    "m2_frame_sample", "g4_bfs_hops", "vocab3_bpe_encode",
+    "mv3_distinct_view")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -175,11 +175,15 @@ object Graph {
     */
   def bfsHops(s: SparkSession, edges: DataFrame, source: Long,
               maxHops: Int): DataFrame = {
+    // Materialize the edge list ONCE: each round's relaxation references
+    // it, and without this every per-round checkpoint job would re-derive
+    // the (possibly join-heavy) edge expression maxHops times.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var dist = s.range(1).select(lit(source).as("id"), lit(0).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to maxHops) {
       dist = dist
-        .unionByName(edges.join(dist, col("src") === col("id"))
+        .unionByName(e.join(dist, col("src") === col("id"))
           .select(col("dst").as("id"), (col("hops") + 1).as("hops")))
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(true)
