@@ -301,24 +301,44 @@ object Multimodal {
       .map(id => AudioRecord(id, buildWav(id), "audio/wav", SampleRate, samplesOf(id)))
   }
 
+  /** The media tables staged as PARQUET fixtures once per (sf,
+    * documents-fingerprint) — so the registered queries read a REAL
+    * stored `binary` column (the production shape: media lands in the
+    * lake once; every pipeline pass decodes from storage), and their
+    * timings measure demux + codec decode, not fixture synthesis.
+    */
+  def mediaDir(s: SparkSession, d: String): String = {
+    import graft.query.RefParity.{cacheBase, stagedTree}
+    stagedTree(cacheBase("graft_media", d, "documents")) { tmp =>
+      mediaTable(s, d).write.parquet(tmp + "/video")
+      imageTable(s, d).write.parquet(tmp + "/image")
+      audioTable(s, d).write.parquet(tmp + "/audio")
+    }
+  }
+
+  private def staged[T: org.apache.spark.sql.Encoder](
+      s: SparkSession, d: String, leaf: String): Dataset[T] =
+    s.read.parquet(mediaDir(s, d) + "/" + leaf).as[T]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> { (s, d) =>
       import s.implicits._
-      imageTable(s, d)
+      staged[MediaRecord](s, d, "image")
         .mapPartitions(_.grouped(BatchSize).flatMap(g => decodeBatch(g.toSeq)))
         .toDF()
     },
     "m2_frame_sample" -> { (s, d) =>
       import s.implicits._
-      mediaTable(s, d).flatMap(sampleFrames _).toDF()
+      staged[MediaRecord](s, d, "video").flatMap(sampleFrames _).toDF()
     },
     "m3_thumbnail" -> { (s, d) =>
       import s.implicits._
-      imageTable(s, d).map(thumbnail _).toDF()
+      staged[MediaRecord](s, d, "image").map(thumbnail _).toDF()
     },
     "m4_audio_features" -> { (s, d) =>
       import s.implicits._
-      audioTable(s, d).map(r => audioFeatures(r.doc_id, r.payload)).toDF()
+      staged[AudioRecord](s, d, "audio")
+        .map(r => audioFeatures(r.doc_id, r.payload)).toDF()
     }
   )
 

@@ -430,6 +430,7 @@ object RefParity {
     catalogMergeFor(s, sfDir)
     avroOcfDir(s, sfDir)
     clusteredEventsDir(s, sfDir)
+    graft.ops.Multimodal.mediaDir(s, sfDir)
     ()
   }
 
@@ -533,7 +534,7 @@ object RefParity {
     * Shared by every staged fixture below so the race/cleanup protocol
     * is single-sourced.
     */
-  private def stagedTree(base: String)(build: String => Unit): String = {
+  private[graft] def stagedTree(base: String)(build: String => Unit): String = {
     if (!new java.io.File(base, "_STAGED").exists()) {
       val tmp = base + ".tmp-" + java.lang.ProcessHandle.current().pid()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
@@ -544,7 +545,7 @@ object RefParity {
     base
   }
 
-  private def cacheBase(root: String, sfDir: String, table: String): String = {
+  private[graft] def cacheBase(root: String, sfDir: String, table: String): String = {
     val fp = java.lang.Long.toHexString(
       fingerprint(new java.io.File(sfDir, s"$table.parquet")))
     s"/tmp/$root/$LayoutVersion/" + sfKey(sfDir) + s"_$fp"
