@@ -313,6 +313,45 @@ class EqDeleteSpec extends SparkSuite {
     }
   }
 
+  test("auto maintenance interplay: eq-fold + binpack stay exact under a mixed op stream") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_eq_automix")
+    seed(base, 10)
+    graft.connector.TableProps.write(base, Map(
+      graft.connector.TableProps.EqDeleteMaxBatches -> "2",
+      graft.connector.TableProps.BinpackMaxSmallFiles -> "8"))
+    val model = scala.collection.mutable.Map((1L to 10L).map(i => i -> i * 10L): _*)
+    // deterministic 18-op mix: appends, keyed upserts, keyed deletes
+    for (i <- 1 to 18) {
+      i % 3 match {
+        case 0 => // append a fresh key
+          val k = 100L + i
+          Snapshots.commit(spark, Seq((k, k)).toDF("k", "v"), base)
+          model(k) = k
+        case 1 => // upsert an existing + a fresh key
+          val (k1, k2) = ((i % 10) + 1L, 200L + i)
+          Snapshots.upsertByKeys(spark, base,
+            Seq((k1, i * 1000L), (k2, k2)).toDF("k", "v"), Seq("k"))
+          model(k1) = i * 1000L; model(k2) = k2
+        case _ => // delete a key (may or may not exist)
+          val k = (i % 12) + 1L
+          Snapshots.deleteByKeys(spark, base, Seq(k).toDF("k"))
+          model.remove(k)
+      }
+      assert(kv(Snapshots.read(spark, base)) === model.toMap, s"diverged after op $i")
+    }
+    // both debts bounded by their properties at the end of the stream
+    val m = Snapshots.versions(base).max
+    val eqBatches = Snapshots.history(spark, base)
+      .orderBy(col("version").desc).select("n_eqs").head().getLong(0)
+    assert(eqBatches <= 2L * 4, // <= max-batches worth of sidecar FILES (4 shuffle parts)
+      s"eq debt unbounded: $eqBatches sidecar files at v$m")
+    assert(Snapshots.liveFiles(base, m).size <= 8 + 4,
+      s"small-file debt unbounded: ${Snapshots.liveFiles(base, m).size} files")
+  }
+
   test("changeFeed refuses rollback/fastforward commits instead of diverging") {
     val sess = spark
     import sess.implicits._
