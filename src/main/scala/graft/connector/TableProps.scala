@@ -55,6 +55,23 @@ object TableProps {
   val BinpackMaxSmallFiles = "write.binpack.max-small-files"
   val BinpackSmallBytes = "write.binpack.small-bytes"
 
+  /** `write.check.<name>` = SQL predicate: every NEW-data write
+    * (append/overwrite commits, upsert/merge/replication insert legs)
+    * refuses when any written row makes the predicate FALSE (SQL CHECK
+    * semantics — NULL passes). Delta's CHECK-constraint shape. Setting a
+    * constraint does NOT validate existing rows (document or recommit);
+    * maintenance rewrites (compact) deliberately do not re-check, so a
+    * later-added constraint can never brick compaction of older data.
+    */
+  val CheckPrefix = "write.check."
+
+  /** The (name, predicate) CHECK constraints of `base`. */
+  def checks(base: String): Seq[(String, String)] =
+    read(base).toSeq.collect {
+      case (k, v) if k.startsWith(CheckPrefix) && v.trim.nonEmpty =>
+        k.stripPrefix(CheckPrefix) -> v
+    }.sortBy(_._1)
+
   private def propsFile(base: String) = new Path(base, "_table_props")
 
   private def fsFor(base: String) = {

@@ -253,6 +253,34 @@ object Snapshots {
         .foldLeft(0L)(_ max _)
     }
 
+  /** Enforce the table's `write.check.*` CHECK constraints
+    * ([[graft.connector.TableProps.CheckPrefix]]) on NEW data: a write
+    * refuses when any row makes a predicate FALSE (SQL CHECK semantics —
+    * NULL passes). Called by every new-data path (commit, upsert/merge/
+    * replication insert legs, SQL DML's produced rows); maintenance
+    * rewrites (compact) deliberately skip it so a later-added constraint
+    * can never brick compaction of pre-constraint data. Cost: one
+    * count-limited probe per constraint per write, zero when no
+    * constraint is set.
+    */
+  private def enforceChecks(base: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    for ((name, pred) <- graft.connector.TableProps.checks(base)) {
+      val violating =
+        try df.filter(coalesce(expr(pred), lit(true)) === lit(false))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint '$name' ($pred) cannot be evaluated " +
+              s"against the written schema: ${e.getMessage}")
+        }
+      val sample = violating.limit(3).collect()
+      if (sample.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' violated by the write: rows where " +
+            s"NOT ($pred), e.g. ${sample.mkString("; ")}")
+    }
+  }
+
   /** Write `df`'s files under a fresh uncommitted batch dir. */
   private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String]): Seq[String] = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
@@ -724,6 +752,7 @@ object Snapshots {
       if (tracked) withFieldIds(df, parentSchema,
         keepParentFields = base0 == "append", parentLastId = parentLast)
       else (df, null, 0L)
+    enforceChecks(base, df)
     val newFiles = writeBatch(toWrite, base, sortCols)
     val committed = publish(base, newFiles, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {
@@ -1160,6 +1189,7 @@ object Snapshots {
         source.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
       case None => source
     }
+    enforceChecks(base, src)
     val srcKeys = src.select(keyCols.map(col): _*)
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
     val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
@@ -1398,6 +1428,7 @@ object Snapshots {
           (keyFiles, rs)
         }
     }
+    ins.foreach(enforceChecks(base, _))
     val newFiles = ins.map(writeBatch(_, base, Nil)).getOrElse(Nil)
     if (newFiles.isEmpty && newEqs.isEmpty && modeTag.isEmpty) return v0
     maybeConvertEq(spark, base, publish(base, newFiles, Nil,
@@ -1468,6 +1499,7 @@ object Snapshots {
     // left_semi join — the merge cost tracks the SOURCE size, not the
     // table size. Safe because this scan only feeds the matched
     // (equi-join) leg; the insert leg below never reads the target.
+    enforceChecks(base, src)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
     val matchedScan = FileStats.keyFilters(srcKeys, maxInKeys) match {
@@ -1589,6 +1621,7 @@ object Snapshots {
         case None => ins
       }
     }
+    aligned.foreach(enforceChecks(base, _))
     val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
     deleteCoords
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))

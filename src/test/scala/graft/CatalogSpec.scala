@@ -272,6 +272,14 @@ class CatalogSpec extends SparkSuite {
     rows(s"CALL $cat.system.compact(table => 'proc.t', num_files => 1, " +
       "where => 'id < 10')")
     assert(rows(s"SELECT count(*) FROM $cat.proc.t").head.head === nBefore)
+    // CHECK constraint declared from SQL gates INSERTs through the catalog
+    spark.sql(s"ALTER TABLE $cat.proc.t SET TBLPROPERTIES" +
+      "('write.check.nonneg' = 'id >= 0')")
+    spark.sql(s"INSERT INTO $cat.proc.t VALUES (12345)")
+    val eChk = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.proc.t VALUES (-1)")
+    }
+    assert(eChk.getMessage.contains("nonneg"))
     // zero-copy adoption of a foreign parquet directory from SQL
     val foreign = tmpDir("graft_call_adopt")
     spark.range(40).toDF("id").write.mode("overwrite").parquet(foreign)

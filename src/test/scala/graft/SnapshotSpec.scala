@@ -775,6 +775,48 @@ class SnapshotSpec extends SparkSuite {
     }
   }
 
+  test("write.check.* constraints gate every new-data path, NULLs pass") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_snap_check")
+    Snapshots.commit(spark, Seq((1L, 10L)).toDF("k", "v"), base)
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.CheckPrefix + "v_positive" -> "v > 0"))
+    // valid append passes; violating append refuses and commits NOTHING
+    Snapshots.commit(spark, Seq((2L, 20L)).toDF("k", "v"), base)
+    val vBefore = Snapshots.versions(base).max
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq((3L, -1L)).toDF("k", "v"), base)
+    }
+    assert(e.getMessage.contains("v_positive"))
+    assert(Snapshots.versions(base).max === vBefore)
+    // SQL CHECK semantics: a NULL predicate outcome PASSES
+    Snapshots.commit(spark,
+      Seq((4L, null.asInstanceOf[java.lang.Long])).toDF("k", "v"), base)
+    // upsert and merge insert legs are gated too
+    intercept[IllegalArgumentException] {
+      Snapshots.upsertByKeys(spark, base, Seq((1L, -5L)).toDF("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, base, Seq((1L, -5L)).toDF("k", "v"), Seq("k"))
+    }
+    // deletes (no new data) remain unaffected
+    Snapshots.deleteByKeys(spark, base, Seq(2L).toDF("k"))
+    assert(kvState(base) === Map(1L -> Some(10L), 4L -> None))
+    // an unevaluable predicate names itself instead of a planner stack
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.CheckPrefix + "bad" -> "no_such_col > 0"))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq((5L, 50L)).toDF("k", "v"), base)
+    }
+    assert(e2.getMessage.contains("bad"))
+  }
+
+  private def kvState(base: String): Map[Long, Option[Long]] =
+    Snapshots.read(spark, base).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
   test("keyFilters derives sound envelopes from a key frame") {
     val sess = spark
     import sess.implicits._
