@@ -193,6 +193,9 @@ object Graph {
       dist = dist
         .unionByName(e.join(dist, col("src") === col("id"))
           .select(col("dst").as("id"), (col("hops") + 1).as("hops")))
+        // same width discipline as pageRank: node-sized rounds want few
+        // full tasks, not 32 slivers
+        .repartition(8, col("id"))
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(true)
     }
