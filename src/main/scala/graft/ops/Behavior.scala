@@ -35,6 +35,39 @@ object Behavior {
         sum(s2.cast("long")).as("reached_click"),
         sum(s3.cast("long")).as("converted"))
     },
+    "e4_market_basket" -> { (s, d) =>
+      // Item co-occurrence (market-basket / item2item): pairs of distinct
+      // items the same user clicked, counted across users — the
+      // co-engagement signal behind "users who X also Y". Items come from
+      // the event payload (props.k), so this also exercises JSON
+      // extraction in an analytic join.
+      //
+      // Scale shape: reduce to the DISTINCT (user, item) grain first (one
+      // shuffle absorbs event volume), then pair WITHIN user. Per-user
+      // pair fan-out is quadratic in that user's distinct items, so a
+      // heavy-user cap (> 64 distinct items drops the user, loudly
+      // countable via the support floor's complement) bounds the
+      // explosion the same way d2 caps hot shingles — exact and
+      // engine-replayable, unlike sampling. Support floor 5 keeps the
+      // result head-sized; deterministic (count DESC, pair) top-20.
+      val items = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      val eligible = items
+        .withColumn("n_items", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+        .filter(col("n_items") <= 64)
+      eligible.alias("a").join(eligible.alias("b"),
+          col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .filter(col("n_users") >= 5)
+        .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    },
     "e3_attribution" -> { (s, d) =>
       // Last-touch conversion attribution: a purchase attributes to the
       // user's clicks within the preceding 24 h (the conversion-window
@@ -102,6 +135,25 @@ object Behavior {
         |                 AND t_click > t_view AND t_purchase IS NOT NULL
         |                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS converted
         |FROM per_user""".stripMargin,
+    "e4_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract(props, '$.k') AS INT) AS item
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND json_extract(props, '$.k') IS NOT NULL),
+        |eligible AS (
+        |  SELECT user_id, item,
+        |    count(*) OVER (PARTITION BY user_id) AS n_items
+        |  FROM items),
+        |capped AS (SELECT user_id, item FROM eligible WHERE n_items <= 64)
+        |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+        |FROM capped a JOIN capped b
+        |  ON a.user_id = b.user_id AND a.item < b.item
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5
+        |ORDER BY n_users DESC, item_a, item_b
+        |LIMIT 20""".stripMargin,
     "e3_attribution" ->
       """WITH p AS (
         |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pts,
