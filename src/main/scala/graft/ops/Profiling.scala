@@ -109,6 +109,23 @@ object Profiling {
               abs(lit(0.6745) * (col("x") - col("med")) / col("mad")) > lit(3.5), 1L)
             .otherwise(0L)).as("n_outliers"))
     },
+    "dq2_k_anonymity" -> { (s, d) =>
+      // k-anonymity audit (privacy governance): group rows by their
+      // quasi-identifier tuple (nation, market segment — the columns an
+      // attacker could link on); equivalence classes smaller than k are
+      // re-identification risks. Emits the per-k risk profile a privacy
+      // review actually reads: class count, risky classes, and rows at
+      // risk, for k in {2, 5, 10}. One groupBy over the table, then
+      // class-sized arithmetic — the k sweep costs nothing extra.
+      val classes = Tables.table(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      classes.select(explode(array(lit(2), lit(5), lit(10))).as("k"), col("n"))
+        .groupBy(col("k")).agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("risky_classes"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L)).as("rows_at_risk"))
+    },
     "dq1_expectations" -> { (s, d) =>
       // Expectation suite: each row is (check, violations). Single-table
       // checks fold into one conditional-aggregate pass over lineitem; the
@@ -144,6 +161,15 @@ object Profiling {
 
   val oracleSql: Map[String, String] = Map(
     "prof1_column_stats" -> profOracle,
+    "dq2_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT k.k, count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n < k.k THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+        |  CAST(sum(CASE WHEN n < k.k THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM classes, (SELECT unnest([2, 5, 10]) AS k) k
+        |GROUP BY k.k""".stripMargin,
     "hist1_price_histogram" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM v)
