@@ -563,6 +563,24 @@ class ConnectorSpec extends SparkSuite {
     // commit), and the first batch's data files were never rewritten
     val modes = Snapshots.versions(base).map(v => Snapshots.modeOf(base, v))
     assert(modes.exists(_.startsWith("merge-eq:")))
+    // auto-maintenance composes with the sink: with the fold bound set,
+    // continued eq-upsert batches leave at most bound-many outstanding
+    // batches (the writer folds them into one DV) and state stays exact
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.EqDeleteMaxBatches -> "1"))
+    push((1L, 11L), (4L, 40L))
+    push((4L, 444L), (5L, 50L))
+    val got2 = spark.read.format("graft").load(base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(1L -> 11L, 2L -> 222L, 3L -> 30L, 4L -> 444L, 5L -> 50L))
+    // the sink's batch that pushed outstanding eq debt past the bound
+    // folded it (an eq-convert commit appears), and the head never holds
+    // more than one outstanding batch's worth of sidecar files
+    val modes2 = Snapshots.versions(base).map(v => Snapshots.modeOf(base, v))
+    assert(modes2.contains("eq-convert"), modes2.mkString(","))
+    assert(Snapshots.history(spark, base)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .select("n_eqs").head().getLong(0) <= 4L) // <= one batch (4 shuffle parts)
   }
 
   test("batch change feed: readChangeFeed replays inserts and deletes with windows") {
