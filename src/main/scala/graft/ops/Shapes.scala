@@ -86,6 +86,18 @@ object Shapes {
             col("p_retailprice").as("p_retailprice")),
           "metric", "value")
     },
+    "s5_exact_sample" -> { (s, d) =>
+      // EXACT-size deterministic sample (the reservoir-sampling use case,
+      // RNG-free): order docs by content hash, keep the first 100 - the
+      // same 100 on every engine, every run, any partitioning. Plans as
+      // TakeOrderedAndProject (bounded per-partition heaps + one k-sized
+      // merge), never a global sort - the only shape exact-n sampling
+      // survives at corpus scale.
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(100)
+    },
     "s2_hash_sample" -> { (s, d) =>
       // Deterministic content-hash sampling (~1/8 of docs): the reproducible
       // sampling primitive for pipeline experiments — same rows on every
@@ -180,6 +192,9 @@ object Shapes {
     "s2_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(text), 1, 1) IN ('0', '1')""".stripMargin,
+    "s5_exact_sample" ->
+      """SELECT doc_id, lang, md5(text) AS h FROM documents
+        |ORDER BY h, doc_id LIMIT 100""".stripMargin,
     "j12_nullsafe_join" ->
       """SELECT coalesce(b.seg_b, '<null>') AS segment, count(*) AS n
         |FROM (SELECT nullif(c_mktsegment, 'BUILDING') AS seg_n, c_custkey FROM customer) a
