@@ -119,6 +119,33 @@ object Stats {
           approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
           countDistinct(col("o_custkey")).as("exact_custs"))
     },
+    "a13_sketch_gate" -> { (s, d) =>
+      // The Apache DataSketches HLL function family (hll_sketch_agg /
+      // hll_union_agg / hll_sketch_estimate — Spark 3.5+'s MERGEABLE
+      // cardinality surface, the same machinery the NDV sidecars and the
+      // distinct-MV use): per-priority sketches BUILT in one pass, then
+      // UNIONED into a global estimate — proving estimate(union(parts))
+      // stays inside the error envelope, the re-aggregation property
+      // plain approx_count_distinct (a3) cannot offer. Gate shape (the
+      // a3b pattern): exact distinct counts beside 5%-envelope booleans
+      // (lgK=12 → rse ≈ 1.6%, so 5% is a ≥3σ margin) — all engine-
+      // independent.
+      val o = Tables.table(s, d, "orders")
+      val perGroup = o.groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          countDistinct(col("o_custkey")).as("exact_custs"))
+      perGroup
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("union_est"),
+          sum(when(
+            abs(hll_sketch_estimate(col("sk")) - col("exact_custs")).cast("double") /
+              col("exact_custs") <= 0.05, 1L).otherwise(0L)).as("groups_within"),
+          count(lit(1)).as("n_groups"))
+        .crossJoin(broadcast(o.agg(countDistinct(col("o_custkey")).as("global_exact"))))
+        .select(col("n_groups"), col("global_exact"),
+          (col("groups_within") === col("n_groups")).as("groups_ok"),
+          (abs(col("union_est") - col("global_exact")).cast("double") /
+            col("global_exact") <= 0.05).as("union_ok"))
+    },
     "a3b_hll_gate" -> { (s, d) =>
       // Oracle-checkable gate for a3: the sketch estimate itself is
       // engine-specific, but "within 5% of exact" is a deterministic
@@ -265,6 +292,11 @@ object Stats {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
         |  true AS hll_ok
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a13_sketch_gate" ->
+      """SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS global_exact,
+        |  true AS groups_ok, true AS union_ok
+        |FROM orders""".stripMargin,
     "a7b_quantile_gate" ->
       """SELECT l_returnflag,
         |  CAST(count(*) AS BIGINT) AS n_rows,
