@@ -135,6 +135,34 @@ object Relational {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("prev_event_id"))
     },
+    "j16_interval_overlap" -> { (s, d) =>
+      // Interval-OVERLAP join (both sides are intervals - the temporal/
+      // genomic overlap semantics, distinct from j7's point-in-range):
+      // line items of the same order whose [shipdate, receiptdate]
+      // transit windows overlap, i.e. shipments in flight concurrently.
+      // Equi prefix (orderkey) makes it a hash join with the interval
+      // algebra as residual; pair fan-out is bounded by per-order line
+      // count (<= 7), the group-bounded all-pairs discipline of j5/j14.
+      // testdata carries no receipt date; derive a deterministic transit
+      // window [ship, ship + 1 + qty%20 days] (same formula in the oracle)
+      val li = Tables.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship"),
+          date_add(to_date(col("l_shipdate")),
+            lit(1) + col("l_quantity").cast("int") % 20).as("receipt"))
+      val pairs = li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.ship") <= col("b.receipt") &&
+          col("b.ship") <= col("a.receipt"))
+        .groupBy(col("a.l_orderkey").as("l_orderkey"))
+        .agg(count(lit(1)).as("n_overlapping"))
+      li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") >= 2)
+        .join(pairs, Seq("l_orderkey"), "left")
+        .select(col("l_orderkey"), col("n_items"),
+          coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"))
+    },
     "j7_range_join" -> { (s, d) =>
       // Range join with an equi prefix (user_id) — hash join on the key,
       // time-range as residual; pair count bounded by per-user density.
@@ -776,6 +804,26 @@ object Relational {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_event_id
         |  FROM events) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "j16_interval_overlap" ->
+      """WITH pairs AS (
+        |  SELECT a.l_orderkey, CAST(count(*) AS BIGINT) AS n_overlapping
+        |  FROM (SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship,
+        |          CAST(l_shipdate AS DATE) + to_days(1 + CAST(l_quantity AS INT) % 20) AS receipt
+        |        FROM lineitem) a
+        |  JOIN (SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship,
+        |          CAST(l_shipdate AS DATE) + to_days(1 + CAST(l_quantity AS INT) % 20) AS receipt
+        |        FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_linenumber < b.l_linenumber
+        |   AND a.ship <= b.receipt
+        |   AND b.ship <= a.receipt
+        |  GROUP BY a.l_orderkey),
+        |items AS (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |  GROUP BY l_orderkey HAVING count(*) >= 2)
+        |SELECT i.l_orderkey, i.n_items,
+        |  coalesce(p.n_overlapping, 0) AS n_overlapping
+        |FROM items i LEFT JOIN pairs p USING (l_orderkey)""".stripMargin,
     "j7_range_join" ->
       """SELECT a.user_id AS user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
