@@ -99,6 +99,29 @@ class MultimodalSpec extends SparkSuite {
     intercept[Exception] { Multimodal.decodeImage(Multimodal.demux(bogus.toByteArray).head) }
   }
 
+  test("box thumbnail: exact fiber means across the full size sweep") {
+    // every (w, h) geometry the synthesis can produce (8..24 x 8..20):
+    // thumbnail sums must equal an independent fiber recompute
+    for (w <- 8 to 24; h <- 8 to 20 by 3) {
+      val pixels = Array.tabulate(h, w) { (y, x) =>
+        val v = (x * 7 + y * 13) & 0xff; (v << 16) | (v << 8) | v
+      }
+      val (thumb, tr, _, _) = Multimodal.boxThumbnail(Multimodal.decodeImage(png(pixels)))
+      val maxDim = math.max(w, h)
+      val (newW, newH) = (w * 8 / maxDim, h * 8 / maxDim)
+      assert(thumb.getWidth == newW && thumb.getHeight == newH, s"geometry $w x $h")
+      val sums = Array.fill(newW * newH)(0L)
+      val cnts = Array.fill(newW * newH)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = (y * newH / h) * newW + (x * newW / w)
+        sums(c) += (x * 7 + y * 13) & 0xff; cnts(c) += 1
+      }
+      assert(cnts.forall(_ > 0), s"empty fiber at $w x $h")
+      val expect = sums.indices.map(i => sums(i) / cnts(i)).sum
+      assert(tr == expect, s"sum mismatch at $w x $h")
+    }
+  }
+
   test("WAV decode recovers every 16-bit sample (incl. -32768 endpoint)") {
     val docId = 0L // sample 0 is -32768, the asymmetric short endpoint
     val feats = Multimodal.audioFeatures(docId, Multimodal.buildWav(docId))
