@@ -60,6 +60,23 @@ object TimeWindows {
           last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
           col("day_value").isNull.as("gap"))
     },
+    "ts6_ohlc_bars" -> { (s, d) =>
+      // OHLC bar resampling (the finance/telemetry downsample): per
+      // (user, day), the first/last values by event time plus the high/
+      // low and tick count. open/close via min_by/max_by on a composite
+      // (ts, event_id) key scaled into one BIGINT — deterministic under
+      // same-microsecond ties, and exactly the expression the oracle's
+      // arg_min/arg_max replays. One shuffle on (user, day); values are
+      // picked, never arithmetically combined, so doubles stay exact.
+      val keyBase = 1704067200000000L // 2024-01-01T00:00:00Z, epoch micros
+      val key = (col("ts_us") - keyBase) * 100000L + col("event_id")
+      Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts_t")).as("day"))
+        .agg(min_by(col("value"), key).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), key).as("close"),
+          count(lit(1)).as("n_ticks"))
+    },
     "ts5_ewma" -> { (s, d) =>
       // Exponentially weighted moving average per user (α = 0.5, seeded
       // with the first observation) — the classic sequential recurrence
@@ -93,6 +110,13 @@ object TimeWindows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts6_ohlc_bars" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  arg_min(value, (epoch_us(ts) - 1704067200000000) * 100000 + event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, (epoch_us(ts) - 1704067200000000) * 100000 + event_id) AS close,
+        |  count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // ts5: the same recurrence as a recursive CTE stepping row_number
     // r → r+1 per user — identical IEEE ops (0.5·x + 0.5·y) in the same
     // order, so values match exactly.
