@@ -176,6 +176,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         import s.implicits._
         Snapshots.branches(base).toSeq.sorted.toDF("branch", "head_version")
       })
+      // the persisted table properties (write.cluster-by, write.check.*,
+      // maintenance bounds) as rows — the introspection a reviewer of a
+      // constrained/auto-maintained table reads first
+      case "properties" => Some(() => {
+        val s = spark
+        import s.implicits._
+        TableProps.read(base).toSeq.sorted.toDF("key", "value")
+      })
       // The full change feed as SQL (`SELECT * FROM cat.ns.t.changes`):
       // every commit replayed with _change_type/_commit_version/
       // _commit_ts. Cost ∝ changed data, not versions × table size;

@@ -158,6 +158,10 @@ class CatalogSpec extends SparkSuite {
     assert(stats.count() >= 2)
     assert(rows(s"SELECT tag, version FROM $cat.meta.t.tags").head.head === "release")
     assert(rows(s"SELECT branch FROM $cat.meta.t.branches").head === Seq("wip"))
+    // persisted table properties surface as rows
+    spark.sql(s"ALTER TABLE $cat.meta.t SET TBLPROPERTIES('write.check.pos' = 'id >= 0')")
+    assert(rows(s"SELECT value FROM $cat.meta.t.properties WHERE key = 'write.check.pos'")
+      .head === Seq("id >= 0"))
     // a table named like a metadata suffix still loads as a real table
     spark.sql(s"CREATE TABLE $cat.meta.history AS SELECT id FROM range(7)")
     assert(rows(s"SELECT count(*) FROM $cat.meta.history").head === Seq(7L))
