@@ -263,6 +263,20 @@ object Stats {
         .groupBy(col("l_returnflag"))
         .agg(round(geomean(col("l_extendedprice")), 2).as("geomean_price"))
     },
+    "u4_sql_udf" -> { (s, d) =>
+      // Declarative SQL UDF (Spark 4's CREATE FUNCTION ... RETURN expr):
+      // unlike u2's black-box Scala UDF, the body INLINES into the plan —
+      // Catalyst sees the expression, so codegen, pushdown and constant
+      // folding all still apply. The right user-extension tier for
+      // anything expressible as SQL; u2's JVM closure remains only for
+      // logic SQL can't state.
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(" +
+        "p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - d)")
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("u4_lineitem")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+              |  round(sum(graft_disc_price(l_extendedprice, l_discount)), 2) AS revenue
+              |FROM u4_lineitem GROUP BY l_returnflag""".stripMargin)
+    },
     "u2_scalar_udf" -> { (s, d) =>
       // Scalar UDF surface. Deliberately trivial: UDFs are an escape hatch
       // (opaque to Catalyst — no pushdown through them, no codegen), so
@@ -280,6 +294,10 @@ object Stats {
     // a3b/a7b: the sketch VALUES are engine-specific (hence a3/a7 stay
     // rows-only), but the error-envelope booleans are deterministic — the
     // oracle predicts them alongside exact, engine-independent columns.
+    "u4_sql_udf" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a12_cms_gate" ->
       """WITH t AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
