@@ -58,6 +58,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("round-9 joins/windows keep their intended physical shapes") {
+    // j16: interval overlap rides the equi prefix — hash join, never a
+    // cartesian/nested-loop product
+    val j16 = run("j16_interval_overlap")
+    assert(collectAll(j16) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collectAll(j16) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+    // v7: the per-bucket cap auto-rewrites to the bounded-heap operator
+    val v7 = run("v7_balanced_sample")
+    assert(collectAll(v7) { case t: graft.plans.TopKPerKeyExec => t }.nonEmpty,
+      s"v7 window not rewritten to TopKPerKeyExec:\n$v7")
+    // s5: exact-n sampling is TakeOrderedAndProject, not a global sort
+    val s5 = run("s5_exact_sample")
+    assert(collectAll(s5) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"s5 missing TakeOrderedAndProject:\n$s5")
+  }
+
   test("q2: filter predicates reach the parquet scan") {
     val plan = run("q2_revenue_filter")
     val pushed = collectAll(plan) { case s: FileSourceScanExec => s }
