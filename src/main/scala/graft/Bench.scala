@@ -194,12 +194,20 @@ object Bench {
     // taken after the pass that inflated it; the flag survives only if
     // the ratio reproduces, and the re-measured min replaces the
     // recorded number (it is simply more samples of the same quantity).
+    // Both samples of every retest land in the artifacts (a `retested`
+    // field beside `regressed`): the retest makes flagged queries
+    // effectively min-of-6 vs everyone's min-of-3, and recording the
+    // spread — instead of silently replacing the number — lets a judge
+    // see whether a suppressed flag was transient load or a marginal
+    // regression ducking under the threshold.
+    val retested = scala.collection.mutable.TreeMap.empty[String, (Double, Double)]
     def withRetest(rs: Seq[(String, Double)]): Seq[(String, Double)] =
       rs.map { case (name, t) =>
         prev.get(name) match {
           case Some(p) if p >= 0.3 && t > 0 && t / p >= 1.5 =>
             System.err.println(f"BENCH RETEST $name: ${t}%.3f vs prev ${p}%.3f")
             val t2 = timeQuery(name, SparkEntry.queries(name), 3)
+            retested(name) = (t, t2)
             name -> (if (t2 > 0) math.min(t, t2) else t)
           case _ => name -> t
         }
@@ -261,8 +269,12 @@ object Bench {
       val deltas = deltaMap(allResults).map { case (k, now, p, r) =>
         s"""  "$k": {"now": ${fmt(now)}, "prev": ${fmt(p)}, "ratio": ${fmt(r)}}"""
       }.mkString("{\n", ",\n", "\n}")
+      val retestedJson = retested.map { case (k, (t1, t2)) =>
+        s"""  "$k": {"oneshot": ${fmt(t1)}, "retest": ${fmt(t2)}}"""
+      }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
         body + "\"failed\": " + allFailed + ",\n\"flaky\": " + flakyJson +
+          ",\n\"retested\": " + retestedJson +
           ",\n\"deltas\": " + deltas + "\n}\n")
     }
     // 1-minute system load average at the end of the timed pass: numbers
@@ -275,7 +287,14 @@ object Bench {
     val flakyKv =
       if (flaky.isEmpty) ""
       else ","+"\"flaky\":" + flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed,"load":${fmt(load)},"repeat":$repeat$prestageKv$flakyKv,"sf":"$sfDir"}"""
+    // retest evidence in the summary line too (normally empty — an idle
+    // run flags nothing — so the compact-line budget is safe)
+    val retestedKv =
+      if (retested.isEmpty) ""
+      else ",\"retested\":" + retested.map { case (k, (t1, t2)) =>
+        s""""$k":{"oneshot":${fmt(t1)},"retest":${fmt(t2)}}"""
+      }.mkString("{", ",", "}")
+    val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed$retestedKv,"load":${fmt(load)},"repeat":$repeat$prestageKv$flakyKv,"sf":"$sfDir"}"""
     // Belt and braces against tail-capture loss: the summary also lands in
     // a FILE (a bounded log tail cannot eat a file), and the stdout line
     // prints as the PROCESS'S LAST OUTPUT — after spark.stop(), so no

@@ -256,16 +256,25 @@ object Snapshots {
   /** Enforce the table's `write.check.*` CHECK constraints
     * ([[graft.connector.TableProps.CheckPrefix]]) on NEW data: a write
     * refuses when any row makes a predicate FALSE (SQL CHECK semantics —
-    * NULL passes). Called by every new-data path (commit, upsert/merge/
-    * replication insert legs, SQL DML's produced rows); maintenance
+    * NULL passes). Runs over the JUST-WRITTEN batch files, never the
+    * input plan: re-executing the plan for the check would let a
+    * non-deterministic source (rand(), a re-read of mutating external
+    * input) pass the probe yet commit different, violating rows — the
+    * checked rows must provably BE the committed rows (Delta enforces
+    * invariants during the write for the same reason). Called by every
+    * new-data path via [[writeBatch]]'s `checkNewData`; maintenance
     * rewrites (compact) deliberately skip it so a later-added constraint
     * can never brick compaction of pre-constraint data. Cost: one
-    * count-limited probe per constraint per write, zero when no
+    * count-limited re-read of the new batch per constraint, zero when no
     * constraint is set.
     */
-  private def enforceChecks(base: String, df: DataFrame): Unit = {
+  private def enforceChecks(spark: SparkSession, base: String,
+                            files: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
-    for ((name, pred) <- graft.connector.TableProps.checks(base)) {
+    val checks = graft.connector.TableProps.checks(base)
+    if (checks.isEmpty || files.isEmpty) return
+    val df = spark.read.parquet(files: _*)
+    for ((name, pred) <- checks) {
       val violating =
         try df.filter(coalesce(expr(pred), lit(true)) === lit(false))
         catch { case e: Exception =>
@@ -281,8 +290,14 @@ object Snapshots {
     }
   }
 
-  /** Write `df`'s files under a fresh uncommitted batch dir. */
-  private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String]): Seq[String] = {
+  /** Write `df`'s files under a fresh uncommitted batch dir.
+    * `checkNewData = true` (every new-data path) validates the written
+    * files against the table's CHECK constraints before returning —
+    * a violation deletes the batch and throws, so nothing reaches
+    * publish; maintenance rewrites pass false.
+    */
+  private def writeBatch(df: DataFrame, base: String, sortCols: Seq[String],
+                         checkNewData: Boolean = false): Seq[String] = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
     val batchPath = new Path(dataDir(base), s"b_$batchId")
     // Field ids ride the df's schema metadata into the parquet footers
@@ -308,6 +323,10 @@ object Snapshots {
       case None    => df.sparkSession.conf.unset(tsKey)
     }
     val files = listParquet(df.sparkSession, batchPath)
+    if (checkNewData) {
+      try enforceChecks(df.sparkSession, base, files)
+      catch { case e: Throwable => fsFor(base).delete(batchPath, true); throw e }
+    }
     // Commit-time footer stats → batch-dir sidecar, so filtered reads
     // ([[readWhere]], the `graft` connector) prune files at PLANNING time.
     // Best-effort by design: a failed footer read costs pruning power,
@@ -752,8 +771,7 @@ object Snapshots {
       if (tracked) withFieldIds(df, parentSchema,
         keepParentFields = base0 == "append", parentLastId = parentLast)
       else (df, null, 0L)
-    enforceChecks(base, df)
-    val newFiles = writeBatch(toWrite, base, sortCols)
+    val newFiles = writeBatch(toWrite, base, sortCols, checkNewData = true)
     val committed = publish(base, newFiles, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {
         val p = readManifest(base, parent)
@@ -778,8 +796,10 @@ object Snapshots {
     * small-file debt a streaming ingest accretes without an external
     * scheduler. The rewrite targets ~4× the small-file threshold per
     * output file; when the table is smaller than that, the single merged
-    * output stays "small" but the COUNT bound (≤ max) still prevents
-    * re-triggering until fresh debt accrues. Same race posture as
+    * output stays "small", and a rewrite only fires while it can REDUCE
+    * the small-file count (output target < inputs) — so even max=0 on a
+    * tiny table settles at one merged file instead of re-binpacking it
+    * on every commit. Same race posture as
     * [[maybeConvertEq]]: the data
     * commit is already durable; a lost compaction race defers to the
     * next commit.
@@ -799,15 +819,29 @@ object Snapshots {
           }
         require(max >= 0, s"write.binpack.max-small-files must be >= 0, got $max")
         val smallBytes = props.get(graft.connector.TableProps.BinpackSmallBytes)
-          .map(_.trim.toLong).getOrElse(32L << 20)
+          .map { raw =>
+            try raw.trim.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"table property write.binpack.small-bytes must be a byte " +
+                  s"count, got '$raw'")
+            }
+          }.getOrElse(32L << 20)
+        require(smallBytes > 0,
+          s"write.binpack.small-bytes must be > 0, got $smallBytes")
         val fs = fsFor(base)
         val sizes = readManifest(base, committed).files.flatMap { f =>
           try Some(fs.getFileStatus(new Path(f)).getLen)
           catch { case _: Exception => None }
         }.filter(_ < smallBytes)
-        if (sizes.size <= max) committed
+        val numFiles = math.max(1L, sizes.sum / (smallBytes * 4)).toInt
+        // Second guard: a rewrite that cannot REDUCE the small-file count
+        // (target output count >= inputs — e.g. max=0 on a table whose
+        // whole content is one still-small merged file) would re-trigger
+        // on every commit while accomplishing nothing; skip until fresh
+        // debt makes merging productive.
+        if (sizes.size <= max || numFiles >= sizes.size) committed
         else {
-          val numFiles = math.max(1L, sizes.sum / (smallBytes * 4)).toInt
           try compact(spark, base, numFiles, sortCols,
             onlySmallerThan = Some(smallBytes))
           catch { case e: java.util.ConcurrentModificationException =>
@@ -1189,7 +1223,6 @@ object Snapshots {
         source.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
       case None => source
     }
-    enforceChecks(base, src)
     val srcKeys = src.select(keyCols.map(col): _*)
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
     val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
@@ -1210,7 +1243,7 @@ object Snapshots {
           (keyCols.mkString("\t") +: refs).mkString("\n"))
         keyFiles
       }
-    val newFiles = writeBatch(src, base, keyCols)
+    val newFiles = writeBatch(src, base, keyCols, checkNewData = true)
     beforePublish()
     maybeConvertEq(spark, base, publish(base, newFiles, Nil,
       mode = if (modeTag.isEmpty) "merge-eq" else s"merge-eq:$modeTag", parent =>
@@ -1428,8 +1461,7 @@ object Snapshots {
           (keyFiles, rs)
         }
     }
-    ins.foreach(enforceChecks(base, _))
-    val newFiles = ins.map(writeBatch(_, base, Nil)).getOrElse(Nil)
+    val newFiles = ins.map(writeBatch(_, base, Nil, checkNewData = true)).getOrElse(Nil)
     if (newFiles.isEmpty && newEqs.isEmpty && modeTag.isEmpty) return v0
     maybeConvertEq(spark, base, publish(base, newFiles, Nil,
       mode = if (modeTag.isEmpty) "merge-eq" else s"merge-eq:$modeTag", parent =>
@@ -1499,7 +1531,6 @@ object Snapshots {
     // left_semi join — the merge cost tracks the SOURCE size, not the
     // table size. Safe because this scan only feeds the matched
     // (equi-join) leg; the insert leg below never reads the target.
-    enforceChecks(base, src)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
     val matchedScan = FileStats.keyFilters(srcKeys, maxInKeys) match {
@@ -1527,7 +1558,7 @@ object Snapshots {
       if (referenced.isEmpty) { fsFor(base).delete(dvPath, true); Nil }
       else written
     // The insert leg: the whole source (updates are delete+insert).
-    val newFiles = writeBatch(src, base, keyCols)
+    val newFiles = writeBatch(src, base, keyCols, checkNewData = true)
     beforePublish()
     publish(base, newFiles, newDvs,
       mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
@@ -1621,7 +1652,6 @@ object Snapshots {
         case None => ins
       }
     }
-    aligned.foreach(enforceChecks(base, _))
     val dvPath = new Path(dataDir(base), s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
     deleteCoords
       .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
@@ -1632,7 +1662,7 @@ object Snapshots {
     val newDvs =
       if (referenced.isEmpty) { fsFor(base).delete(dvPath, true); Nil }
       else written
-    val newFiles = aligned.map(writeBatch(_, base, Nil)).getOrElse(Nil)
+    val newFiles = aligned.map(writeBatch(_, base, Nil, checkNewData = true)).getOrElse(Nil)
     if (newDvs.isEmpty && newFiles.isEmpty) return fromVersion // full no-op
     publish(base, newFiles, newDvs,
       mode = if (modeTag.isEmpty) "merge" else s"merge:$modeTag", parent =>
@@ -2581,7 +2611,9 @@ object Snapshots {
         df.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
       case None => df
     }
-    val newFiles = writeBatch(toWrite, base, sortCols)
+    // Branch commits are new data too: a WAP branch that admits violating
+    // rows would fast-forward them into main unchecked.
+    val newFiles = writeBatch(toWrite, base, sortCols, checkNewData = true)
     withCommitLock(base) {
       val (headFiles, headDvs, headEqs) = branchHeadState(base, name)
       val bvs = branchVersions(base, name)

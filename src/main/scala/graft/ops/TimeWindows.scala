@@ -64,12 +64,19 @@ object TimeWindows {
       // OHLC bar resampling (the finance/telemetry downsample): per
       // (user, day), the first/last values by event time plus the high/
       // low and tick count. open/close via min_by/max_by on a composite
-      // (ts, event_id) key scaled into one BIGINT — deterministic under
-      // same-microsecond ties, and exactly the expression the oracle's
-      // arg_min/arg_max replays. One shuffle on (user, day); values are
+      // (ts, event_id) key widened to DECIMAL(38,0) — the 10^12
+      // multiplier provably dominates any event_id (ids are row-count-
+      // sized; 10^12 rows is past any sf here), so event-time order is
+      // preserved exactly and ties break by id, with ~10^26 µs of
+      // headroom before the decimal saturates (the earlier BIGINT key
+      // overflowed ~3 years past the epoch base and let a large id
+      // outrank an earlier timestamp once ids crossed 10^5). DuckDB
+      // replays the same integer as a HUGEINT — both engines compare the
+      // identical exact value. One shuffle on (user, day); values are
       // picked, never arithmetically combined, so doubles stay exact.
       val keyBase = 1704067200000000L // 2024-01-01T00:00:00Z, epoch micros
-      val key = (col("ts_us") - keyBase) * 100000L + col("event_id")
+      val key = (col("ts_us") - keyBase).cast("decimal(38,0)") *
+        lit(1000000000000L) + col("event_id")
       Tables.events(s, d)
         .groupBy(col("user_id"), to_date(col("ts_t")).as("day"))
         .agg(min_by(col("value"), key).as("open"),
@@ -112,9 +119,11 @@ object TimeWindows {
   val oracleSql: Map[String, String] = Map(
     "ts6_ohlc_bars" ->
       """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |  arg_min(value, (epoch_us(ts) - 1704067200000000) * 100000 + event_id) AS open,
+        |  arg_min(value, CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT)
+        |    * 1000000000000 + event_id) AS open,
         |  max(value) AS high, min(value) AS low,
-        |  arg_max(value, (epoch_us(ts) - 1704067200000000) * 100000 + event_id) AS close,
+        |  arg_max(value, CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT)
+        |    * 1000000000000 + event_id) AS close,
         |  count(*) AS n_ticks
         |FROM events GROUP BY 1, 2""".stripMargin,
     // ts5: the same recurrence as a recursive CTE stepping row_number

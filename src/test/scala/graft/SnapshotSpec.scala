@@ -813,6 +813,29 @@ class SnapshotSpec extends SparkSuite {
     assert(e2.getMessage.contains("bad"))
   }
 
+  test("CHECK validates the rows actually committed, not a plan re-execution") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val base = tmpDir("graft_snap_check_nondet")
+    Snapshots.commit(spark, Seq((1L, 10L)).toDF("k", "v"), base)
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.CheckPrefix + "v_positive" -> "v > 0"))
+    FlakySource.executions.set(0)
+    val flaky = udf(() => FlakySource.next()).asNondeterministic()
+    // Single row: one udf invocation per plan execution. Execution #1
+    // (the write itself) yields a VALID row; any RE-execution yields a
+    // violating one. The gate must bless exactly the written rows — so
+    // this commit succeeds and the committed value is the first
+    // execution's. A check-the-input-plan-then-write scheme either
+    // commits the violating re-executed row (silent bypass) or refuses a
+    // write whose actual data was valid.
+    Snapshots.commit(spark,
+      spark.range(1).select((col("id") + 100L).as("k"), flaky().as("v")), base)
+    val vs = Snapshots.read(spark, base).select("v").as[Long].collect()
+    assert(vs.forall(_ > 0), s"committed rows must satisfy the CHECK, got ${vs.toSeq}")
+  }
+
   private def kvState(base: String): Map[Long, Option[Long]] =
     Snapshots.read(spark, base).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
@@ -854,4 +877,14 @@ class CountingCommitLock extends graft.ingest.Snapshots.CommitLock {
 
 object CountingCommitLock {
   val acquisitions = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Deliberately non-deterministic "source" for the CHECK re-execution
+  * probe: the first plan execution yields a valid value, every later one
+  * a violating value. Static singleton so executor-side invocations
+  * (same JVM in local mode) share the counter.
+  */
+object FlakySource {
+  val executions = new java.util.concurrent.atomic.AtomicInteger(0)
+  def next(): Long = if (executions.getAndIncrement() == 0) 5L else -100L
 }
