@@ -431,6 +431,7 @@ object RefParity {
     avroOcfDir(s, sfDir)
     clusteredEventsDir(s, sfDir)
     graft.ops.Multimodal.mediaDir(s, sfDir)
+    graft.ops.Sim.annDir(s, sfDir)
     ()
   }
 
