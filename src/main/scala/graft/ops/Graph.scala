@@ -47,7 +47,18 @@ object Graph {
     */
   def pageRank(s: SparkSession, edges: DataFrame, iterations: Int = Iterations,
                damping: Double = Damping, handleDangling: Boolean = false): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // AQE stays ON for the loop (an A/B measured disabling it 1.5x
+    // SLOWER): its runtime size discovery is what turns each
+    // iteration's rank-side join into a broadcast after the first
+    // shuffle, where static planning would sort-merge node frames.
+    // Materialize the caller's edge DERIVATION exactly once: the degree
+    // aggregate and the degree join below both consume the edge list, and
+    // feeding them the raw plan would run a possibly join-heavy
+    // derivation (g1/g2's orders⋈lineitem distinct) once per consumer —
+    // measured as HALF of g2's wall before this landed (the loop itself
+    // is node-sized and cheap; setup re-derivation was the real cost).
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Hash-partition the (big) edge list by src ONCE before caching: the
     // cached scan keeps its outputPartitioning, so every iteration's
     // contribution join shuffles only the node-sized rank side — the edge
@@ -59,7 +70,7 @@ object Graph {
     // dominates compute — fewer, fuller tasks win until the edge list
     // genuinely needs the width (then raise spark.sql.shuffle.partitions
     // for the session; the join still co-partitions on src).
-    val withDeg = edges.join(deg, "src")
+    val withDeg = e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
       .repartition(8, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -69,10 +80,9 @@ object Graph {
       // the rows; the assertion is then one anti-join PROBE (any dst not
       // among the srcs?) instead of a per-node degree materialization —
       // the guard costs one node-sized job, not a checkpoint.
-      // All node/probe reads go through withDeg (same rows as edges — the
-      // degree join is lossless on src) so the underlying edge derivation
-      // computes ONCE into the persist cache instead of once per consumer.
-      val nodes =
+      // On the dangling path the node set is fused INTO the nodeDeg
+      // checkpoint below — one eager setup job, not two.
+      lazy val nodes =
         (if (handleDangling)
           withDeg.select(col("src").as("id")).union(withDeg.select(col("dst").as("id")))
         else withDeg.select(col("src").as("id")))
@@ -92,52 +102,78 @@ object Graph {
             "the src-set == dst-set assertion failed (sink or source " +
             "node present); pass handleDangling=true")
       }
-      val n = nodes.count()
-      // deg carried on the rank rows (null = dangling) so each iteration's
-      // dangling aggregate is a filter over the node-sized rank set, not a
-      // join. Computed once — out-degrees never change. Skipped entirely on
-      // the sink-free path (degrees live only in the cached edge list).
+      // deg carried on the rank rows (null = dangling) so dangling-ness
+      // is a row-local predicate, never a per-iteration join. Computed
+      // once — out-degrees never change, and the per-src degree is read
+      // from the CACHED withDeg rows (distinct (src, deg)), never by
+      // re-running the caller's edge derivation. Skipped entirely on the
+      // sink-free path (degrees live only in the cached edge list).
       val nodeDeg =
         if (handleDangling)
-          nodes.join(deg, nodes("id") === deg("src"), "left")
+          withDeg.select(col("src").as("id")).union(withDeg.select(col("dst").as("id")))
+            .distinct()
+            .join(withDeg.select(col("src"), col("deg")).distinct(),
+              col("id") === col("src"), "left")
             .select(col("id"), col("deg")).localCheckpoint(true)
         else nodes.withColumn("deg", lit(1L))
-      var ranks = nodeDeg.withColumn("rank", lit(1.0 / n))
-      if (handleDangling) ranks = ranks.localCheckpoint(true)
+      val n = if (handleDangling) nodeDeg.count() else nodes.count()
+      // The dangling path also carries LAST iteration's dangling mass as
+      // a COLUMN (`dm`, identical on every row): riding it through the
+      // aggregate via the zero-leg's max() means the scalar is already
+      // resident where iteration k+1 needs it — no per-iteration dm
+      // aggregate job (the r9 broadcast-one-row form still launched one
+      // concurrent job per step; at node-sized frames job latency, not
+      // compute, dominated g2). The NEXT mass is folded into the same
+      // plan as an unpartitioned window over the aggregate's node-sized
+      // output — bounded because the node set is entity-sized, orders
+      // below the edge set (for billion-node graphs, swap the window for
+      // a two-level partial-sum aggregate; the recurrence is unchanged).
+      val dmW = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      // ranks₀ needs no checkpoint of its own: it is a map-only
+      // projection over the already-cached nodeDeg, so iteration 1's two
+      // references each cost a cache scan, not a re-derivation.
+      var ranks =
+        if (!handleDangling) nodeDeg.withColumn("rank", lit(1.0 / n))
+        else {
+          val d = nodeDeg.filter(col("deg").isNull).count()
+          nodeDeg.withColumn("rank", lit(1.0 / n))
+            .withColumn("dm", lit(d.toDouble / n))
+        }
       for (k <- 1 to iterations) {
         val next =
           if (handleDangling) {
-            // The dangling path references `ranks` THREE times per step
-            // (contribution join, dangling sum, zero-row carry), so it
-            // checkpoints EVERY iteration — each reference reads the
-            // cached node-sized rows. Two driver-sync removals vs the
-            // naive form: (a) the dangling mass rides the plan as a
-            // broadcast ONE-ROW aggregate (the t6/t14 corpus-stats
-            // pattern) instead of a per-iteration `.head()` — 8 fewer
-            // blocking driver round trips; (b) the per-node carry is NOT
-            // a left join against the contribution aggregate but a
-            // zero-contribution leg UNIONED in before it — missing nodes
-            // surface as groups summing to their 0.0 leg (bit-exact:
-            // 0.0 + x = x for the positive ranks), and the static `deg`
-            // rides the zero leg via max() — so each iteration costs ONE
-            // node-sized shuffle where join-after-aggregate cost two.
-            val dm = ranks.filter(col("deg").isNull)
-              .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+            // Two references to `ranks` per step (contribution join,
+            // zero-row carry), both reading the cached node-sized rows.
+            // The per-node carry is NOT a left join against the
+            // contribution aggregate but a zero-contribution leg UNIONED
+            // in before it — missing nodes surface as groups summing to
+            // their 0.0 leg (bit-exact: 0.0 + x = x for the positive
+            // ranks), and the static `deg` plus the carried `dm` ride
+            // the zero leg via max() (contribution legs carry nulls, and
+            // the zero leg covers EVERY node, so max() always resolves) —
+            // each iteration is ONE node+edge-sized shuffle, one window
+            // pass, zero extra jobs.
             withDeg
               .join(ranks.select(col("id"), col("rank")), col("src") === col("id"))
               .select(col("dst"), (col("rank") / col("deg")).as("c"),
-                lit(null).cast("long").as("deg"))
-              .unionByName(ranks.select(col("id").as("dst"), lit(0.0).as("c"), col("deg")))
+                lit(null).cast("long").as("deg"),
+                lit(null).cast("double").as("dm"))
+              .unionByName(ranks.select(col("id").as("dst"), lit(0.0).as("c"),
+                col("deg"), col("dm")))
               // explicit 8-way exchange ahead of the aggregate (matching
               // the edge cache's width): the final agg reuses it, so the
               // iteration launches 8 fuller tasks instead of 32 slivers
               .repartition(8, col("dst"))
               .groupBy(col("dst"))
-              .agg(sum(col("c")).as("in_rank"), max(col("deg")).as("deg"))
-              .crossJoin(broadcast(dm))
+              .agg(sum(col("c")).as("in_rank"), max(col("deg")).as("deg"),
+                max(col("dm")).as("dm_prev"))
               .select(col("dst").as("id"), col("deg"),
                 (lit((1 - damping) / n) + lit(damping) *
-                  (col("in_rank") + col("dm") / n)).as("rank"))
+                  (col("in_rank") + col("dm_prev") / n)).as("rank"))
+              .withColumn("dm",
+                sum(when(col("deg").isNull, col("rank")).otherwise(lit(0.0)))
+                  .over(dmW))
           } else {
             // Sink-free ⇒ every node has an out-edge; with both directions
             // present every node also has an in-edge, so the contribution
@@ -156,12 +192,18 @@ object Graph {
                 (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
           }
         ranks = next
-        // Dangling path: checkpoint every iteration (see above). Sink-free
-        // path: every SECOND iteration (and the last) — each eager
-        // localCheckpoint is a full job, and two chained join+agg levels
-        // plan and pipeline fine, so this halves the job count while still
-        // bounding lineage depth at 2 (with the partitioned edge cache
-        // above, the pair of changes measured 7.75s -> 6.5s at sf0.1).
+        // Sink-free path: checkpoint every SECOND iteration (and the
+        // last) — each eager localCheckpoint is a full job, two chained
+        // join+agg levels with a SINGLE rank reference plan and pipeline
+        // fine, so this halves the job count while bounding lineage
+        // depth at 2 (7.75s -> 6.5s at sf0.1 when it landed). The
+        // dangling path checkpoints EVERY iteration: it references
+        // `ranks` twice per step (contribution join + zero-carry leg),
+        // and chaining two un-materialized iterations was MEASURED to
+        // re-execute the embedded subplan instead of reusing its
+        // exchange (5.9s vs 3.1s min-of-4 at sf0.1) — with the dm
+        // column riding the aggregate there is no per-step scalar job
+        // left to amortize, so eager-every-step is the cheaper shape.
         if (handleDangling || k % 2 == 0 || k == iterations)
           ranks = ranks.localCheckpoint(true)
       }
