@@ -209,22 +209,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // `days(ts)`, so every file owns a tighter raw-column range and
     // footer-stats pruning serves any `ts` predicate directly — the
     // transform declares intent, the engine clusters finer, and no
-    // reader-side transform evaluation is ever needed. `bucket(n, c)`
-    // hash-scatters the key range (footer stats on `c` become useless),
-    // so it is refused — co-located joins are `BucketTables`' job.
+    // reader-side transform evaluation is ever needed. `bucket(n, c)` is
+    // accepted the same way: the pruning work Iceberg's hash-bucketing
+    // does (skip partitions on `c = X` point predicates) is served
+    // STRICTLY better by range-clustering on `c` itself — an equality
+    // lands in one file's key range instead of one of n hash buckets,
+    // and range predicates prune too (hash buckets can't). Bucketing's
+    // other role, shuffle-free co-located joins, is `BucketTables`' job
+    // and orthogonal to the storage layout here. The declared transform
+    // list is preserved verbatim under `partition.transforms` so DDL
+    // intent survives migration (SHOW TBLPROPERTIES / t.properties).
     val Monotone = Set("identity", "days", "months", "years", "hours",
-      "date", "truncate")
+      "date", "truncate", "bucket")
     val clusterCols = partitions.map {
       case t if Monotone(t.name.toLowerCase) && t.references.length == 1 &&
         t.references.head.fieldNames.length == 1 =>
         t.references.head.fieldNames.head
       case other => throw new UnsupportedOperationException(
         s"graft tables cluster within snapshot commits: PARTITIONED BY " +
-          s"$other is not supported - monotone transforms " +
-          "(days/months/years/hours/truncate) and plain column names " +
-          "cluster by the base column; bucket(n, c) has no range-cluster " +
-          "equivalent (use bucketed catalog tables for co-located joins)")
+          s"$other is not supported - transforms " +
+          "(days/months/years/hours/truncate/bucket) and plain column " +
+          "names cluster by their single base column")
     }.distinct
+    val declaredTransforms = partitions.toSeq
+      .filter(_.name.toLowerCase != "identity").map(_.describe())
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
@@ -242,9 +250,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(clusterCols.isEmpty || !declared.contains(TableProps.ClusterBy),
       s"both PARTITIONED BY and ${TableProps.ClusterBy} given - declare " +
         "the clustering once")
-    val props =
-      if (clusterCols.isEmpty) declared
-      else declared + (TableProps.ClusterBy -> clusterCols.mkString(","))
+    var props = declared
+    if (clusterCols.nonEmpty)
+      props += (TableProps.ClusterBy -> clusterCols.mkString(","))
+    if (declaredTransforms.nonEmpty)
+      props += (TableProps.PartitionTransforms -> declaredTransforms.mkString(","))
     if (props.nonEmpty) writeProps(dir, props)
     loadTable(ident)
   }

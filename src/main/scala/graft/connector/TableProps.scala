@@ -32,6 +32,16 @@ import org.apache.spark.sql.SparkSession
 object TableProps {
   val ClusterBy = "write.cluster-by"
 
+  /** `partition.transforms` = the non-identity `PARTITIONED BY`
+    * transforms exactly as declared (`days(ts)`, `bucket(16, k)`, …).
+    * Purely descriptive: the engine re-expresses every transform as
+    * range-clustering on its base column (see GraftCatalog.createTable),
+    * but the original DDL intent stays visible through SHOW
+    * TBLPROPERTIES and the `t.properties` metadata table so a migrating
+    * user can audit what the table was declared as.
+    */
+  val PartitionTransforms = "partition.transforms"
+
   /** `write.eq-delete.max-batches` = N: after an equality-delete-writing
     * commit ([[graft.ingest.Snapshots.upsertByKeys]] / `deleteByKeys` /
     * `applyDelta`, incl. the streaming sink's eq-upsert mode), when the

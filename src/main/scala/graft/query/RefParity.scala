@@ -330,6 +330,24 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // Hidden partitioning end-to-end: the table is DECLARED
+    // `PARTITIONED BY (days(ts))` through pure SQL DDL, the write lands
+    // day-clustered, and this day-range read prunes non-overlapping
+    // files at planning time (the CatalogSpec twin proves the missing-
+    // file set; here the oracle proves the surviving rows are exactly
+    // right). All-exact surfaces: counts, distinct users, and a
+    // floor(value*100) integer sum — no double-ordering hazard.
+    "cat2_hidden_partition" -> { (s, d) =>
+      val cat = catalogHpFor(s, d)
+      s.sql(
+        s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+           |  count(DISTINCT user_id) AS n_users,
+           |  sum(floor(value * 100)) AS sum_v100
+           |FROM $cat.core.ev
+           |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+           |GROUP BY CAST(ts AS DATE)""".stripMargin)
+    },
     // Batch MERGE (upsert) through deletion vectors: the staged tree
     // commits (o_orderkey, o_custkey), then merges key%10 updates
     // (+1_000_000 marker) and key%100 inserts (negated keys) as ONE
@@ -487,6 +505,44 @@ object RefParity {
       ()
     }
     val cat = s"graft_cat_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
+
+  /** Staged warehouse for cat2: `core.ev` is DECLARED `PARTITIONED BY
+    * (days(ts))` — Iceberg's headline hidden-partitioning shape — which
+    * the engine re-expresses as range-clustering on the base column `ts`
+    * (strictly finer than day granularity; see GraftCatalog.createTable).
+    * The INSERT caps records-per-file so the clustered write lands in
+    * several contiguous-day files and a day-range predicate prunes most
+    * of them at planning time through the footer stats. Same build/query
+    * catalog-name split as [[catalogFor]].
+    */
+  private def catalogHpFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_cat2", sfDir, "events")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bldhp_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .createOrReplaceTempView("cat2_events_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.ev " +
+        "(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE) " +
+        "PARTITIONED BY (days(ts))")
+      val prev = s.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      s.conf.set("spark.sql.files.maxRecordsPerFile", "2500")
+      try s.sql(s"INSERT INTO $bld.core.ev SELECT * FROM cat2_events_src")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => s.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      ()
+    }
+    val cat = s"graft_cat2_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
     cat
@@ -826,6 +882,14 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "cat2_hidden_partition" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_v100
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY CAST(ts AS DATE)""".stripMargin,
     "avro1_ocf_roundtrip" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_users,

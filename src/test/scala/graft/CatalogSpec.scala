@@ -493,10 +493,19 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"CREATE TABLE $cat.cl.hp (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
     assert(rows(s"SHOW TBLPROPERTIES $cat.cl.hp")
       .exists(r => r.head == "write.cluster-by" && r(1) == "ts"))
-    val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.cl.bad (k BIGINT, ts TIMESTAMP) PARTITIONED BY (bucket(16, k))")
-    }
-    assert(e.getMessage.toLowerCase.contains("cluster"))
+    // the declared transform survives verbatim for audit
+    assert(rows(s"SHOW TBLPROPERTIES $cat.cl.hp")
+      .exists(r => r.head == "partition.transforms" &&
+        r(1).toString.replace(" ", "") == "days(ts)"))
+    // bucket(n, c) is accepted as range-clustering on the base column —
+    // strictly finer pruning than hash buckets for the point predicates
+    // bucket serves (see createTable scaladoc)
+    spark.sql(s"CREATE TABLE $cat.cl.bk (k BIGINT, ts TIMESTAMP) PARTITIONED BY (bucket(16, k))")
+    assert(rows(s"SHOW TBLPROPERTIES $cat.cl.bk")
+      .exists(r => r.head == "write.cluster-by" && r(1) == "k"))
+    assert(rows(s"SHOW TBLPROPERTIES $cat.cl.bk")
+      .exists(r => r.head == "partition.transforms" &&
+        r(1).toString.replace(" ", "").startsWith("bucket(16")))
     // a deliberately scattered insert (keys round-robin across input
     // partitions) must still land range-clustered: a narrow key band then
     // prunes most files at planning time. AQE legitimately coalesces this
@@ -522,6 +531,74 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"ALTER TABLE $cat.cl.ev SET TBLPROPERTIES('write.cluster-by'='gone')")
     spark.sql(s"INSERT INTO $cat.cl.ev VALUES (2000, 'x')")
     assert(rows(s"SELECT count(*) FROM $cat.cl.ev").head === Seq(1001L))
+  }
+
+  test("hidden partitioning: days(ts) writes day-clustered files a day-range prunes") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.hp")
+    // days(ts) table and an IDENTITY-clustered twin (ts): the transform
+    // is re-expressed as base-column clustering, so the twin must land
+    // the exact same layout — the transform changes DDL surface, never
+    // behavior.
+    spark.sql(s"CREATE TABLE $cat.hp.d (k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    spark.sql(s"CREATE TABLE $cat.hp.t (k BIGINT, ts TIMESTAMP) PARTITIONED BY (ts)")
+    // 16 days x 100 rows, deliberately SCATTERED across input splits so
+    // only the clustering shuffle can make files day-contiguous; small
+    // records-per-file so the sorted output splits into several files.
+    val src = "SELECT id AS k, timestampadd(HOUR, CAST((id * 37) % 384 AS INT), " +
+      "TIMESTAMP '2024-03-01 00:00:00') AS ts FROM range(1600)"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "200")
+    try {
+      spark.sql(s"INSERT INTO $cat.hp.d $src")
+      spark.sql(s"INSERT INTO $cat.hp.t $src")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    def layout(table: String): (Seq[String], Seq[String]) = {
+      val base = tableBase("hp", table)
+      val files = graft.ingest.Snapshots.liveFiles(
+        base, graft.ingest.Snapshots.versions(base).max)
+      // one mid-range day [2024-03-05, 2024-03-06) — the planning-time
+      // missing-file proof: the kept set is a strict subset
+      val lo = java.sql.Timestamp.valueOf("2024-03-05 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-03-06 00:00:00")
+      val kept = graft.ingest.FileStats.prune(
+        spark.sparkContext.hadoopConfiguration, files,
+        Seq(GreaterThanOrEqual("ts", lo), LessThan("ts", hi)))
+      (files, kept)
+    }
+    val (dFiles, dKept) = layout("d")
+    assert(dFiles.size > 3, s"expected a multi-file layout, got ${dFiles.size}")
+    assert(dKept.size < dFiles.size,
+      s"day-range should prune files (kept ${dKept.size}/${dFiles.size})")
+    // identity twin: same file count, same pruning power — unchanged
+    val (tFiles, tKept) = layout("t")
+    assert(tFiles.size === dFiles.size)
+    assert(tKept.size === dKept.size)
+    // and the day-range answer over the pruned scan is exactly right:
+    // hour h of day 4 (96 <= h < 120) <=> (k*37) % 384 in [96, 120)
+    val got = rows(s"SELECT count(*) FROM $cat.hp.d WHERE " +
+      "ts >= TIMESTAMP '2024-03-05 00:00:00' AND ts < TIMESTAMP '2024-03-06 00:00:00'")
+      .head.head
+    val want = (0L until 1600L).count(k => { val h = (k * 37) % 384; h >= 96 && h < 120 })
+    assert(got === want.toLong)
+    // bucket(16, k): a k point-lookup prunes through the same stats
+    spark.sql(s"CREATE TABLE $cat.hp.b (k BIGINT, ts TIMESTAMP) PARTITIONED BY (bucket(16, k))")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "200")
+    try spark.sql(s"INSERT INTO $cat.hp.b $src")
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val bBase = tableBase("hp", "b")
+    val bFiles = graft.ingest.Snapshots.liveFiles(
+      bBase, graft.ingest.Snapshots.versions(bBase).max)
+    val bKept = graft.ingest.FileStats.prune(
+      spark.sparkContext.hadoopConfiguration, bFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 777L)))
+    // the v1 CREATE's empty-schema file has no stats rows, so pruning
+    // conservatively keeps it (it contributes zero rows); every kept
+    // file that actually HOLDS data must be the single 200-row range
+    // containing k=777
+    val bKeptData = bKept.filter(f => spark.read.parquet(f).limit(1).count() > 0)
+    assert(bFiles.size > 3 && bKeptData.size === 1,
+      s"point lookup should keep one data file (kept ${bKept.size}/${bFiles.size})")
+    assert(rows(s"SELECT ts FROM $cat.hp.b WHERE k = 777").size === 1)
   }
 
   /** The filesystem path the catalog maps `ns.table` to. */
