@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.Bridge
@@ -226,7 +226,7 @@ private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
     // A first write CREATES the table — there is no schema to validate
     // against yet, so accept the writer's.
     if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
@@ -236,7 +236,8 @@ private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
     new GraftScanBuilder(base, pin, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(base, pin)
+    new GraftWriteBuilder(base, pin,
+      Option(info.options.get("replaceWhere")).filter(_.trim.nonEmpty))
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pin == Snapshots.Pin.Latest && filters.forall(f => GraftRelation.filterColumn(f).isDefined)
@@ -254,10 +255,37 @@ private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
   }
 }
 
-private[connector] class GraftWriteBuilder(base: String, pin: Snapshots.Pin)
-    extends WriteBuilder with SupportsTruncate {
+/** `replaceWhereOpt` is the raw `replaceWhere` writer option (a SQL
+  * predicate string): predicate-scoped atomic replacement with Delta's
+  * written-rows-must-match enforcement. The engine-facing route is
+  * [[SupportsOverwrite]]: Catalyst's overwrite-by-expression (e.g.
+  * `DataFrameWriterV2.overwrite(cond)`) lands in [[overwrite]], where an
+  * exact filter translation routes to the same
+  * [[Snapshots.replaceWhere]] commit — WITHOUT enforcement, because
+  * Spark's contract is "delete by predicate, then insert", not Delta's
+  * scoped backfill. A predicate that cannot be translated EXACTLY
+  * refuses (a partial translation would delete the wrong rows);
+  * always-true overwrites keep the full-table overwrite path.
+  */
+private[connector] class GraftWriteBuilder(base: String, pin: Snapshots.Pin,
+                                           replaceWhereOpt: Option[String] = None)
+    extends WriteBuilder with SupportsOverwrite {
   private var overwrite = false
+  private var overwriteCond: Option[Column] = None
   override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val trivial = filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (trivial) overwrite = true
+    else {
+      val conds = filters.map(f => GraftRelation.filterColumnExact(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot translate overwrite predicate $f exactly; a partial " +
+            "translation would replace the wrong rows")))
+      overwriteCond = Some(conds.reduce(_ && _))
+    }
+    this
+  }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
@@ -274,13 +302,36 @@ private[connector] class GraftWriteBuilder(base: String, pin: Snapshots.Pin)
         val (toWrite, sortCols) =
           if (cluster.isEmpty) (data, Nil)
           else (data.repartitionByRange(cluster.map(col): _*), cluster)
+        // (predicate, enforce-written-rows-match): the writer OPTION is
+        // the user-declared backfill scope (Delta semantics, enforced);
+        // engine-planned overwrite-by-expression is "delete then insert"
+        // (not enforced). Declaring both is ambiguous — refuse.
+        val replaceCond: Option[(Column, Boolean)] = replaceWhereOpt match {
+          case Some(s) =>
+            require(overwriteCond.isEmpty,
+              "both a replaceWhere option and an overwrite-by-expression " +
+                "predicate given - declare the replace scope once")
+            require(ow,
+              "the replaceWhere option requires overwrite mode - an " +
+                "append would silently ignore the declared scope")
+            Some((org.apache.spark.sql.functions.expr(s), true))
+          case None => overwriteCond.map(c => (c, false))
+        }
         pin match {
           case Snapshots.Pin.Latest =>
-            Snapshots.commit(toWrite.sparkSession, toWrite, base,
-              mode = if (ow) "overwrite" else "append", sortCols = sortCols)
+            replaceCond match {
+              case Some((c, enforce)) =>
+                Snapshots.replaceWhere(toWrite.sparkSession, toWrite, base,
+                  c, enforce = enforce, sortCols = sortCols)
+              case None =>
+                Snapshots.commit(toWrite.sparkSession, toWrite, base,
+                  mode = if (ow) "overwrite" else "append", sortCols = sortCols)
+            }
           case Snapshots.Pin.AtBranch(b) =>
             require(!ow, "overwrite of a branch head is not supported - " +
               "drop the branch and re-create it from the desired state")
+            require(replaceCond.isEmpty,
+              "replaceWhere against a branch head is not supported")
             Snapshots.commitToBranch(toWrite.sparkSession, toWrite, base, b,
               sortCols = sortCols)
           case other =>
@@ -516,6 +567,20 @@ private[connector] object GraftRelation {
       for { x <- filterColumn(l); y <- filterColumn(r) } yield x || y
     case Not(x) => filterColumn(x).map(!_)
     case _ => None
+  }
+
+  /** [[filterColumn]] with EXACT semantics: any untranslatable subtree
+    * makes the whole translation None (the relaxed form may drop one
+    * side of an And — fine for best-effort scan residuals, wrong for a
+    * predicate that decides which rows get deleted or replaced).
+    */
+  def filterColumnExact(f: Filter): Option[Column] = f match {
+    case And(l, r) =>
+      for { x <- filterColumnExact(l); y <- filterColumnExact(r) } yield x && y
+    case Or(l, r) =>
+      for { x <- filterColumnExact(l); y <- filterColumnExact(r) } yield x || y
+    case Not(x) => filterColumnExact(x).map(!_)
+    case leaf => filterColumn(leaf)
   }
 }
 

@@ -1114,6 +1114,112 @@ object Snapshots {
       })
   }
 
+  /** Predicate-scoped atomic replacement (Delta's `replaceWhere` / the
+    * `REPLACE WHERE` backfill primitive): ONE commit that row-level-
+    * deletes every existing row matching `cond` (a deletion vector over
+    * the footer-stats-pruned file neighborhood — untouched files carry
+    * by path, nothing is rewritten) and appends `df`. Re-running the
+    * same backfill is idempotent in table STATE: the second run's vector
+    * hides the first run's rows before re-appending them, so the visible
+    * rows are identical (history gains a version, as any re-run would).
+    *
+    * `enforce = true` (default) refuses when any WRITTEN row does not
+    * satisfy `cond` — a backfill writing outside its declared scope is
+    * almost always a bug (Delta enforces the same invariant). The check
+    * reads the just-written batch files back, so the rows checked are
+    * provably the rows committed even for non-deterministic inputs
+    * (same posture as CHECK enforcement); a violation removes the staged
+    * batch and throws.
+    *
+    * Concurrency: snapshot-isolated against its base version, the
+    * [[deleteWhereDV]] stance — concurrent appends carry forward
+    * untouched (their rows are NOT subject to this replace's predicate),
+    * and a concurrent overwrite that rewrote a vector-referenced file
+    * aborts loudly. The commit's base mode is `replace-where`, NOT
+    * `overwrite`: the change feed then attributes it row-level (appended
+    * files = inserts, the vector's hidden rows = deletes) instead of
+    * skipping it as a physical rewrite, and incremental append scans
+    * deliver the new rows.
+    *
+    * At 100 TB: cost is the new data's write + one planning-time-pruned
+    * neighborhood scan for coordinates + a KB-scale vector write. A
+    * day-partitioned backfill of one day touches that day's files only.
+    */
+  def replaceWhere(spark: SparkSession, df: DataFrame, base: String,
+                   cond: org.apache.spark.sql.Column,
+                   enforce: Boolean = true,
+                   sortCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val v0 = vs.max
+    val m = readManifest(base, v0)
+    // New data rides the same field-id path as an appending commit.
+    val tracked = m.schema.isDefined
+    val parentLast = mintFloor(base, m)
+    val (toWrite, tableSchema, newLast) =
+      if (tracked) withFieldIds(df, m.schema, keepParentFields = true,
+        parentLastId = parentLast)
+      else (df, null, 0L)
+    val newFiles = writeBatch(toWrite, base, sortCols, checkNewData = true)
+    val batchDir = new Path(newFiles.head).getParent
+    if (enforce) {
+      val outside =
+        try spark.read.parquet(newFiles: _*)
+          .filter(!coalesce(cond, lit(false))).limit(1).count()
+        catch { case e: Throwable =>
+          fsFor(base).delete(batchDir, true); throw e
+        }
+      if (outside > 0) {
+        fsFor(base).delete(batchDir, true)
+        throw new IllegalArgumentException(
+          s"replaceWhere: a written row does not satisfy the replace " +
+            s"predicate [$cond] - a backfill writing outside its declared " +
+            "scope is refused (pass enforce = false to allow it)")
+      }
+    }
+    // Row-level delete of the replaced region — [[deleteWhereDV]]'s plan:
+    // coordinates over the stats-pruned neighborhood, existing vectors
+    // applied so an already-hidden row is never re-matched.
+    val schema = m.schema.getOrElse(scanWithDvs(spark, m, keepCoords = false).schema)
+    val pruneFs = org.apache.spark.sql.graft.Bridge.pushableFilters(spark, schema, cond)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFs)
+    val matchScan =
+      if (kept.isEmpty && m.files.nonEmpty)
+        scanWithDvs(spark, m, keepCoords = true).filter(lit(false))
+      else scanWithDvs(spark, m.copy(files = kept), keepCoords = true)
+    val dvPath = new Path(dataDir(base),
+      s"dv_${java.util.UUID.randomUUID().toString.take(8)}")
+    matchScan.filter(cond)
+      .select(col(DvFileCol).as("dv_file"), col(DvPosCol).as("dv_pos"))
+      .write.parquet(dvPath.toString)
+    val staged = listParquet(spark, dvPath)
+    val referenced = spark.read.parquet(staged: _*)
+      .select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    // An empty vector (nothing matched — first run of a backfill into
+    // fresh territory) adds nothing: publish the append alone.
+    val newDvs =
+      if (referenced.isEmpty) { fsFor(base).delete(dvPath, true); Nil }
+      else staged
+    publish(base, newFiles, newDvs, mode = "replace-where", parent =>
+      if (parent == 0) (Nil, Nil, Nil)
+      else if (parent == v0) (m.files, m.dvs, m.eqs)
+      else {
+        val p = readManifest(base, parent)
+        val gone = referenced -- p.files.map(relKey).toSet
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"replaceWhere based on v$v0 conflicts with a concurrent " +
+              s"overwrite of ${gone.size} vector-referenced file(s); " +
+              "retry from the new version")
+        (p.files, p.dvs, p.eqs)
+      },
+      schemaFor = if (!tracked) null else _ => Some(tableSchema.json),
+      lastIdFor = if (!tracked) null else parent =>
+        Some(newLast.max(
+          if (parent <= 0) 0L else mintFloor(base, readManifest(base, parent)))))
+  }
+
   /** Equality delete (the Iceberg v2 equality-delete file, re-expressed):
     * remove every row whose key tuple appears in `keys` (column names =
     * key columns) with ZERO target data IO — no target file is scanned,

@@ -330,6 +330,24 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // REPLACE WHERE (predicate-scoped atomic backfill): day 3 replaced
+    // with negated values TWICE (idempotent re-run staged in the
+    // fixture); row 1 = pre-replace version, row 2 = final state. The
+    // oracle replays the same algebra from orders in exact longs — a
+    // vector losing a day-3 row (stale positive v survives), the
+    // backfill leaking outside day 3, or a doubled re-run (duplicate
+    // negated rows) each break the hash.
+    "rw1_replace_where" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = replaceWhereDir(s, d)
+      val vs = Snapshots.versions(dir).sorted
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+            sum(when(col("day") === 3L, 1L).otherwise(0L)).as("n_day3"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_v"), col("n_day3"))
+      summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
+        .unionAll(summarize(Snapshots.read(s, dir, Some(vs.last)), 2))
+    },
     // Hidden partitioning end-to-end: the table is DECLARED
     // `PARTITIONED BY (days(ts))` through pure SQL DDL, the write lands
     // day-clustered, and this day-range read prunes non-overlapping
@@ -547,6 +565,27 @@ object RefParity {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
     cat
   }
+
+  /** Staged tree for rw1: v1 commits orders as (day = o_orderkey % 7,
+    * k, v = o_custkey) day-clustered, then TWO identical `replaceWhere`
+    * backfills of day 3 with negated values — the second run exercises
+    * the idempotency contract (its vector hides the first run's rows
+    * before re-appending them), so the final visible state equals one
+    * logical application whatever the run count.
+    */
+  private def replaceWhereDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_rw", sfDir, "orders")) { tmp =>
+      import graft.ingest.Snapshots
+      val src = Tables.table(s, sfDir, "orders")
+        .select((col("o_orderkey") % 7).as("day"),
+          col("o_orderkey").as("k"), col("o_custkey").as("v"))
+      Snapshots.commit(s, src, tmp, sortCols = Seq("day"))
+      val fix = src.filter(col("day") === 3)
+        .select(col("day"), col("k"), (-col("v")).as("v"))
+      Snapshots.replaceWhere(s, fix, tmp, col("day") === 3)
+      Snapshots.replaceWhere(s, fix, tmp, col("day") === 3)
+      ()
+    }
 
   /** Staged warehouse for mrg3: `core.om` = (o_orderkey, o_custkey) as
     * (k, v), then ONE SQL MERGE (v3) applying delete/update/
@@ -882,6 +921,17 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "rw1_replace_where" ->
+      """SELECT 1 AS snap, count(*) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_v,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_day3
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN -o_custkey
+        |                ELSE o_custkey END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders""".stripMargin,
     "cat2_hidden_partition" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,

@@ -533,6 +533,29 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.cl.ev").head === Seq(1001L))
   }
 
+  test("writeTo(...).overwrite(cond): predicate-scoped replacement from the V2 writer") {
+    val sess = spark
+    import sess.implicits._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rw")
+    spark.sql(s"CREATE TABLE $cat.rw.t (day BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.rw.t SELECT id % 3 AS day, id AS v FROM range(30)")
+    val keep = rows(s"SELECT day, v FROM $cat.rw.t WHERE day <> 1").toSet
+    // Catalyst's overwrite-by-expression lands in SupportsOverwrite and
+    // routes to the replace-where commit: one atomic version, day-1 rows
+    // vector-deleted, the new row appended, other days untouched
+    val vPre = graft.ingest.Snapshots.versions(tableBase("rw", "t")).max
+    Seq((1L, 999L)).toDF("day", "v").writeTo(s"$cat.rw.t")
+      .overwrite(col("day") === 1L)
+    assert(rows(s"SELECT day, v FROM $cat.rw.t").toSet ===
+      keep + Seq(1L, 999L))
+    val base = tableBase("rw", "t")
+    assert(graft.ingest.Snapshots.versions(base).max === vPre + 1)
+    assert(graft.ingest.Snapshots.modeOf(base, vPre + 1) === "replace-where")
+    // and INSERT OVERWRITE (no predicate) keeps the full-overwrite path
+    spark.sql(s"INSERT OVERWRITE $cat.rw.t VALUES (7, 7)")
+    assert(rows(s"SELECT day, v FROM $cat.rw.t") === Seq(Seq(7L, 7L)))
+  }
+
   test("hidden partitioning: days(ts) writes day-clustered files a day-range prunes") {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.hp")

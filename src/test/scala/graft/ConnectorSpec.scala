@@ -232,6 +232,72 @@ class ConnectorSpec extends SparkSuite {
     }
   }
 
+  test("replaceWhere: scoped atomic backfill is idempotent, untouched files carry by path") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_replace_where")
+    // three single-file "days" with disjoint v ranges
+    def day(d: Long): org.apache.spark.sql.DataFrame =
+      (1L to 10L).map(i => (d, d * 100 + i)).toDF("day", "v")
+    Seq(1L, 2L, 3L).foreach(d =>
+      Snapshots.commit(spark, day(d).repartition(1), base, sortCols = Seq("day")))
+    val before = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+    assert(before.size === 3)
+    val vPre = Snapshots.versions(base).max
+    def visible(): Set[(Long, Long)] =
+      Snapshots.read(spark, base).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ((1L to 10L).map(i => (1L, 100 + i)) ++
+      (1L to 5L).map(i => (2L, 9000 + i)) ++
+      (1L to 10L).map(i => (3L, 300 + i))).toSet
+    // the backfill: 5 corrected rows replace day 2, one atomic commit
+    val fix = (1L to 5L).map(i => (2L, 9000L + i)).toDF("day", "v")
+    fix.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "day = 2").save(base)
+    assert(visible() === want)
+    // ONE commit; mode row-level-attributable; pre-replace time travel intact
+    val v1 = Snapshots.versions(base).max
+    assert(v1 === vPre + 1)
+    assert(Snapshots.modeOf(base, v1) === "replace-where")
+    assert(Snapshots.read(spark, base, Some(vPre)).count() === 30)
+    // untouched (and even the replaced) files carry BY PATH — the delete
+    // is a vector, never a rewrite
+    val files1 = Snapshots.liveFiles(base, v1)
+    assert(before.forall(files1.contains))
+    // re-running the same backfill is idempotent in table state
+    fix.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "day = 2").save(base)
+    assert(visible() === want)
+    // the change feed attributes the replace row-level: 5 inserts + the
+    // 10 replaced rows as deletes for v1's window
+    val feed = Snapshots.changeFeed(spark, base, vPre, v1)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("insert" -> 5L, "delete" -> 10L))
+    // enforcement: a written row outside the declared scope refuses and
+    // leaves no new version behind
+    val vNow = Snapshots.versions(base).max
+    val bad = Seq((4L, 1L)).toDF("day", "v")
+    val e = intercept[IllegalArgumentException] {
+      bad.write.format("graft").mode("overwrite")
+        .option("replaceWhere", "day = 2").save(base)
+    }
+    assert(e.getMessage.contains("declared"))
+    assert(Snapshots.versions(base).max === vNow)
+    assert(visible() === want)
+    // append mode with a declared scope is a user error, not a silent drop
+    intercept[IllegalArgumentException] {
+      fix.write.format("graft").mode("append")
+        .option("replaceWhere", "day = 2").save(base)
+    }
+    // the engine route (overwrite-by-expression, no enforcement): Spark's
+    // "delete by predicate then insert" contract through the same commit
+    Snapshots.replaceWhere(spark, Seq((9L, 1L)).toDF("day", "v"), base,
+      col("day") === 3L, enforce = false)
+    assert(visible() ===
+      (want.filterNot(_._1 == 3L) + ((9L, 1L))))
+  }
+
   test("streaming sink: append replication, update upserts, complete aggregates") {
     val sess = spark
     import sess.implicits._
