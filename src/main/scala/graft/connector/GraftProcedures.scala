@@ -113,12 +113,16 @@ private[connector] class GraftProcedures(resolve: String => String,
     },
 
     new Proc("expire", "drop all but the newest keep_last snapshots " +
-        "(tagged versions always survive) and reclaim unreferenced data files",
-      Seq(tableParam, in("keep_last", IntegerType).defaultValue("1").build()),
+        "(tagged versions always survive; with max_age_ms >= 0 only " +
+        "versions older than that age are dropped) and reclaim " +
+        "unreferenced data files",
+      Seq(tableParam, in("keep_last", IntegerType).defaultValue("1").build(),
+        in("max_age_ms", LongType).defaultValue("-1").build()),
       out("versions_kept" -> LongType)) {
       override def exec(r: InternalRow): Seq[Any] = {
         val t = table(r)
-        Snapshots.expire(t, r.getInt(1))
+        val age = r.getLong(2)
+        Snapshots.expire(t, r.getInt(1), if (age < 0) None else Some(age))
         Seq(Snapshots.versions(t).size.toLong)
       }
     },

@@ -65,6 +65,23 @@ object TableProps {
   val BinpackMaxSmallFiles = "write.binpack.max-small-files"
   val BinpackSmallBytes = "write.binpack.small-bytes"
 
+  /** `history.expire.max-age-ms` / `history.expire.min-snapshots-to-keep`:
+    * auto-retention, completing the auto-maintenance family (auto-fold,
+    * auto-binpack). When either is set, every commit through
+    * [[graft.ingest.Snapshots.commit]] runs `expire` afterwards —
+    * an unattended streaming table then bounds its manifest/file history
+    * without an external scheduler. `min-snapshots-to-keep` (default 1,
+    * must be >= 1) is the count floor: that many newest versions always
+    * survive. `max-age-ms`, when set, additionally protects YOUNG
+    * versions: only versions older than the age (by their recorded
+    * commit instant; legacy instant-less manifests are never
+    * age-expired) are dropped. Tagged versions and branch forks survive
+    * like any manual expire, and a lost maintenance race is non-fatal —
+    * the data commit is already durable.
+    */
+  val ExpireMaxAgeMs = "history.expire.max-age-ms"
+  val ExpireMinSnapshots = "history.expire.min-snapshots-to-keep"
+
   /** `write.check.<name>` = SQL predicate: every NEW-data write
     * (append/overwrite commits, upsert/merge/replication insert legs)
     * refuses when any written row makes the predicate FALSE (SQL CHECK

@@ -785,7 +785,59 @@ object Snapshots {
       lastIdFor = if (!tracked) null else parent =>
         Some(newLast.max(
           if (parent <= 0) 0L else mintFloor(base, readManifest(base, parent)))))
-    maybeAutoBinpack(spark, base, committed, sortCols)
+    val v = maybeAutoBinpack(spark, base, committed, sortCols)
+    maybeAutoExpire(base)
+    v
+  }
+
+  /** Auto-retention hook honoring `history.expire.max-age-ms` /
+    * `history.expire.min-snapshots-to-keep`
+    * ([[graft.connector.TableProps]]): when either is set, the
+    * committing writer expires history afterwards — the retention bound
+    * an external scheduler would otherwise have to enforce, completing
+    * the auto-maintenance family (auto-fold, auto-binpack). Tags and
+    * branch forks survive exactly as in a manual [[expire]]; failures
+    * are non-fatal (the data commit is already durable; stale history
+    * merely waits for the next commit). Why it is SAFE to run unlocked
+    * after every commit: expire never touches the newest `keepLast >= 1`
+    * manifests (so a racing reader/committer's parent resolution is
+    * unaffected) and sweeps only files referenced by NO surviving
+    * manifest and no branch head.
+    */
+  private def maybeAutoExpire(base: String): Unit = {
+    val props = graft.connector.TableProps.read(base)
+    val ageRaw = props.get(graft.connector.TableProps.ExpireMaxAgeMs)
+    val keepRaw = props.get(graft.connector.TableProps.ExpireMinSnapshots)
+    if (ageRaw.isEmpty && keepRaw.isEmpty) return
+    val maxAge = ageRaw.map { raw =>
+      val a =
+        try raw.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"table property history.expire.max-age-ms must be a " +
+              s"millisecond count, got '$raw'")
+        }
+      require(a >= 0, s"history.expire.max-age-ms must be >= 0, got $a")
+      a
+    }
+    val keepLast = keepRaw.map { raw =>
+      val k =
+        try raw.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"table property history.expire.min-snapshots-to-keep must " +
+              s"be an integer, got '$raw'")
+        }
+      require(k >= 1,
+        s"history.expire.min-snapshots-to-keep must be >= 1, got $k")
+      k
+    }.getOrElse(1)
+    try expire(base, keepLast, maxAge)
+    catch { case e: Exception =>
+      System.err.println(
+        s"[graft] auto expire on $base failed (will retry on the next " +
+          s"commit): ${e.getMessage}")
+    }
   }
 
   /** Auto-maintenance hook honoring `write.binpack.max-small-files`
@@ -2874,15 +2926,25 @@ object Snapshots {
     deleted.result()
   }
 
-  def expire(base: String, keepLast: Int = 1): Unit = {
+  def expire(base: String, keepLast: Int = 1,
+             maxAgeMs: Option[Long] = None): Unit = {
     val fs = fsFor(base)
     val vs = versions(base)
     // Tagged versions are reproducibility pins; branch FORK versions stay
     // readable so an empty branch (and fastForward's conflict check) still
     // resolves its state.
     val pinned = tags(base).values.toSet ++ branches(base).values
+    // Age guard (opt-in): a version younger than the cutoff — or one
+    // whose manifest predates recorded commit instants, where age can't
+    // be PROVEN — survives even past the count bound. Conservative by
+    // construction: retention never deletes what it can't date.
+    val cutoff = maxAgeMs.map(a => System.currentTimeMillis() - a)
+    def oldEnough(v: Long): Boolean = cutoff match {
+      case None    => true
+      case Some(c) => commitTsOf(base, v).exists(ts => ts > 0 && ts < c)
+    }
     val (dropCand, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
-    val (kept, drop) = dropCand.partition(pinned)
+    val (kept, drop) = dropCand.partition(v => pinned(v) || !oldEnough(v))
     val keep = kept ++ keepTail
     drop.foreach(v => fs.delete(manifestFile(base, v), false))
     // Liveness compares uriPath-canonical forms: manifest lines resolve

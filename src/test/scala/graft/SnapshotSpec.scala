@@ -775,6 +775,74 @@ class SnapshotSpec extends SparkSuite {
     }
   }
 
+  test("history.expire.* auto-retention bounds history; tags survive; age guards") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_snap_autoexp")
+    // two pre-retention commits; tag the FIRST as a reproducibility pin
+    Snapshots.commit(spark, Seq((1L, 1L)).toDF("k", "s"), base)
+    Snapshots.commit(spark, Seq((2L, 2L)).toDF("k", "s"), base)
+    val pinnedV = Snapshots.versions(base).min
+    Snapshots.tag(base, "pin", pinnedV)
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.ExpireMinSnapshots -> "3"))
+    // N appends past the bound: history stays at <= 3 + the pinned tag
+    (3L to 10L).foreach(i =>
+      Snapshots.commit(spark, Seq((i, i)).toDF("k", "s"), base))
+    val vs = Snapshots.versions(base)
+    assert(vs.size === 4, s"expected 3 kept + 1 pinned, got ${vs.size}")
+    assert(vs.contains(pinnedV))
+    // the pinned version still reads, and the head lost no rows
+    assert(Snapshots.read(spark, base, Some(pinnedV)).count() === 1)
+    assert(Snapshots.read(spark, base).count() === 10)
+    // age guard: an enormous max-age protects everything young — history
+    // grows past the count bound
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.ExpireMinSnapshots -> "3",
+        graft.connector.TableProps.ExpireMaxAgeMs -> (24L * 3600 * 1000).toString))
+    (11L to 13L).foreach(i =>
+      Snapshots.commit(spark, Seq((i, i)).toDF("k", "s"), base))
+    assert(Snapshots.versions(base).size === 7)
+    // age 0 = every version past the count bound is old enough
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.ExpireMinSnapshots -> "3",
+        graft.connector.TableProps.ExpireMaxAgeMs -> "0"))
+    Snapshots.commit(spark, Seq((14L, 14L)).toDF("k", "s"), base)
+    assert(Snapshots.versions(base).size === 4)
+    assert(Snapshots.read(spark, base).count() === 14)
+    // malformed properties refuse loudly with the property name
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.ExpireMinSnapshots -> "several"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, Seq((15L, 15L)).toDF("k", "s"), base)
+    }
+    assert(e.getMessage.contains("min-snapshots-to-keep"))
+  }
+
+  test("auto-retention on the streaming sink path bounds an unattended table") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmpDir("graft_snap_autoexp_sink")
+    // keepLast = 2 keeps the newest batch-tagged commit alive even if a
+    // maintenance commit lands after it, preserving the sink's
+    // re-delivery detection
+    graft.connector.TableProps.write(base,
+      Map(graft.connector.TableProps.ExpireMinSnapshots -> "2"))
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("k").writeStream.format("graft")
+      .option("path", base)
+      .option("checkpointLocation", tmpDir("graft_snap_autoexp_ckpt"))
+      .start()
+    try {
+      (1L to 6L).foreach { i => mem.addData(i); q.processAllAvailable() }
+    } finally q.stop()
+    // six micro-batch commits, history bounded at 2, all rows live
+    assert(Snapshots.versions(base).size === 2)
+    assert(Snapshots.read(spark, base).count() === 6)
+  }
+
   test("write.check.* constraints gate every new-data path, NULLs pass") {
     val sess = spark
     import sess.implicits._
