@@ -276,6 +276,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           "graft supports top-level DROP COLUMN only")
         Snapshots.dropColumn(base, del.fieldNames.head)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          "graft supports top-level ALTER COLUMN TYPE only")
+        Snapshots.widenColumn(base, upd.fieldNames.head, upd.newDataType)
       case set: TableChange.SetProperty =>
         writeProps(dir, readProps(dir) + (set.property -> set.value))
       case rm: TableChange.RemoveProperty =>

@@ -465,6 +465,65 @@ object Snapshots {
         new MetadataBuilder().putLong(FieldIdKey, last + 1).build())), last + 1)
     }
 
+  /** Widen a column's type in place, metadata-only (Iceberg's safe type
+    * promotions): byte/short/int up the integer ladder to long,
+    * float → double, decimal(p,s) → decimal(p',s) with p' > p. The field
+    * id is UNCHANGED, so old files keep their narrow physical encoding
+    * and read through Spark's parquet read-time type widening under the
+    * new header (one scan, no per-era union); time travel reads each era
+    * under its own manifest's schema, so a pre-widening version still
+    * returns the narrow type. Footer-stats pruning stays sound: all
+    * integer widths already share the sidecars' "long" comparison domain
+    * and float/double share "double" (decimal columns carry no stats —
+    * pruning was already conservative there), so old-file stats compare
+    * correctly against wide-domain predicates.
+    *
+    * A Bloom sidecar on the column is INVALIDATED (deleted): its bits
+    * were built from xxhash64 over the narrow read type, and post-widen
+    * probes hash the wide type — bit-different, so keeping the index
+    * would claim "definitely absent" for files that DO contain the
+    * probed value. Dropping it costs pruning power, never correctness;
+    * rebuild with `BloomIndex.build`. Key columns of outstanding
+    * equality deletes refuse like rename/drop (compact first) — the
+    * delete files persist narrow-typed key values whose join behavior
+    * must not change under them.
+    */
+  def widenColumn(base: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, target: DataType): Boolean = (from, target) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+    val v = alterSchema(base, s"alter:widen:$name", guardEqKeyColumn(name)) {
+      (s, last) =>
+        val i = s.fieldNames.indexOf(name)
+        require(i >= 0, s"no column $name to widen")
+        val from = s.fields(i).dataType
+        require(widens(from, to),
+          s"cannot widen $name from ${from.simpleString} to " +
+            s"${to.simpleString} - safe widenings are byte/short/int up " +
+            "to long, float to double, and decimal precision growth at " +
+            "the same scale")
+        (StructType(s.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)), last)
+    }
+    val bloom = new Path(BloomIndex.sidecar(base, name))
+    val fs = fsFor(base)
+    if (fs.exists(bloom)) {
+      fs.delete(bloom, true)
+      System.err.println(
+        s"[graft] widen of $name invalidated its Bloom index sidecar " +
+          "(hash domain changed); rebuild with BloomIndex.build")
+    }
+    v
+  }
+
   /** The newest version committed at or before `tsMillis` (wall-clock
     * time travel — `TIMESTAMP AS OF`). Resolution PREFERS the `commitTs`
     * recorded in each manifest header at publish time: file mtimes are

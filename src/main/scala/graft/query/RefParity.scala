@@ -330,6 +330,26 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // Type-widening evolution: row 1 reads the PRE-WIDENING version
+    // (int32 era under its own narrow header — time travel keeps the old
+    // type), row 2 the head, where int32-era and int64-era files read
+    // under one wide schema. All-long arithmetic; a widen that corrupted
+    // narrow values at scan (wrong promotion), lost the era boundary, or
+    // mis-dated time travel breaks the hash.
+    "ty1_type_widening" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      val dir = widenDir(s, d)
+      val vs = Snapshots.versions(dir).sorted
+      def summarize(df: DataFrame, snap: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("v").cast("long")).as("sum_v"),
+            sum(when(col("v").cast("long") > 2147483647L, 1L).otherwise(0L))
+              .as("n_wide"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("sum_v"),
+            col("n_wide"))
+      summarize(Snapshots.read(s, dir, Some(vs.head)), 1)
+        .unionAll(summarize(Snapshots.read(s, dir), 2))
+    },
     // REPLACE WHERE (predicate-scoped atomic backfill): day 3 replaced
     // with negated values TWICE (idempotent re-run staged in the
     // fixture); row 1 = pre-replace version, row 2 = final state. The
@@ -584,6 +604,28 @@ object RefParity {
         .select(col("day"), col("k"), (-col("v")).as("v"))
       Snapshots.replaceWhere(s, fix, tmp, col("day") === 3)
       Snapshots.replaceWhere(s, fix, tmp, col("day") === 3)
+      ()
+    }
+
+  /** Staged tree for ty1: v1 commits orders as (k, v = o_custkey cast to
+    * INT — the narrow era), then `widenColumn(v, long)` (metadata-only)
+    * and an append whose v values exceed Int.MaxValue — so the final
+    * table holds int32-encoded files and int64-encoded files under ONE
+    * wide schema header, and the head read exercises parquet read-time
+    * type widening across eras.
+    */
+  private def widenDir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_ty", sfDir, "orders")) { tmp =>
+      import graft.ingest.Snapshots
+      val narrow = Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_custkey").cast("int").as("v"))
+      Snapshots.commit(s, narrow, tmp)
+      Snapshots.widenColumn(tmp, "v", org.apache.spark.sql.types.LongType)
+      val wide = Tables.table(s, sfDir, "orders")
+        .select((col("o_orderkey") + lit(100000000L)).as("k"),
+          (col("o_custkey") + lit(4000000000L)).as("v"))
+      Snapshots.commit(s, wide, tmp)
       ()
     }
 
@@ -921,6 +963,16 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "ty1_type_widening" ->
+      """SELECT 1 AS snap, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_custkey AS INTEGER)) AS BIGINT) AS sum_v,
+        |  CAST(0 AS BIGINT) AS n_wide
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, 2 * count(*),
+        |  CAST(sum(o_custkey) + sum(o_custkey + 4000000000) AS BIGINT),
+        |  count(*)
+        |FROM orders""".stripMargin,
     "rw1_replace_where" ->
       """SELECT 1 AS snap, count(*) AS n_rows,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_v,

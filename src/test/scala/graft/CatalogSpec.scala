@@ -533,6 +533,83 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.cl.ev").head === Seq(1001L))
   }
 
+  test("ALTER COLUMN TYPE: safe widening reads mixed eras, time travel keeps the old type") {
+    import org.apache.spark.sql.types._
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ty")
+    spark.sql(s"CREATE TABLE $cat.ty.t (k INT, f FLOAT, d DECIMAL(6,2))")
+    spark.sql(s"INSERT INTO $cat.ty.t VALUES (1, CAST(1.5 AS FLOAT), 12.34)")
+    val vNarrow = graft.ingest.Snapshots.versions(tableBase("ty", "t")).max
+    spark.sql(s"ALTER TABLE $cat.ty.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.ty.t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.ty.t ALTER COLUMN d TYPE DECIMAL(12,2)")
+    // a post-widen insert holds values the narrow types cannot: mixed
+    // eras then read under ONE wide schema (old files widen at scan)
+    spark.sql(s"INSERT INTO $cat.ty.t VALUES (5000000000, 1e40, 9999999999.99)")
+    val head = spark.table(s"$cat.ty.t")
+    assert(head.schema("k").dataType === LongType)
+    assert(head.schema("f").dataType === DoubleType)
+    assert(head.schema("d").dataType === DecimalType(12, 2))
+    assert(head.orderBy(col("k")).collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 5000000000L))
+    assert(head.agg(sum(col("f"))).head.getDouble(0) === 1e40 + 1.5)
+    // time travel to the pre-widening version returns the NARROW era
+    val old = spark.sql(s"SELECT * FROM $cat.ty.t VERSION AS OF $vNarrow")
+    assert(old.schema("k").dataType === IntegerType)
+    assert(old.schema("f").dataType === FloatType)
+    assert(old.schema("d").dataType === DecimalType(6, 2))
+    assert(old.collect().map(_.getInt(0)).toSeq === Seq(1))
+    // footer-stats pruning stays sound across eras: narrow-file stats
+    // compare in the wide domain, so a big-long probe keeps only the
+    // wide file and a small probe only the narrow one
+    val base = tableBase("ty", "t")
+    val files = graft.ingest.Snapshots.liveFiles(
+      base, graft.ingest.Snapshots.versions(base).max)
+    def keptRows(v: Long): Long = {
+      val kept = graft.ingest.FileStats.prune(
+        spark.sparkContext.hadoopConfiguration, files,
+        Seq(org.apache.spark.sql.sources.EqualTo("k", v)))
+      kept.map(f => spark.read.parquet(f).count()).sum
+    }
+    assert(keptRows(5000000000L) === 1)
+    assert(keptRows(1L) === 1)
+    // and the full filtered read agrees
+    assert(rows(s"SELECT count(*) FROM $cat.ty.t WHERE k = 5000000000").head ===
+      Seq(1L))
+    // unsafe changes refuse loudly — Spark's analyzer catches plain
+    // narrowings (NOT_SUPPORTED_CHANGE_COLUMN), and the engine guard
+    // independently refuses anything outside the safe-widening set
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ty.t ALTER COLUMN k TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ty.t ALTER COLUMN d TYPE DECIMAL(12,4)")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ingest.Snapshots.widenColumn(tableBase("ty", "t"), "k", IntegerType)
+    }
+    assert(e1.getMessage.contains("widen"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ingest.Snapshots.widenColumn(tableBase("ty", "t"), "d",
+        DecimalType(14, 4))
+    }
+    assert(e2.getMessage.contains("widen"))
+    // a Bloom sidecar on the widened column is invalidated (its bits
+    // hash the narrow read type; keeping it would claim "definitely
+    // absent" for files that DO contain the probed value); an unrelated
+    // column's sidecar survives. Staged directories stand in for real
+    // sidecars — the contract under test is "delete exactly the widened
+    // column's index", not the index build itself (BloomIndexSpec).
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sc(c: String) = new org.apache.hadoop.fs.Path(
+      graft.ingest.BloomIndex.sidecar(base, c))
+    fs.mkdirs(sc("d")); fs.mkdirs(sc("k"))
+    assert(fs.exists(sc("d")) && fs.exists(sc("k")))
+    graft.ingest.Snapshots.widenColumn(base, "d", DecimalType(14, 2))
+    assert(!fs.exists(sc("d")), "widened column's sidecar must be invalidated")
+    assert(fs.exists(sc("k")), "unrelated sidecar must survive")
+  }
+
   test("writeTo(...).overwrite(cond): predicate-scoped replacement from the V2 writer") {
     val sess = spark
     import sess.implicits._
