@@ -490,6 +490,34 @@ private[connector] class GraftScan(base: String, pin: Snapshots.Pin,
     try Snapshots.scanNullCounts(base, pin, pushable.toSeq)
     catch { case _: Exception => Map.empty }
 
+  /** Equi-height histograms from the sidecars' merged signed-log2 bucket
+    * counts — the range-selectivity half of the CBO story: with only
+    * NDV/min/max, a filter over a skewed column assumes uniformity over
+    * [min, max] and can misestimate by orders of magnitude; with the
+    * histogram the optimizer integrates the real distribution, and a
+    * selective range filter's output becomes small enough to broadcast.
+    */
+  private lazy val hists: Map[String, (Double, Seq[(Double, Double, Long)])] =
+    try Snapshots.scanHistograms(base, pin, pushable.toSeq)
+      .flatMap { case (c, counts) =>
+        FileStats.equiHeightBins(counts).map(c -> _)
+      }
+    catch { case _: Exception => Map.empty }
+
+  /** Exact per-column min/max from the footer-stat sidecars, reported
+    * ONLY for columns the scan schema types as BIGINT (the catalyst-side
+    * ColumnStat holds the attribute's internal type; handing an int
+    * attribute a boxed Long would crash estimation, so narrower integer
+    * widths stay unreported). Range estimation needs these endpoints
+    * engaged before the histogram refines within them.
+    */
+  private lazy val ranges: Map[String, (Long, Long)] =
+    try Snapshots.exactLongRanges(base, pin).getOrElse(Map.empty)
+      .collect { case (c, (Some(lo), Some(hi)))
+        if required.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.LongType) => c -> (lo, hi) }
+    catch { case _: Exception => Map.empty }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       est._1.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
@@ -508,6 +536,37 @@ private[connector] class GraftScan(base: String, pin: Snapshots.Pin,
               java.util.OptionalLong.of(n)
             override def nullCount(): java.util.OptionalLong =
               java.util.OptionalLong.of(nc.get)
+            override def min(): java.util.Optional[Object] =
+              ranges.get(name) match {
+                case Some((lo, _)) =>
+                  java.util.Optional.of(java.lang.Long.valueOf(lo))
+                case None => java.util.Optional.empty()
+              }
+            override def max(): java.util.Optional[Object] =
+              ranges.get(name) match {
+                case Some((_, hi)) =>
+                  java.util.Optional.of(java.lang.Long.valueOf(hi))
+                case None => java.util.Optional.empty()
+              }
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hists.get(name) match {
+                case None => java.util.Optional.empty()
+                case Some((h, bs)) =>
+                  java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        bs.map { case (l, u, d) =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = l
+                            override def hi(): Double = u
+                            override def ndv(): Long = d
+                          }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+                        }.toArray
+                    })
+              }
           })
       }
       m

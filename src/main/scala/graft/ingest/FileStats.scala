@@ -57,8 +57,20 @@ object FileStats {
     * Absent for files written before round 9 or with collection disabled;
     * every consumer treats absence as "unknown".
     */
+  /** `hist`: per-column signed-log2 bucket counts of the file's non-null
+    * values (integer comparison domains only: ints, dates as epoch days,
+    * micros timestamps). Bucket 0 holds exact zeros; bucket k > 0 holds
+    * [2^(k-1), 2^k); bucket k < 0 mirrors for negatives. The boundaries
+    * are FIXED (value-independent), so table-level histograms merge by
+    * plain per-bucket addition over the live files — the property an
+    * equi-height sketch lacks. The connector converts the merged counts
+    * into Catalyst's equi-height form at report time; CBO range
+    * selectivity then sees the real value distribution instead of
+    * assuming uniformity over [min, max].
+    */
   case class FileStat(rows: Long, cols: Map[String, ColStat],
-                      ndv: Map[String, Array[Byte]] = Map.empty)
+                      ndv: Map[String, Array[Byte]] = Map.empty,
+                      hist: Map[String, Map[Int, Long]] = Map.empty)
 
   // -------------------------------------------------------------------
   // Collection (commit-time, driver-side, just-written files)
@@ -165,7 +177,8 @@ object FileStats {
     * commit must not fail because a footer read did.
     */
   def writeSidecar(conf: Configuration, dir: Path, files: Seq[String],
-                   ndv: Map[String, Map[String, Array[Byte]]] = Map.empty): Unit =
+                   ndv: Map[String, Map[String, Array[Byte]]] = Map.empty,
+                   hist: Map[String, Map[String, Map[Int, Long]]] = Map.empty): Unit =
     try {
       val stats = files.flatMap { f =>
         val p = new Path(f)
@@ -183,6 +196,11 @@ object FileStats {
           for ((cn, sk) <- ndv.getOrElse(name, Map.empty).toSeq.sortBy(_._1))
             sb.append(s"n\t${b64(name)}\t${b64(cn)}\t" +
               Base64.getEncoder.encodeToString(sk) + "\n")
+          // `h` lines (round 10): signed-log2 bucket counts, same
+          // unknown-tag forward compatibility as `n`
+          for ((cn, bs) <- hist.getOrElse(name, Map.empty).toSeq.sortBy(_._1))
+            sb.append(s"h\t${b64(name)}\t${b64(cn)}\t" +
+              bs.toSeq.sorted.map { case (b, n) => s"$b:$n" }.mkString(",") + "\n")
         }
         val fs = dir.getFileSystem(conf)
         val out = fs.create(new Path(dir, SidecarName), true)
@@ -230,7 +248,99 @@ object FileStats {
       }
     } catch { case _: Exception => Map.empty }
 
+  /** Per-file, per-column signed-log2 bucket counts of a just-written
+    * batch — ONE distributed aggregate: integer-domain columns are
+    * stacked into (column, bucket) pairs and counted grouped by file.
+    * Buckets: 0 for zero, floor(log2(v))+1 for positives, mirrored
+    * negatives; Long.MinValue (whose negation overflows) is dropped —
+    * counts feed ESTIMATES only. Best-effort (empty on failure), same
+    * stance as [[collectNdv]].
+    */
+  def collectHistograms(spark: org.apache.spark.sql.SparkSession,
+                        files: Seq[String]): Map[String, Map[String, Map[Int, Long]]] =
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val df = spark.read.parquet(files: _*)
+      val eligible = df.schema.fields.flatMap { f =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(f.name -> col(FileStats.quote(f.name)).cast("long"))
+          case DateType =>
+            Some(f.name -> col(FileStats.quote(f.name)).cast("int").cast("long"))
+          case TimestampType =>
+            Some(f.name -> col(FileStats.quote(f.name)).cast("long"))
+          case _ => None
+        }
+      }.toSeq
+      if (eligible.isEmpty) return Map.empty
+      def bucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(v.isNull || v === Long.MinValue, lit(null))
+          .when(v === 0L, lit(0))
+          .when(v > 0L, (floor(log2(v)) + lit(1)).cast("int"))
+          .otherwise((-floor(log2(-v)) - lit(1)).cast("int"))
+      val pairs = eligible.map { case (n, c) =>
+        struct(lit(n).as("c"), bucket(c).as("b"))
+      }
+      val counts = df
+        .select(input_file_name().as("f"), explode(array(pairs: _*)).as("p"))
+        .filter(col("p.b").isNotNull)
+        .groupBy(col("f"), col("p.c").as("c"), col("p.b").as("b"))
+        .count()
+        .collect()
+      counts.groupBy(r => new Path(r.getString(0)).getName).map { case (file, rs) =>
+        file -> rs.groupBy(_.getString(1)).map { case (c, brs) =>
+          c -> brs.map(r => r.getInt(2) -> r.getLong(3)).toMap
+        }
+      }
+    } catch { case _: Exception => Map.empty }
+
   private def quote(n: String): String = s"`${n.replace("`", "``")}`"
+
+  /** Merged signed-log2 bucket counts → equi-height bins
+    * `(lo, hi, ndvEstimate)` with `height` rows per bin — the shape
+    * Catalyst's CBO consumes. Boundaries interpolate uniformly INSIDE a
+    * log bucket (the only assumption left after the buckets localize the
+    * mass), so a 99%-of-rows-near-zero skew yields many narrow bins near
+    * zero and one wide tail bin instead of uniformity over [min, max].
+    * Per-bin NDV is capped by the bin's integer width — the estimate
+    * equality selectivity divides by. None when no counted values.
+    */
+  def equiHeightBins(counts: Map[Int, Long], maxBins: Int = 32)
+      : Option[(Double, Seq[(Double, Double, Long)])] = {
+    val positive = counts.filter(_._2 > 0)
+    val total = positive.values.sum
+    if (total <= 0L) return None
+    def rangeOf(b: Int): (Double, Double) =
+      if (b == 0) (0.0, 0.0)
+      else if (b > 0) (math.pow(2.0, b - 1.0), math.pow(2.0, b.toDouble))
+      else (-math.pow(2.0, -b.toDouble), -math.pow(2.0, -b - 1.0))
+    val buckets = positive.toSeq
+      .map { case (b, c) => val (lo, hi) = rangeOf(b); (lo, hi, c) }
+      .sortBy(_._1)
+    val nBins = math.max(1, math.min(maxBins.toLong, total).toInt)
+    val height = total.toDouble / nBins
+    def ndvEst(lo: Double, hi: Double): Long =
+      math.max(1L, math.min(height.toLong.max(1L), (hi - lo).toLong.max(1L)))
+    val bins = Seq.newBuilder[(Double, Double, Long)]
+    var binLo = buckets.head._1
+    var acc = 0.0
+    var made = 0
+    for ((lo, hi, c) <- buckets) {
+      var remaining = c.toDouble
+      var curLo = math.max(lo, binLo)
+      while (made < nBins - 1 && acc + remaining >= height) {
+        val need = height - acc
+        val cut = curLo + (hi - curLo) * (need / remaining)
+        bins += ((binLo, cut, ndvEst(binLo, cut)))
+        binLo = cut; curLo = cut; remaining -= need; acc = 0.0; made += 1
+      }
+      acc += remaining
+    }
+    val lastHi = buckets.last._2
+    bins += ((binLo, lastHi, ndvEst(binLo, lastHi)))
+    Some((height, bins.result()))
+  }
 
   /** Union per-file sketches into one table-level estimate (rounded). */
   def mergeNdv(sketches: Seq[Array[Byte]]): Long = {
@@ -255,6 +365,7 @@ object FileStats {
       val rows = scala.collection.mutable.Map[String, Long]()
       val cols = scala.collection.mutable.Map[String, Map[String, ColStat]]().withDefaultValue(Map.empty)
       val ndvs = scala.collection.mutable.Map[String, Map[String, Array[Byte]]]().withDefaultValue(Map.empty)
+      val hists = scala.collection.mutable.Map[String, Map[String, Map[Int, Long]]]().withDefaultValue(Map.empty)
       text.split("\n").filter(_.nonEmpty).foreach { line =>
         line.split("\t", -1) match {
           case Array("f", name, r) => rows(unb64(name)) = r.toLong
@@ -266,10 +377,19 @@ object FileStats {
           case Array("n", name, cn, sk) =>
             val f = unb64(name)
             ndvs(f) = ndvs(f) + (unb64(cn) -> Base64.getDecoder.decode(sk))
+          case Array("h", name, cn, bs) =>
+            val f = unb64(name)
+            val m = bs.split(",").filter(_.nonEmpty).map { e =>
+              val Array(b, n) = e.split(":", 2)
+              b.toInt -> n.toLong
+            }.toMap
+            hists(f) = hists(f) + (unb64(cn) -> m)
           case _ => ()
         }
       }
-      Some(rows.map { case (f, r) => f -> FileStat(r, cols(f), ndvs(f)) }.toMap)
+      Some(rows.map { case (f, r) =>
+        f -> FileStat(r, cols(f), ndvs(f), hists(f))
+      }.toMap)
     } catch { case _: Exception => None }
 
   // -------------------------------------------------------------------

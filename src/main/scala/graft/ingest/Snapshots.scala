@@ -338,8 +338,15 @@ object Snapshots {
       if (runtimeConf("spark.graft.stats.ndv", "true").toBoolean)
         FileStats.collectNdv(df.sparkSession, files)
       else Map.empty[String, Map[String, Array[Byte]]]
+    // Signed-log2 histogram counts ride beside the NDV sketches
+    // (`spark.graft.stats.histograms false` opts out) — they are what
+    // lets CBO range selectivity see skew instead of assuming uniformity.
+    val hist =
+      if (runtimeConf("spark.graft.stats.histograms", "true").toBoolean)
+        FileStats.collectHistograms(df.sparkSession, files)
+      else Map.empty[String, Map[String, Map[Int, Long]]]
     FileStats.writeSidecar(df.sparkSession.sparkContext.hadoopConfiguration,
-      batchPath, files, ndv)
+      batchPath, files, ndv, hist)
     files
   }
 
@@ -2247,7 +2254,8 @@ object Snapshots {
                 .map(_.getPath.toString).sorted
             else files.sorted
           FileStats.writeSidecar(conf, dir, covered,
-            FileStats.collectNdv(spark, covered))
+            FileStats.collectNdv(spark, covered),
+            FileStats.collectHistograms(spark, covered))
           refreshed += 1
         }
       }
@@ -2279,6 +2287,40 @@ object Snapshots {
     val common = perFile.map(_.keySet).reduce(_ intersect _)
     common.toSeq.map { c =>
       c -> FileStats.mergeNdv(perFile.map(_(c)))
+    }.toMap
+  }
+
+  /** Merged per-column signed-log2 histogram counts over the
+    * (stats-pruned) live file set. The buckets' FIXED boundaries make the
+    * merge a plain per-bucket sum — manifest/sidecar-read cost only, no
+    * data IO. A column reports only when EVERY surviving file carries
+    * counts (a partial histogram would misstate the distribution);
+    * [[FileStats.equiHeightBins]] turns the result into the equi-height
+    * form Catalyst's filter estimation consumes.
+    */
+  def scanHistograms(base: String, pin: Pin = Pin.Latest,
+                     pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Map[String, Map[Int, Long]] = {
+    val m = pinnedManifest(base, pin)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    if (kept.isEmpty) return Map.empty
+    val sidecars = kept.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
+      .toMap
+    // Zero-row files (a CREATE's empty schema commit) legitimately carry
+    // no counts and must not veto the whole table's histogram.
+    val perFile = kept.flatMap { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName) match {
+        case Some(fs) if fs.rows == 0 => None
+        case Some(fs)                 => Some(fs.hist)
+        case None                     => Some(Map.empty[String, Map[Int, Long]])
+      }
+    }
+    if (perFile.isEmpty) return Map.empty
+    val common = perFile.map(_.keySet).reduce(_ intersect _)
+    common.toSeq.map { c =>
+      c -> perFile.flatMap(_(c).toSeq)
+        .groupBy(_._1).map { case (b, cs) => b -> cs.map(_._2).sum }
     }.toMap
   }
 

@@ -540,6 +540,62 @@ class ConnectorSpec extends SparkSuite {
     }
   }
 
+  test("histograms: skewed range estimate within 2x of truth; join plan flips") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = tmpDir("graft_conn_hist")
+    val (withHist, noHist) = (s"$root/a", s"$root/b")
+    // heavy skew: 99% of rows in [0, 8), 1% spread over [2^21, ~2^30) —
+    // the shape where uniformity over [min, max] is off by orders of
+    // magnitude for a range predicate
+    val data = spark.range(100000).select(col("id"),
+      when(col("id") < 99000, col("id") % 8)
+        .otherwise(lit(2097152L) + (col("id") - 99000L) * 500000L).as("v"))
+    Snapshots.commit(spark, data, withHist)
+    spark.conf.set("spark.graft.stats.histograms", "false")
+    try Snapshots.commit(spark, data, noHist)
+    finally spark.conf.unset("spark.graft.stats.histograms")
+    // merged counts: fixed log2 boundaries sum across files; the head
+    // mass sits in buckets 0..3, the tail above bucket 21
+    val counts = Snapshots.scanHistograms(withHist)("v")
+    assert(counts.filter(_._1 <= 3).values.sum === 99000L)
+    assert(counts.filter(_._1 >= 22).values.sum === 1000L)
+    assert(Snapshots.scanHistograms(noHist).isEmpty) // opt-out wrote none
+    val truth = data.filter(col("v") > 1048576L).count() // = 1000
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (100 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def est(base: String): BigInt = {
+        val st = spark.read.format("graft").load(base)
+          .filter(col("v") > 1048576L)
+          .queryExecution.optimizedPlan.stats
+        st.rowCount.getOrElse(BigInt(-1))
+      }
+      // histogram: estimate within 2x of truth either way
+      val eH = est(withHist)
+      assert(eH >= truth / 2 && eH <= truth * 2,
+        s"histogram estimate $eH vs truth $truth")
+      // histogram-less twin: uniformity misestimates by more than 10x
+      val eN = est(noHist)
+      assert(eN > truth * 10, s"twin estimate $eN vs truth $truth")
+      // ...and the misestimate is a PLAN choice: the filtered side sizes
+      // under the broadcast threshold only with the histogram
+      def joinPlan(base: String): String = {
+        val dim = spark.range(200000).select(col("id"), (col("id") * 3).as("w"))
+        spark.read.format("graft").load(base).filter(col("v") > 1048576L)
+          .join(dim, "id").queryExecution.sparkPlan.toString
+      }
+      assert(joinPlan(withHist).contains("BroadcastHashJoin"))
+      assert(joinPlan(noHist).contains("SortMergeJoin"))
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("collect_stats backfills NDV sketches for stats-disabled and adopted data") {
     val sess = spark
     import sess.implicits._
