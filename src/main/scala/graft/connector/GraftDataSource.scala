@@ -376,7 +376,7 @@ private[connector] class GraftScanBuilder(base: String, pin: Snapshots.Pin,
   private def tryPush(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     if (metadataAgg.isDefined) return true
     if (agg.groupByExpressions.nonEmpty || filters.nonEmpty ||
@@ -389,16 +389,31 @@ private[connector] class GraftScanBuilder(base: String, pin: Snapshots.Pin,
           Some(r.fieldNames.head)
         case _ => None
       }
+    // count(col) works on ANY column type: parquet null counts are exact
+    // regardless of value domain, so rows − nulls answers it.
+    def anyColOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          tableSchema.fieldNames.contains(r.fieldNames.head) =>
+          Some(r.fieldNames.head)
+        case _ => None
+      }
     val needsRanges = agg.aggregateExpressions.exists {
-      case _: CountStar => false
+      case _: CountStar | _: Count => false
       case _ => true
     }
     lazy val ranges = Snapshots.exactLongRanges(base, pin)
     lazy val count = Snapshots.exactRowCount(base, pin)
+    lazy val nullsEx = Snapshots.exactNullCounts(base, pin)
     val fields = agg.aggregateExpressions.toSeq.zipWithIndex.map {
       case (_: CountStar, i) =>
         count.map(n => (StructField(s"agg_$i", LongType, nullable = false),
           n: Any))
+      case (c: Count, i) if !c.isDistinct =>
+        for {
+          cn <- anyColOf(c.column); n <- count; ns <- nullsEx; nulls <- ns.get(cn)
+        } yield (StructField(s"agg_$i", LongType, nullable = false),
+          (n - nulls): Any)
       case (m: Min, i) =>
         for {
           c <- colOf(m.column); rs <- ranges; r <- rs.get(c)

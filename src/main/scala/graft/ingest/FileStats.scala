@@ -47,7 +47,15 @@ object FileStats {
     * `date` (epoch days), `ts` (epoch micros), `double`, `string`.
     * `min`/`max` are None when every value in the file is NULL.
     */
-  case class ColStat(t: String, min: Option[String], max: Option[String], nulls: Long)
+  /** `id`: the column's parquet field id from the file footer (round 10).
+    * Stats are keyed by WRITE-TIME name; after a rename chain that reuses
+    * a name (`rename a→tmp; rename b→a`) the same name can denote
+    * DIFFERENT physical columns across file eras — the id is what lets
+    * exact metadata aggregates and pruning tell them apart. None for
+    * id-less (legacy) files and pre-round-10 sidecars.
+    */
+  case class ColStat(t: String, min: Option[String], max: Option[String],
+                     nulls: Long, id: Option[Long] = None)
   /** `ndv`: per-column Datasketches HLL sketch bytes (approximate distinct
     * count of the file's non-null values). MERGEABLE — table-level NDV is
     * the union of the live files' sketches, manifest-read cost only —
@@ -91,6 +99,13 @@ object FileStats {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
+        // Top-level parquet field ids (null for id-less legacy files) —
+        // recorded beside each column's stats so name-reuse across
+        // rename eras can't alias different physical columns.
+        val idsByName: Map[String, Long] =
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .flatMap(f => Option(f.getId).map(id => f.getName -> id.intValue().toLong))
+            .toMap
         // (domain, min, max, nulls) folded across row groups per column;
         // a single chunk without stats poisons its column (conservative).
         val acc = scala.collection.mutable.Map[String, Option[(String, Option[String], Option[String], Long)]]()
@@ -148,7 +163,8 @@ object FileStats {
           }
         }
         Some(FileStat(rows, acc.toMap.collect {
-          case (n, Some((d, mn, mx, nulls))) => n -> ColStat(d, mn, mx, nulls)
+          case (n, Some((d, mn, mx, nulls))) =>
+            n -> ColStat(d, mn, mx, nulls, idsByName.get(n))
         }))
       } finally reader.close()
     } catch { case _: Exception => None }
@@ -188,9 +204,13 @@ object FileStats {
         val sb = new StringBuilder
         for ((name, fs) <- stats.sortBy(_._1)) {
           sb.append(s"f\t${b64(name)}\t${fs.rows}\n")
+          // trailing field-id column (round 10) — pre-round-10 readers
+          // split on exactly 7 fields and skip 8-field lines, degrading
+          // to "no stats" (conservative) rather than misreading
           for ((cn, c) <- fs.cols.toSeq.sortBy(_._1))
             sb.append(s"c\t${b64(name)}\t${b64(cn)}\t${c.t}\t" +
-              s"${c.min.map(b64).getOrElse("-")}\t${c.max.map(b64).getOrElse("-")}\t${c.nulls}\n")
+              s"${c.min.map(b64).getOrElse("-")}\t${c.max.map(b64).getOrElse("-")}\t${c.nulls}\t" +
+              s"${c.id.map(_.toString).getOrElse("-")}\n")
           // `n` lines are ignored by pre-round-9 readers (unknown tags
           // skip), so the sidecar format stays forward/backward compatible
           for ((cn, sk) <- ndv.getOrElse(name, Map.empty).toSeq.sortBy(_._1))
@@ -374,6 +394,12 @@ object FileStats {
             cols(f) = cols(f) + (unb64(cn) -> ColStat(t,
               if (mn == "-") None else Some(unb64(mn)),
               if (mx == "-") None else Some(unb64(mx)), nulls.toLong))
+          case Array("c", name, cn, t, mn, mx, nulls, id) =>
+            val f = unb64(name)
+            cols(f) = cols(f) + (unb64(cn) -> ColStat(t,
+              if (mn == "-") None else Some(unb64(mn)),
+              if (mx == "-") None else Some(unb64(mx)), nulls.toLong,
+              if (id == "-") None else Some(id.toLong)))
           case Array("n", name, cn, sk) =>
             val f = unb64(name)
             ndvs(f) = ndvs(f) + (unb64(cn) -> Base64.getDecoder.decode(sk))
@@ -529,7 +555,15 @@ object FileStats {
     * conjunction). Sidecars load once per distinct parent dir — batch-
     * count-sized driver IO. Files without stats always survive.
     */
-  def prune(conf: Configuration, files: Seq[String], filters: Seq[Filter]): Seq[String] = {
+  /** `expectedIds` (current era name → field id): a file whose recorded
+    * stat for a name carries a DIFFERENT field id wrote that name in an
+    * earlier rename era — its stats describe another physical column, so
+    * they must not prune (the file is kept, conservative). Stats without
+    * a recorded id (legacy files, pre-round-10 sidecars) participate as
+    * before.
+    */
+  def prune(conf: Configuration, files: Seq[String], filters: Seq[Filter],
+            expectedIds: Map[String, Long] = Map.empty): Seq[String] = {
     if (filters.isEmpty || files.isEmpty) return files
     val byDir = files.groupBy(f => new Path(f).getParent)
     val sidecars: Map[Path, Map[String, FileStat]] =
@@ -538,7 +572,16 @@ object FileStats {
       val p = new Path(f)
       sidecars(p.getParent).get(p.getName) match {
         case None => true
-        case Some(fs) => filters.forall(mightMatch(fs, _))
+        case Some(fs0) =>
+          val fs =
+            if (expectedIds.isEmpty) fs0
+            else fs0.copy(cols = fs0.cols.filter { case (n, c) =>
+              (c.id, expectedIds.get(n)) match {
+                case (Some(x), Some(e)) => x == e
+                case _                  => true
+              }
+            })
+          filters.forall(mightMatch(fs, _))
       }
     }
   }

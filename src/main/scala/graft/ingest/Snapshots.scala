@@ -370,6 +370,18 @@ object Snapshots {
 
   private def fieldId(f: StructField): Long = f.metadata.getLong(FieldIdKey)
 
+  /** Current-era name → field id from a manifest's schema header (empty
+    * for legacy header-less tables). The alias guard for name-keyed
+    * sidecar stats: after a rename chain that reuses a name, stats a
+    * file recorded under that name in an EARLIER era describe a
+    * different physical column — consumers pass this map so such stats
+    * are ignored (conservative) instead of misread.
+    */
+  private def eraIds(m: Manifest): Map[String, Long] =
+    m.schema.map(_.fields.toSeq.flatMap(f =>
+      if (f.metadata.contains(FieldIdKey)) Some(f.name -> fieldId(f)) else None
+    ).toMap).getOrElse(Map.empty)
+
   /** Align `df` to the table's id space: columns matching a parent-schema
     * name keep that field's id, new columns mint fresh ids. Returns the
     * id-attached frame plus the table schema AFTER this commit —
@@ -431,11 +443,56 @@ object Snapshots {
     * the old name.
     */
   def renameColumn(base: String, from: String, to: String): Long =
-    alterSchema(base, s"alter:rename:$from:$to", guardEqKeyColumn(from)) { (s, last) =>
+    alterSchema(base, s"alter:rename:$from:$to",
+      m => { guardEqKeyColumn(from)(m); guardNameReuse(m, from, to) }) { (s, last) =>
       require(s.fieldNames.contains(from), s"no column $from to rename")
       require(!s.fieldNames.contains(to), s"column $to already exists")
       (StructType(s.fields.map(f => if (f.name == from) f.copy(name = to) else f)), last)
     }
+
+  /** Refuse renaming INTO a name that live data files still carry from
+    * an earlier schema era (it was dropped or renamed away while its
+    * bytes remain). Reusing such a name would alias two different
+    * physical columns under one name in era-mixed scans: Spark's parquet
+    * row-group pushdown and any name-keyed stats would then apply one
+    * column's statistics to the other's data — silent wrong row-group
+    * skipping, the worst failure mode. Detection is sidecar-based (one
+    * metadata read at DDL time): a live file recording stats for `to`
+    * proves the stale bytes exist. Columns with no stats domain
+    * (binary/array/decimal) can evade detection — compact first if a
+    * refused name must be reclaimed, which rewrites files under the
+    * current era and retires the stale bytes.
+    *
+    * Renaming a column BACK to a name its own bytes carry (a → b → a) is
+    * legitimate and allowed: files recording `to` under `from`'s OWN
+    * field id are the same physical column. Pre-round-10 sidecars carry
+    * no ids and refuse conservatively — `CALL collect_stats` refreshes
+    * them with ids.
+    */
+  private def guardNameReuse(m: Manifest, from: String, to: String): Unit = {
+    val conf = hadoopConf
+    val fromId: Option[Long] = m.schema.flatMap(
+      _.fields.find(_.name == from).filter(_.metadata.contains(FieldIdKey))
+        .map(fieldId))
+    val sidecars = m.files.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(conf, d).getOrElse(Map.empty))
+      .toMap
+    val stale = m.files.exists { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName).exists(_.cols.get(to).exists(c =>
+        (c.id, fromId) match {
+          case (Some(x), Some(e)) => x != e // same physical column is fine
+          case _                  => true   // unprovable — refuse
+        }))
+    }
+    if (stale)
+      throw new IllegalStateException(
+        s"cannot rename into '$to': live data files still carry a column " +
+          "of that name from an earlier schema era, and reusing it would " +
+          "alias two physical columns in era-mixed scans (wrong row-group " +
+          "skipping); compact() first to rewrite the table under the " +
+          "current era, then rename")
+  }
 
   /** Drop a column, metadata-only: the field leaves the schema header, so
     * no read requests it again — the bytes stay in old files for time
@@ -1190,7 +1247,7 @@ object Snapshots {
     // pruned files contain no matching row, so no coordinate is lost.
     val schema = m.schema.getOrElse(scanWithDvs(spark, m, keepCoords = false).schema)
     val pruneFs = org.apache.spark.sql.graft.Bridge.pushableFilters(spark, schema, cond)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFs)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFs, eraIds(m))
     val matchScan =
       if (kept.isEmpty && m.files.nonEmpty)
         scanWithDvs(spark, m, keepCoords = true)
@@ -1301,7 +1358,7 @@ object Snapshots {
     // applied so an already-hidden row is never re-matched.
     val schema = m.schema.getOrElse(scanWithDvs(spark, m, keepCoords = false).schema)
     val pruneFs = org.apache.spark.sql.graft.Bridge.pushableFilters(spark, schema, cond)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFs)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFs, eraIds(m))
     val matchScan =
       if (kept.isEmpty && m.files.nonEmpty)
         scanWithDvs(spark, m, keepCoords = true).filter(lit(false))
@@ -1387,7 +1444,7 @@ object Snapshots {
     val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
     val refs = FileStats.keyFilters(k, maxInKeys) match {
       case None => Nil // no non-null key tuple: nothing can match
-      case Some(fs) => FileStats.prune(hadoopConf, m.files, fs).map(relKey)
+      case Some(fs) => FileStats.prune(hadoopConf, m.files, fs, eraIds(m)).map(relKey)
     }
     if (refs.isEmpty) return v0
     val eqPath = new Path(dataDir(base), s"eq_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1452,7 +1509,7 @@ object Snapshots {
     val maxInKeys = runtimeConf("spark.graft.prune.maxInKeys", "10000").toInt
     val refs = FileStats.keyFilters(srcKeys, maxInKeys) match {
       case None => Nil
-      case Some(fs) => FileStats.prune(hadoopConf, m.files, fs).map(relKey)
+      case Some(fs) => FileStats.prune(hadoopConf, m.files, fs, eraIds(m)).map(relKey)
     }
     // Pure-insert fast path: no live file can hold a matched key, so the
     // commit is a plain append of the source (no eq sidecar at all).
@@ -1672,7 +1729,7 @@ object Snapshots {
           .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
         val rs = FileStats.keyFilters(k, maxInKeys) match {
           case None => Nil
-          case Some(fs) => FileStats.prune(hadoopConf, m.files, fs).map(relKey)
+          case Some(fs) => FileStats.prune(hadoopConf, m.files, fs, eraIds(m)).map(relKey)
         }
         if (rs.isEmpty) (Nil, Nil)
         else {
@@ -1762,7 +1819,7 @@ object Snapshots {
         scanWithDvs(spark, m, keepCoords = true)
           .filter(org.apache.spark.sql.functions.lit(false))
       case Some(fs) =>
-        val kept = FileStats.prune(hadoopConf, m.files, fs)
+        val kept = FileStats.prune(hadoopConf, m.files, fs, eraIds(m))
         if (kept.isEmpty && m.files.nonEmpty)
           scanWithDvs(spark, m, keepCoords = true)
             .filter(org.apache.spark.sql.functions.lit(false))
@@ -1844,7 +1901,7 @@ object Snapshots {
     val vs = versions(base)
     require(vs.nonEmpty, s"no committed snapshots under $base")
     val m = readManifest(base, vs.max)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
     val scan =
       if (kept.isEmpty && m.files.nonEmpty)
         scanWithDvs(spark, m, keepCoords = true).filter(lit(false))
@@ -2084,7 +2141,7 @@ object Snapshots {
           s"onlyMatching predicate '$cond' has no stats-translatable " +
             "conjunct - it would select every file; run a full compact " +
             "instead")
-        val kept = FileStats.prune(hadoopConf, m0.files, filters).toSet
+        val kept = FileStats.prune(hadoopConf, m0.files, filters, eraIds(m0)).toSet
         m0.files.partition(kept)
     }
     if (smalls.isEmpty) return v0
@@ -2173,7 +2230,7 @@ object Snapshots {
                  mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val m = pinnedManifest(base, pin)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
     // All files pruned: an empty result with the right schema — plan over
     // the full list behind a false literal (the optimizer folds it to an
     // empty LocalRelation; no task ever launches).
@@ -2199,7 +2256,7 @@ object Snapshots {
   def scanStats(base: String, pin: Pin = Pin.Latest,
                 pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): (Option[Long], Option[Long]) = {
     val m = pinnedManifest(base, pin)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
     val fs = fsFor(base)
     // A failed status call (concurrent expire, transient FS error) means
     // UNKNOWN, never 0 — an undercounted size would let join selection
@@ -2275,7 +2332,7 @@ object Snapshots {
   def scanNdv(base: String, pin: Pin = Pin.Latest,
               pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Map[String, Long] = {
     val m = pinnedManifest(base, pin)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
     if (kept.isEmpty) return Map.empty
     val sidecars = kept.groupBy(f => new Path(f).getParent).keys
       .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
@@ -2301,7 +2358,7 @@ object Snapshots {
   def scanHistograms(base: String, pin: Pin = Pin.Latest,
                      pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Map[String, Map[Int, Long]] = {
     val m = pinnedManifest(base, pin)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
     if (kept.isEmpty) return Map.empty
     val sidecars = kept.groupBy(f => new Path(f).getParent).keys
       .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
@@ -2333,7 +2390,7 @@ object Snapshots {
   def scanNullCounts(base: String, pin: Pin = Pin.Latest,
                      pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil): Map[String, Long] = {
     val m = pinnedManifest(base, pin)
-    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters)
+    val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
     if (kept.isEmpty) return Map.empty
     val sidecars = kept.groupBy(f => new Path(f).getParent).keys
       .map(d => d -> FileStats.readSidecar(hadoopConf, d).getOrElse(Map.empty))
@@ -2369,6 +2426,48 @@ object Snapshots {
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
+  /** Exact per-column NULL counts from metadata alone, under the
+    * [[exactRowCount]] preconditions (no row-level delete outstanding,
+    * complete sidecar coverage): Some(map) of column → total NULLs for
+    * every column EVERY live file carries stats for (all domains —
+    * parquet null counts are exact regardless of value type). This is
+    * what answers `count(col)` = rows − nulls with zero data IO.
+    */
+  def exactNullCounts(base: String, pin: Pin = Pin.Latest): Option[Map[String, Long]] = {
+    val m = pinnedManifest(base, pin)
+    if (m.dvs.nonEmpty || m.eqs.nonEmpty) return None
+    val conf = hadoopConf
+    val sidecars = m.files.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(conf, d).getOrElse(Map.empty))
+      .toMap
+    val stats = m.files.map { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName)
+    }
+    if (stats.exists(_.isEmpty)) return None
+    val fs = stats.flatten
+    if (fs.isEmpty) return Some(Map.empty)
+    // Zero-row files carry no per-column lines; they contribute zero
+    // NULLs to every column and must not veto the intersection.
+    val bearing = fs.filter(_.rows > 0)
+    if (bearing.isEmpty) return Some(Map.empty)
+    val ids = eraIds(m)
+    val common = bearing.map(_.cols.keySet).reduce(_ intersect _)
+      .filter(c => bearing.forall(f => idCompatible(f.cols(c), ids.get(c))))
+    Some(common.toSeq.map(c => c -> bearing.map(_.cols(c).nulls).sum).toMap)
+  }
+
+  /** A name-keyed stat may serve the current era only when its recorded
+    * field id matches (or either side predates ids — legacy files and
+    * pre-round-10 sidecars stay usable). A mismatch means the name was
+    * reused across rename eras for a different physical column.
+    */
+  private def idCompatible(c: FileStats.ColStat, expected: Option[Long]): Boolean =
+    (c.id, expected) match {
+      case (Some(x), Some(e)) => x == e
+      case _                  => true
+    }
+
   /** Exact per-column BIGINT min/max from metadata alone, over a pinned
     * state whose [[exactRowCount]] preconditions hold (no row-level
     * delete outstanding, complete sidecar coverage): Some(map) of
@@ -2393,7 +2492,9 @@ object Snapshots {
     if (stats.exists(_.isEmpty)) return None
     val fs = stats.flatten
     if (fs.isEmpty) return Some(Map.empty)
+    val ids = eraIds(m)
     val common = fs.map(_.cols.keySet).reduce(_ intersect _)
+      .filter(c => fs.forall(f => idCompatible(f.cols(c), ids.get(c))))
     Some(common.toSeq.flatMap { c =>
       val cs = fs.map(_.cols(c))
       if (cs.exists(_.t != "long")) None

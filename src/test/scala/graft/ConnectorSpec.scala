@@ -631,8 +631,13 @@ class ConnectorSpec extends SparkSuite {
     val base = tmpDir("graft_conn_count")
     Snapshots.commit(spark, (1L to 100L).map(i => (i, i * 2L)).toDF("k", "v"), base)
     Snapshots.commit(spark, (101L to 130L).map(i => (i, i * 2L)).toDF("k", "v"), base)
+    // a null-bearing tail: count(v) = rows − nulls rides the same
+    // metadata path (parquet null counts are exact for any type)
+    Snapshots.commit(spark,
+      (131L to 140L).map(i => (i, null.asInstanceOf[java.lang.Long])).toDF("k", "v"),
+      base)
     def table = spark.read.format("graft").load(base)
-    assert(table.count() === 130L)
+    assert(table.count() === 140L)
     // THE proof of zero data IO: physically remove a data file — the
     // metadata count still answers, while any data-touching query fails
     val victim = new java.io.File(
@@ -640,27 +645,104 @@ class ConnectorSpec extends SparkSuite {
     val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
     java.nio.file.Files.delete(victim.toPath)
     try {
-      assert(table.count() === 130L, "metadata count must not open data files")
-      // min/max on BIGINT columns ride the same metadata path (integer
-      // parquet stats are exact), including mixed with count(*)
+      assert(table.count() === 140L, "metadata count must not open data files")
+      // min/max on BIGINT columns and count(col) = rows − nulls ride the
+      // same metadata path, including mixed with count(*)
       val r = table.agg(
         org.apache.spark.sql.functions.min("k"),
         org.apache.spark.sql.functions.max("v"),
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head()
-      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 260L, 130L)))
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.count(col("v"))).head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((1L, 260L, 140L, 130L)))
       intercept[Exception] { table.agg(org.apache.spark.sql.functions.sum("v")).head() }
+      // count(DISTINCT v) is NOT metadata-answerable — it must touch data
+      // and therefore fail while the file is missing
+      intercept[Exception] {
+        table.agg(org.apache.spark.sql.functions.countDistinct(col("v"))).head()
+      }
     } finally java.nio.file.Files.write(victim.toPath, bytes)
     // a filter forces the real scan (correct, not metadata)
     assert(table.filter(col("k") <= 10L).count() === 10L)
     // outstanding row-level deletes make metadata inexact -> fallback
     Snapshots.deleteWhereDV(spark, base, col("k") === 1L)
-    assert(table.count() === 129L)
+    assert(table.count() === 139L)
     Snapshots.deleteByKeys(spark, base, Seq(2L).toDF("k"))
-    assert(table.count() === 128L)
+    assert(table.count() === 138L)
     // compaction materializes the deletes; the metadata path returns
     Snapshots.compact(spark, base, numFiles = 1)
-    assert(table.count() === 128L)
+    assert(table.count() === 138L)
     assert(table.queryExecution.optimizedPlan.toString.nonEmpty) // plan sanity
+  }
+
+  test("rename-era name reuse refuses: aliasing two physical columns is unrepresentable") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft_conn_alias")
+    // era 1: a = small ints, b = big ints, one file
+    Snapshots.commit(spark,
+      (1L to 100L).map(i => (i, 1000L + i)).toDF("a", "b").repartition(1), base)
+    // the alias chain (a → tmp; b → a) would make "a" denote the ORIGINAL
+    // b while era-1 files still carry a DIFFERENT physical column named
+    // "a" — Spark's parquet row-group pushdown matches by name, so an
+    // era-mixed scan would skip row groups using the wrong column's
+    // stats. The second rename therefore REFUSES while stale bytes live.
+    Snapshots.renameColumn(base, "a", "tmp")
+    val e = intercept[IllegalStateException] {
+      Snapshots.renameColumn(base, "b", "a")
+    }
+    assert(e.getMessage.contains("earlier schema era"))
+    // renaming BACK to a name the column's own bytes carry is legitimate
+    // (same field id) and allowed
+    Snapshots.renameColumn(base, "tmp", "a")
+    assert(spark.read.format("graft").load(base)
+      .filter(col("a") <= 10L).count() === 10L)
+    // compact rewrites under the current era and retires the stale
+    // bytes; the previously-refused reclamation then succeeds
+    Snapshots.renameColumn(base, "a", "tmp2")
+    Snapshots.compact(spark, base, numFiles = 1)
+    Snapshots.renameColumn(base, "b", "a")
+    val got = spark.read.format("graft").load(base)
+      .filter(col("a") > 1050L).count()
+    assert(got === 50L)
+  }
+
+  test("FileStats.prune id guard: era-mismatched stats never prune a file") {
+    val sess = spark
+    import sess.implicits._
+    // defense in depth below the DDL-level refusal (hand-built trees,
+    // adopted files): a sidecar whose recorded field id conflicts with
+    // the current era must not prune
+    val dir = new java.io.File(tmpDir("graft_prune_idguard"))
+    dir.mkdirs()
+    // attach an explicit parquet field id so the footer (and sidecar)
+    // carry it, like any id-tracked table's files
+    val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 4L).build()
+    val withId = (1L to 100L).toDF("a").repartition(1)
+      .select(col("a").as("a", idMeta))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    withId.write.mode("overwrite").parquet(dir.toString)
+    val files = dir.listFiles.filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileStats.writeSidecar(conf, new org.apache.hadoop.fs.Path(dir.toString), files)
+    import org.apache.spark.sql.sources.GreaterThan
+    // without an id expectation the [1,100] stats prune a > 1000
+    assert(FileStats.prune(conf, files, Seq(GreaterThan("a", 1000L))).isEmpty)
+    // matching era id: still prunes. Spark writes field ids from 0 for
+    // plain parquet writes; read the recorded id back and expect it.
+    val recorded = FileStats.readSidecar(conf,
+      new org.apache.hadoop.fs.Path(dir.toString)).get
+      .values.head.cols("a").id
+    recorded.foreach { id =>
+      assert(FileStats.prune(conf, files, Seq(GreaterThan("a", 1000L)),
+        Map("a" -> id)).isEmpty)
+      // mismatched era id: the stats are another column's — file kept
+      assert(FileStats.prune(conf, files, Seq(GreaterThan("a", 1000L)),
+        Map("a" -> (id + 7))) === files)
+    }
+    assert(recorded.isDefined, "plain Spark parquet writes should carry field ids")
   }
 
   test("streaming sink upsertMode=eq: keyed upserts with zero target scans") {
