@@ -39,6 +39,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * partition-key path, filesystemStorageAdapter.go:50); this is the
   * "address your blocks from SQL" surface a Spark user expects.
   */
+// Declaring SUPPORT_COLUMN_DEFAULT_VALUE makes Spark's analyzer accept
+// `DEFAULT <expr>` in CREATE TABLE / ADD COLUMN (embedding
+// CURRENT_DEFAULT/EXISTS_DEFAULT into the schema it hands us) and fill
+// write defaults into INSERTs that omit the column.
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog with ViewCatalog {
 
@@ -118,6 +122,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         props = readProps(dir))
     } else metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
   }
+
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def loadTable(ident: Identifier): Table =
     loadPinned(ident, Snapshots.Pin.Latest)
@@ -267,7 +277,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "graft supports top-level ADD COLUMN only")
-        Snapshots.addColumn(base, add.fieldNames.head, add.dataType)
+        Snapshots.addColumn(base, add.fieldNames.head, add.dataType,
+          Option(add.defaultValue).map(_.getSql))
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1,
           "graft supports top-level RENAME COLUMN only")
@@ -280,6 +291,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(upd.fieldNames.length == 1,
           "graft supports top-level ALTER COLUMN TYPE only")
         Snapshots.widenColumn(base, upd.fieldNames.head, upd.newDataType)
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames.length == 1,
+          "graft supports top-level ALTER COLUMN DEFAULT only")
+        Snapshots.setColumnDefault(base, upd.fieldNames.head,
+          Option(upd.newCurrentDefault).map(_.getSql).filter(_.nonEmpty))
       case set: TableChange.SetProperty =>
         writeProps(dir, readProps(dir) + (set.property -> set.value))
       case rm: TableChange.RemoveProperty =>

@@ -514,7 +514,8 @@ object Snapshots {
     * [[renameColumn]]/[[dropColumn]].
     */
   def addColumn(base: String, name: String,
-                dataType: org.apache.spark.sql.types.DataType): Long =
+                dataType: org.apache.spark.sql.types.DataType,
+                defaultSql: Option[String] = None): Long =
     // The fresh id must clear the max id EVER assigned, not the current
     // schema's max: after DROP of the highest-id column, current-max+1
     // would REUSE the dropped id, and id-based reads would bind the new
@@ -523,10 +524,36 @@ object Snapshots {
     // last-column-id (resolved against the true parent INSIDE the commit
     // lock, so concurrent adds cannot race to the same id, and monotone
     // through expire/rollback) is the floor — Iceberg's model.
+    //
+    // `defaultSql` (a constant SQL expression) makes this Iceberg's
+    // initial-default / Delta's default-value shape, riding Spark's OWN
+    // schema-metadata machinery: EXISTS_DEFAULT is applied by the
+    // parquet reader ONLY to files physically missing the column (so
+    // pre-add rows surface the default while a real NULL written after
+    // the add stays NULL — era-correct with no per-file branching), and
+    // CURRENT_DEFAULT is what the analyzer fills into INSERTs that omit
+    // the column (catalog route). Validation: the expression must parse,
+    // fold to a constant, and cast to the column type.
     alterSchema(base, s"alter:add:$name") { (s, last) =>
       require(!s.fieldNames.contains(name), s"column $name already exists")
+      val mb = new MetadataBuilder().putLong(FieldIdKey, last + 1)
+      defaultSql.foreach { sql =>
+        val lit =
+          try org.apache.spark.sql.SparkSession.active
+            .sql(s"SELECT CAST(($sql) AS ${dataType.sql})").head.get(0)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"default for $name must be a constant expression of type " +
+                s"${dataType.simpleString}: $sql (${e.getMessage})")
+          }
+        require(lit != null,
+          s"default for $name must not evaluate to NULL - omit the " +
+            "default instead (absent columns already read as NULL)")
+        mb.putString("CURRENT_DEFAULT", sql)
+        mb.putString("EXISTS_DEFAULT", sql)
+      }
       (StructType(s.fields :+ StructField(name, dataType, nullable = true,
-        new MetadataBuilder().putLong(FieldIdKey, last + 1).build())), last + 1)
+        mb.build())), last + 1)
     }
 
   /** Widen a column's type in place, metadata-only (Iceberg's safe type
@@ -587,6 +614,34 @@ object Snapshots {
     }
     v
   }
+
+  /** Change (or with None, drop) a column's WRITE default — what future
+    * INSERTs that omit the column will fill. The EXISTS default (what
+    * pre-add rows read, Iceberg's immutable initial-default) is
+    * deliberately untouched: changing it would rewrite history's meaning
+    * without rewriting a byte.
+    */
+  def setColumnDefault(base: String, name: String,
+                       defaultSql: Option[String]): Long =
+    alterSchema(base, s"alter:default:$name") { (s, last) =>
+      val i = s.fieldNames.indexOf(name)
+      require(i >= 0, s"no column $name")
+      val f = s.fields(i)
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      defaultSql match {
+        case Some(sql) =>
+          try org.apache.spark.sql.SparkSession.active
+            .sql(s"SELECT CAST(($sql) AS ${f.dataType.sql})").head.get(0)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException(
+              s"default for $name must be a constant expression of type " +
+                s"${f.dataType.simpleString}: $sql (${e.getMessage})")
+          }
+          mb.putString("CURRENT_DEFAULT", sql)
+        case None => mb.remove("CURRENT_DEFAULT")
+      }
+      (StructType(s.fields.updated(i, f.copy(metadata = mb.build()))), last)
+    }
 
   /** The newest version committed at or before `tsMillis` (wall-clock
     * time travel — `TIMESTAMP AS OF`). Resolution PREFERS the `commitTs`

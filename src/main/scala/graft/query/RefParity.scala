@@ -330,6 +330,20 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // DEFAULT column values end-to-end: c fills its write default for
+    // the omitted-column era, d fills its INITIAL default for every row
+    // whose file physically predates the column (Spark's EXISTS_DEFAULT
+    // schema metadata — era-correct, zero rewrites) and explicit values
+    // afterwards. The oracle replays the era algebra from orders in
+    // exact longs; a default leaking into the wrong era breaks the hash.
+    "dv1_default_values" -> { (s, d) =>
+      val cat = catalogDefaultsFor(s, d)
+      s.sql(
+        s"""SELECT count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS sum_c,
+           |  CAST(sum(d) AS BIGINT) AS sum_d,
+           |  CAST(sum(CASE WHEN d = 42 THEN 1 ELSE 0 END) AS BIGINT) AS n_init
+           |FROM $cat.core.dv""".stripMargin)
+    },
     // Type-widening evolution: row 1 reads the PRE-WIDENING version
     // (int32 era under its own narrow header — time travel keeps the old
     // type), row 2 the head, where int32-era and int64-era files read
@@ -606,6 +620,36 @@ object RefParity {
       Snapshots.replaceWhere(s, fix, tmp, col("day") === 3)
       ()
     }
+
+  /** Staged warehouse for dv1: `core.dv` created with a declared column
+    * default, filled through three INSERT eras (omitted column → write
+    * default; pre-ADD rows → initial default via files physically
+    * missing the column; post-ADD rows → explicit values). Same
+    * build/query catalog-name split as [[catalogFor]].
+    */
+  private def catalogDefaultsFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_dv", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_blddv_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+        .createOrReplaceTempView("dv1_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.dv (k BIGINT, c BIGINT DEFAULT 7)")
+      s.sql(s"INSERT INTO $bld.core.dv (k) SELECT k FROM dv1_src WHERE k % 3 = 0")
+      s.sql(s"INSERT INTO $bld.core.dv SELECT k, v FROM dv1_src WHERE k % 3 = 1")
+      s.sql(s"ALTER TABLE $bld.core.dv ADD COLUMN d BIGINT DEFAULT 42")
+      s.sql(s"INSERT INTO $bld.core.dv SELECT k, v, v + 1 FROM dv1_src WHERE k % 3 = 2")
+      ()
+    }
+    val cat = s"graft_dv_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
 
   /** Staged tree for ty1: v1 commits orders as (k, v = o_custkey cast to
     * INT — the narrow era), then `widenColumn(v, long)` (metadata-only)
@@ -963,6 +1007,15 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "dv1_default_values" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 7
+        |                ELSE o_custkey END) AS BIGINT) AS sum_c,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 2 THEN o_custkey + 1
+        |                ELSE 42 END) AS BIGINT) AS sum_d,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 <> 2 OR o_custkey + 1 = 42
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_init
+        |FROM orders""".stripMargin,
     "ty1_type_widening" ->
       """SELECT 1 AS snap, count(*) AS n_rows,
         |  CAST(sum(CAST(o_custkey AS INTEGER)) AS BIGINT) AS sum_v,

@@ -533,6 +533,50 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.cl.ev").head === Seq(1001L))
   }
 
+  test("DEFAULT column values: era-correct reads, INSERT fill, SET/DROP DEFAULT") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dv")
+    // CREATE with a declared default: omitted INSERT columns fill it
+    spark.sql(s"CREATE TABLE $cat.dv.t (k BIGINT, c BIGINT DEFAULT 7)")
+    spark.sql(s"INSERT INTO $cat.dv.t (k) VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.dv.t VALUES (2, 20), (3, NULL)")
+    assert(rows(s"SELECT k, c FROM $cat.dv.t ORDER BY k") ===
+      Seq(Seq(1L, 7L), Seq(2L, 20L), Seq(3L, null)))
+    // ADD COLUMN ... DEFAULT: pre-add rows read the initial default
+    // (files physically missing the column), while a post-add real NULL
+    // stays NULL — era-correct with zero rewrites
+    spark.sql(s"ALTER TABLE $cat.dv.t ADD COLUMN d BIGINT DEFAULT 42")
+    spark.sql(s"INSERT INTO $cat.dv.t VALUES (4, 4, NULL), (5, 5, 50)")
+    spark.sql(s"INSERT INTO $cat.dv.t (k, c) VALUES (6, 6)")
+    assert(rows(s"SELECT k, d FROM $cat.dv.t ORDER BY k") ===
+      Seq(Seq(1L, 42L), Seq(2L, 42L), Seq(3L, 42L),
+        Seq(4L, null), Seq(5L, 50L), Seq(6L, 42L)))
+    // filters over the default-bearing column see the filled values
+    assert(rows(s"SELECT count(*) FROM $cat.dv.t WHERE d = 42").head ===
+      Seq(4L))
+    // SET DEFAULT changes the WRITE default only; pre-add rows keep
+    // reading the immutable initial default
+    spark.sql(s"ALTER TABLE $cat.dv.t ALTER COLUMN d SET DEFAULT 99")
+    spark.sql(s"INSERT INTO $cat.dv.t (k) VALUES (7)")
+    assert(rows(s"SELECT d FROM $cat.dv.t WHERE k IN (1, 7) ORDER BY k") ===
+      Seq(Seq(42L), Seq(99L)))
+    // DROP DEFAULT: future omissions are NULL again; history unchanged
+    spark.sql(s"ALTER TABLE $cat.dv.t ALTER COLUMN d DROP DEFAULT")
+    spark.sql(s"INSERT INTO $cat.dv.t (k) VALUES (8)")
+    assert(rows(s"SELECT d FROM $cat.dv.t WHERE k IN (1, 8) ORDER BY k") ===
+      Seq(Seq(42L), Seq(null)))
+    // a non-constant or ill-typed default refuses loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.dv.t ADD COLUMN bad BIGINT DEFAULT k + 1")
+    }
+    // engine-level: NULL-valued defaults are refused (absent columns
+    // already read as NULL — a NULL default is a no-op trap)
+    val e = intercept[IllegalArgumentException] {
+      graft.ingest.Snapshots.addColumn(tableBase("dv", "t"), "bad2",
+        org.apache.spark.sql.types.LongType, Some("NULL"))
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("ALTER COLUMN TYPE: safe widening reads mixed eras, time travel keeps the old type") {
     import org.apache.spark.sql.types._
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ty")
