@@ -5,11 +5,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, NonEmptyNamespaceException, TableAlreadyExistsException, ViewAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -44,7 +45,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 // CURRENT_DEFAULT/EXISTS_DEFAULT into the schema it hands us) and fill
 // write defaults into INSERTs that omit the column.
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog {
+    with ProcedureCatalog with ViewCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -229,6 +230,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // and orthogonal to the storage layout here. The declared transform
     // list is preserved verbatim under `partition.transforms` so DDL
     // intent survives migration (SHOW TBLPROPERTIES / t.properties).
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val ns = nsDir(ident.namespace)
+    if (ident.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val props = partitionProps(partitions, properties)
+    // v1 is an EMPTY commit carrying the schema: existence, schema header
+    // and field-id assignment all ride the ordinary commit protocol (a
+    // concurrent CREATE of the same name loses the v1 rename and fails).
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    Snapshots.commit(spark, empty, dir.toString, mode = "append:create")
+    if (props.nonEmpty) writeProps(dir, props)
+    loadTable(ident)
+  }
+
+  /** The declared `PARTITIONED BY` transforms + TBLPROPERTIES as the
+    * persisted property map (cluster-by translation; see createTable's
+    * scaladoc) — shared by the plain and the staged (RTAS) create paths.
+    */
+  private def partitionProps(partitions: Array[Transform],
+                             properties: java.util.Map[String, String]): Map[String, String] = {
     val Monotone = Set("identity", "days", "months", "years", "hours",
       "date", "truncate", "bucket")
     val clusterCols = partitions.map {
@@ -240,21 +264,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$other is not supported - transforms " +
           "(days/months/years/hours/truncate/bucket) and plain column " +
           "names cluster by their single base column")
-    }.distinct
+    }.distinct.toSeq
     val declaredTransforms = partitions.toSeq
       .filter(_.name.toLowerCase != "identity").map(_.describe())
-    val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
-    val ns = nsDir(ident.namespace)
-    if (ident.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
-      throw new NoSuchNamespaceException(ident.namespace)
-    // v1 is an EMPTY commit carrying the schema: existence, schema header
-    // and field-id assignment all ride the ordinary commit protocol (a
-    // concurrent CREATE of the same name loses the v1 rename and fails).
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), schema)
-    Snapshots.commit(spark, empty, dir.toString, mode = "append:create")
     import scala.jdk.CollectionConverters._
     val declared = properties.asScala.toMap
     require(clusterCols.isEmpty || !declared.contains(TableProps.ClusterBy),
@@ -265,8 +277,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props += (TableProps.ClusterBy -> clusterCols.mkString(","))
     if (declaredTransforms.nonEmpty)
       props += (TableProps.PartitionTransforms -> declaredTransforms.mkString(","))
-    if (props.nonEmpty) writeProps(dir, props)
-    loadTable(ident)
+    props
+  }
+
+  // ----- atomic CTAS / RTAS (StagingTableCatalog): data files land as an
+  // unpublished batch at write time; ONE manifest publish at
+  // commitStagedChanges makes schema + content visible together. REPLACE
+  // is an overwrite COMMIT, so the old definition stays time-travelable —
+  // atomicity from the commit protocol, no staging directory dance.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val ns = nsDir(ident.namespace)
+    if (ident.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    new GraftStagedTable(ident.toString, dir, schema,
+      partitionProps(partitions, properties), create = true,
+      tableExisted = false, fs, spark)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(ident.toString, dir, schema,
+      partitionProps(partitions, properties), create = false,
+      tableExisted = true, fs, spark)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    val exists = isTable(dir)
+    if (!exists && viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val ns = nsDir(ident.namespace)
+    if (ident.namespace.nonEmpty && (!fs.exists(ns) || isTable(ns)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    new GraftStagedTable(ident.toString, dir, schema,
+      partitionProps(partitions, properties), create = !exists,
+      tableExisted = exists, fs, spark)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -513,4 +568,72 @@ private[connector] class GraftMetaTable(tableName: String, build: () => DataFram
           }.asInstanceOf[T]
       }
     }
+}
+
+/** A staged CTAS/RTAS target. The write phase lands data as an
+  * UNPUBLISHED batch under the table's data dir (no reader can see it —
+  * nothing references it); `commitStagedChanges` performs the single
+  * atomic manifest publish carrying schema + content + properties
+  * together. REPLACE publishes an overwrite commit, so the replaced
+  * definition stays fully time-travelable; abort deletes the staged
+  * batch (and, for a from-scratch CREATE, the skeleton directory).
+  */
+private[connector] class GraftStagedTable(
+    name0: String, dir: Path, schema0: StructType,
+    props: Map[String, String], create: Boolean, tableExisted: Boolean,
+    fs: FileSystem, spark: SparkSession)
+  extends StagedTable with SupportsWrite {
+
+  @volatile private var staged: Option[Snapshots.StagedWrite] = None
+
+  override def name(): String = name0
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // The staged target is definitionally empty (REPLACE swaps the
+      // whole definition at publish) — truncate-before-write is a no-op.
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              // Declared clustering applies to the staged write exactly
+              // as to a published table's writes.
+              val cluster = props.get(TableProps.ClusterBy).toSeq
+                .flatMap(_.split(",")).map(_.trim)
+                .filter(c => c.nonEmpty && data.columns.contains(c))
+              val toWrite =
+                if (cluster.isEmpty) data
+                else data.repartitionByRange(
+                  cluster.map(org.apache.spark.sql.functions.col): _*)
+              staged = Some(Snapshots.stageWrite(
+                data.sparkSession, toWrite, dir.toString, cluster))
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    // REPLACE TABLE without AS SELECT stages no write: commit the new
+    // (empty) definition, same shape as a plain CREATE's v1.
+    val sw = staged.getOrElse(Snapshots.stageWrite(spark,
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema0),
+      dir.toString))
+    Snapshots.publishStaged(sw, create)
+    // REPLACE defines the table anew: properties are replaced wholesale
+    // (clearing any the new definition doesn't declare).
+    if (props.nonEmpty || tableExisted) TableProps.write(dir.toString, props)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    staged.foreach(Snapshots.abortStaged)
+    if (!tableExisted && !Snapshots.versions(dir.toString).nonEmpty)
+      fs.delete(dir, true)
+  }
 }

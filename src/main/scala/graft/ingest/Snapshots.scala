@@ -1018,6 +1018,66 @@ object Snapshots {
     }
   }
 
+  /** A written-but-unpublished batch: the two-phase seam atomic RTAS
+    * (`CREATE OR REPLACE TABLE ... AS SELECT`) needs — data files land
+    * under the table's data dir (unreferenced, invisible to every
+    * reader) at write time, and the single manifest publish at commit
+    * time makes schema + content visible together. Abort = delete the
+    * batch dir; nothing ever referenced it.
+    */
+  private[graft] case class StagedWrite(base: String, files: Seq[String],
+                                        schema: StructType, newLast: Long)
+
+  /** Phase 1 of atomic RTAS: write the data as an unpublished batch. The
+    * new schema era minted like any overwrite commit (names matching the
+    * current parent keep their ids; fresh names mint above the floor —
+    * the floor re-maxes against the TRUE parent inside publish).
+    */
+  private[graft] def stageWrite(spark: SparkSession, df: DataFrame,
+                                base: String,
+                                sortCols: Seq[String] = Nil): StagedWrite = {
+    val vs0 = versions(base)
+    val parentM = if (vs0.isEmpty) None else Some(readManifest(base, vs0.max))
+    val parentSchema = parentM.flatMap(_.schema)
+    val parentLast = parentM.map(mintFloor(base, _)).getOrElse(0L)
+    val (toWrite, tableSchema, newLast) = withFieldIds(df, parentSchema,
+      keepParentFields = false, parentLastId = parentLast)
+    val files = writeBatch(toWrite, base, sortCols, checkNewData = true)
+    StagedWrite(base, files, tableSchema, newLast)
+  }
+
+  /** Phase 2: the atomic publish. `create = true` = RTAS-create
+    * semantics — a concurrent CREATE of the same name loses (the commit
+    * refuses rather than silently appending a v2 over the winner).
+    *
+    * Mode taxonomy matters for CDC: `rtas-create` is the table's FIRST
+    * content — row-attributable, so the change feed delivers it as
+    * inserts and incremental append scans deliver its files. A
+    * `replace-table` redefines content (and usually schema) WHOLESALE —
+    * no row-level attribution exists, so the change feed refuses loudly
+    * across it (the rollback stance) and append scans skip it like any
+    * replacement.
+    */
+  private[graft] def publishStaged(sw: StagedWrite, create: Boolean): Long = {
+    val mode = if (create) "rtas-create" else "replace-table"
+    publish(sw.base, sw.files, Nil, mode,
+      parent => {
+        if (create && parent != 0)
+          throw new java.util.ConcurrentModificationException(
+            s"staged CREATE of ${sw.base} lost to a concurrent create " +
+              "(table now exists); use CREATE OR REPLACE to take over")
+        (Nil, Nil, Nil)
+      },
+      schemaFor = _ => Some(sw.schema.json),
+      lastIdFor = parent => Some(sw.newLast.max(
+        if (parent <= 0) 0L else mintFloor(sw.base, readManifest(sw.base, parent)))))
+  }
+
+  /** Abort of a staged write: remove the (never-referenced) batch dir. */
+  private[graft] def abortStaged(sw: StagedWrite): Unit =
+    if (sw.files.nonEmpty)
+      fsFor(sw.base).delete(new Path(sw.files.head).getParent, true)
+
   /** Auto-maintenance hook honoring `write.binpack.max-small-files`
     * ([[graft.connector.TableProps]]): after an append/overwrite commit,
     * when the live file set holds MORE than the bound's worth of files
@@ -2626,7 +2686,7 @@ object Snapshots {
   def changesSkippingOverwrites(spark: SparkSession, base: String,
                                 fromV: Long, toV: Long): DataFrame = {
     val window = versions(base).filter(v => v > fromV && v <= toV).sorted
-    val skip = Set("overwrite", "rollback", "fastforward")
+    val skip = Set("overwrite", "rollback", "fastforward", "replace-table")
     var prev =
       if (fromV == 0) Set.empty[String] else readManifest(base, fromV).files.toSet
     val added = Seq.newBuilder[String]
@@ -2805,7 +2865,7 @@ object Snapshots {
               s"v$v is a copy-on-write delete - its rewritten files cannot " +
                 "be attributed row-level; CDC-consumed tables should delete " +
                 "via deleteWhereDV/deleteByKeys (merge-on-read)")
-          case "rollback" | "fastforward" =>
+          case "rollback" | "fastforward" | "replace-table" =>
             // A rollback/fast-forward rewrites table state WHOLESALE:
             // rows it restores or removes have no incremental
             // attribution, so silently skipping it (pre-round-9

@@ -550,7 +550,12 @@ object RefParity {
         .select(col("o_orderkey"), col("o_totalprice"))
         .createOrReplaceTempView("cat1_orders_src")
       s.sql(s"CREATE NAMESPACE $bld.core")
-      s.sql(s"CREATE TABLE $bld.core.orders AS " +
+      // explicit CREATE + INSERT (not CTAS) so the version topology the
+      // oracle pins (v1 empty, v2 evens, v3 all) is stable — atomic CTAS
+      // (round 10) folds schema + data into ONE commit and would shift it
+      s.sql(s"CREATE TABLE $bld.core.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      s.sql(s"INSERT INTO $bld.core.orders " +
         "SELECT * FROM cat1_orders_src WHERE o_orderkey % 2 = 0")
       s.sql(s"INSERT INTO $bld.core.orders " +
         "SELECT * FROM cat1_orders_src WHERE o_orderkey % 2 = 1")
@@ -689,7 +694,10 @@ object RefParity {
         .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
         .createOrReplaceTempView("mrg3_src")
       s.sql(s"CREATE NAMESPACE $bld.core")
-      s.sql(s"CREATE TABLE $bld.core.om AS SELECT k, v FROM mrg3_src")
+      // explicit CREATE + INSERT: same topology-stability rationale as
+      // [[catalogFor]] (the oracle pins VERSION AS OF 2 = pre-merge)
+      s.sql(s"CREATE TABLE $bld.core.om (k BIGINT, v BIGINT)")
+      s.sql(s"INSERT INTO $bld.core.om SELECT k, v FROM mrg3_src")
       s.sql(
         s"""MERGE INTO $bld.core.om AS t
            |USING (SELECT k, v FROM mrg3_src WHERE k % 2 = 0) AS s

@@ -147,7 +147,9 @@ class CatalogSpec extends SparkSuite {
     Snapshots.createBranch(base, "wip")
     // three versions: the CREATE's empty schema commit + CTAS append + insert
     val hist = spark.table(s"$cat.meta.t.history")
-    assert(hist.count() === 3 &&
+    // two versions: the atomic CTAS commit (schema + data in one
+    // rtas-create publish) + the insert
+    assert(hist.count() === 2 &&
       hist.columns.toSeq.take(3) === Seq("version", "parent", "mode"))
     assert(spark.table(s"$cat.meta.t.files")
       .agg(count(lit(1)), sum(when(col("size_bytes") > 0, 1L).otherwise(0L)))
@@ -191,8 +193,9 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"ALTER TABLE $cat.mv1.src RENAME TO mv2.dst")
     assert(!spark.catalog.tableExists(s"$cat.mv1.src"))
     assert(rows(s"SELECT count(*) FROM $cat.mv2.dst").head === Seq(12L))
-    // history (and time travel) survived the move
-    assert(spark.table(s"$cat.mv2.dst.history").count() === 2)
+    // history (and time travel) survived the move (atomic CTAS = one
+    // rtas-create commit)
+    assert(spark.table(s"$cat.mv2.dst.history").count() === 1)
   }
 
   test("table properties persist through CREATE and ALTER") {
@@ -248,7 +251,7 @@ class CatalogSpec extends SparkSuite {
     assert(rows(s"SELECT count(*) FROM $cat.proc.t").head === Seq(2000L))
     // tag the compacted version, roll back to the PRE-insert state, verify
     rows(s"CALL $cat.system.create_tag(table => 'proc.t', name => 'tidy')")
-    val v2 = Snapshots.versions(base).sorted.apply(1) // the CTAS append
+    val v2 = Snapshots.versions(base).min // the atomic CTAS commit
     rows(s"CALL $cat.system.rollback(table => 'proc.t', version => $v2)")
     assert(rows(s"SELECT count(*) FROM $cat.proc.t").head === Seq(1000L))
     // expire everything but the head; the tagged version must survive
@@ -531,6 +534,99 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"ALTER TABLE $cat.cl.ev SET TBLPROPERTIES('write.cluster-by'='gone')")
     spark.sql(s"INSERT INTO $cat.cl.ev VALUES (2000, 'x')")
     assert(rows(s"SELECT count(*) FROM $cat.cl.ev").head === Seq(1001L))
+  }
+
+  test("atomic CTAS / RTAS: staged writes publish schema + content in one commit") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rt")
+    spark.sql(s"CREATE TABLE $cat.rt.t AS SELECT id AS k, id * 2 AS v FROM range(10)")
+    val base = tableBase("rt", "t")
+    assert(rows(s"SELECT count(*), CAST(sum(v) AS BIGINT) FROM $cat.rt.t").head ===
+      Seq(10L, 90L))
+    val v1 = graft.ingest.Snapshots.versions(base).max
+    // REPLACE TABLE AS SELECT: a different schema entirely; the replaced
+    // definition stays time-travelable (REPLACE is an overwrite COMMIT)
+    spark.sql(s"REPLACE TABLE $cat.rt.t AS " +
+      "SELECT id AS a, CAST(id AS STRING) AS s FROM range(5)")
+    assert(spark.table(s"$cat.rt.t").columns.toSeq === Seq("a", "s"))
+    assert(rows(s"SELECT count(*) FROM $cat.rt.t").head === Seq(5L))
+    assert(graft.ingest.Snapshots.modeOf(base, v1 + 1) === "replace-table")
+    assert(rows(s"SELECT count(*), CAST(sum(v) AS BIGINT) FROM $cat.rt.t VERSION AS OF $v1").head ===
+      Seq(10L, 90L))
+    // CREATE OR REPLACE on a fresh name creates
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.rt.u AS SELECT 1 AS x")
+    assert(rows(s"SELECT x FROM $cat.rt.u") === Seq(Seq(1)))
+    // REPLACE TABLE without AS SELECT: empty table under the new schema
+    spark.sql(s"REPLACE TABLE $cat.rt.t (z BIGINT)")
+    assert(spark.table(s"$cat.rt.t").columns.toSeq === Seq("z"))
+    assert(rows(s"SELECT count(*) FROM $cat.rt.t").head === Seq(0L))
+    // a FAILED RTAS aborts cleanly: table state untouched, the staged
+    // batch reclaimed (no file-count drift in the data dir)
+    spark.sql(s"INSERT INTO $cat.rt.t VALUES (7)")
+    def dataFiles(): Int = {
+      def walk(d: java.io.File): Int =
+        d.listFiles().map(f => if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+      walk(new java.io.File(base, "data"))
+    }
+    val before = dataFiles()
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $cat.rt.t AS " +
+        "SELECT CASE WHEN id >= 0 THEN raise_error('boom') ELSE 'x' END AS s " +
+        "FROM range(3)")
+    }
+    assert(rows(s"SELECT z FROM $cat.rt.t") === Seq(Seq(7L)))
+    assert(dataFiles() === before, "aborted stage must reclaim its batch")
+    // ...and a failed CTAS leaves no half-created table behind
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.rt.broken AS " +
+        "SELECT CASE WHEN id >= 0 THEN raise_error('boom') ELSE 'x' END AS s " +
+        "FROM range(3)")
+    }
+    intercept[Exception] { spark.table(s"$cat.rt.broken").collect() }
+  }
+
+  test("partition evolution: changing write.cluster-by mid-table keeps both eras pruning") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.pe")
+    // era 1 clusters by k; evolution re-points the property at ts —
+    // Iceberg's partition-evolution shape: NO rewrite, old files keep
+    // the old layout, new files land in the new one, and each era's
+    // footer stats prune for ITS OWN clustered column
+    spark.sql(s"CREATE TABLE $cat.pe.t (k BIGINT, ts TIMESTAMP) PARTITIONED BY (k)")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "200")
+    try {
+      spark.sql(s"INSERT INTO $cat.pe.t SELECT (id * 37) % 1000 AS k, " +
+        "timestampadd(HOUR, CAST(id % 384 AS INT), TIMESTAMP '2024-03-01') AS ts " +
+        "FROM range(1000)")
+      spark.sql(s"ALTER TABLE $cat.pe.t SET TBLPROPERTIES('write.cluster-by'='ts')")
+      spark.sql(s"INSERT INTO $cat.pe.t SELECT 2000 + (id * 37) % 1000 AS k, " +
+        "timestampadd(HOUR, CAST(id % 384 AS INT), TIMESTAMP '2024-06-01') AS ts " +
+        "FROM range(1000)")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val base = tableBase("pe", "t")
+    val files = graft.ingest.Snapshots.liveFiles(
+      base, graft.ingest.Snapshots.versions(base).max)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataKept(fs: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
+      graft.ingest.FileStats.prune(conf, files, fs)
+        .filter(f => spark.read.parquet(f).limit(1).count() > 0)
+    // a k point-lookup prunes to one era-1 file (era-2 files are
+    // ts-clustered but their k ranges are era-disjoint, so they prune
+    // out too); a June day-range prunes to a strict era-2 subset
+    val kKept = dataKept(Seq(EqualTo("k", 777L)))
+    assert(kKept.size === 1, s"k lookup kept ${kKept.size}")
+    val juneKept = dataKept(Seq(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-06-05 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-06-06 00:00:00"))))
+    val dataFiles = files.filter(f => spark.read.parquet(f).limit(1).count() > 0)
+    assert(juneKept.nonEmpty && juneKept.size < dataFiles.size / 2,
+      s"day range kept ${juneKept.size}/${dataFiles.size}")
+    // and both eras still answer exactly
+    assert(rows(s"SELECT count(*) FROM $cat.pe.t WHERE k = 777").head === Seq(1L))
+    assert(rows(s"SELECT count(*) FROM $cat.pe.t " +
+      "WHERE ts >= TIMESTAMP '2024-06-05 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-06-06 00:00:00'").head ===
+      Seq((0L until 1000L).count(i => { val h = i % 384; h >= 96 && h < 120 }).toLong))
   }
 
   test("DEFAULT column values: era-correct reads, INSERT fill, SET/DROP DEFAULT") {
