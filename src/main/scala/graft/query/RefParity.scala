@@ -330,6 +330,21 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // Atomic RTAS end-to-end: row 1 reads the PRE-REPLACE version (the
+    // raw rows stay time-travelable because REPLACE is an overwrite
+    // commit, not a drop), row 2 the replaced aggregate table. A
+    // non-atomic replace (drop + re-create) would lose row 1; a torn one
+    // would break row 2's totals.
+    "rt1_replace_table" -> { (s, d) =>
+      val cat = replaceTableFor(s, d)
+      s.sql(
+        s"""SELECT 1 AS snap, count(*) AS n_rows,
+           |  CAST(sum(v) AS BIGINT) AS total
+           |FROM $cat.core.rt VERSION AS OF 2
+           |UNION ALL
+           |SELECT 2, count(*), CAST(sum(sv) AS BIGINT)
+           |FROM $cat.core.rt""".stripMargin)
+    },
     // DEFAULT column values end-to-end: c fills its write default for
     // the omitted-column era, d fills its INITIAL default for every row
     // whose file physically predates the column (Spark's EXISTS_DEFAULT
@@ -651,6 +666,36 @@ object RefParity {
       ()
     }
     val cat = s"graft_dv_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
+
+  /** Staged warehouse for rt1: `core.rt` = (k, v) from orders (v1 empty
+    * create, v2 insert), then ONE atomic `REPLACE TABLE ... AS SELECT`
+    * (v3) swaps the table for its own per-residue aggregate — the
+    * derived-table refresh pattern RTAS exists for. Same build/query
+    * catalog-name split as [[catalogFor]].
+    */
+  private def replaceTableFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_rt", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bldrt_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"))
+        .createOrReplaceTempView("rt1_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.rt (k BIGINT, v BIGINT)")
+      s.sql(s"INSERT INTO $bld.core.rt SELECT k, v FROM rt1_src")
+      s.sql(s"REPLACE TABLE $bld.core.rt AS " +
+        "SELECT k % 10 AS bucket, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv " +
+        s"FROM rt1_src GROUP BY k % 10")
+      ()
+    }
+    val cat = s"graft_rt_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
     cat
@@ -1015,6 +1060,14 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "rt1_replace_table" ->
+      """SELECT 1 AS snap, count(*) AS n_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS total
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, count(DISTINCT o_orderkey % 10),
+        |  CAST(sum(o_custkey) AS BIGINT)
+        |FROM orders""".stripMargin,
     "dv1_default_values" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 7
