@@ -227,6 +227,17 @@ private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+    // MERGE ... WITH SCHEMA EVOLUTION: the analyzer's
+    // ResolveMergeIntoSchemaEvolution sees this capability and applies
+    // the source-vs-target schema delta (top-level ADD COLUMN + safe
+    // type widening — exactly the two changes MergeIntoTable.schemaChanges
+    // emits) through GraftCatalog.alterTable, i.e. Snapshots.addColumn /
+    // widenColumn, then reloads the target. By planning time the merge
+    // sees the evolved schema; GraftRowLevel.runMerge needs no special
+    // handling. The evolution commit is SEPARATE from (and precedes) the
+    // merge commit — metadata-only and monotonic, so a failed merge
+    // leaves a harmless added column, never torn data.
+    caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     // A first write CREATES the table — there is no schema to validate
     // against yet, so accept the writer's.
     if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)

@@ -62,9 +62,26 @@ object GraftMergeStrategy extends SparkStrategy {
     }
   }
 
+  /** Whether the target relation was loaded through a catalog — the
+    * precondition for the analyzer's schema-evolution rule to have had an
+    * identifier to ALTER. A path-loaded table (`format("graft").load`)
+    * cannot evolve, and honoring WITH SCHEMA EVOLUTION as a silent no-op
+    * there would drop the user's request.
+    */
+  private def hasCatalog(plan: LogicalPlan): Boolean = plan.collectFirst {
+    case r: DataSourceV2Relation => r.catalog.isDefined
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      r.relation.catalog.isDefined
+  }.getOrElse(false)
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case m: MergeIntoTable =>
       graftBase(m.targetTable).map { base =>
+        require(!m.withSchemaEvolution || hasCatalog(m.targetTable),
+          "MERGE WITH SCHEMA EVOLUTION needs a catalog-managed graft " +
+            "table (the evolution is an ALTER TABLE through the catalog) " +
+            "- path-loaded tables cannot evolve; drop the keyword or " +
+            "register the table in a graft catalog")
         GraftMergeExec(base, m.targetTable.output, m.sourceTable,
           m.mergeCondition, m.matchedActions, m.notMatchedActions,
           m.notMatchedBySourceActions, m.withSchemaEvolution)
@@ -211,9 +228,14 @@ private[connector] object GraftRowLevel {
                matched: Seq[MergeAction], notMatched: Seq[MergeAction],
                notMatchedBySource: Seq[MergeAction],
                withSchemaEvolution: Boolean): Unit = {
-    require(!withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables - " +
-        "ALTER TABLE ADD COLUMN first")
+    // withSchemaEvolution: nothing left to do here. The analyzer's
+    // ResolveMergeIntoSchemaEvolution already applied the schema delta
+    // through the catalog (GraftTable declares AUTOMATIC_SCHEMA_EVOLUTION)
+    // and re-resolved the target, so tOut carries the evolved schema and
+    // the assignment machinery below needs no special case. The
+    // catalog-less path (format("graft") by path) is refused in
+    // GraftMergeStrategy.apply — silently ignoring the keyword there
+    // would drop the user's requested evolution.
     val (fileCol, posCol) = Snapshots.rowCoordColumns
     val tNames = tOut.indices.map(i => s"__t_$i")
     val sOut = source.output

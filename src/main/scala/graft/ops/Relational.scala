@@ -678,6 +678,37 @@ object Relational {
           |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
           |GROUP BY n_name""".stripMargin)
     },
+    "rc1_recursive_cte" -> { (s, d) =>
+      // WITH RECURSIVE (Spark 4's UnionLoop execution): each customer's
+      // orders form a chain in (date, key) order and the recursion walks
+      // it carrying a running total — the linked-list traversal shape
+      // (org charts, BOM explosions, session stitching) that UNROLLED
+      // CTEs (g1/g2/g4) can't express without a fixed depth. Money rides
+      // as exact integer cents, so every level is integer arithmetic:
+      // sum_prefix (the sum of all running prefixes) is order-SENSITIVE
+      // and pins each recursion level exactly, while the DuckDB oracle
+      // computes the same surface with a window cumsum — two independent
+      // formulations, one answer. Depth = max orders per customer (~40
+      // at any SF, far under the level limit); total rows across levels
+      // = |orders|, linear not exponential, so the loop scales with the
+      // table, not the recursion.
+      Tables.table(s, d, "orders").createOrReplaceTempView("orders_rc1")
+      s.sql(
+        """WITH RECURSIVE seq AS (
+          |  SELECT o_custkey AS c,
+          |         row_number() OVER (PARTITION BY o_custkey
+          |                            ORDER BY o_orderdate, o_orderkey) AS r,
+          |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders_rc1),
+          |run AS (
+          |  SELECT c, r, cents AS cum FROM seq WHERE r = 1
+          |  UNION ALL
+          |  SELECT s.c, s.r, run.cum + s.cents
+          |  FROM run JOIN seq s ON s.c = run.c AND s.r = run.r + 1)
+          |SELECT c, count(*) AS n_orders,
+          |  max(cum) AS total_cents, sum(cum) AS sum_prefix
+          |FROM run GROUP BY c""".stripMargin)
+    },
     "j11_lateral_topn" -> { (s, d) =>
       // LATERAL correlated subquery (top-2 orders per customer) — Catalyst
       // decorrelates the per-row subquery into a window + join, so the
@@ -1080,6 +1111,20 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY n_name""".stripMargin,
+    "rc1_recursive_cte" ->
+      """WITH seq AS (
+        |  SELECT o_custkey AS c,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS r,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |pre AS (
+        |  SELECT c, r, sum(cents) OVER (PARTITION BY c ORDER BY r) AS cum
+        |  FROM seq)
+        |SELECT c, count(*) AS n_orders,
+        |  CAST(max(cum) AS BIGINT) AS total_cents,
+        |  CAST(sum(cum) AS BIGINT) AS sum_prefix
+        |FROM pre GROUP BY c""".stripMargin,
     "j11_lateral_topn" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c, LATERAL (

@@ -330,6 +330,18 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // MERGE WITH SCHEMA EVOLUTION end-to-end: the final table carries a
+    // widened BIGINT v (update values exceed Int range) and the
+    // merge-added st column — n_status counts exactly the evolved rows,
+    // min_k proves the insert leg landed under the negated keys, and the
+    // exact long sum breaks if any update leg value was narrowed.
+    "mrg4_merge_evolve" -> { (s, d) =>
+      val cat = mergeEvolveFor(s, d)
+      s.sql(
+        s"""SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v,
+           |  count(st) AS n_status, min(k) AS min_k
+           |FROM $cat.core.me""".stripMargin)
+    },
     // Atomic RTAS end-to-end: row 1 reads the PRE-REPLACE version (the
     // raw rows stay time-travelable because REPLACE is an overwrite
     // commit, not a drop), row 2 the replaced aggregate table. A
@@ -666,6 +678,43 @@ object RefParity {
       ()
     }
     val cat = s"graft_dv_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
+
+  /** Staged warehouse for mrg4: `core.me` = (k, v INT) from orders, then
+    * ONE `MERGE WITH SCHEMA EVOLUTION` whose source carries a BIGINT `v`
+    * (beyond Int range — forces the widening ALTER) plus a brand-new
+    * `st` column (forces the ADD COLUMN): the %3=0 slice updates where
+    * keys match and inserts under negated keys (%15=0). The analyzer
+    * applies both ALTERs through the catalog before the merge plans.
+    */
+  private def mergeEvolveFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_me", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bldme_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("v"),
+          col("o_orderstatus").as("os"))
+        .createOrReplaceTempView("mrg4_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.me (k BIGINT, v INT)")
+      s.sql(s"INSERT INTO $bld.core.me SELECT k, CAST(v AS INT) FROM mrg4_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $bld.core.me AS t
+           |USING (SELECT CASE WHEN k % 5 = 0 THEN -k ELSE k END AS k,
+           |              v + 3000000000 AS v, os AS st
+           |       FROM mrg4_src WHERE k % 3 = 0) AS s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      ()
+    }
+    val cat = s"graft_me_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
     cat
@@ -1060,6 +1109,21 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "mrg4_merge_evolve" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN -o_orderkey
+        |              ELSE o_orderkey END AS k,
+        |         o_custkey + 3000000000 AS v, o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |tgt AS (SELECT o_orderkey AS k, o_custkey AS v FROM orders),
+        |merged AS (
+        |  SELECT t.k, COALESCE(s.v, t.v) AS v, s.st AS st
+        |  FROM tgt t LEFT JOIN src s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT k, v, st FROM src WHERE k < 0)
+        |SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  count(st) AS n_status, CAST(min(k) AS BIGINT) AS min_k
+        |FROM merged""".stripMargin,
     "rt1_replace_table" ->
       """SELECT 1 AS snap, count(*) AS n_rows,
         |  CAST(sum(o_custkey) AS BIGINT) AS total

@@ -182,7 +182,7 @@ class MergeSqlSpec extends SparkSuite {
     assert(spark.table(s"$cat.d.nest").selectExpr("sum(s.x)").collect()(0).getLong(0) === 60L)
   }
 
-  test("MERGE guards: version pin refused, schema evolution refused") {
+  test("MERGE guards: version pin refused, path-loaded evolution refused") {
     val t = freshTable("g1", 5)
     spark.range(5).createOrReplaceTempView("g1_src")
     intercept[Exception] {
@@ -190,10 +190,58 @@ class MergeSqlSpec extends SparkSuite {
         s"""MERGE INTO $t VERSION AS OF 1 AS t USING g1_src AS s ON t.id = s.id
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
+    // WITH SCHEMA EVOLUTION against a PATH-loaded table: the analyzer
+    // rule has no catalog identifier to ALTER, so honoring the keyword
+    // silently would drop the requested evolution — refuse instead.
+    spark.read.format("graft").load(tableBase("g1"))
+      .createOrReplaceTempView("g1_path")
+    spark.range(5).select(col("id"), lit(1L).as("v"), lit("e").as("extra"))
+      .createOrReplaceTempView("g1_src_extra")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO g1_path AS t USING g1_src_extra AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("catalog-managed"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: new column + type widening, then merge") {
+    // target (id, v INT); source carries v BIGINT (beyond Int range) and
+    // a brand-new `extra` column. The analyzer must ALTER the target —
+    // add `extra`, widen v to BIGINT — through the catalog, then run the
+    // merge against the evolved schema.
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.me1")
+    spark.sql(s"CREATE TABLE $cat.d.me1 (id BIGINT, v INT)")
+    spark.sql(s"INSERT INTO $cat.d.me1 SELECT id, CAST(id * 10 AS INT) FROM range(6)")
+    spark.range(3, 9).select(col("id"),
+        (col("id") + lit(4000000000L)).as("v"), // > Int.MaxValue
+        concat(lit("x"), col("id")).as("extra"))
+      .createOrReplaceTempView("me1_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.d.me1 AS t USING me1_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val sch = spark.table(s"$cat.d.me1").schema
+    assert(sch("v").dataType === org.apache.spark.sql.types.LongType)
+    assert(sch("extra").dataType === org.apache.spark.sql.types.StringType)
+    val got = spark.table(s"$cat.d.me1").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    val expected =
+      (0L to 2L).map(i => (i, i * 10, null)) ++        // untouched, NULL extra
+      (3L to 8L).map(i => (i, i + 4000000000L, s"x$i")) // updated / inserted
+    assert(got === expected)
+    // the same merge WITHOUT the keyword must not evolve: an explicit
+    // assignment to a column the target lacks fails analysis.
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.me2")
+    spark.sql(s"CREATE TABLE $cat.d.me2 (id BIGINT, v INT)")
     intercept[Exception] {
       spark.sql(
-        s"""MERGE WITH SCHEMA EVOLUTION INTO $t AS t USING g1_src AS s ON t.id = s.id
-           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 1)""".stripMargin)
+        s"""MERGE INTO $cat.d.me2 AS t USING me1_src AS s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, v, extra) VALUES (s.id, 0, s.extra)""".stripMargin)
     }
   }
 
