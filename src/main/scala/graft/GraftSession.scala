@@ -25,6 +25,7 @@ object GraftSession {
              cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = SparkSession.builder()
       .master(master)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -122,6 +122,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         displayName = Some((catalogName +: ident.namespace :+ ident.name).mkString(".")),
         props = readProps(dir))
     } else metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    // NB deliberately NOT special-casing "ident is a view" here: the
+    // analyzer probes loadTable BEFORE ResolveGraftViews runs and only a
+    // NoSuchTableException lets resolution continue to the view rule.
   }
 
   override def capabilities(): java.util.Set[

@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Re-expose V1Scan statistics hidden by Spark's V1ScanWrapper, so
     // graft snapshot scans feed real sizes into join selection.
     ext.injectOptimizerRule(_ => graft.connector.StatsPropagationRule)
+    // SELECT from warehouse-persisted v2 views (stock Spark resolves
+    // views only in the session catalog).
+    ext.injectResolutionRule(s => graft.connector.ResolveGraftViews(s))
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),

@@ -330,6 +330,20 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // Persisted SQL view end-to-end: `core.v` stores its definition
+    // (relative table name + definition-site catalog context) in the
+    // warehouse, and the reader's aggregate runs THROUGH the view via
+    // ResolveGraftViews — filter/projection from the stored body compose
+    // with the outer GROUP BY in one Catalyst plan (the view inlines, so
+    // pushdown/pruning still reach the snapshot scan underneath).
+    "vw1_sql_view" -> { (s, d) =>
+      val cat = viewFor(s, d)
+      s.sql(
+        s"""SELECT st, bucket, count(*) AS n,
+           |  sum(cents) AS sum_cents
+           |FROM $cat.core.v
+           |GROUP BY st, bucket""".stripMargin)
+    },
     // MERGE WITH SCHEMA EVOLUTION end-to-end: the final table carries a
     // widened BIGINT v (update values exceed Int range) and the
     // merge-added st column — n_status counts exactly the evolved rows,
@@ -680,6 +694,49 @@ object RefParity {
     val cat = s"graft_dv_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
+
+  /** Staged warehouse for vw1: `core.t` = (k, cents, st) from orders,
+    * plus a persisted SQL view `core.v` (even keys, bucketed) created
+    * through the ViewCatalog API. The view is created AFTER the staged
+    * rename, against the query-name catalog instance (a view stores its
+    * definition catalog context, and the build-name instance points at
+    * the pre-rename staging dir); creation is create-exclusive, so a
+    * concurrent run's duplicate attempt loses the CAS harmlessly.
+    */
+  private def viewFor(s: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+    val base = cacheBase("graft_vw", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    val cat = s"graft_vw_$fp"
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bldvw_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus").as("st"))
+        .createOrReplaceTempView("vw1_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.t (k BIGINT, cents BIGINT, st STRING)")
+      s.sql(s"INSERT INTO $bld.core.t SELECT k, cents, st FROM vw1_src")
+      ()
+    }
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    val vc = s.sessionState.catalogManager.catalog(cat).asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("core"), "v")
+    if (!vc.viewExists(ident)) {
+      val body = "SELECT st, k % 97 AS bucket, cents FROM t WHERE k % 2 = 0"
+      val schema = s.sql(
+        s"SELECT st, k % 97 AS bucket, cents FROM $cat.core.t WHERE k % 2 = 0").schema
+      try vc.createView(new ViewInfo(ident, body, cat, Array("core"), schema,
+        schema.fieldNames, Array.empty, Array.empty,
+        java.util.Collections.emptyMap()))
+      catch { case _: org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException => () }
+    }
     cat
   }
 
@@ -1109,6 +1166,13 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "vw1_sql_view" ->
+      """SELECT o_orderstatus AS st, o_orderkey % 97 AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1, 2""".stripMargin,
     "mrg4_merge_evolve" ->
       """WITH src AS (
         |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN -o_orderkey
