@@ -139,6 +139,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case (k, v) if k.equalsIgnoreCase("skipOverwrites") => v.trim.toBoolean
     }.getOrElse(false)
 
+  private def streamMaxCommits(parameters: Map[String, String]): Option[Long] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxCommitsPerTrigger") =>
+        val n = try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"maxCommitsPerTrigger must be a positive integer, got '$v'")
+        }
+        require(n >= 1, s"maxCommitsPerTrigger must be >= 1, got $n")
+        n
+    }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
@@ -160,7 +171,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       "skipOverwrites applies to the append feed only - the change feed " +
         "already skips compactions (and refuses wholesale state changes)")
     new GraftStreamSource(sqlContext.sparkSession, basePath(parameters.asJava),
-      cdc = streamCdc(parameters), skipOverwrites = skipOw)
+      cdc = streamCdc(parameters), skipOverwrites = skipOw,
+      maxCommits = streamMaxCommits(parameters))
   }
 
   /** `writeStream.format("graft")` — micro-batches become snapshot
@@ -744,7 +756,8 @@ private[connector] class GraftChangeFeedTable(base: String, fromV: Long,
   */
 private[connector] class GraftStreamSource(spark: SparkSession, base: String,
                                            cdc: Boolean = false,
-                                           skipOverwrites: Boolean = false)
+                                           skipOverwrites: Boolean = false,
+                                           maxCommits: Option[Long] = None)
     extends Source {
 
   private val tableSchema: StructType =
@@ -754,13 +767,42 @@ private[connector] class GraftStreamSource(spark: SparkSession, base: String,
   override val schema: StructType =
     if (cdc) GraftChangeFeedTable.feedSchema(tableSchema) else tableSchema
 
+  /** Admission control ratchet (`maxCommitsPerTrigger k`): the newest
+    * version this instance has offered or delivered. A deep backlog —
+    * weekend outage, first attach to a long table — then catches up in
+    * ceil(backlog / k) bounded micro-batches instead of one giant batch
+    * sized by the outage (Delta's maxFilesPerTrigger / Iceberg's
+    * streaming-max-files-per-micro-batch stance, at commit grain, which
+    * is what version offsets can bound exactly; per-FILE bounds would
+    * need splittable offsets). In CDC mode the initial from-0 replay
+    * chunks the same way. Best-effort across restarts, like Delta's: the
+    * recovery getBatch re-seeds the ratchet from the checkpoint; absent
+    * one, the ratchet re-seeds from the oldest retained version and the
+    * engine ignores offers at or behind its committed offset — a few
+    * idle polls, never data loss or re-delivery.
+    */
+  private var lastSeenEnd: Option[Long] = None
+
   override def getOffset: Option[OffsetV1] = {
     val vs = Snapshots.versions(base)
-    if (vs.isEmpty) None else Some(Bridge.versionOffset(vs.max))
+    if (vs.isEmpty) None else {
+      val head = vs.max
+      val offered = maxCommits match {
+        case Some(k) =>
+          math.min(head, lastSeenEnd.getOrElse(vs.min - 1) + k)
+        case None => head
+      }
+      lastSeenEnd = Some(lastSeenEnd.fold(offered)(math.max(_, offered)))
+      Some(Bridge.versionOffset(offered))
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = Bridge.offsetVersion(end)
+    // Ratchet from delivered ranges too: on restart the engine replays
+    // the checkpointed batch through here before polling getOffset, so
+    // admission resumes from the checkpoint, not from the table's tail.
+    lastSeenEnd = Some(lastSeenEnd.fold(endV)(math.max(_, endV)))
     val batch =
       if (cdc)
         // CDC mode: the per-commit change feed, deletes included. The

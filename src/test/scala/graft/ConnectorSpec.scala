@@ -453,6 +453,52 @@ class ConnectorSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming source maxCommitsPerTrigger: backlog drains in bounded batches") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_stream_adm")
+    // a backlog of 6 commits before the consumer ever attaches
+    (1L to 6L).foreach(i => Snapshots.commit(spark, Seq(i).toDF("id"), base))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def drain(ck: String, opts: Map[String, String]): Seq[Set[Long]] = {
+      batches.clear()
+      var r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(base)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(b.collect().map(_.getLong(0)).toSet); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq
+    }
+    // uncapped: the whole backlog lands in ONE initial-snapshot batch
+    val plain = drain(tmpDir("graft_adm_ck0"), Map.empty)
+    assert(plain.map(_.size).sum === 6 && plain.count(_.nonEmpty) === 1)
+    // capped at 2 commits/trigger: the same backlog drains in bounded
+    // steps — every batch carries at most 2 commits' rows — with nothing
+    // lost and nothing duplicated
+    val ck = tmpDir("graft_adm_ck1")
+    val capped = drain(ck, Map("maxCommitsPerTrigger" -> "2"))
+    assert(capped.flatten.toSet === (1L to 6L).toSet, "no loss, no dup")
+    assert(capped.forall(_.size <= 2), s"batch exceeded cap: $capped")
+    assert(capped.count(_.nonEmpty) >= 3, s"expected >=3 bounded batches: $capped")
+    // restart with new commits: admission resumes from the checkpoint
+    (7L to 9L).foreach(i => Snapshots.commit(spark, Seq(i).toDF("id"), base))
+    val resumed = drain(ck, Map("maxCommitsPerTrigger" -> "1"))
+    assert(resumed.flatten.toSet === (7L to 9L).toSet)
+    assert(resumed.forall(_.size <= 1))
+    // guard: malformed / non-positive caps refuse loudly
+    intercept[Exception] {
+      spark.readStream.format("graft").option("maxCommitsPerTrigger", "0")
+        .load(base).writeStream
+        .option("checkpointLocation", tmpDir("graft_adm_ck2"))
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start().processAllAvailable()
+    }
+  }
+
   test("streaming source skipOverwrites: mid-stream compact re-delivers nothing") {
     val sess = spark
     import sess.implicits._
