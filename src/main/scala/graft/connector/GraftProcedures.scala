@@ -208,6 +208,24 @@ private[connector] class GraftProcedures(resolve: String => String,
         Seq(Snapshots.addFiles(spark, tableOrNew(str(r, 0)), Seq(str(r, 1))))
     },
 
+    new Proc("clone", "zero-copy SHALLOW CLONE: dest becomes a new table " +
+        "whose v1 references the source's data files at the given version " +
+        "(default head) by absolute path - no data copied; the clone " +
+        "diverges freely and its maintenance never deletes shared files",
+      Seq(in("source", StringType)
+          .comment("existing table name relative to this catalog").build(),
+        in("dest", StringType)
+          .comment("new table name relative to this catalog").build(),
+        in("version", LongType).defaultValue("-1")
+          .comment("source version to clone (-1 = current head)").build()),
+      out("version" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] = {
+        val v = r.getLong(2)
+        Seq(Snapshots.clone(spark, table(r, 0), tableOrNew(str(r, 1)),
+          if (v < 0) None else Some(v)))
+      }
+    },
+
     new Proc("collect_stats", "backfill/refresh stats sidecars (min/max/" +
         "null-count + NDV sketches) for live batch dirs missing them - " +
         "the ANALYZE equivalent for legacy trees, stats-disabled ingests " +

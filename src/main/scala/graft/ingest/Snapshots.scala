@@ -1170,6 +1170,63 @@ object Snapshots {
     * Returns the new version. `paths` may be files or directories
     * (listed non-recursively for `.parquet` files).
     */
+  /** Zero-copy SHALLOW CLONE: `dst` becomes a new table whose v1
+    * manifest references `src`'s data files (at `version`, default head)
+    * by ABSOLUTE path — no byte of data copied, the Delta
+    * `CREATE TABLE ... SHALLOW CLONE` / dev-test-branch primitive. The
+    * clone then diverges freely: appends land under dst's own tree,
+    * DV/equality deletes reference the shared files by their relocation-
+    * stable rel-keys, and a `compact` graduates shared data into
+    * dst-owned files (the [[addFiles]] adoption physics, but keeping
+    * field-id schemas — the source's schema header travels with the
+    * clone, so era binding and type widening history keep working).
+    *
+    * Safety properties, inherited rather than re-implemented:
+    *  - dst maintenance ([[expire]]/[[removeOrphans]]) sweeps only under
+    *    `<dst>/data/`, so the shared source files are never deleted;
+    *  - per-batch stats sidecars are discovered from each data file's
+    *    OWN directory, so planning-time pruning and metadata aggregates
+    *    keep working through the absolute paths;
+    *  - src `expire` CAN delete files the clone still references (same
+    *    contract as Delta: retention on the source governs clones) —
+    *    clone from a tagged version when the source must keep it.
+    *
+    * Refuses: an existing dst table (clone creates, never merges), and a
+    * source version with outstanding DV/equality deletes (their sidecar
+    * files live in src's history and would couple the clone to src's
+    * MUTABLE delete state — compact first; data files are immutable, so
+    * sharing those is safe).
+    */
+  def clone(spark: SparkSession, src: String, dst: String,
+            version: Option[Long] = None): Long = {
+    val vs = versions(src)
+    require(vs.nonEmpty, s"clone source $src has no committed versions")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"clone source version $v does not exist (have ${vs.sorted.mkString(",")})")
+    require(versions(dst).isEmpty, s"clone target $dst already exists")
+    val m = readManifest(src, v)
+    require(m.dvs.isEmpty && m.eqs.isEmpty,
+      s"source version $v carries outstanding row-level deletes - " +
+        "compact the source first (a clone must not reference another " +
+        "table's mutable delete sidecars)")
+    // rel-key uniqueness is a src invariant, but re-check against the
+    // clone's own delete machinery before committing to it
+    val dupKeys = m.files.map(relKey).groupBy(identity)
+      .collect { case (k, fs) if fs.size > 1 => k }
+    require(dupKeys.isEmpty,
+      s"source files collide on rel-keys ${dupKeys.take(3).mkString(", ")}")
+    // carry table properties (CHECK constraints, clustering, retention)
+    // plus lineage; dst can diverge them with ALTER TABLE SET afterwards
+    val srcProps = graft.connector.TableProps.read(src)
+    val out = publish(dst, m.files, Nil, mode = "clone",
+      carried = _ => (Nil, Nil, Nil),
+      schemaFor = _ => m.schema.map(_.json),
+      lastIdFor = _ => m.lastColumnId)
+    graft.connector.TableProps.write(dst,
+      srcProps + ("clone.source" -> s"$src@$v"))
+    out
+  }
+
   def addFiles(spark: SparkSession, base: String, paths: Seq[String],
                mode: String = "append"): Long = {
     require(paths.nonEmpty, "addFiles needs at least one path")

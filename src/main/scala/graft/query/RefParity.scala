@@ -330,6 +330,20 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // Zero-copy shallow clone end-to-end: row 2 aggregates the CLONE
+    // after its divergent DV delete — over data files it shares with the
+    // source by absolute reference — while row 1 proves the source is
+    // untouched. A clone that copied, missed, or double-referenced any
+    // file breaks a count; a delete that leaked to the source breaks
+    // row 1; cents keep the sums exact integers.
+    "cl1_shallow_clone" -> { (s, d) =>
+      val cat = cloneFor(s, d)
+      s.sql(
+        s"""SELECT 1 AS tbl, count(*) AS n, sum(cents) AS sum_cents
+           |FROM $cat.core.src
+           |UNION ALL
+           |SELECT 2, count(*), sum(cents) FROM $cat.core.dup""".stripMargin)
+    },
     // Persisted SQL view end-to-end: `core.v` stores its definition
     // (relative table name + definition-site catalog context) in the
     // warehouse, and the reader's aggregate runs THROUGH the view via
@@ -694,6 +708,46 @@ object RefParity {
     val cat = s"graft_dv_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
+
+  /** Staged warehouse for cl1: `core.src` = (k, cents) from orders, then
+    * `CALL system.clone` → `core.dup` (zero-copy) and a DV DELETE of the
+    * %7=0 slice ON THE CLONE ONLY — divergence over shared files.
+    */
+  private def cloneFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_cl", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bldcl_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("cl1_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.src (k BIGINT, cents BIGINT)")
+      s.sql(s"INSERT INTO $bld.core.src SELECT k, cents FROM cl1_src")
+      ()
+    }
+    val cat = s"graft_cl_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    // The clone must happen AFTER the staged rename: its manifest records
+    // the source's data files by ABSOLUTE path, and a clone taken inside
+    // the staging dir would dangle once the tree publishes. Both steps
+    // are idempotent across racing runs: the clone's create is the
+    // manifest CAS (the loser's attempt refuses and is swallowed), and a
+    // duplicate DELETE commit hides zero new rows.
+    val dup = s"$base/core/dup"
+    if (graft.ingest.Snapshots.versions(dup).isEmpty) {
+      try s.sql(s"CALL $cat.system.clone(source => 'core.src', dest => 'core.dup')")
+      catch { case _: IllegalArgumentException => () }
+    }
+    val head = graft.ingest.Snapshots.versions(dup).max
+    if (!graft.ingest.Snapshots.modeOf(dup, head).startsWith("delete-dv"))
+      s.sql(s"DELETE FROM $cat.core.dup WHERE k % 7 = 0")
     cat
   }
 
@@ -1166,6 +1220,15 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "cl1_shallow_clone" ->
+      """SELECT 1 AS tbl, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
     "vw1_sql_view" ->
       """SELECT o_orderstatus AS st, o_orderkey % 97 AS bucket,
         |  count(*) AS n,

@@ -452,6 +452,28 @@ class CatalogSpec extends SparkSuite {
     assert(vc.dropView(ident2) && vc.listViews("vw").isEmpty)
   }
 
+  test("CALL system.clone: zero-copy table copy that diverges independently") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cl")
+    spark.sql(s"CREATE TABLE $cat.cl.src (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.cl.src SELECT id FROM range(20)")
+    rows(s"CALL $cat.system.clone(source => 'cl.src', dest => 'cl.dup')")
+    assert(rows(s"SELECT count(*) FROM $cat.cl.dup").head === Seq(20L))
+    // no data under the clone's own tree
+    val dupData = new java.io.File(tableBase("cl", "dup"), "data")
+    assert(!dupData.exists ||
+      dupData.listFiles.toSeq.flatMap(b => Option(b.listFiles).toSeq.flatten)
+        .forall(!_.getName.endsWith(".parquet")))
+    // divergence through SQL DML: the clone changes, the source doesn't
+    spark.sql(s"DELETE FROM $cat.cl.dup WHERE id < 5")
+    assert(rows(s"SELECT count(*) FROM $cat.cl.dup").head === Seq(15L))
+    assert(rows(s"SELECT count(*) FROM $cat.cl.src").head === Seq(20L))
+    // version-pinned clone via the named arg
+    val v1 = Snapshots.versions(tableBase("cl", "src")).min
+    rows(s"CALL $cat.system.clone(source => 'cl.src', dest => 'cl.empty', " +
+      s"version => $v1)")
+    assert(rows(s"SELECT count(*) FROM $cat.cl.empty").head === Seq(0L))
+  }
+
   test("persisted views resolve from plain SQL (ResolveGraftViews)") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}

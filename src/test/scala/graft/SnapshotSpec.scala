@@ -12,6 +12,62 @@ class SnapshotSpec extends SparkSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select(col("id")).collect().map(_.getLong(0)).toSet
 
+  test("shallow clone: zero-copy create, divergence, maintenance isolation") {
+    val sess = spark
+    import sess.implicits._
+    val src = tmpDir("graft_clone_src")
+    Snapshots.commit(spark, (1L to 5L).toDF("id"), src)            // v1
+    Snapshots.commit(spark, (6L to 8L).toDF("id"), src)            // v2
+    graft.connector.TableProps.write(src, Map("owner" -> "team-a"))
+    val dst = tmpDir("graft_clone_dst") + "/t"
+    // clone at head: same rows, ZERO data files under the clone's tree
+    Snapshots.clone(spark, src, dst)
+    assert(ids(Snapshots.read(spark, dst)) === (1L to 8L).toSet)
+    val dstData = new java.io.File(dst, "data")
+    def ownFiles(d: java.io.File): Seq[String] =
+      if (!d.exists) Nil
+      else d.listFiles.toSeq.flatMap(b =>
+        Option(b.listFiles).toSeq.flatten.map(_.getName))
+        .filter(_.endsWith(".parquet"))
+    assert(ownFiles(dstData).isEmpty, "clone copied data")
+    // a version-pinned clone sees that version's rows
+    val dstV1 = tmpDir("graft_clone_dstv1") + "/t"
+    Snapshots.clone(spark, src, dstV1, Some(Snapshots.versions(src).min))
+    assert(ids(Snapshots.read(spark, dstV1)) === (1L to 5L).toSet)
+    // properties carried + lineage recorded
+    val props = graft.connector.TableProps.read(dst)
+    assert(props("owner") === "team-a")
+    assert(props("clone.source").startsWith(src))
+    // divergence: append + DV delete on the clone; source unchanged
+    Snapshots.commit(spark, (9L to 10L).toDF("id"), dst)
+    Snapshots.deleteWhereDV(spark, dst, col("id") === 1L)
+    assert(ids(Snapshots.read(spark, dst)) === (2L to 10L).toSet)
+    assert(ids(Snapshots.read(spark, src)) === (1L to 8L).toSet)
+    // schema divergence: rename on the clone binds shared files by field
+    // id; the source keeps its name
+    Snapshots.renameColumn(dst, "id", "key")
+    assert(Snapshots.read(spark, dst).columns.toSeq === Seq("key"))
+    assert(Snapshots.read(spark, src).columns.toSeq === Seq("id"))
+    // clone maintenance never deletes shared files: expire to last
+    // version + orphan sweep on dst leaves src fully readable
+    Snapshots.expire(dst, keepLast = 1)
+    Snapshots.removeOrphans(dst, olderThanMs = 0L)
+    assert(ids(Snapshots.read(spark, src)) === (1L to 8L).toSet)
+    assert(Snapshots.read(spark, dst).count() === 9L)
+    // refusals: existing target; source version with outstanding deletes
+    intercept[IllegalArgumentException] { Snapshots.clone(spark, src, dst) }
+    Snapshots.deleteWhereDV(spark, src, col("id") === 2L)
+    val eDv = intercept[IllegalArgumentException] {
+      Snapshots.clone(spark, src, tmpDir("graft_clone_dst2") + "/t")
+    }
+    assert(eDv.getMessage.contains("outstanding row-level deletes"))
+    // ...but a pre-delete version still clones
+    val preDelete = Snapshots.versions(src).sorted.takeRight(2).head
+    val dst3 = tmpDir("graft_clone_dst3") + "/t"
+    Snapshots.clone(spark, src, dst3, Some(preDelete))
+    assert(ids(Snapshots.read(spark, dst3)) === (1L to 8L).toSet)
+  }
+
   test("addFiles adopts foreign parquet zero-copy; maintenance never touches it") {
     val sess = spark
     import sess.implicits._
