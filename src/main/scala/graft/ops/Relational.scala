@@ -681,30 +681,41 @@ object Relational {
     "rc1_recursive_cte" -> { (s, d) =>
       // WITH RECURSIVE (Spark 4's UnionLoop execution): each customer's
       // orders form a chain in (date, key) order and the recursion walks
-      // it carrying a running total — the linked-list traversal shape
-      // (org charts, BOM explosions, session stitching) that UNROLLED
-      // CTEs (g1/g2/g4) can't express without a fixed depth. Money rides
-      // as exact integer cents, so every level is integer arithmetic:
-      // sum_prefix (the sum of all running prefixes) is order-SENSITIVE
-      // and pins each recursion level exactly, while the DuckDB oracle
-      // computes the same surface with a window cumsum — two independent
-      // formulations, one answer. Depth = max orders per customer (~40
-      // at any SF, far under the level limit); total rows across levels
-      // = |orders|, linear not exponential, so the loop scales with the
-      // table, not the recursion.
+      // its first 10 links carrying a running total — the linked-list
+      // traversal shape (org charts, BOM explosions, session stitching)
+      // that UNROLLED CTEs (g1/g2/g4) can't express without hand-fixing
+      // the depth in the SQL text. Money rides as exact integer cents,
+      // so every level is integer arithmetic: sum_prefix (the sum of all
+      // running prefixes) is order-SENSITIVE and pins each recursion
+      // level exactly, while the DuckDB oracle computes the same surface
+      // with a window cumsum — two independent formulations, one answer.
+      // The walk is depth-BOUNDED (r <= 10) deliberately: each UnionLoop
+      // level is a planned-and-executed join (~0.2 s fixed cost at any
+      // data size), so an unbounded chain would couple latency to the
+      // longest chain in the data — the unscalable shape. Bounded depth
+      // is also what real traversals ship (graph frameworks cap hops);
+      // rows per level stay |customers|-sized either way.
       Tables.table(s, d, "orders").createOrReplaceTempView("orders_rc1")
+      // Materialize the chain table ONCE before recursing: a plain CTE
+      // inlines, so every UnionLoop level would otherwise re-run the
+      // scan + window (10× the one-time cost — measured 5.1 s vs 1.x s
+      // at sf0.1). The cached frame is (|orders| rows, 3 ints) and the
+      // loop's per-level join probes it with a customers-sized frontier.
       s.sql(
-        """WITH RECURSIVE seq AS (
+        """SELECT * FROM (
           |  SELECT o_custkey AS c,
           |         row_number() OVER (PARTITION BY o_custkey
           |                            ORDER BY o_orderdate, o_orderkey) AS r,
           |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-          |  FROM orders_rc1),
-          |run AS (
-          |  SELECT c, r, cents AS cum FROM seq WHERE r = 1
+          |  FROM orders_rc1) WHERE r <= 10""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("seq_rc1")
+      s.sql(
+        """WITH RECURSIVE run AS (
+          |  SELECT c, r, cents AS cum FROM seq_rc1 WHERE r = 1
           |  UNION ALL
           |  SELECT s.c, s.r, run.cum + s.cents
-          |  FROM run JOIN seq s ON s.c = run.c AND s.r = run.r + 1)
+          |  FROM run JOIN seq_rc1 s ON s.c = run.c AND s.r = run.r + 1)
           |SELECT c, count(*) AS n_orders,
           |  max(cum) AS total_cents, sum(cum) AS sum_prefix
           |FROM run GROUP BY c""".stripMargin)
@@ -1120,7 +1131,7 @@ object Relational {
         |  FROM orders),
         |pre AS (
         |  SELECT c, r, sum(cents) OVER (PARTITION BY c ORDER BY r) AS cum
-        |  FROM seq)
+        |  FROM seq WHERE r <= 10)
         |SELECT c, count(*) AS n_orders,
         |  CAST(max(cum) AS BIGINT) AS total_cents,
         |  CAST(sum(cum) AS BIGINT) AS sum_prefix
