@@ -131,7 +131,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      // Native CHECK constraint DDL (CREATE TABLE (..., CONSTRAINT c
+      // CHECK (p)) / ALTER TABLE ADD|DROP CONSTRAINT) lands in the same
+      // write.check.* property namespace the r9 enforcement reads, so
+      // DDL-declared and property-declared checks are ONE system with
+      // one new-data-only enforcement contract. UNIQUE/PRIMARY KEY/
+      // FOREIGN KEY refuse loudly: graft would not enforce them, and an
+      // informational constraint that LOOKS enforced is a correctness
+      // trap (Iceberg takes the same stance).
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
+  /** Map a connector-API constraint onto the write.check.* property
+    * namespace, refusing kinds graft does not enforce.
+    */
+  private def checkProp(c: org.apache.spark.sql.connector.catalog.constraints.Constraint): (String, String) =
+    c match {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(chk.predicateSql != null && chk.predicateSql.trim.nonEmpty,
+          s"CHECK constraint ${chk.name} has no SQL predicate")
+        (TableProps.CheckPrefix + chk.name) -> chk.predicateSql
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft enforces CHECK constraints only - ${other.toDDL} would be " +
+            "informational-but-unenforced, a correctness trap; drop it or " +
+            "express it as a CHECK")
+    }
 
   override def loadTable(ident: Identifier): Table =
     loadPinned(ident, Snapshots.Pin.Latest)
@@ -207,6 +233,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => None
     }
     df.map(f => new GraftMetaTable(s"$base#${ident.name}", f))
+  }
+
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    // The interface default DROPS info.constraints on the floor; route
+    // them into the write.check.* namespace (refusing non-CHECK kinds
+    // BEFORE the create commits anything).
+    val checkProps = info.constraints.map(checkProp).toMap
+    val t = createTable(ident, info.schema(), info.partitions, info.properties)
+    if (checkProps.isEmpty) t
+    else {
+      val dir = tableDir(ident)
+      writeProps(dir, readProps(dir) ++ checkProps)
+      loadTable(ident)
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -358,6 +399,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         writeProps(dir, readProps(dir) + (set.property -> set.value))
       case rm: TableChange.RemoveProperty =>
         writeProps(dir, readProps(dir) - rm.property)
+      case add: TableChange.AddConstraint =>
+        val (k, v) = checkProp(add.constraint)
+        val existing = readProps(dir)
+        require(!existing.contains(k),
+          s"constraint ${add.constraint.name} already exists")
+        writeProps(dir, existing + (k -> v))
+      case drop: TableChange.DropConstraint =>
+        val k = TableProps.CheckPrefix + drop.name
+        val existing = readProps(dir)
+        if (!existing.contains(k) && !drop.ifExists)
+          throw new IllegalArgumentException(
+            s"no CHECK constraint named ${drop.name} on $ident")
+        writeProps(dir, existing - k)
       case other =>
         throw new UnsupportedOperationException(
           s"graft does not support table change $other")

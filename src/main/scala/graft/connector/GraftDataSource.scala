@@ -222,6 +222,20 @@ private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
     props.asJava
   }
 
+  /** write.check.* properties surfaced through the connector constraint
+    * API (DESCRIBE shows them; ALTER TABLE DROP CONSTRAINT can remove
+    * them). Enforced on NEW data by the commit path; existing rows are
+    * never re-validated, hence UNVALIDATED — the documented r9 contract.
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    graft.connector.TableProps.checks(base).map { case (name, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(name).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.UNVALIDATED)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   /** SQL `TRUNCATE TABLE`: an empty overwrite commit — history (and time
     * travel to the pre-truncate state) is preserved, like every other
     * destructive op on the snapshot layer.

@@ -452,6 +452,41 @@ class CatalogSpec extends SparkSuite {
     assert(vc.dropView(ident2) && vc.listViews("vw").isEmpty)
   }
 
+  test("native CHECK constraint DDL rides the write.check.* enforcement") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.con")
+    // inline CONSTRAINT at CREATE (the TableInfo path — the interface
+    // default silently drops constraints; ours must not)
+    spark.sql(s"CREATE TABLE $cat.con.t (id BIGINT, v BIGINT, " +
+      "CONSTRAINT pos CHECK (v > 0))")
+    spark.sql(s"INSERT INTO $cat.con.t VALUES (1, 5)")
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.con.t VALUES (2, -1)")
+    }
+    assert(e1.getMessage.toLowerCase.contains("check"), e1.getMessage)
+    // ADD CONSTRAINT enforces from the next write; DROP releases it
+    spark.sql(s"ALTER TABLE $cat.con.t ADD CONSTRAINT small CHECK (v < 100)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.con.t VALUES (3, 200)")
+    }
+    spark.sql(s"ALTER TABLE $cat.con.t DROP CONSTRAINT small")
+    spark.sql(s"INSERT INTO $cat.con.t VALUES (3, 200)")
+    assert(rows(s"SELECT count(*) FROM $cat.con.t").head === Seq(2L))
+    // NULL passes (SQL CHECK semantics, the r9 contract)
+    spark.sql(s"INSERT INTO $cat.con.t VALUES (4, NULL)")
+    assert(rows(s"SELECT count(*) FROM $cat.con.t").head === Seq(3L))
+    // dropping a missing constraint: loud without IF EXISTS, quiet with
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.con.t DROP CONSTRAINT nope")
+    }
+    spark.sql(s"ALTER TABLE $cat.con.t DROP CONSTRAINT IF EXISTS nope")
+    // unenforceable kinds refuse loudly instead of landing informational
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.con.pk (id BIGINT, " +
+        "CONSTRAINT k PRIMARY KEY (id))")
+    }
+    assert(e2.getMessage.contains("CHECK"), e2.getMessage)
+  }
+
   test("CALL system.clone: zero-copy table copy that diverges independently") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cl")
     spark.sql(s"CREATE TABLE $cat.cl.src (id BIGINT)")
