@@ -141,7 +141,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // informational constraint that LOOKS enforced is a correctness
       // trap (Iceberg takes the same stance).
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Map a connector-API constraint onto the write.check.* property
     * namespace, refusing kinds graft does not enforce.
@@ -241,7 +245,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // them into the write.check.* namespace (refusing non-CHECK kinds
     // BEFORE the create commits anything).
     val checkProps = info.constraints.map(checkProp).toMap
-    val t = createTable(ident, info.schema(), info.partitions, info.properties)
+    // v2ColumnToStructField likewise drops identity specs and generation
+    // expressions — re-encode them as the STANDARD StructField metadata
+    // keys (identity.start/step/allowExplicitInsert, the generation-
+    // expression key), which the schema header persists and the write
+    // path (Snapshots.applyColumnGenerators) reads back.
+    import org.apache.spark.sql.types.MetadataBuilder
+    val byName = info.columns.map(c => c.name -> c).toMap
+    val schema = StructType(info.schema().fields.map { f =>
+      val c = byName(f.name)
+      val idSpec = Option(c.identityColumnSpec)
+      val genExpr = Option(c.generationExpression)
+      if (idSpec.isEmpty && genExpr.isEmpty) f
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        idSpec.foreach { s =>
+          mb.putLong(org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_START, s.getStart)
+          mb.putLong(org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_STEP, s.getStep)
+          mb.putBoolean(org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            s.isAllowExplicitInsert)
+        }
+        genExpr.foreach(e => mb.putString(
+          org.apache.spark.sql.catalyst.util.GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, e))
+        f.copy(metadata = mb.build())
+      }
+    })
+    val t = createTable(ident, schema, info.partitions, info.properties)
     if (checkProps.isEmpty) t
     else {
       val dir = tableDir(ident)

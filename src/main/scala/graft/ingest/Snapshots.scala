@@ -404,9 +404,36 @@ object Snapshots {
     val byName = parentFields.map(f => f.name -> f).toMap
     var next = ((0L +: parentFields.map(fieldId)).max).max(parentLastId)
     val dfFields = df.schema.fields.toSeq.map { f =>
-      val id = byName.get(f.name).map(fieldId).getOrElse { next += 1; next }
-      StructField(f.name, f.dataType, nullable = true,
-        new MetadataBuilder().withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+      val parent = byName.get(f.name)
+      val id = parent.map(fieldId).getOrElse { next += 1; next }
+      // A name-matched field keeps the PARENT's metadata verbatim — the
+      // table's truth (identity specs, generation expressions, default
+      // values). The incoming frame's metadata is deliberately ignored:
+      // a plain INSERT carries bare fields (using them would strip the
+      // header's column metadata on the first append after CREATE), and
+      // an INSERT ... SELECT from another graft table carries THAT
+      // table's specs and ids (using them would silently graft a foreign
+      // identity/default onto this column). A genuinely new field gets
+      // ONLY its minted id for the same leak reason — column metadata
+      // becomes table schema through DDL, never as an insert side
+      // effect. (The CREATE path itself goes through the overwrite
+      // branch with no parent fields... so its frame IS the DDL schema:
+      // see the tableSchema construction below, which keeps dfFields'
+      // types while createTable supplies the frame.)
+      val meta = parent match {
+        case Some(pf) =>
+          new MetadataBuilder().withMetadata(pf.metadata)
+            .putLong(FieldIdKey, id).build()
+        case None if parentFields.isEmpty =>
+          // first commit of a new table: the frame's schema IS the DDL
+          // schema (createTable passes it), so its metadata is
+          // authoritative, not a leak
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(FieldIdKey, id).build()
+        case None =>
+          new MetadataBuilder().putLong(FieldIdKey, id).build()
+      }
+      StructField(f.name, f.dataType, nullable = true, meta)
     }
     val aligned = df.select(dfFields.map(f => col(f.name).as(f.name, f.metadata)): _*)
     val table =
@@ -929,8 +956,118 @@ object Snapshots {
     * snapshots until [[expire]]). `sortCols` clusters rows inside each
     * task so Parquet footer min/max stats stay selective.
     */
+  /** Claim `n` consecutive identity-allocation indices for `colName` —
+    * returns the first. The ledger is a directory of empty marker files
+    * whose NAMES carry the claimed high-water mark (`<base>/_idseq/
+    * <col>.<k>`): a claim is durable the instant its create-exclusive
+    * succeeds, so a crash between claim and data write burns a gap
+    * (standard identity semantics — Delta and every SQL sequence allow
+    * gaps) but can never double-allocate. Serialized by the table's
+    * commit lock; the claim itself is a metadata touch, so the lock hold
+    * is microseconds, never the duration of a data write.
+    */
+  private def claimIdentityRange(base: String, colName: String, n: Long): Long = {
+    withCommitLock(base) {
+      val fs = fsFor(base)
+      val dir = new Path(base, "_idseq")
+      fs.mkdirs(dir)
+      val prefix = colName + "."
+      val entries = listDir(fs, dir).map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(nm => scala.util.Try(nm.stripPrefix(prefix).toLong).toOption)
+      val cur = if (entries.isEmpty) 0L else entries.max
+      writeStringNew(fs, new Path(dir, prefix + (cur + n)), "")
+      // best-effort prune of superseded markers (claim already durable)
+      entries.filter(_ < cur).foreach(k =>
+        try fs.delete(new Path(dir, prefix + k), false) catch { case _: Exception => () })
+      cur
+    }
+  }
+
+  /** Fill GENERATED ALWAYS AS (expr) and IDENTITY columns on a user
+    * write, per the table's schema-header metadata (the standard
+    * StructField keys GraftCatalog persists at CREATE):
+    *
+    *  - generated: any explicit non-NULL value refuses (Spark null-fills
+    *    omitted columns, so non-NULL means the user wrote one); the
+    *    column is then computed row-wise from the stored expression —
+    *    deterministic by the analyzer's own validation, so recomputation
+    *    hazards don't arise.
+    *  - identity: explicit values refuse unless the spec says BY DEFAULT;
+    *    NULL slots fill from a claimed range (start + step * k). The
+    *    frame is locally checkpointed FIRST so the count, the claim and
+    *    the assignment all see one row set even over a non-deterministic
+    *    source — identity writes pay one materialization, documented.
+    *
+    * MERGE insert legs and table-to-table replication bypass this path
+    * deliberately (they carry complete rows); streaming appends and all
+    * SQL INSERT/writer paths route through [[commit]] and get it.
+    */
+  private def applyColumnGenerators(spark: SparkSession, df: DataFrame,
+                                    base: String,
+                                    parentSchema: Option[StructType]): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
+    import org.apache.spark.sql.functions.{col, lit}
+    val fields = parentSchema.map(_.fields.toSeq).getOrElse(Nil)
+    val gens = fields.filter(f =>
+      f.metadata.contains(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY))
+    val idents = fields.filter(IdentityColumn.isIdentityColumn)
+    if (gens.isEmpty && idents.isEmpty) return df
+    var out = df
+    gens.foreach { f =>
+      if (out.columns.contains(f.name) &&
+          !out.filter(out(f.name).isNotNull).isEmpty)
+        throw new IllegalArgumentException(
+          s"column ${f.name} is GENERATED ALWAYS AS (...) - explicit " +
+            "values are not accepted; omit the column")
+      val e = f.metadata.getString(
+        GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY)
+      out = out.withColumn(f.name,
+        org.apache.spark.sql.functions.expr(e).cast(f.dataType))
+    }
+    idents.foreach { f =>
+      val spec = IdentityColumn.getIdentityInfo(f).get
+      val present = out.columns.contains(f.name)
+      if (present && !spec.isAllowExplicitInsert &&
+          !out.filter(out(f.name).isNotNull).isEmpty)
+        throw new IllegalArgumentException(
+          s"column ${f.name} is GENERATED ALWAYS AS IDENTITY - explicit " +
+            "values are not accepted; omit the column (or declare it " +
+            "GENERATED BY DEFAULT)")
+      val withCol =
+        if (present) out
+        else out.withColumn(f.name, lit(null).cast(f.dataType))
+      val snap = withCol.localCheckpoint()
+      val nulls = snap.filter(snap(f.name).isNull)
+      val n = nulls.count()
+      if (n == 0L) { out = snap }
+      else {
+        val k0 = claimIdentityRange(base, f.name, n)
+        val idxField = "__graft_identity_idx"
+        val indexed = spark.createDataFrame(
+          nulls.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+          },
+          nulls.schema.add(idxField, org.apache.spark.sql.types.LongType))
+        val filled = indexed
+          .withColumn(f.name,
+            (lit(spec.getStart) +
+              lit(spec.getStep) * (lit(k0) + col(idxField))).cast(f.dataType))
+          .drop(idxField)
+        out = snap.filter(snap(f.name).isNotNull).unionByName(filled)
+      }
+    }
+    out
+  }
+
+  /** `applyGenerators = false` is for carriers of COMPLETE rows (table
+    * replication, upsert snapshot swaps): their frames legitimately hold
+    * values for identity/generated columns that ordinary user writes
+    * must not supply.
+    */
   def commit(spark: SparkSession, df: DataFrame, base: String,
-             mode: String = "append", sortCols: Seq[String] = Nil): Long = {
+             mode: String = "append", sortCols: Seq[String] = Nil,
+             applyGenerators: Boolean = true): Long = {
     // A mode may carry a ":<tag>" suffix (e.g. "append:v12" for a
     // materialized view recording its source watermark) — the tag rides
     // the manifest header, so it is exactly as durable and atomic as the
@@ -945,10 +1082,13 @@ object Snapshots {
     val parentSchema = parentM.flatMap(_.schema)
     val tracked = vs0.isEmpty || parentSchema.isDefined
     val parentLast = parentM.map(mintFloor(base, _)).getOrElse(0L)
+    val dfG =
+      if (applyGenerators) applyColumnGenerators(spark, df, base, parentSchema)
+      else df
     val (toWrite, tableSchema, newLast) =
-      if (tracked) withFieldIds(df, parentSchema,
+      if (tracked) withFieldIds(dfG, parentSchema,
         keepParentFields = base0 == "append", parentLastId = parentLast)
-      else (df, null, 0L)
+      else (dfG, null, 0L)
     val newFiles = writeBatch(toWrite, base, sortCols, checkNewData = true)
     val committed = publish(base, newFiles, Nil, mode, parent =>
       if (base0 == "append" && parent > 0) {

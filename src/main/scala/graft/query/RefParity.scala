@@ -330,6 +330,20 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // Identity + generated columns end-to-end: the single insert claimed
+    // ONE identity range, so the ids are exactly 1..n — min/max/sum pin
+    // the allocation arithmetic (a gap, duplicate or off-by-step breaks
+    // the triangular-number sum) — and the generated column must equal
+    // its expression row-wise (sum(dbl - 2*cents) would surface any
+    // drift as a nonzero).
+    "gen1_identity_generated" -> { (s, d) =>
+      val cat = generatedFor(s, d)
+      s.sql(
+        s"""SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+           |  sum(id) AS sum_id, sum(dbl - 2 * cents) AS gen_drift,
+           |  count(dbl) AS n_gen
+           |FROM $cat.core.g""".stripMargin)
+    },
     // Zero-copy shallow clone end-to-end: row 2 aggregates the CLONE
     // after its divergent DV delete — over data files it shares with the
     // source by absolute reference — while row 1 proves the source is
@@ -706,6 +720,35 @@ object RefParity {
       ()
     }
     val cat = s"graft_dv_$fp"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    cat
+  }
+
+  /** Staged warehouse for gen1: `core.g` declares an IDENTITY column and
+    * a GENERATED ALWAYS AS (cents * 2) column; ONE INSERT from orders
+    * fills both engine-side (ids from one claimed range = 1..n exactly).
+    */
+  private def generatedFor(s: SparkSession, sfDir: String): String = {
+    val base = cacheBase("graft_gen", sfDir, "orders")
+    val fp = base.substring(base.lastIndexOf('_') + 1)
+    stagedTree(base) { tmp =>
+      val bld = s"graft_bldgen_$fp"
+      s.conf.set(s"spark.sql.catalog.$bld", "graft.connector.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$bld.warehouse", tmp)
+      Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("gen1_src")
+      s.sql(s"CREATE NAMESPACE $bld.core")
+      s.sql(s"CREATE TABLE $bld.core.g (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        "k BIGINT, cents BIGINT, " +
+        "dbl BIGINT GENERATED ALWAYS AS (cents * 2))")
+      s.sql(s"INSERT INTO $bld.core.g (k, cents) SELECT k, cents FROM gen1_src")
+      ()
+    }
+    val cat = s"graft_gen_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.connector.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
     cat
@@ -1220,6 +1263,12 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "gen1_identity_generated" ->
+      """SELECT count(*) AS n, CAST(1 AS BIGINT) AS min_id,
+        |  count(*) AS max_id,
+        |  CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS sum_id,
+        |  CAST(0 AS BIGINT) AS gen_drift, count(*) AS n_gen
+        |FROM orders""".stripMargin,
     "cl1_shallow_clone" ->
       """SELECT 1 AS tbl, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

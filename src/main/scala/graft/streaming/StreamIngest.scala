@@ -228,7 +228,8 @@ object StreamIngest {
       .exists(m => m == appendTag || m == mergeTag)
     if (delivered) return
     if (Snapshots.versions(base).isEmpty) {
-      Snapshots.commit(spark, latest, base, mode = appendTag, sortCols = Seq(keyCol))
+      Snapshots.commit(spark, latest, base, mode = appendTag, sortCols = Seq(keyCol),
+        applyGenerators = false) // upsert swap carries complete rows
       ()
     } else {
       // Stale-ts guard: rows older than the stored state for their key
@@ -338,7 +339,8 @@ object StreamIngest {
         if (Snapshots.versions(dstBase).isEmpty)
           // first ever commit CREATES the destination (no deletes can
           // precede existence in a well-formed feed)
-          Snapshots.commit(spark, inserts, dstBase, mode = s"append:r$v")
+          Snapshots.commit(spark, inserts, dstBase, mode = s"append:r$v",
+            applyGenerators = false) // replication carries complete rows
         else
           Snapshots.applyDelta(spark, dstBase,
             deleteKeys = Some(deletes), inserts = Some(inserts),

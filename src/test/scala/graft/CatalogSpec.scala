@@ -452,6 +452,40 @@ class CatalogSpec extends SparkSuite {
     assert(vc.dropView(ident2) && vc.listViews("vw").isEmpty)
   }
 
+  test("identity + generated columns: fill, allocation, refusals, BY DEFAULT") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gen")
+    // GENERATED ALWAYS AS IDENTITY + GENERATED ALWAYS AS (expr)
+    spark.sql(s"CREATE TABLE $cat.gen.t (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "v BIGINT, dbl BIGINT GENERATED ALWAYS AS (v * 2))")
+    spark.sql(s"INSERT INTO $cat.gen.t (v) VALUES (10), (20)")
+    spark.sql(s"INSERT INTO $cat.gen.t (v) VALUES (30)")
+    // contiguous allocation across separate commits; expression computed
+    assert(rows(s"SELECT id, v, dbl FROM $cat.gen.t ORDER BY id") ===
+      Seq(Seq(1L, 10L, 20L), Seq(2L, 20L, 40L), Seq(3L, 30L, 60L)))
+    // explicit writes refuse for both ALWAYS kinds
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.gen.t VALUES (99, 40, 80)")
+    }
+    assert(e1.getMessage.contains("GENERATED ALWAYS"), e1.getMessage)
+    // BY DEFAULT identity with start/step: explicit values keep, NULL
+    // slots fill from the claimed range
+    spark.sql(s"CREATE TABLE $cat.gen.d (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100 INCREMENT BY 5), " +
+      "v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.gen.d VALUES (7, 1), (NULL, 2)")
+    spark.sql(s"INSERT INTO $cat.gen.d (v) VALUES (3)")
+    val got = rows(s"SELECT id, v FROM $cat.gen.d ORDER BY v")
+    assert(got === Seq(Seq(7L, 1L), Seq(100L, 2L), Seq(105L, 3L)), got)
+    // an INSERT ... SELECT from the identity table into a PLAIN table
+    // must not graft the identity spec onto the target (metadata comes
+    // from DDL, never from an insert frame)
+    spark.sql(s"CREATE TABLE $cat.gen.plain (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.gen.plain SELECT id, v FROM $cat.gen.t")
+    spark.sql(s"INSERT INTO $cat.gen.plain VALUES (999, 0)") // explicit ok
+    assert(rows(s"SELECT count(*) FROM $cat.gen.plain").head === Seq(4L))
+  }
+
   test("native CHECK constraint DDL rides the write.check.* enforcement") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.con")
     // inline CONSTRAINT at CREATE (the TableInfo path — the interface
