@@ -1003,9 +1003,10 @@ object Snapshots {
     * deliberately (they carry complete rows); streaming appends and all
     * SQL INSERT/writer paths route through [[commit]] and get it.
     */
-  private def applyColumnGenerators(spark: SparkSession, df: DataFrame,
+  private[graft] def applyColumnGenerators(spark: SparkSession, df: DataFrame,
                                     base: String,
-                                    parentSchema: Option[StructType]): DataFrame = {
+                                    parentSchema: Option[StructType],
+                                    enforce: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
     import org.apache.spark.sql.functions.{col, lit}
     val fields = parentSchema.map(_.fields.toSeq).getOrElse(Nil)
@@ -1015,7 +1016,7 @@ object Snapshots {
     if (gens.isEmpty && idents.isEmpty) return df
     var out = df
     gens.foreach { f =>
-      if (out.columns.contains(f.name) &&
+      if (enforce && out.columns.contains(f.name) &&
           !out.filter(out(f.name).isNotNull).isEmpty)
         throw new IllegalArgumentException(
           s"column ${f.name} is GENERATED ALWAYS AS (...) - explicit " +
@@ -1028,7 +1029,7 @@ object Snapshots {
     idents.foreach { f =>
       val spec = IdentityColumn.getIdentityInfo(f).get
       val present = out.columns.contains(f.name)
-      if (present && !spec.isAllowExplicitInsert &&
+      if (enforce && present && !spec.isAllowExplicitInsert &&
           !out.filter(out(f.name).isNotNull).isEmpty)
         throw new IllegalArgumentException(
           s"column ${f.name} is GENERATED ALWAYS AS IDENTITY - explicit " +
@@ -1641,13 +1642,15 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed snapshots under $base")
     val v0 = vs.max
     val m = readManifest(base, v0)
-    // New data rides the same field-id path as an appending commit.
+    // New data rides the same field-id path as an appending commit —
+    // including identity/generated fill (a backfill is a user write).
     val tracked = m.schema.isDefined
     val parentLast = mintFloor(base, m)
+    val dfG = applyColumnGenerators(spark, df, base, m.schema)
     val (toWrite, tableSchema, newLast) =
-      if (tracked) withFieldIds(df, m.schema, keepParentFields = true,
+      if (tracked) withFieldIds(dfG, m.schema, keepParentFields = true,
         parentLastId = parentLast)
-      else (df, null, 0L)
+      else (dfG, null, 0L)
     val newFiles = writeBatch(toWrite, base, sortCols, checkNewData = true)
     val batchDir = new Path(newFiles.head).getParent
     if (enforce) {
@@ -2241,7 +2244,20 @@ object Snapshots {
           require(ins.columns.toSet == s.fieldNames.toSet,
             s"row-change inserts (${ins.columns.mkString(",")}) must match " +
               s"the table schema (${s.fieldNames.mkString(",")})")
-          ins.select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
+          // carrier-mode generators: a merge's update rows carry their
+          // identity values (kept), its insert rows carry NULL slots
+          // (filled from a claimed range), and generated columns are
+          // recomputed UNCONDITIONALLY so the row-wise invariant
+          // survives UPDATE legs that changed an input column. An
+          // assignment (or star expansion) that named a generated column
+          // is therefore OVERRIDDEN by the recompute — the invariant
+          // wins over the assignment, Delta's generated-column stance.
+          // metadata re-attached AFTER generation: withColumn replaces
+          // the generated/identity fields and strips their field-id
+          // metadata, and a written file without ids reads back NULL on
+          // an id-tracked table.
+          applyColumnGenerators(spark, ins, base, Some(s), enforce = false)
+            .select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
         case None => ins
       }
     }

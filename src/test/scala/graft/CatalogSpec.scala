@@ -484,6 +484,25 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"INSERT INTO $cat.gen.plain SELECT id, v FROM $cat.gen.t")
     spark.sql(s"INSERT INTO $cat.gen.plain VALUES (999, 0)") // explicit ok
     assert(rows(s"SELECT count(*) FROM $cat.gen.plain").head === Seq(4L))
+    // DML legs maintain the invariant: UPDATE recomputes the generated
+    // column from the new input value (the recompute overrides any
+    // assignment that named it), identity values carry through
+    spark.sql(s"UPDATE $cat.gen.t SET v = 50 WHERE id = 2")
+    assert(rows(s"SELECT id, v, dbl FROM $cat.gen.t WHERE id = 2").head ===
+      Seq(2L, 50L, 100L))
+    // MERGE: matched update recomputes; not-matched insert gets a fresh
+    // identity value and a computed expression
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gen_src AS " +
+      "SELECT * FROM VALUES (3L, 70L), (0L, 90L) AS s(match_id, new_v)")
+    spark.sql(
+      s"""MERGE INTO $cat.gen.t AS t USING gen_src AS s ON t.id = s.match_id
+         |WHEN MATCHED THEN UPDATE SET v = s.new_v
+         |WHEN NOT MATCHED THEN INSERT (v) VALUES (s.new_v)""".stripMargin)
+    assert(rows(s"SELECT id, v, dbl FROM $cat.gen.t WHERE id = 3").head ===
+      Seq(3L, 70L, 140L))
+    // the insert-leg row: next identity value (4), dbl = 180
+    assert(rows(s"SELECT id, dbl FROM $cat.gen.t WHERE v = 90").head ===
+      Seq(4L, 180L))
   }
 
   test("native CHECK constraint DDL rides the write.check.* enforcement") {
