@@ -87,11 +87,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     */
   private def cdcOf(options: java.util.Map[String, String]): Option[(Long, Option[Long])] = {
     val m = new CaseInsensitiveStringMap(options)
-    if (!m.getBoolean("readChangeFeed", false)) {
-      require(m.get("startingVersion") == null && m.get("endingVersion") == null,
-        "startingVersion/endingVersion require readChangeFeed true")
-      return None
-    }
+    if (!m.getBoolean("readChangeFeed", false)) return None
     require(pinOf(options) == Snapshots.Pin.Latest,
       "readChangeFeed and versionAsOf/tag/branch are mutually exclusive - " +
         "the feed window is startingVersion/endingVersion")
@@ -118,13 +114,52 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     if (cdcOf(options).isEmpty) tbl else GraftChangeFeedTable.feedSchema(tbl)
   }
 
+  /** Batch `startingVersion` WITHOUT `readChangeFeed`: an INCREMENTAL
+    * append read — `spark.read.format("graft").option("startingVersion",
+    * N)` returns rows committed AFTER version N (optionally bounded by
+    * `endingVersion`, optionally `skipOverwrites`) — Iceberg's
+    * incremental-scan surface for batch ETL that keeps its own cursor.
+    * (On `readStream` the same option skips the initial snapshot; the
+    * change feed gives the row-attributed form.)
+    */
+  private def incrementalOf(options: java.util.Map[String, String]): Option[(Long, Option[Long], Boolean)] = {
+    val m = new CaseInsensitiveStringMap(options)
+    if (m.getBoolean("readChangeFeed", false)) return None
+    val svRaw = Option(m.get("startingVersion"))
+    if (svRaw.isEmpty) {
+      require(m.get("endingVersion") == null,
+        "endingVersion requires startingVersion (or readChangeFeed true)")
+      return None
+    }
+    require(pinOf(options) == Snapshots.Pin.Latest,
+      "startingVersion and versionAsOf/tag/branch are mutually exclusive")
+    val sv = svRaw.get.trim
+    // 'latest' = after the current head: empty for a batch read, and the
+    // stream resolution path (which also builds this table before
+    // falling back to the V1 source) parses its own copy of the option.
+    val from =
+      if (sv.equalsIgnoreCase("latest"))
+        Snapshots.versions(basePath(options)).sorted.lastOption.getOrElse(0L)
+      else try sv.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be a version number or 'latest', got '$sv'")
+      }
+    require(from >= 0, s"startingVersion must be >= 0, got $from")
+    Some((from, Option(m.get("endingVersion")).map(_.trim.toLong),
+      m.getBoolean("skipOverwrites", false)))
+  }
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     cdcOf(properties) match {
       case Some((from, to)) =>
         new GraftChangeFeedTable(basePath(properties), from, to, schema)
-      case None =>
-        new GraftTable(basePath(properties), pinOf(properties), schema)
+      case None => incrementalOf(properties) match {
+        case Some((from, to, skipOw)) =>
+          new GraftIncrementalTable(basePath(properties), from, to, skipOw, schema)
+        case None =>
+          new GraftTable(basePath(properties), pinOf(properties), schema)
+      }
     }
 
   // ----- streaming (V1 Source: getOffset/getBatch over snapshot versions)
@@ -138,6 +173,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("skipOverwrites") => v.trim.toBoolean
     }.getOrElse(false)
+
+  /** `startingVersion`: skip the initial full-table snapshot and begin
+    * the feed at a version — `N` delivers changes committed AFTER
+    * version N; `latest` pins the head at stream construction, so only
+    * data committed after the query starts flows (Delta's semantics).
+    */
+  private def streamStartingVersion(parameters: Map[String, String],
+                                    base: String): Option[Long] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingVersion") =>
+        val t = v.trim
+        if (t.equalsIgnoreCase("latest"))
+          Snapshots.versions(base).sorted.lastOption.getOrElse(0L)
+        else {
+          val n = try t.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"startingVersion must be a version number or 'latest', got '$v'")
+          }
+          require(n >= 0, s"startingVersion must be >= 0, got $n")
+          n
+        }
+    }
 
   private def streamMaxCommits(parameters: Map[String, String]): Option[Long] =
     parameters.collectFirst {
@@ -170,9 +227,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     require(!(skipOw && streamCdc(parameters)),
       "skipOverwrites applies to the append feed only - the change feed " +
         "already skips compactions (and refuses wholesale state changes)")
-    new GraftStreamSource(sqlContext.sparkSession, basePath(parameters.asJava),
+    val b = basePath(parameters.asJava)
+    new GraftStreamSource(sqlContext.sparkSession, b,
       cdc = streamCdc(parameters), skipOverwrites = skipOw,
-      maxCommits = streamMaxCommits(parameters))
+      maxCommits = streamMaxCommits(parameters),
+      startingVersion = streamStartingVersion(parameters, b))
   }
 
   /** `writeStream.format("graft")` — micro-batches become snapshot
@@ -716,6 +775,49 @@ private[connector] object GraftChangeFeedTable {
   * changed data, and Spark applies predicates above the scan; column
   * pruning is honored.
   */
+/** Incremental batch read: rows from the append diff (fromV, toV] — the
+  * table's own schema, no CDC columns. See incrementalOf.
+  */
+private[connector] class GraftIncrementalTable(base: String, fromV: Long,
+                                               toV: Option[Long],
+                                               skipOverwrites: Boolean,
+                                               tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$base`.incremental"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(s: StructType): Unit = required = s
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"GraftIncrementalScan(base=$base, from=$fromV, to=$toV)"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = req
+            override def buildScan(): RDD[Row] = {
+              val spark = context.sparkSession
+              val endV = toV.getOrElse(Snapshots.versions(base).max)
+              val diff =
+                if (skipOverwrites)
+                  Snapshots.changesSkippingOverwrites(spark, base, fromV, endV)
+                else Snapshots.changes(spark, base, fromV, endV)
+              diff.select(req.fieldNames.map(n =>
+                col(GraftRelation.quote(n))).toSeq: _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}
+
 private[connector] class GraftChangeFeedTable(base: String, fromV: Long,
                                               toV: Option[Long],
                                               tableSchema: StructType)
@@ -771,7 +873,8 @@ private[connector] class GraftChangeFeedTable(base: String, fromV: Long,
 private[connector] class GraftStreamSource(spark: SparkSession, base: String,
                                            cdc: Boolean = false,
                                            skipOverwrites: Boolean = false,
-                                           maxCommits: Option[Long] = None)
+                                           maxCommits: Option[Long] = None,
+                                           startingVersion: Option[Long] = None)
     extends Source {
 
   private val tableSchema: StructType =
@@ -820,11 +923,20 @@ private[connector] class GraftStreamSource(spark: SparkSession, base: String,
     val batch =
       if (cdc)
         // CDC mode: the per-commit change feed, deletes included. The
-        // first batch replays from version 0 (every commit up to the
-        // head), mirroring the batch feed's startingVersion default.
+        // first batch replays from startingVersion (default 0 = every
+        // commit up to the head), mirroring the batch feed's option.
         Snapshots.changeFeed(spark, base,
-          start.map(Bridge.offsetVersion).getOrElse(0L), endV)
+          start.map(Bridge.offsetVersion)
+            .orElse(startingVersion).getOrElse(0L), endV)
       else start match {
+        // startingVersion: no initial snapshot - the first batch is the
+        // append diff SINCE that version (a consumer that already holds
+        // the history, or only wants post-attach data via 'latest')
+        case None if startingVersion.isDefined =>
+          val sv = startingVersion.get
+          if (skipOverwrites)
+            Snapshots.changesSkippingOverwrites(spark, base, sv, endV)
+          else Snapshots.changes(spark, base, sv, endV)
         case None    => Snapshots.read(spark, base, Some(endV))
         // skipOverwrites: a compact mid-stream rewrites live rows into
         // new files, which the plain endpoint file-diff would re-deliver;

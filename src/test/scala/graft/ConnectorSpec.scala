@@ -453,6 +453,91 @@ class ConnectorSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("batch incremental read: startingVersion without readChangeFeed") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_incr")
+    Snapshots.commit(spark, (1L to 5L).toDF("id"), base)   // v1
+    Snapshots.commit(spark, (6L to 8L).toDF("id"), base)   // v2
+    Snapshots.commit(spark, (9L to 10L).toDF("id"), base)  // v3
+    val vs = Snapshots.versions(base).sorted
+    def incr(opts: (String, String)*): Set[Long] = {
+      var r = spark.read.format("graft")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      ids(r.load(base))
+    }
+    // rows committed AFTER v1 — the batch-ETL cursor surface
+    assert(incr("startingVersion" -> vs(0).toString) === (6L to 10L).toSet)
+    // a bounded window (after v1, up to v2]
+    assert(incr("startingVersion" -> vs(0).toString,
+      "endingVersion" -> vs(1).toString) === (6L to 8L).toSet)
+    // after the head = empty
+    assert(incr("startingVersion" -> vs.last.toString) === Set.empty)
+    // column pruning + a filter compose through the diff scan
+    assert(spark.read.format("graft").option("startingVersion", vs(0).toString)
+      .load(base).filter(col("id") % 2 === 0).count() === 3)
+    // guards: pins are mutually exclusive; endingVersion needs a start
+    intercept[Exception] {
+      spark.read.format("graft").option("startingVersion", vs(0).toString)
+        .option("versionAsOf", vs(1).toString).load(base).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft").option("endingVersion", vs(1).toString)
+        .load(base).collect()
+    }
+  }
+
+  test("streaming source startingVersion: skip the initial snapshot") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_conn_stream_sv")
+    Snapshots.commit(spark, (1L to 5L).toDF("id"), base)   // v1
+    Snapshots.commit(spark, (6L to 8L).toDF("id"), base)   // v2
+    val v1 = Snapshots.versions(base).sorted.head
+    def drain(opts: Map[String, String]): Set[Long] = {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      var r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(base)
+        .writeStream.option("checkpointLocation", tmpDir("graft_sv_ck"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getLong(0))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    // numeric: only data committed AFTER v1 arrives (no initial snapshot)
+    assert(drain(Map("startingVersion" -> v1.toString)) === (6L to 8L).toSet)
+    // latest: nothing until a post-attach commit lands — drain twice
+    // against one checkpoint
+    val ckLatest = tmpDir("graft_sv_latest_ck")
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def drainLatest(): Set[Long] = {
+      seen.clear()
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "latest").load(base)
+        .writeStream.option("checkpointLocation", ckLatest)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getLong(0))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    assert(drainLatest() === Set.empty)
+    Snapshots.commit(spark, Seq(9L).toDF("id"), base)
+    assert(drainLatest() === Set(9L))
+    // malformed refuses loudly
+    intercept[Exception] {
+      spark.readStream.format("graft").option("startingVersion", "nope")
+        .load(base).writeStream
+        .option("checkpointLocation", tmpDir("graft_sv_bad_ck"))
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start().processAllAvailable()
+    }
+  }
+
   test("streaming source maxCommitsPerTrigger: backlog drains in bounded batches") {
     val sess = spark
     import sess.implicits._
