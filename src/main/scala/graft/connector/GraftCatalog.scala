@@ -45,7 +45,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 // CURRENT_DEFAULT/EXISTS_DEFAULT into the schema it hands us) and fill
 // write defaults into INSERTs that omit the column.
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog with StagingTableCatalog {
+    with ProcedureCatalog with ViewCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ----- catalog-scoped SQL functions (`SELECT <cat>.system.fnv64(x)`)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftCatalogFunctions.list(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftCatalogFunctions.load(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -452,6 +452,34 @@ class CatalogSpec extends SparkSuite {
     assert(vc.dropView(ident2) && vc.listViews("vw").isEmpty)
   }
 
+  test("catalog functions: cat.system.fnv64 / sample_keep from pure SQL") {
+    // identical to the session-registered native expression by construction
+    graft.functions.GraftFunctions.register(spark)
+    val viaCatalog = rows(s"SELECT $cat.system.fnv64('hello') AS h").head.head
+    val viaNative = rows("SELECT fnv64('hello') AS h").head.head
+    assert(viaCatalog === viaNative)
+    // usable in expressions over tables; deterministic sampling keeps a
+    // stable subset and rate-0/100 bound it exactly
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.fn")
+    spark.sql(s"CREATE TABLE $cat.fn.t AS " +
+      "SELECT CAST(id AS STRING) AS s FROM range(1000)")
+    val kept = rows(s"SELECT count(*) FROM $cat.fn.t " +
+      s"WHERE $cat.system.sample_keep(s, 10)").head.head.asInstanceOf[Long]
+    assert(kept > 0 && kept < 1000, s"rate-10 kept $kept")
+    val again = rows(s"SELECT count(*) FROM $cat.fn.t " +
+      s"WHERE $cat.system.sample_keep(s, 10)").head.head.asInstanceOf[Long]
+    assert(again === kept, "content-hash sampling must be deterministic")
+    assert(rows(s"SELECT count(*) FROM $cat.fn.t " +
+      s"WHERE $cat.system.sample_keep(s, 0)").head === Seq(0L))
+    assert(rows(s"SELECT count(*) FROM $cat.fn.t " +
+      s"WHERE $cat.system.sample_keep(s, 100)").head === Seq(1000L))
+    // SHOW FUNCTIONS surfaces them; unknown names refuse
+    val shown = rows(s"SHOW FUNCTIONS IN $cat.system").map(_.head.toString)
+    assert(shown.exists(_.endsWith("fnv64")) &&
+      shown.exists(_.endsWith("sample_keep")), shown.mkString(","))
+    intercept[Exception] { rows(s"SELECT $cat.system.nope(1)") }
+  }
+
   test("identity + generated columns: fill, allocation, refusals, BY DEFAULT") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gen")
     // GENERATED ALWAYS AS IDENTITY + GENERATED ALWAYS AS (expr)
