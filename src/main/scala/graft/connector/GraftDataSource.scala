@@ -898,7 +898,7 @@ private[connector] class GraftStreamSource(spark: SparkSession, base: String,
     * engine ignores offers at or behind its committed offset — a few
     * idle polls, never data loss or re-delivery.
     */
-  private var lastSeenEnd: Option[Long] = None
+  private var lastSeenEnd: Option[Long] = startingVersion
 
   override def getOffset: Option[OffsetV1] = {
     val vs = Snapshots.versions(base)

@@ -1365,6 +1365,20 @@ object Snapshots {
       lastIdFor = _ => m.lastColumnId)
     graft.connector.TableProps.write(dst,
       srcProps + ("clone.source" -> s"$src@$v"))
+    // An identity table's allocation ledger must travel with the clone:
+    // the carried rows hold already-allocated values, and a dst ledger
+    // restarting at zero would re-issue them on the first insert.
+    val srcSeq = new Path(src, "_idseq")
+    val srcFs = fsFor(src)
+    if (srcFs.exists(srcSeq)) {
+      val dstFs = fsFor(dst)
+      val dstSeq = new Path(dst, "_idseq")
+      dstFs.mkdirs(dstSeq)
+      listDir(srcFs, srcSeq).foreach { st =>
+        try writeStringNew(dstFs, new Path(dstSeq, st.getPath.getName), "")
+        catch { case _: Exception => () } // marker exists = already carried
+      }
+    }
     out
   }
 

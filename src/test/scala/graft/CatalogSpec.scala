@@ -588,6 +588,15 @@ class CatalogSpec extends SparkSuite {
     rows(s"CALL $cat.system.clone(source => 'cl.src', dest => 'cl.empty', " +
       s"version => $v1)")
     assert(rows(s"SELECT count(*) FROM $cat.cl.empty").head === Seq(0L))
+    // the identity allocation ledger travels with a clone: an insert on
+    // the clone continues PAST the carried rows' ids, never re-issuing
+    spark.sql(s"CREATE TABLE $cat.cl.idt " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.cl.idt (v) VALUES (1), (2), (3)")
+    rows(s"CALL $cat.system.clone(source => 'cl.idt', dest => 'cl.idtc')")
+    spark.sql(s"INSERT INTO $cat.cl.idtc (v) VALUES (4)")
+    assert(rows(s"SELECT id FROM $cat.cl.idtc ORDER BY id").flatten ===
+      Seq(1L, 2L, 3L, 4L))
   }
 
   test("persisted views resolve from plain SQL (ResolveGraftViews)") {
