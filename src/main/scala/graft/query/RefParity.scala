@@ -330,6 +330,23 @@ object RefParity {
            |SELECT 2, count(*), round(sum(o_totalprice), 2)
            |FROM $cat.core.orders""".stripMargin)
     },
+    // Incremental batch read end-to-end: the cursor sits at v1 (the even
+    // slice), so the read returns EXACTLY the rows v2 appended — row 1.
+    // Row 2 proves the full table is intact (the cursor read is a view,
+    // not a consumption). A diff that leaked v1 rows, missed v2 files,
+    // or double-counted breaks the exact cent sums.
+    "inc1_incremental_read" -> { (s, d) =>
+      val base = incrementalFor(s, d)
+      val v1 = graft.ingest.Snapshots.versions(base).min
+      val delta = s.read.format("graft")
+        .option("startingVersion", v1.toString).load(base)
+        .agg(count("*").as("n"), sum("cents").as("sum_cents"))
+        .withColumn("part", lit(1L))
+      val full = s.read.format("graft").load(base)
+        .agg(count("*").as("n"), sum("cents").as("sum_cents"))
+        .withColumn("part", lit(2L))
+      delta.unionByName(full).select("part", "n", "sum_cents")
+    },
     // Identity + generated columns end-to-end: the single insert claimed
     // ONE identity range, so the ids are exactly 1..n — min/max/sum pin
     // the allocation arithmetic (a gap, duplicate or off-by-step breaks
@@ -724,6 +741,21 @@ object RefParity {
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
     cat
   }
+
+  /** Staged tree for inc1: orders lands in TWO commits (even keys then
+    * odd keys), so an incremental read with the cursor at v1 must return
+    * exactly the odd slice.
+    */
+  private def incrementalFor(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_inc", sfDir, "orders")) { tmp =>
+      import graft.ingest.Snapshots
+      val o = Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Snapshots.commit(s, o.filter(col("k") % 2 === 0), tmp) // v1
+      Snapshots.commit(s, o.filter(col("k") % 2 === 1), tmp) // v2
+      ()
+    }
 
   /** Staged warehouse for gen1: `core.g` declares an IDENTITY column and
     * a GENERATED ALWAYS AS (cents * 2) column; ONE INSERT from orders
@@ -1263,6 +1295,15 @@ object RefParity {
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*), round(sum(o_totalprice), 2) FROM orders""".stripMargin,
+    "inc1_incremental_read" ->
+      """SELECT CAST(1 AS BIGINT) AS part, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders""".stripMargin,
     "gen1_identity_generated" ->
       """SELECT count(*) AS n, CAST(1 AS BIGINT) AS min_id,
         |  count(*) AS max_id,
