@@ -1029,16 +1029,22 @@ object Snapshots {
     idents.foreach { f =>
       val spec = IdentityColumn.getIdentityInfo(f).get
       val present = out.columns.contains(f.name)
-      if (enforce && present && !spec.isAllowExplicitInsert &&
-          !out.filter(out(f.name).isNotNull).isEmpty)
-        throw new IllegalArgumentException(
-          s"column ${f.name} is GENERATED ALWAYS AS IDENTITY - explicit " +
-            "values are not accepted; omit the column (or declare it " +
-            "GENERATED BY DEFAULT)")
       val withCol =
         if (present) out
         else out.withColumn(f.name, lit(null).cast(f.dataType))
       val snap = withCol.localCheckpoint()
+      // The ALWAYS refusal checks the CHECKPOINTED frame — the same rows
+      // the fill and the write will see. Checking the pre-checkpoint
+      // plan would re-execute it, and a non-deterministic source could
+      // pass an all-NULL check yet materialize explicit values (the
+      // check-vs-commit race the CHECK-constraint path also closes by
+      // validating committed rows).
+      if (enforce && present && !spec.isAllowExplicitInsert &&
+          !snap.filter(snap(f.name).isNotNull).isEmpty)
+        throw new IllegalArgumentException(
+          s"column ${f.name} is GENERATED ALWAYS AS IDENTITY - explicit " +
+            "values are not accepted; omit the column (or declare it " +
+            "GENERATED BY DEFAULT)")
       val nulls = snap.filter(snap(f.name).isNull)
       val n = nulls.count()
       if (n == 0L) { out = snap }
