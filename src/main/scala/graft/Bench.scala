@@ -44,7 +44,11 @@ object Bench {
     // frame sampling, BFS reachability, corpus-scale BPE encode — plus
     // the distinct-sketch MV read as the table-format representative
     "m2_frame_sample", "g4_bfs_hops", "vocab3_bpe_encode",
-    "mv3_distinct_view")
+    "mv3_distinct_view",
+    // round-10: the recursive-CTE walk is the heaviest new registry
+    // member (UnionLoop's per-level fixed cost) — min-of-N tier like the
+    // other iterative-fixpoint queries
+    "rc1_recursive_cte")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
