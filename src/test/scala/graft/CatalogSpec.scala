@@ -452,6 +452,33 @@ class CatalogSpec extends SparkSuite {
     assert(vc.dropView(ident2) && vc.listViews("vw").isEmpty)
   }
 
+  test("identity allocation under racing writers: unique, never re-issued") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.race")
+    spark.sql(s"CREATE TABLE $cat.race.t " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, w INT, i INT)")
+    val writers = 4
+    val perWriter = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            for (i <- 0 until perWriter)
+              spark.sql(s"INSERT INTO $cat.race.t (w, i) VALUES ($w, $i), ($w, ${i + 100})")
+        })
+      }
+      futures.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // every row got an id; no id was issued twice even under racing
+    // ledger claims (the double-allocation hazard the marker-file CAS
+    // exists to rule out); values stay in the claimed domain
+    val n = writers * perWriter * 2
+    // all commits succeeded, so no claim was burned: ids are EXACTLY 1..n
+    val got = rows(s"SELECT count(*), count(DISTINCT id), count(id), " +
+      s"min(id), max(id) FROM $cat.race.t").head
+    assert(got === Seq(n.toLong, n.toLong, n.toLong, 1L, n.toLong), got)
+  }
+
   test("catalog functions: cat.system.fnv64 / sample_keep from pure SQL") {
     // identical to the session-registered native expression by construction
     graft.functions.GraftFunctions.register(spark)
