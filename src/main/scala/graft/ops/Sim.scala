@@ -61,6 +61,88 @@ object Sim {
     topK(VecOps.scoreAgainst(s, embeddings(s, d), "vec_id", "embedding",
       queryVecs(s, d)))
 
+  /** MMR-diversified re-ranking (Carbonell–Goldstein maximal marginal
+    * relevance): from each query's exact top-`m` candidate pool, greedily
+    * select `k` results maximizing `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)`
+    * — the serving-side diversification every RAG/retrieval stack layers
+    * over plain kNN (near-duplicate hits crowd out coverage).
+    *
+    * Scale shape: candidate generation is the one base scan the brute
+    * kernel already does (at scale: an ANN index); everything after runs
+    * on the CANDIDATE grain — m rows per query, m² pair-sims per query,
+    * a per-query greedy of k·m steps — distributed per query via
+    * flatMapGroups with the candidate vectors broadcast (m·|Q| vectors;
+    * for unbounded |Q| the pair-join/shuffle twin of d9 applies). Nothing
+    * anywhere is corpus². Determinism: cosines enter the greedy ROUNDED
+    * to 4 (the engine-portable surface v1 established), λ-arithmetic is
+    * one multiply each + a subtract in fixed order, max over selected is
+    * order-free, ties break on vec_id — so emitted scores are bit-equal
+    * on any IEEE engine and the DuckDB oracle replays the greedy as k
+    * unrolled CTE steps.
+    */
+  def mmrRerank(s: SparkSession, d: String, m: Int = 20, k: Int = 5,
+                lam: Double = 0.75): DataFrame = {
+    // λ = 0.75 deliberately: both λ and 1−λ are binary-exact, so a SQL
+    // engine parsing them as DECIMAL and converting to double lands on
+    // the identical constants (0.7 would not: decimal 1−0.7 = 0.3 →
+    // 0.2999…, while double 1−0.7 = 0.30000000000000004).
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val scored = VecOps.scoreAgainst(s, emb, "vec_id", "embedding",
+      queryVecs(s, d))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val cand = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    // candidate vectors: bounded at m·|Q| (20×8 here) — the same
+    // driver-bounded broadcast contract as the PQ codebooks
+    val candVecs = VecOps.vectors(s,
+      emb.join(cand.select("vec_id").distinct(), "vec_id"),
+      "vec_id", "embedding")
+    val bc = s.sparkContext.broadcast(candVecs.map(v => v.id -> v).toMap)
+    cand.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val vm = bc.value
+        // candidate order: relevance desc, id asc (the greedy's tie order)
+        val cs = it.map { case (_, id, cos) => (id, cos) }.toArray
+          .sortBy { case (id, cos) => (-cos, id) }
+        def pairCos(a: Long, b: Long): Double = {
+          val (va, vb) = (vm(a), vm(b))
+          VecOps.round4(VecOps.dotD(va.emb, vb.emb) / (va.norm * vb.norm))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[Long]()
+        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        var pick = 1
+        while (pick <= k && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < remaining.length) {
+            val (id, cos) = remaining(i)
+            // max over the selected set, NOT floored at zero (negative
+            // similarity to everything selected is a diversity BONUS);
+            // the first pick has no selected set and uses 0.0
+            var maxSel = if (selected.isEmpty) 0.0 else Double.NegativeInfinity
+            selected.foreach(sId => maxSel = math.max(maxSel, pairCos(id, sId)))
+            val score = lam * cos - (1 - lam) * maxSel
+            // strict > plus the relevance-then-id presort = ties go to
+            // the higher-cos, then lower-id candidate (the oracle's
+            // ORDER BY score DESC, cos DESC, vec_id)
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+            i += 1
+          }
+          val (id, _) = remaining.remove(bestIdx)
+          selected += id
+          out += ((q, pick, id, bestScore))
+          pick += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "pick", "vec_id", "score")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * Spark-xxhash64 of the pair (XXH64, seed 42 — same value the SQL
     * function produces), folded to ±[0,1). No RNG state → executors agree
@@ -568,6 +650,7 @@ object Sim {
     "v7_balanced_sample" -> { (s, d) => bucketBalancedSample(s, d) },
     "v6_matryoshka" -> { (s, d) => matryoshkaEval(s, d) },
     "v1_knn_brute" -> { (s, d) => knnBrute(s, d) },
+    "v8_mmr_rerank" -> { (s, d) => mmrRerank(s, d) },
     "v2_knn_lsh" -> { (s, d) => withRecall(s, d, knnLsh(s, d)) },
     // v3/v5 serve from the persisted snapshot-style index (the 100 TB
     // path); the train-per-call forms remain as the index-less fallback
@@ -669,6 +752,107 @@ object Sim {
         |FROM fullk f LEFT JOIN trunck t
         |  ON f.q_id = t.q_id AND f.vec_id = t.vec_id
         |GROUP BY f.q_id""".stripMargin,
+    // v8: the greedy MMR replayed as 4 unrolled steps on top of the
+    // step-1 argmax — per-step correlated max over the selected set, the
+    // same (score DESC, cos DESC, vec_id) tie chain the Scala kernel's
+    // presort + strict-greater encodes, all constants binary-exact.
+    "v8_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * b.nrm), 4) AS cos
+        |  FROM e q JOIN e b ON q.vec_id < 8 AND b.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, cos FROM (
+        |    SELECT q_id, vec_id, cos,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |    FROM scored) t WHERE rank <= 20),
+        |pc AS (
+        |  SELECT ca.q_id, ca.vec_id AS a_id, cb.vec_id AS b_id,
+        |    round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        |      / (ea.nrm * eb.nrm), 4) AS cos
+        |  FROM cand ca JOIN cand cb ON ca.q_id = cb.q_id AND ca.vec_id <> cb.vec_id
+        |  JOIN e ea ON ea.vec_id = ca.vec_id
+        |  JOIN e eb ON eb.vec_id = cb.vec_id),
+        |p1 AS (SELECT q_id, vec_id, cos,
+        |    0.75 * cos - (1 - 0.75) * 0.0 AS score FROM cand),
+        |s1 AS (SELECT q_id, vec_id, score FROM (
+        |  SELECT q_id, vec_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, cos DESC, vec_id) AS rn
+        |  FROM p1) t WHERE rn = 1),
+        |sel1 AS (SELECT q_id, vec_id FROM s1),
+        |p2 AS (
+        |  SELECT c.q_id, c.vec_id, c.cos,
+        |    0.75 * c.cos - (1 - 0.75) * (
+        |      SELECT max(pc.cos) FROM pc JOIN sel1
+        |        ON pc.q_id = sel1.q_id AND pc.b_id = sel1.vec_id
+        |      WHERE pc.q_id = c.q_id AND pc.a_id = c.vec_id) AS score
+        |  FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel1
+        |                    WHERE sel1.q_id = c.q_id AND sel1.vec_id = c.vec_id)),
+        |s2 AS (SELECT q_id, vec_id, score FROM (
+        |  SELECT q_id, vec_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, cos DESC, vec_id) AS rn
+        |  FROM p2) t WHERE rn = 1),
+        |sel2 AS (SELECT q_id, vec_id FROM sel1
+        |           UNION ALL SELECT q_id, vec_id FROM s2),
+        |p3 AS (
+        |  SELECT c.q_id, c.vec_id, c.cos,
+        |    0.75 * c.cos - (1 - 0.75) * (
+        |      SELECT max(pc.cos) FROM pc JOIN sel2
+        |        ON pc.q_id = sel2.q_id AND pc.b_id = sel2.vec_id
+        |      WHERE pc.q_id = c.q_id AND pc.a_id = c.vec_id) AS score
+        |  FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel2
+        |                    WHERE sel2.q_id = c.q_id AND sel2.vec_id = c.vec_id)),
+        |s3 AS (SELECT q_id, vec_id, score FROM (
+        |  SELECT q_id, vec_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, cos DESC, vec_id) AS rn
+        |  FROM p3) t WHERE rn = 1),
+        |sel3 AS (SELECT q_id, vec_id FROM sel2
+        |           UNION ALL SELECT q_id, vec_id FROM s3),
+        |p4 AS (
+        |  SELECT c.q_id, c.vec_id, c.cos,
+        |    0.75 * c.cos - (1 - 0.75) * (
+        |      SELECT max(pc.cos) FROM pc JOIN sel3
+        |        ON pc.q_id = sel3.q_id AND pc.b_id = sel3.vec_id
+        |      WHERE pc.q_id = c.q_id AND pc.a_id = c.vec_id) AS score
+        |  FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel3
+        |                    WHERE sel3.q_id = c.q_id AND sel3.vec_id = c.vec_id)),
+        |s4 AS (SELECT q_id, vec_id, score FROM (
+        |  SELECT q_id, vec_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, cos DESC, vec_id) AS rn
+        |  FROM p4) t WHERE rn = 1),
+        |sel4 AS (SELECT q_id, vec_id FROM sel3
+        |           UNION ALL SELECT q_id, vec_id FROM s4),
+        |p5 AS (
+        |  SELECT c.q_id, c.vec_id, c.cos,
+        |    0.75 * c.cos - (1 - 0.75) * (
+        |      SELECT max(pc.cos) FROM pc JOIN sel4
+        |        ON pc.q_id = sel4.q_id AND pc.b_id = sel4.vec_id
+        |      WHERE pc.q_id = c.q_id AND pc.a_id = c.vec_id) AS score
+        |  FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel4
+        |                    WHERE sel4.q_id = c.q_id AND sel4.vec_id = c.vec_id)),
+        |s5 AS (SELECT q_id, vec_id, score FROM (
+        |  SELECT q_id, vec_id, score, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY score DESC, cos DESC, vec_id) AS rn
+        |  FROM p5) t WHERE rn = 1),
+        |sel5 AS (SELECT q_id, vec_id FROM sel4
+        |           UNION ALL SELECT q_id, vec_id FROM s5),
+        |final AS (
+        |  SELECT q_id, 1 AS pick, vec_id, score FROM s1
+        |  UNION ALL SELECT q_id, 2, vec_id, score FROM s2
+        |  UNION ALL SELECT q_id, 3, vec_id, score FROM s3
+        |  UNION ALL SELECT q_id, 4, vec_id, score FROM s4
+        |  UNION ALL SELECT q_id, 5, vec_id, score FROM s5)
+        |SELECT q_id, pick, vec_id, score FROM final""".stripMargin,
     "v1_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm

@@ -289,6 +289,30 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("MMR re-rank: relevance-first, distinct picks, diversity penalty binds") {
+    val out = graft.ops.Sim.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = graft.ops.Sim.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === (0L until graft.ops.Sim.NumQueries).toSet)
+    byQ.foreach { case (q, picks) =>
+      assert(picks.length === 5 && picks.map(_._3).distinct.length === 5,
+        s"q=$q picks must be 5 distinct items")
+      // pick 1 is the pure-relevance argmax (no diversity term yet) —
+      // identical tie order to the brute top-1
+      val top1 = brute.filter(p => p._1 == q && p._3 == 1).head._2
+      assert(picks.find(_._2 == 1).get._3 === top1, s"q=$q first pick")
+      // from pick 2 on, the marginal score never increases: the penalty
+      // set only grows and the candidate set only shrinks. (Pick 1 is
+      // exempt — its penalty term is literal 0, and a negative max
+      // similarity at pick 2 could legitimately beat it.)
+      val scores = picks.sortBy(_._2).map(_._4).drop(1)
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a },
+        s"q=$q scores not non-increasing after pick 1: ${scores.mkString(",")}")
+    }
+  }
+
   test("HLL sketch count-distinct lands within the 5-sigma rsd envelope") {
     val rows = graft.ops.Stats.queries("a3_hll_sketch")(spark, sf).collect()
     rows.foreach { r =>
