@@ -298,6 +298,42 @@ class ConnectorSpec extends SparkSuite {
       (want.filterNot(_._1 == 3L) + ((9L, 1L))))
   }
 
+  test("streaming sink append fills identity columns per micro-batch") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField, StructType}
+    // a table whose schema header carries an identity spec (the CREATE
+    // path takes the frame's metadata as authoritative)
+    val base = tmpDir("graft_sink_ident")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, new MetadataBuilder()
+        .putLong("identity.start", 1L).putLong("identity.step", 1L)
+        .putBoolean("identity.allowExplicitInsert", false).build()),
+      StructField("v", LongType)))
+    Snapshots.commit(spark,
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      base)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("v").writeStream.format("graft")
+      .option("path", base)
+      .option("checkpointLocation", tmpDir("graft_sink_ident_ck"))
+      .start()
+    try {
+      mem.addData(10L, 20L, 30L)
+      q.processAllAvailable()
+      mem.addData(40L, 50L)
+      q.processAllAvailable()
+      // every streamed row got an id; ranges claimed per micro-batch
+      // never overlap — ids are exactly 1..5
+      val got = Snapshots.read(spark, base).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.map(_._1) === (1L to 5L), got)
+      assert(got.map(_._2).toSet === Set(10L, 20L, 30L, 40L, 50L))
+    } finally q.stop()
+  }
+
   test("streaming sink: append replication, update upserts, complete aggregates") {
     val sess = spark
     import sess.implicits._
