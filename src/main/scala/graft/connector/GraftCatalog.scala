@@ -437,7 +437,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Snapshots.setColumnDefault(base, upd.fieldNames.head,
           Option(upd.newCurrentDefault).map(_.getSql).filter(_.nonEmpty))
       case set: TableChange.SetProperty =>
-        writeProps(dir, readProps(dir) + (set.property -> set.value))
+        val next = readProps(dir) + (set.property -> set.value)
+        // Retention properties are consumed by a post-commit hook that
+        // must never throw past a durable commit (it warn-and-skips), so
+        // DDL time is the only moment a malformed value can refuse
+        // loudly to the user who typed it.
+        if (set.property == TableProps.ExpireMaxAgeMs ||
+            set.property == TableProps.ExpireMinSnapshots)
+          Snapshots.parseRetentionProps(next)
+        writeProps(dir, next)
       case rm: TableChange.RemoveProperty =>
         writeProps(dir, readProps(dir) - rm.property)
       case add: TableChange.AddConstraint =>

@@ -199,17 +199,55 @@ private[connector] object GraftRowLevel {
     * otherwise silently fail the per-field exprId match and keep the old
     * value, completing the statement having changed nothing.
     */
-  def checkAssignmentKeys(assigns: Seq[Assignment], tOut: Seq[Attribute]): Unit =
+  def checkAssignmentKeys(assigns: Seq[Assignment], tOut: Seq[Attribute],
+                          alwaysIdentity: Set[String] = Set.empty): Unit =
     assigns.foreach { asn =>
       asn.key match {
         case k: AttributeReference =>
           require(tOut.exists(_.exprId == k.exprId),
             s"assignment targets $k, which is not a column of the target table")
+          // GENERATED ALWAYS AS IDENTITY admits no explicit value, and
+          // the DML legs carry complete rows past the generator's
+          // carrier mode (which fills NULL slots but KEEPS explicit
+          // values) — so the assignment list is the last gate where
+          // `UPDATE t SET id = <v>` / `INSERT (id, ...)` can refuse
+          // instead of silently reassigning identities the ledger never
+          // learns about (duplicate ids on the next allocation). A
+          // trivial self-assignment (SET id = id) stays legal. The
+          // name set comes from the table's OWN schema header — plan
+          // attributes don't reliably carry identity metadata through
+          // the V2 column conversion.
+          val selfAssign = asn.value match {
+            case v: AttributeReference => v.exprId == k.exprId
+            // an explicit NULL is "fill for me" (the carrier-mode
+            // generator allocates NULL slots), not a reassignment —
+            // and analyzer-aligned assignment lists NULL-fill omitted
+            // insert columns, which must stay legal
+            case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => true
+            case _ => false
+          }
+          if (!selfAssign && alwaysIdentity.contains(k.name))
+            throw new IllegalArgumentException(
+              s"column ${k.name} is GENERATED ALWAYS AS IDENTITY - " +
+                "explicit values are not accepted in UPDATE/MERGE " +
+                "assignments; omit the column (or declare it GENERATED " +
+                "BY DEFAULT)")
         case other => throw new UnsupportedOperationException(
           s"nested-field assignment to $other is not supported on graft " +
             "tables - assign the whole top-level column")
       }
     }
+
+  /** Names of the table's GENERATED ALWAYS AS IDENTITY columns, from the
+    * snapshot schema header (the same source the generator fill reads).
+    */
+  def alwaysIdentityCols(base: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    Snapshots.headSchema(base).map(_.fields.collect {
+      case f if IdentityColumn.isIdentityColumn(f) &&
+        !IdentityColumn.getIdentityInfo(f).get.isAllowExplicitInsert => f.name
+    }.toSet).getOrElse(Set.empty)
+  }
 
   /** 1-based index of the FIRST action whose condition holds, else 0 —
     * SQL MERGE's clause-order semantics as one when-chain.
@@ -313,9 +351,12 @@ private[connector] object GraftRowLevel {
     // Every assignment key must be a TOP-LEVEL target column: a
     // GetStructField key (UPDATE SET s.x = …) would silently no-op if it
     // merely failed the per-field match below, so refuse up front.
+    val alwaysIdent = GraftRowLevel.alwaysIdentityCols(base)
     (matched ++ notMatched ++ notMatchedBySource).foreach {
-      case u: UpdateAction => GraftRowLevel.checkAssignmentKeys(u.assignments, tOut)
-      case ins: InsertAction => GraftRowLevel.checkAssignmentKeys(ins.assignments, tOut)
+      case u: UpdateAction =>
+        GraftRowLevel.checkAssignmentKeys(u.assignments, tOut, alwaysIdent)
+      case ins: InsertAction =>
+        GraftRowLevel.checkAssignmentKeys(ins.assignments, tOut, alwaysIdent)
       case _ => ()
     }
 
@@ -470,7 +511,7 @@ private[connector] object GraftRowLevel {
     */
   def runUpdate(spark: SparkSession, base: String, tOut: Seq[Attribute],
                 assignments: Seq[Assignment], cond: Option[Expression]): Unit = {
-    checkAssignmentKeys(assignments, tOut)
+    checkAssignmentKeys(assignments, tOut, alwaysIdentityCols(base))
     // A selective WHERE prunes the coordinate scan at planning time (the
     // deleteWhereDV discipline): rewrite the condition onto the table's
     // own names, translate what's pushable, and never plan files whose

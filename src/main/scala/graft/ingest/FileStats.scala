@@ -289,7 +289,15 @@ object FileStats {
           case DateType =>
             Some(f.name -> col(FileStats.quote(f.name)).cast("int").cast("long"))
           case TimestampType =>
-            Some(f.name -> col(FileStats.quote(f.name)).cast("long"))
+            // MICROS, not cast("long")'s epoch seconds: Catalyst's
+            // histogram-based filter estimation compares the column's
+            // internal micros domain (the same domain the sidecar
+            // min/max "ts" stats use) — a seconds-domain histogram
+            // mis-scales timestamp range selectivity by 1e6. Sidecars
+            // written before this fix contribute seconds-domain bucket
+            // counts to merged estimates until refreshed
+            // (CALL collect_stats); estimates only, never results.
+            Some(f.name -> unix_micros(col(FileStats.quote(f.name))))
           case _ => None
         }
       }.toSeq

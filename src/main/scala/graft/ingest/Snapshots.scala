@@ -521,6 +521,37 @@ object Snapshots {
           "current era, then rename")
   }
 
+  /** ADD COLUMN's half of the stale-name defense: refuse re-adding a
+    * name a live file's sidecar still records ID-LESS stats for
+    * (pre-field-id sidecars). The fresh column mints a fresh id, so
+    * id-CARRYING stale stats can never serve it (`idCompatible`
+    * mismatches) — but id-less stats match ANY reader id permissively,
+    * and the old physical column's min/max/null counts would then feed
+    * the EXACT aggregate pushdown and file pruning for the new column:
+    * wrong results, not estimates. `CALL collect_stats` (which rewrites
+    * sidecars with current ids) is the documented repair path; after it,
+    * the stale entries either vanish (column truly dropped from live
+    * files' schema) or carry the old id and become harmless.
+    */
+  private def guardAddNameReuse(m: Manifest, name: String): Unit = {
+    val conf = hadoopConf
+    val sidecars = m.files.groupBy(f => new Path(f).getParent).keys
+      .map(d => d -> FileStats.readSidecar(conf, d).getOrElse(Map.empty))
+      .toMap
+    val stale = m.files.exists { f =>
+      val p = new Path(f)
+      sidecars(p.getParent).get(p.getName)
+        .exists(_.cols.get(name).exists(_.id.isEmpty))
+    }
+    if (stale)
+      throw new IllegalStateException(
+        s"cannot add column '$name': live data files still carry id-less " +
+          "sidecar stats under that name from an earlier schema era, and " +
+          "they would serve the new column's pruning and exact aggregate " +
+          "pushdown (wrong results); run CALL <cat>.system.collect_stats " +
+          "(or compact()) first, then re-add")
+  }
+
   /** Drop a column, metadata-only: the field leaves the schema header, so
     * no read requests it again — the bytes stay in old files for time
     * travel and are reclaimed as their versions expire.
@@ -561,7 +592,8 @@ object Snapshots {
     // CURRENT_DEFAULT is what the analyzer fills into INSERTs that omit
     // the column (catalog route). Validation: the expression must parse,
     // fold to a constant, and cast to the column type.
-    alterSchema(base, s"alter:add:$name") { (s, last) =>
+    alterSchema(base, s"alter:add:$name",
+      m => guardAddNameReuse(m, name)) { (s, last) =>
       require(!s.fieldNames.contains(name), s"column $name already exists")
       val mb = new MetadataBuilder().putLong(FieldIdKey, last + 1)
       defaultSql.foreach { sql =>
@@ -600,7 +632,14 @@ object Snapshots {
     * were built from xxhash64 over the narrow read type, and post-widen
     * probes hash the wide type — bit-different, so keeping the index
     * would claim "definitely absent" for files that DO contain the
-    * probed value. Dropping it costs pruning power, never correctness;
+    * probed value. The delete happens BEFORE the schema commit: a crash
+    * (or a failed delete) between the two orders "committed widen +
+    * stale narrow-hash index" — silently dropped rows at probe time —
+    * whereas "index deleted + widen never landed" only costs pruning
+    * power. A cheap pre-validation (current-schema widenability) keeps a
+    * bogus widen call from destroying a healthy index; the authoritative
+    * re-validation still runs against the true parent inside the commit
+    * lock. Dropping the index costs pruning power, never correctness;
     * rebuild with `BloomIndex.build`. Key columns of outstanding
     * equality deletes refuse like rename/drop (compact first) — the
     * delete files persist narrow-typed key values whose join behavior
@@ -618,19 +657,24 @@ object Snapshots {
         t.scale == f.scale && t.precision > f.precision
       case _ => false
     }
-    val v = alterSchema(base, s"alter:widen:$name", guardEqKeyColumn(name)) {
-      (s, last) =>
-        val i = s.fieldNames.indexOf(name)
-        require(i >= 0, s"no column $name to widen")
-        val from = s.fields(i).dataType
-        require(widens(from, to),
-          s"cannot widen $name from ${from.simpleString} to " +
-            s"${to.simpleString} - safe widenings are byte/short/int up " +
-            "to long, float to double, and decimal precision growth at " +
-            "the same scale")
-        (StructType(s.fields.map(f =>
-          if (f.name == name) f.copy(dataType = to) else f)), last)
+    def check(s: StructType): Unit = {
+      val i = s.fieldNames.indexOf(name)
+      require(i >= 0, s"no column $name to widen")
+      val from = s.fields(i).dataType
+      require(widens(from, to),
+        s"cannot widen $name from ${from.simpleString} to " +
+          s"${to.simpleString} - safe widenings are byte/short/int up " +
+          "to long, float to double, and decimal precision growth at " +
+          "the same scale")
     }
+    // Pre-validate against the current snapshot so an invalid call
+    // refuses without touching the index, then invalidate the sidecar
+    // ahead of the durable schema change (see Scaladoc for the ordering
+    // argument). A concurrent alter between the pre-check and the lock
+    // re-validates inside alterSchema.
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    readManifest(base, vs.max).schema.foreach(check)
     val bloom = new Path(BloomIndex.sidecar(base, name))
     val fs = fsFor(base)
     if (fs.exists(bloom)) {
@@ -639,7 +683,12 @@ object Snapshots {
         s"[graft] widen of $name invalidated its Bloom index sidecar " +
           "(hash domain changed); rebuild with BloomIndex.build")
     }
-    v
+    alterSchema(base, s"alter:widen:$name", guardEqKeyColumn(name)) {
+      (s, last) =>
+        check(s)
+        (StructType(s.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)), last)
+    }
   }
 
   /** Change (or with None, drop) a column's WRITE default — what future
@@ -1129,11 +1178,27 @@ object Snapshots {
     * unaffected) and sweeps only files referenced by NO surviving
     * manifest and no branch head.
     */
-  private def maybeAutoExpire(base: String): Unit = {
-    val props = graft.connector.TableProps.read(base)
+  /** The newest committed version's schema header (None for legacy
+    * header-less tables or empty trees) — what DML layers consult for
+    * column semantics (identity/generated metadata) that Spark's V2
+    * column conversion does not reliably carry into plan attributes.
+    */
+  private[graft] def headSchema(base: String): Option[StructType] = {
+    val vs = versions(base)
+    if (vs.isEmpty) None else readManifest(base, vs.max).schema
+  }
+
+  /** Parse (and validate) the auto-retention properties: returns
+    * None when neither is set, Some((maxAge, keepLast)) otherwise;
+    * throws IllegalArgumentException on malformed values. Public to the
+    * connector so SET TBLPROPERTIES can refuse bad values at DDL time —
+    * the one moment an error can still reach the user who typed them.
+    */
+  private[graft] def parseRetentionProps(props: Map[String, String])
+      : Option[(Option[Long], Int)] = {
     val ageRaw = props.get(graft.connector.TableProps.ExpireMaxAgeMs)
     val keepRaw = props.get(graft.connector.TableProps.ExpireMinSnapshots)
-    if (ageRaw.isEmpty && keepRaw.isEmpty) return
+    if (ageRaw.isEmpty && keepRaw.isEmpty) return None
     val maxAge = ageRaw.map { raw =>
       val a =
         try raw.trim.toLong
@@ -1157,13 +1222,23 @@ object Snapshots {
         s"history.expire.min-snapshots-to-keep must be >= 1, got $k")
       k
     }.getOrElse(1)
-    try expire(base, keepLast, maxAge)
-    catch { case e: Exception =>
+    Some((maxAge, keepLast))
+  }
+
+  private def maybeAutoExpire(base: String): Unit =
+    // The WHOLE hook — property parse included — is warn-and-skip: it
+    // runs after publish() has made the commit durable, so any throw
+    // from here reports a failed write that actually committed and a
+    // retry double-writes. Malformed values are refused at SET
+    // TBLPROPERTIES time (GraftCatalog.alterTable); values that slipped
+    // in through a path-level TableProps.write merely log.
+    try parseRetentionProps(graft.connector.TableProps.read(base)).foreach {
+      case (maxAge, keepLast) => expire(base, keepLast, maxAge)
+    } catch { case e: Exception =>
       System.err.println(
-        s"[graft] auto expire on $base failed (will retry on the next " +
+        s"[graft] auto expire on $base skipped (will retry on the next " +
           s"commit): ${e.getMessage}")
     }
-  }
 
   /** A written-but-unpublished batch: the two-phase seam atomic RTAS
     * (`CREATE OR REPLACE TABLE ... AS SELECT`) needs — data files land

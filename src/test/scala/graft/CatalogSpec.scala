@@ -558,6 +558,66 @@ class CatalogSpec extends SparkSuite {
     // the insert-leg row: next identity value (4), dbl = 180
     assert(rows(s"SELECT id, dbl FROM $cat.gen.t WHERE v = 90").head ===
       Seq(4L, 180L))
+    // ALWAYS identity refuses explicit DML assignment too: the DML legs
+    // carry complete rows past the generator's carrier mode (which keeps
+    // explicit values), so the assignment list is the last gate before
+    // an UPDATE silently reassigns ids the ledger never learns about
+    val eu = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.gen.t SET id = 99 WHERE v = 90")
+    }
+    assert(eu.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
+      eu.getMessage)
+    val em = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.gen.t AS t USING gen_src AS s ON t.id = s.match_id
+           |WHEN MATCHED THEN UPDATE SET id = s.new_v""".stripMargin)
+    }
+    assert(em.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
+      em.getMessage)
+    val ei = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.gen.t AS t USING gen_src AS s ON t.id = s.match_id
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.match_id, s.new_v)"""
+          .stripMargin)
+    }
+    assert(ei.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
+      ei.getMessage)
+    // BY DEFAULT identity keeps accepting explicit assignments
+    spark.sql(s"UPDATE $cat.gen.d SET id = 7000 WHERE v = 3")
+    assert(rows(s"SELECT id FROM $cat.gen.d WHERE v = 3").head === Seq(7000L))
+    // state unchanged by the refusals
+    assert(rows(s"SELECT id, dbl FROM $cat.gen.t WHERE v = 90").head ===
+      Seq(4L, 180L))
+  }
+
+  test("malformed retention properties refuse at SET TBLPROPERTIES time") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ret")
+    spark.sql(s"CREATE TABLE $cat.ret.t (id BIGINT)")
+    // the consuming hook runs AFTER a durable commit and must warn-and-
+    // skip, so DDL is the one moment a bad value can refuse to its author
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ret.t SET TBLPROPERTIES (" +
+        "'history.expire.max-age-ms' = 'tomorrow')")
+    }
+    assert(e1.getMessage.contains("max-age-ms"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ret.t SET TBLPROPERTIES (" +
+        "'history.expire.min-snapshots-to-keep' = '0')")
+    }
+    assert(e2.getMessage.contains("min-snapshots-to-keep"), e2.getMessage)
+    // valid values land; a write with them set commits fine
+    spark.sql(s"ALTER TABLE $cat.ret.t SET TBLPROPERTIES (" +
+      "'history.expire.min-snapshots-to-keep' = '3')")
+    spark.sql(s"INSERT INTO $cat.ret.t VALUES (1)")
+    assert(rows(s"SELECT count(*) FROM $cat.ret.t").head === Seq(1L))
+    // a malformed value smuggled in by the path-level API must NOT fail
+    // the commit that triggers the hook (the commit is already durable)
+    val base = tableBase("ret", "t")
+    graft.connector.TableProps.write(base,
+      graft.connector.TableProps.read(base) +
+        ("history.expire.max-age-ms" -> "bogus"))
+    spark.sql(s"INSERT INTO $cat.ret.t VALUES (2)")
+    assert(rows(s"SELECT count(*) FROM $cat.ret.t").head === Seq(2L))
   }
 
   test("native CHECK constraint DDL rides the write.check.* enforcement") {
@@ -985,6 +1045,14 @@ class CatalogSpec extends SparkSuite {
       graft.ingest.BloomIndex.sidecar(base, c))
     fs.mkdirs(sc("d")); fs.mkdirs(sc("k"))
     assert(fs.exists(sc("d")) && fs.exists(sc("k")))
+    // a REFUSED widen must not cost the index: pre-validation runs
+    // before the sidecar invalidation (which itself runs before the
+    // schema commit, so a crash between them can never leave a stale
+    // narrow-hash index beside a committed widen)
+    intercept[IllegalArgumentException] {
+      graft.ingest.Snapshots.widenColumn(base, "d", DecimalType(14, 4))
+    }
+    assert(fs.exists(sc("d")), "refused widen must keep the sidecar")
     graft.ingest.Snapshots.widenColumn(base, "d", DecimalType(14, 2))
     assert(!fs.exists(sc("d")), "widened column's sidecar must be invalidated")
     assert(fs.exists(sc("k")), "unrelated sidecar must survive")

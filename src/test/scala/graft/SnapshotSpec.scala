@@ -713,6 +713,54 @@ class SnapshotSpec extends SparkSuite {
     assert(got2 === Seq(1L -> None, 2L -> None, 3L -> None))
   }
 
+  test("ADD COLUMN refuses id-less stale sidecar stats under the re-added name") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_addreuse")
+    Snapshots.commit(spark, Seq((1L, 10L), (2L, 20L)).toDF("a", "x"), base)
+    // Regress the live files' sidecars to the pre-field-id era: drop the
+    // trailing id column from every `c` line (7-field legacy format).
+    // idCompatible's (None, _) => true would then serve x's old min/max/
+    // null stats to ANY reader id — including a freshly re-added x.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = Snapshots.liveFiles(base, Snapshots.versions(base).max)
+      .map(f => new org.apache.hadoop.fs.Path(f).getParent).distinct
+    def sidecarOf(d: org.apache.hadoop.fs.Path) =
+      new org.apache.hadoop.fs.Path(d, graft.ingest.FileStats.SidecarName)
+    dirs.foreach { d =>
+      val fs = d.getFileSystem(conf)
+      val in = fs.open(sidecarOf(d))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val legacy = text.linesIterator.map { l =>
+        val p = l.split("\t", -1)
+        if (p.head == "c" && p.length == 8) p.init.mkString("\t") else l
+      }.mkString("\n")
+      val out = fs.create(sidecarOf(d), true)
+      try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    }
+    Snapshots.dropColumn(base, "x")
+    val e = intercept[IllegalStateException] {
+      Snapshots.addColumn(base, "x", org.apache.spark.sql.types.LongType)
+    }
+    assert(e.getMessage.contains("id-less"), e.getMessage)
+    // a name never recorded in any sidecar adds fine
+    Snapshots.addColumn(base, "y", org.apache.spark.sql.types.LongType)
+    // repair path: rewriting the sidecars from the footers records the
+    // old physical x under its own field id, which the fresh column's
+    // new id can never match — the re-add then proceeds
+    dirs.foreach { d =>
+      val files = d.getFileSystem(conf).listStatus(d)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+      graft.ingest.FileStats.writeSidecar(conf, d, files)
+    }
+    Snapshots.addColumn(base, "x", org.apache.spark.sql.types.LongType)
+    val got = Snapshots.read(spark, base).orderBy("a")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(got === Seq(1L -> None, 2L -> None), got.toString)
+  }
+
   test("commits to a non-atomic store fail loudly, not as silent lost updates") {
     // The default file-lock protocol's CAS primitives (exclusive create,
     // rename-no-overwrite) do not exist on plain S3-class stores — there
@@ -866,13 +914,17 @@ class SnapshotSpec extends SparkSuite {
     Snapshots.commit(spark, Seq((14L, 14L)).toDF("k", "s"), base)
     assert(Snapshots.versions(base).size === 4)
     assert(Snapshots.read(spark, base).count() === 14)
-    // malformed properties refuse loudly with the property name
+    // malformed properties must NOT fail the commit: the hook runs after
+    // publish() made it durable, so a throw here would report a failed
+    // write that actually committed (and a retry double-writes). The DDL
+    // route refuses bad values at SET TBLPROPERTIES time instead
+    // (CatalogSpec); the path-level smuggle warn-and-skips.
     graft.connector.TableProps.write(base,
       Map(graft.connector.TableProps.ExpireMinSnapshots -> "several"))
-    val e = intercept[IllegalArgumentException] {
-      Snapshots.commit(spark, Seq((15L, 15L)).toDF("k", "s"), base)
-    }
-    assert(e.getMessage.contains("min-snapshots-to-keep"))
+    Snapshots.commit(spark, Seq((15L, 15L)).toDF("k", "s"), base)
+    assert(Snapshots.read(spark, base).count() === 15)
+    // and history is untouched by the skipped hook
+    assert(Snapshots.versions(base).size === 5)
   }
 
   test("auto-retention on the streaming sink path bounds an unattended table") {
