@@ -2319,6 +2319,60 @@ object Snapshots {
     (scan, vs.max)
   }
 
+  /** `cols` of the CURRENT version's rows that row-level deletes HIDE —
+    * physically present in live data files but subtracted from every
+    * read by a deletion vector or an outstanding equality-delete batch.
+    * The serving-side subtraction set for external indexes built over
+    * raw live files (e.g. [[graft.ops.AnnIndex]], whose inverted lists
+    * index every row a file holds): probe results anti-join this frame
+    * so soft-deleted rows never serve, without the index paying a
+    * rewrite per delete.
+    *
+    * Cost discipline: only delete-REFERENCED files scan (the same dirty
+    * slice [[read]] already decorates), so the frame is bounded by
+    * outstanding-delete traffic, never the table. Compaction
+    * materializes deletes away and empties this frame.
+    */
+  def hiddenRows(spark: SparkSession, base: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val vs = versions(base)
+    require(vs.nonEmpty, s"no committed snapshots under $base")
+    val m = readManifest(base, vs.max)
+    val eqBatches = loadEqBatches(m)
+    def empty = read(spark, base).select(cols.map(col): _*).filter(lit(false))
+    if (m.dvs.isEmpty && eqBatches.isEmpty) return empty
+    val dvOpt =
+      if (m.dvs.isEmpty) None
+      else Some(spark.read.parquet(m.dvs: _*)
+        .withColumnRenamed("dv_file", DvFileCol)
+        .withColumnRenamed("dv_pos", DvPosCol))
+    val dvDirtyRel = dvOpt.map(
+        _.select(DvFileCol).distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    val liveRel = m.files.map(relKey).toSet
+    val eqDirtyRel = eqBatches.flatMap(_.refs).filter(liveRel).toSet
+    val dirty = m.files.filter(f => (dvDirtyRel ++ eqDirtyRel)(relKey(f)))
+    if (dirty.isEmpty) return empty
+    val decorated = readWithSchema(spark, m.schema, dirty, mergeSchema = false)
+      .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val dvHidden = dvOpt.map(dv =>
+      decorated.join(dv, Seq(DvFileCol, DvPosCol), "left_semi"))
+    val eqHidden = eqBatches.filter(_.refs.exists(liveRel)).map { b =>
+      val keys = spark.read.parquet(b.keyFiles: _*)
+        .select(b.keyCols.map(c => col(c).as(s"_graft_eq_$c")): _*)
+      val cond = b.keyCols.map(c => decorated(c) === keys(s"_graft_eq_$c"))
+        .reduce(_ && _) &&
+        decorated(DvFileCol).isInCollection(b.refs.filter(liveRel))
+      decorated.join(keys, cond, "left_semi")
+    }
+    // a row both DV- and eq-hidden must not double-count: dedupe on its
+    // physical coordinate before projecting the caller's columns
+    (dvHidden.toSeq ++ eqHidden).reduce(_.unionByName(_))
+      .dropDuplicates(DvFileCol, DvPosCol)
+      .select(cols.map(col): _*)
+  }
+
   /** Generalized atomic row change against `fromVersion` (the version
     * [[scanWithCoords]] was taken at): DV-delete every coordinate in
     * `deleteCoords` (columns [[rowCoordColumns]]) and append `inserts`,

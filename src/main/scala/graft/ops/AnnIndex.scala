@@ -190,8 +190,11 @@ object AnnIndex {
     * in-place during fixture staging ([[buildAt]]).
     */
   private def writeIndex(s: SparkSession, base: String, idCol: String,
-                         embCol: String, dest: String): Unit = {
-    val df = s.read.parquet(base)
+                         embCol: String, dest: String): Unit =
+    writeIndexOver(s, s.read.parquet(base), idCol, embCol, dest)
+
+  private def writeIndexOver(s: SparkSession, df: DataFrame, idCol: String,
+                             embCol: String, dest: String): Unit = {
     val model = trainModel(s, df, idCol, embCol)
     val modelRows: Seq[(String, Int, Long, Array[Double])] =
       model.cents.toSeq.map(c => ("centroid", -1, c.id, c.emb.map(_.toDouble))) ++
@@ -227,20 +230,30 @@ object AnnIndex {
     val fs = fsOf(s, sc)
     if (!fs.exists(new Path(sc, Marker))) {
       System.err.println(s"AnnIndex: sidecar $sc absent or partial - rebuilding")
-      val tmp = sc + s".rebuild-${java.lang.ProcessHandle.current().pid()}"
-      writeIndex(s, base, idCol, embCol, tmp)
-      fsOf(s, tmp).create(new Path(tmp, Marker), true).close()
-      val scPath = new Path(sc)
-      if (fs.exists(scPath) && !fs.exists(new Path(sc, Marker)))
-        fs.delete(scPath, true)
-      if (!fs.rename(new Path(tmp), scPath)) {
-        if (fs.exists(new Path(sc, Marker))) fs.delete(new Path(tmp), true)
-        else throw new java.io.IOException(
-          s"failed to publish rebuilt ANN sidecar $sc and no completed " +
-            "winner is present")
-      }
+      rebuildAndPublish(s, sc, writeIndex(s, base, idCol, embCol, _))
     }
     sc
+  }
+
+  /** Stage a full build into a temp sibling, mark it, and publish by
+    * rename — the single-winner protocol [[ensure]] established, shared
+    * by the live-table build path.
+    */
+  private def rebuildAndPublish(s: SparkSession, sc: String,
+                                build: String => Unit): Unit = {
+    val fs = fsOf(s, sc)
+    val tmp = sc + s".rebuild-${java.lang.ProcessHandle.current().pid()}"
+    build(tmp)
+    fsOf(s, tmp).create(new Path(tmp, Marker), true).close()
+    val scPath = new Path(sc)
+    if (fs.exists(scPath) && !fs.exists(new Path(sc, Marker)))
+      fs.delete(scPath, true)
+    if (!fs.rename(new Path(tmp), scPath)) {
+      if (fs.exists(new Path(sc, Marker))) fs.delete(new Path(tmp), true)
+      else throw new java.io.IOException(
+        s"failed to publish rebuilt ANN sidecar $sc and no completed " +
+          "winner is present")
+    }
   }
 
   /** Explicit part-file listing under a (possibly cell-partitioned)
@@ -339,12 +352,21 @@ object AnnIndex {
     val combined = existing.select("file", "vec_id", "cell", "codes", "embedding")
       .unionByName(assignRows(s,
         s.read.parquet(fresh.toIndexedSeq: _*), idCol, embCol, model))
-    // Stage the union FIRST (existing rows materialize before their
-    // directory moves), then drop the READY marker, swap with two
-    // renames, and restore the marker: a reader landing inside the swap
-    // sees no marker and rebuilds (loud, correct); a crash inside it
-    // leaves no marker, so the next ensure()'s full-rebuild fallback
-    // repairs — the index is a rebuildable cache, never a wrong answer.
+    swapAssign(s, sc, combined)
+    fresh.length
+  }
+
+  /** Replace the assign table with `combined` atomically-enough for a
+    * rebuildable cache. Stage the union FIRST (existing rows materialize
+    * before their directory moves), then drop the READY marker, swap
+    * with two renames, and restore the marker: a reader landing inside
+    * the swap sees no marker and rebuilds (loud, correct); a crash
+    * inside it leaves no marker, so the next ensure()'s full-rebuild
+    * fallback repairs — the index is a rebuildable cache, never a wrong
+    * answer.
+    */
+  private def swapAssign(s: SparkSession, sc: String, combined: DataFrame): Unit = {
+    val fs = fsOf(s, sc)
     val pid = java.lang.ProcessHandle.current().pid()
     val assignPath = new Path(s"$sc/assign")
     val tmp = new Path(s"$sc/.assign-new-$pid")
@@ -361,6 +383,61 @@ object AnnIndex {
     }
     fs.delete(old, true)
     fs.create(new Path(sc, Marker), true).close()
-    fresh.length
+  }
+
+  /** LIVE-TABLE maintenance: bind the index to a [[graft.ingest.Snapshots]]
+    * table's CURRENT live file set instead of an immutable directory.
+    * Three deltas reconcile in one pass, each proportional to the files
+    * it touches, never the corpus:
+    *
+    *  - appended/rewritten files (compaction outputs, upsert appends) the
+    *    assign table doesn't cover encode with the PERSISTED model;
+    *  - dead files' assign rows (inputs a compaction/overwrite retired)
+    *    DROP — serving them would return rows of files no snapshot read
+    *    would, including pre-compaction copies of since-deleted rows;
+    *  - rows DVs/equality deletes hide inside still-live files stay
+    *    indexed (a delete is a metadata event; rewriting inverted lists
+    *    per delete would defeat merge-on-read) and are subtracted at
+    *    PROBE time via [[graft.ingest.Snapshots.hiddenRows]] — the
+    *    Sim.knn*Live path's anti join.
+    *
+    * Returns (freshly indexed files, dead files dropped). (0, 0) = the
+    * index already covers the current version. Missing/partial sidecar =
+    * full build over the live files (raw rows — the probe-side
+    * subtraction owns delete visibility).
+    */
+  def updateTable(s: SparkSession, table: String, idCol: String = "vec_id",
+                  embCol: String = "embedding"): (Int, Int) = {
+    import graft.ingest.Snapshots
+    val live = Snapshots.liveFiles(table, Snapshots.versions(table).max)
+    require(live.nonEmpty, s"cannot index an empty table $table")
+    val sc = sidecar(table, embCol)
+    val fs = fsOf(s, sc)
+    def pathOf(uri: String) = new java.net.URI(uri).getPath
+    val livePaths = live.map(pathOf).toSet
+    if (!fs.exists(new Path(sc, Marker))) {
+      rebuildAndPublish(s, sc,
+        writeIndexOver(s, s.read.parquet(live: _*), idCol, embCol, _))
+      return (live.length, 0)
+    }
+    val existing = assignments(s, sc)
+    val coveredUris = existing.select("file").distinct()
+      .collect().map(_.getString(0))
+    val covered = coveredUris.map(pathOf).toSet
+    val fresh = live.filterNot(f => covered(pathOf(f)))
+    val deadCount = coveredUris.count(u => !livePaths(pathOf(u)))
+    if (fresh.isEmpty && deadCount == 0) return (0, 0)
+    val model = loadModel(s, sc)
+    val keptUris = coveredUris.filter(u => livePaths(pathOf(u))).toSeq
+    val keptRows = existing.select("file", "vec_id", "cell", "codes", "embedding")
+    val kept =
+      if (keptUris.isEmpty) keptRows.filter(lit(false))
+      else keptRows.filter(col("file").isInCollection(keptUris))
+    val combined =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(assignRows(s,
+        s.read.parquet(fresh.toIndexedSeq: _*), idCol, embCol, model))
+    swapAssign(s, sc, combined)
+    (fresh.length, deadCount)
   }
 }
