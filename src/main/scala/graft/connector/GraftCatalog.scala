@@ -362,6 +362,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props += (TableProps.ClusterBy -> clusterCols.mkString(","))
     if (declaredTransforms.nonEmpty)
       props += (TableProps.PartitionTransforms -> declaredTransforms.mkString(","))
+    // Retention values refuse at DDL time here too — the auto-expire hook
+    // warn-and-skips past durable commits, so CREATE TABLE ...
+    // TBLPROPERTIES is the author's only loud moment for a malformed
+    // value (the same contract SET TBLPROPERTIES enforces in alterTable).
+    Snapshots.parseRetentionProps(props)
     props
   }
 

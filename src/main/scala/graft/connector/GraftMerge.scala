@@ -200,7 +200,8 @@ private[connector] object GraftRowLevel {
     * value, completing the statement having changed nothing.
     */
   def checkAssignmentKeys(assigns: Seq[Assignment], tOut: Seq[Attribute],
-                          alwaysIdentity: Set[String] = Set.empty): Unit =
+                          alwaysIdentity: Set[String] = Set.empty,
+                          nullIsFill: Boolean = true): Unit =
     assigns.foreach { asn =>
       asn.key match {
         case k: AttributeReference =>
@@ -219,11 +220,16 @@ private[connector] object GraftRowLevel {
           // the V2 column conversion.
           val selfAssign = asn.value match {
             case v: AttributeReference => v.exprId == k.exprId
-            // an explicit NULL is "fill for me" (the carrier-mode
-            // generator allocates NULL slots), not a reassignment —
-            // and analyzer-aligned assignment lists NULL-fill omitted
-            // insert columns, which must stay legal
-            case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => true
+            // On INSERT legs an explicit NULL is "fill for me" (the
+            // carrier-mode generator allocates NULL slots), and
+            // analyzer-aligned assignment lists NULL-fill omitted insert
+            // columns — both must stay legal. On UPDATE legs the row
+            // already HAS an identity, so `SET id = NULL` would route the
+            // row through the generator's NULL-slot fill and silently
+            // allocate a FRESH id — exactly the reassignment the error
+            // below claims to refuse; treat it as an explicit value there.
+            case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+              nullIsFill
             case _ => false
           }
           if (!selfAssign && alwaysIdentity.contains(k.name))
@@ -354,7 +360,8 @@ private[connector] object GraftRowLevel {
     val alwaysIdent = GraftRowLevel.alwaysIdentityCols(base)
     (matched ++ notMatched ++ notMatchedBySource).foreach {
       case u: UpdateAction =>
-        GraftRowLevel.checkAssignmentKeys(u.assignments, tOut, alwaysIdent)
+        GraftRowLevel.checkAssignmentKeys(u.assignments, tOut, alwaysIdent,
+          nullIsFill = false)
       case ins: InsertAction =>
         GraftRowLevel.checkAssignmentKeys(ins.assignments, tOut, alwaysIdent)
       case _ => ()
@@ -511,7 +518,8 @@ private[connector] object GraftRowLevel {
     */
   def runUpdate(spark: SparkSession, base: String, tOut: Seq[Attribute],
                 assignments: Seq[Assignment], cond: Option[Expression]): Unit = {
-    checkAssignmentKeys(assignments, tOut, alwaysIdentityCols(base))
+    checkAssignmentKeys(assignments, tOut, alwaysIdentityCols(base),
+      nullIsFill = false)
     // A selective WHERE prunes the coordinate scan at planning time (the
     // deleteWhereDV discipline): rewrite the condition onto the table's
     // own names, translate what's pushable, and never plan files whose

@@ -670,11 +670,15 @@ object Snapshots {
     // Pre-validate against the current snapshot so an invalid call
     // refuses without touching the index, then invalidate the sidecar
     // ahead of the durable schema change (see Scaladoc for the ordering
-    // argument). A concurrent alter between the pre-check and the lock
-    // re-validates inside alterSchema.
+    // argument). The eq-key guard runs here too: a widen that the
+    // commit-time guard would refuse must not have already destroyed a
+    // healthy Bloom index. A concurrent alter between the pre-check and
+    // the lock re-validates inside alterSchema.
     val vs = versions(base)
     require(vs.nonEmpty, s"no committed snapshots under $base")
-    readManifest(base, vs.max).schema.foreach(check)
+    val current = readManifest(base, vs.max)
+    current.schema.foreach(check)
+    guardEqKeyColumn(name)(current)
     val bloom = new Path(BloomIndex.sidecar(base, name))
     val fs = fsFor(base)
     if (fs.exists(bloom)) {

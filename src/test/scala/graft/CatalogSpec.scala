@@ -567,6 +567,21 @@ class CatalogSpec extends SparkSuite {
     }
     assert(eu.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
       eu.getMessage)
+    // explicit NULL on an UPDATE leg is equally a reassignment: the
+    // carrier-mode generator fills NULL slots with FRESH ids, so letting
+    // `SET id = NULL` through would silently re-identity updated rows
+    val en = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.gen.t SET id = NULL WHERE v = 90")
+    }
+    assert(en.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
+      en.getMessage)
+    val enm = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.gen.t AS t USING gen_src AS s ON t.id = s.match_id
+           |WHEN MATCHED THEN UPDATE SET id = NULL""".stripMargin)
+    }
+    assert(enm.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
+      enm.getMessage)
     val em = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $cat.gen.t AS t USING gen_src AS s ON t.id = s.match_id
@@ -605,6 +620,21 @@ class CatalogSpec extends SparkSuite {
         "'history.expire.min-snapshots-to-keep' = '0')")
     }
     assert(e2.getMessage.contains("min-snapshots-to-keep"), e2.getMessage)
+    // CREATE TABLE ... TBLPROPERTIES refuses the same way — without it a
+    // malformed value set at creation would warn-and-skip forever with
+    // the author never seeing an error
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ret.bad (id BIGINT) TBLPROPERTIES (" +
+        "'history.expire.max-age-ms' = 'next tuesday')")
+    }
+    assert(e3.getMessage.contains("max-age-ms"), e3.getMessage)
+    // and the refused create left no table behind
+    assert(!rows(s"SHOW TABLES IN $cat.ret").exists(_.contains("bad")))
+    // a VALID retention value at create is accepted and persisted
+    spark.sql(s"CREATE TABLE $cat.ret.ok (id BIGINT) TBLPROPERTIES (" +
+      "'history.expire.min-snapshots-to-keep' = '2')")
+    assert(rows(s"SHOW TBLPROPERTIES $cat.ret.ok")
+      .exists(r => r.contains("history.expire.min-snapshots-to-keep")))
     // valid values land; a write with them set commits fine
     spark.sql(s"ALTER TABLE $cat.ret.t SET TBLPROPERTIES (" +
       "'history.expire.min-snapshots-to-keep' = '3')")

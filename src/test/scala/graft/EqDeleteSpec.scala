@@ -127,6 +127,36 @@ class EqDeleteSpec extends SparkSuite {
     assert(Snapshots.read(spark, base).columns.contains("key"))
   }
 
+  test("a widen refused for an outstanding eq key keeps its Bloom sidecar") {
+    val sess = spark
+    import sess.implicits._
+    val base = tmpDir("graft_eq_widen_guard")
+    Snapshots.commit(spark,
+      (1 to 10).map(i => (i, i * 10L)).toDF("k", "v"), base)
+    Snapshots.deleteByKeys(spark, base, Seq(3).toDF("k"))
+    // a staged directory stands in for the index (the contract under
+    // test is "refused widen touches nothing", not the index build)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sc = new org.apache.hadoop.fs.Path(
+      graft.ingest.BloomIndex.sidecar(base, "k"))
+    fs.mkdirs(sc)
+    // widening an outstanding eq delete's key column refuses in the
+    // PRE-check — before the sidecar invalidation, not only inside the
+    // commit lock — so the healthy index survives the refusal
+    val e = intercept[IllegalStateException] {
+      Snapshots.widenColumn(base, "k", org.apache.spark.sql.types.LongType)
+    }
+    assert(e.getMessage.contains("equality delete"))
+    assert(fs.exists(sc), "refused widen must not destroy the Bloom sidecar")
+    // compaction materializes the delete; the widen then lands and
+    // invalidates the sidecar as designed
+    Snapshots.compact(spark, base, numFiles = 1)
+    Snapshots.widenColumn(base, "k", org.apache.spark.sql.types.LongType)
+    assert(!fs.exists(sc))
+    assert(kv(Snapshots.read(spark, base)).keySet === ((1L to 10L).toSet - 3L))
+  }
+
   test("a relocated table still applies its equality deletes") {
     val sess = spark
     import sess.implicits._
