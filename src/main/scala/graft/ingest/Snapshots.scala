@@ -2330,7 +2330,11 @@ object Snapshots {
     * raw live files (e.g. [[graft.ops.AnnIndex]], whose inverted lists
     * index every row a file holds): probe results anti-join this frame
     * so soft-deleted rows never serve, without the index paying a
-    * rewrite per delete.
+    * rewrite per delete. `cols` may include the [[rowCoordColumns]]
+    * names — the hidden rows' physical (rel-key file, position)
+    * coordinates, the RIGHT anti-join grain for an index that can hold
+    * several physical copies of one logical key (an upsert hides only
+    * the OLD copy; a key-level subtraction would kill the live one too).
     *
     * Cost discipline: only delete-REFERENCED files scan (the same dirty
     * slice [[read]] already decorates), so the frame is bounded by
@@ -2343,7 +2347,12 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed snapshots under $base")
     val m = readManifest(base, vs.max)
     val eqBatches = loadEqBatches(m)
-    def empty = read(spark, base).select(cols.map(col): _*).filter(lit(false))
+    // the empty frame also answers coordinate-column requests, which the
+    // plain read does not carry
+    def empty = read(spark, base)
+      .withColumn(DvFileCol, lit(null).cast("string"))
+      .withColumn(DvPosCol, lit(null).cast("long"))
+      .select(cols.map(col): _*).filter(lit(false))
     if (m.dvs.isEmpty && eqBatches.isEmpty) return empty
     val dvOpt =
       if (m.dvs.isEmpty) None

@@ -165,6 +165,15 @@ object AnnIndex {
     Model(cents, books, norms2)
   }
 
+  /** Columns every assign row carries. `file` + `pos` are the row's
+    * PHYSICAL coordinate in its source data file — the grain deletion
+    * vectors address, so live-table probes can subtract exactly the
+    * hidden copies (an upsert hides the OLD copy of a key while the NEW
+    * one serves; an id-level subtraction would kill both).
+    */
+  private val AssignCols =
+    Seq("file", "vec_id", "cell", "codes", "embedding", "pos")
+
   /** Encode `df` (which must expose `file`, id, emb columns) into assign
     * rows with the broadcast model: one map-side pass, no shuffle.
     */
@@ -172,13 +181,14 @@ object AnnIndex {
                          idCol: String, embCol: String, model: Model): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast((model.cents, model.books))
-    df.select(input_file_name().as("file"), col(idCol), col(embCol))
-      .as[(String, Long, Array[Float])]
-      .map { case (f, id, emb) =>
+    df.select(input_file_name().as("file"), col(idCol), col(embCol),
+        col("_metadata.row_index").as("pos"))
+      .as[(String, Long, Array[Float], Long)]
+      .map { case (f, id, emb, pos) =>
         val (cents, books) = bc.value
-        (f, id, nearestCell(emb, cents), pqEncode(emb, books), emb)
+        (f, id, nearestCell(emb, cents), pqEncode(emb, books), emb, pos)
       }
-      .toDF("file", "vec_id", "cell", "codes", "embedding")
+      .toDF(AssignCols: _*)
       // one output file per cell (not cells × input-partitions): the
       // inverted-list read pays per-file open cost, and a probe wants few
       // dense lists, not a spray of near-empty ones
@@ -344,16 +354,31 @@ object AnnIndex {
     }
     def pathOf(uri: String) = new java.net.URI(uri).getPath
     val existing = assignments(s, sc)
+    if (staleLayout(existing)) {
+      rebuildAndPublish(s, sc, writeIndex(s, base, idCol, embCol, _))
+      return s.read.parquet(base).inputFiles.length
+    }
     val covered = existing.select("file").distinct()
       .collect().map(r => pathOf(r.getString(0))).toSet
     val fresh = s.read.parquet(base).inputFiles.filterNot(f => covered(pathOf(f)))
     if (fresh.isEmpty) return 0
     val model = loadModel(s, sc)
-    val combined = existing.select("file", "vec_id", "cell", "codes", "embedding")
+    val combined = existing.select(AssignCols.map(col): _*)
       .unionByName(assignRows(s,
         s.read.parquet(fresh.toIndexedSeq: _*), idCol, embCol, model))
     swapAssign(s, sc, combined)
     fresh.length
+  }
+
+  /** A sidecar written before the assign layout carried row positions
+    * cannot serve coordinate-grain subtraction — rebuild it (loud, one
+    * rebuild, same crash posture as a torn sidecar).
+    */
+  private def staleLayout(assign: DataFrame): Boolean = {
+    val stale = !assign.columns.contains("pos")
+    if (stale) System.err.println(
+      "AnnIndex: assign table predates the coordinate-carrying layout - rebuilding")
+    stale
   }
 
   /** Replace the assign table with `combined` atomically-enough for a
@@ -398,8 +423,9 @@ object AnnIndex {
     *  - rows DVs/equality deletes hide inside still-live files stay
     *    indexed (a delete is a metadata event; rewriting inverted lists
     *    per delete would defeat merge-on-read) and are subtracted at
-    *    PROBE time via [[graft.ingest.Snapshots.hiddenRows]] — the
-    *    Sim.knn*Live path's anti join.
+    *    PROBE time via [[graft.ingest.Snapshots.hiddenRows]] — the anti
+    *    join inside [[Sim.knnIvfLive]] / [[Sim.knnPqLive]], the probe
+    *    paths that pair with this method.
     *
     * Returns (freshly indexed files, dead files dropped). (0, 0) = the
     * index already covers the current version. Missing/partial sidecar =
@@ -421,6 +447,11 @@ object AnnIndex {
       return (live.length, 0)
     }
     val existing = assignments(s, sc)
+    if (staleLayout(existing)) {
+      rebuildAndPublish(s, sc,
+        writeIndexOver(s, s.read.parquet(live: _*), idCol, embCol, _))
+      return (live.length, 0)
+    }
     val coveredUris = existing.select("file").distinct()
       .collect().map(_.getString(0))
     val covered = coveredUris.map(pathOf).toSet
@@ -429,7 +460,7 @@ object AnnIndex {
     if (fresh.isEmpty && deadCount == 0) return (0, 0)
     val model = loadModel(s, sc)
     val keptUris = coveredUris.filter(u => livePaths(pathOf(u))).toSeq
-    val keptRows = existing.select("file", "vec_id", "cell", "codes", "embedding")
+    val keptRows = existing.select(AssignCols.map(col): _*)
     val kept =
       if (keptUris.isEmpty) keptRows.filter(lit(false))
       else keptRows.filter(col("file").isInCollection(keptUris))

@@ -365,20 +365,72 @@ object Sim {
     VecOps.vectors(s, s.read.parquet(base).filter(col("vec_id") < NumQueries),
       "vec_id", "embedding")
 
-  /** IVF through the PERSISTED index: identical candidates and scores to
-    * [[knnIvf]] (cells were assigned at build time with the same
-    * centroids), but the read touches ONLY the probed cells' inverted
-    * lists — directory-pruned before listing — and no per-vector centroid
-    * assignment runs at query time. The 100 TB serving shape: the model
-    * loads driver-side (KBs), probe cost ∝ probes/cells of the corpus,
-    * appends maintain the index incrementally ([[AnnIndex.update]])
-    * instead of retraining per call.
+  /** Staged LIVE [[graft.ingest.Snapshots]] twin of the embeddings table
+    * for the v9 live-serving queries: an initial multi-file commit, an
+    * incremental append, and an outstanding equality delete hiding some
+    * indexed vectors (none of them queries). The ANN sidecar is NOT
+    * built here — the live probes' own [[AnnIndex.updateTable]] call
+    * builds it at the published path on first probe (building it in the
+    * staging directory would persist staging-path file URIs in the
+    * assign table); at steady state that call sees (0, 0) and writes
+    * nothing, so the cached fixture is read-only across runs.
     */
-  def knnIvfIndexed(s: SparkSession, base: String): DataFrame = {
+  def annLiveDir(s: SparkSession, d: String): String =
+    graft.query.RefParity.stagedTree(
+      graft.query.RefParity.cacheBase("graft_annlive", d, "embeddings")) { tmp =>
+      import graft.ingest.Snapshots
+      val emb = Tables.table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Snapshots.commit(s, emb.filter(col("vec_id") % 5 =!= 0)
+        .repartitionByRange(3, col("vec_id")), tmp)
+      Snapshots.commit(s, emb.filter(col("vec_id") % 5 === 0), tmp)
+      Snapshots.deleteByKeys(s, tmp,
+        emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= NumQueries)
+          .select("vec_id"))
+      ()
+    }
+
+  /** Exact top-k hit set over the LIVE rows of a snapshot table — the
+    * recall baseline for the live probes: deleted rows are neither
+    * queries nor answers on either side of the comparison.
+    */
+  private def liveExactHits(s: SparkSession, table: String): DataFrame = {
+    val live = graft.ingest.Snapshots.read(s, table)
+    val qs = VecOps.vectors(s, live.filter(col("vec_id") < NumQueries),
+      "vec_id", "embedding")
+    topK(VecOps.scoreAgainst(s, live, "vec_id", "embedding", qs))
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+  }
+
+  /** Anti-join the (delete-traffic-bounded) hidden-row COORDINATE set out
+    * of the assign scan BEFORE scoring, so soft-deleted vectors never
+    * serve and never crowd live rows out of the k slots. The join grain
+    * is the physical (file, pos) coordinate — the grain deletion vectors
+    * address — NOT the logical id: an upsert hides only the OLD copy of
+    * a key while its fresh copy must keep serving. The assign side's
+    * absolute file URI folds to the same relocation-safe rel key
+    * hiddenRows emits (last three path segments).
+    */
+  private def subtractHidden(assign: DataFrame,
+                             hidden: Option[DataFrame]): DataFrame =
+    hidden.fold(assign) { h =>
+      val (fCol, pCol) = graft.ingest.Snapshots.rowCoordColumns
+      assign.join(
+        broadcast(h.select(col(fCol).as("_h_file"), col(pCol).as("_h_pos"))
+          .distinct()),
+        substring_index(assign("file"), "/", -3) === col("_h_file") &&
+          assign("pos") === col("_h_pos"),
+        "left_anti")
+    }
+
+  /** IVF probe core over a ready sidecar: directory-pruned inverted-list
+    * read, scores only against queries probing the row's cell, optional
+    * hidden-row subtraction (the live-table path's delete visibility).
+    */
+  private def ivfProbe(s: SparkSession, sc: String, qs: Array[Vec],
+                       hidden: Option[DataFrame]): DataFrame = {
     import s.implicits._
-    val sc = AnnIndex.ensure(s, base)
     val model = AnnIndex.loadModel(s, sc)
-    val qs = queryVecsOf(s, base)
     def cosVV(a: Vec, b: Vec): Double = VecOps.dotD(a.emb, b.emb) / (a.norm * b.norm)
     val probes: Map[Long, Seq[Long]] = qs.toSeq.flatMap { q =>
       model.cents.toSeq.sortBy(c => (-cosVV(q, c), c.id))
@@ -386,7 +438,8 @@ object Sim {
     }.groupMap(_._1)(_._2)
     val qById = qs.map(v => v.id -> v).toMap
     val bc = s.sparkContext.broadcast((probes, qById))
-    val scored = AnnIndex.assignments(s, sc, Some(probes.keySet))
+    val scored = subtractHidden(
+        AnnIndex.assignments(s, sc, Some(probes.keySet)), hidden)
       .select(col("vec_id"), col("cell"), col("embedding"))
       .as[(Long, Long, Array[Float])]
       .flatMap { case (id, cell, emb) =>
@@ -400,6 +453,47 @@ object Sim {
     topK(scored)
   }
 
+  /** IVF through the PERSISTED index: identical candidates and scores to
+    * [[knnIvf]] (cells were assigned at build time with the same
+    * centroids), but the read touches ONLY the probed cells' inverted
+    * lists — directory-pruned before listing — and no per-vector centroid
+    * assignment runs at query time. The 100 TB serving shape: the model
+    * loads driver-side (KBs), probe cost ∝ probes/cells of the corpus,
+    * appends maintain the index incrementally ([[AnnIndex.update]])
+    * instead of retraining per call.
+    */
+  def knnIvfIndexed(s: SparkSession, base: String): DataFrame =
+    ivfProbe(s, AnnIndex.ensure(s, base), queryVecsOf(s, base), None)
+
+  /** IVF serving against a LIVE [[graft.ingest.Snapshots]] table: first
+    * reconcile the index with the table's current file set
+    * ([[AnnIndex.updateTable]] — fresh files encode with the persisted
+    * model, dead files' inverted-list rows drop), then probe with the
+    * rows DVs/equality deletes hide subtracted via an anti join against
+    * [[graft.ingest.Snapshots.hiddenRows]] — bounded by outstanding
+    * delete traffic, so a table that took row-level deletes since the
+    * last index write NEVER serves a deleted vector, without the index
+    * paying an inverted-list rewrite per delete. Queries come from the
+    * live read (a deleted vector is not a query either).
+    */
+  def knnIvfLive(s: SparkSession, table: String): DataFrame = {
+    import graft.ingest.Snapshots
+    AnnIndex.updateTable(s, table)
+    val qs = VecOps.vectors(s,
+      Snapshots.read(s, table).filter(col("vec_id") < NumQueries),
+      "vec_id", "embedding")
+    ivfProbe(s, AnnIndex.sidecar(table, "embedding"), qs,
+      Some(hiddenCoords(s, table)))
+  }
+
+  /** The physical coordinates of rows the table's outstanding row-level
+    * deletes hide — the probe-side subtraction frame.
+    */
+  private def hiddenCoords(s: SparkSession, table: String): DataFrame = {
+    val (fCol, pCol) = graft.ingest.Snapshots.rowCoordColumns
+    graft.ingest.Snapshots.hiddenRows(s, table, Seq(fCol, pCol))
+  }
+
   /** PQ/ADC through the PERSISTED index: the scan reads ONLY the
     * (vec_id, codes) columns — 4 bytes of code per vector instead of the
     * 256-byte embedding, the column-pruned payload a 100 TB code sweep
@@ -409,10 +503,36 @@ object Sim {
     * so the same codes) as [[knnPq]] trains inline.
     */
   def knnPqIndexed(s: SparkSession, base: String): DataFrame = {
-    import s.implicits._
     val sc = AnnIndex.ensure(s, base)
+    pqProbe(s, sc, queryVecsOf(s, base),
+      s.read.parquet(base).select(col("vec_id"), col("embedding")), None)
+  }
+
+  /** PQ/ADC serving against a LIVE [[graft.ingest.Snapshots]] table —
+    * same reconcile-then-subtract discipline as [[knnIvfLive]]; the
+    * exact re-rank reads the live table (deletes already subtracted),
+    * and the code-sweep candidates anti-join the hidden set BEFORE the
+    * per-query candidate cut so deleted rows don't starve the re-rank.
+    */
+  def knnPqLive(s: SparkSession, table: String): DataFrame = {
+    import graft.ingest.Snapshots
+    AnnIndex.updateTable(s, table)
+    val live = Snapshots.read(s, table).select(col("vec_id"), col("embedding"))
+    val qs = VecOps.vectors(s,
+      live.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
+    pqProbe(s, AnnIndex.sidecar(table, "embedding"), qs, live,
+      Some(hiddenCoords(s, table)))
+  }
+
+  /** PQ/ADC probe core over a ready sidecar: 4-byte code sweep with
+    * per-partition bounded heaps, optional hidden-row subtraction, exact
+    * re-rank against `exactSource` (the raw directory or the live read).
+    */
+  private def pqProbe(s: SparkSession, sc: String, qs: Array[Vec],
+                      exactSource: DataFrame,
+                      hidden: Option[DataFrame]): DataFrame = {
+    import s.implicits._
     val model = AnnIndex.loadModel(s, sc)
-    val qs = queryVecsOf(s, base)
     val sub = model.subDim
     val tables: Map[Long, Array[Array[Double]]] = qs.map { q =>
       q.id -> Array.tabulate(PqSubspaces) { m =>
@@ -425,7 +545,7 @@ object Sim {
     }.toMap
     val qNorms = qs.map(q => q.id -> q.norm).toMap
     val bc = s.sparkContext.broadcast((model.norms2, tables, qNorms))
-    val cands = AnnIndex.assignments(s, sc)
+    val cands = subtractHidden(AnnIndex.assignments(s, sc), hidden)
       .select(col("vec_id"), col("codes"))
       .as[(Long, Array[Int])]
       .mapPartitions { it =>
@@ -463,11 +583,10 @@ object Sim {
     val topCand = cands.withColumn("r", row_number().over(wc))
       .filter(col("r") <= PqCand).select(col("q_id"), col("vec_id"))
     val bq = s.sparkContext.broadcast(qs.map(v => v.id -> v).toMap)
-    // Exact re-rank reads the BASE table (fewer, denser files than the
-    // cell-sharded lists; at deployment scale the queries×PqCand id set
-    // also prunes it through footer stats / Bloom sidecars).
-    val exact = s.read.parquet(base)
-      .select(col("vec_id"), col("embedding"))
+    // Exact re-rank reads the base table / live read (fewer, denser files
+    // than the cell-sharded lists; at deployment scale the queries×PqCand
+    // id set also prunes it through footer stats / Bloom sidecars).
+    val exact = exactSource
       .join(broadcast(topCand), "vec_id")
       .select(col("q_id"), col("vec_id"), col("embedding"))
       .as[(Long, Long, Array[Float])]
@@ -591,6 +710,42 @@ object Sim {
           (countDistinct(col("q_id")) * K) >= floor).as("recall_ok"))
   }
 
+  /** Oracle-checkable gate for the LIVE-table serving tiers: one
+    * engine-independent row — query count, recall floors vs the live
+    * exact top-k (the same floors the static gates pin), and the hard
+    * serving invariant "no hidden (deleted) vec_id appears in any
+    * top-k" for BOTH live probes. Deterministic: seeded hashes, a
+    * staged fixture, round-4 cosines.
+    */
+  private def liveGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ingest.Snapshots
+    val table = annLiveDir(s, d)
+    val ivf = knnIvfLive(s, table)
+    val pq = knnPqLive(s, table)
+    val exact = liveExactHits(s, table)
+    // the hidden id set is bounded by outstanding delete traffic — the
+    // same metadata-sized collect discipline hiddenRows documents
+    val hidIds = Snapshots.hiddenRows(s, table, Seq("vec_id"))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    def stats(ann: DataFrame, floor: Double): (Boolean, Boolean, Long) = {
+      val isHidden =
+        if (hidIds.isEmpty) lit(false)
+        else col("vec_id").isInCollection(hidIds)
+      val r = ann.join(exact, Seq("q_id", "vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+          countDistinct(col("q_id")).as("nq"),
+          max(isHidden.cast("int")).as("served_hidden")).head
+      (r.getLong(0).toDouble / (r.getLong(1) * K) >= floor,
+        r.getInt(2) == 0, r.getLong(1))
+    }
+    val (ivfOk, ivfClean, nq) = stats(ivf, 0.7)
+    val (pqOk, pqClean, _) = stats(pq, 0.6)
+    Seq((nq, ivfOk, ivfClean, pqOk, pqClean)).toDF(
+      "n_queries", "ivf_recall_ok", "ivf_no_deleted",
+      "pq_recall_ok", "pq_no_deleted")
+  }
+
   /** Matryoshka dims kept by the v6 prefix ranking. */
   val MatryoshkaDims = 16
 
@@ -662,6 +817,21 @@ object Sim {
     "v5_knn_pq" -> { (s, d) => withRecall(s, d, knnPqIndexed(s, annDir(s, d))) },
     "v5b_pq_recall_gate" -> { (s, d) =>
       recallGate(s, d, knnPqIndexed(s, annDir(s, d)), 0.6) },
+    // v9: serving against a LIVE snapshot table that took an append and
+    // row-level deletes since its index was built — updateTable
+    // reconciles the inverted lists, hiddenRows subtracts soft-deleted
+    // rows at probe time. Dump carries per-query recall vs the live
+    // exact top-k; the gate pins floors + "no deleted vector served".
+    "v9_live_knn" -> { (s, d) =>
+      val table = annLiveDir(s, d)
+      val ann = knnIvfLive(s, table)
+      val rec = ann.join(liveExactHits(s, table), Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / K, 4)
+          .as("recall_at_k"))
+      ann.join(broadcast(rec), Seq("q_id"))
+    },
+    "v9b_live_gate" -> { (s, d) => liveGate(s, d) },
     "km1_kmeans_gate" -> { (s, d) =>
       // Engine-independent k-means gate: every vector assigned, cluster
       // count within [1, k], and the SSE trace non-increasing (Lloyd's
@@ -895,6 +1065,15 @@ object Sim {
     "v5b_pq_recall_gate" ->
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |  true AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    // v9 dump is hash-seed-dependent (IVF candidates) → rows-only; the
+    // gate is the oracle surface. Queries are vec_id < 8 and the fixture
+    // deletes only vec_id >= 8, so the live query count equals the raw
+    // table's.
+    "v9b_live_gate" ->
+      """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |  true AS ivf_recall_ok, true AS ivf_no_deleted,
+        |  true AS pq_recall_ok, true AS pq_no_deleted
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "km1_kmeans_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,

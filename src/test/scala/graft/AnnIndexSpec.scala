@@ -95,6 +95,109 @@ class AnnIndexSpec extends SparkSuite {
       s"aggregate PQ recall after append ${recallPq.sum / recallPq.size}")
   }
 
+  test("live-table lifecycle: append / delete / upsert / compact never serve a dead vector") {
+    import graft.ingest.Snapshots
+    val table = tmpDir("graft_ann_live") + "/t"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def liveFileCount: Int =
+      Snapshots.liveFiles(table, Snapshots.versions(table).max).length
+    def liveTop(probe: => DataFrame): Map[Long, Seq[Long]] =
+      probe.select(col("q_id"), col("vec_id"), col("rank")).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    def liveTruth(): Map[Long, Set[Long]] = {
+      val live = Snapshots.read(spark, table)
+      val qs = VecOps.vectors(spark,
+        live.filter(col("vec_id") < Sim.NumQueries), "vec_id", "embedding")
+      val scored = VecOps.scoreAgainst(spark, live, "vec_id", "embedding", qs)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= Sim.K)
+        .select(col("q_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    def recallOf(got: Map[Long, Seq[Long]], floor: Double): Unit = {
+      val truth = liveTruth()
+      val recall = truth.keys.toSeq.map { q =>
+        (got.getOrElse(q, Nil).toSet & truth(q)).size.toDouble / Sim.K
+      }
+      assert(recall.sum / recall.size >= floor,
+        s"live recall ${recall.sum / recall.size} below $floor")
+    }
+
+    // 1. create: first updateTable = full build over the live file set
+    Snapshots.commit(spark, all.filter(col("vec_id") < 400)
+      .repartitionByRange(3, col("vec_id")), table)
+    val files1 = liveFileCount
+    assert(AnnIndex.updateTable(spark, table) === ((files1, 0)))
+    val sc = AnnIndex.sidecar(table, "embedding")
+    assert(AnnIndex.assignments(spark, sc).count() === 400L)
+    val model0 = centroidSnapshot(sc)
+
+    // 2. append: only the NEW files encode; the model never retrains
+    Snapshots.commit(spark, all.filter(col("vec_id") >= 400)
+      .repartitionByRange(2, col("vec_id")), table)
+    val files2 = liveFileCount
+    assert(AnnIndex.updateTable(spark, table) === ((files2 - files1, 0)))
+    assert(AnnIndex.assignments(spark, sc).count() === 500L)
+    assert(centroidSnapshot(sc) === model0)
+    assert(AnnIndex.updateTable(spark, table) === ((0, 0)))
+
+    // 3. delete the currently best-served neighbor: the index keeps the
+    // row (metadata-only delete) but no probe may serve it again
+    val sess = spark
+    import sess.implicits._
+    val before = liveTop(Sim.knnIvfLive(spark, table))
+    val victim = before.values.flatten.find(_ >= Sim.NumQueries).get
+    Snapshots.deleteByKeys(spark, table, Seq(victim).toDF("vec_id"))
+    assert(AnnIndex.updateTable(spark, table) === ((0, 0)),
+      "a row-level delete must not trigger an index rewrite")
+    assert(AnnIndex.assignments(spark, sc).count() === 500L)
+    val afterDel = liveTop(Sim.knnIvfLive(spark, table))
+    assert(!afterDel.values.flatten.toSet.contains(victim),
+      s"deleted vector $victim served by the IVF live probe")
+    assert(afterDel.values.forall(_.size === Sim.K),
+      "the k slots must refill with live rows, not shrink")
+    val afterDelPq = liveTop(Sim.knnPqLive(spark, table))
+    assert(!afterDelPq.values.flatten.toSet.contains(victim),
+      s"deleted vector $victim served by the PQ live probe")
+    recallOf(afterDel, 0.7)
+    recallOf(afterDelPq, 0.6)
+
+    // 4. upsert: replace a key's embedding with query 0's exact vector —
+    // the OLD copy is eq-hidden (must not serve), the NEW copy lives in
+    // a fresh file the update must index, and cos(q0, new) = 1.0 puts it
+    // at rank 1 for q0
+    val q0 = VecOps.vectors(spark,
+      Snapshots.read(spark, table).filter(col("vec_id") === 0),
+      "vec_id", "embedding").head
+    val upsertId = 480L
+    Snapshots.upsertByKeys(spark, table,
+      Seq((upsertId, q0.emb)).toDF("vec_id", "embedding"), Seq("vec_id"))
+    val files3 = liveFileCount
+    assert(AnnIndex.updateTable(spark, table) === ((files3 - files2, 0)))
+    val afterUp = liveTop(Sim.knnIvfLive(spark, table))
+    assert(afterUp(0L).head === upsertId,
+      s"upserted twin of q0 must serve at rank 1, got ${afterUp(0L)}")
+    assert(liveTop(Sim.knnPqLive(spark, table))(0L).contains(upsertId))
+
+    // 5. compact: deletes materialize away, dead files' assign rows drop,
+    // the hidden frame empties, and probes still match the live truth
+    Snapshots.compact(spark, table, numFiles = 2)
+    val files4 = liveFileCount
+    val (fresh4, dead4) = AnnIndex.updateTable(spark, table)
+    assert(fresh4 === files4 && dead4 === files3,
+      s"compaction must re-encode the outputs ($fresh4/$files4) and drop " +
+        s"every retired input ($dead4/$files3)")
+    val liveRows = Snapshots.read(spark, table).count()
+    assert(AnnIndex.assignments(spark, sc).count() === liveRows)
+    assert(Snapshots.hiddenRows(spark, table, Seq("vec_id")).count() === 0L)
+    val afterCompact = liveTop(Sim.knnIvfLive(spark, table))
+    assert(!afterCompact.values.flatten.toSet.contains(victim))
+    assert(afterCompact(0L).head === upsertId)
+    recallOf(afterCompact, 0.7)
+  }
+
   test("a torn sidecar rebuilds loudly instead of serving partial answers") {
     val sess = spark
     import sess.implicits._
