@@ -73,5 +73,7 @@ object StatsPropagationRule extends Rule[LogicalPlan] {
     // The SQL DML strategy rides the same install points: anywhere graft
     // scans can be planned, MERGE/UPDATE against them should plan too.
     GraftMergeStrategy.install(spark)
+    // ...and so should the transparent materialized-view rewrite.
+    MvRewriteRule.install(spark)
   }
 }

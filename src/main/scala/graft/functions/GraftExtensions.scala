@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Re-expose V1Scan statistics hidden by Spark's V1ScanWrapper, so
     // graft snapshot scans feed real sizes into join selection.
     ext.injectOptimizerRule(_ => graft.connector.StatsPropagationRule)
+    // Answer a GROUP BY matching a registered fresh materialized view
+    // from the view table (scan avoidance; staleness falls back).
+    ext.injectOptimizerRule(_ => graft.connector.MvRewriteRule)
     // SELECT from warehouse-persisted v2 views (stock Spark resolves
     // views only in the session catalog).
     ext.injectResolutionRule(s => graft.connector.ResolveGraftViews(s))

@@ -351,4 +351,34 @@ object MatView {
       out
     }
   }
+
+  /** Register a view for TRANSPARENT rewrite: record on the SOURCE
+    * table's property map the view path and aggregate shape, so
+    * [[graft.connector.MvRewriteRule]] can substitute the view for a
+    * matching user GROUP BY when the view's watermark covers the
+    * source's current version. Idempotent; `name` distinguishes several
+    * views over one source. Validates the view state exists and was
+    * built with the named key/value shape (the reserved view columns),
+    * so a registration can never advertise an answer the view does not
+    * hold.
+    */
+  def register(srcBase: String, mvBase: String, keyCols: Seq[String],
+               valCol: String, name: String = "mv"): Unit = {
+    require(keyCols.nonEmpty, "register needs the view's group columns")
+    require(!name.exists(c => c == '\t' || c == '=' || c == '\n'),
+      s"illegal view registration name '$name'")
+    val schema = Snapshots.currentSchema(mvBase).getOrElse(
+      throw new IllegalArgumentException(
+        s"no materialized view state under $mvBase - refresh it first"))
+    val missing = (keyCols ++ Seq("n_rows", "sum_v"))
+      .filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"view $mvBase does not hold columns ${missing.mkString(", ")} - " +
+        "register with the key columns it was refreshed with")
+    val key = graft.connector.MvRewriteRule.PropPrefix + name
+    val value = s"$mvBase\t${keyCols.mkString(",")}\t$valCol"
+    val props = graft.connector.TableProps.read(srcBase)
+    if (props.get(key).contains(value)) return
+    graft.connector.TableProps.write(srcBase, props + (key -> value))
+  }
 }

@@ -201,6 +201,25 @@ object RefParity {
         .select(col("l_orderkey"), col("n_rows"), col("sum_v"),
           col("min_v"), col("max_v"))
     },
+    // TRANSPARENT rewrite: the user aggregates over the SOURCE table;
+    // the optimizer substitutes the registered fresh view, so the plan
+    // scans one row per group instead of the fact table. `rewrite_fired`
+    // pins the substitution itself into the oracle (true = the optimized
+    // plan reads the VIEW base and not the source base), so a silently
+    // broken rewrite fails the hash even though results would coincide.
+    "mv4_auto_rewrite" -> { (s, d) =>
+      val mv = mvDir(s, d)
+      val src = snapshotDir(s, d)
+      graft.ingest.MatView.register(src, mv, Seq("l_orderkey"), "l_quantity")
+      val agg = s.read.format("graft").load(src)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_v"),
+          avg(col("l_quantity")).as("avg_v"))
+      val bases = graft.connector.MvRewriteRule
+        .graftScanBases(agg.queryExecution.optimizedPlan)
+      val fired = bases.contains(mv) && !bases.contains(src)
+      agg.withColumn("rewrite_fired", lit(fired))
+    },
     "mv3_distinct_view" -> { (s, d) =>
       import graft.ingest.Snapshots
       Snapshots.read(s, mv3Dir(s, d) + "/mv")
@@ -1264,6 +1283,12 @@ object RefParity {
     "mv1_incremental_agg" ->
       """SELECT l_orderkey, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "mv4_auto_rewrite" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
+        |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_v,
+        |  true AS rewrite_fired
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "mv2_minmax_view" ->
       """SELECT l_orderkey, count(*) AS n_rows,

@@ -263,4 +263,81 @@ class MatViewSpec extends SparkSuite {
       MatView.refresh(spark, plain, src, Seq("k"), "v", distinctCol = "v")
     }
   }
+
+  test("transparent rewrite: fresh view substitutes, stale or filtered falls back") {
+    import graft.connector.MvRewriteRule
+    val sess = spark
+    import sess.implicits._
+    MvRewriteRule.install(spark) // the suite session has no extensions conf
+    val root = tmpDir("graft_mv_rw")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark,
+      Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    MatView.register(src, mv, Seq("k"), "v")
+    def agg = spark.read.format("graft").load(src).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"))
+    def bases(df: org.apache.spark.sql.DataFrame) =
+      MvRewriteRule.graftScanBases(df.queryExecution.optimizedPlan).distinct
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // fresh: the optimized plan reads ONLY the view — the source scan
+    // (and the aggregate's shuffle) are gone — and the answer is exact,
+    // including the derived avg = sum_v / n_rows
+    assert(bases(agg) === Seq(mv), "rewrite must fire on the fresh view")
+    assert(got(agg) === Map("a" -> (2L, 3.0, 1.5), "b" -> (1L, 10.0, 10.0)))
+    // a WHERE changes group contents: shape break, source scan, right answer
+    val filtered = spark.read.format("graft").load(src)
+      .filter(col("v") > 1.0).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"))
+    assert(bases(filtered) === Seq(src))
+    assert(got(filtered) === Map("a" -> (1L, 2.0, 2.0), "b" -> (1L, 10.0, 10.0)))
+    // a time-travel pin never rewrites (the view tracks the LATEST state)
+    val pinned = spark.read.format("graft")
+      .option("versionAsOf", Snapshots.versions(src).max.toString).load(src)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"))
+    assert(bases(pinned) === Seq(src))
+    // STALE: an append the view has not consumed must fall back — the
+    // rewrite is an optimization, never a freshness gamble
+    Snapshots.commit(spark, Seq(("c", 7.0)).toDF("k", "v"), src)
+    assert(bases(agg) === Seq(src), "stale view must not substitute")
+    assert(got(agg)("c") === ((1L, 7.0, 7.0)))
+    // refresh restores freshness: the rewrite fires again and sees c
+    MatView.refresh(spark, mv, src, Seq("k"), "v")
+    assert(bases(agg) === Seq(mv))
+    assert(got(agg) === Map("a" -> (2L, 3.0, 1.5), "b" -> (1L, 10.0, 10.0),
+      "c" -> (1L, 7.0, 7.0)))
+    // min/max only substitutes against a min/max view: the plain view
+    // lacks the state, so the query falls back; a registered min/max
+    // twin serves it
+    def mmAgg = spark.read.format("graft").load(src).groupBy(col("k"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    assert(bases(mmAgg) === Seq(src))
+    val mvmm = s"$root/mvmm"
+    MatView.refresh(spark, mvmm, src, Seq("k"), "v", withMinMax = true)
+    MatView.register(src, mvmm, Seq("k"), "v", name = "mm")
+    assert(bases(mmAgg) === Seq(mvmm))
+    assert(mmAgg.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap ===
+      Map("a" -> (1.0, 2.0), "b" -> (10.0, 10.0), "c" -> (7.0, 7.0)))
+    // non-matching shapes never rewrite: DISTINCT, a different key set,
+    // count(column) (null-sensitive — the view only stores count(*))
+    assert(bases(spark.read.format("graft").load(src)
+      .groupBy(col("k")).agg(countDistinct(col("v")).as("d"))) === Seq(src))
+    assert(bases(spark.read.format("graft").load(src)
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("n"))) === Seq(src))
+    assert(bases(spark.read.format("graft").load(src)
+      .groupBy(col("k")).agg(count(col("v")).as("n"))) === Seq(src))
+    // session kill switch
+    spark.conf.set(MvRewriteRule.ConfKey, "false")
+    try assert(bases(agg) === Seq(src))
+    finally spark.conf.unset(MvRewriteRule.ConfKey)
+    assert(bases(agg) === Seq(mv))
+    // a bogus registration refuses loudly at register time
+    intercept[IllegalArgumentException] {
+      MatView.register(src, s"$root/nope", Seq("k"), "v", name = "x")
+    }
+  }
 }
