@@ -72,15 +72,22 @@ object Bpe {
     * (the registered oracle does, as `Rounds` unrolled CTEs).
     */
   def train(spark: SparkSession, docs: DataFrame, textCol: String,
-            rounds: Int = Rounds, maxWords: Int = MaxWords): DataFrame = {
-    import spark.implicits._
+            rounds: Int = Rounds, maxWords: Int = MaxWords): DataFrame =
     // Initial tokenization: chars spaced out + the end-of-word marker.
-    // Vocab-sized from here on; localCheckpoint bounds round lineage
-    // (same discipline as Graph's power iteration).
-    var toks = wordHistogram(docs, textCol, maxWords)
+    trainOver(spark, wordHistogram(docs, textCol, maxWords)
       .select(col("cnt"),
-        concat(rtrim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" _")).as("s"))
-      .localCheckpoint(true)
+        concat(rtrim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" _")).as("s")),
+      rounds)
+
+  /** The shared merge-round loop over a weighted (cnt, s) symbol table —
+    * word-level and byte-level training differ ONLY in how `s` was
+    * seeded. Vocab-sized from here on; localCheckpoint bounds round
+    * lineage (same discipline as Graph's power iteration).
+    */
+  private def trainOver(spark: SparkSession, toks0: DataFrame,
+                        rounds: Int): DataFrame = {
+    import spark.implicits._
+    var toks = toks0.localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (k <- 1 to rounds) {
       val pairs = toks
@@ -112,6 +119,48 @@ object Bpe {
     }
     merges.result().toDF("round", "l", "r", "merged", "cnt")
   }
+
+  /** GPT-2-family pre-tokenizer, lookahead-free so the SAME pattern runs
+    * under Java regex (Spark) and RE2 (the DuckDB oracle): contractions,
+    * optionally-space-prefixed letter runs, digit runs, punctuation runs,
+    * then whitespace runs. Divergence from GPT-2's original, on purpose:
+    * the `\s+(?!\S)` trailing-space carve-out needs negative lookahead
+    * (RE2 has none), so inside a MULTI-space run every space joins the
+    * whitespace token instead of the last one prefixing the next word —
+    * a well-defined scheme both engines and the plain-Scala spec
+    * reference replay identically.
+    */
+  val PreTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** The capped, weighted PRE-TOKEN histogram, each token seeded as its
+    * UTF-8 bytes spelled as space-separated 2-hex-digit symbols — the
+    * byte-level twin of [[wordHistogram]]. Hex pairs keep the symbol
+    * alphabet ASCII and engine-portable (uppercase in both Spark and
+    * DuckDB), no end-of-word marker (the pre-tokenizer attaches leading
+    * spaces to tokens, GPT-2's convention), and any Unicode text encodes
+    * without a special case — multi-byte characters are just more bytes.
+    */
+  private def byteHistogram(docs: DataFrame, textCol: String,
+                            maxWords: Int): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0))).as("tok"))
+      .filter(length(col("tok")).between(1, MaxLen))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(maxWords)
+      .select(col("cnt"),
+        rtrim(regexp_replace(hex(encode(col("tok"), "UTF-8")), "(..)", "$1 ")).as("s"))
+
+  /** Byte-level BPE training (the GPT-2 family): regex pre-tokenization,
+    * UTF-8 byte alphabet, merges over byte pairs — same one-histogram +
+    * bounded-merge-rounds shape as the word-level [[train]], so the
+    * corpus-scale cost is identical (one scan + one vocab-sized shuffle,
+    * then vocab-sized rounds). Returns (round, l, r, merged, cnt) with
+    * symbols as uppercase hex byte strings.
+    */
+  def trainBytes(spark: SparkSession, docs: DataFrame, textCol: String,
+                 rounds: Int = Rounds, maxWords: Int = MaxWords): DataFrame =
+    trainOver(spark, byteHistogram(docs, textCol, maxWords), rounds)
 
   /** Tokenize words of `docs(textCol)` with a trained merge table —
     * the APPLY side: each learned merge replays in order over the
@@ -181,6 +230,13 @@ object Bpe {
       val merges = train(s, docs, "text").collect()
         .sortBy(_.getInt(0)).toSeq.map(r => (r.getString(1), r.getString(2)))
       encodeCorpus(s, docs, "text", merges)
+    },
+    // Byte-level (GPT-2-family) training end to end: regex pre-split,
+    // UTF-8 hex-byte alphabet, same unrolled-CTE oracle discipline as
+    // vocab2 — a single mis-counted pre-token or mis-merged byte pair
+    // shifts later rounds and breaks the hash.
+    "vocab4_bpe_bytes" -> { (s, d) =>
+      trainBytes(s, s.read.parquet(s"$d/documents.parquet"), "text")
     }
   )
 
@@ -195,8 +251,11 @@ object Bpe {
   /** The shared WITH-prefix: word histogram + `rounds` training CTEs
     * (p1..pN argmax rows, t1..tN merged symbol tables).
     */
-  private def bpeOracleCtes(rounds: Int, maxWords: Int): String = {
-    val roundCtes = (1 to rounds).map { k =>
+  /** The shared p1..pN / t1..tN training round chain (argmax + greedy
+    * merge per round), agnostic of how t0 was seeded.
+    */
+  private def bpeRoundCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
       val prev = s"t${k - 1}"
       s"""p$k AS MATERIALIZED (
          |  SELECT l, r, c FROM (
@@ -215,7 +274,9 @@ object Bpe {
          |      '  ', ' ')) AS s
          |  FROM $prev, p$k
          |)""".stripMargin
-    }
+    }.mkString(",\n")
+
+  private def bpeOracleCtes(rounds: Int, maxWords: Int): String =
     s"""WITH words AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
@@ -224,7 +285,27 @@ object Bpe {
        |  ORDER BY cnt DESC, word LIMIT $maxWords
        |),
        |t0 AS MATERIALIZED (SELECT cnt, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS s FROM words),
-       |${roundCtes.mkString(",\n")}""".stripMargin
+       |${bpeRoundCtes(rounds)}""".stripMargin
+
+  /** Byte-level head: pre-token histogram + hex-byte t0 seeding. The
+    * regex literal is the SAME [[PreTokenPattern]] (RE2-safe by
+    * construction), and DuckDB's `hex(encode(tok))` spells UTF-8 bytes
+    * in the same uppercase hex Spark's `hex(encode(...))` does.
+    */
+  private def bpeBytesOracleCtes(rounds: Int, maxWords: Int): String = {
+    val pat = PreTokenPattern.replace("'", "''")
+    s"""WITH btoks AS MATERIALIZED (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents)
+       |  WHERE length(tok) BETWEEN 1 AND $MaxLen
+       |  GROUP BY tok
+       |  ORDER BY cnt DESC, tok LIMIT $maxWords
+       |),
+       |t0 AS MATERIALIZED (
+       |  SELECT cnt, rtrim(regexp_replace(hex(encode(tok)), '(..)', '\\1 ', 'g')) AS s
+       |  FROM btoks
+       |),
+       |${bpeRoundCtes(rounds)}""".stripMargin
   }
 
   private def bpeOracle(rounds: Int, maxWords: Int): String = {
@@ -273,6 +354,12 @@ object Bpe {
 
   val oracleSql: Map[String, String] = Map(
     "vocab2_bpe_merges" -> bpeOracle(Rounds, MaxWords),
-    "vocab3_bpe_encode" -> bpeEncodeOracle(Rounds, MaxWords)
+    "vocab3_bpe_encode" -> bpeEncodeOracle(Rounds, MaxWords),
+    "vocab4_bpe_bytes" -> {
+      val tail = (1 to Rounds).map(k =>
+        s"SELECT $k AS round, l, r, l || r AS merged, c AS cnt FROM p$k")
+        .mkString("\nUNION ALL\n")
+      s"${bpeBytesOracleCtes(Rounds, MaxWords)}\n$tail"
+    }
   )
 }

@@ -13,10 +13,28 @@ class BpeSpec extends SparkSuite {
     * word-frequency dict, argmax pair by (count, pair) with the same
     * tie-break, greedy left-to-right merge over symbol lists.
     */
-  private def referenceBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
-    var dict: Map[Vector[String], Long] = words.map { case (w, c) =>
+  private def referenceBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] =
+    referenceMerges(words.map { case (w, c) =>
       (w.map(_.toString).toVector :+ "_") -> c
-    }
+    }, rounds)
+
+  /** Independent byte-level reference: the SAME pre-token pattern under
+    * plain Java regex, UTF-8 bytes spelled as uppercase hex symbols, no
+    * end-of-word marker — then the shared merge loop.
+    */
+  private def referenceByteBpe(texts: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+    val pat = Bpe.PreTokenPattern.r
+    val toks = texts.flatMap(t => pat.findAllIn(t).toSeq)
+      .filter(t => t.nonEmpty && t.length <= 20)
+    referenceMerges(
+      toks.groupBy(identity).map { case (t, g) =>
+        t.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02X") -> g.size.toLong
+      }, rounds)
+  }
+
+  private def referenceMerges(dict0: Map[Vector[String], Long],
+                              rounds: Int): Seq[(String, String, Long)] = {
+    var dict = dict0
     val out = Seq.newBuilder[(String, String, Long)]
     for (_ <- 1 to rounds) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -101,6 +119,51 @@ class BpeSpec extends SparkSuite {
     }
     // something actually merged (not all single chars)
     assert(toks.values.exists(_.exists(_.length > 1)))
+  }
+
+  private def trainedBytes(texts: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+    val sess = spark
+    import sess.implicits._
+    Bpe.trainBytes(spark, texts.toDF("text"), "text", rounds = rounds)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+  }
+
+  test("byte-level BPE matches the reference on multi-byte UTF-8 and contractions") {
+    // é/ö/ï are two UTF-8 bytes, œ is two, the contraction pre-splits as
+    // (can)('t), digits and punctuation split into their own runs
+    val texts = Seq(
+      "héllo wörld héllo wörld can't won't 123 456! naïve œuf",
+      "héllo can't 123 héllo... wörld",
+      "the œuf, naïve héllo wörld 123")
+    for (rounds <- Seq(1, 4, 8))
+      assert(trainedBytes(texts, rounds) === referenceByteBpe(texts, rounds),
+        s"divergence at rounds=$rounds")
+    // multi-byte characters merge as byte pairs: a corpus dominated by é
+    // (C3 A9) must pick that pair first
+    val accent = Seq("ééé ééé éé", "ééé é")
+    val first = trainedBytes(accent, 1)
+    assert(first === referenceByteBpe(accent, 1))
+    assert(first.head._1 == "C3" && first.head._2 == "A9", first.head)
+  }
+
+  test("byte-level pre-tokens carry their leading space (GPT-2 convention)") {
+    val texts = Seq("aa bb aa bb aa bb", "aa bb")
+    // the regex attaches the single space to the following token: " bb"
+    // appears as a space-prefixed pre-token whose first byte is 0x20
+    val pretoks = Bpe.PreTokenPattern.r.findAllIn(texts.head).toSeq
+    assert(pretoks.contains(" bb") && pretoks.contains(" aa"))
+    assert(!pretoks.contains("bb"), "mid-text tokens must keep their space")
+    val got = trainedBytes(texts, 4)
+    assert(got === referenceByteBpe(texts, 4))
+    // a learned merge starts with the space byte — whitespace-prefix
+    // tokens are first-class merge material, not stripped
+    assert(got.exists { case (l, r, _) => (l + r).startsWith("20") },
+      got.mkString(", "))
+    // multi-space runs become whitespace tokens (the documented
+    // lookahead-free divergence): "a  b" yields "a", "  ", "b"-ish split
+    val ws = Bpe.PreTokenPattern.r.findAllIn("aa   bb").toSeq
+    assert(ws === Seq("aa", "   ", "bb"))
   }
 
   test("degenerate corpus that fully merges terminates early, like the reference") {
