@@ -494,6 +494,82 @@ object Sim {
     graft.ingest.Snapshots.hiddenRows(s, table, Seq(fCol, pCol))
   }
 
+  /** HYBRID filtered kNN through the persisted IVF index: a predicate
+    * restricts the candidate set (the metadata-filter + vector-search
+    * combination every retrieval stack needs), and probes WIDEN per
+    * query until the filtered candidate pool can fill the k slots — a
+    * selective filter must degrade toward an exact filtered scan, never
+    * silently return fewer than k neighbors while eligible vectors sit
+    * in unprobed cells.
+    *
+    * Widening discipline: each round scans only the probed cells'
+    * inverted lists (directory-pruned) with the predicate applied
+    * in-scan; queries whose filtered pool is still < k DOUBLE their
+    * probe count next round, satisfied queries stop paying. Terminates
+    * in ≤ log2(cells) rounds; a query that reaches ALL cells returns
+    * every eligible vector ranked (the exact filtered answer). The
+    * driver state per round is one (query → candidate count) map —
+    * queries-sized, never data-sized.
+    */
+  def knnIvfFiltered(s: SparkSession, base: String,
+                     pred: org.apache.spark.sql.Column,
+                     k: Int = K): DataFrame =
+    knnIvfFilteredWithProbes(s, base, pred, k)._1
+
+  /** [[knnIvfFiltered]] plus the per-query probe counts the widening
+    * loop settled on — the spec's proof surface.
+    */
+  private[graft] def knnIvfFilteredWithProbes(
+      s: SparkSession, base: String, pred: org.apache.spark.sql.Column,
+      k: Int): (DataFrame, Map[Long, Int]) = {
+    import s.implicits._
+    val sc = AnnIndex.ensure(s, base)
+    val model = AnnIndex.loadModel(s, sc)
+    val qs = queryVecsOf(s, base)
+    def cosVV(a: Vec, b: Vec): Double = VecOps.dotD(a.emb, b.emb) / (a.norm * b.norm)
+    // per-query cell ranking (model is KBs, driver-side like every probe)
+    val ranked: Map[Long, Seq[Long]] = qs.map(q =>
+      q.id -> model.cents.toSeq.sortBy(c => (-cosVV(q, c), c.id)).map(_.id)).toMap
+    val nCells = model.cents.length
+    val qById = qs.map(v => v.id -> v).toMap
+    var probes: Map[Long, Int] = qs.map(_.id -> NumProbes).toMap
+    var scored: DataFrame = null
+    var done = false
+    while (!done) {
+      val cellsOf: Map[Long, Set[Long]] =
+        probes.map { case (q, p) => q -> ranked(q).take(p).toSet }
+      val probeIndex: Map[Long, Seq[Long]] = cellsOf.toSeq
+        .flatMap { case (q, cs) => cs.map(_ -> q) }.groupMap(_._1)(_._2)
+      val bc = s.sparkContext.broadcast((probeIndex, qById))
+      scored = AnnIndex.assignments(s, sc, Some(probeIndex.keySet))
+        .filter(pred)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .flatMap { case (id, cell, emb) =>
+          val (pr, qm) = bc.value
+          val n = VecOps.normD(emb)
+          pr.getOrElse(cell, Nil).iterator.filter(_ != id).map { q =>
+            val qv = qm(q)
+            (q, id, VecOps.round4(VecOps.dotD(emb, qv.emb) / (n * qv.norm)))
+          }
+        }.toDF("q_id", "vec_id", "cos")
+      // queries-sized collect: filtered pool size per query this round
+      val pool = scored.groupBy(col("q_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val starved = probes.filter { case (q, p) =>
+        p < nCells && pool.getOrElse(q, 0L) < k
+      }.keySet
+      if (starved.isEmpty) done = true
+      else probes = probes.map { case (q, p) =>
+        q -> (if (starved(q)) math.min(p * 2, nCells) else p)
+      }
+    }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    (scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank")), probes)
+  }
+
   /** PQ/ADC through the PERSISTED index: the scan reads ONLY the
     * (vec_id, codes) columns — 4 bytes of code per vector instead of the
     * 256-byte embedding, the column-pruned payload a 100 TB code sweep
@@ -832,6 +908,15 @@ object Sim {
       ann.join(broadcast(rec), Seq("q_id"))
     },
     "v9b_live_gate" -> { (s, d) => liveGate(s, d) },
+    // v10: hybrid filtered kNN through the persisted index. The filter
+    // keeps ≤ k vectors corpus-wide, so the widening loop MUST reach
+    // every cell and return every eligible neighbor ranked — making the
+    // approximate path's answer equal the exact filtered top-k and the
+    // query a FULL hash oracle (an early-stopped or slot-dropping probe
+    // breaks it).
+    "v10_filtered_knn" -> { (s, d) =>
+      knnIvfFiltered(s, annDir(s, d), col("vec_id") % 101 === 7)
+    },
     "km1_kmeans_gate" -> { (s, d) =>
       // Engine-independent k-means gate: every vector assigned, cluster
       // count within [1, k], and the SSE trace non-increasing (Lloyd's
@@ -1023,6 +1108,22 @@ object Sim {
         |  UNION ALL SELECT q_id, 4, vec_id, score FROM s4
         |  UNION ALL SELECT q_id, 5, vec_id, score FROM s5)
         |SELECT q_id, pick, vec_id, score FROM final""".stripMargin,
+    "v10_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * b.nrm), 4) AS cos
+        |  FROM e q JOIN e b
+        |    ON q.vec_id < 8 AND b.vec_id <> q.vec_id AND b.vec_id % 101 = 7)
+        |SELECT q_id, vec_id, cos, rank FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
     "v1_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm

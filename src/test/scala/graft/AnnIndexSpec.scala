@@ -198,6 +198,54 @@ class AnnIndexSpec extends SparkSuite {
     recallOf(afterCompact, 0.7)
   }
 
+  test("filtered kNN widens probes under selective filters, never under-fills k") {
+    val base = Sim.annDir(spark, sf)
+    // exact filtered top-k ground truth over an arbitrary predicate
+    def truth(pred: Long => Boolean): Map[Long, Seq[(Long, Double)]] = {
+      val df = spark.read.parquet(base)
+      val qs = VecOps.vectors(spark,
+        df.filter(col("vec_id") < Sim.NumQueries), "vec_id", "embedding")
+      val scored = VecOps.scoreAgainst(spark, df, "vec_id", "embedding", qs)
+      scored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (q, id, _) => pred(id) && id != q }
+        .groupBy(_._1).view.mapValues(_.toSeq
+          .sortBy { case (_, id, c) => (-c, id) }.take(Sim.K)
+          .map { case (_, id, c) => (id, c) }).toMap
+    }
+    def run(pred: org.apache.spark.sql.Column) =
+      Sim.knnIvfFilteredWithProbes(spark, base, pred, Sim.K)
+    // PERMISSIVE filter: every query's two probed cells already hold
+    // >= k eligible vectors, so nobody widens and every query fills k
+    val (loose, looseProbes) = run(col("vec_id") % 2 === 0)
+    val looseCounts = loose.collect().groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(looseCounts.values.forall(_ === Sim.K))
+    assert(looseProbes.values.forall(_ === Sim.NumProbes),
+      s"permissive filter must not widen: $looseProbes")
+    // SELECTIVE filter leaving <= k eligible corpus-wide (ids 7, 108,
+    // 209, 310, 411): a query stops widening only once its probed cells
+    // hold every eligible vector, so the answer EQUALS the exact
+    // filtered top-k — nothing eligible may hide in unprobed cells.
+    // Query 7 (itself eligible-excluded) can never fill k and must
+    // exhaust ALL cells rather than silently under-fill.
+    val (tight, tightProbes) = run(col("vec_id") % 101 === 7)
+    assert(tightProbes.values.forall(_ > Sim.NumProbes),
+      s"selective filter must widen: $tightProbes")
+    assert(tightProbes(7L) === Sim.NumCells,
+      s"a query that cannot fill k must probe every cell: $tightProbes")
+    val want = truth(_ % 101 == 7)
+    val got = tight.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy { case (_, id, c) => (-c, id) }
+        .map { case (_, id, c) => (id, c) }).toMap
+    assert(got === want.filter(_._2.nonEmpty))
+    // a filter matching NOTHING terminates (all cells probed) and
+    // returns the schema-correct empty result
+    val (none, noneProbes) = run(col("vec_id") === -1L)
+    assert(none.count() === 0L)
+    assert(noneProbes.values.forall(_ === Sim.NumCells))
+  }
+
   test("a torn sidecar rebuilds loudly instead of serving partial answers") {
     val sess = spark
     import sess.implicits._
