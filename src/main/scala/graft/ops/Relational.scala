@@ -714,7 +714,7 @@ object Relational {
         """WITH RECURSIVE run AS (
           |  SELECT c, r, cents AS cum FROM seq_rc1 WHERE r = 1
           |  UNION ALL
-          |  SELECT s.c, s.r, run.cum + s.cents
+          |  SELECT /*+ BROADCAST(run) */ s.c, s.r, run.cum + s.cents
           |  FROM run JOIN seq_rc1 s ON s.c = run.c AND s.r = run.r + 1)
           |SELECT c, count(*) AS n_orders,
           |  max(cum) AS total_cents, sum(cum) AS sum_prefix
