@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Fold the per-scale headline JSONs from run_scaling.sh into
+SCALING_r{N}.json with a least-squares growth exponent per query
+(slope of log t vs log scale). Development tooling only."""
+import json
+import math
+import sys
+
+ROUND = sys.argv[1] if len(sys.argv) > 1 else "12"
+SCALES = [1, 2, 4, 8]
+
+runs = {}
+loads = {}
+for m in SCALES:
+    with open(f"/tmp/graft_scale/headline_x{m}.json") as f:
+        d = json.load(f)
+    runs[m] = d["queries"]
+    loads[m] = d.get("load")
+
+queries = sorted(runs[1])
+out = {"scales": SCALES, "unit": "sec", "repeat": 3,
+       "load_by_scale": {str(m): loads[m] for m in SCALES},
+       "note": ("x-copies of documents/embeddings/events are id-shifted and "
+                "content-perturbed (scripts/stage_scale.py); other tables "
+                "fixed at sf0.1. exponent = least-squares slope of "
+                "log(t) vs log(scale); <=1.0 is linear-or-better."),
+       "queries": {}}
+for q in queries:
+    ts = [runs[m].get(q, -1.0) for m in SCALES]
+    if any(t <= 0 for t in ts):
+        out["queries"][q] = {"times": ts, "exponent": None, "failed": True}
+        continue
+    xs = [math.log(m) for m in SCALES]
+    ys = [math.log(t) for t in ts]
+    n = len(xs)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / \
+        sum((x - xbar) ** 2 for x in xs)
+    out["queries"][q] = {
+        "times": [round(t, 3) for t in ts],
+        "x8_over_x1": round(ts[-1] / ts[0], 3),
+        "exponent": round(slope, 3)}
+
+path = f"SCALING_r{ROUND}.json"
+with open(path, "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out["queries"], indent=1))
+print(f"wrote {path}")

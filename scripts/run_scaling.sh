@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Empirical scale-curve record: run the heaviest documents/embeddings/
+# events queries at x1/x2/x4/x8 staged scales (scripts/stage_scale.py)
+# and leave one headline JSON per scale in /tmp/graft_scale/.
+# Development tooling only — not part of the shipped library.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e"
+
+python3 scripts/stage_scale.py
+
+for m in 1 2 4 8; do
+  echo "=== scale x$m ==="
+  SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x$m \
+  SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
+  SPARK_GRAFT_BENCH_REPEAT=3 \
+  SPARK_GRAFT_BENCH_FULL_PATH=0 \
+  SPARK_GRAFT_BENCH_HEADLINE_PATH=/tmp/graft_scale/headline_x$m.json \
+  sbt -batch 'runMain graft.Bench' 2>&1 | tail -2
+done
+
+python3 scripts/collect_scaling.py

@@ -333,12 +333,20 @@ private[connector] object GraftRowLevel {
         maxInKeys)
     val (t0raw, v0) = Snapshots.scanWithCoords(spark, base, envelope.getOrElse(Nil))
     val t0 = if (envelope.isEmpty) t0raw.filter(lit(false)) else t0raw
-    val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
+    // A lineage table's coordinate scan carries `_row_id` — ride it
+    // beside the coordinates so update legs keep their row's id (Delta
+    // row tracking's preserved-on-update rule); insert legs carry NULL
+    // and applyRowChanges fills them from a claimed range.
+    val ridCol = Snapshots.RowIdCol
+    val hasRid = t0.columns.contains(ridCol)
+    val dataCols = t0.columns
+      .filterNot(c => c == fileCol || c == posCol || c == ridCol).toSeq
     GraftRowLevel.checkDrift(t0, dataCols, tOut)
 
     val tAliased = t0.select(
       dataCols.zipWithIndex.map { case (c, i) => col(quote(c)).as(tNames(i)) } ++
-        Seq(col(fileCol).as("__tf"), col(posCol).as("__tp"), lit(true).as("__tx")): _*)
+        Seq(col(fileCol).as("__tf"), col(posCol).as("__tp"), lit(true).as("__tx")) ++
+        (if (hasRid) Seq(col(quote(ridCol)).as("__trid")) else Nil): _*)
 
     val joinType = (notMatched.nonEmpty, notMatchedBySource.nonEmpty) match {
       case (true, true)   => "full_outer"
@@ -469,7 +477,8 @@ private[connector] object GraftRowLevel {
         * action, each column a when-chain over those actions.
         */
       def produces(actCol: Column, actions: Seq[MergeAction],
-                   defaultOf: Int => Column): Option[DataFrame] = {
+                   defaultOf: Int => Column,
+                   rid: Option[Column]): Option[DataFrame] = {
         val producing = actions.zipWithIndex
           .collect { case (a, i) if !a.isInstanceOf[DeleteAction] => (a, i + 1) }
         if (producing.isEmpty) None
@@ -482,7 +491,7 @@ private[connector] object GraftRowLevel {
                 case (c, (a, k)) =>
                   c.when(actCol === k, fieldValue(a, i, defaultOf(i)))
               }.as(tOut(i).name)
-            }: _*)
+            } ++ rid.map(_.as(ridCol)).toSeq: _*)
         }
       }
 
@@ -491,10 +500,14 @@ private[connector] object GraftRowLevel {
       // rows have no target side to remove
       val deletes = working.filter(col("__m") > 0 || col("__n") > 0)
         .select(col("__tf").as(fileCol), col("__tp").as(posCol))
+      // update / not-matched-by-source legs keep the row's id; insert
+      // legs mint (NULL → filled from the ledger inside applyRowChanges)
+      val keepRid = if (hasRid) Some(col("__trid")) else None
+      val mintRid = if (hasRid) Some(lit(null).cast("long")) else None
       val inserts = Seq(
-        produces(col("__m"), matched, keepOriginal),
-        produces(col("__i"), notMatched, nullFill),
-        produces(col("__n"), notMatchedBySource, keepOriginal)
+        produces(col("__m"), matched, keepOriginal, keepRid),
+        produces(col("__i"), notMatched, nullFill, mintRid),
+        produces(col("__n"), notMatchedBySource, keepOriginal, keepRid)
       ).flatten.reduceOption(_.unionAll(_))
       Snapshots.applyRowChanges(spark, base, v0, deletes, inserts, modeTag = "sql")
     } finally working.unpersist()
@@ -533,13 +546,19 @@ private[connector] object GraftRowLevel {
     }.getOrElse(Nil)
     val (t0, v0) = Snapshots.scanWithCoords(spark, base, pruneFs)
     val (fileCol, posCol) = Snapshots.rowCoordColumns
-    val dataCols = t0.columns.filterNot(c => c == fileCol || c == posCol).toSeq
+    // lineage: updated rows KEEP their `_row_id` — the id rides the scan
+    // beside the coordinates and passes through the assignment select
+    val ridCol = Snapshots.RowIdCol
+    val hasRid = t0.columns.contains(ridCol)
+    val dataCols = t0.columns
+      .filterNot(c => c == fileCol || c == posCol || c == ridCol).toSeq
     checkDrift(t0, dataCols, tOut)
     val tNames = tOut.indices.map(i => s"__t_$i")
     val mapping = (tOut.map(_.exprId) zip tNames).toMap
     val aliased = t0.select(
       dataCols.zipWithIndex.map { case (c, i) => col(quote(c)).as(tNames(i)) } ++
-        Seq(col(fileCol), col(posCol)): _*)
+        Seq(col(fileCol), col(posCol)) ++
+        (if (hasRid) Seq(col(quote(ridCol))) else Nil): _*)
     // Persisted like runMerge's working frame: the delete-coords leg and
     // the updated-rows leg must see the SAME row set — re-running the
     // scan+filter would diverge under a nondeterministic predicate (rows
@@ -556,7 +575,7 @@ private[connector] object GraftRowLevel {
         }).map(asn => substitute(asn.value, mapping).cast(ta.dataType))
           .getOrElse(col(tNames(i)))
           .as(ta.name)
-      }: _*)
+      } ++ (if (hasRid) Seq(col(quote(ridCol))) else Nil): _*)
       Snapshots.applyRowChanges(spark, base, v0,
         hit.select(col(fileCol), col(posCol)), Some(updated),
         modeTag = "sql-update")

@@ -347,6 +347,13 @@ object Snapshots {
       else Map.empty[String, Map[String, Map[Int, Long]]]
     FileStats.writeSidecar(df.sparkSession.sparkContext.hadoopConfiguration,
       batchPath, files, ndv, hist)
+    // Row-lineage assignment (when the table opted in): frames carrying a
+    // physical `_row_id` (compaction/merge rewrites) ride their bytes;
+    // everything else gets a metadata range per file — footer reads plus
+    // one KB-scale sidecar, never a data pass. Runs BEFORE publish so a
+    // reader of the committed version always resolves ids.
+    if (!df.columns.contains(RowIdCol) && rowLineageEnabled(base))
+      assignRowIdRanges(base, files)
     files
   }
 
@@ -1142,6 +1149,13 @@ object Snapshots {
     val parentSchema = parentM.flatMap(_.schema)
     val tracked = vs0.isEmpty || parentSchema.isDefined
     val parentLast = parentM.map(mintFloor(base, _)).getOrElse(0L)
+    // `_row_id` is engine-assigned on lineage tables — a user frame
+    // carrying one would pollute the id space (and withFieldIds would
+    // leak the reserved name into the table schema). Internal carriers
+    // (compact, applyRowChanges) write through writeBatch, never here.
+    require(!(df.columns.contains(RowIdCol) && rowLineageEnabled(base)),
+      s"column $RowIdCol is reserved on a row-lineage table - ids are " +
+        "engine-assigned; drop the column (readLineage surfaces it)")
     val dfG =
       if (applyGenerators) applyColumnGenerators(spark, df, base, parentSchema)
       else df
@@ -1286,6 +1300,10 @@ object Snapshots {
     */
   private[graft] def publishStaged(sw: StagedWrite, create: Boolean): Long = {
     val mode = if (create) "rtas-create" else "replace-table"
+    // Staged (CTAS/RTAS) files are written by the V2 writer, not
+    // writeBatch — assign lineage ranges here for a lineage-enabled
+    // REPLACE target (a staged CREATE's table can't be enabled yet).
+    if (rowLineageEnabled(sw.base)) assignRowIdRanges(sw.base, sw.files)
     publish(sw.base, sw.files, Nil, mode,
       parent => {
         if (create && parent != 0)
@@ -1464,6 +1482,21 @@ object Snapshots {
         catch { case _: Exception => () } // marker exists = already carried
       }
     }
+    // Row-lineage state travels too: the clone shares the source's data
+    // files BY PATH, so their metadata id assignments (keyed by relKey)
+    // must resolve at the destination; the `_row_id` ledger high-water
+    // already traveled with the _idseq markers above, so post-clone
+    // writes on either side can never re-issue a carried id.
+    val srcRids = rowIdsDir(src)
+    if (srcFs.exists(srcRids)) {
+      val dstFs = fsFor(dst)
+      dstFs.mkdirs(rowIdsDir(dst))
+      listDir(srcFs, srcRids).foreach { st =>
+        try writeStringNew(dstFs, new Path(rowIdsDir(dst), st.getPath.getName),
+          if (st.getLen == 0) "" else readString(srcFs, st.getPath))
+        catch { case _: Exception => () } // exists = already carried
+      }
+    }
     out
   }
 
@@ -1581,8 +1614,14 @@ object Snapshots {
     // where cond is NULL (three-valued logic) must SURVIVE the rewrite, so
     // keep !coalesce(cond, false), never a bare !cond. The rewrite's df
     // carries the era schema's field ids, so its files stay id-tracked.
-    val rewritten = readWithSchema(spark, m0.schema, touchedUris)
-      .filter(!coalesce(cond, lit(false)))
+    // Lineage tables rewrite survivors WITH their `_row_id` (same
+    // materialize-on-rewrite rule as compact).
+    val rewriteScan =
+      if (!rowLineageEnabled(base)) readWithSchema(spark, m0.schema, touchedUris)
+      else decorateRowIds(
+        readWithSchema(spark, m0.schema.map(withRowIdField), touchedUris),
+        lineageFirsts(base))
+    val rewritten = rewriteScan.filter(!coalesce(cond, lit(false)))
     val newFiles = writeBatch(rewritten, base, Nil)
     val v0 = vs.max
     beforePublish()
@@ -2316,10 +2355,17 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed snapshots under $base")
     val m = readManifest(base, vs.max)
     val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
+    // On a lineage table the coordinate scan also carries `_row_id`, so a
+    // row-change consumer (SQL MERGE/UPDATE) can hand each update leg's
+    // row its own id back through [[applyRowChanges]].
+    val rowIds =
+      if (rowLineageEnabled(base)) Some(lineageFirsts(base)) else None
     val scan =
       if (kept.isEmpty && m.files.nonEmpty)
-        scanWithDvs(spark, m, keepCoords = true).filter(lit(false))
-      else scanWithDvs(spark, m.copy(files = kept), keepCoords = true)
+        scanWithDvs(spark, m, keepCoords = true, rowIds = rowIds)
+          .filter(lit(false))
+      else scanWithDvs(spark, m.copy(files = kept), keepCoords = true,
+        rowIds = rowIds)
     (scan, vs.max)
   }
 
@@ -2386,6 +2432,201 @@ object Snapshots {
       .select(cols.map(col): _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Row lineage (stable row ids) — Iceberg v3's row-id model re-expressed
+  // (spec's row-lineage section; Delta calls it row tracking): every row
+  // of a lineage-enabled table owns a durable long `_row_id`, assigned by
+  // the commit that first wrote it and identical forever after — through
+  // compaction, clustering, binpack, clone and SQL UPDATE/MERGE. Appends
+  // pay NOTHING on the data path: ids are assigned as METADATA (per new
+  // file, a `first_row_id` range claimed from the same crash-safe ledger
+  // identity columns use; a row's id is first + its parquet row index),
+  // recorded in `_rowids/a_*.tsv` sidecars — at 100 TB a bulk ingest's
+  // lineage cost is one footer read per new file plus a KB-scale sidecar,
+  // never a data pass. Only REWRITES (compact, CoW delete, MERGE/UPDATE
+  // legs) materialize `_row_id` as a physical parquet column: they
+  // rewrite the bytes anyway, and position-derived ids die with the old
+  // positions (the Iceberg v3 rule — "first-row-id inheritance until the
+  // file is rewritten"). Reads resolve
+  // `coalesce(physical, first_row_id(file) + row_index)`.
+  //
+  // Id-retirement stances (documented, not accidental): an equality-
+  // delete upsert ([[upsertByKeys]], [[replaceWhere]]) writes its new
+  // rows BLIND — no target scan is the whole point — so the new copy of
+  // a key mints a FRESH id and the old id retires with the hidden row;
+  // SQL MERGE/UPDATE scan the target anyway, so their update legs KEEP
+  // the row's id (Delta row tracking's preserved-on-update semantics).
+  // ---------------------------------------------------------------------
+
+  /** The reserved row-lineage column name. Hidden from plain [[read]]
+    * (rewritten files carry it physically, but the table schema never
+    * lists it, so scans don't request it); surfaced by [[readLineage]]
+    * and `changeFeed(withRowIds = true)`. */
+  val RowIdCol = "_row_id"
+
+  private def rowIdsDir(base: String) = new Path(base, "_rowids")
+
+  /** Whether the table opted into row lineage ([[enableRowLineage]]) —
+    * one fs.exists, the same metadata class as the lock probe. */
+  def rowLineageEnabled(base: String): Boolean =
+    try fsFor(base).exists(new Path(rowIdsDir(base), "_enabled"))
+    catch { case _: Exception => false }
+
+  /** Exact footer row count + whether the file physically carries
+    * `_row_id`. Unlike the best-effort stats sidecar, lineage assignment
+    * REQUIRES exact counts — a failed footer read fails the commit
+    * loudly instead of minting a wrong id range. */
+  private def footerRows(file: String): (Long, Boolean) = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), hadoopConf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val hasRid = rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .exists(_.getName == RowIdCol)
+      (rd.getRecordCount, hasRid)
+    } finally rd.close()
+  }
+
+  /** Metadata-assign row-id ranges to new data files: ONE ledger claim
+    * for the batch total (lock held microseconds, like identity claims),
+    * then one `_rowids/a_*.tsv` sidecar recording `relKey \t first \t
+    * rows` per file. Files already carrying a physical `_row_id` column
+    * skip (their ids ride the bytes); files are processed in sorted-name
+    * order so assignment is deterministic given deterministic input.
+    * Orphan entries for files whose publish later loses its CAS are
+    * harmless dead keys (same stance as burned identity gaps). */
+  private def assignRowIdRanges(base: String, files: Seq[String]): Unit = {
+    val metas = files.sorted.map(f => (relKey(f), footerRows(f)))
+      .collect { case (k, (rows, hasRid)) if !hasRid && rows > 0 => (k, rows) }
+    if (metas.isEmpty) return
+    var next = claimIdentityRange(base, RowIdCol, metas.map(_._2).sum)
+    val sb = new StringBuilder
+    metas.foreach { case (k, rows) =>
+      sb.append(k).append('\t').append(next).append('\t').append(rows).append('\n')
+      next += rows
+    }
+    writeStringNew(fsFor(base), new Path(rowIdsDir(base),
+      s"a_${java.util.UUID.randomUUID().toString.take(8)}.tsv"), sb.toString)
+  }
+
+  /** relKey → first_row_id for every metadata-assigned file. Driver IO
+    * bounded by lineage-commit count (one sidecar each), the manifest-
+    * listing metadata class; entries for expired files ride along as
+    * harmless dead keys. */
+  private[graft] def lineageFirsts(base: String): Map[String, Long] = {
+    val fs = fsFor(base)
+    val dir = rowIdsDir(base)
+    if (!(try fs.exists(dir) catch { case _: Exception => false })) return Map.empty
+    listDir(fs, dir).filter(_.getPath.getName.startsWith("a_"))
+      .flatMap(st => readString(fs, st.getPath).split("\n", -1).filter(_.nonEmpty)
+        .map { l => val Array(k, f, _) = l.split("\t", 3); k -> f.toLong })
+      .toMap
+  }
+
+  /** The table schema plus the lineage read column (no field id — the
+    * physical `_row_id` in rewritten files is written id-less, so this
+    * field name-matches there and null-fills in metadata-assigned
+    * files). */
+  private def withRowIdField(s: StructType): StructType =
+    if (s.fieldNames.contains(RowIdCol)) s
+    else s.add(RowIdCol, org.apache.spark.sql.types.LongType, nullable = true)
+
+  /** `_row_id` resolution over a SCAN-ROOTED frame (it reads `_metadata`,
+    * which joins above the file scan would break): the physical column
+    * when the file carries one, else the file's metadata-assigned first
+    * id + the row's parquet position. The firsts map rides the plan as a
+    * literal — bounded by the SCANNED file count needing metadata
+    * resolution, the same driver-material class as the manifest file
+    * list itself, and it shrinks as compaction materializes ids into
+    * bytes. A file missing from the map (enable raced an in-flight
+    * write) resolves NULL — loud in any uniqueness check; repair with
+    * [[backfillRowIds]]. */
+  private def decorateRowIds(df: DataFrame, firsts: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, substring_index, typedLit}
+    val physical =
+      if (df.columns.contains(RowIdCol)) col(RowIdCol)
+      else lit(null).cast("long")
+    df.withColumn(RowIdCol, coalesce(physical,
+      element_at(typedLit(firsts),
+        substring_index(col("_metadata.file_path"), "/", -3)) +
+        col("_metadata.row_index")))
+  }
+
+  /** Opt the table into row lineage: drop the `_enabled` marker and
+    * backfill metadata assignments for every live file (footer reads
+    * only — no data pass). Idempotent. Requires a schema-tracked table
+    * whose schema does not already use the reserved name. DDL-vs-write
+    * discipline: like schema changes, enablement is single-writer — a
+    * data write in flight while lineage turns on (files written before
+    * the marker, published after this backfill) gets no assignment;
+    * its rows read `_row_id` NULL until [[backfillRowIds]] repairs. */
+  def enableRowLineage(base: String): Unit = {
+    val vs = versions(base)
+    if (vs.nonEmpty) {
+      val m = readManifest(base, vs.max)
+      require(m.schema.isDefined,
+        s"row lineage requires a schema-tracked table - $base is legacy " +
+          "name-based (its files carry no field ids)")
+      require(!m.schema.get.fieldNames.contains(RowIdCol),
+        s"table schema already has a column named $RowIdCol - rename it " +
+          "before enabling row lineage (the name is reserved)")
+    }
+    val fs = fsFor(base)
+    fs.mkdirs(rowIdsDir(base))
+    try writeStringNew(fs, new Path(rowIdsDir(base), "_enabled"), "")
+    catch { case _: Exception => () } // marker exists = already enabled
+    backfillRowIds(base)
+  }
+
+  /** Assign row-id ranges to live files that have neither a physical
+    * `_row_id` column nor a metadata assignment — the enable-time
+    * backfill, and the repair for a write that raced enablement.
+    * Idempotent; metadata-only (footer reads, one sidecar write). */
+  def backfillRowIds(base: String): Unit = {
+    require(rowLineageEnabled(base), s"row lineage not enabled on $base")
+    val vs = versions(base)
+    if (vs.isEmpty) return
+    val have = lineageFirsts(base).keySet
+    assignRowIdRanges(base,
+      readManifest(base, vs.max).files.filterNot(f => have(relKey(f))))
+  }
+
+  /** [[read]] plus the durable `_row_id` lineage column — the surfaced
+    * half of row lineage (plain reads never see the column). Same DV/
+    * equality-delete subtraction, time travel and era-schema behavior as
+    * [[read]]. */
+  def readLineage(spark: SparkSession, base: String,
+                  asOf: Option[Long] = None): DataFrame = {
+    require(rowLineageEnabled(base),
+      s"row lineage not enabled on $base - call enableRowLineage first")
+    scanPinned(spark, base, asOf.map(Pin.AsOf).getOrElse(Pin.Latest),
+      withRowIds = true)
+  }
+
+  /** Fill NULL `_row_id` slots (a MERGE's insert-leg rows) from a claimed
+    * ledger range. Changed-rows-sized frames only — appends take the
+    * zero-cost metadata path instead. Same one-materialization
+    * discipline as the identity fill: the checkpoint pins one row set
+    * that the count, the claim and the write all see. */
+  private def fillRowIds(spark: SparkSession, df: DataFrame, base: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = df.localCheckpoint()
+    val nulls = snap.filter(snap(RowIdCol).isNull)
+    val n = nulls.count()
+    if (n == 0L) return snap
+    val k0 = claimIdentityRange(base, RowIdCol, n)
+    val idxField = "__graft_rowid_idx"
+    val indexed = spark.createDataFrame(
+      nulls.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      nulls.schema.add(idxField, org.apache.spark.sql.types.LongType))
+    snap.filter(snap(RowIdCol).isNotNull).unionByName(
+      indexed.withColumn(RowIdCol, (lit(k0) + col(idxField)).cast("long"))
+        .drop(idxField))
+  }
+
   /** Generalized atomic row change against `fromVersion` (the version
     * [[scanWithCoords]] was taken at): DV-delete every coordinate in
     * `deleteCoords` (columns [[rowCoordColumns]]) and append `inserts`,
@@ -2400,10 +2641,19 @@ object Snapshots {
                       modeTag: String = ""): Long = {
     import org.apache.spark.sql.functions.col
     val m = readManifest(base, fromVersion)
+    val lineage = rowLineageEnabled(base)
     val aligned = inserts.map { ins =>
+      // Lineage carrier contract: inserts MAY carry `_row_id` (update
+      // legs keep their row's id; insert legs carry NULL and fill from a
+      // claimed range below). Without lineage the name is refused — a
+      // reserved column reaching the write path is a caller bug.
+      val hasRid = ins.columns.contains(RowIdCol)
+      require(lineage || !hasRid,
+        s"row-change inserts carry reserved column $RowIdCol but row " +
+          s"lineage is not enabled on $base")
       m.schema match {
         case Some(s) =>
-          require(ins.columns.toSet == s.fieldNames.toSet,
+          require(ins.columns.filterNot(_ == RowIdCol).toSet == s.fieldNames.toSet,
             s"row-change inserts (${ins.columns.mkString(",")}) must match " +
               s"the table schema (${s.fieldNames.mkString(",")})")
           // carrier-mode generators: a merge's update rows carry their
@@ -2418,8 +2668,10 @@ object Snapshots {
           // the generated/identity fields and strips their field-id
           // metadata, and a written file without ids reads back NULL on
           // an id-tracked table.
-          applyColumnGenerators(spark, ins, base, Some(s), enforce = false)
-            .select(s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
+          val gen = applyColumnGenerators(spark, ins, base, Some(s), enforce = false)
+            .select((s.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq ++
+              (if (hasRid) Seq(col(RowIdCol)) else Nil)): _*)
+          if (hasRid) fillRowIds(spark, gen, base) else gen
         case None => ins
       }
     }
@@ -2506,10 +2758,19 @@ object Snapshots {
     */
   private def scanWithDvs(spark: SparkSession, m: Manifest,
                           keepCoords: Boolean,
-                          mergeSchema: Boolean = false): DataFrame = {
+                          mergeSchema: Boolean = false,
+                          rowIds: Option[Map[String, Long]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, substring_index}
-    def readFiles(files: Seq[String]) =
-      readWithSchema(spark, m.schema, files, mergeSchema)
+    // `rowIds` = Some(firsts): decorate every file scan with the lineage
+    // `_row_id` column (physical where present, metadata-derived
+    // otherwise) BEFORE any delete anti join — the column then rides the
+    // joins like any data column.
+    def readFiles(files: Seq[String]) = rowIds match {
+      case None => readWithSchema(spark, m.schema, files, mergeSchema)
+      case Some(firsts) => decorateRowIds(
+        readWithSchema(spark, m.schema.map(withRowIdField), files, mergeSchema),
+        firsts)
+    }
     def coords(df: DataFrame) = df
       .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -2636,7 +2897,12 @@ object Snapshots {
     }
     if (smalls.isEmpty) return v0
     val files0 = smalls.toSet
-    val full = scanWithDvs(spark, m0.copy(files = smalls), keepCoords = false)
+    // Lineage tables rewrite WITH `_row_id`: position-derived ids die
+    // with the old positions, so the rewrite materializes them as a
+    // physical column (writeBatch sees the column and skips metadata
+    // assignment) — ids survive compaction byte-identically.
+    val full = scanWithDvs(spark, m0.copy(files = smalls), keepCoords = false,
+      rowIds = if (rowLineageEnabled(base)) Some(lineageFirsts(base)) else None)
     val compacted = layout.map(_(full)).getOrElse(full.repartition(numFiles))
     val newFiles = writeBatch(compacted, base, sortCols)
     val binpack = onlySmallerThan.isDefined || onlyMatching.isDefined
@@ -2717,19 +2983,22 @@ object Snapshots {
     */
   def scanPinned(spark: SparkSession, base: String, pin: Pin = Pin.Latest,
                  pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-                 mergeSchema: Boolean = false): DataFrame = {
+                 mergeSchema: Boolean = false,
+                 withRowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val m = pinnedManifest(base, pin)
     val kept = FileStats.prune(hadoopConf, m.files, pruneFilters, eraIds(m))
+    val rowIds = if (withRowIds) Some(lineageFirsts(base)) else None
     // All files pruned: an empty result with the right schema — plan over
     // the full list behind a false literal (the optimizer folds it to an
     // empty LocalRelation; no task ever launches).
     if (kept.isEmpty && m.files.nonEmpty)
-      scanWithDvs(spark, m, keepCoords = false, mergeSchema = mergeSchema)
+      scanWithDvs(spark, m, keepCoords = false, mergeSchema = mergeSchema,
+        rowIds = rowIds)
         .filter(lit(false))
     else
       scanWithDvs(spark, m.copy(files = kept), keepCoords = false,
-        mergeSchema = mergeSchema)
+        mergeSchema = mergeSchema, rowIds = rowIds)
   }
 
   /** Planning-time size/row estimate of a pinned scan AFTER stats
@@ -3034,16 +3303,24 @@ object Snapshots {
     * vector deletes are metadata-only and deliberately do NOT appear here;
     * diff the versions' dv lines for a row-level delete feed.
     */
-  def changes(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
+  def changes(spark: SparkSession, base: String, fromV: Long, toV: Long,
+              withRowIds: Boolean = false): DataFrame = {
     val before = readManifest(base, fromV).files.toSet
     val added = readManifest(base, toV).files.filterNot(before)
     // A no-file delta (empty-DataFrame commit, or fromV == toV) must be an
     // empty result with the right schema, not a zero-path read error.
     if (added.isEmpty)
-      read(spark, base, Some(toV)).filter(org.apache.spark.sql.functions.lit(false))
+      scanPinned(spark, base, Pin.AsOf(toV), withRowIds = withRowIds)
+        .filter(org.apache.spark.sql.functions.lit(false))
     // Added files read under toV's era schema (they were written in it);
     // an id-tracked delta therefore surfaces current names.
-    else readWithSchema(spark, readManifest(base, toV).schema, added)
+    else {
+      val sch = readManifest(base, toV).schema
+      if (!withRowIds) readWithSchema(spark, sch, added)
+      else decorateRowIds(
+        readWithSchema(spark, sch.map(withRowIdField), added),
+        lineageFirsts(base))
+    }
   }
 
   /** [[changes]] restricted to files added by APPENDING commits: each
@@ -3085,7 +3362,8 @@ object Snapshots {
     * only files the new vectors reference are read, inner-joined against
     * the (rows-deleted-sized) vector coordinates.
     */
-  def removedRows(spark: SparkSession, base: String, fromV: Long, toV: Long): DataFrame = {
+  def removedRows(spark: SparkSession, base: String, fromV: Long, toV: Long,
+                  withRowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, substring_index}
     val mFrom = readManifest(base, fromV)
     val mTo = readManifest(base, toV)
@@ -3095,7 +3373,15 @@ object Snapshots {
     val newEqBatches = toEqBatches.filter(_.keyFiles.exists(newEqPaths))
     val oldEqBatches = toEqBatches.filterNot(_.keyFiles.exists(newEqPaths))
     if (newDvs.isEmpty && newEqBatches.isEmpty)
-      return read(spark, base, Some(toV)).filter(lit(false))
+      return scanPinned(spark, base, Pin.AsOf(toV), withRowIds = withRowIds)
+        .filter(lit(false))
+    // Lineage decoration happens at the scan root (before the coordinate
+    // joins), so the delete half of a row-id feed names WHICH row died.
+    def readF(sch: Option[StructType], files: Seq[String]) =
+      if (!withRowIds) readWithSchema(spark, sch, files)
+      else decorateRowIds(
+        readWithSchema(spark, sch.map(withRowIdField), files),
+        lineageFirsts(base))
     def coords(df: DataFrame) = df
       .withColumn(DvFileCol, substring_index(col("_metadata.file_path"), "/", -3))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -3138,7 +3424,7 @@ object Snapshots {
         // equality deletes were hiding. Subtract fromV's eq state so a
         // window spanning a conversion reports nothing for it (the rows
         // were not visible at fromV).
-        val raw = coords(readWithSchema(spark, mTo.schema, dirty))
+        val raw = coords(readF(mTo.schema, dirty))
           .join(dv, Seq(DvFileCol, DvPosCol), "inner")
         Some(eqJoin(raw, loadEqBatches(mFrom), semi = false))
       }
@@ -3155,7 +3441,7 @@ object Snapshots {
         val dirty = mTo.files.filter(f => eqDirtyRel(relKey(f)))
         if (dirty.isEmpty) None
         else {
-          val scan0 = coords(readWithSchema(spark, mTo.schema, dirty))
+          val scan0 = coords(readF(mTo.schema, dirty))
           val noDv =
             if (mTo.dvs.isEmpty) scan0
             else scan0.join(
@@ -3169,7 +3455,8 @@ object Snapshots {
       }
     val parts = Seq(dvHalf, eqHalf).flatten
     if (parts.isEmpty)
-      read(spark, base, Some(toV)).filter(lit(false))
+      scanPinned(spark, base, Pin.AsOf(toV), withRowIds = withRowIds)
+        .filter(lit(false))
     else parts.reduce(_.unionByName(_)).drop(DvFileCol, DvPosCol)
   }
 
@@ -3206,9 +3493,16 @@ object Snapshots {
     *    table should delete via [[deleteWhereDV]] / [[deleteByKeys]]
     *    (merge-on-read) instead.
     */
+  /** `withRowIds = true` (lineage tables only) adds the durable `_row_id`
+    * to every feed row: a merge's update pairs by ID instead of by key
+    * (the delete half carries the id the insert half keeps), the
+    * mechanical join downstream CDC consumers actually want. */
   def changeFeed(spark: SparkSession, base: String, fromV: Long,
-                 toV: Long): DataFrame = {
+                 toV: Long, withRowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    require(!withRowIds || rowLineageEnabled(base),
+      s"changeFeed(withRowIds) requires row lineage on $base - call " +
+        "enableRowLineage first")
     val vs = versions(base)
     require(fromV == 0 || vs.contains(fromV),
       s"unknown feed start version $fromV")
@@ -3262,16 +3556,20 @@ object Snapshots {
             (v, acc)
           case _ =>
             val ins =
-              if (prev == 0) stamp(read(spark, base, Some(v)), "insert", v)
-              else stamp(changes(spark, base, prev, v), "insert", v)
+              if (prev == 0) stamp(
+                scanPinned(spark, base, Pin.AsOf(v), withRowIds = withRowIds),
+                "insert", v)
+              else stamp(changes(spark, base, prev, v, withRowIds), "insert", v)
             val del =
               if (prev == 0) None
-              else Some(stamp(removedRows(spark, base, prev, v), "delete", v))
+              else Some(stamp(
+                removedRows(spark, base, prev, v, withRowIds), "delete", v))
             (v, acc ++ (Some(ins) ++ del))
         }
     }._2
     if (steps.isEmpty)
-      stamp(read(spark, base, Some(toV)), "insert", toV).filter(lit(false))
+      stamp(scanPinned(spark, base, Pin.AsOf(toV), withRowIds = withRowIds),
+        "insert", toV).filter(lit(false))
     // Era schemas may differ across the window (renames/adds) — align by
     // name, null-filling columns a step's era lacks (the additive
     // contract; renamed columns fragment by design, same as mergeSchema).

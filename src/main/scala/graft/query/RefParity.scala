@@ -366,6 +366,20 @@ object RefParity {
         .withColumn("part", lit(2L))
       delta.unionByName(full).select("part", "n", "sum_cents")
     },
+    // Row lineage end-to-end, hash-checked PER ROW: the staged tree runs
+    // assignment → enable-backfill → metadata append → DV delete → full
+    // compact (ids turn physical) → post-compact append (metadata again)
+    // → shallow clone, and the query reads the CLONE's (doc_id, _row_id)
+    // mapping. Single-file doc_id-sorted commits make every id DERIVABLE
+    // (file row order = doc_id order, ranges claimed in commit order), so
+    // the DuckDB oracle reproduces the exact ids with row_number
+    // arithmetic — any id that drifted, duplicated, or vanished across
+    // the six lifecycle steps breaks the hash.
+    "lin1_row_lineage" -> { (s, d) =>
+      val base = lineageDir(s, d)
+      graft.ingest.Snapshots.readLineage(s, base)
+        .select(col("doc_id"), col("lang"), col("_row_id").as("row_id"))
+    },
     // Identity + generated columns end-to-end: the single insert claimed
     // ONE identity range, so the ids are exactly 1..n — min/max/sum pin
     // the allocation arithmetic (a gap, duplicate or off-by-step breaks
@@ -605,6 +619,7 @@ object RefParity {
     catalogMergeFor(s, sfDir)
     avroOcfDir(s, sfDir)
     clusteredEventsDir(s, sfDir)
+    lineageDir(s, sfDir)
     graft.ops.Multimodal.mediaDir(s, sfDir)
     graft.ops.Sim.annDir(s, sfDir)
     ()
@@ -1068,6 +1083,35 @@ object RefParity {
       ()
     }
 
+  /** Staged row-lineage lifecycle tree for lin1 (two trees: the source
+    * runs the whole mutation lifecycle, then a shallow clone of it is
+    * what the query reads — so ids must also survive the clone's
+    * by-path file sharing and sidecar carry). Commits are
+    * single-partition and doc_id-sorted, so each file's row order is
+    * doc_id order and every assigned id is derivable by row_number
+    * arithmetic (see the query comment).
+    */
+  private def lineageDir(s: SparkSession, sfDir: String): String = {
+    import graft.ingest.Snapshots
+    val src = stagedTree(cacheBase("graft_lineage", sfDir, "documents")) { tmp =>
+      val docs = Tables.table(s, sfDir, "documents")
+        .select(col("doc_id"), col("lang"))
+      def slice(cond: org.apache.spark.sql.Column) =
+        docs.filter(cond).repartition(1)
+      Snapshots.commit(s, slice(col("doc_id") % 4 < 2), tmp,
+        sortCols = Seq("doc_id"))
+      Snapshots.enableRowLineage(tmp) // backfills the pre-enable commit
+      Snapshots.commit(s, slice(col("doc_id") % 4 === 2), tmp,
+        sortCols = Seq("doc_id"))
+      Snapshots.deleteWhereDV(s, tmp, col("doc_id") % 10 === 3)
+      Snapshots.compact(s, tmp, numFiles = 1) // ids materialize physically
+      Snapshots.commit(s, slice(col("doc_id") % 4 === 3), tmp,
+        sortCols = Seq("doc_id")) // post-compact metadata assignment
+      ()
+    }
+    stagedTree(src + "_clone") { tmp => Snapshots.clone(s, src, tmp); () }
+  }
+
   /** Staged two-step MV for mv1: full build at the source's v1, then ONE
     * incremental refresh consuming the v2 append — the source is
     * [[snapshotDir]]'s two-commit tree.
@@ -1329,6 +1373,25 @@ object RefParity {
         |SELECT 2, count(*),
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders""".stripMargin,
+    "lin1_row_lineage" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM documents WHERE doc_id % 4 < 2),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 4 < 2)
+        |      + row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 4 < 3)
+        |      + row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id, lang, row_id
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b
+        |      UNION ALL SELECT * FROM c) u
+        |WHERE NOT (doc_id % 10 = 3 AND doc_id % 4 <> 3)""".stripMargin,
     "gen1_identity_generated" ->
       """SELECT count(*) AS n, CAST(1 AS BIGINT) AS min_id,
         |  count(*) AS max_id,
