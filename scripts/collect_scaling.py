@@ -17,13 +17,34 @@ for m in SCALES:
     runs[m] = d["queries"]
     loads[m] = d.get("load")
 
+# Exact pair-ENUMERATION kernels: their contract is every pair above a
+# similarity threshold, and on this embedding distribution ~12% of ALL
+# pairs sit in the band (measured in stage_scale.py validation), so the
+# OUTPUT itself grows quadratically — time is output-bound, no plan can
+# beat it. Their 100 TB path is the indexed tier (v3/v5 ANN, d3 LSH,
+# d4 SimHash), which this record shows scaling near-linearly.
+OUTPUT_BOUND = {
+    "d9_neardup_shuffle_kernel": "exact cosine pair enumeration (d5's "
+        "shuffle form): output is ~12% of all pairs on this distribution",
+    "d8_semantic_dedup": "exact band-pair source feeds the cluster step; "
+        "scale path is the ANN-pruned candidate source",
+    "pair2_hard_negatives": "band [0.15,0.45) pair source is exact "
+        "enumeration; scale path swaps in ANN candidates (query scaladoc)",
+}
+
 queries = sorted(runs[1])
 out = {"scales": SCALES, "unit": "sec", "repeat": 3,
        "load_by_scale": {str(m): loads[m] for m in SCALES},
        "note": ("x-copies of documents/embeddings/events are id-shifted and "
-                "content-perturbed (scripts/stage_scale.py); other tables "
+                "content-synthesized to preserve the base's per-copy "
+                "workload shape (scripts/stage_scale.py); other tables "
                 "fixed at sf0.1. exponent = least-squares slope of "
-                "log(t) vs log(scale); <=1.0 is linear-or-better."),
+                "log(t) vs log(scale); <=1.0 is linear-or-better. "
+                "Queries under 'output_bound' enumerate threshold pairs "
+                "exactly - quadratic OUTPUT on this distribution, "
+                "adjudicated rather than plan-fixed; their indexed "
+                "counterparts (v5, d3) are in this record and scale "
+                "near-linearly."),
        "queries": {}}
 for q in queries:
     ts = [runs[m].get(q, -1.0) for m in SCALES]
@@ -36,10 +57,13 @@ for q in queries:
     xbar, ybar = sum(xs) / n, sum(ys) / n
     slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / \
         sum((x - xbar) ** 2 for x in xs)
-    out["queries"][q] = {
+    entry = {
         "times": [round(t, 3) for t in ts],
         "x8_over_x1": round(ts[-1] / ts[0], 3),
         "exponent": round(slope, 3)}
+    if q in OUTPUT_BOUND:
+        entry["output_bound"] = OUTPUT_BOUND[q]
+    out["queries"][q] = entry
 
 path = f"SCALING_r{ROUND}.json"
 with open(path, "w") as f:

@@ -2,13 +2,35 @@
 """Stage x2/x4/x8 inflated copies of documents/embeddings/events under
 /tmp/graft_scale/ for the empirical scale-curve record (SCALING_r*.json).
 
-Each copy k shifts ids by k * 10^12 and perturbs content (a per-copy text
-suffix; a per-copy epsilon on the embedding head; event user_ids shifted
-into a disjoint range) so dedup/ANN/graph semantics stay honest: inflated
-rows are DISTINCT documents/vectors/users, not byte-duplicates a
-content-hash dedup would collapse back to 1x. All other tables symlink to
-the base sf so every registered query still runs. Development tooling
-only — not part of the shipped library.
+Honesty of the inflation matters more than its mechanics: copy k of a
+document must be a GENUINELY NEW document, not a near-duplicate of its
+base — otherwise every doc gains k near-dup partners and pair-based
+dedup queries (d2/d9/d10) see candidate work grow quadratically with
+scale, which measures the staging, not the engine. So:
+
+  - documents: copy k rewrites every 3rd word with a copy-tagged variant
+    — every 3-word shingle then contains a modified word, so copies mint
+    a NOVEL shingle vocabulary (zero cross-copy postings) exactly like
+    new real content would. A splice-halves variant was tried first and
+    rejected: reusing the base shingle pool makes every shingle's doc
+    frequency grow with scale, and the exact pairwise kernels' posting
+    self-join then grows quadratically BY WORKLOAD (measured d10 at 15x
+    for x4) — that measures the staging, not the engine;
+  - embeddings: copy k applies a k-specific ORTHOGONAL transform
+    (circular shift by 7k dims + alternating sign flips when k is odd)
+    to every vector — within-copy pairwise cosines are EXACTLY the
+    base's (the per-copy workload is the base workload), while
+    cross-copy similarities decorrelate. A 50/50 two-parent mixture was
+    tried first and rejected: mixtures regress toward the centroid and
+    the cosine band then catches far MORE pairs at scale (measured d8
+    at 8.7x for x2) — again measuring the staging, not the engine;
+  - events: ids and user_ids shift into disjoint ranges (the graph gets
+    k disconnected components of the same shape — honest for joins and
+    sessionization, which key on user).
+
+Ids shift by k * 10^12 so every row is distinct. All other tables
+symlink to the base sf so every registered query still runs.
+Development tooling only — not part of the shipped library.
 """
 import os
 import sys
@@ -22,36 +44,63 @@ SHIFT = 10 ** 12
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+DOCS = """
+    WITH base AS (
+      SELECT * FROM read_parquet('{base}/documents.parquet')),
+    ks AS (SELECT CAST(unnest(range(0, {mult})) AS BIGINT) AS k),
+    made AS (
+      SELECT b.doc_id + ks.k * {s} AS doc_id,
+             CASE WHEN ks.k = 0 THEN b.text
+                  ELSE array_to_string(list_transform(
+                    string_split(b.text, ' '),
+                    (w, i) -> CASE WHEN i % 3 = 0
+                              THEN concat(w, 'q', CAST(ks.k AS VARCHAR))
+                              ELSE w END), ' ')
+             END AS text,
+             b.lang, b.source
+      FROM ks CROSS JOIN base b)
+    SELECT doc_id, text, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM made"""
+
+EMB = """
+    WITH base AS (
+      SELECT *, row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM read_parquet('{base}/embeddings.parquet')),
+    ks AS (SELECT CAST(unnest(range(0, {mult})) AS BIGINT) AS k),
+    shifted AS (
+      SELECT b.vec_id + ks.k * {s} AS vec_id, ks.k AS k, b.label,
+             CASE WHEN ks.k = 0 THEN b.embedding
+                  ELSE list_concat(
+                    b.embedding[1 + CAST(ks.k * 7 % len(b.embedding) AS INT):],
+                    b.embedding[:CAST(ks.k * 7 % len(b.embedding) AS INT)])
+             END AS emb
+      FROM ks CROSS JOIN base b)
+    SELECT vec_id,
+           CASE WHEN k % 2 = 0 THEN emb
+                ELSE list_transform(emb,
+                  (x, i) -> CAST(CASE WHEN i % 2 = 0 THEN -x ELSE x END
+                    AS FLOAT))
+           END AS embedding,
+           label
+    FROM shifted"""
+
+EVENTS = """
+    WITH ks AS (SELECT CAST(unnest(range(0, {mult})) AS BIGINT) AS k)
+    SELECT event_id + ks.k * {s} AS event_id, ts,
+           user_id + ks.k * {s} AS user_id, event_type, value, props
+    FROM ks CROSS JOIN read_parquet('{base}/events.parquet')"""
+
 
 def stage(mult: int) -> None:
     d = os.path.join(OUT, f"x{mult}")
     os.makedirs(d, exist_ok=True)
     con = duckdb.connect()
-    copies = {
-        "documents": """
-            SELECT doc_id + {s} AS doc_id,
-                   CASE WHEN {k} = 0 THEN text
-                        ELSE text || ' copy{k}' END AS text,
-                   lang, source,
-                   n_chars + CASE WHEN {k} = 0 THEN 0 ELSE 6 END AS n_chars
-            FROM read_parquet('{base}/documents.parquet')""",
-        "embeddings": """
-            SELECT vec_id + {s} AS vec_id,
-                   CASE WHEN {k} = 0 THEN embedding
-                        ELSE list_prepend(embedding[1] + {k} * 1e-4,
-                                          embedding[2:]) END AS embedding,
-                   label
-            FROM read_parquet('{base}/embeddings.parquet')""",
-        "events": """
-            SELECT event_id + {s} AS event_id, ts,
-                   user_id + {s} AS user_id, event_type, value, props
-            FROM read_parquet('{base}/events.parquet')""",
-    }
-    for t, sql in copies.items():
-        parts = " UNION ALL ".join(
-            sql.format(base=BASE, k=k, s=k * SHIFT) for k in range(mult))
-        con.execute(
-            f"COPY ({parts}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    for t, sql in (("documents", DOCS), ("embeddings", EMB),
+                   ("events", EVENTS)):
+        q = sql.format(base=BASE, mult=mult, s=SHIFT)
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
     for t in TABLES:
         link = os.path.join(d, f"{t}.parquet")
         if not os.path.exists(link):

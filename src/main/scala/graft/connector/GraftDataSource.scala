@@ -271,11 +271,34 @@ private[connector] class GraftTable(base: String, pin: Snapshots.Pin,
                                     displayName: Option[String] = None,
                                     props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with TruncatableTable {
+    with TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private[connector] def tableBase: String = base
   private[connector] def tablePin: Snapshots.Pin = pin
   override def name(): String = displayName.getOrElse(s"graft.`$base`")
   override def schema(): StructType = tableSchema
+
+  /** Row lineage surfaced the idiomatic DSv2 way: on a lineage-enabled
+    * table, `SELECT _row_id, ... FROM cat.ns.t` resolves `_row_id` as a
+    * METADATA COLUMN (like Spark's own `_metadata`) — absent from the
+    * table schema, never in `SELECT *`, materialized only when
+    * referenced. The scan route recognizes the name in its pruned schema
+    * and reads through [[Snapshots.scanPinned]]'s lineage decoration, so
+    * SQL sees exactly what [[Snapshots.readLineage]] serves (physical
+    * ids in rewritten files, first+position elsewhere). Pin-aware: time
+    * travel reads that era's ids.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (Snapshots.rowLineageEnabled(base))
+      Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = Snapshots.RowIdCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "durable row-lineage id (enableRowLineage)"
+      })
+    else Array.empty
   override def properties(): java.util.Map[String, String] = {
     import scala.jdk.CollectionConverters._
     props.asJava
@@ -704,7 +727,10 @@ private[connector] class GraftRelation(context: SQLContext, base: String,
     // what reaches parquet's row-group stats. Spark ALSO re-applies the
     // residual above the scan, so a translation gap here is only lost
     // skipping.
-    val scan = Snapshots.scanPinned(spark, base, pin, pruneFilters = filters.toSeq)
+    // `_row_id` in the pruned schema = the metadata column was referenced
+    // (GraftTable.metadataColumns): read with lineage decoration.
+    val scan = Snapshots.scanPinned(spark, base, pin, pruneFilters = filters.toSeq,
+      withRowIds = required.fieldNames.contains(Snapshots.RowIdCol))
     val cond = filters.flatMap(GraftRelation.filterColumn).reduceOption(_ && _)
     val filtered = cond.map(scan.filter).getOrElse(scan)
     filtered.select(required.fieldNames.map(n => col(GraftRelation.quote(n))).toSeq: _*).rdd

@@ -239,6 +239,28 @@ private[connector] class GraftProcedures(resolve: String => String,
         Seq(Snapshots.collectStats(spark, table(r), r.getBoolean(1)))
     },
 
+    new Proc("enable_row_lineage", "opt the table into durable row ids " +
+        "(_row_id, Iceberg v3's row-lineage model): existing live files " +
+        "backfill METADATA id ranges (footer reads only, no data pass), " +
+        "appends assign at commit time, rewrites carry ids physically; " +
+        "read ids via the _row_id metadata column (SELECT _row_id, ... - " +
+        "never in SELECT *) or the Scala readLineage/changeFeed surface",
+      Seq(tableParam),
+      out("files_assigned" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.enableRowLineage(table(r)))
+    },
+
+    new Proc("backfill_row_ids", "assign row-id ranges to live files that " +
+        "have neither a physical _row_id column nor a metadata assignment " +
+        "- the repair for a write that raced enable_row_lineage (such " +
+        "rows read _row_id NULL until repaired); idempotent, metadata-only",
+      Seq(tableParam),
+      out("files_assigned" -> LongType)) {
+      override def exec(r: InternalRow): Seq[Any] =
+        Seq(Snapshots.backfillRowIds(table(r)))
+    },
+
     new Proc("convert_eq_deletes", "fold every outstanding equality " +
         "delete into one deletion vector (no data file rewritten): after " +
         "a stream of eq-upserts, readers pay one coordinate anti join " +

@@ -2496,10 +2496,10 @@ object Snapshots {
     * order so assignment is deterministic given deterministic input.
     * Orphan entries for files whose publish later loses its CAS are
     * harmless dead keys (same stance as burned identity gaps). */
-  private def assignRowIdRanges(base: String, files: Seq[String]): Unit = {
+  private def assignRowIdRanges(base: String, files: Seq[String]): Long = {
     val metas = files.sorted.map(f => (relKey(f), footerRows(f)))
       .collect { case (k, (rows, hasRid)) if !hasRid && rows > 0 => (k, rows) }
-    if (metas.isEmpty) return
+    if (metas.isEmpty) return 0L
     var next = claimIdentityRange(base, RowIdCol, metas.map(_._2).sum)
     val sb = new StringBuilder
     metas.foreach { case (k, rows) =>
@@ -2508,6 +2508,7 @@ object Snapshots {
     }
     writeStringNew(fsFor(base), new Path(rowIdsDir(base),
       s"a_${java.util.UUID.randomUUID().toString.take(8)}.tsv"), sb.toString)
+    metas.size.toLong
   }
 
   /** relKey → first_row_id for every metadata-assigned file. Driver IO
@@ -2561,7 +2562,7 @@ object Snapshots {
     * data write in flight while lineage turns on (files written before
     * the marker, published after this backfill) gets no assignment;
     * its rows read `_row_id` NULL until [[backfillRowIds]] repairs. */
-  def enableRowLineage(base: String): Unit = {
+  def enableRowLineage(base: String): Long = {
     val vs = versions(base)
     if (vs.nonEmpty) {
       val m = readManifest(base, vs.max)
@@ -2583,10 +2584,10 @@ object Snapshots {
     * `_row_id` column nor a metadata assignment — the enable-time
     * backfill, and the repair for a write that raced enablement.
     * Idempotent; metadata-only (footer reads, one sidecar write). */
-  def backfillRowIds(base: String): Unit = {
+  def backfillRowIds(base: String): Long = {
     require(rowLineageEnabled(base), s"row lineage not enabled on $base")
     val vs = versions(base)
-    if (vs.isEmpty) return
+    if (vs.isEmpty) return 0L
     val have = lineageFirsts(base).keySet
     assignRowIdRanges(base,
       readManifest(base, vs.max).files.filterNot(f => have(relKey(f))))

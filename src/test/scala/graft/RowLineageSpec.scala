@@ -11,6 +11,18 @@ import graft.ingest.Snapshots
   */
 class RowLineageSpec extends SparkSuite {
 
+  private lazy val cat: String = {
+    val wh = tmpDir("graft_rl_wh")
+    spark.conf.set("spark.sql.catalog.rl", "graft.connector.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl.d")
+    "rl"
+  }
+
+  private def catTableBase(name: String): String =
+    new java.io.File(new java.io.File(
+      spark.conf.get("spark.sql.catalog.rl.warehouse"), "d"), name).toString
+
   private def idsByKey(base: String): Map[Long, Long] =
     Snapshots.readLineage(spark, base).select("id", "_row_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -121,13 +133,9 @@ class RowLineageSpec extends SparkSuite {
   }
 
   test("SQL UPDATE keeps the row's id; the change feed pairs the halves by it") {
-    val wh = tmpDir("graft_rl_wh")
-    spark.conf.set("spark.sql.catalog.rl", "graft.connector.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.rl.warehouse", wh)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl.d")
-    spark.sql("DROP TABLE IF EXISTS rl.d.t1")
-    spark.sql("CREATE TABLE rl.d.t1 AS SELECT id, id * 10 AS v FROM range(12)")
-    val base = new java.io.File(new java.io.File(wh, "d"), "t1").toString
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.t1")
+    spark.sql(s"CREATE TABLE $cat.d.t1 AS SELECT id, id * 10 AS v FROM range(12)")
+    val base = catTableBase("t1")
     Snapshots.enableRowLineage(base)
     val before = idsByKey(base)
     val v0 = Snapshots.versions(base).max
@@ -145,10 +153,9 @@ class RowLineageSpec extends SparkSuite {
   }
 
   test("SQL MERGE: update legs keep ids, insert legs mint fresh ones") {
-    val wh = spark.conf.get("spark.sql.catalog.rl.warehouse")
-    spark.sql("DROP TABLE IF EXISTS rl.d.t2")
-    spark.sql("CREATE TABLE rl.d.t2 AS SELECT id, id * 10 AS v FROM range(10)")
-    val base = new java.io.File(new java.io.File(wh, "d"), "t2").toString
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.t2")
+    spark.sql(s"CREATE TABLE $cat.d.t2 AS SELECT id, id * 10 AS v FROM range(10)")
+    val base = catTableBase("t2")
     Snapshots.enableRowLineage(base)
     val before = idsByKey(base)
     spark.range(5, 15).select(col("id"), lit(-1L).as("v"))
@@ -178,5 +185,34 @@ class RowLineageSpec extends SparkSuite {
     assert((before.keySet -- Set(3L, 4L)).forall(k => after(k) === before(k)))
     // uniqueness holds: the old copies' ids retired with the hidden rows
     assert(after.values.toSeq.distinct.length === after.size)
+  }
+
+  test("SQL surfaces _row_id as a DSv2 metadata column, never in SELECT *") {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.t3")
+    spark.sql(s"CREATE TABLE $cat.d.t3 AS SELECT id, id * 10 AS v FROM range(8)")
+    val base = catTableBase("t3")
+    // pure-SQL enablement via the stored procedure
+    val assigned = spark.sql(
+      s"CALL $cat.system.enable_row_lineage(table => 'd.t3')")
+      .collect().head.getLong(0)
+    assert(assigned >= 1L)
+    assert(spark.sql(s"CALL $cat.system.backfill_row_ids(table => 'd.t3')")
+      .collect().head.getLong(0) === 0L) // idempotent: nothing left
+    // metadata column, not schema: SELECT * stays clean
+    assert(spark.table(s"$cat.d.t3").columns.toSeq === Seq("id", "v"))
+    val got = spark.sql(s"SELECT id, _row_id FROM $cat.d.t3").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === idsByKey(base))
+    // same read path after compaction (physical ids) — SQL still matches
+    Snapshots.compact(spark, base, numFiles = 1)
+    assert(spark.sql(s"SELECT id, _row_id FROM $cat.d.t3").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === got)
+    // on a non-lineage table the name does not resolve at all
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.t4")
+    spark.sql(s"CREATE TABLE $cat.d.t4 AS SELECT id FROM range(3)")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT _row_id FROM $cat.d.t4").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("_row_id"))
   }
 }
