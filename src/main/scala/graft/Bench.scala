@@ -216,7 +216,14 @@ object Bench {
     def withRetest(rs: Seq[(String, Double)]): Seq[(String, Double)] =
       rs.map { case (name, t) =>
         prev.get(name) match {
-          case Some(p) if p >= 0.3 && t > 0 && t / p >= 1.5 =>
+          // Two retest triggers: the ratio trigger over a meaningful prior
+          // (>=0.3s, >=1.5x), AND an absolute-cost trigger (now >= 1.0s at
+          // >=3x) regardless of how small the prior was — round 12 let
+          // 0.16s->10.2s (59x) pass unretested because the prior sat under
+          // the 0.3s floor. A sub-second prior says nothing about how big
+          // the NEW number is allowed to be.
+          case Some(p) if t > 0 && p > 0 &&
+              ((p >= 0.3 && t / p >= 1.5) || (t >= 1.0 && t / p >= 3.0)) =>
             System.err.println(f"BENCH RETEST $name: ${t}%.3f vs prev ${p}%.3f")
             val t2 = timeQuery(name, SparkEntry.queries(name), 3)
             retested(name) = (t, t2, loadNow)
@@ -254,14 +261,25 @@ object Bench {
     // survive contention is still visible there and in the FULL deltas.
     val loadAtFlag = loadNow
     val loadCap = sys.env.get("SPARK_GRAFT_BENCH_LOADCAP").map(_.toDouble).getOrElse(2.2)
-    val flaggedEntries = deltaMap(results)
-      .collect { case (k, _, p, r) if r >= 1.5 && p >= 0.3 => s"\"$k\":" + fmt(r) }
-    val contended = loadAtFlag > loadCap
-    val regressed =
-      (if (contended) Nil else flaggedEntries).mkString("{", ",", "}")
+    // Flag on the ratio trigger OR the absolute-cost trigger (mirrors the
+    // retest gate above — a blowup past 1s at >=3x is a flag no matter how
+    // small the prior was).
+    val flaggedPairs = deltaMap(results)
+      .collect { case (k, now, p, r)
+        if (r >= 1.5 && p >= 0.3) || (now >= 1.0 && r >= 3.0) =>
+          (k, s"\"$k\":" + fmt(r)) }
+    // Per-entry load suppression: each flag is judged against the WORST
+    // load observed for it (its own retest sample if one ran, else the
+    // flag-time sample) — one global end-of-run load gate could suppress
+    // flags taken on an idle box hours earlier, or pass flags whose retest
+    // ran under a spike the summary-time sample missed.
+    def loadFor(k: String): Double =
+      retested.get(k).map(_._3).fold(loadAtFlag)(math.max(_, loadAtFlag))
+    val (suppressed, kept) = flaggedPairs.partition { case (k, _) => loadFor(k) > loadCap }
+    val regressed = kept.map(_._2).mkString("{", ",", "}")
     val suppressedKv =
-      if (contended && flaggedEntries.nonEmpty)
-        ",\"suppressed_by_load\":" + flaggedEntries.mkString("{", ",", "}")
+      if (suppressed.nonEmpty)
+        ",\"suppressed_by_load\":" + suppressed.map(_._2).mkString("{", ",", "}")
       else ""
     // Full-registry record as a FILE artifact: the one-line summary below
     // must fit a bounded log tail, but a file has no such limit — so time

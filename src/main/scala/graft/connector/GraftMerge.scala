@@ -338,9 +338,13 @@ private[connector] object GraftRowLevel {
     // row tracking's preserved-on-update rule); insert legs carry NULL
     // and applyRowChanges fills them from a claimed range.
     val ridCol = Snapshots.RowIdCol
-    val hasRid = t0.columns.contains(ridCol)
+    // Gate on ENABLEMENT, not column name: a non-lineage table may carry
+    // a legitimate user column named `_row_id` (commit only reserves the
+    // name when lineage is on) — treating it as the lineage column would
+    // drop it from dataCols and fail checkDrift on every MERGE.
+    val hasRid = Snapshots.rowLineageEnabled(base) && t0.columns.contains(ridCol)
     val dataCols = t0.columns
-      .filterNot(c => c == fileCol || c == posCol || c == ridCol).toSeq
+      .filterNot(c => c == fileCol || c == posCol || (hasRid && c == ridCol)).toSeq
     GraftRowLevel.checkDrift(t0, dataCols, tOut)
 
     val tAliased = t0.select(
@@ -549,9 +553,11 @@ private[connector] object GraftRowLevel {
     // lineage: updated rows KEEP their `_row_id` — the id rides the scan
     // beside the coordinates and passes through the assignment select
     val ridCol = Snapshots.RowIdCol
-    val hasRid = t0.columns.contains(ridCol)
+    // Same enablement gate as runMerge: a user `_row_id` data column on a
+    // non-lineage table must stay in dataCols.
+    val hasRid = Snapshots.rowLineageEnabled(base) && t0.columns.contains(ridCol)
     val dataCols = t0.columns
-      .filterNot(c => c == fileCol || c == posCol || c == ridCol).toSeq
+      .filterNot(c => c == fileCol || c == posCol || (hasRid && c == ridCol)).toSeq
     checkDrift(t0, dataCols, tOut)
     val tNames = tOut.indices.map(i => s"__t_$i")
     val mapping = (tOut.map(_.exprId) zip tNames).toMap

@@ -1280,6 +1280,14 @@ object Snapshots {
     val parentM = if (vs0.isEmpty) None else Some(readManifest(base, vs0.max))
     val parentSchema = parentM.flatMap(_.schema)
     val parentLast = parentM.map(mintFloor(base, _)).getOrElse(0L)
+    // Mirror commit's reserved-name refusal: an RTAS whose SELECT emits
+    // `_row_id` onto a lineage-enabled REPLACE target would write it as a
+    // physical column, making user-supplied values authoritative lineage
+    // ids (assignRowIdRanges skips files whose footer carries the name) —
+    // colliding with ledger-assigned ids.
+    require(!(df.columns.contains(RowIdCol) && rowLineageEnabled(base)),
+      s"column $RowIdCol is reserved on a row-lineage table - ids are " +
+        "engine-assigned; drop the column (readLineage surfaces it)")
     val (toWrite, tableSchema, newLast) = withFieldIds(df, parentSchema,
       keepParentFields = false, parentLastId = parentLast)
     val files = writeBatch(toWrite, base, sortCols, checkNewData = true)
@@ -1300,10 +1308,10 @@ object Snapshots {
     */
   private[graft] def publishStaged(sw: StagedWrite, create: Boolean): Long = {
     val mode = if (create) "rtas-create" else "replace-table"
-    // Staged (CTAS/RTAS) files are written by the V2 writer, not
-    // writeBatch — assign lineage ranges here for a lineage-enabled
-    // REPLACE target (a staged CREATE's table can't be enabled yet).
-    if (rowLineageEnabled(sw.base)) assignRowIdRanges(sw.base, sw.files)
+    // Lineage ranges were already assigned by writeBatch (stageWrite
+    // writes through it) — a second assignRowIdRanges here would give
+    // each staged file two conflicting sidecar entries, leaving the
+    // served `_row_id` values to directory-listing order.
     publish(sw.base, sw.files, Nil, mode,
       parent => {
         if (create && parent != 0)
@@ -2646,15 +2654,21 @@ object Snapshots {
     val aligned = inserts.map { ins =>
       // Lineage carrier contract: inserts MAY carry `_row_id` (update
       // legs keep their row's id; insert legs carry NULL and fill from a
-      // claimed range below). Without lineage the name is refused — a
-      // reserved column reaching the write path is a caller bug.
-      val hasRid = ins.columns.contains(RowIdCol)
+      // claimed range below). When the TABLE SCHEMA itself has a
+      // `_row_id` field it is a legitimate user data column (only
+      // possible on non-lineage tables — enablement refuses the name),
+      // so it flows as data, not as a carrier. Otherwise, without
+      // lineage the name is refused — a reserved column reaching the
+      // write path is a caller bug.
+      val schemaHasRid = m.schema.exists(_.fieldNames.contains(RowIdCol))
+      val hasRid = !schemaHasRid && ins.columns.contains(RowIdCol)
       require(lineage || !hasRid,
         s"row-change inserts carry reserved column $RowIdCol but row " +
           s"lineage is not enabled on $base")
       m.schema match {
         case Some(s) =>
-          require(ins.columns.filterNot(_ == RowIdCol).toSet == s.fieldNames.toSet,
+          require(ins.columns.filterNot(c => hasRid && c == RowIdCol).toSet
+              == s.fieldNames.toSet,
             s"row-change inserts (${ins.columns.mkString(",")}) must match " +
               s"the table schema (${s.fieldNames.mkString(",")})")
           // carrier-mode generators: a merge's update rows carry their

@@ -306,4 +306,33 @@ class MergeSqlSpec extends SparkSuite {
   private def tableBase(name: String): String =
     new java.io.File(new java.io.File(
       spark.conf.get("spark.sql.catalog.gm.warehouse"), "d"), name).toString
+
+  test("a user _row_id DATA column on a non-lineage table survives UPDATE and MERGE") {
+    // `_row_id` is only reserved once lineage is ENABLED — on a plain
+    // table it is a legal user column, and the merge path must treat it
+    // as data (r12 keyed on the name alone, dropping it from dataCols
+    // and failing every UPDATE/MERGE with a bogus schema-drift error).
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.urid")
+    spark.sql(s"CREATE TABLE $cat.d.urid AS " +
+      "SELECT id, id * 10 AS v, id + 500 AS _row_id FROM range(6)")
+    spark.sql(s"UPDATE $cat.d.urid SET v = -1 WHERE id = 2")
+    val afterUpdate = spark.table(s"$cat.d.urid")
+      .select("id", "v", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterUpdate.contains((2L, -1L, 502L)))
+    assert(afterUpdate.size === 6)
+    spark.range(4, 8).selectExpr("id", "id AS v", "id + 900 AS _row_id")
+      .createOrReplaceTempView("urid_src")
+    spark.sql(
+      s"""MERGE INTO $cat.d.urid AS t USING urid_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, _row_id = s._row_id
+         |WHEN NOT MATCHED THEN INSERT (id, v, _row_id) VALUES (s.id, s.v, s._row_id)
+         |""".stripMargin)
+    val after = spark.table(s"$cat.d.urid")
+      .select("id", "v", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after.size === 8)
+    assert(after.contains((5L, 5L, 905L)))  // matched: user column assignable
+    assert(after.contains((7L, 7L, 907L)))  // inserted: user column carried
+  }
 }

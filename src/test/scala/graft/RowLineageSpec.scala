@@ -215,4 +215,48 @@ class RowLineageSpec extends SparkSuite {
     }
     assert(e.getMessage.toLowerCase.contains("_row_id"))
   }
+
+  /** Every relKey's occurrence count across the `_rowids/a_*.tsv`
+    * sidecars — a file with two entries has NONDETERMINISTIC ids (the
+    * reader's .toMap picks a winner by listing order). */
+  private def sidecarEntryCounts(base: String): Map[String, Int] = {
+    val dir = new java.io.File(base, "_rowids")
+    if (!dir.isDirectory) Map.empty
+    else dir.listFiles().filter(_.getName.startsWith("a_")).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()
+        .filter(_.nonEmpty).map(_.split("\t", 3)(0)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  test("RTAS over a lineage table assigns each staged file exactly ONE id range") {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.rt1")
+    spark.sql(s"CREATE TABLE $cat.d.rt1 AS SELECT id, id * 10 AS v FROM range(6)")
+    val base = catTableBase("rt1")
+    Snapshots.enableRowLineage(base)
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.d.rt1 AS " +
+      "SELECT id, id * 100 AS v FROM range(20)")
+    // the replaced content resolves fresh, unique, deterministic ids
+    val ids = Snapshots.readLineage(spark, base)
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length === 20 && ids.distinct.length === 20)
+    // no staged file carries two sidecar entries (the r12 double-assign:
+    // writeBatch AND publishStaged both ranged the same files)
+    val dup = sidecarEntryCounts(base).filter(_._2 > 1)
+    assert(dup.isEmpty, s"files with conflicting id assignments: $dup")
+  }
+
+  test("RTAS emitting _row_id onto a lineage table is refused at stage time") {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.d.rt2")
+    spark.sql(s"CREATE TABLE $cat.d.rt2 AS SELECT id, id * 10 AS v FROM range(4)")
+    val base = catTableBase("rt2")
+    Snapshots.enableRowLineage(base)
+    val before = idsByKey(base)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.d.rt2 AS " +
+        "SELECT id, id AS v, id + 1000 AS _row_id FROM range(4)")
+    }
+    assert(e.getMessage.contains("_row_id"))
+    // the refused stage never published: table content and ids untouched
+    assert(idsByKey(base) === before)
+  }
 }
