@@ -607,15 +607,19 @@ object Dedup {
         "vec_id", "embedding", 0.45, numTiles = 4)
     },
     "d8_semantic_dedup" -> { (s, d) =>
-      // SemDeDup-style keep-list: connected components over the EXACT
-      // cosine near-dup pairs (d5's kernel, same threshold), each
-      // component keeping its lowest vec_id. The decision layer on top of
-      // pairwise hits — what a pipeline actually executes to drop
-      // semantic duplicates. Same pointer-jumping loop as d6 (bounded
-      // rounds, edge-incident rows only); at 100 TB the pair source
-      // swaps to the ANN-pruned candidates, the decision is unchanged.
-      val pairs = VecOps.cosinePairsTiled(s, Tables.table(s, d, "embeddings"),
-          "vec_id", "embedding", 0.45, numTiles = 4)
+      // SemDeDup keep-list, the algorithm as published: cluster the
+      // corpus (ceil(sqrt(n)) deterministic cells — production trains
+      // k-means on a sample, same plan shape), score pairs ONLY within a
+      // cell, connected components over the hits, keep each component's
+      // lowest vec_id. Pair generation is n^1.5·d (cell-pruned,
+      // VecOps.cellCosinePairs) instead of the exact kernel's n²·d — the
+      // subquadratic form that survives 100 TB; the exact global variant
+      // remains d5/d9's contract. The DuckDB oracle replays the identical
+      // cell assignment + within-cell pairs, so the pruned semantics is
+      // hash-checked, not approximated. Same pointer-jumping CC loop as
+      // d6 (bounded rounds, edge-incident rows only).
+      val pairs = VecOps.cellCosinePairs(s, Tables.table(s, d, "embeddings"),
+          "vec_id", "embedding", 0.45)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       labelComponents(s, pairs,
           Tables.table(s, d, "embeddings").select(col("vec_id")))
@@ -748,15 +752,31 @@ object Dedup {
     // d9 runs the same exact kernel through the shuffle form — one shared
     // oracle string so the two can never drift apart.
     "d9_neardup_shuffle_kernel" -> ExactCosinePairsOracle,
-    // d8: d5's exact cosine pairs fed through the same reachability CTE
-    // as d6 — min-of-component labels, keep = label owner.
+    // d8: the SAME sqrt-celled SemDeDup pruning as the Spark side —
+    // nearest-of-ceil(sqrt(n)) deterministic centroids (unrounded-cos
+    // rank, ties to the lower centroid id), exact cosine >= 0.45 within
+    // a cell only — fed through the d6 reachability CTE. Min-of-component
+    // labels, keep = label owner.
     "d8_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
         |  FROM embeddings),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
+        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.vec_id AS cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (v.norm * c.norm) DESC, c.vec_id) AS rn
+        |    FROM e v CROSS JOIN cents c)
+        |  WHERE rn = 1),
         |pairs AS (
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  FROM e a JOIN asg ia ON ia.vec_id = a.vec_id
+        |       JOIN asg ib ON ib.cell = ia.cell
+        |       JOIN e b ON b.vec_id = ib.vec_id AND a.vec_id < b.vec_id
         |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         |      / (a.norm * b.norm), 4) >= 0.45),

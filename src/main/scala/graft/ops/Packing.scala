@@ -337,28 +337,18 @@ object Packing {
         .select(col("anchor"), col("pos_id"), col("neg_id"), col("cos"))
     },
     "pair2_hard_negatives" -> { (s, d) =>
-      // Hard-negative mining: for each anchor, the MOST-similar vector
-      // that is still not a duplicate — cosine in [0.15, 0.45), top-1 per
-      // anchor — the negatives that actually move a contrastive loss
-      // (pair1's LCG negatives are easy/random; hard negatives come from
-      // the similarity band just below the positive threshold). Pairs
-      // from the same bounded-memory tiled kernel as d5/pair1;
-      // symmetrized so both endpoints anchor; per-anchor top-1 via the
-      // rank-1 window (auto-rewritten to the bounded-heap TopKPerKey
-      // operator — no per-anchor sort buffer). At 100 TB the band pair
-      // source swaps to the ANN-pruned candidates like d5; the decision
-      // layer is unchanged.
-      val emb = Tables.table(s, d, "embeddings")
-      val band = VecOps.cosinePairsTiled(s, emb, "vec_id", "embedding", 0.15,
-          numTiles = 4)
-        .filter(col("cos") < 0.45)
-      val cand = band.select(col("vec_a").as("anchor"), col("vec_b").as("neg_id"), col("cos"))
-        .unionAll(band.select(col("vec_b").as("anchor"), col("vec_a").as("neg_id"), col("cos")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("anchor")).orderBy(col("cos").desc, col("neg_id"))
-      cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("anchor"), col("neg_id"), col("cos").as("neg_cos"))
+      // Hard-negative mining, the way production miners run it (DPR/ANCE
+      // shape): each anchor retrieves from an ANN structure — here its 4
+      // nearest of ceil(sqrt(n)) deterministic cells — and keeps the
+      // top-scoring candidate in the cosine band [0.15, 0.45), the
+      // negatives that actually move a contrastive loss. Cell-probed
+      // candidates cost ~4·n^1.5·d and shuffle 5n vector rows, vs the
+      // r12 form's n²·d exact band sweep whose INTERMEDIATE was ~12% of
+      // all pairs (quadratic rows through a window). The pruning is
+      // fully deterministic and the DuckDB oracle replays it, so the
+      // query stays hash-checked under the mined-negatives contract.
+      VecOps.cellBandTop1(s, Tables.table(s, d, "embeddings"),
+        "vec_id", "embedding", 0.15, 0.45, probes = 4)
     },
     "vocab1_oov_rate" -> { (s, d) =>
       // Vocabulary coverage: vocab = the VocabSize highest-df terms
@@ -569,31 +559,41 @@ object Packing {
         |FROM pos, n
         |WHERE (anchor * 48271 + 11) % n_vec <> anchor
         |  AND (anchor * 48271 + 11) % n_vec <> pos_id""".stripMargin,
-    // Same dot/norm/round arithmetic as pair1's CTE, banded to
-    // [0.15, 0.45), symmetrized, rank-1 per anchor.
+    // The SAME sqrt-celled multi-probe pruning as the Spark side:
+    // rank cells per vector by unrounded cos (ties to the lower centroid
+    // id); rank 1 = the vector's home cell, ranks <= 4 = its probe list;
+    // candidates = members of probed cells; HALF_UP-rounded band filter
+    // and rank-1 per anchor, exactly VecOps.cellBandTop1.
     "pair2_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
         |  FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
+        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
+        |rnk AS (
+        |  SELECT v.vec_id, c.vec_id AS cell,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |        / (v.norm * c.norm) DESC, c.vec_id) AS rn
+        |  FROM e v CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM rnk WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.vec_id AS anchor, m2.vec_id AS neg_id,
         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (a.norm * b.norm), 4) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (a.norm * b.norm), 4) >= 0.15
-        |    AND round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |      / (a.norm * b.norm), 4) < 0.45),
-        |c AS (SELECT vec_a AS anchor, vec_b AS neg_id, cos FROM p
-        |      UNION ALL SELECT vec_b, vec_a, cos FROM p)
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(m2.embedding[i] AS DOUBLE)))
+        |      / (a.norm * m2.norm), 4) AS cos
+        |  FROM probes p
+        |  JOIN asg ma ON ma.cell = p.cell
+        |  JOIN e a ON a.vec_id = p.vec_id
+        |  JOIN e m2 ON m2.vec_id = ma.vec_id
+        |  WHERE m2.vec_id <> p.vec_id)
         |SELECT anchor, neg_id, cos AS neg_cos
         |FROM (SELECT anchor, neg_id, cos,
         |        row_number() OVER (PARTITION BY anchor
         |                           ORDER BY cos DESC, neg_id) AS rn
-        |      FROM c)
+        |      FROM cand WHERE cos >= 0.15 AND cos < 0.45)
         |WHERE rn = 1""".stripMargin,
     "vocab1_oov_rate" ->
       s"""WITH toks AS (

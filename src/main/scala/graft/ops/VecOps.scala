@@ -126,18 +126,24 @@ object VecOps {
       }
     val aSide = base.flatMap { case (id, emb, n, t) =>
       (t until numTiles).map(j => (t * numTiles + j, id, emb, n))
-    }.toDF("block", "id_a", "emb_a", "norm_a")
+    }
     val bSide = base.flatMap { case (id, emb, n, u) =>
       (0 to u).map(i => (i * numTiles + u, id, emb, n))
-    }.toDF("block", "id_b", "emb_b", "norm_b")
-    aSide.join(bSide, "block")
-      .select(col("id_a"), col("emb_a"), col("norm_a"),
-        col("id_b"), col("emb_b"), col("norm_b"))
-      .as[(Long, Array[Float], Double, Long, Array[Float], Double)]
-      .mapPartitions { it =>
-        it.flatMap { case (ia, ea, na, ib, eb, nb) =>
-          if (ia >= ib && java.lang.Math.floorMod(ia, numTiles.toLong) ==
-              java.lang.Math.floorMod(ib, numTiles.toLong)) Iterator.empty
+    }
+    // Cogroup, not join: a pair-block join would MATERIALIZE n²/2 wide
+    // (emb_a, emb_b) rows through the join output before scoring —
+    // measured quadratic-slow from row traffic alone. Here the B tile
+    // buffers once per block (the same ~n/numTiles-vector residency the
+    // broadcast kernel holds, sized by numTiles) while the A side
+    // STREAMS through the tight loop, so nothing wider than the final
+    // (vec_a, vec_b, cos) hits a row. The sort-based cogroup shuffle
+    // spills to disk; only the buffered tile must fit memory.
+    aSide.groupByKey(_._1).cogroup(bSide.groupByKey(_._1)) { (block, aIt, bIt) =>
+      val tile = bIt.map { case (_, id, emb, n) => (id, emb, n) }.toArray
+      val sameTile = block / numTiles == block % numTiles
+      aIt.flatMap { case (_, ia, ea, na) =>
+        tile.iterator.flatMap { case (ib, eb, nb) =>
+          if (sameTile && ia >= ib) Iterator.empty
           else {
             val c = round4(dotD(ea, eb) / (na * nb))
             if (c >= threshold)
@@ -145,7 +151,124 @@ object VecOps {
             else Iterator.empty
           }
         }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** Deterministic sqrt-scaled IVF cell count: C = ceil(sqrt(n)). Scaling
+    * the cell count with the corpus is what makes cell-pruned kernels
+    * subquadratic — assignment costs n·C·d and within-cell scoring
+    * n·(n/C)·d, both n^1.5·d when C ~ sqrt(n), vs the exact kernels'
+    * n²·d. SQL-expressible (ceil(sqrt(count(*)))) so the DuckDB oracle
+    * reproduces the exact same pruning.
+    */
+  def sqrtCells(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Deterministic centroids: the C lowest-id vectors, sorted by id (the
+    * [[graft.ops.AnnIndex]] one-shot quantizer discipline — production
+    * swaps in k-means iterates trained on a sample; the plan shape and
+    * the determinism contract are identical).
+    */
+  def centroids(s: SparkSession, df: DataFrame, idCol: String, embCol: String,
+                c: Int): Array[Vec] =
+    vectors(s, df.filter(col(idCol) <
+      org.apache.spark.sql.functions.lit(c.toLong)), idCol, embCol).sortBy(_.id)
+
+  /** Rank of every (vector, centroid) pair by descending cosine then
+    * centroid id — rank 1 is [[AnnIndex.nearestCell]]'s assignment, ranks
+    * <= p are the multi-probe list. Raw-double compare, same sequential
+    * fold as the oracle's list_sum, so the ranking is engine-identical.
+    */
+  private def probeCells(emb: Array[Float], n: Double, cents: Array[Vec],
+                         p: Int): Array[Long] =
+    cents.map(ct => (ct.id, dotD(emb, ct.emb) / (n * ct.norm)))
+      .sortBy { case (id, c) => (-c, id) }.take(p).map(_._1)
+
+  /** SemDeDup-style cell-pruned cosine pairs: vectors assign to their
+    * nearest of ceil(sqrt(n)) deterministic centroids, and ONLY same-cell
+    * pairs score through the exact kernel (the published SemDeDup shape —
+    * k-means cluster, then pairwise within the cluster). Compute is
+    * n^1.5·d instead of n²·d; the shuffle carries n vector rows keyed by
+    * cell; per-task memory is one cell (~sqrt(n) vectors). Emitted pairs
+    * are exact cosines min-id-first — a deterministic SUBSET of the
+    * exact kernel's pairs, reproduced verbatim by the DuckDB oracle.
+    */
+  def cellCosinePairs(s: SparkSession, df: DataFrame, idCol: String,
+                      embCol: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val c = sqrtCells(df.count())
+    val bc = s.sparkContext.broadcast(centroids(s, df, idCol, embCol, c))
+    df.select(col(idCol), col(embCol)).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        (AnnIndex.nearestCell(emb, bc.value), id, emb, normD(emb))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val vs = it.map { case (_, id, emb, n) => (id, emb, n) }
+          .toArray.sortBy(_._1)
+        for {
+          i <- (0 until vs.length).iterator
+          j <- (i + 1 until vs.length).iterator
+          cos = round4(dotD(vs(i)._2, vs(j)._2) / (vs(i)._3 * vs(j)._3))
+          if cos >= threshold
+        } yield (vs(i)._1, vs(j)._1, cos)
       }.toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** ANN-mined hard negatives: for each anchor, the top-scoring vector in
+    * the cosine band [lo, hi) among the members of the anchor's `probes`
+    * nearest cells (the DPR/ANCE mining shape — negatives come from an
+    * ANN index probe, not an exact corpus sweep). Cells and assignment as
+    * [[cellCosinePairs]]; anchors replicate to their probe cells (shuffle
+    * = (probes+1)·n vector rows), each cell's members buffer once
+    * (~sqrt(n) vectors) while its anchors stream through, and only the
+    * per-cell top-1 survives to the final (n-row) global top-1. Fully
+    * deterministic: band filter and ranking on HALF_UP-rounded cosines,
+    * ties to the lower neg_id — the DuckDB oracle replays all of it.
+    */
+  def cellBandTop1(s: SparkSession, df: DataFrame, idCol: String,
+                   embCol: String, lo: Double, hi: Double,
+                   probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    import s.implicits._
+    val c = sqrtCells(df.count())
+    val bc = s.sparkContext.broadcast(centroids(s, df, idCol, embCol, c))
+    val base = df.select(col(idCol), col(embCol)).as[(Long, Array[Float])]
+    val members = base.map { case (id, emb) =>
+      (AnnIndex.nearestCell(emb, bc.value), id, emb, normD(emb))
+    }
+    val anchors = base.flatMap { case (id, emb) =>
+      val n = normD(emb)
+      probeCells(emb, n, bc.value, probes).iterator.map(cell => (cell, id, emb, n))
+    }
+    val partial = members.groupByKey(_._1).cogroup(anchors.groupByKey(_._1)) {
+      (_, mIt, aIt) =>
+        val ms = mIt.map { case (_, id, emb, n) => (id, emb, n) }.toArray
+        aIt.flatMap { case (_, aid, aemb, an) =>
+          var bestId = -1L
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < ms.length) {
+            val (mid, memb, mn) = ms(i)
+            if (mid != aid) {
+              val cos = round4(dotD(aemb, memb) / (an * mn))
+              if (cos >= lo && cos < hi &&
+                  (cos > bestCos || (cos == bestCos && mid < bestId))) {
+                bestCos = cos; bestId = mid
+              }
+            }
+            i += 1
+          }
+          if (bestId >= 0) Iterator.single((aid, bestId, bestCos)) else Iterator.empty
+        }
+    }.toDF("anchor", "neg_id", "cos")
+    // global top-1 over the <= probes-per-anchor partials (rank-1 window,
+    // auto-rewritten to the bounded-heap TopKPerKey operator)
+    val w = Window.partitionBy(col("anchor")).orderBy(col("cos").desc, col("neg_id"))
+    partial.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor"), col("neg_id"), col("cos").as("neg_cos"))
   }
 
   /** Cosine of every (query, base) pair, queries broadcast. */

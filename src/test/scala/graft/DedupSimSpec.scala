@@ -43,6 +43,59 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("cell-pruned cosine pairs = the exact pairs restricted to same-cell (subset, exact scores)") {
+    // The SemDeDup pruning contract: every emitted pair is an exact-kernel
+    // pair whose endpoints share a nearest-centroid cell, and every
+    // same-cell exact pair is emitted — no more, no less, with the same
+    // round4 scores. (The oracle replays this in SQL; here we pin the
+    // Scala kernel against an independent recomputation.)
+    import graft.ops.{AnnIndex, VecOps}
+    val emb = graft.tables.Tables.table(spark, sf, "embeddings")
+    val celled = VecOps.cellCosinePairs(spark, emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = VecOps.cosinePairs(spark, emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(celled.subsetOf(exact), "cell pruning emitted a non-exact pair")
+    val vecs = VecOps.vectors(spark, emb, "vec_id", "embedding")
+    val cents = VecOps.centroids(spark, emb, "vec_id", "embedding",
+      VecOps.sqrtCells(vecs.length.toLong))
+    val cellOf = vecs.map(v => v.id -> AnnIndex.nearestCell(v.emb, cents)).toMap
+    val expected = exact.filter { case (a, b, _) => cellOf(a) == cellOf(b) }
+    assert(celled === expected, "cell pruning disagrees with nearest-cell restriction")
+    assert(celled.nonEmpty, "threshold 0.3 should yield same-cell pairs at this sf")
+  }
+
+  test("cell-probed band top-1 = brute-force top-1 over the probed candidate set") {
+    // pair2's mined-negatives contract: for each anchor, the kernel's
+    // answer equals an independent driver-side recomputation — score all
+    // members of the anchor's 4 nearest cells, band-filter on round4,
+    // rank by (cos desc, id asc) — and anchors whose probed cells hold
+    // no band candidate are absent.
+    import graft.ops.{AnnIndex, VecOps}
+    val emb = graft.tables.Tables.table(spark, sf, "embeddings")
+    val got = VecOps.cellBandTop1(spark, emb, "vec_id", "embedding", 0.15, 0.45, 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = VecOps.vectors(spark, emb, "vec_id", "embedding").sortBy(_.id)
+    val cents = VecOps.centroids(spark, emb, "vec_id", "embedding",
+      VecOps.sqrtCells(vecs.length.toLong))
+    val cellOf = vecs.map(v => v.id -> AnnIndex.nearestCell(v.emb, cents)).toMap
+    def probesOf(v: graft.ops.VecOps.Vec): Set[Long] =
+      cents.map(c => (c.id, VecOps.dotD(v.emb, c.emb) / (v.norm * c.norm)))
+        .sortBy { case (id, c) => (-c, id) }.take(4).map(_._1).toSet
+    val expected = vecs.flatMap { a =>
+      val probed = probesOf(a)
+      val best = vecs.iterator
+        .filter(m => m.id != a.id && probed(cellOf(m.id)))
+        .map(m => (m.id, VecOps.round4(VecOps.dotD(a.emb, m.emb) / (a.norm * m.norm))))
+        .filter { case (_, c) => c >= 0.15 && c < 0.45 }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.headOption
+      best.map(b => a.id -> b)
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, c) => assert(c >= 0.15 && c < 0.45) }
+  }
+
   test("MinHash-LSH ≡ exact Jaccard on generated corpora (property)") {
     // Soundness beyond the fixed testdata: deterministic LCG-generated
     // corpora with planted near-dup pairs at varying mutation rates. The
