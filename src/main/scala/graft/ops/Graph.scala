@@ -219,7 +219,7 @@ object Graph {
         // 3.1s min-of-4 at sf0.1) — with the dm column riding the
         // aggregate there is no per-step scalar job left to amortize,
         // so eager-every-step is the cheaper shape.
-        if (handleDangling || k % 2 == 0 || k == iterations)
+        if (handleDangling || k % 4 == 0 || k == iterations)
           ranks = ranks.localCheckpoint(true)
       }
       ranks.select(col("id"), col("rank"))

@@ -799,7 +799,12 @@ object Sim {
     val table = annLiveDir(s, d)
     val ivf = knnIvfLive(s, table)
     val pq = knnPqLive(s, table)
-    val exact = liveExactHits(s, table)
+    // ONE exact-baseline pass shared across both tiers (the v3b
+    // cached-pool discipline): the brute top-k over the live table is
+    // the gate's dominant cost, and each tier's stats() action would
+    // otherwise recompute the lazy frame — persist the queries×K-row
+    // pool instead of scanning twice.
+    val exact = liveExactHits(s, table).persist()
     // the hidden id set is bounded by outstanding delete traffic — the
     // same metadata-sized collect discipline hiddenRows documents
     val hidIds = Snapshots.hiddenRows(s, table, Seq("vec_id"))
@@ -817,6 +822,7 @@ object Sim {
     }
     val (ivfOk, ivfClean, nq) = stats(ivf, 0.7)
     val (pqOk, pqClean, _) = stats(pq, 0.6)
+    exact.unpersist(blocking = false)
     Seq((nq, ivfOk, ivfClean, pqOk, pqClean)).toDF(
       "n_queries", "ivf_recall_ok", "ivf_no_deleted",
       "pq_recall_ok", "pq_no_deleted")
