@@ -3,7 +3,7 @@ package graft.connector
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -55,7 +55,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (spark.conf.get(ConfKey, "true") != "true") return plan
     plan.transformUp {
       case agg: Aggregate =>
-        scanBaseOf(agg.child).flatMap(rewrite(spark, agg, _)).getOrElse(agg)
+        scanBaseOf(agg.child).flatMap { case (base, cond) =>
+          rewrite(spark, agg, base, cond)
+        }.getOrElse(agg)
     }
   }
 
@@ -68,28 +70,49 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** The source base under the aggregate, when the shape is rewritable:
-    * a latest-pin graft scan with nothing pushed into it (pruning-only
-    * pushed filters keep their residual Filter node in the plan, which
-    * already breaks the direct-child match), optionally under a pure
-    * column-pruning Project.
+    * a latest-pin graft scan, optionally under a pure column-pruning
+    * Project and/or ONE deterministic residual Filter (r13: a WHERE that
+    * references only grouping keys COMMUTES with the view — filter the
+    * view's one-row-per-group rows instead; whether the predicate is
+    * key-only is decided at rewrite time against the registration).
+    * Pushed predicates at the scan are allowed only when that residual
+    * Filter is present: the graft source pushes filters for PRUNING and
+    * always keeps the full predicate as the residual (handledFilters
+    * stays empty — checked — so nothing was dropped from the plan);
+    * with no residual Filter, any pushed state still disqualifies.
     */
-  private def scanBaseOf(p: LogicalPlan): Option[String] = p match {
-    case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftTable] =>
-      val t = r.relation.table.asInstanceOf[GraftTable]
-      val untouched = r.scan match {
-        case w: V1ScanWrapper =>
-          w.handledFilters.isEmpty &&
-            w.pushedDownOperators.aggregation.isEmpty &&
-            w.pushedDownOperators.limit.isEmpty &&
-            w.pushedDownOperators.sample.isEmpty &&
-            w.pushedDownOperators.pushedPredicates.isEmpty
-        case _ => false
+  private def scanBaseOf(p: LogicalPlan): Option[(String, Option[Expression])] = {
+    def strip(p: LogicalPlan,
+              cond: Option[Expression]): Option[(String, Option[Expression])] =
+      p match {
+        case r: DataSourceV2ScanRelation if r.relation.table.isInstanceOf[GraftTable] =>
+          val t = r.relation.table.asInstanceOf[GraftTable]
+          val untouched = r.scan match {
+            case w: V1ScanWrapper =>
+              w.pushedDownOperators.aggregation.isEmpty &&
+                w.pushedDownOperators.limit.isEmpty &&
+                w.pushedDownOperators.sample.isEmpty &&
+                // The graft source's pushFilters returns EVERY filter as
+                // residual (GraftDataSource.pushFilters — pruning-only
+                // pushdown), so handledFilters/pushedPredicates entries
+                // are always duplicated in the residual Filter we
+                // captured; with no captured Filter, any pushed state
+                // means a predicate the plan no longer shows — refuse.
+                (cond.isDefined ||
+                  (w.handledFilters.isEmpty &&
+                    w.pushedDownOperators.pushedPredicates.isEmpty))
+            case _ => false
+          }
+          if (untouched && t.tablePin == Snapshots.Pin.Latest)
+            Some((t.tableBase, cond))
+          else None
+        case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          strip(child, cond)
+        case Filter(c, child) if cond.isEmpty && c.deterministic =>
+          strip(child, Some(c))
+        case _ => None
       }
-      if (untouched && t.tablePin == Snapshots.Pin.Latest) Some(t.tableBase)
-      else None
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      scanBaseOf(child)
-    case _ => None
+    strip(p, None)
   }
 
   private def regsOf(base: String): Seq[Reg] =
@@ -156,14 +179,21 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewrite(spark: SparkSession, agg: Aggregate,
-                      base: String): Option[LogicalPlan] = {
+  private def rewrite(spark: SparkSession, agg: Aggregate, base: String,
+                      cond: Option[Expression]): Option[LogicalPlan] = {
     val regs = regsOf(base)
     if (regs.isEmpty) return None
     val groupNames = agg.groupingExpressions.flatMap(nameOf)
     if (groupNames.size != agg.groupingExpressions.size) return None
     regs.iterator.flatMap { reg =>
-      if (groupNames.toSet != reg.keys.toSet) None
+      // A residual WHERE commutes with the view ONLY when it references
+      // nothing but grouping keys: key-filtering the one-row-per-group
+      // view rows selects exactly the groups the filtered source would
+      // have formed, with identical contents. Any value-column reference
+      // changes group CONTENTS — fall back.
+      val keyOnlyFilter =
+        cond.forall(_.references.forall(a => reg.keys.contains(a.name)))
+      if (groupNames.toSet != reg.keys.toSet || !keyOnlyFilter) None
       else {
         // min/max availability is the view's stored schema — metadata-only
         val hasMinMax =
@@ -172,7 +202,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         val targets = agg.aggregateExpressions
           .map(ne => targetOf(ne, reg.keys.toSet, reg.valCol, hasMinMax))
         if (targets.exists(_.isEmpty) || !fresh(reg.view, base)) None
-        else Some(substitute(spark, agg, reg, targets.map(_.get)))
+        else Some(substitute(spark, agg, reg, targets.map(_.get), cond))
       }
     }.take(1).toSeq.headOption
   }
@@ -184,7 +214,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     * resolves unchanged.
     */
   private def substitute(spark: SparkSession, agg: Aggregate, reg: Reg,
-                         targets: Seq[Target]): LogicalPlan = {
+                         targets: Seq[Target],
+                         cond: Option[Expression]): LogicalPlan = {
     val needed = targets.map {
       case KeyCol(n) => n
       case NRows => "n_rows"
@@ -192,10 +223,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case AvgV => "sum_v"
       case MinV => "min_v"
       case MaxV => "max_v"
-    }.distinct ++ (if (targets.contains(AvgV)) Seq("n_rows") else Nil)
-    val viewPlan = spark.read.format("graft").load(reg.view)
+    }.distinct ++ (if (targets.contains(AvgV)) Seq("n_rows") else Nil) ++
+      // key columns the residual filter needs but the SELECT list doesn't
+      cond.toSeq.flatMap(_.references.toSeq.map(_.name))
+    val viewRead = spark.read.format("graft").load(reg.view)
       .select(needed.distinct.map(org.apache.spark.sql.functions.col): _*)
       .queryExecution.optimizedPlan
+    // the keyed WHERE re-targets the view's one-row-per-group rows: same
+    // predicate, attributes re-bound by name onto the view's key columns
+    val viewPlan = cond.fold(viewRead) { c =>
+      val vByName = viewRead.output.map(a => a.name -> a).toMap
+      Filter(c.transform {
+        case a: AttributeReference => vByName(a.name)
+      }, viewRead)
+    }
     val byName = viewPlan.output.map(a => a.name -> a).toMap
     def cast(e: Expression, dt: DataType): Expression =
       if (e.dataType == dt) e else Cast(e, dt)

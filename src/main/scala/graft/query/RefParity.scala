@@ -220,6 +220,25 @@ object RefParity {
       val fired = bases.contains(mv) && !bases.contains(src)
       agg.withColumn("rewrite_fired", lit(fired))
     },
+    "mv5_rewrite_filtered" -> { (s, d) =>
+      // The most common dashboard shape: the mv4 aggregate UNDER a WHERE
+      // on a grouping key. The keyed residual filter commutes with the
+      // view (filter the one-row-per-group view rows), so the rewrite
+      // still fires — `rewrite_fired` pins the plan substitution into
+      // the hash, and the oracle recomputes the filtered aggregate from
+      // the raw rows, so the substituted answer must be value-exact.
+      val mv = mvDir(s, d)
+      val src = snapshotDir(s, d)
+      graft.ingest.MatView.register(src, mv, Seq("l_orderkey"), "l_quantity")
+      val agg = s.read.format("graft").load(src)
+        .filter(col("l_orderkey") % 3 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_v"))
+      val bases = graft.connector.MvRewriteRule
+        .graftScanBases(agg.queryExecution.optimizedPlan)
+      val fired = bases.contains(mv) && !bases.contains(src)
+      agg.withColumn("rewrite_fired", lit(fired))
+    },
     "mv3_distinct_view" -> { (s, d) =>
       import graft.ingest.Snapshots
       Snapshots.read(s, mv3Dir(s, d) + "/mv")
@@ -1334,6 +1353,12 @@ object RefParity {
         |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_v,
         |  true AS rewrite_fired
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "mv5_rewrite_filtered" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
+        |  true AS rewrite_fired
+        |FROM lineitem WHERE l_orderkey % 3 = 0
+        |GROUP BY l_orderkey""".stripMargin,
     "mv2_minmax_view" ->
       """SELECT l_orderkey, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,

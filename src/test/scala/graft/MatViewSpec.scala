@@ -293,6 +293,19 @@ class MatViewSpec extends SparkSuite {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"))
     assert(bases(filtered) === Seq(src))
     assert(got(filtered) === Map("a" -> (1L, 2.0, 2.0), "b" -> (1L, 10.0, 10.0)))
+    // r13: a WHERE on a GROUPING KEY commutes with the view — the rewrite
+    // fires and key-filters the one-row-per-group view rows instead
+    val keyFiltered = spark.read.format("graft").load(src)
+      .filter(col("k") === "a").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"))
+    assert(bases(keyFiltered) === Seq(mv), "keyed WHERE must substitute")
+    assert(got(keyFiltered) === Map("a" -> (2L, 3.0, 1.5)))
+    // ...but a predicate mixing a key with a value column falls back
+    val mixed = spark.read.format("graft").load(src)
+      .filter(col("k") === "a" && col("v") > 1.0).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"))
+    assert(bases(mixed) === Seq(src), "key+value WHERE must fall back")
+    assert(got(mixed) === Map("a" -> (1L, 2.0, 2.0)))
     // a time-travel pin never rewrites (the view tracks the LATEST state)
     val pinned = spark.read.format("graft")
       .option("versionAsOf", Snapshots.versions(src).max.toString).load(src)
