@@ -6,7 +6,7 @@ import json
 import math
 import sys
 
-ROUND = sys.argv[1] if len(sys.argv) > 1 else "12"
+ROUND = sys.argv[1] if len(sys.argv) > 1 else "13"
 SCALES = [1, 2, 4, 8]
 
 runs = {}
@@ -24,12 +24,12 @@ for m in SCALES:
 # beat it. Their 100 TB path is the indexed tier (v3/v5 ANN, d3 LSH,
 # d4 SimHash), which this record shows scaling near-linearly.
 OUTPUT_BOUND = {
-    "d9_neardup_shuffle_kernel": "exact cosine pair enumeration (d5's "
-        "shuffle form): output is ~12% of all pairs on this distribution",
-    "d8_semantic_dedup": "exact band-pair source feeds the cluster step; "
-        "scale path is the ANN-pruned candidate source",
-    "pair2_hard_negatives": "band [0.15,0.45) pair source is exact "
-        "enumeration; scale path swaps in ANN candidates (query scaladoc)",
+    "d9_neardup_shuffle_kernel": "EXACT all-pairs cosine, brute-force by "
+        "contract (SURVEY r13 stance): O(n^2*d) compute is the contract "
+        "when exactness over every pair is required; r13 cut its constant "
+        "(streamed cogroup, no wide pair-row materialization) but the "
+        "exponent is inherent. Subquadratic contracts: d8 (SemDeDup "
+        "cells), pair2 (ANN-mined), both in this record.",
 }
 
 queries = sorted(runs[1])
@@ -40,11 +40,12 @@ out = {"scales": SCALES, "unit": "sec", "repeat": 3,
                 "workload shape (scripts/stage_scale.py); other tables "
                 "fixed at sf0.1. exponent = least-squares slope of "
                 "log(t) vs log(scale); <=1.0 is linear-or-better. "
-                "Queries under 'output_bound' enumerate threshold pairs "
-                "exactly - quadratic OUTPUT on this distribution, "
-                "adjudicated rather than plan-fixed; their indexed "
-                "counterparts (v5, d3) are in this record and scale "
-                "near-linearly."),
+                "Queries under 'output_bound' are exact-by-contract "
+                "(adjudicated in SURVEY r13 stances rather than "
+                "plan-fixed); the subquadratic contracts that replaced "
+                "the r12 quadratic kernels (d8 SemDeDup cells, pair2 "
+                "ANN-mined negatives) and the indexed tiers (v5, d3) "
+                "are in this record."),
        "queries": {}}
 for q in queries:
     ts = [runs[m].get(q, -1.0) for m in SCALES]
