@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's t2 correctness gate.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes the driver-shaped CORRECTNESS json (one entry
+per registered query: rows/schema/hash match booleans + row counts) so a
+round can certify itself even when the driver's own t2 pass is cut short
+(round 12 shipped an empty CORRECTNESS artifact exactly that way).
 
 For each query result parquet written by `graft.Verify`, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same sf tables, then
@@ -43,6 +48,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
 
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    report = {}
     n_pass = n_fail = n_noracle = 0
     present = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
     manifest_path = Path(out_dir, "queries.json")
@@ -50,6 +57,10 @@ def main():
         expected = set(json.loads(manifest_path.read_text()))
         for name in sorted(expected - present):
             print(f"  FAIL  {name}: no output written (query failed in Verify)")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": 0,
+                            "oracle_rows": None,
+                            "err": "no output written (query failed in Verify)"}
             n_fail += 1
         # Compare only manifest queries: stale dumps from a previous run
         # with a different filter must not masquerade as current results.
@@ -63,6 +74,9 @@ def main():
         got = got_rel.fetchall()
         if name not in oracle:
             print(f"  (no oracle)  {name:24s} rows={len(got)}")
+            report[name] = {"rows_match": len(got) > 0, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(got),
+                            "oracle_rows": None, "err": None}
             n_noracle += 1
             continue
         exp_rel = con.execute(oracle[name])
@@ -70,6 +84,9 @@ def main():
         exp = exp_rel.fetchall()
         if sorted(got_cols) != sorted(exp_cols):
             print(f"  FAIL  {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            report[name] = {"rows_match": None, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(got),
+                            "oracle_rows": None, "err": "column mismatch"}
             n_fail += 1
             continue
         # reorder both to sorted column order
@@ -77,7 +94,11 @@ def main():
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = canon([[r[i] for i in gidx] for r in got])
         e = canon([[r[i] for i in eidx] for r in exp])
-        if g == e:
+        ok = g == e
+        report[name] = {"rows_match": len(g) == len(e), "schema_match": True,
+                        "hash_match": ok, "spark_rows": len(g),
+                        "oracle_rows": len(e), "err": None}
+        if ok:
             print(f"  ok    {name:24s} rows={len(g)}")
             n_pass += 1
         else:
@@ -88,6 +109,10 @@ def main():
             print(f"        spark-only: {only_g}")
             print(f"        duck-only:  {only_e}")
     print(f"== {n_pass} pass, {n_fail} FAIL, {n_noracle} rows-only")
+    if json_out:
+        Path(json_out).write_text(json.dumps(
+            dict(sorted(report.items())), indent=1) + "\n")
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
