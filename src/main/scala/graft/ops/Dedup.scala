@@ -624,6 +624,36 @@ object Dedup {
       labelComponents(s, pairs,
           Tables.table(s, d, "embeddings").select(col("vec_id")))
         .withColumn("keep", col("vec_id") === col("cluster"))
+    },
+    "d8b_semdedup_gate" -> { (s, d) =>
+      // Transparency gate for d8's r13 contract change: quantifies, on
+      // record and hash-checked, exactly what the SemDeDup cell pruning
+      // trades away vs the exact global kernel on THIS (isotropic)
+      // distribution — pair recall (integer cross-multiplied floor, the
+      // mix5 trick: no float division in a hashed column) and the keep
+      // counts under both edge sets. keep_monotone is the structural
+      // invariant (fewer edges can only split components, never merge),
+      // so celled SemDeDup errs toward KEEPING data — the safe side for
+      // a dedup decision layer. The exact side is the d5 broadcast
+      // kernel: this gate is deliberately quadratic-at-verify-scale; the
+      // headline/scale path is d8 itself.
+      import s.implicits._
+      val emb = Tables.table(s, d, "embeddings")
+      val ids = emb.select(col("vec_id"))
+      val exactP = VecOps.cosinePairs(s, emb, "vec_id", "embedding", 0.45)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val cellP = VecOps.cellCosinePairs(s, emb, "vec_id", "embedding", 0.45)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val nExact = exactP.count()
+      val nCell = cellP.count()
+      val keepExact = labelComponents(s, exactP, ids)
+        .filter(col("vec_id") === col("cluster")).count()
+      val keepCell = labelComponents(s, cellP, ids)
+        .filter(col("vec_id") === col("cluster")).count()
+      Seq((nExact, nCell, keepExact, keepCell,
+        nCell * 10L >= nExact, keepCell >= keepExact)).toDF(
+        "n_exact_pairs", "n_cell_pairs", "n_keep_exact", "n_keep_cell",
+        "pair_recall_ge_10pct", "keep_monotone")
     }
   )
 
@@ -793,6 +823,61 @@ object Dedup {
         |  v.vec_id = least(v.vec_id, coalesce(m.mn, v.vec_id)) AS keep
         |FROM embeddings v LEFT JOIN (
         |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
-        |ON v.vec_id = m.a""".stripMargin
+        |ON v.vec_id = m.a""".stripMargin,
+    // d8b: BOTH pair sets (exact all-pairs, same-cell pruned) and both
+    // keep counts, folded to one hashed row — integer floors only.
+    "d8b_semdedup_gate" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+        |  FROM embeddings),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
+        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.vec_id AS cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |          / (v.norm * c.norm) DESC, c.vec_id) AS rn
+        |    FROM e v CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |exactp AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) >= 0.45),
+        |cellp AS (
+        |  SELECT p.doc_a, p.doc_b FROM exactp p
+        |  JOIN asg x ON x.vec_id = p.doc_a
+        |  JOIN asg y ON y.vec_id = p.doc_b AND y.cell = x.cell),
+        |xedges AS (SELECT doc_a AS a, doc_b AS b FROM exactp
+        |           UNION SELECT doc_b, doc_a FROM exactp),
+        |xreach(a, b) AS (
+        |  SELECT a, b FROM xedges
+        |  UNION
+        |  SELECT r.a, e2.b FROM xreach r JOIN xedges e2 ON r.b = e2.a),
+        |cedges AS (SELECT doc_a AS a, doc_b AS b FROM cellp
+        |           UNION SELECT doc_b, doc_a FROM cellp),
+        |creach(a, b) AS (
+        |  SELECT a, b FROM cedges
+        |  UNION
+        |  SELECT r.a, e2.b FROM creach r JOIN cedges e2 ON r.b = e2.a),
+        |kx AS (
+        |  SELECT count(*) AS n FROM embeddings v LEFT JOIN (
+        |    SELECT a, min(b) AS mn FROM xreach GROUP BY a) m ON v.vec_id = m.a
+        |  WHERE v.vec_id = least(v.vec_id, coalesce(m.mn, v.vec_id))),
+        |kc AS (
+        |  SELECT count(*) AS n FROM embeddings v LEFT JOIN (
+        |    SELECT a, min(b) AS mn FROM creach GROUP BY a) m ON v.vec_id = m.a
+        |  WHERE v.vec_id = least(v.vec_id, coalesce(m.mn, v.vec_id)))
+        |SELECT
+        |  (SELECT count(*) FROM exactp) AS n_exact_pairs,
+        |  (SELECT count(*) FROM cellp) AS n_cell_pairs,
+        |  (SELECT n FROM kx) AS n_keep_exact,
+        |  (SELECT n FROM kc) AS n_keep_cell,
+        |  (SELECT count(*) FROM cellp) * 10 >= (SELECT count(*) FROM exactp)
+        |    AS pair_recall_ge_10pct,
+        |  (SELECT n FROM kc) >= (SELECT n FROM kx) AS keep_monotone""".stripMargin
   )
 }

@@ -350,6 +350,41 @@ object Packing {
       VecOps.cellBandTop1(s, Tables.table(s, d, "embeddings"),
         "vec_id", "embedding", 0.15, 0.45, probes = 4)
     },
+    "pair2b_mined_gate" -> { (s, d) =>
+      // Transparency gate for pair2's r13 contract change: the mined
+      // (cell-probed) negative vs the exact band argmax, quantified on
+      // record — anchor coverage and how often the mined top-1 achieves
+      // the exact top-1's SCORE (a different id at the same rounded cos
+      // is an equally hard negative). Floors are integer
+      // cross-multiplications (mix5 trick), measured with slack:
+      // coverage 100% and score-match 33-46% across sf0.001/0.01/0.1.
+      // Deliberately quadratic at verify scale (the exact side is the
+      // point); the headline/scale path is pair2 itself.
+      import s.implicits._
+      val emb = Tables.table(s, d, "embeddings")
+      val mined = VecOps.cellBandTop1(s, emb, "vec_id", "embedding",
+        0.15, 0.45, probes = 4)
+      val band = VecOps.cosinePairsTiled(s, emb, "vec_id", "embedding", 0.15,
+          numTiles = 4)
+        .filter(col("cos") < 0.45)
+      val sym = band.select(col("vec_a").as("anchor"), col("vec_b").as("neg_id"), col("cos"))
+        .unionAll(band.select(col("vec_b").as("anchor"), col("vec_a").as("neg_id"), col("cos")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor")).orderBy(col("cos").desc, col("neg_id"))
+      val exact = sym.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("anchor"), col("neg_id").as("x_neg"), col("cos").as("x_cos"))
+      val joined = mined.join(exact, "anchor").persist()
+      val nExact = exact.count()
+      val nMined = mined.count()
+      val sameCos = joined.filter(col("neg_cos") === col("x_cos")).count()
+      val sameNeg = joined.filter(col("neg_id") === col("x_neg")).count()
+      joined.unpersist(blocking = false)
+      Seq((nExact, nMined, sameCos, sameNeg,
+        nMined * 20L >= nExact * 19L, sameCos * 4L >= nExact)).toDF(
+        "n_exact_anchors", "n_mined_anchors", "n_same_cos", "n_same_neg",
+        "coverage_ge_95pct", "score_match_ge_25pct")
+    },
     "vocab1_oov_rate" -> { (s, d) =>
       // Vocabulary coverage: vocab = the VocabSize highest-df terms
       // (ties broken by term), then each document's out-of-vocabulary
@@ -595,6 +630,64 @@ object Packing {
         |                           ORDER BY cos DESC, neg_id) AS rn
         |      FROM cand WHERE cos >= 0.15 AND cos < 0.45)
         |WHERE rn = 1""".stripMargin,
+    // pair2b: the mined CTEs above plus the exact band argmax, folded to
+    // one hashed row of integer counts + integer-floor booleans.
+    "pair2b_mined_gate" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+        |  FROM embeddings),
+        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
+        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
+        |rnk AS (
+        |  SELECT v.vec_id, c.vec_id AS cell,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |        / (v.norm * c.norm) DESC, c.vec_id) AS rn
+        |  FROM e v CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM rnk WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.vec_id AS anchor, m2.vec_id AS neg_id,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(m2.embedding[i] AS DOUBLE)))
+        |      / (a.norm * m2.norm), 4) AS cos
+        |  FROM probes p
+        |  JOIN asg ma ON ma.cell = p.cell
+        |  JOIN e a ON a.vec_id = p.vec_id
+        |  JOIN e m2 ON m2.vec_id = ma.vec_id
+        |  WHERE m2.vec_id <> p.vec_id),
+        |mined AS (
+        |  SELECT anchor, neg_id, cos FROM (
+        |    SELECT anchor, neg_id, cos,
+        |      row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg_id) AS rn
+        |    FROM cand WHERE cos >= 0.15 AND cos < 0.45) WHERE rn = 1),
+        |allp AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (a.norm * b.norm), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |band AS (SELECT * FROM allp WHERE cos >= 0.15 AND cos < 0.45),
+        |sym AS (SELECT va AS anchor, vb AS neg_id, cos FROM band
+        |        UNION ALL SELECT vb, va, cos FROM band),
+        |exact AS (
+        |  SELECT anchor, neg_id, cos FROM (
+        |    SELECT anchor, neg_id, cos,
+        |      row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg_id) AS rn
+        |    FROM sym) WHERE rn = 1)
+        |SELECT
+        |  (SELECT count(*) FROM exact) AS n_exact_anchors,
+        |  (SELECT count(*) FROM mined) AS n_mined_anchors,
+        |  (SELECT count(*) FROM mined m JOIN exact x USING (anchor)
+        |     WHERE m.cos = x.cos) AS n_same_cos,
+        |  (SELECT count(*) FROM mined m JOIN exact x USING (anchor)
+        |     WHERE m.neg_id = x.neg_id) AS n_same_neg,
+        |  (SELECT count(*) FROM mined) * 20 >= (SELECT count(*) FROM exact) * 19
+        |    AS coverage_ge_95pct,
+        |  (SELECT count(*) FROM mined m JOIN exact x USING (anchor)
+        |     WHERE m.cos = x.cos) * 4 >= (SELECT count(*) FROM exact)
+        |    AS score_match_ge_25pct""".stripMargin,
     "vocab1_oov_rate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
