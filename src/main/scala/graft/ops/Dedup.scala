@@ -640,16 +640,33 @@ object Dedup {
       import s.implicits._
       val emb = Tables.table(s, d, "embeddings")
       val ids = emb.select(col("vec_id"))
+      // checkpoint each pair frame so its kernel runs ONCE (count + CC
+      // edge feed would otherwise re-execute it per consumer)
       val exactP = VecOps.cosinePairs(s, emb, "vec_id", "embedding", 0.45)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint(true)
       val cellP = VecOps.cellCosinePairs(s, emb, "vec_id", "embedding", 0.45)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint(true)
       val nExact = exactP.count()
       val nCell = cellP.count()
-      val keepExact = labelComponents(s, exactP, ids)
-        .filter(col("vec_id") === col("cluster")).count()
-      val keepCell = labelComponents(s, cellP, ids)
-        .filter(col("vec_id") === col("cluster")).count()
+      // BOTH component structures through ONE labeling loop: the celled
+      // graph's node ids shift into a disjoint range, the edge union
+      // labels in one convergence, and the keep counts split back by
+      // range — min-label semantics are preserved inside each space, and
+      // the loop's per-round job latency (its real cost at this grain)
+      // is paid once instead of twice.
+      val off = 1L << 40
+      val both = exactP.unionAll(cellP.select(
+        (col("doc_a") + off).as("doc_a"), (col("doc_b") + off).as("doc_b")))
+      val allIds = ids.unionAll(ids.select((col("vec_id") + off).as("vec_id")))
+      val keeps = labelComponents(s, both, allIds)
+        .filter(col("vec_id") === col("cluster"))
+        .groupBy((col("vec_id") < off).as("is_exact"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val keepExact = keeps.getOrElse(true, 0L)
+      val keepCell = keeps.getOrElse(false, 0L)
       Seq((nExact, nCell, keepExact, keepCell,
         nCell * 10L >= nExact, keepCell >= keepExact)).toDF(
         "n_exact_pairs", "n_cell_pairs", "n_keep_exact", "n_keep_cell",

@@ -374,12 +374,16 @@ object Packing {
       val exact = sym.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("anchor"), col("neg_id").as("x_neg"), col("cos").as("x_cos"))
-      val joined = mined.join(exact, "anchor").persist()
-      val nExact = exact.count()
-      val nMined = mined.count()
-      val sameCos = joined.filter(col("neg_cos") === col("x_cos")).count()
-      val sameNeg = joined.filter(col("neg_id") === col("x_neg")).count()
-      joined.unpersist(blocking = false)
+      // every count in ONE action (full-outer join + one aggregate): at
+      // anchor grain the gate's wall is per-job latency, not compute
+      val r = mined.join(exact, Seq("anchor"), "full_outer")
+        .agg(count(col("x_cos")).as("n_exact"),
+          count(col("neg_cos")).as("n_mined"),
+          sum(when(col("neg_cos") === col("x_cos"), 1L).otherwise(0L)).as("same_cos"),
+          sum(when(col("neg_id") === col("x_neg"), 1L).otherwise(0L)).as("same_neg"))
+        .head
+      val (nExact, nMined, sameCos, sameNeg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       Seq((nExact, nMined, sameCos, sameNeg,
         nMined * 20L >= nExact * 19L, sameCos * 4L >= nExact)).toDF(
         "n_exact_anchors", "n_mined_anchors", "n_same_cos", "n_same_neg",
