@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The retest/regression trigger, factored pure so the r12 failure
+    * class is spec-pinned: EITHER the ratio trigger over a meaningful
+    * prior (>= 0.3 s at >= 1.5x) OR the absolute-cost trigger (now
+    * >= 1.0 s at >= 3x) — the latter is what catches a 0.16 s -> 10.2 s
+    * blowup whose prior sat under the old 0.3 s floor (round 12 let
+    * five such 40-60x regressions pass unflagged).
+    */
+  private[graft] def regressionTrigger(now: Double, prev: Double): Boolean =
+    now > 0 && prev > 0 &&
+      ((prev >= 0.3 && now / prev >= 1.5) || (now >= 1.0 && now / prev >= 3.0))
   /** Headline benchmark set: the heaviest representative per operator
     * family (scan/agg, joins, windows, set ops, scalar fns, text, dedup,
     * vector search, streaming-in-batch, media, reference parity). The
@@ -216,14 +227,7 @@ object Bench {
     def withRetest(rs: Seq[(String, Double)]): Seq[(String, Double)] =
       rs.map { case (name, t) =>
         prev.get(name) match {
-          // Two retest triggers: the ratio trigger over a meaningful prior
-          // (>=0.3s, >=1.5x), AND an absolute-cost trigger (now >= 1.0s at
-          // >=3x) regardless of how small the prior was — round 12 let
-          // 0.16s->10.2s (59x) pass unretested because the prior sat under
-          // the 0.3s floor. A sub-second prior says nothing about how big
-          // the NEW number is allowed to be.
-          case Some(p) if t > 0 && p > 0 &&
-              ((p >= 0.3 && t / p >= 1.5) || (t >= 1.0 && t / p >= 3.0)) =>
+          case Some(p) if regressionTrigger(t, p) =>
             System.err.println(f"BENCH RETEST $name: ${t}%.3f vs prev ${p}%.3f")
             val t2 = timeQuery(name, SparkEntry.queries(name), 3)
             retested(name) = (t, t2, loadNow)
@@ -261,13 +265,11 @@ object Bench {
     // survive contention is still visible there and in the FULL deltas.
     val loadAtFlag = loadNow
     val loadCap = sys.env.get("SPARK_GRAFT_BENCH_LOADCAP").map(_.toDouble).getOrElse(2.2)
-    // Flag on the ratio trigger OR the absolute-cost trigger (mirrors the
-    // retest gate above — a blowup past 1s at >=3x is a flag no matter how
-    // small the prior was).
+    // Flag on the same trigger as the retest gate above — a blowup past
+    // 1s at >=3x is a flag no matter how small the prior was.
     val flaggedPairs = deltaMap(results)
-      .collect { case (k, now, p, r)
-        if (r >= 1.5 && p >= 0.3) || (now >= 1.0 && r >= 3.0) =>
-          (k, s"\"$k\":" + fmt(r)) }
+      .collect { case (k, now, p, r) if regressionTrigger(now, p) =>
+        (k, s"\"$k\":" + fmt(r)) }
     // Per-entry load suppression: each flag is judged against the WORST
     // load observed for it (its own retest sample if one ran, else the
     // flag-time sample) — one global end-of-run load gate could suppress
