@@ -51,7 +51,8 @@ object SparkEntry {
     Behavior.queries ++
     Graph.queries ++
     Packing.queries ++
-    Multimodal.queries
+    Multimodal.queries ++
+    Formats.queries
 
   def oracleSql: Map[String, String] =
     RefParity.oracleSql ++
@@ -71,5 +72,6 @@ object SparkEntry {
     Behavior.oracleSql ++
     Graph.oracleSql ++
     Packing.oracleSql ++
-    Multimodal.oracleSql
+    Multimodal.oracleSql ++
+    Formats.oracleSql
 }

@@ -59,6 +59,23 @@ object TextSources {
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .orc(path)
 
+  /** CSV write, bounded files, header on — the inverse of [[readCsv]].
+    * Spark renders doubles via shortest-round-trip `toString` and quotes
+    * fields containing the delimiter/quote, so a schema'd read-back is
+    * value-exact for the types this library ships (long/double/string).
+    */
+  def writeCsv(df: DataFrame, path: String, maxRecordsPerFile: Int = 8192): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .csv(path)
+
+  /** JSON-lines write, bounded files — the inverse of [[readJsonLines]]. */
+  def writeJsonLines(df: DataFrame, path: String, maxRecordsPerFile: Int = 8192): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .json(path)
+
   /** Whole files as rows: (path, modificationTime, length, content binary)
     * — the on-disk entry point for the Multimodal pipeline (images/audio
     * land as `content` payloads with path-derived metadata). Push a glob
