@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Boundary pins for the Gopher/MassiveText quality rules (t19): the DuckDB
+  * oracle replays the same integer cross-multiplications, so a shared
+  * off-by-one on a threshold would pass both — these fix each rule's edge
+  * against the PUBLISHED thresholds (Rae et al. 2021, App. A) by hand.
+  */
+class GopherRulesSpec extends SparkSuite {
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  private def flags(texts: Seq[(Long, String)]): Map[Long, Row] = {
+    val sess = spark
+    val df = sess.createDataFrame(
+      new java.util.ArrayList[Row](
+        texts.map(t => Row(t._1, t._2, "en", "synth", t._2.length.toLong)).asJava),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    val dir = tmpDir("graft_gopher_docs")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    graft.ops.Quality.queries("t19_gopher_rules")(sess, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  private def get(r: Row, name: String): Boolean =
+    r.getBoolean(r.fieldIndex(name))
+
+  test("word-count rule: 49 words fail, 50 pass (inclusive lower bound)") {
+    val w49 = (1 to 49).map(_ => "the").mkString(" ")
+    val w50 = (1 to 50).map(_ => "the").mkString(" ")
+    val out = flags(Seq(0L -> w49, 1L -> w50))
+    assert(!get(out(0L), "ok_words") && get(out(1L), "ok_words"))
+  }
+
+  test("mean word length: exactly 3 and exactly 10 are inclusive; 2 and 11 fail") {
+    val out = flags(Seq(
+      0L -> (1 to 50).map(_ => "the").mkString(" "),        // mean 3
+      1L -> (1 to 50).map(_ => "abcdefghij").mkString(" "), // mean 10
+      2L -> (1 to 50).map(_ => "ab").mkString(" "),         // mean 2
+      3L -> (1 to 50).map(_ => "abcdefghijk").mkString(" "))) // mean 11
+    assert(get(out(0L), "ok_mean_len") && get(out(1L), "ok_mean_len"))
+    assert(!get(out(2L), "ok_mean_len") && !get(out(3L), "ok_mean_len"))
+  }
+
+  test("alpha rule: exactly 80% alphabetic words passes, below fails") {
+    val eighty = (Seq.fill(8)("word") ++ Seq.fill(2)("1234")).mkString(" ")
+    val seventy = (Seq.fill(7)("word") ++ Seq.fill(3)("1234")).mkString(" ")
+    val out = flags(Seq(0L -> eighty, 1L -> seventy))
+    assert(get(out(0L), "ok_alpha") && !get(out(1L), "ok_alpha"))
+  }
+
+  test("symbol rule: '#' and '...' count; ratio 0.1 passes, above fails") {
+    val ok = ("#" +: Seq.fill(9)("word")).mkString(" ")        // 1 sym / 10 words
+    val bad = (Seq("#", "a...b") ++ Seq.fill(8)("word")).mkString(" ") // 2 / 10
+    val out = flags(Seq(0L -> ok, 1L -> bad))
+    assert(get(out(0L), "ok_symbols") && !get(out(1L), "ok_symbols"))
+  }
+
+  test("stop-word rule needs two DISTINCT stop words; keep is the conjunction") {
+    val one = (Seq.fill(25)("the") ++ Seq.fill(25)("xyz")).mkString(" ")
+    val two = (Seq("the", "with") ++ Seq.fill(48)("xyz")).mkString(" ")
+    val out = flags(Seq(0L -> one, 1L -> two))
+    assert(!get(out(0L), "ok_stops") && get(out(1L), "ok_stops"))
+    assert(!get(out(0L), "keep") && get(out(1L), "keep"))
+  }
+}
