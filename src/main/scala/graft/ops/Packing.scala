@@ -407,6 +407,29 @@ object Packing {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 4))
+    },
+    "mix6_epoch_plan" -> { (s, d) =>
+      // The token-budget epoch allocator — the published mixture tables
+      // (LLaMA Tab. 1, Gopher Tab. A1) answer "given a training budget B
+      // and a target share per source, how many PASSES over each source's
+      // available tokens does the plan imply?" Epochs > 1 means
+      // upsampling (repeating data, with its memorization cost); < 1
+      // means subsampling. Shares and epochs are integer DIV ppm so the
+      // plan is bit-identical across engines. Scale shape: one corpus
+      // scan aggregated to source grain (map-side partials absorb the
+      // token counts), then a 1-row broadcast of the source count — the
+      // plan math itself is source-cardinality-sized.
+      val budget = 10000000L // 10M-token training budget, uniform shares
+      val bySrc = Tables.table(s, d, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("avail_tokens"))
+      val nsrc = bySrc.agg(count(lit(1)).as("n_sources"))
+      bySrc.crossJoin(broadcast(nsrc)).select(
+        col("source"), col("avail_tokens"),
+        expr(s"$budget DIV n_sources").as("budget_tokens"),
+        expr(s"($budget DIV n_sources) * 1000000 DIV avail_tokens").as("epochs_ppm"),
+        (expr(s"($budget DIV n_sources) * 1000000 DIV avail_tokens") > 1000000L)
+          .as("upsampled"))
     }
   )
 
@@ -703,6 +726,17 @@ object Packing {
          |    AS BIGINT) AS n_oov,
          |  round(CAST(sum(CASE WHEN toks.term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
          |    AS DOUBLE) / count(*), 4) AS oov_rate
-         |FROM toks GROUP BY doc_id""".stripMargin
+         |FROM toks GROUP BY doc_id""".stripMargin,
+    "mix6_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM t)
+        |SELECT source, avail_tokens,
+        |  10000000 // n_sources AS budget_tokens,
+        |  (10000000 // n_sources) * 1000000 // avail_tokens AS epochs_ppm,
+        |  ((10000000 // n_sources) * 1000000 // avail_tokens) > 1000000 AS upsampled
+        |FROM t CROSS JOIN n""".stripMargin
   )
 }

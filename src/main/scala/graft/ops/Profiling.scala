@@ -149,6 +149,45 @@ object Profiling {
           .as("e"))
         .select(col("e.check"), col("e.violations"))
         .union(orphans)
+    },
+    "drift1_dist_shift" -> { (s, d) =>
+      // Distribution-drift monitor between the two TIME HALVES of the
+      // event stream (split at the midpoint of [min ts, max ts] — integer
+      // epoch-micros arithmetic, engine-stable): per event_type bucket
+      // and per value decile, the reference-vs-current share in ppm and
+      // the absolute shift. Sum(shift_ppm)/2 per dim is the total
+      // variation distance — the drift statistic monitoring systems
+      // alarm on — kept per-bucket here so the drifted buckets are
+      // attributable. All shares are integer DIV ppm: no doubles cross
+      // the engine boundary except the decile edges, which reuse hist1's
+      // bit-matched expression shape. Scale shape: one scan + one tiny
+      // broadcast bounds row; the shuffle carries (dim, bucket) partial
+      // counts — ~15 groups regardless of corpus size.
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"), col("ts_us"))
+      val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"),
+        min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+      val base = ev.crossJoin(broadcast(bounds)).select(
+        (col("ts_us") * 2 <= col("lo") + col("hi")).as("is_ref"),
+        col("event_type"),
+        when(col("vhi") === col("vlo"), 0L)
+          .otherwise(least(lit(9L),
+            floor((col("value") - col("vlo")) / ((col("vhi") - col("vlo")) / 10.0))
+              .cast("long"))).as("vbucket"))
+      val g = base.select(lit("event_type").as("dim"), col("event_type").as("bucket"),
+          col("is_ref"))
+        .unionAll(base.select(lit("value_decile").as("dim"),
+          col("vbucket").cast("string").as("bucket"), col("is_ref")))
+        .groupBy(col("dim"), col("bucket"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+      val totals = g.groupBy(col("dim"))
+        .agg(sum(col("ref_cnt")).as("ref_n"), sum(col("cur_cnt")).as("cur_n"))
+      g.join(broadcast(totals), "dim")
+        .select(col("dim"), col("bucket"), col("ref_cnt"), col("cur_cnt"),
+          expr("ref_cnt * 1000000 DIV ref_n").as("ref_ppm"),
+          expr("cur_cnt * 1000000 DIV cur_n").as("cur_ppm"),
+          abs(expr("ref_cnt * 1000000 DIV ref_n") -
+            expr("cur_cnt * 1000000 DIV cur_n")).as("shift_ppm"))
     }
   )
 
@@ -224,6 +263,31 @@ object Profiling {
         |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         |UNION ALL
         |SELECT 'orphan_orders', count(*) FROM orders
-        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin,
+    "drift1_dist_shift" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi,
+        |             min(value) AS vlo, max(value) AS vhi FROM e),
+        |base AS (
+        |  SELECT (2 * us <= lo + hi) AS is_ref, event_type,
+        |    CASE WHEN vhi = vlo THEN 0
+        |         ELSE least(9, CAST(floor((value - vlo) / ((vhi - vlo) / 10.0))
+        |                          AS BIGINT)) END AS vbucket
+        |  FROM e CROSS JOIN b),
+        |u AS (
+        |  SELECT 'event_type' AS dim, event_type AS bucket, is_ref FROM base
+        |  UNION ALL
+        |  SELECT 'value_decile', CAST(vbucket AS VARCHAR), is_ref FROM base),
+        |g AS (SELECT dim, bucket,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+        |  FROM u GROUP BY 1, 2),
+        |t AS (SELECT dim, CAST(sum(ref_cnt) AS BIGINT) AS ref_n,
+        |             CAST(sum(cur_cnt) AS BIGINT) AS cur_n FROM g GROUP BY 1)
+        |SELECT g.dim, g.bucket, ref_cnt, cur_cnt,
+        |  ref_cnt * 1000000 // ref_n AS ref_ppm,
+        |  cur_cnt * 1000000 // cur_n AS cur_ppm,
+        |  abs(ref_cnt * 1000000 // ref_n - cur_cnt * 1000000 // cur_n) AS shift_ppm
+        |FROM g JOIN t USING (dim)""".stripMargin
   )
 }
