@@ -163,6 +163,49 @@ object Relational {
         .select(col("l_orderkey"), col("n_items"),
           coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"))
     },
+    "j17_bucketed_join" -> { (s, d) =>
+      // The co-located fact-fact join through NATIVE BUCKETING — at 100 TB
+      // the single highest-leverage layout decision: both tables are
+      // pre-shuffled on the join key at write time (BucketTables), so the
+      // join plans with ZERO ShuffleExchange nodes even under sort-merge
+      // (broadcast disabled while the pin is taken). `co_located` pins the
+      // plan property into the oracle hash the way mv4 pins its rewrite:
+      // a silent regression to a shuffled plan fails the row hash even
+      // though the values would coincide. Bucketed externals stage once
+      // per (session, sf) under /tmp; the metastore entry is session-local.
+      val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val (lt, ot) = (s"lineitem_bkt$key", s"orders_bkt$key")
+      if (!s.catalog.tableExists(lt)) {
+        def stage(src: String, tbl: String, k: String): Unit =
+          Tables.table(s, d, src).write.mode("overwrite")
+            .option("path", s"/tmp/graft_bkt/$tbl")
+            .bucketBy(8, k).sortBy(k).saveAsTable(tbl)
+        stage("lineitem", lt, "l_orderkey")
+        stage("orders", ot, "o_orderkey")
+      }
+      val joined = s.table(lt).join(s.table(ot),
+        col("l_orderkey") === col("o_orderkey"))
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val coLocated = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def flat(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val extra = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case _ => Nil
+          }
+          p +: (p.children ++ extra).flatMap(flat)
+        }
+        flat(joined.queryExecution.executedPlan).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), r2(sum(col("l_quantity"))).as("sum_qty"))
+        .withColumn("co_located", lit(coLocated))
+    },
     "j7_range_join" -> { (s, d) =>
       // Range join with an equi prefix (user_id) — hash join on the key,
       // time-range as residual; pair count bounded by per-user density.
@@ -846,6 +889,12 @@ object Relational {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_event_id
         |  FROM events) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "j17_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  true AS co_located
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "j16_interval_overlap" ->
       """WITH pairs AS (
         |  SELECT a.l_orderkey, CAST(count(*) AS BIGINT) AS n_overlapping
