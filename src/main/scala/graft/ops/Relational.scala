@@ -206,6 +206,22 @@ object Relational {
         .agg(count(lit(1)).as("n_rows"), r2(sum(col("l_quantity"))).as("sum_qty"))
         .withColumn("co_located", lit(coLocated))
     },
+    "j18_salted_join" -> { (s, d) =>
+      // The SALTED equi-join (Skew.saltedJoin): the fact side gets a
+      // deterministic salt in [0, 8), the dimension side replicates
+      // across all salts, and the join key becomes (key, salt) — the
+      // pathological-hot-key fix AQE's shuffle-partition splitting can't
+      // make (one 10^8-row key at 100 TB still lands in one hash bucket
+      // unless the KEY itself is spread). The oracle is the PLAIN join
+      // aggregate, so the hash certifies the salting's row-identity
+      // contract on real data, not just the spec's self-comparison.
+      val e = Tables.events(s, d).select(col("user_id"), col("value"))
+      val c = Tables.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(e, "user_id", c, "c_custkey", numSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), r2(sum(col("value"))).as("sum_v"))
+    },
     "j7_range_join" -> { (s, d) =>
       // Range join with an equi prefix (user_id) — hash join on the key,
       // time-range as residual; pair count bounded by per-user density.
@@ -895,6 +911,11 @@ object Relational {
         |  true AS co_located
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "j18_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  round(sum(value), 2) AS sum_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "j16_interval_overlap" ->
       """WITH pairs AS (
         |  SELECT a.l_orderkey, CAST(count(*) AS BIGINT) AS n_overlapping
