@@ -564,6 +564,21 @@ object Dedup {
           (count(lit(1)) > 0).as("nonempty"))
     },
     "d6_neardup_clusters" -> { (s, d) => neardupClusters(s, d, 0.8) },
+    "split2_cluster_split" -> { (s, d) =>
+      // LEAKAGE-SAFE train/val/test split: the unit of assignment is the
+      // d6 near-dup CLUSTER, not the document — split1's content hash
+      // already keeps byte-identical copies together, but a NEAR-duplicate
+      // (boilerplate variant, quoted excerpt) of a test doc could still
+      // land in train and leak the eval. Hashing the cluster label (md5 of
+      // its decimal string, same 0..255 bucket arithmetic as split1) pins
+      // every reachable near-dup to one side. Cost: the d6 labels plus a
+      // map-side projection; the split stays deterministic/re-shardable
+      // because cluster ids are min-doc_id, a pure function of content.
+      val clusters = neardupClusters(s, d, 0.8)
+      clusters.select(col("doc_id"), col("cluster"),
+        Packing.splitBucket(col("cluster").cast("string")).as("hash_bucket"),
+        Packing.splitLabel(col("cluster").cast("string")).as("split"))
+    },
     "d11_quality_keep" -> { (s, d) =>
       // The keep-DECISION layer over d6's clusters: production dedup
       // doesn't keep the min-id doc, it keeps the BEST doc per cluster —
@@ -766,6 +781,38 @@ object Dedup {
          |FROM documents d LEFT JOIN (
          |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
          |ON d.doc_id = m.a""".stripMargin,
+    // split2: d6's reachability CTE for the labels, then split1's
+    // md5-bucket arithmetic over the cluster id's decimal string.
+    "split2_cluster_split" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_a, doc_b FROM (${jaccardOracle(0.8).replace("\n", "\n  ")})),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster
+         |  FROM documents d LEFT JOIN (
+         |    SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+         |  ON d.doc_id = m.a),
+         |bkt AS (
+         |  SELECT doc_id, cluster,
+         |    CAST((instr('0123456789abcdef',
+         |            substring(md5(CAST(cluster AS VARCHAR)), 1, 1)) - 1) * 16
+         |       + (instr('0123456789abcdef',
+         |            substring(md5(CAST(cluster AS VARCHAR)), 2, 1)) - 1)
+         |      AS BIGINT) AS hash_bucket
+         |  FROM lab)
+         |SELECT doc_id, cluster, hash_bucket,
+         |  CASE WHEN hash_bucket < 204 THEN 'train'
+         |       WHEN hash_bucket < 230 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bkt""".stripMargin,
     // d11: d6's reachability CTE for the labels, then rank-by-(length
     // desc, id) inside each cluster — keep = rank 1. All-integer ordering.
     "d11_quality_keep" ->

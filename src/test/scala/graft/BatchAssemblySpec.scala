@@ -131,4 +131,20 @@ class BatchAssemblySpec extends SparkSuite {
     assert(rows(1L) === true)
     assert(rows(2L) === true, "NULL text must round-trip true via <=>")
   }
+
+  test("split2: every near-dup cluster lands wholly inside one split") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Dedup.queries("split2_cluster_split")(spark, sf)
+    // the leakage-safety contract: no cluster straddles two splits
+    val straddlers = out.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddlers === 0L)
+    // complete: one row per document, every row labeled
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() === docs)
+    assert(out.filter(col("split").isin("train", "val", "test")).count() === docs)
+    // and it must actually group near-dups: at least one multi-doc cluster
+    assert(out.groupBy(col("cluster")).count().filter(col("count") > 1).count() > 0L)
+  }
 }
