@@ -564,6 +564,30 @@ object Dedup {
           (count(lit(1)) > 0).as("nonempty"))
     },
     "d6_neardup_clusters" -> { (s, d) => neardupClusters(s, d, 0.8) },
+    "d12_incremental_dedup" -> { (s, d) =>
+      // INCREMENTAL dedup — the shape production pipelines actually run:
+      // a new batch (odd doc_ids, standing in for the daily crawl)
+      // deduped at exact-content grain against the historical index
+      // (even doc_ids) AND against itself, emitting only the batch's
+      // genuinely-new survivors. d1 is the full-corpus form; this is the
+      // steady-state form whose cost must scale with the BATCH, not the
+      // corpus: the index side is a key-only projection (at 100 TB a
+      // md5-key table, or the Bloom sidecars for a pre-filter that
+      // never scans the index at all), the anti join shuffles on the
+      // content key, and keep-first-within-batch is the row_number
+      // idiom the TopKRewrite rule plans as a bounded heap.
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("content_key"))
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("content_key")).distinct()
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val fresh = batch.join(hist, Seq("content_key"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_key")).orderBy(col("doc_id"))
+      fresh.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("content_key"))
+    },
     "split2_cluster_split" -> { (s, d) =>
       // LEAKAGE-SAFE train/val/test split: the unit of assignment is the
       // d6 near-dup CLUSTER, not the document — split1's content hash
@@ -781,6 +805,18 @@ object Dedup {
          |FROM documents d LEFT JOIN (
          |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
          |ON d.doc_id = m.a""".stripMargin,
+    "d12_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS content_key FROM documents),
+        |hist AS (SELECT DISTINCT content_key FROM docs WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, content_key FROM docs WHERE doc_id % 2 = 1),
+        |fresh AS (
+        |  SELECT doc_id, content_key FROM batch
+        |  WHERE content_key NOT IN (SELECT content_key FROM hist))
+        |SELECT doc_id, content_key
+        |FROM (SELECT doc_id, content_key,
+        |        row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+        |      FROM fresh) t
+        |WHERE rn = 1""".stripMargin,
     // split2: d6's reachability CTE for the labels, then split1's
     // md5-bucket arithmetic over the cluster id's decimal string.
     "split2_cluster_split" ->
