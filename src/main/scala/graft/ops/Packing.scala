@@ -408,6 +408,40 @@ object Packing {
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 4))
     },
+    "pack3_bin_packing" -> { (s, d) =>
+      // NEXT-FIT-DECREASING bin packing into fixed PackLen-token training
+      // bins — the padding-efficiency upgrade over pack1's concat-and-
+      // chunk (documents never split across bins; bins close when the
+      // next doc won't fit). Packing is inherently a sequential fold, so
+      // it runs per content-hash SHARD: shards shuffle once, each sorts
+      // (n_tokens DESC, doc_id) within its partition, and a mapPartitions
+      // fold assigns bins — the (d)-tier escape hatch used exactly where
+      // declarative ops can't express carry-state, with the sequential
+      // grain capped at shard size (corpus/4 here; hundreds of shards at
+      // 100 TB keeps every fold small AND the parallelism wide). The
+      // DuckDB oracle replays the same fold as a recursive CTE per shard,
+      // so bin boundaries are hash-checked, not just row counts.
+      val cap = PackLen
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (conv(substring(md5(col("text")), 1, 1), 16, 10).cast("long") % 4)
+            .as("shard"))
+      import s.implicits._
+      docs.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          // fold resets on shard change: shards may share a partition
+          var shard = Long.MinValue; var bin = 0L; var fill = 0L
+          it.map { case (id, n, sh) =>
+            if (sh != shard) { shard = sh; bin = 0L; fill = n }
+            else if (fill + n > cap) { bin += 1; fill = n }
+            else fill += n
+            (id, sh, bin, n)
+          }
+        }.toDF("doc_id", "shard", "bin", "n_tokens")
+    },
     "mix6_epoch_plan" -> { (s, d) =>
       // The token-budget epoch allocator — the published mixture tables
       // (LLaMA Tab. 1, Gopher Tab. A1) answer "given a training budget B
@@ -727,6 +761,31 @@ object Packing {
          |  round(CAST(sum(CASE WHEN toks.term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
          |    AS DOUBLE) / count(*), 4) AS oov_rate
          |FROM toks GROUP BY doc_id""".stripMargin,
+    // pack3: the per-shard next-fit fold replayed as a recursive CTE —
+    // rank docs (n_tokens DESC, doc_id) inside each shard, then carry
+    // (bin, fill) down the rank chain with the same overflow rule.
+    "pack3_bin_packing" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1
+         |      AS BIGINT) % 4 AS shard
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+         |  FROM d),
+         |f(shard, rn, doc_id, n_tokens, bin, fill) AS (
+         |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN f.fill + r.n_tokens > $PackLen THEN f.bin + 1
+         |         ELSE f.bin END,
+         |    CASE WHEN f.fill + r.n_tokens > $PackLen THEN r.n_tokens
+         |         ELSE f.fill + r.n_tokens END
+         |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+         |SELECT doc_id, shard, bin, n_tokens FROM f""".stripMargin,
     "mix6_epoch_plan" ->
       """WITH t AS (
         |  SELECT source,

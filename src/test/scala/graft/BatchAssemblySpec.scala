@@ -132,6 +132,28 @@ class BatchAssemblySpec extends SparkSuite {
     assert(rows(2L) === true, "NULL text must round-trip true via <=>")
   }
 
+  test("pack3: bins respect capacity (except oversize singletons) and are dense") {
+    import org.apache.spark.sql.functions._
+    val cap = graft.ops.Packing.PackLen
+    val out = graft.ops.Packing.queries("pack3_bin_packing")(spark, sf)
+    val bins = out.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n_docs"))
+    // a bin over capacity must be a single oversize document
+    assert(bins.filter(col("fill") > cap && col("n_docs") > 1).count() === 0L)
+    // bin ids are dense 0..max within each shard
+    val dense = bins.groupBy(col("shard"))
+      .agg(countDistinct(col("bin")).as("n_bins"), max(col("bin")).as("max_bin"))
+      .filter(col("n_bins") =!= col("max_bin") + 1).count()
+    assert(dense === 0L)
+    // every document is packed exactly once
+    assert(out.count() === spark.read.parquet(s"$sf/documents.parquet").count())
+    // next-fit must never open a new bin the previous bin could absorb:
+    // with decreasing order, consecutive bins can't BOTH be <= half-full
+    // unless they hold oversize docs — cheap sanity that packing packs
+    assert(bins.filter(col("fill") <= cap / 4).count() <
+      bins.count(), "some bins must be meaningfully filled")
+  }
+
   test("split2: every near-dup cluster lands wholly inside one split") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.Dedup.queries("split2_cluster_split")(spark, sf)
