@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming NEAR-duplicate detection — the MinHash-LSH half of the dedup
+  * family applied to a live feed (a crawler re-discovering boilerplate
+  * variants minutes apart), where [[StreamIngest.dedupStream]] only drops
+  * exact id re-deliveries.
+  *
+  * Shape: each document fans out to its LSH BAND KEYS (shingle → 64-bit
+  * hash → k minhashes → bands of r rows each, same banding algebra as the
+  * batch d3 operator); state lives per band key and holds only the FIRST
+  * document that presented it. A document is a near-dup candidate iff any
+  * of its bands was already claimed — the exact OR-over-bands semantics of
+  * batch LSH, restated incrementally. Emission is per (band, doc) verdict;
+  * the per-doc reduce (`dup = max over bands`) is a stateless grouped
+  * aggregate the caller runs inside its micro-batch sink, where the exact
+  * re-rank against the claimed doc would also live (the v5 pattern:
+  * candidates from LSH, verdicts from the exact kernel).
+  *
+  * Scale: state is ONE long per active band key, hash-distributed across
+  * executors; the event-time timeout evicts keys older than the dedup
+  * horizon, so state is bounded by (active-window docs × bands), not
+  * stream length. In-batch ties resolve to (min ts, min doc_id), so
+  * verdicts are deterministic under any arrival interleaving within a
+  * batch — re-deliveries and restarts cannot flip a winner.
+  *
+  * The reference has no streaming dedup at all (its only stateful construct
+  * is the open-blocks flush map, /root/reference/blockManager.go:54-114);
+  * this is north-star extension surface like the rest of §2.2.
+  */
+object NearDupStream {
+
+  case class Doc(doc_id: Long, ts_us: Long, text: String)
+  case class BandRow(band_key: Long, doc_id: Long, ts_us: Long)
+  case class BandState(winner_id: Long, ts_us: Long)
+  case class BandVerdict(band_key: Long, doc_id: Long, kept_id: Long, dup: Boolean)
+
+  val DefaultShingle = 3   // words per shingle
+  val DefaultHashes  = 8   // minhash signature length
+  val DefaultBands   = 4   // bands of DefaultHashes/DefaultBands rows
+
+  /** FNV-1a 64-bit over a string — matches the spirit of the batch
+    * tier's engine-stable hashing (graft.functions.FnvHash64).
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** The band keys of one document: word shingles → FNV hash → k affine
+    * re-hashes (h*odd + band-salt) minimized per hash slot → r slots
+    * concatenated per band and re-hashed. Pure and deterministic — the
+    * same text always claims the same bands, on any executor.
+    */
+  def bandKeys(text: String, shingle: Int = DefaultShingle,
+               numHashes: Int = DefaultHashes, bands: Int = DefaultBands): Array[Long] = {
+    val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (words.length == 0) return Array.empty
+    val shingles =
+      if (words.length < shingle) Array(fnv64(words.mkString(" ")))
+      else words.sliding(shingle).map(w => fnv64(w.mkString(" "))).toArray
+    val rows = numHashes / bands
+    val sig = Array.tabulate(numHashes) { k =>
+      // affine re-hash per slot: odd multiplier + slot salt, then min
+      var mn = Long.MaxValue
+      val mult = 0x9e3779b97f4a7c15L + 2L * k
+      var i = 0
+      while (i < shingles.length) {
+        val v = shingles(i) * mult + k
+        if (v < mn) mn = v
+        i += 1
+      }
+      mn
+    }
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h ^= sig(b * rows + r); h *= 0x100000001b3L; r += 1 }
+      h
+    }
+  }
+
+  private def update(bandKey: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+                     state: GroupState[BandState]): Iterator[BandVerdict] =
+    updateRows(bandKey, rows.map(r => BandRow(r._1, r._2, r._3)), state)
+
+  private def updateRows(bandKey: Long, rows: Iterator[BandRow],
+                     state: GroupState[BandState]): Iterator[BandVerdict] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      // deterministic in-batch winner: (ts, doc_id) order
+      val batch = rows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+      if (batch.isEmpty) Iterator.empty
+      else {
+        // The timeout callback only fires for groups with NO data in the
+        // batch, so a band re-seen just past the horizon would still meet
+        // its stale claim — enforce the horizon here too: a claim the
+        // watermark has passed is dead even if the eviction hasn't run.
+        val wm = state.getCurrentWatermarkMs()
+        val live = state.getOption.filter(st => st.ts_us / 1000 + 1 > wm)
+        val winner = live.getOrElse(BandState(batch.head.doc_id, batch.head.ts_us))
+        if (live.isEmpty) state.update(winner)
+        // horizon: evict the claim when the watermark passes its ts (ms)
+        state.setTimeoutTimestamp(math.max(winner.ts_us / 1000 + 1, wm + 1))
+        batch.iterator.map(r =>
+          BandVerdict(bandKey, r.doc_id, winner.winner_id,
+            dup = r.doc_id != winner.winner_id))
+      }
+    }
+  }
+
+  /** Wire the stateful band claims onto a typed document stream. The
+    * caller reduces per doc (`max(dup) over its bands`) in its sink.
+    *
+    * The event-time column is attached AFTER the band fan-out (the
+    * streaming checker requires a watermarked attribute to be present in
+    * the stateful operator's input, so it must survive the flatMap).
+    */
+  def bandVerdicts(spark: SparkSession, docs: Dataset[Doc],
+                   delay: String = "10 minutes",
+                   shingle: Int = DefaultShingle,
+                   numHashes: Int = DefaultHashes,
+                   bands: Int = DefaultBands): Dataset[BandVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    docs
+      .flatMap(d => bandKeys(d.text, shingle, numHashes, bands)
+        .map(k => BandRow(k, d.doc_id, d.ts_us)))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", delay)
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update)
+  }
+}

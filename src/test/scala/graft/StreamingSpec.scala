@@ -202,6 +202,54 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("streaming near-dup flags banded variants and re-deliveries, not distinct docs") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandVerdict, Doc}
+    val a  = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val b  = "completely different words about spark shuffles and parquet footers"
+    // precondition of the LSH design: the variant shares >=1 band with
+    // the original, the distinct doc shares none (deterministic hashing)
+    assert(NearDupStream.bandKeys(a).intersect(NearDupStream.bandKeys(a2)).nonEmpty)
+    assert(NearDupStream.bandKeys(a).intersect(NearDupStream.bandKeys(b)).isEmpty)
+    val mem = MemoryStream[Doc]
+    val out = NearDupStream.bandVerdicts(spark, mem.toDS(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    // epoch-0 event times sit exactly on the initial watermark and are
+    // dropped as late — use realistic timestamps like a live feed would
+    val t0 = 1700000000L * 1000000
+    val us = 60L * 1000000
+    mem.addData(Doc(1, t0, a))
+    out.processAllAvailable()
+    mem.addData(Doc(2, t0 + us, a2), Doc(3, t0 + 2 * us, b), Doc(4, t0 + 3 * us, a))
+    out.processAllAvailable()
+    // advance the watermark far past the horizon (doc 5 carries the
+    // clock), then re-deliver the original: its old claims are dead,
+    // so the horizon-expired copy must claim bands FRESH, like
+    // dedupStream's within-watermark contract
+    mem.addData(Doc(5, t0 + 60 * us, b))
+    out.processAllAvailable()
+    mem.addData(Doc(6, t0 + 61 * us, a))
+    out.processAllAvailable()
+    out.stop()
+    val v = spark.table("neardup_out").as[BandVerdict].collect()
+    def dupOf(id: Long) = v.filter(_.doc_id == id)
+    // doc 1 claimed every band first
+    assert(dupOf(1L).forall(!_.dup))
+    // the near-variant collides on at least one band, claimed by doc 1
+    assert(dupOf(2L).exists(x => x.dup && x.kept_id == 1L))
+    // the distinct doc is clean on every band
+    assert(dupOf(3L).nonEmpty && dupOf(3L).forall(!_.dup))
+    // an exact re-delivery is dup on ALL its bands
+    assert(dupOf(4L).nonEmpty && dupOf(4L).forall(x => x.dup && x.kept_id == 1L))
+    // past the horizon the claims are dead: the late copy claims fresh
+    assert(dupOf(6L).nonEmpty && dupOf(6L).forall(x => !x.dup && x.kept_id == 6L))
+  }
+
   test("transformWithState keeps per-user running stats across micro-batches") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
