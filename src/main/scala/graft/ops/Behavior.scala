@@ -116,6 +116,28 @@ object Behavior {
           countDistinct(when(col("day_n") === 0, col("user_id"))).as("cohort_size"),
           countDistinct(when(col("day_n") === 1, col("user_id"))).as("d1_retained"),
           countDistinct(when(col("day_n") === 7, col("user_id"))).as("d7_retained"))
+    },
+    "e5_transition_matrix" -> { (s, d) =>
+      // First-order Markov transition matrix over event types — the
+      // preprocessing a next-event model trains on, and the summary a
+      // behavioral drift monitor compares release-over-release. lead()
+      // inside the (user, time) window derives consecutive pairs with ONE
+      // user-keyed shuffle (no self-join of raw events); transition
+      // probabilities are integer ppm (count·1e6 DIV row-total), so the
+      // matrix is bit-identical across engines.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("row_total"))
+      pairs.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          expr("n * 1000000 DIV row_total").as("p_ppm"))
     }
   )
 
@@ -182,6 +204,21 @@ object Behavior {
         |  count(DISTINCT CASE WHEN datediff('day', cohort_day, day) = 7 THEN user_id END) AS d7_retained
         |FROM days JOIN cohort USING (user_id)
         |WHERE datediff('day', cohort_day, day) IN (0, 1, 7)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "e5_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.event_type, p.next_type, p.n,
+        |  p.n * 1000000 // t.row_total AS p_ppm
+        |FROM pairs p JOIN tot t USING (event_type)""".stripMargin
   )
 }
