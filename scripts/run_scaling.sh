@@ -6,7 +6,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e"
+QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e,split2_cluster_split,pack3_bin_packing,e5_transition_matrix,drift1_dist_shift,t19_gopher_rules,d12_incremental_dedup,j18_salted_join"
 
 python3 scripts/stage_scale.py
 
