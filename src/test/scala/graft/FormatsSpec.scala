@@ -36,6 +36,23 @@ class FormatsSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("ORC scans push filters and prune columns like parquet") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft_orc_push") + "/out"
+    val df = spark.range(1000).selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS s")
+    graft.sources.TextSources.writeOrc(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("s", StringType)))
+    val q = graft.sources.TextSources.readOrc(spark, dir, schema)
+      .filter(col("id") > 500).select(col("v"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)]"),
+      s"ORC scan must carry the pushed predicate:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:bigint,v:bigint>"),
+      s"ORC scan must prune the unused string column:\n$scan")
+  }
+
   test("fmt3: ORC roundtrip preserves microsecond timestamps") {
     val got = row("fmt3_orc_roundtrip")
     val want = Tables.events(spark, sf).agg(

@@ -90,6 +90,35 @@ class PlanAuditSpec extends SparkSuite {
       s"expected top-k plan, got:\n${df.queryExecution.executedPlan}")
   }
 
+  test("t19_gopher_rules is entirely map-side (zero exchanges)") {
+    val df = graft.ops.Quality.queries("t19_gopher_rules")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"quality rules must push into the scan:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("pack3_bin_packing moves data exactly once (the shard shuffle)") {
+    val df = graft.ops.Packing.queries("pack3_bin_packing")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size === 1,
+      s"expected one shard shuffle, got ${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("j18_salted_join broadcasts the replicated dimension side") {
+    val df = graft.ops.Relational.queries("j18_salted_join")(spark, sf)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"salted dim side must broadcast:\n${df.queryExecution.executedPlan}")
+  }
+
   test("j13_bloom_join prunes the fact scan before a broadcast join") {
     val df = graft.ops.Relational.queries("j13_bloom_join")(spark, sf)
     df.collect()
