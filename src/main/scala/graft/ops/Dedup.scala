@@ -810,8 +810,12 @@ object Dedup {
         |hist AS (SELECT DISTINCT content_key FROM docs WHERE doc_id % 2 = 0),
         |batch AS (SELECT doc_id, content_key FROM docs WHERE doc_id % 2 = 1),
         |fresh AS (
-        |  SELECT doc_id, content_key FROM batch
-        |  WHERE content_key NOT IN (SELECT content_key FROM hist))
+        |  -- NOT EXISTS, not NOT IN: the anti-join form matches Spark's
+        |  -- left_anti on NULL keys (NOT IN goes all-NULL if hist ever
+        |  -- holds a NULL content_key; left_anti keeps the row)
+        |  SELECT b.doc_id, b.content_key FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+        |                    WHERE h.content_key = b.content_key))
         |SELECT doc_id, content_key
         |FROM (SELECT doc_id, content_key,
         |        row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn

@@ -160,23 +160,27 @@ object Profiling {
       // alarm on — kept per-bucket here so the drifted buckets are
       // attributable. All shares are integer DIV ppm: no doubles cross
       // the engine boundary except the decile edges, which reuse hist1's
-      // bit-matched expression shape. Scale shape: one scan + one tiny
-      // broadcast bounds row; the shuffle carries (dim, bucket) partial
-      // counts — ~15 groups regardless of corpus size.
+      // bit-matched expression shape. Scale shape: TWO scans — the
+      // bounds aggregate (broadcast one-row, hist1's pattern) and one
+      // fan-out pass emitting both (dim, bucket) rows per event from a
+      // single projection (an exploded 2-struct array, NOT a unionAll of
+      // two branches, which would re-scan the source per branch); the
+      // shuffle carries ~15 (dim, bucket) partial counts regardless of
+      // corpus size.
       val ev = Tables.events(s, d).select(col("event_type"), col("value"), col("ts_us"))
       val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"),
         min(col("value")).as("vlo"), max(col("value")).as("vhi"))
-      val base = ev.crossJoin(broadcast(bounds)).select(
-        (col("ts_us") * 2 <= col("lo") + col("hi")).as("is_ref"),
-        col("event_type"),
-        when(col("vhi") === col("vlo"), 0L)
-          .otherwise(least(lit(9L),
-            floor((col("value") - col("vlo")) / ((col("vhi") - col("vlo")) / 10.0))
-              .cast("long"))).as("vbucket"))
-      val g = base.select(lit("event_type").as("dim"), col("event_type").as("bucket"),
-          col("is_ref"))
-        .unionAll(base.select(lit("value_decile").as("dim"),
-          col("vbucket").cast("string").as("bucket"), col("is_ref")))
+      val vbucket = when(col("vhi") === col("vlo"), 0L)
+        .otherwise(least(lit(9L),
+          floor((col("value") - col("vlo")) / ((col("vhi") - col("vlo")) / 10.0))
+            .cast("long")))
+      val g = ev.crossJoin(broadcast(bounds))
+        .select((col("ts_us") * 2 <= col("lo") + col("hi")).as("is_ref"),
+          explode(array(
+            struct(lit("event_type").as("dim"), col("event_type").as("bucket")),
+            struct(lit("value_decile").as("dim"),
+              vbucket.cast("string").as("bucket")))).as("db"))
+        .select(col("db.dim").as("dim"), col("db.bucket").as("bucket"), col("is_ref"))
         .groupBy(col("dim"), col("bucket"))
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))

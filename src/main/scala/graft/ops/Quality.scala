@@ -223,18 +223,22 @@ object Quality {
       // ratio <= 0.1, and at least 2 of the paper's 8 stop words present.
       // (The two LINE rules — bullet starts, ellipsis ends — have no
       // grain here: the corpus is single-line by construction, so they'd
-      // be constant-true columns; omitted rather than faked.) Every
-      // ratio threshold is an INTEGER cross-multiplication (3·n <= chars,
-      // 5·alpha >= 4·n, 10·sym <= n) so both engines compare bit-equal
-      // longs — no division, no doubles. Entirely map-side: one
-      // projection over the scan, no shuffle, pushdown-friendly.
+      // be constant-true columns; omitted rather than faked.) The paper
+      // applies the 0.1 symbol threshold to EACH symbol's ratio
+      // separately, so '#' and '...' carry their own counts and flags —
+      // summing them would reject documents the published rule keeps.
+      // Every ratio threshold is an INTEGER cross-multiplication
+      // (3·n <= chars, 5·alpha >= 4·n, 10·sym <= n) so both engines
+      // compare bit-equal longs — no division, no doubles. Entirely
+      // map-side: one projection over the scan, no shuffle,
+      // pushdown-friendly (PlanAuditSpec pins zero exchanges).
       val words = split(col("text"), " ")
       val nWords = size(words).cast("long")
       // Single-space corpus identity: total word chars = len - (n-1).
       val wordChars = (length(col("text")) - size(words) + 1).cast("long")
       val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
-      val symbolCnt = (regexp_count(col("text"), lit("#")) +
-        regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+      val hashCnt = regexp_count(col("text"), lit("#")).cast("long")
+      val ellipsisCnt = regexp_count(col("text"), lit("\\.\\.\\.")).cast("long")
       val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       val stopHits = stops.map(w => array_contains(words, w).cast("long"))
         .reduce(_ + _)
@@ -242,12 +246,13 @@ object Quality {
       val okMeanLen = col("word_chars") >= lit(3L) * col("n_words") &&
         col("word_chars") <= lit(10L) * col("n_words")
       val okAlpha = lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")
-      val okSymbols = lit(10L) * col("symbol_cnt") <= col("n_words")
+      val okSymbols = lit(10L) * col("hash_cnt") <= col("n_words") &&
+        lit(10L) * col("ellipsis_cnt") <= col("n_words")
       val okStops = col("stop_hits") >= 2L
       Tables.table(s, d, "documents")
         .select(col("doc_id"), nWords.as("n_words"), wordChars.as("word_chars"),
-          alphaWords.as("alpha_words"), symbolCnt.as("symbol_cnt"),
-          stopHits.as("stop_hits"))
+          alphaWords.as("alpha_words"), hashCnt.as("hash_cnt"),
+          ellipsisCnt.as("ellipsis_cnt"), stopHits.as("stop_hits"))
         .select(col("*"), okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
           okAlpha.as("ok_alpha"), okSymbols.as("ok_symbols"),
           okStops.as("ok_stops"),
@@ -398,8 +403,8 @@ object Quality {
         |    tc - CAST(len(ws) AS BIGINT) + 1 AS word_chars,
         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
         |      AS BIGINT) AS alpha_words,
-        |    CAST(len(regexp_extract_all(text, '#')) +
-        |         len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbol_cnt,
+        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hash_cnt,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS ellipsis_cnt,
         |    CAST(list_contains(ws, 'the') AS BIGINT)
         |      + CAST(list_contains(ws, 'be') AS BIGINT)
         |      + CAST(list_contains(ws, 'to') AS BIGINT)
@@ -409,16 +414,17 @@ object Quality {
         |      + CAST(list_contains(ws, 'have') AS BIGINT)
         |      + CAST(list_contains(ws, 'with') AS BIGINT) AS stop_hits
         |  FROM base)
-        |SELECT doc_id, n_words, word_chars, alpha_words, symbol_cnt, stop_hits,
+        |SELECT doc_id, n_words, word_chars, alpha_words, hash_cnt,
+        |  ellipsis_cnt, stop_hits,
         |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
         |  (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS ok_mean_len,
         |  (5 * alpha_words >= 4 * n_words) AS ok_alpha,
-        |  (10 * symbol_cnt <= n_words) AS ok_symbols,
+        |  (10 * hash_cnt <= n_words AND 10 * ellipsis_cnt <= n_words) AS ok_symbols,
         |  (stop_hits >= 2) AS ok_stops,
         |  ((n_words >= 50 AND n_words <= 100000)
         |    AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
         |    AND (5 * alpha_words >= 4 * n_words)
-        |    AND (10 * symbol_cnt <= n_words)
+        |    AND (10 * hash_cnt <= n_words AND 10 * ellipsis_cnt <= n_words)
         |    AND (stop_hits >= 2)) AS keep
         |FROM m""".stripMargin
   )

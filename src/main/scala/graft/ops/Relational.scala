@@ -171,14 +171,22 @@ object Relational {
       // (broadcast disabled while the pin is taken). `co_located` pins the
       // plan property into the oracle hash the way mv4 pins its rewrite:
       // a silent regression to a shuffled plan fails the row hash even
-      // though the values would coincide. Bucketed externals stage once
-      // per (session, sf) under /tmp; the metastore entry is session-local.
-      val key = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val (lt, ot) = (s"lineitem_bkt$key", s"orders_bkt$key")
+      // though the values would coincide. Table names carry the SOURCE
+      // FINGERPRINT (cacheBase's key: regenerated data → new name, so a
+      // stale bucketed copy can never be reused) and the data path is
+      // pid-keyed (concurrent JVMs write disjoint dirs — bucketed
+      // saveAsTable needs a live metastore entry, so the shared-tree
+      // rename protocol the other fixtures use doesn't apply here; the
+      // metastore entry is session-local either way).
+      val fpBase = graft.query.RefParity.cacheBase("graft_bkt", d, "lineitem")
+      val key = fpBase.substring(fpBase.lastIndexOf('/') + 1)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val (lt, ot) = (s"lineitem_bkt_$key", s"orders_bkt_$key")
       if (!s.catalog.tableExists(lt)) {
+        val pid = java.lang.ProcessHandle.current().pid()
         def stage(src: String, tbl: String, k: String): Unit =
           Tables.table(s, d, src).write.mode("overwrite")
-            .option("path", s"/tmp/graft_bkt/$tbl")
+            .option("path", s"/tmp/graft_bkt/pid$pid/$tbl")
             .bucketBy(8, k).sortBy(k).saveAsTable(tbl)
         stage("lineitem", lt, "l_orderkey")
         stage("orders", ot, "o_orderkey")

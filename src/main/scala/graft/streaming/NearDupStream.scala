@@ -59,7 +59,12 @@ object NearDupStream {
   def bandKeys(text: String, shingle: Int = DefaultShingle,
                numHashes: Int = DefaultHashes, bands: Int = DefaultBands): Array[Long] = {
     val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
-    if (words.length == 0) return Array.empty
+    // Empty/whitespace-only documents still get ONE band (the hash of the
+    // empty shingle): they are trivially identical content, so they claim
+    // one shared slot and all but the first flag dup — and, critically,
+    // every doc emits at least one verdict row, so callers reducing
+    // per-doc never lose a document from the labeled stream.
+    if (words.length == 0) return Array(fnv64(""))
     val shingles =
       if (words.length < shingle) Array(fnv64(words.mkString(" ")))
       else words.sliding(shingle).map(w => fnv64(w.mkString(" "))).toArray

@@ -59,11 +59,15 @@ class GopherRulesSpec extends SparkSuite {
     assert(get(out(0L), "ok_alpha") && !get(out(1L), "ok_alpha"))
   }
 
-  test("symbol rule: '#' and '...' count; ratio 0.1 passes, above fails") {
-    val ok = ("#" +: Seq.fill(9)("word")).mkString(" ")        // 1 sym / 10 words
-    val bad = (Seq("#", "a...b") ++ Seq.fill(8)("word")).mkString(" ") // 2 / 10
-    val out = flags(Seq(0L -> ok, 1L -> bad))
-    assert(get(out(0L), "ok_symbols") && !get(out(1L), "ok_symbols"))
+  test("symbol rule is PER SYMBOL (paper semantics): 1 '#' + 1 '...' in 10 words passes") {
+    // Rae et al. apply the 0.1 threshold to each symbol's own ratio —
+    // a combined sum would wrongly reject this document (2/10 > 0.1).
+    val ok = (Seq("#", "a...b") ++ Seq.fill(8)("word")).mkString(" ")
+    val badHash = (Seq("#", "#") ++ Seq.fill(8)("word")).mkString(" ")     // 2 '#'/10
+    val badDots = (Seq("a...b", "c...d") ++ Seq.fill(8)("word")).mkString(" ")
+    val out = flags(Seq(0L -> ok, 1L -> badHash, 2L -> badDots))
+    assert(get(out(0L), "ok_symbols"))
+    assert(!get(out(1L), "ok_symbols") && !get(out(2L), "ok_symbols"))
   }
 
   test("stop-word rule needs two DISTINCT stop words; keep is the conjunction") {

@@ -248,6 +248,11 @@ class StreamingSpec extends SparkSuite {
     assert(dupOf(4L).nonEmpty && dupOf(4L).forall(x => x.dup && x.kept_id == 1L))
     // past the horizon the claims are dead: the late copy claims fresh
     assert(dupOf(6L).nonEmpty && dupOf(6L).forall(x => !x.dup && x.kept_id == 6L))
+    // empty documents are never dropped from the labeled stream: they get
+    // one shared band (trivially identical content), so the first claims
+    // and later empties flag dup
+    assert(NearDupStream.bandKeys("").length === 1)
+    assert(NearDupStream.bandKeys("   ").toSeq === NearDupStream.bandKeys("").toSeq)
   }
 
   test("transformWithState keeps per-user running stats across micro-batches") {
