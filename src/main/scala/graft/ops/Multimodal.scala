@@ -194,6 +194,17 @@ object Multimodal {
     }
   }
 
+  /** Every frame's stats (stride 1) — the scene-cut detector needs
+    * CONSECUTIVE frames, not a sample.
+    */
+  private def allFrames(r: MediaRecord): Seq[Frame] = {
+    val frames = demux(r.payload)
+    frames.indices.map { f =>
+      val (n, sr, sg, sb) = pixelSums(decodeImage(frames(f)))
+      Frame(r.doc_id, f, n, sr, sg, sb)
+    }
+  }
+
   /** Aspect-preserving box-average downsample of the decoded poster frame
     * into a ThumbDim-bounded thumbnail: source pixel (x, y) belongs to
     * target cell (x·newW/w, y·newH/h); each thumbnail pixel is the floor
@@ -339,6 +350,31 @@ object Multimodal {
       import s.implicits._
       staged[AudioRecord](s, d, "audio")
         .map(r => audioFeatures(r.doc_id, r.payload)).toDF()
+    },
+    "m5_scene_cuts" -> { (s, d) =>
+      // Shot-boundary detection — the video-curation primitive that
+      // decides where a training clip starts: decode EVERY frame (m2
+      // samples; boundaries live between consecutive frames), reduce
+      // each to per-channel pixel sums in the same mapPartitions-batched
+      // decode pass, then one doc-keyed window compares neighbors; a cut
+      // fires when the summed absolute channel delta exceeds 65 per
+      // pixel (the synthetic drift's no-wrap baseline, so boundaries are
+      // the wrap-heavy transitions — ~15% of frames at sf0.01) (an integer cross-multiplication — no division). Frame
+      // rows per doc are tiny (n_frames), so the window partition is
+      // bounded by clip length, never corpus size; decode stays the
+      // distributed batch pass, the comparison is pure plan.
+      import s.implicits._
+      val fr = staged[MediaRecord](s, d, "video").flatMap(allFrames _).toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      fr.select(col("doc_id"), col("frame_idx"), col("n_pixels"),
+          (col("sum_r") - lag(col("sum_r"), 1).over(w)).as("dr"),
+          (col("sum_g") - lag(col("sum_g"), 1).over(w)).as("dg"),
+          (col("sum_b") - lag(col("sum_b"), 1).over(w)).as("db"))
+        .filter(col("dr").isNotNull)
+        .select(col("*"),
+          ((abs(col("dr")) + abs(col("dg")) + abs(col("db"))) >
+            lit(65L) * col("n_pixels")).as("is_cut"))
     }
   )
 
@@ -402,6 +438,28 @@ object Multimodal {
         |                * ((d.doc_id * 131 + i.i * 17) % 65536 - 32768)) AS DOUBLE)
         |       / count(*)) AS rms
         |FROM documents d, unnest(range(0, 256 + (d.doc_id % 32) * 16)) AS i(i)
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+    // m5: every frame's channel sums from the generating formula, then
+    // the same lag-window delta + per-pixel threshold.
+    "m5_scene_cuts" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx, count(*) AS n_pixels,
+        |    CAST(sum((d.doc_id + x.x + 11*f.f) % 256) AS BIGINT) AS sum_r,
+        |    CAST(sum((2*d.doc_id + y.y + 23*f.f) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((3*x.x + 7*y.y + 31*f.f) % 256) AS BIGINT) AS sum_b
+        |  FROM documents d,
+        |       unnest(range(0, 1 + d.doc_id % 4)) AS f(f),
+        |       unnest(range(0, 8 + d.doc_id % 17)) AS x(x),
+        |       unnest(range(0, 8 + d.doc_id % 13)) AS y(y)
+        |  GROUP BY d.doc_id, f.f),
+        |dl AS (
+        |  SELECT doc_id, frame_idx, n_pixels,
+        |    sum_r - lag(sum_r) OVER w AS dr,
+        |    sum_g - lag(sum_g) OVER w AS dg,
+        |    sum_b - lag(sum_b) OVER w AS db
+        |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+        |SELECT doc_id, frame_idx, n_pixels, dr, dg, db,
+        |  (abs(dr) + abs(dg) + abs(db)) > 65 * n_pixels AS is_cut
+        |FROM dl WHERE dr IS NOT NULL""".stripMargin
   )
 }

@@ -134,4 +134,19 @@ class MultimodalSpec extends SparkSuite {
     val sumSq = vals.map(v => v.toLong * v).sum
     assert(feats.rms == math.sqrt(sumSq.toDouble / n))
   }
+
+  test("m5: scene cuts cover every consecutive frame pair and fire on a real mix") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Multimodal.queries("m5_scene_cuts")(spark, sf)
+    val rows = out.collect()
+    // one transition row per consecutive frame pair: docs have
+    // 1 + doc_id % 4 frames, so doc_id % 4 transitions each
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = docs.map(_ % 4).sum
+    assert(rows.length.toLong === expected)
+    // the threshold discriminates: cuts exist and non-cuts exist
+    val cuts = rows.count(_.getBoolean(rows.head.fieldIndex("is_cut")))
+    assert(cuts > 0 && cuts < rows.length)
+  }
 }
