@@ -57,6 +57,8 @@ object Multimodal {
                          sample_rate: Int, n_samples: Int)
   case class AudioFeatures(doc_id: Long, n_samples: Int, sum_abs: Long,
                            max_abs: Int, rms: Double)
+  case class AudioWindow(doc_id: Long, win_idx: Int, n: Int,
+                         sum_abs: Long, peak: Int, silent: Boolean)
 
   val BatchSize = 16
   /** Thumbnail bounding box; images are ≥ 8 px per side (below), so the
@@ -280,6 +282,38 @@ object Multimodal {
     AudioFeatures(docId, n, sumAbs, maxAbs, math.sqrt(sumSq.toDouble / n))
   }
 
+  /** Windowed energy for voice-activity detection (m6): the decoded PCM
+    * stream cut into `winLen`-sample windows, each reduced to abs-sum and
+    * peak; `silent` fires when mean |amplitude| is under a quarter of
+    * full scale (integer cross-multiplication, no division). The last
+    * window is partial when n isn't a multiple of winLen — reported with
+    * its true `n`, never padded.
+    */
+  private[graft] def vadWindows(docId: Long, wav: Array[Byte],
+                                winLen: Int): Seq[AudioWindow] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected audio format $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    (0 until n by winLen).map { start =>
+      val end = math.min(start + winLen, n)
+      var sumAbs = 0L; var peak = 0
+      var i = start
+      while (i < end) {
+        val v = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      val w = end - start
+      AudioWindow(docId, start / winLen, w, sumAbs, peak,
+        silent = sumAbs < 8192L * w)
+    }
+  }
+
   // ---- media tables (documents re-materialized as binary columns) ----
 
   /** Per-doc PNG-frame container table — the `binary` video column. */
@@ -375,6 +409,18 @@ object Multimodal {
         .select(col("*"),
           ((abs(col("dr")) + abs(col("dg")) + abs(col("db"))) >
             lit(65L) * col("n_pixels")).as("is_cut"))
+    },
+    "m6_audio_vad" -> { (s, d) =>
+      // Voice-activity windows — the silence-trimming primitive of audio
+      // data curation: each stored WAV decodes once (partition-local, no
+      // shuffle at all — the per-window reduction happens inside the
+      // decode pass, so the operator output is already window-grain) and
+      // flags windows whose mean |amplitude| sits under a quarter of full
+      // scale. 64-sample windows; the synthetic sawtooth localizes each
+      // window's amplitude, so sf0.01 yields a real silent/active mix.
+      import s.implicits._
+      staged[AudioRecord](s, d, "audio")
+        .flatMap(r => vadWindows(r.doc_id, r.payload, 64)).toDF()
     }
   )
 
@@ -460,6 +506,19 @@ object Multimodal {
         |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
         |SELECT doc_id, frame_idx, n_pixels, dr, dg, db,
         |  (abs(dr) + abs(dg) + abs(db)) > 65 * n_pixels AS is_cut
-        |FROM dl WHERE dr IS NOT NULL""".stripMargin
+        |FROM dl WHERE dr IS NOT NULL""".stripMargin,
+    // m6: the generating sample formula grouped into the same 64-sample
+    // windows, abs-sum + peak + the quarter-scale silence test.
+    "m6_audio_vad" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, CAST(i.i // 64 AS INT) AS win_idx,
+        |    abs((d.doc_id * 131 + i.i * 17) % 65536 - 32768) AS a
+        |  FROM documents d,
+        |       unnest(range(0, 256 + (d.doc_id % 32) * 16)) AS i(i))
+        |SELECT doc_id, win_idx, CAST(count(*) AS INT) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs,
+        |  CAST(max(a) AS INT) AS peak,
+        |  CAST(sum(a) AS BIGINT) < 8192 * count(*) AS silent
+        |FROM s GROUP BY doc_id, win_idx""".stripMargin
   )
 }

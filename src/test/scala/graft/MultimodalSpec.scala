@@ -149,4 +149,19 @@ class MultimodalSpec extends SparkSuite {
     val cuts = rows.count(_.getBoolean(rows.head.fieldIndex("is_cut")))
     assert(cuts > 0 && cuts < rows.length)
   }
+
+  test("m6: VAD windows tile every sample, partial tail kept, silent mix real") {
+    val out = graft.ops.Multimodal.queries("m6_audio_vad")(spark, sf).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (docId, ws) =>
+      val n = (256 + (docId % 32) * 16).toInt
+      // windows cover exactly the sample count, in dense window order
+      assert(ws.map(_.getInt(2)).sum === n)
+      assert(ws.map(_.getInt(1)).sorted.toSeq === (0 until (n + 63) / 64))
+      // partial tail: n is never a multiple of 64 except when %64==0
+      if (n % 64 != 0) assert(ws.map(_.getInt(2)).min === n % 64)
+    }
+    val silent = out.count(_.getBoolean(out.head.fieldIndex("silent")))
+    assert(silent > 0 && silent < out.length)
+  }
 }
