@@ -408,6 +408,37 @@ object Packing {
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 4))
     },
+    "mix7_apply_mixture" -> { (s, d) =>
+      // MATERIALIZE the mixture mix6 only plans: every document is
+      // repeated floor(epochs) times, plus one extra copy when its
+      // deterministic content-hash ppm falls under the fractional part —
+      // so each source's realized token count converges on its budget
+      // share with zero RNG state (the same doc always gets the same
+      // copy count, on any engine, under any re-sharding). The fan-out
+      // is sequence+explode (map-side after one source-grain aggregate
+      // broadcast back); no shuffle touches the multiplied rows.
+      val budget = 10000000L
+      val bySrc = Tables.table(s, d, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("avail_tokens"))
+      val nsrc = bySrc.agg(count(lit(1)).as("n_sources"))
+      val plan = bySrc.crossJoin(broadcast(nsrc)).select(col("source"),
+        expr(s"($budget DIV n_sources) * 1000000 DIV avail_tokens").as("epochs_ppm"))
+      val hashPpm = (conv(substring(md5(col("text")), 1, 5), 16, 10).cast("long")
+        % 1000000L).as("hash_ppm")
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("source"), hashPpm)
+        .join(broadcast(plan), "source")
+        .select(col("doc_id"), col("source"),
+          (expr("epochs_ppm DIV 1000000") +
+            when(col("hash_ppm") < col("epochs_ppm") % 1000000L, 1L).otherwise(0L))
+            .as("n_copies"))
+        // a doc with zero copies drops out of the mixture (sequence with
+        // start > stop would otherwise run DESCENDING, not empty)
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+    },
     "pack3_bin_packing" -> { (s, d) =>
       // NEXT-FIT-DECREASING bin packing into fixed PackLen-token training
       // bins — the padding-efficiency upgrade over pack1's concat-and-
@@ -786,6 +817,37 @@ object Packing {
          |         ELSE f.fill + r.n_tokens END
          |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
          |SELECT doc_id, shard, bin, n_tokens FROM f""".stripMargin,
+    // mix7: the same plan arithmetic, then each doc fanned out to
+    // floor(epochs) copies plus the content-hash fractional copy.
+    "mix7_apply_mixture" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM t),
+        |plan AS (
+        |  SELECT source,
+        |    (10000000 // n_sources) * 1000000 // avail_tokens AS epochs_ppm
+        |  FROM t CROSS JOIN n),
+        |d AS (
+        |  SELECT doc_id, d0.source,
+        |    CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 65536
+        |       + (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 4096
+        |       + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 256
+        |       + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) * 16
+        |       + (instr('0123456789abcdef', substring(md5(text), 5, 1)) - 1)
+        |      AS BIGINT) % 1000000 AS hash_ppm,
+        |    epochs_ppm
+        |  FROM documents d0 JOIN plan USING (source)),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    epochs_ppm // 1000000
+        |      + CASE WHEN hash_ppm < epochs_ppm % 1000000 THEN 1 ELSE 0 END
+        |      AS n_copies
+        |  FROM d)
+        |SELECT doc_id, source, n_copies, CAST(i.i AS BIGINT) AS copy_idx
+        |FROM c, unnest(range(0, n_copies)) AS i(i)
+        |WHERE n_copies > 0""".stripMargin,
     "mix6_epoch_plan" ->
       """WITH t AS (
         |  SELECT source,

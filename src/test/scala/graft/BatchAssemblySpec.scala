@@ -154,6 +154,31 @@ class BatchAssemblySpec extends SparkSuite {
       bins.count(), "some bins must be meaningfully filled")
   }
 
+  test("mix7: copy counts bracket the planned epochs and indices are dense") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Packing.queries("mix7_apply_mixture")(spark, sf)
+    val plan = graft.ops.Packing.queries("mix6_epoch_plan")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val perDoc = out.groupBy(col("doc_id"), col("source"))
+      .agg(max(col("n_copies")).as("n_copies"),
+        countDistinct(col("copy_idx")).as("n_idx"),
+        max(col("copy_idx")).as("max_idx"))
+      .collect()
+    perDoc.foreach { r =>
+      val (src, n) = (r.getString(1), r.getLong(2))
+      val e = plan(src)
+      // exactly floor(epochs) or floor(epochs)+1 copies per doc
+      assert(n === e / 1000000 || n === e / 1000000 + 1, s"$src: $n vs $e")
+      // copy indices dense 0..n-1
+      assert(r.getLong(3) === n && r.getLong(4) === n - 1)
+    }
+    // the fractional copy fires for SOME docs and not others (both
+    // bracket values realized) whenever the plan has a fractional part
+    val fracSrcs = plan.filter(_._2 % 1000000 != 0).keySet
+    val byCount = perDoc.groupBy(r => (r.getString(1), r.getLong(2))).keySet
+    assert(fracSrcs.exists(s => byCount.exists(_._1 == s)))
+  }
+
   test("split2: every near-dup cluster lands wholly inside one split") {
     import org.apache.spark.sql.functions._
     val out = graft.ops.Dedup.queries("split2_cluster_split")(spark, sf)
