@@ -150,6 +150,23 @@ object Profiling {
         .select(col("e.check"), col("e.violations"))
         .union(orphans)
     },
+    "prof2_dataset_card" -> { (s, d) =>
+      // The dataset-card stat block every published corpus ships: doc /
+      // token / source / language counts and the token-length envelope,
+      // in ONE aggregation pass over the corpus (countDistinct terms are
+      // the only key-carrying shuffles; everything else folds map-side).
+      // avg rides round(2) so summation-order ulps can't flip the hash.
+      val n = size(split(col("text"), " ")).cast("long")
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), n.as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"))
+    },
     "drift1_dist_shift" -> { (s, d) =>
       // Distribution-drift monitor between the two TIME HALVES of the
       // event stream (split at the midpoint of [min ts, max ts] — integer
@@ -268,6 +285,19 @@ object Profiling {
         |UNION ALL
         |SELECT 'orphan_orders', count(*) FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin,
+    "prof2_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(n_tokens) AS min_tokens,
+        |  max(n_tokens) AS max_tokens,
+        |  round(avg(n_tokens), 2) AS avg_tokens
+        |FROM t""".stripMargin,
     "drift1_dist_shift" ->
       """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
         |b AS (SELECT min(us) AS lo, max(us) AS hi,
