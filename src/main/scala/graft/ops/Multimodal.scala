@@ -188,24 +188,21 @@ object Multimodal {
     * frame, emit per-frame pixel statistics — the row-explosion shape of
     * real video frame sampling, with a real codec in the loop.
     */
-  private def sampleFrames(r: MediaRecord): Seq[Frame] = {
+  private def frameStats(r: MediaRecord, stride: Int): Seq[Frame] = {
     val frames = demux(r.payload)
-    (frames.indices by FrameStride).map { f =>
+    (frames.indices by stride).map { f =>
       val (n, sr, sg, sb) = pixelSums(decodeImage(frames(f)))
       Frame(r.doc_id, f, n, sr, sg, sb)
     }
   }
 
-  /** Every frame's stats (stride 1) — the scene-cut detector needs
-    * CONSECUTIVE frames, not a sample.
+  private def sampleFrames(r: MediaRecord): Seq[Frame] =
+    frameStats(r, FrameStride)
+
+  /** Every frame's stats — the scene-cut detector needs CONSECUTIVE
+    * frames, not a sample.
     */
-  private def allFrames(r: MediaRecord): Seq[Frame] = {
-    val frames = demux(r.payload)
-    frames.indices.map { f =>
-      val (n, sr, sg, sb) = pixelSums(decodeImage(frames(f)))
-      Frame(r.doc_id, f, n, sr, sg, sb)
-    }
-  }
+  private def allFrames(r: MediaRecord): Seq[Frame] = frameStats(r, 1)
 
   /** Aspect-preserving box-average downsample of the decoded poster frame
     * into a ThumbDim-bounded thumbnail: source pixel (x, y) belongs to
@@ -263,11 +260,7 @@ object Multimodal {
     * PCM frame extraction, per-sample statistics.
     */
   private[graft] def audioFeatures(docId: Long, wav: Array[Byte]): AudioFeatures = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
-    val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
-      s"unexpected audio format $fmt")
-    val bytes = ais.readAllBytes()
+    val bytes = decodePcm(wav)
     val n = bytes.length / 2
     var sumAbs = 0L; var maxAbs = 0; var sumSq = 0L
     var i = 0
@@ -282,6 +275,19 @@ object Multimodal {
     AudioFeatures(docId, n, sumAbs, maxAbs, math.sqrt(sumSq.toDouble / n))
   }
 
+  /** Decode + validate the PCM payload both audio operators consume:
+    * 16-bit little-endian mono, raw sample bytes out — the ONE place the
+    * accepted-format contract lives (m4 and m6 must never disagree on
+    * which payloads they reject).
+    */
+  private def decodePcm(wav: Array[Byte]): Array[Byte] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected audio format $fmt")
+    ais.readAllBytes()
+  }
+
   /** Windowed energy for voice-activity detection (m6): the decoded PCM
     * stream cut into `winLen`-sample windows, each reduced to abs-sum and
     * peak; `silent` fires when mean |amplitude| is under a quarter of
@@ -291,11 +297,7 @@ object Multimodal {
     */
   private[graft] def vadWindows(docId: Long, wav: Array[Byte],
                                 winLen: Int): Seq[AudioWindow] = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
-    val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
-      s"unexpected audio format $fmt")
-    val bytes = ais.readAllBytes()
+    val bytes = decodePcm(wav)
     val n = bytes.length / 2
     (0 until n by winLen).map { start =>
       val end = math.min(start + winLen, n)
@@ -388,15 +390,17 @@ object Multimodal {
     "m5_scene_cuts" -> { (s, d) =>
       // Shot-boundary detection — the video-curation primitive that
       // decides where a training clip starts: decode EVERY frame (m2
-      // samples; boundaries live between consecutive frames), reduce
-      // each to per-channel pixel sums in the same mapPartitions-batched
-      // decode pass, then one doc-keyed window compares neighbors; a cut
-      // fires when the summed absolute channel delta exceeds 65 per
-      // pixel (the synthetic drift's no-wrap baseline, so boundaries are
-      // the wrap-heavy transitions — ~15% of frames at sf0.01) (an integer cross-multiplication — no division). Frame
-      // rows per doc are tiny (n_frames), so the window partition is
-      // bounded by clip length, never corpus size; decode stays the
-      // distributed batch pass, the comparison is pure plan.
+      // samples; boundaries live between consecutive frames) and reduce
+      // each to per-channel pixel sums per RECORD — one clip's frames
+      // are the peak decoded set per row, bounded by clip length rather
+      // than m1's BatchSize (images batch; clips are already the batch).
+      // One doc-keyed lag window then compares neighbors; a cut fires
+      // when the summed absolute channel delta exceeds 65 per pixel —
+      // the synthetic drift's no-wrap baseline, so boundaries are the
+      // wrap-heavy transitions (~15% at sf0.01) — as an integer
+      // cross-multiplication, no division. Frame rows per doc are tiny
+      // (n_frames), so the window partition is clip-bounded, never
+      // corpus-sized; decode is partition-local, the comparison pure plan.
       import s.implicits._
       val fr = staged[MediaRecord](s, d, "video").flatMap(allFrames _).toDF()
       val w = org.apache.spark.sql.expressions.Window

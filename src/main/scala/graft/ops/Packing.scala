@@ -44,6 +44,35 @@ object Packing {
   }
 
   val PackLen = 512L       // tokens per packed training sequence
+  val MixBudget = 10000000L // mix6/mix7 training budget (tokens), uniform shares
+
+  /** The shared mix6/mix7 epoch plan: per-source available tokens, the
+    * uniform budget slice, and epochs as floored integer ppm — one corpus
+    * scan aggregated to source grain, then a 1-row source-count broadcast.
+    */
+  private def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.table(s, d, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("avail_tokens"))
+    val nsrc = bySrc.agg(count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(nsrc)).select(
+      col("source"), col("avail_tokens"),
+      expr(s"$MixBudget DIV n_sources").as("budget_tokens"),
+      expr(s"($MixBudget DIV n_sources) * 1000000 DIV avail_tokens").as("epochs_ppm"))
+  }
+
+  /** The same plan as DuckDB CTEs, shared by the mix6/mix7 oracles. */
+  private val EpochPlanSql =
+    s"""t AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM t),
+       |plan AS (
+       |  SELECT source, avail_tokens,
+       |    $MixBudget // n_sources AS budget_tokens,
+       |    ($MixBudget // n_sources) * 1000000 // avail_tokens AS epochs_ppm
+       |  FROM t CROSS JOIN n)""".stripMargin
   val VocabSize = 15       // top-df terms kept as the in-corpus vocabulary
   val PackBlockDocs = 64L  // docs per pack1 prefix-sum block (≫ at scale)
 
@@ -411,27 +440,27 @@ object Packing {
     "mix7_apply_mixture" -> { (s, d) =>
       // MATERIALIZE the mixture mix6 only plans: every document is
       // repeated floor(epochs) times, plus one extra copy when its
-      // deterministic content-hash ppm falls under the fractional part —
-      // so each source's realized token count converges on its budget
-      // share with zero RNG state (the same doc always gets the same
-      // copy count, on any engine, under any re-sharding). The fan-out
-      // is sequence+explode (map-side after one source-grain aggregate
-      // broadcast back); no shuffle touches the multiplied rows.
-      val budget = 10000000L
-      val bySrc = Tables.table(s, d, "documents")
-        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
-        .groupBy(col("source")).agg(sum(col("n")).as("avail_tokens"))
-      val nsrc = bySrc.agg(count(lit(1)).as("n_sources"))
-      val plan = bySrc.crossJoin(broadcast(nsrc)).select(col("source"),
-        expr(s"($budget DIV n_sources) * 1000000 DIV avail_tokens").as("epochs_ppm"))
-      val hashPpm = (conv(substring(md5(col("text")), 1, 5), 16, 10).cast("long")
-        % 1000000L).as("hash_ppm")
+      // deterministic content hash falls under the fractional part — so
+      // each source's realized token count converges on its budget share
+      // with zero RNG state (the same doc always gets the same copy
+      // count, on any engine, under any re-sharding). The fractional
+      // test is an UNBIASED cross-multiplication over the full 20-bit
+      // hash range: h20·10⁶ < frac·2²⁰ fires with probability frac to
+      // within 2⁻²⁰ (a `% 1e6` fold of the 0..2²⁰ range would double the
+      // odds of the low 48 576 values and overshoot every source's share
+      // by up to ~4.6 pp). The fan-out is sequence+explode (map-side
+      // after one source-grain plan broadcast back); no shuffle touches
+      // the multiplied rows.
+      val plan = epochPlan(s, d).select(col("source"), col("epochs_ppm"))
+      val hash20 = conv(substring(md5(col("text")), 1, 5), 16, 10)
+        .cast("long").as("h20")
       Tables.table(s, d, "documents")
-        .select(col("doc_id"), col("source"), hashPpm)
+        .select(col("doc_id"), col("source"), hash20)
         .join(broadcast(plan), "source")
         .select(col("doc_id"), col("source"),
           (expr("epochs_ppm DIV 1000000") +
-            when(col("hash_ppm") < col("epochs_ppm") % 1000000L, 1L).otherwise(0L))
+            when(col("h20") * 1000000L <
+              (col("epochs_ppm") % 1000000L) * 1048576L, 1L).otherwise(0L))
             .as("n_copies"))
         // a doc with zero copies drops out of the mixture (sequence with
         // start > stop would otherwise run DESCENDING, not empty)
@@ -484,17 +513,9 @@ object Packing {
       // scan aggregated to source grain (map-side partials absorb the
       // token counts), then a 1-row broadcast of the source count — the
       // plan math itself is source-cardinality-sized.
-      val budget = 10000000L // 10M-token training budget, uniform shares
-      val bySrc = Tables.table(s, d, "documents")
-        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
-        .groupBy(col("source")).agg(sum(col("n")).as("avail_tokens"))
-      val nsrc = bySrc.agg(count(lit(1)).as("n_sources"))
-      bySrc.crossJoin(broadcast(nsrc)).select(
-        col("source"), col("avail_tokens"),
-        expr(s"$budget DIV n_sources").as("budget_tokens"),
-        expr(s"($budget DIV n_sources) * 1000000 DIV avail_tokens").as("epochs_ppm"),
-        (expr(s"($budget DIV n_sources) * 1000000 DIV avail_tokens") > 1000000L)
-          .as("upsampled"))
+      epochPlan(s, d).select(
+        col("source"), col("avail_tokens"), col("budget_tokens"),
+        col("epochs_ppm"), (col("epochs_ppm") > 1000000L).as("upsampled"))
     }
   )
 
@@ -820,15 +841,7 @@ object Packing {
     // mix7: the same plan arithmetic, then each doc fanned out to
     // floor(epochs) copies plus the content-hash fractional copy.
     "mix7_apply_mixture" ->
-      """WITH t AS (
-        |  SELECT source,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
-        |  FROM documents GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM t),
-        |plan AS (
-        |  SELECT source,
-        |    (10000000 // n_sources) * 1000000 // avail_tokens AS epochs_ppm
-        |  FROM t CROSS JOIN n),
+      s"""WITH $EpochPlanSql,
         |d AS (
         |  SELECT doc_id, d0.source,
         |    CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 65536
@@ -836,28 +849,23 @@ object Packing {
         |       + (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 256
         |       + (instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1) * 16
         |       + (instr('0123456789abcdef', substring(md5(text), 5, 1)) - 1)
-        |      AS BIGINT) % 1000000 AS hash_ppm,
+        |      AS BIGINT) AS h20,
         |    epochs_ppm
         |  FROM documents d0 JOIN plan USING (source)),
         |c AS (
         |  SELECT doc_id, source,
         |    epochs_ppm // 1000000
-        |      + CASE WHEN hash_ppm < epochs_ppm % 1000000 THEN 1 ELSE 0 END
+        |      + CASE WHEN h20 * 1000000 < (epochs_ppm % 1000000) * 1048576
+        |             THEN 1 ELSE 0 END
         |      AS n_copies
         |  FROM d)
         |SELECT doc_id, source, n_copies, CAST(i.i AS BIGINT) AS copy_idx
         |FROM c, unnest(range(0, n_copies)) AS i(i)
         |WHERE n_copies > 0""".stripMargin,
     "mix6_epoch_plan" ->
-      """WITH t AS (
-        |  SELECT source,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
-        |  FROM documents GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM t)
-        |SELECT source, avail_tokens,
-        |  10000000 // n_sources AS budget_tokens,
-        |  (10000000 // n_sources) * 1000000 // avail_tokens AS epochs_ppm,
-        |  ((10000000 // n_sources) * 1000000 // avail_tokens) > 1000000 AS upsampled
-        |FROM t CROSS JOIN n""".stripMargin
+      s"""WITH $EpochPlanSql
+        |SELECT source, avail_tokens, budget_tokens, epochs_ppm,
+        |  epochs_ppm > 1000000 AS upsampled
+        |FROM plan""".stripMargin
   )
 }

@@ -172,11 +172,13 @@ class BatchAssemblySpec extends SparkSuite {
       // copy indices dense 0..n-1
       assert(r.getLong(3) === n && r.getLong(4) === n - 1)
     }
-    // the fractional copy fires for SOME docs and not others (both
-    // bracket values realized) whenever the plan has a fractional part
+    // the fractional mechanism actually discriminates: at least one
+    // fractional-plan source realizes BOTH bracket values (some docs get
+    // the extra copy, some don't)
     val fracSrcs = plan.filter(_._2 % 1000000 != 0).keySet
     val byCount = perDoc.groupBy(r => (r.getString(1), r.getLong(2))).keySet
-    assert(fracSrcs.exists(s => byCount.exists(_._1 == s)))
+    assert(fracSrcs.exists(s => byCount.count(_._1 == s) == 2),
+      s"no fractional source realized both copy counts: $byCount")
   }
 
   test("split2: every near-dup cluster lands wholly inside one split") {
