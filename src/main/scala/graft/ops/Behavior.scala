@@ -117,6 +117,32 @@ object Behavior {
           countDistinct(when(col("day_n") === 1, col("user_id"))).as("d1_retained"),
           countDistinct(when(col("day_n") === 7, col("user_id"))).as("d7_retained"))
     },
+    "e6_rfm_segments" -> { (s, d) =>
+      // RFM segmentation — the classic behavioral scoring: per user,
+      // Recency (last purchase timestamp), Frequency (purchase count),
+      // Monetary (integer cents, so no double-sum-order dependence), each
+      // cut into quintiles by ntile over a TOTALLY ordered ranking
+      // (metric, then user_id — ties would otherwise make ntile
+      // engine-dependent). One user-keyed aggregate, three user-count
+      // windows; segment = 100·r + 10·f + m, the standard RFM cell code.
+      val per = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_us")).as("last_us"),
+          count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      def quintile(metric: String) = ntile(5).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(metric), col("user_id")))
+      per
+        .withColumn("r_score", quintile("last_us"))
+        .withColumn("f_score", quintile("n_purchases"))
+        .withColumn("m_score", quintile("cents"))
+        .select(col("user_id"), col("n_purchases"), col("cents"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("segment"))
+    },
     "e5_transition_matrix" -> { (s, d) =>
       // First-order Markov transition matrix over event types — the
       // preprocessing a next-event model trains on, and the summary a
@@ -205,6 +231,21 @@ object Behavior {
         |FROM days JOIN cohort USING (user_id)
         |WHERE datediff('day', cohort_day, day) IN (0, 1, 7)
         |GROUP BY 1""".stripMargin,
+    "e6_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |sc AS (
+        |  SELECT user_id, n_purchases, cents,
+        |    ntile(5) OVER (ORDER BY last_us, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY n_purchases, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY cents, user_id) AS m_score
+        |  FROM per)
+        |SELECT user_id, n_purchases, cents, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc""".stripMargin,
     "e5_transition_matrix" ->
       """WITH seq AS (
         |  SELECT event_type,

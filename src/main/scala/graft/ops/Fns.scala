@@ -211,6 +211,26 @@ object Fns {
         expr("variant_get(parse_json(props), '$.k', 'string')").as("vk_str"),
         expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("v_missing"))
     },
+    "f22_listagg" -> { (s, d) =>
+      // Ordered string aggregation (SQL LISTAGG / string_agg): the
+      // report-building surface every BI layer leans on. Per priority,
+      // the 5 smallest order keys as one comma list — the row_number
+      // pre-filter bounds what collect_list buffers (and the TopKRewrite
+      // rule plans it as a bounded heap), so the agg state is k-sized,
+      // never group-sized; the list sorts LEXICOGRAPHICALLY on the
+      // string form on both engines so ordering is representation-exact.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      Tables.table(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",",
+            sort_array(collect_list(col("o_orderkey").cast("string"))))
+            .as("key_list"),
+          count(lit(1)).as("n"))
+    },
     "f21_crypto_fns" -> { (s, d) =>
       // Cryptographic/hashing function family: content digests (sha2 —
       // DuckDB-checkable) plus an AES-GCM encrypt/decrypt round trip.
@@ -413,6 +433,18 @@ object Fns {
         |SELECT doc_id, i - 1 AS pos, concat_ws(' ', ws[i], ws[i+1]) AS gram
         |FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)
         |WHERE len(ws) >= 2""".stripMargin,
+    "f22_listagg" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |             ORDER BY CAST(o_orderkey AS VARCHAR)) AS key_list,
+        |  count(*) AS n
+        |FROM t WHERE rn <= 5
+        |GROUP BY o_orderpriority""".stripMargin,
     "f21_crypto_fns" ->
       """SELECT doc_id,
         |  substring(sha256(text), 1, 16) AS sha_prefix,
