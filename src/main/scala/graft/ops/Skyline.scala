@@ -57,6 +57,62 @@ object Skyline {
     local.repartition(1).sortWithinPartitions(ordered: _*).mapPartitions(scan)(enc)
   }
 
+  /** k-SKYBAND: the rows dominated by FEWER THAN k others — the skyline's
+    * top-k generalization (k=1 is the skyline; k=2 adds the "second
+    * layer" of tradeoffs a recommender falls back to when front rows are
+    * exhausted). Same two-phase prune-then-merge as [[skyline2D]], with
+    * the O(1) running-max state generalized to the k best maxima seen:
+    * in (min asc, max desc) order, a row's dominators among KEPT rows are
+    * exactly the kept rows with strictly larger max — so "kth-largest
+    * kept max > current max ⇒ ≥ k dominators" decides membership with
+    * O(front)-sized sorted state per partition.
+    *
+    * Counting against kept CANDIDATES only (not all rows) is exact both
+    * locally and in the merge, by dominator-closure: every dominator of a
+    * row is dominated only by dominators of that same row (transitivity),
+    * so if a row has ≥ k dominators anywhere, at least k of them have
+    * < k dominators themselves — i.e. at least k of them are candidates.
+    * That also makes the local prune a SUPERSET of the global k-skyband
+    * containing every global dominator of every surviving row, so the
+    * single merge pass computes exact global membership. The merge
+    * emits `n_dom`, the row's exact dominator count (< k by contract).
+    *
+    * Same distinctness/non-null contract as [[skyline2D]].
+    */
+  def skyband2D(df: DataFrame, minCol: String, maxCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+ StructField("n_dom", LongType))
+    val enc = Encoders.row(outSchema)
+    val maxIdx = df.schema.fieldIndex(maxCol)
+    // rows arrive (min asc, max desc): every kept row with max >= the
+    // current max dominates it — strictly-larger max with min <=, or
+    // equal max with strictly smaller min (equal pairs are excluded by
+    // the distinctness contract) — so the dominator count is a suffix
+    // length in the ascending kept-max buffer
+    def scan(rows: Iterator[Row]): Iterator[Row] = {
+      val keptMaxes = scala.collection.mutable.ArrayBuffer.empty[Double] // ascending
+      rows.flatMap { r =>
+        val v = r.getAs[Number](maxIdx).doubleValue()
+        // first index with max >= v in the ascending buffer
+        var lo = 0; var hi = keptMaxes.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (keptMaxes(mid) >= v) hi = mid else lo = mid + 1
+        }
+        val nDom = (keptMaxes.length - lo).toLong
+        if (nDom < k) {
+          keptMaxes.insert(lo, v)
+          Some(Row.fromSeq(r.toSeq :+ nDom))
+        } else None
+      }
+    }
+    val ordered = Seq(col(minCol).asc, col(maxCol).desc)
+    val local = df.sortWithinPartitions(ordered: _*)
+      .mapPartitions(scan)(Encoders.row(outSchema))
+      .drop("n_dom") // local counts are partition-relative; merge recounts
+    local.repartition(1).sortWithinPartitions(ordered: _*).mapPartitions(scan)(enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sky1_pareto_parts" -> { (s, d) =>
       // Price/size tradeoff front over part: no other (price, size) point
@@ -67,6 +123,15 @@ object Skyline {
         .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
         .agg(count(lit(1)).as("n_parts"))
       skyline2D(pts, "price", "size")
+    },
+    "sky2_skyband" -> { (s, d) =>
+      // The 3-skyband over the same tradeoff space: every point dominated
+      // by at most two others, with its exact dominator count — the
+      // fallback layers a recommender serves after the front is exhausted.
+      val pts = Tables.table(s, d, "part")
+        .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      skyband2D(pts, "price", "size", k = 3)
     }
   )
 
@@ -81,6 +146,23 @@ object Skyline {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM pts b
         |  WHERE b.price <= a.price AND b.size >= a.size
-        |    AND (b.price < a.price OR b.size > a.size))""".stripMargin
+        |    AND (b.price < a.price OR b.size > a.size))""".stripMargin,
+    // sky2: the quadratic reference semantics — exact dominator count,
+    // keep when < 3. Quadratic is FINE for the oracle: it runs at the
+    // value-pair grain on the sf0.01 tables; the engine side is the
+    // two-phase candidate-pruned form.
+    "sky2_skyband" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS price, p_size AS size,
+        |    CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price, size, n_parts,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pts b
+        |   WHERE b.price <= a.price AND b.size >= a.size
+        |     AND (b.price < a.price OR b.size > a.size)) AS n_dom
+        |FROM pts a
+        |WHERE (SELECT count(*) FROM pts b
+        |       WHERE b.price <= a.price AND b.size >= a.size
+        |         AND (b.price < a.price OR b.size > a.size)) < 3""".stripMargin
   )
 }

@@ -56,4 +56,33 @@ class SkylineSpec extends SparkSuite {
     assert(got === brute(raw))
     assert(got.nonEmpty)
   }
+
+  private def bruteBand(pts: Seq[(Double, Int)], k: Int): Map[(Double, Int), Long] =
+    pts.map { case (p, s) =>
+      (p, s) -> pts.count { case (p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s)
+      }.toLong
+    }.filter(_._2 < k).toMap
+
+  test("k-skyband equals brute-force dominator counts for any partitioning") {
+    val sess = spark
+    import sess.implicits._
+    // layered staircases with one-dimension ties and deep interiors
+    val pts = Seq(
+      (1.0, 5), (2.0, 8), (3.0, 10),          // layer 1
+      (2.5, 7), (3.0, 9), (4.0, 10),          // layer 2 (ties on one dim)
+      (2.6, 6), (3.5, 9), (1.0, 3), (5.0, 1), // deeper
+      (6.0, 10), (2.7, 5))
+    for (k <- Seq(1, 2, 3); parts <- Seq(1, 2, 7)) {
+      val expect = bruteBand(pts, k)
+      val got = Skyline.skyband2D(
+          pts.toDF("price", "size").repartition(parts), "price", "size", k)
+        .collect().map(r => (r.getDouble(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === expect, s"k=$k partitions=$parts")
+    }
+    // k=1 skyband is exactly the skyline
+    val sky = Skyline.skyline2D(pts.toDF("price", "size"), "price", "size")
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSet
+    assert(bruteBand(pts, 1).keySet === sky)
+  }
 }
