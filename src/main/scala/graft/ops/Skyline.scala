@@ -61,11 +61,13 @@ object Skyline {
     * top-k generalization (k=1 is the skyline; k=2 adds the "second
     * layer" of tradeoffs a recommender falls back to when front rows are
     * exhausted). Same two-phase prune-then-merge as [[skyline2D]], with
-    * the O(1) running-max state generalized to the k best maxima seen:
-    * in (min asc, max desc) order, a row's dominators among KEPT rows are
-    * exactly the kept rows with strictly larger max — so "kth-largest
-    * kept max > current max ⇒ ≥ k dominators" decides membership with
-    * O(front)-sized sorted state per partition.
+    * the O(1) running-max state generalized to a sorted buffer of kept
+    * maxima: in (min asc, max desc) order, a row's dominators among KEPT
+    * rows are exactly the kept rows with max >= its own — strictly
+    * larger max dominates through max, an EQUAL max dominates through
+    * the strictly smaller min (equal pairs are excluded by the
+    * distinctness contract) — so the dominator count is a suffix length
+    * of the buffer, O(front)-sized state per partition.
     *
     * Counting against kept CANDIDATES only (not all rows) is exact both
     * locally and in the merge, by dominator-closure: every dominator of a
@@ -82,23 +84,36 @@ object Skyline {
   def skyband2D(df: DataFrame, minCol: String, maxCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val outSchema = StructType(df.schema.fields :+ StructField("n_dom", LongType))
-    val enc = Encoders.row(outSchema)
     val maxIdx = df.schema.fieldIndex(maxCol)
-    // rows arrive (min asc, max desc): every kept row with max >= the
-    // current max dominates it — strictly-larger max with min <=, or
-    // equal max with strictly smaller min (equal pairs are excluded by
-    // the distinctness contract) — so the dominator count is a suffix
-    // length in the ascending kept-max buffer
-    def scan(rows: Iterator[Row]): Iterator[Row] = {
-      val keptMaxes = scala.collection.mutable.ArrayBuffer.empty[Double] // ascending
+    // first index with max >= v in an ascending buffer
+    def suffixStart(keptMaxes: scala.collection.mutable.ArrayBuffer[Double],
+                    v: Double): Int = {
+      var lo = 0; var hi = keptMaxes.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (keptMaxes(mid) >= v) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    // Data-sized LOCAL phase: pure filter, no per-row copy — counts are
+    // partition-relative and discarded, only membership matters here.
+    def localScan(rows: Iterator[Row]): Iterator[Row] = {
+      val keptMaxes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      rows.filter { r =>
+        val v = r.getAs[Number](maxIdx).doubleValue()
+        val lo = suffixStart(keptMaxes, v)
+        val keep = keptMaxes.length - lo < k
+        if (keep) keptMaxes.insert(lo, v)
+        keep
+      }
+    }
+    // Skyband-sized MERGE phase: same suffix count, now global and
+    // emitted as the exact dominator count.
+    def mergeScan(rows: Iterator[Row]): Iterator[Row] = {
+      val keptMaxes = scala.collection.mutable.ArrayBuffer.empty[Double]
       rows.flatMap { r =>
         val v = r.getAs[Number](maxIdx).doubleValue()
-        // first index with max >= v in the ascending buffer
-        var lo = 0; var hi = keptMaxes.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (keptMaxes(mid) >= v) hi = mid else lo = mid + 1
-        }
+        val lo = suffixStart(keptMaxes, v)
         val nDom = (keptMaxes.length - lo).toLong
         if (nDom < k) {
           keptMaxes.insert(lo, v)
@@ -108,9 +123,9 @@ object Skyline {
     }
     val ordered = Seq(col(minCol).asc, col(maxCol).desc)
     val local = df.sortWithinPartitions(ordered: _*)
-      .mapPartitions(scan)(Encoders.row(outSchema))
-      .drop("n_dom") // local counts are partition-relative; merge recounts
-    local.repartition(1).sortWithinPartitions(ordered: _*).mapPartitions(scan)(enc)
+      .mapPartitions(localScan)(Encoders.row(df.schema))
+    local.repartition(1).sortWithinPartitions(ordered: _*)
+      .mapPartitions(mergeScan)(Encoders.row(outSchema))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
