@@ -60,6 +60,43 @@ object TimeWindows {
           last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
           col("day_value").isNull.as("gap"))
     },
+    "ts7_interpolate" -> { (s, d) =>
+      // ts4's dense grid with LINEAR interpolation instead of forward
+      // fill — the regularization a numeric sensor/metric series wants
+      // (ffill is right for state, interpolation for rates). Every gap
+      // day has both neighbors by construction (the grid spans [first,
+      // last] observed day per user), so interp = prev + (next − prev) ·
+      // dd/dt with the identical operation ORDER on both engines: the
+      // inputs are round(2) doubles and exact integer day counts, so the
+      // unrounded result is bit-equal (the ts5 stance — round only when
+      // the arithmetic can't be made identical). Same scale shape as
+      // ts4: sequence+explode grid, one user-keyed window pass.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts_t")).as("day"))
+        .agg(round(sum(col("value")), 2).as("day_value"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      val wP = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wN = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      val obsDay = when(col("day_value").isNotNull, col("day"))
+      val prevV = last(col("day_value"), ignoreNulls = true).over(wP)
+      val prevD = last(obsDay, ignoreNulls = true).over(wP)
+      val nextV = first(col("day_value"), ignoreNulls = true).over(wN)
+      val nextD = first(obsDay, ignoreNulls = true).over(wN)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day").cast("date").as("day"),
+          col("day_value").isNull.as("interpolated"),
+          when(col("day_value").isNotNull, col("day_value"))
+            .otherwise(prevV + (nextV - prevV) *
+              (datediff(col("day"), prevD).cast("double") /
+                datediff(nextD, prevD).cast("double")))
+            .as("day_value"))
+    },
     "ts6_ohlc_bars" -> { (s, d) =>
       // OHLC bar resampling (the finance/telemetry downsample): per
       // (user, day), the first/last values by event time plus the high/
@@ -185,6 +222,41 @@ object TimeWindows {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
         |  d.day_value IS NULL AS gap
         |FROM grid g LEFT JOIN daily d
-        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+    // ts7: the same grid with prev/next observed neighbors and the
+    // identical-order linear interpolation arithmetic.
+    "ts7_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    round(sum(value), 2) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |        FROM daily GROUP BY user_id)),
+        |g AS (
+        |  SELECT grid.user_id, grid.day, d.day_value
+        |  FROM grid LEFT JOIN daily d
+        |    ON grid.user_id = d.user_id AND grid.day = d.day),
+        |f AS (
+        |  SELECT user_id, day, day_value,
+        |    last_value(day_value IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS prev_d,
+        |    first_value(day_value IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS next_d
+        |  FROM g
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(day AS DATE) AS day,
+        |  day_value IS NULL AS interpolated,
+        |  CASE WHEN day_value IS NOT NULL THEN day_value
+        |       ELSE prev_v + (next_v - prev_v) *
+        |         (CAST(datediff('day', prev_d, day) AS DOUBLE) /
+        |          CAST(datediff('day', prev_d, next_d) AS DOUBLE)) END AS day_value
+        |FROM f""".stripMargin
   )
 }
