@@ -125,6 +125,13 @@ object Behavior {
       // (metric, then user_id — ties would otherwise make ntile
       // engine-dependent). One user-keyed aggregate, three user-count
       // windows; segment = 100·r + 10·f + m, the standard RFM cell code.
+      // SCALE SHAPE: the three ntile windows are GLOBAL (no partitionBy)
+      // — exact quintiles are inherently a total order, so the per-user
+      // aggregate (already events-collapsed, |users| rows) funnels
+      // through one task per window. That is the deliberate exact
+      // contract at this grain; the 100 TB tier swaps ntile for
+      // approx_percentile cut points (broadcast 4-row boundary table,
+      // map-side bucketing) when |users| itself outgrows a task.
       val per = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))

@@ -191,11 +191,15 @@ object Relational {
         stage("lineitem", lt, "l_orderkey")
         stage("orders", ot, "o_orderkey")
       }
-      val joined = s.table(lt).join(s.table(ot),
-        col("l_orderkey") === col("o_orderkey"))
       val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val coLocated = try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // the probe frame is BUILT inside the conf override (not just
+        // planned here lazily) so no earlier touch of a shared plan can
+        // hand the pin an already-planned broadcast join — the pin always
+        // inspects a sort-merge-eligible plan
+        val probe = s.table(lt).join(s.table(ot),
+          col("l_orderkey") === col("o_orderkey"))
         def flat(p: org.apache.spark.sql.execution.SparkPlan)
             : Seq[org.apache.spark.sql.execution.SparkPlan] = {
           val extra = p match {
@@ -206,10 +210,12 @@ object Relational {
           }
           p +: (p.children ++ extra).flatMap(flat)
         }
-        flat(joined.queryExecution.executedPlan).collect {
+        flat(probe.queryExecution.executedPlan).collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }.isEmpty
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val joined = s.table(lt).join(s.table(ot),
+        col("l_orderkey") === col("o_orderkey"))
       joined.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"), r2(sum(col("l_quantity"))).as("sum_qty"))
         .withColumn("co_located", lit(coLocated))

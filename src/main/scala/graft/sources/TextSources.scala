@@ -62,11 +62,18 @@ object TextSources {
   /** CSV write, bounded files, header on — the inverse of [[readCsv]].
     * Spark renders doubles via shortest-round-trip `toString` and quotes
     * fields containing the delimiter/quote, so a schema'd read-back is
-    * value-exact for the types this library ships (long/double/string).
+    * value-exact for long/double and for strings WITH TWO CSV-INHERENT
+    * CAVEATS: empty strings come back as NULL (CSV has no quoted-empty vs
+    * absent distinction on Spark's reader), and embedded newlines need
+    * `multiLine` on the read side. Whitespace-edged strings DO roundtrip —
+    * the writer's default trim is disabled below so the bytes written are
+    * the bytes stored.
     */
   def writeCsv(df: DataFrame, path: String, maxRecordsPerFile: Int = 8192): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .csv(path)
 

@@ -58,6 +58,11 @@ object NearDupStream {
     */
   def bandKeys(text: String, shingle: Int = DefaultShingle,
                numHashes: Int = DefaultHashes, bands: Int = DefaultBands): Array[Long] = {
+    // integer division below would silently DROP trailing signature slots
+    // for a non-divisible parameterization, weakening the band signature
+    // with no signal — refuse loudly instead
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
     // Empty/whitespace-only documents still get ONE band (the hash of the
     // empty shingle): they are trivially identical content, so they claim
