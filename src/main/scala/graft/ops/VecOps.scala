@@ -155,6 +155,75 @@ object VecOps {
     }.toDF("vec_a", "vec_b", "cos")
   }
 
+  /** Which exact all-pairs kernel to run, decided by
+    * [[chooseExactKernel]] from table stats — see [[exactCosinePairs]].
+    */
+  sealed trait ExactKernelChoice { def numTiles: Int }
+  final case class BroadcastTiles(numTiles: Int) extends ExactKernelChoice
+  final case class ShuffledTiles(numTiles: Int) extends ExactKernelChoice
+
+  /** One resident tile of vectors per executor — the broadcast-join
+    * regime. 256 MB beside a multi-GB executor heap; at 64-d float
+    * embeddings that is ~900k vectors per tile.
+    */
+  val DefaultTileBudgetBytes: Long = 256L << 20
+
+  /** Past this many broadcast tiles, the tiles × full-rescan I/O of the
+    * broadcast kernel loses to the shuffled kernel's ~(tiles+1)/2-row
+    * linear replication, and the driver copy per tile stops being free.
+    */
+  val MaxBroadcastTiles: Int = 8
+
+  /** The exact-pairs crossover as a PURE function of table stats, so the
+    * decision is unit-testable and the dispatcher can never refuse:
+    * estimate resident bytes per vector (dim floats + id + norm + JVM
+    * array headers), size the tile count so ONE tile fits the budget,
+    * then pick the kernel by what that tile count costs — `numTiles`
+    * full rescans of the base side under the broadcast kernel (fastest
+    * while rescans are few: tile residency is memory-speed, zero
+    * shuffle) vs the cogroup kernel's shuffle of ~(numTiles+1)/2 copies
+    * of each row (driver out of the data path, spillable buffer, linear
+    * in numTiles). Rows/dim of zero degrade to the single-tile broadcast
+    * — an empty scoring pass, never an error.
+    */
+  def chooseExactKernel(rows: Long, dim: Int,
+                        tileBudgetBytes: Long = DefaultTileBudgetBytes,
+                        maxBroadcastTiles: Int = MaxBroadcastTiles): ExactKernelChoice = {
+    require(tileBudgetBytes > 0, s"tileBudgetBytes must be positive, got $tileBudgetBytes")
+    val perVec = dim.toLong * 4 + 48 // floats + (id, norm) + object/array headers
+    val total = math.max(0L, rows) * perVec
+    val tiles = math.max(1L, (total + tileBudgetBytes - 1) / tileBudgetBytes)
+    if (tiles <= maxBroadcastTiles) BroadcastTiles(tiles.toInt)
+    else ShuffledTiles(math.min(tiles, Int.MaxValue.toLong).toInt)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold with the KERNEL CHOSEN FROM TABLE
+    * STATS — the dispatch form of the d5 (broadcast-tile) vs d9 (cogroup
+    * shuffle) crossover, so callers at any corpus size get the right
+    * plan instead of an OOM or a hand-tuned numTiles. Row count comes
+    * from Catalyst plan stats when the optimizer knows it (CBO/ANALYZE'd
+    * tables) and otherwise from one id-column count — metadata-cheap
+    * against parquet, never a vector collect; dim from one row's array
+    * length. Both kernels emit bit-identical results (DedupSimSpec), so
+    * the dispatch is invisible in the output — pure execution strategy,
+    * the same stance as the tiling itself.
+    */
+  def exactCosinePairs(s: SparkSession, df: DataFrame, idCol: String,
+                       embCol: String, threshold: Double,
+                       tileBudgetBytes: Long = DefaultTileBudgetBytes,
+                       maxBroadcastTiles: Int = MaxBroadcastTiles): DataFrame = {
+    val rows = df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.select(col(idCol)).count())
+    val dim =
+      if (rows == 0L) 0
+      else df.select(org.apache.spark.sql.functions.size(col(embCol)))
+        .head.getInt(0)
+    chooseExactKernel(rows, dim, tileBudgetBytes, maxBroadcastTiles) match {
+      case BroadcastTiles(t) => cosinePairsTiled(s, df, idCol, embCol, threshold, t)
+      case ShuffledTiles(t)  => cosinePairsShuffled(s, df, idCol, embCol, threshold, t)
+    }
+  }
+
   /** Deterministic sqrt-scaled IVF cell count: C = ceil(sqrt(n)). Scaling
     * the cell count with the corpus is what makes cell-pruned kernels
     * subquadratic — assignment costs n·C·d and within-cell scoring

@@ -43,6 +43,36 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("exact-kernel dispatcher: stats-driven crossover, both sides bit-equal") {
+    // The d5/d9 crossover as code (SURVEY §2.7): chooseExactKernel picks
+    // broadcast tiles while a tile fits the budget in few rescans and the
+    // cogroup shuffle past that — pure function of (rows, dim, budget),
+    // pinned here on synthetic sizes spanning the crossover; then both
+    // dispatch paths of exactCosinePairs must return the identical pair
+    // set (the kernels are bit-equal, so dispatch is invisible).
+    import graft.ops.VecOps
+    import graft.ops.VecOps.{BroadcastTiles, ShuffledTiles}
+    // fits in one tile → plain broadcast
+    assert(VecOps.chooseExactKernel(1000, 64, 1L << 20) === BroadcastTiles(1))
+    // a few tiles → still broadcast (rescans cheap), tile sized to budget
+    assert(VecOps.chooseExactKernel(10000, 64, 1L << 20) === BroadcastTiles(3))
+    // past MaxBroadcastTiles rescans → cogroup shuffle, budget-sized tiles
+    VecOps.chooseExactKernel(1000000, 64, 1L << 20) match {
+      case ShuffledTiles(t) => assert(t === 290) // 1e6·304B / 1MiB, ceil
+      case other => fail(s"expected the shuffled kernel, got $other")
+    }
+    // degenerate inputs degrade to the single-tile broadcast, never refuse
+    assert(VecOps.chooseExactKernel(0, 0, 1L << 20) === BroadcastTiles(1))
+    val emb = graft.tables.Tables.table(spark, sf, "embeddings")
+    def run(budget: Long) =
+      VecOps.exactCosinePairs(spark, emb, "vec_id", "embedding", 0.3, budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = run(Long.MaxValue)   // 1 tile, broadcast path
+    val viaShuffle = run(10000)             // tiny budget forces ShuffledTiles
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle === viaBroadcast, "dispatch changed the result")
+  }
+
   test("cell-pruned cosine pairs = the exact pairs restricted to same-cell (subset, exact scores)") {
     // The SemDeDup pruning contract: every emitted pair is an exact-kernel
     // pair whose endpoints share a nearest-centroid cell, and every
