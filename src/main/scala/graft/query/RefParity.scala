@@ -239,6 +239,29 @@ object RefParity {
       val fired = bases.contains(mv) && !bases.contains(src)
       agg.withColumn("rewrite_fired", lit(fired))
     },
+    "mv6_rewrite_having" -> { (s, d) =>
+      // The second-most-common dashboard shape (r14): the mv4 aggregate
+      // under a HAVING on the AGGREGATE OUTPUTS. A predicate over the
+      // one-row-per-group outputs commutes with the view by construction
+      // — the substituted Project re-publishes the aggregate's exprIds,
+      // so the Filter above it re-binds to the view's stored columns
+      // untouched. Distinct from mv5's key-WHERE (below the aggregate,
+      // commutes only when key-only): HAVING always commutes because it
+      // never changes group CONTENTS, only which groups survive.
+      // `rewrite_fired` pins the substitution into the hash.
+      val mv = mvDir(s, d)
+      val src = snapshotDir(s, d)
+      graft.ingest.MatView.register(src, mv, Seq("l_orderkey"), "l_quantity")
+      val agg = s.read.format("graft").load(src)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_v"),
+          avg(col("l_quantity")).as("avg_v"))
+        .filter(col("sum_v") >= 100.0 && col("n_rows") >= 3)
+      val bases = graft.connector.MvRewriteRule
+        .graftScanBases(agg.queryExecution.optimizedPlan)
+      val fired = bases.contains(mv) && !bases.contains(src)
+      agg.withColumn("rewrite_fired", lit(fired))
+    },
     "mv3_distinct_view" -> { (s, d) =>
       import graft.ingest.Snapshots
       Snapshots.read(s, mv3Dir(s, d) + "/mv")
@@ -1359,6 +1382,13 @@ object RefParity {
         |  true AS rewrite_fired
         |FROM lineitem WHERE l_orderkey % 3 = 0
         |GROUP BY l_orderkey""".stripMargin,
+    "mv6_rewrite_having" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
+        |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_v,
+        |  true AS rewrite_fired
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING CAST(sum(l_quantity) AS DOUBLE) >= 100.0 AND count(*) >= 3""".stripMargin,
     "mv2_minmax_view" ->
       """SELECT l_orderkey, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,

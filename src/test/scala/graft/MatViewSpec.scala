@@ -306,6 +306,18 @@ class MatViewSpec extends SparkSuite {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"))
     assert(bases(mixed) === Seq(src), "key+value WHERE must fall back")
     assert(got(mixed) === Map("a" -> (1L, 2.0, 2.0)))
+    // r14: HAVING — a predicate on the AGGREGATE OUTPUTS sits ABOVE the
+    // Aggregate, so it always commutes with the view: the substituted
+    // Project re-publishes the aggregate's exprIds and the Filter
+    // re-binds to the view's stored columns untouched (mv6's shape)
+    val having = agg.filter(col("s") >= 3.0 && col("n") >= 2)
+    assert(bases(having) === Seq(mv), "HAVING on aggregate outputs must substitute")
+    assert(got(having) === Map("a" -> (2L, 3.0, 1.5)))
+    // ...but a HAVING above a value-column WHERE still falls back — the
+    // WHERE below the aggregate is the shape break, not the HAVING
+    val havingOverValueWhere = filtered.filter(col("s") > 1.0)
+    assert(bases(havingOverValueWhere) === Seq(src),
+      "value WHERE under a HAVING must still fall back")
     // a time-travel pin never rewrites (the view tracks the LATEST state)
     val pinned = spark.read.format("graft")
       .option("versionAsOf", Snapshots.versions(src).max.toString).load(src)
