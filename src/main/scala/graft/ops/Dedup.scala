@@ -588,6 +588,32 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("content_key"))
     },
+    "d13_stream_claim_replay" -> { (s, d) =>
+      // ORACLE-ADJACENT GATE for the streaming near-dup operator (r14):
+      // the batch replay of NearDupStream's band-claim decision table —
+      // first claimant per band in (ts, doc_id) order, OR-over-bands per
+      // doc — over the documents corpus with a deterministic arrival
+      // time (doc_id % 1000, so the winner genuinely exercises the
+      // two-level (ts, id) order, not just min-id). Banding is the
+      // engine-shared md5 variant (oracleBands) so DuckDB replays the
+      // ENTIRE decision: shingle → 28-bit md5 hash → 8 affine minhashes
+      // mod 2^61-1 → (band, s0, s1) tuples → windowed first-claimant →
+      // per-doc reduce. StreamingSpec pins stream ≡ batchReplay under
+      // the stream's own fnv banding, so the claim semantics this query
+      // hash-checks is the one the live stream applies.
+      import s.implicits._
+      import graft.streaming.NearDupStream
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 1000).as("ts_us"), col("text"))
+        .as[NearDupStream.Doc]
+      NearDupStream.batchReplay(s, docs, NearDupStream.oracleBands)
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_bands"),
+          max(col("dup")).as("is_dup"),
+          coalesce(min(when(col("dup"), col("kept_id"))), col("doc_id"))
+            .as("first_kept"))
+    },
     "split2_cluster_split" -> { (s, d) =>
       // LEAKAGE-SAFE train/val/test split: the unit of assignment is the
       // d6 near-dup CLUSTER, not the document — split1's content hash
@@ -766,6 +792,16 @@ object Dedup {
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
       |    / (a.norm * b.norm), 4) >= 0.45""".stripMargin
 
+  /** d13's (k, a, b) minhash constants as a SQL VALUES list — interpolated
+    * from the Scala kernel's arrays so the two sides can never drift.
+    */
+  private val minhashAbRows: String = {
+    import graft.streaming.NearDupStream.{MinhashA, MinhashB}
+    MinhashA.indices.map(k =>
+      s"($k, CAST(${MinhashA(k)} AS BIGINT), CAST(${MinhashB(k)} AS BIGINT))")
+      .mkString(", ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -821,6 +857,54 @@ object Dedup {
         |        row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
         |      FROM fresh) t
         |WHERE rn = 1""".stripMargin,
+    // d13: the full md5-banding minhash replay — shingles, 28 bits of
+    // md5 as the shingle hash (both engines emit identical md5 hex; 7
+    // hex chars keep a·x + b < 2^62, no wraparound in either engine's
+    // signed-64 arithmetic), the 8 affine minhashes mod 2^61-1 with the
+    // SAME literal (a, b) constants the Scala kernel uses (interpolated
+    // below from NearDupStream.MinhashA/B — single source of truth),
+    // bands as (k/2, s0, s1) tuples, windowed first-claimant in
+    // (ts, doc_id) order, per-doc OR-over-bands reduce.
+    "d13_stream_claim_replay" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, doc_id % 1000 AS ts_us,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+         |  FROM documents),
+         |shg AS (
+         |  SELECT doc_id, ts_us,
+         |    CASE WHEN len(words) = 0 THEN ['']
+         |         WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         |         ELSE list_transform(range(1, len(words) - 1),
+         |                i -> array_to_string(words[i:i+2], ' '))
+         |    END AS shingles
+         |  FROM w),
+         |ex AS (SELECT doc_id, ts_us, unnest(shingles) AS sh FROM shg),
+         |hx AS (SELECT doc_id, ts_us,
+         |         CAST(concat('0x', substr(md5(sh), 1, 7)) AS BIGINT) AS x
+         |       FROM ex),
+         |ab AS (SELECT * FROM (VALUES ${minhashAbRows}) t(k, a, b)),
+         |sig AS (
+         |  SELECT doc_id, ts_us, ab.k AS k,
+         |    min((ab.a * hx.x + ab.b) % ${graft.streaming.NearDupStream.MinhashP}) AS sigv
+         |  FROM hx CROSS JOIN ab
+         |  GROUP BY 1, 2, 3),
+         |bands AS (
+         |  SELECT doc_id, ts_us, k // 2 AS band,
+         |    min(CASE WHEN k % 2 = 0 THEN sigv END) AS s0,
+         |    min(CASE WHEN k % 2 = 1 THEN sigv END) AS s1
+         |  FROM sig GROUP BY 1, 2, 3),
+         |ver AS (
+         |  SELECT doc_id,
+         |    first_value(doc_id) OVER (PARTITION BY band, s0, s1
+         |                              ORDER BY ts_us, doc_id) AS kept_id
+         |  FROM bands)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN doc_id <> kept_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_bands,
+         |  max(doc_id <> kept_id) AS is_dup,
+         |  coalesce(min(CASE WHEN doc_id <> kept_id THEN kept_id END), doc_id)
+         |    AS first_kept
+         |FROM ver GROUP BY doc_id""".stripMargin,
     // split2: d6's reachability CTE for the labels, then split1's
     // md5-bucket arithmetic over the cluster id's decimal string.
     "split2_cluster_split" ->

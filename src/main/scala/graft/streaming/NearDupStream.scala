@@ -94,6 +94,90 @@ object NearDupStream {
     }
   }
 
+  /** Splitmix-derived affine minhash constants (precomputed 64-bit
+    * wraparound folds of the public golden-ratio constants — the
+    * [[graft.ops.Dedup.minhashSig]] convention at indices i+1 / i+7),
+    * inlined as LITERALS so the DuckDB oracle can carry the identical
+    * values without wraparound arithmetic. a_k is odd and < 2^31; with
+    * x < 2^28 and b_k < 2^61, a·x + b < 2^62 — no overflow in either
+    * engine's signed-64 arithmetic.
+    */
+  val MinhashP: Long = 2305843009213693951L // 2^61 - 1
+  val MinhashA: Array[Long] =
+    Array.tabulate(DefaultHashes)(i => ((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) | 1L)
+  val MinhashB: Array[Long] =
+    Array.tabulate(DefaultHashes)(i => (0xBF58476D1CE4E5B9L * (i + 7)) >>> 3)
+
+  /** ENGINE-SHARED banding for the batch replay's DuckDB oracle: the same
+    * shingle → hash → minhash → band algebra as [[bandKeys]], with the
+    * two engine-private steps swapped for primitives both engines compute
+    * bit-identically — md5 (28 bits of it) replaces FNV as the shingle
+    * hash, and a band is identified by its TUPLE of signature slots
+    * (band, s0, s1) instead of a wraparound fold (grouping by the tuple
+    * is the same partition as hashing it, without needing 64-bit wrap in
+    * SQL). Same degenerate-doc stance as bandKeys: zero words hash the
+    * empty shingle, < `shingle` words hash the whole text once.
+    */
+  def oracleBands(text: String): Seq[(Long, Long, Long)] = {
+    val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    val shingles: Array[String] =
+      if (words.length == 0) Array("")
+      else if (words.length < DefaultShingle) Array(words.mkString(" "))
+      else words.sliding(DefaultShingle).map(_.mkString(" ")).toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = Array.fill(DefaultHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val hex = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      val x = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      var k = 0
+      while (k < DefaultHashes) {
+        val h = Math.floorMod(MinhashA(k) * x + MinhashB(k), MinhashP)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+    }
+    val rows = DefaultHashes / DefaultBands
+    (0 until DefaultBands).map(b => (b.toLong, sig(b * rows), sig(b * rows + 1)))
+  }
+
+  /** [[bandKeys]] in the triple shape [[batchReplay]] takes, so the spec
+    * can drive the stream and the replay through the SAME band function.
+    * The band index is NOT part of the triple — the stream groups by the
+    * folded key alone (the band salt is already folded in), and the
+    * replay must group by exactly the same partition.
+    */
+  def fnvBandTriples(text: String, shingle: Int = DefaultShingle,
+                     numHashes: Int = DefaultHashes,
+                     bands: Int = DefaultBands): Seq[(Long, Long, Long)] =
+    bandKeys(text, shingle, numHashes, bands).toSeq.map(k => (0L, k, 0L))
+
+  /** BATCH REPLAY of the stream's band-claim decision table: per band,
+    * the winner is the first claimant in (ts, doc_id) order — exactly
+    * [[updateRows]]' semantics for a ts-ordered arrival inside the dedup
+    * horizon — and every (band, doc) pair gets the stream's verdict row.
+    * Two relational operators (a band-keyed window, a comparison), so the
+    * decision table is SQL-expressible and the d13 registry entry
+    * hash-checks it against DuckDB; StreamingSpec pins stream ≡ replay
+    * over the identical (fnv) band function. One band-keyed shuffle, no
+    * state — the replay is how a backfill over historical data runs the
+    * same dedup the live stream applies going forward.
+    */
+  def batchReplay(spark: SparkSession, docs: Dataset[Doc],
+                  bandsOf: String => Seq[(Long, Long, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, first}
+    val rows = docs.flatMap(d => bandsOf(d.text).map { case (b, s0, s1) =>
+      (b, s0, s1, d.doc_id, d.ts_us)
+    }).toDF("band", "s0", "s1", "doc_id", "ts_us")
+    val w = Window.partitionBy(col("band"), col("s0"), col("s1"))
+      .orderBy(col("ts_us"), col("doc_id"))
+    rows.withColumn("kept_id", first(col("doc_id")).over(w))
+      .withColumn("dup", col("doc_id") =!= col("kept_id"))
+  }
+
   private def update(bandKey: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
                      state: GroupState[BandState]): Iterator[BandVerdict] =
     updateRows(bandKey, rows.map(r => BandRow(r._1, r._2, r._3)), state)

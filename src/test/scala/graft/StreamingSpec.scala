@@ -255,6 +255,51 @@ class StreamingSpec extends SparkSuite {
     assert(NearDupStream.bandKeys("   ").toSeq === NearDupStream.bandKeys("").toSeq)
   }
 
+  test("stream band claims ≡ batch replay on the same corpus (shared banding)") {
+    // d13's bridge (r14): NearDupStream.batchReplay restates the stream's
+    // first-claimant-per-band decision relationally; under the stream's
+    // OWN fnv banding the two must produce the identical decision table
+    // for a ts-ordered, within-horizon arrival — per (doc, band_key):
+    // same winner, same verdict. Within-batch arrival order is shuffled
+    // to exercise the stream's (ts, doc_id) in-batch sort.
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandVerdict, Doc}
+    val a  = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val b  = "completely different words about spark shuffles and parquet footers"
+    val t0 = 1700000000L * 1000000
+    val us = 60L * 1000000
+    val docs = Seq(
+      Doc(10, t0, a), Doc(11, t0 + us, a2), Doc(12, t0 + 2 * us, b),
+      Doc(13, t0 + 3 * us, a), Doc(14, t0 + 4 * us, ""),
+      Doc(15, t0 + 5 * us, "   "), Doc(16, t0 + 6 * us, b))
+    val mem = MemoryStream[Doc]
+    val out = NearDupStream.bandVerdicts(spark, mem.toDS(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_replay_out")
+      .outputMode("append").start()
+    // 3 batches, ts-ordered ACROSS batches, out of order WITHIN each
+    mem.addData(docs(1), docs(0), docs(2))
+    out.processAllAvailable()
+    mem.addData(docs(4), docs(3))
+    out.processAllAvailable()
+    mem.addData(docs(6), docs(5))
+    out.processAllAvailable()
+    out.stop()
+    val fromStream = spark.table("neardup_replay_out").as[BandVerdict].collect()
+      .map(v => (v.doc_id, v.band_key, v.kept_id, v.dup)).toSet
+    val fromReplay = NearDupStream
+      .batchReplay(spark, docs.toDS(), NearDupStream.fnvBandTriples(_))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("s0"),
+        r.getAs[Long]("kept_id"), r.getAs[Boolean]("dup"))).toSet
+    assert(fromStream === fromReplay, "stream and batch replay decisions diverged")
+    // the corpus exercises real decisions: dups exist and non-dups exist
+    assert(fromReplay.exists(_._4) && fromReplay.exists(!_._4))
+  }
+
   test("transformWithState keeps per-user running stats across micro-batches") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
