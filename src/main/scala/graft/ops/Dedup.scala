@@ -673,10 +673,11 @@ object Dedup {
     },
     "d8_semantic_dedup" -> { (s, d) =>
       // SemDeDup keep-list, the algorithm as published: cluster the
-      // corpus (ceil(sqrt(n)) deterministic cells — production trains
-      // k-means on a sample, same plan shape), score pairs ONLY within a
-      // cell, connected components over the hits, keep each component's
-      // lowest vec_id. Pair generation is n^1.5·d (cell-pruned,
+      // corpus into ceil(sqrt(n)) cells whose centroids are K-MEANS-
+      // TRAINED on a fixed sample (r14: VecOps.trainedCentroids —
+      // fixed-point Lloyd's, engine-exact, oracle-replayed), score pairs
+      // ONLY within a cell, connected components over the hits, keep
+      // each component's lowest vec_id. Pair generation is n^1.5·d (cell-pruned,
       // VecOps.cellCosinePairs) instead of the exact kernel's n²·d — the
       // subquadratic form that survives 100 TB; the exact global variant
       // remains d5/d9's contract. The DuckDB oracle replays the identical
@@ -970,26 +971,13 @@ object Dedup {
     // d9 runs the same exact kernel through the shuffle form — one shared
     // oracle string so the two can never drift apart.
     "d9_neardup_shuffle_kernel" -> ExactCosinePairsOracle,
-    // d8: the SAME sqrt-celled SemDeDup pruning as the Spark side —
-    // nearest-of-ceil(sqrt(n)) deterministic centroids (unrounded-cos
-    // rank, ties to the lower centroid id), exact cosine >= 0.45 within
-    // a cell only — fed through the d6 reachability CTE. Min-of-component
-    // labels, keep = label owner.
+    // d8: the SAME sqrt-celled SemDeDup pruning as the Spark side — r14:
+    // cells are K-MEANS-TRAINED (the shared TrainedCellsSql chain replays
+    // VecOps.trainedCentroids' fixed-point Lloyd's bit-for-bit), exact
+    // cosine >= 0.45 within a cell only — fed through the d6 reachability
+    // CTE. Min-of-component labels, keep = label owner.
     "d8_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-        |  FROM embeddings),
-        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
-        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
-        |asg AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, c.vec_id AS cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(1, len(v.embedding) + 1),
-        |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        |          / (v.norm * c.norm) DESC, c.vec_id) AS rn
-        |    FROM e v CROSS JOIN cents c)
-        |  WHERE rn = 1),
+      s"""WITH ${VecOps.TrainedCellsSql},
         |pairs AS (
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM e a JOIN asg ia ON ia.vec_id = a.vec_id
@@ -1015,20 +1003,7 @@ object Dedup {
     // d8b: BOTH pair sets (exact all-pairs, same-cell pruned) and both
     // keep counts, folded to one hashed row — integer floors only.
     "d8b_semdedup_gate" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-        |  FROM embeddings),
-        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
-        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
-        |asg AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, c.vec_id AS cell,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        list_sum(list_transform(range(1, len(v.embedding) + 1),
-        |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        |          / (v.norm * c.norm) DESC, c.vec_id) AS rn
-        |    FROM e v CROSS JOIN cents c)
-        |  WHERE rn = 1),
+      s"""WITH RECURSIVE ${VecOps.TrainedCellsSql},
         |exactp AS (
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id

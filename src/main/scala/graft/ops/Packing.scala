@@ -707,36 +707,25 @@ object Packing {
         |FROM pos, n
         |WHERE (anchor * 48271 + 11) % n_vec <> anchor
         |  AND (anchor * 48271 + 11) % n_vec <> pos_id""".stripMargin,
-    // The SAME sqrt-celled multi-probe pruning as the Spark side:
-    // rank cells per vector by unrounded cos (ties to the lower centroid
-    // id); rank 1 = the vector's home cell, ranks <= 4 = its probe list;
-    // candidates = members of probed cells; HALF_UP-rounded band filter
-    // and rank-1 per anchor, exactly VecOps.cellBandTop1.
+    // The SAME multi-probe pruning as the Spark side over the K-MEANS-
+    // TRAINED cells (r14: the shared TrainedCellsSql chain replays the
+    // fixed-point Lloyd's training bit-for-bit): rank 1 = the vector's
+    // home cell, ranks <= 4 = its probe list; candidates = members of
+    // probed cells; HALF_UP-rounded band filter and rank-1 per anchor,
+    // exactly VecOps.cellBandTop1.
     "pair2_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-        |  FROM embeddings),
-        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
-        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
-        |rnk AS (
-        |  SELECT v.vec_id, c.vec_id AS cell,
-        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(v.embedding) + 1),
-        |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        |        / (v.norm * c.norm) DESC, c.vec_id) AS rn
-        |  FROM e v CROSS JOIN cents c),
-        |asg AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+      s"""WITH ${graft.ops.VecOps.TrainedCellsSql},
         |probes AS (SELECT vec_id, cell FROM rnk WHERE rn <= 4),
         |cand AS (
-        |  SELECT p.vec_id AS anchor, m2.vec_id AS neg_id,
+        |  SELECT p.vec_id AS anchor, mm.vec_id AS neg_id,
         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(m2.embedding[i] AS DOUBLE)))
-        |      / (a.norm * m2.norm), 4) AS cos
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(mm.embedding[i] AS DOUBLE)))
+        |      / (a.norm * mm.norm), 4) AS cos
         |  FROM probes p
         |  JOIN asg ma ON ma.cell = p.cell
         |  JOIN e a ON a.vec_id = p.vec_id
-        |  JOIN e m2 ON m2.vec_id = ma.vec_id
-        |  WHERE m2.vec_id <> p.vec_id)
+        |  JOIN e mm ON mm.vec_id = ma.vec_id
+        |  WHERE mm.vec_id <> p.vec_id)
         |SELECT anchor, neg_id, cos AS neg_cos
         |FROM (SELECT anchor, neg_id, cos,
         |        row_number() OVER (PARTITION BY anchor
@@ -746,30 +735,18 @@ object Packing {
     // pair2b: the mined CTEs above plus the exact band argmax, folded to
     // one hashed row of integer counts + integer-floor booleans.
     "pair2b_mined_gate" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-        |  FROM embeddings),
-        |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
-        |cents AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c),
-        |rnk AS (
-        |  SELECT v.vec_id, c.vec_id AS cell,
-        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(v.embedding) + 1),
-        |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        |        / (v.norm * c.norm) DESC, c.vec_id) AS rn
-        |  FROM e v CROSS JOIN cents c),
-        |asg AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+      s"""WITH ${graft.ops.VecOps.TrainedCellsSql},
         |probes AS (SELECT vec_id, cell FROM rnk WHERE rn <= 4),
         |cand AS (
-        |  SELECT p.vec_id AS anchor, m2.vec_id AS neg_id,
+        |  SELECT p.vec_id AS anchor, mm.vec_id AS neg_id,
         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(m2.embedding[i] AS DOUBLE)))
-        |      / (a.norm * m2.norm), 4) AS cos
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(mm.embedding[i] AS DOUBLE)))
+        |      / (a.norm * mm.norm), 4) AS cos
         |  FROM probes p
         |  JOIN asg ma ON ma.cell = p.cell
         |  JOIN e a ON a.vec_id = p.vec_id
-        |  JOIN e m2 ON m2.vec_id = ma.vec_id
-        |  WHERE m2.vec_id <> p.vec_id),
+        |  JOIN e mm ON mm.vec_id = ma.vec_id
+        |  WHERE mm.vec_id <> p.vec_id),
         |mined AS (
         |  SELECT anchor, neg_id, cos FROM (
         |    SELECT anchor, neg_id, cos,

@@ -234,15 +234,88 @@ object VecOps {
   def sqrtCells(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  /** Deterministic centroids: the C lowest-id vectors, sorted by id (the
-    * [[graft.ops.AnnIndex]] one-shot quantizer discipline — production
-    * swaps in k-means iterates trained on a sample; the plan shape and
-    * the determinism contract are identical).
+  /** Deterministic SEED centroids: the C lowest-id vectors, sorted by id
+    * (the [[graft.ops.AnnIndex]] one-shot quantizer discipline). Also
+    * iteration 0 of [[trainedCentroids]], which refines these with
+    * Lloyd's on a fixed sample.
     */
   def centroids(s: SparkSession, df: DataFrame, idCol: String, embCol: String,
                 c: Int): Array[Vec] =
     vectors(s, df.filter(col(idCol) <
       org.apache.spark.sql.functions.lit(c.toLong)), idCol, embCol).sortBy(_.id)
+
+  /** K-MEANS-TRAINED cell centroids (r14): Lloyd's iterations over a
+    * fixed deterministic sample (the `sampleFactor`·C lowest-id vectors
+    * — FAISS-style points-per-cell sizing, so the sample grows with the
+    * CELL count, sublinear in the corpus), initialized from
+    * [[centroids]] (the C lowest-id vectors — iteration 0 of the same
+    * convention the one-shot quantizer uses). Every arithmetic step is
+    * chosen to be ENGINE-EXACT so the DuckDB oracle replays the trained
+    * cells bit-for-bit:
+    *  - assignment ranks by unrounded cosine (sequential double fold,
+    *    ties to the lower cell id) — the [[AnnIndex.nearestCell]] /
+    *    `row_number() ORDER BY cos DESC, cell` pair already pinned by
+    *    the untrained oracles;
+    *  - the centroid update is a FIXED-POINT INTEGER mean:
+    *    `floor(v·1e6)` per coordinate summed as longs (order-independent,
+    *    exact — a double mean would depend on Spark's partition-visit
+    *    order and could diverge from DuckDB in the last ulp, flipping a
+    *    knife-edge assignment), divided once in double and narrowed to
+    *    float (IEEE round-to-nearest-even in both engines);
+    *  - empty cells keep their previous centroid (the [[Sim.kmeans]]
+    *    convention).
+    * Driver/shuffle state per iteration is C×dim sum rows + the C×dim
+    * broadcast — cells-sized, never corpus-sized; the sample scan is the
+    * only data-sized work and it runs `iters` times over sampleFactor·C
+    * rows. Returns float-embedded [[Vec]]s (cell id = the seed vector's
+    * id), so every downstream kernel (assignment, probe ranking) is
+    * unchanged.
+    */
+  /** Training-sample sizing and iteration count — referenced by BOTH the
+    * Scala trainer and the SQL replay builder below, so the two sides
+    * can never drift.
+    */
+  val TrainSampleFactor: Int = 16
+  val TrainIters: Int = 2
+
+  def trainedCentroids(s: SparkSession, df: DataFrame, idCol: String,
+                       embCol: String, c: Int,
+                       sampleFactor: Int = TrainSampleFactor,
+                       iters: Int = TrainIters): Array[Vec] = {
+    import s.implicits._
+    var cents = centroids(s, df, idCol, embCol, c)
+    if (cents.isEmpty) return cents
+    val sample = df
+      .filter(col(idCol) < org.apache.spark.sql.functions.lit(c.toLong * sampleFactor))
+      .select(col(idCol), col(embCol)).as[(Long, Array[Float])]
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cents)
+      // (cell, dim) → (Σ floor(v·1e6), count): longs all the way, so the
+      // shuffle's combine order cannot change a single bit
+      val sums = sample.flatMap { case (_, emb) =>
+        val cell = AnnIndex.nearestCell(emb, bc.value)
+        emb.iterator.zipWithIndex.map { case (v, d) =>
+          ((cell, d), (math.floor(v.toDouble * 1e6).toLong, 1L))
+        }
+      }.rdd.reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2))
+        .collect()
+      bc.destroy()
+      val byCell = sums.groupBy(_._1._1)
+      cents = cents.map { prev =>
+        byCell.get(prev.id) match {
+          case None => prev // empty cell keeps its centroid
+          case Some(rows) =>
+            val dim = prev.emb.length
+            val emb = new Array[Float](dim)
+            rows.foreach { case ((_, d), (isum, cnt)) =>
+              emb(d) = (isum.toDouble / (cnt.toDouble * 1e6)).toFloat
+            }
+            Vec(prev.id, emb, normD(emb))
+        }
+      }
+    }
+    cents
+  }
 
   /** Rank of every (vector, centroid) pair by descending cosine then
     * centroid id — rank 1 is [[AnnIndex.nearestCell]]'s assignment, ranks
@@ -255,7 +328,9 @@ object VecOps {
       .sortBy { case (id, c) => (-c, id) }.take(p).map(_._1)
 
   /** SemDeDup-style cell-pruned cosine pairs: vectors assign to their
-    * nearest of ceil(sqrt(n)) deterministic centroids, and ONLY same-cell
+    * nearest of ceil(sqrt(n)) K-MEANS-TRAINED centroids (r14:
+    * [[trainedCentroids]] — Lloyd's on a fixed sample, engine-exact
+    * arithmetic so the oracle replays the training), and ONLY same-cell
     * pairs score through the exact kernel (the published SemDeDup shape —
     * k-means cluster, then pairwise within the cluster). Compute is
     * n^1.5·d instead of n²·d; the shuffle carries n vector rows keyed by
@@ -267,7 +342,7 @@ object VecOps {
                       embCol: String, threshold: Double): DataFrame = {
     import s.implicits._
     val c = sqrtCells(df.count())
-    val bc = s.sparkContext.broadcast(centroids(s, df, idCol, embCol, c))
+    val bc = s.sparkContext.broadcast(trainedCentroids(s, df, idCol, embCol, c))
     df.select(col(idCol), col(embCol)).as[(Long, Array[Float])]
       .map { case (id, emb) =>
         (AnnIndex.nearestCell(emb, bc.value), id, emb, normD(emb))
@@ -288,8 +363,8 @@ object VecOps {
   /** ANN-mined hard negatives: for each anchor, the top-scoring vector in
     * the cosine band [lo, hi) among the members of the anchor's `probes`
     * nearest cells (the DPR/ANCE mining shape — negatives come from an
-    * ANN index probe, not an exact corpus sweep). Cells and assignment as
-    * [[cellCosinePairs]]; anchors replicate to their probe cells (shuffle
+    * ANN index probe, not an exact corpus sweep). Cells are k-means-
+    * trained and assignment follows [[cellCosinePairs]]; anchors replicate to their probe cells (shuffle
     * = (probes+1)·n vector rows), each cell's members buffer once
     * (~sqrt(n) vectors) while its anchors stream through, and only the
     * per-cell top-1 survives to the final (n-row) global top-1. Fully
@@ -303,7 +378,7 @@ object VecOps {
     import org.apache.spark.sql.functions.row_number
     import s.implicits._
     val c = sqrtCells(df.count())
-    val bc = s.sparkContext.broadcast(centroids(s, df, idCol, embCol, c))
+    val bc = s.sparkContext.broadcast(trainedCentroids(s, df, idCol, embCol, c))
     val base = df.select(col(idCol), col(embCol)).as[(Long, Array[Float])]
     val members = base.map { case (id, emb) =>
       (AnnIndex.nearestCell(emb, bc.value), id, emb, normD(emb))
@@ -338,6 +413,65 @@ object VecOps {
     val w = Window.partitionBy(col("anchor")).orderBy(col("cos").desc, col("neg_id"))
     partial.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("anchor"), col("neg_id"), col("cos").as("neg_cos"))
+  }
+
+  /** The trained-cells CTE chain for the DuckDB oracles (d8/d8b/pair2/
+    * pair2b): replays [[trainedCentroids]] + the final assignment
+    * bit-for-bit. Defines, over the `embeddings` table:
+    * `e` (vectors + norms), `nc` (cell count), `dims`, `samp` (the
+    * fixed training sample), `c0..c${TrainIters}` (centroid iterates —
+    * float-narrowed fixed-point means, empty cells carried), `cents`
+    * (the trained centroids), `rnk` (every vector's cells ranked by
+    * unrounded cos, ties to the lower cell) and `asg` (rank 1). Exactness
+    * argument: floor(v·1e6) is exact (float·1e6 fits a double's 53 bits),
+    * BIGINT sums are order-independent, the one division runs in double
+    * and narrows to REAL under the same IEEE round-to-nearest-even both
+    * engines use, and every dot/norm is the sequential double fold the
+    * untrained oracles already pinned.
+    */
+  val TrainedCellsSql: String = {
+    def iteration(i: Int): String = {
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, cell FROM (
+         |    SELECT s.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, len(s.embedding) + 1),
+         |          i -> CAST(s.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE)))
+         |          / (s.norm * c.norm) DESC, c.cell) AS rn
+         |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1),
+         |m$i AS (SELECT a.cell, d.i AS dim,
+         |    SUM(CAST(floor(CAST(s.embedding[d.i] AS DOUBLE) * 1000000) AS BIGINT)) AS isum,
+         |    COUNT(*) AS cnt
+         |  FROM a$i a JOIN samp s USING (vec_id) CROSS JOIN dims d
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT cell, cent,
+         |    sqrt(list_sum(list_transform(cent, x -> CAST(x AS DOUBLE) * x))) AS norm
+         |  FROM (SELECT c.cell, coalesce(m.cent, c.cent) AS cent
+         |        FROM $prev c LEFT JOIN (
+         |          SELECT cell,
+         |            list(CAST(CAST(isum AS DOUBLE) / (cnt * 1000000.0) AS REAL)
+         |                 ORDER BY dim) AS cent
+         |          FROM m$i GROUP BY cell) m USING (cell)))""".stripMargin
+    }
+    val iterations = (1 to TrainIters).map(iteration).mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       |  FROM embeddings),
+       |nc AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS c FROM e),
+       |dims AS (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM e) + 1)) AS i),
+       |samp AS (SELECT e.* FROM e, nc WHERE e.vec_id < nc.c * $TrainSampleFactor),
+       |c0 AS (SELECT e.vec_id AS cell, e.embedding AS cent, e.norm
+       |       FROM e, nc WHERE e.vec_id < nc.c),
+       |$iterations,
+       |cents AS (SELECT cell, cent, norm FROM c$TrainIters),
+       |rnk AS (
+       |  SELECT v.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(v.embedding) + 1),
+       |        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE)))
+       |        / (v.norm * c.norm) DESC, c.cell) AS rn
+       |  FROM e v CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, cell FROM rnk WHERE rn = 1)""".stripMargin
   }
 
   /** Cosine of every (query, base) pair, queries broadcast. */

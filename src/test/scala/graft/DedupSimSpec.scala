@@ -87,7 +87,7 @@ class DedupSimSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(celled.subsetOf(exact), "cell pruning emitted a non-exact pair")
     val vecs = VecOps.vectors(spark, emb, "vec_id", "embedding")
-    val cents = VecOps.centroids(spark, emb, "vec_id", "embedding",
+    val cents = VecOps.trainedCentroids(spark, emb, "vec_id", "embedding",
       VecOps.sqrtCells(vecs.length.toLong))
     val cellOf = vecs.map(v => v.id -> AnnIndex.nearestCell(v.emb, cents)).toMap
     val expected = exact.filter { case (a, b, _) => cellOf(a) == cellOf(b) }
@@ -106,7 +106,7 @@ class DedupSimSpec extends SparkSuite {
     val got = VecOps.cellBandTop1(spark, emb, "vec_id", "embedding", 0.15, 0.45, 4)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
     val vecs = VecOps.vectors(spark, emb, "vec_id", "embedding").sortBy(_.id)
-    val cents = VecOps.centroids(spark, emb, "vec_id", "embedding",
+    val cents = VecOps.trainedCentroids(spark, emb, "vec_id", "embedding",
       VecOps.sqrtCells(vecs.length.toLong))
     val cellOf = vecs.map(v => v.id -> AnnIndex.nearestCell(v.emb, cents)).toMap
     def probesOf(v: graft.ops.VecOps.Vec): Set[Long] =
