@@ -37,8 +37,12 @@ out = {"scales": SCALES, "unit": "sec", "repeat": 3,
        "load_by_scale": {str(m): loads[m] for m in SCALES},
        "note": ("x-copies of documents/embeddings/events are id-shifted and "
                 "content-synthesized to preserve the base's per-copy "
-                "workload shape (scripts/stage_scale.py); other tables "
-                "fixed at sf0.1. exponent = least-squares slope of "
+                "workload shape (scripts/stage_scale.py); r14 also "
+                "inflates orders/lineitem/customer/supplier (consistent "
+                "key shifts -> k disconnected trade-graph copies) so the "
+                "iterative family g1/g4/rc1 measures real growth; "
+                "region/nation/part fixed at sf0.1. "
+                "exponent = least-squares slope of "
                 "log(t) vs log(scale); <=1.0 is linear-or-better. "
                 "Queries under 'output_bound' are exact-by-contract "
                 "(adjudicated in SURVEY r13 stances rather than "

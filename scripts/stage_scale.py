@@ -92,13 +92,53 @@ EVENTS = """
            user_id + ks.k * {s} AS user_id, event_type, value, props
     FROM ks CROSS JOIN read_parquet('{base}/events.parquet')"""
 
+# r14: the TPC-H trade tables inflate too, so the ITERATIVE family
+# (g1/g2/g4 over orders x lineitem trade edges, rc1 over per-customer
+# order chains) has a real scale curve — before this, their inputs were
+# fixed at the base sf and the sweep would have measured a constant
+# workload. Id-shifting every key column CONSISTENTLY (orderkey/custkey/
+# suppkey all move by k*SHIFT) yields k disconnected copies of the same
+# graph: per-iteration edge work grows linearly, the iteration/job count
+# does not — exactly the adjudicated claim the sweep now measures. Part
+# keys stay shared (no swept query joins part). Customer inflation also
+# makes j18's events-to-customer join match every shifted copy, so its
+# join output now grows with scale (it previously matched copy 0 only).
+ORDERS = """
+    WITH ks AS (SELECT CAST(unnest(range(0, {mult})) AS BIGINT) AS k)
+    SELECT o_orderkey + ks.k * {s} AS o_orderkey,
+           o_custkey + ks.k * {s} AS o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM ks CROSS JOIN read_parquet('{base}/orders.parquet')"""
+
+LINEITEM = """
+    WITH ks AS (SELECT CAST(unnest(range(0, {mult})) AS BIGINT) AS k)
+    SELECT l_orderkey + ks.k * {s} AS l_orderkey, l_partkey,
+           l_suppkey + ks.k * {s} AS l_suppkey,
+           l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+           l_returnflag, l_linestatus, l_shipdate
+    FROM ks CROSS JOIN read_parquet('{base}/lineitem.parquet')"""
+
+CUSTOMER = """
+    WITH ks AS (SELECT CAST(unnest(range(0, {mult})) AS BIGINT) AS k)
+    SELECT c_custkey + ks.k * {s} AS c_custkey,
+           c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM ks CROSS JOIN read_parquet('{base}/customer.parquet')"""
+
+SUPPLIER = """
+    WITH ks AS (SELECT CAST(unnest(range(0, {mult})) AS BIGINT) AS k)
+    SELECT s_suppkey + ks.k * {s} AS s_suppkey,
+           s_name, s_nationkey, s_acctbal
+    FROM ks CROSS JOIN read_parquet('{base}/supplier.parquet')"""
+
 
 def stage(mult: int) -> None:
     d = os.path.join(OUT, f"x{mult}")
     os.makedirs(d, exist_ok=True)
     con = duckdb.connect()
     for t, sql in (("documents", DOCS), ("embeddings", EMB),
-                   ("events", EVENTS)):
+                   ("events", EVENTS), ("orders", ORDERS),
+                   ("lineitem", LINEITEM), ("customer", CUSTOMER),
+                   ("supplier", SUPPLIER)):
         q = sql.format(base=BASE, mult=mult, s=SHIFT)
         con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
     for t in TABLES:
