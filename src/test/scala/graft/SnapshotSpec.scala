@@ -170,6 +170,42 @@ class SnapshotSpec extends SparkSuite {
       ("insert", 4L), ("insert", 200L)))
   }
 
+  test("the full table lifecycle runs on Hadoop's own second FS (viewfs://)") {
+    // r14: the same metadata-layer lifecycle as the graftfs case, against
+    // a FileSystem implementation we did NOT write — Hadoop's
+    // ViewFileSystem, whose client-side mount table re-resolves every
+    // path and whose rename REFUSES cross-mount moves. The commit
+    // protocol's lock/rename/expire surviving it is stronger seam
+    // evidence than a RawLocal subclass: an accidental default-FS
+    // assumption, absolute-path rewrite, or cross-root rename all fail
+    // loudly here.
+    val sess = spark
+    import sess.implicits._
+    val local = tmpDir("graft_viewfs_snap")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.viewfs.mounttable.graftsnap.link./warehouse", "file:" + local)
+    val base = "viewfs://graftsnap/warehouse/table"
+    val v1 = Snapshots.commit(spark, (1L to 5L).toDF("id"), base)
+    val v2 = Snapshots.commit(spark, (6L to 8L).toDF("id"), base)
+    assert(ids(Snapshots.read(spark, base)) === (1L to 8L).toSet)
+    assert(ids(Snapshots.read(spark, base, Some(v1))) === (1L to 5L).toSet)
+    assert(ids(Snapshots.changes(spark, base, v1, v2)) === (6L to 8L).toSet)
+    Snapshots.deleteWhereDV(spark, base, col("id") === 3L)
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 8L).toSet - 3L))
+    Snapshots.merge(spark, base, Seq(2L, 100L).toDF("id"), Seq("id"))
+    assert(ids(Snapshots.read(spark, base)) === ((1L to 8L).toSet - 3L) + 100L)
+    Snapshots.tag(base, "pinned", v1)
+    assert(ids(Snapshots.readTag(spark, base, "pinned")) === (1L to 5L).toSet)
+    val rb = Snapshots.rollback(base, v2)
+    assert(ids(Snapshots.read(spark, base)) === (1L to 8L).toSet)
+    Snapshots.expire(base, keepLast = 1)
+    assert(ids(Snapshots.readTag(spark, base, "pinned")) === (1L to 5L).toSet)
+    assert(ids(Snapshots.read(spark, base, Some(rb))) === (1L to 8L).toSet)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, base, Some(v2)).collect()
+    }
+  }
+
   test("rename/drop resolve by field id across eras (non-additive evolution)") {
     val sess = spark
     import sess.implicits._

@@ -118,6 +118,31 @@ class SourcesSpec extends SparkSuite {
     assert(back.count() > 0)
   }
 
+  test("the ingest chain runs on a SECOND Hadoop-shipped FileSystem (viewfs://)") {
+    // r14: broadens the §2.1 #11 seam evidence beyond the in-repo
+    // graftfs subclass. ViewFileSystem is a real second implementation
+    // SHIPPED with Hadoop — client-side mount-table path resolution and
+    // stricter rename semantics (cross-mount renames refuse outright) —
+    // so the write→prune→read chain passing here shows the seam binds by
+    // scheme to an independently-written FileSystem, not just to our own
+    // RawLocal subclass.
+    import graft.ingest.BlockWriter
+    val sess = spark
+    import sess.implicits._
+    val local = tmpDir("graft_viewfs_seam")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.viewfs.mounttable.graftcluster.link./data", "file:" + local)
+    val base = "viewfs://graftcluster/data/blocks"
+    val df = (0L until 512L).map(i => (i % 16, i, s"p$i")).toDF("user_id", "ts_us", "payload")
+    BlockWriter.write(df, base, partitionCol = "user_id", keyCol = "ts_us")
+    val back = graft.query.RangeQuery.query(spark, base, "user_id", "ts_us",
+      lit(7L), lit(100L), lit(400L))
+    val expected = df.filter(col("user_id") === 7L && col("ts_us").between(100L, 400L))
+    assert(back.select(col("ts_us")).collect().map(_.getLong(0)).sorted.toSeq ===
+      expected.select(col("ts_us")).collect().map(_.getLong(0)).sorted.toSeq)
+    assert(back.count() > 0)
+  }
+
   test("binaryFile source reads payload bytes with path metadata, glob-filtered") {
     val dir = tmpDir("graft_bin_spec")
     java.nio.file.Files.write(
