@@ -68,6 +68,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // WITH RECURSIVE's row-budget guard defaults to 1M TOTAL rows — a
+      // runaway-recursion rail, not a resource limit. rc1's recursion is
+      // depth-bounded (r <= 10) and its per-level row count is DATA-sized
+      // (one row per live customer chain), so the x8 scale sweep tripped
+      // the default honestly. Size the budget for data, keep the rail.
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

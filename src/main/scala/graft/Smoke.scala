@@ -13,6 +13,8 @@ object Smoke {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // data-sized budget for depth-bounded WITH RECURSIVE (see Bench)
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,6 +10,8 @@ object SparkSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // data-sized budget for depth-bounded WITH RECURSIVE (see Bench)
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
