@@ -100,6 +100,53 @@ class IngestQuerySpec extends SparkSuite with TableDrivenPropertyChecks {
     assert(partFilters.exists(_.contains("bucket")))
   }
 
+  test("content-addressed naming: deterministic names, re-ingest is a no-op") {
+    // block.go:94-115 reproduced (r14): block names are the md5 of their
+    // bytes, so (a) writing the SAME data twice — to different dirs —
+    // yields the identical name set, and (b) appending an identical
+    // batch to an existing layout dedupes at the storage layer (the
+    // renamed newcomers collide with stored blocks and are deleted),
+    // which is the reference's retry-requeue idempotency: re-delivery
+    // can never double rows.
+    val df = Tables.events(spark, sf).drop("ts", "ts_t")
+      // one deterministic row order so both writes produce byte-identical
+      // files (parquet bytes depend on row order within each file)
+      .orderBy(col("event_id"))
+    def names(dir: String): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet"))
+          out += (p.getParent.getName + "/" + p.getName)
+      }
+      out.toSet
+    }
+    val (d1, d2) = (tmpDir("graft_ca1"), tmpDir("graft_ca2"))
+    for (d <- Seq(d1, d2)) {
+      BlockWriter.write(df, d, partitionCol = "user_id", keyCol = "ts_us",
+        numBuckets = 4, maxRecordsPerFile = 256)
+      BlockWriter.contentAddress(spark, d)
+    }
+    val n1 = names(d1)
+    assert(n1 === names(d2), "same content must produce the same block names")
+    assert(n1.nonEmpty && n1.forall(_.split('/').last.startsWith("block-")))
+    // re-ingest of the identical batch: appended part files dedupe away
+    val rows = spark.read.parquet(d1).count()
+    BlockWriter.append(df, d1, partitionCol = "user_id", keyCol = "ts_us",
+      numBuckets = 4, maxRecordsPerFile = 256)
+    BlockWriter.contentAddress(spark, d1)
+    assert(names(d1) === n1, "identical re-ingest must leave the name set unchanged")
+    assert(spark.read.parquet(d1).count() === rows, "re-delivery must not double rows")
+    // ...and the range-query path is name-agnostic: results unchanged
+    val pk = df.select(col("user_id")).head.getLong(0)
+    val got = RangeQuery.query(spark, d1, "user_id", "ts_us",
+      lit(pk), lit(Long.MinValue), lit(Long.MaxValue), numBuckets = 4).count()
+    assert(got === df.filter(col("user_id") === pk).count())
+  }
+
   test("writeByKey reference-faithful layout round-trips a range query") {
     val dir = tmpDir("graft_bykey_spec")
     BlockWriter.writeByKey(Tables.events(spark, sf).drop("ts", "ts_t"),
