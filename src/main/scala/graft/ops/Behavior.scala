@@ -17,6 +17,37 @@ import graft.tables.Tables
 object Behavior {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq1_user_sequences" -> { (s, d) =>
+      // Training-SEQUENCE construction for a behavioral/next-action model:
+      // per user, the time-ordered action stream truncated to the model's
+      // context length — the events-table analogue of pack1's token
+      // packing, and the preprocessing a sequential recommender trains
+      // on. Plan shape: the rank window and the grouped collect share the
+      // user hash partitioning, so ONE user-keyed shuffle feeds both
+      // (Spark reuses the window's partitioning for the aggregate);
+      // per-group state is capped at seqCap rows by the rank filter
+      // BEFORE the collect — a hot user buffers 64 structs, never their
+      // whole history. n_events counts the full (untruncated) history via
+      // the window's count for the ratio a curriculum would cut on;
+      // array_sort on (ts, id, type) structs makes the array order total,
+      // so the whole array column hash-checks against the oracle.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_events", count(lit(1)).over(wAll))
+        .filter(col("rn") <= seqCap)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_events")).as("n_events"),
+          transform(
+            array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")).as("seq"))
+    },
     "e1_funnel" -> { (s, d) =>
       // Ordered funnel view → click → purchase: a user converts at step k
       // if the earliest timestamps respect the order. min-per-type is one
@@ -174,7 +205,17 @@ object Behavior {
     }
   )
 
+  val seqCap = 64 // model context length in actions — the truncation grain
+
   val oracleSql: Map[String, String] = Map(
+    // seq1: list(... ORDER BY ts, id) with a 1-based slice replays the
+    // window-rank truncation exactly; event_id uniqueness makes the
+    // order (hence the array hash) total on both engines.
+    "seq1_user_sequences" ->
+      s"""SELECT user_id,
+         |  count(*) AS n_events,
+         |  (list(event_type ORDER BY epoch_us(ts), event_id))[1:$seqCap] AS seq
+         |FROM events GROUP BY user_id""".stripMargin,
     "e1_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

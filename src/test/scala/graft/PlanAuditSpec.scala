@@ -110,6 +110,19 @@ class PlanAuditSpec extends SparkSuite {
       s"expected one shard shuffle, got ${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
 
+  test("seq1_user_sequences shuffles on user exactly once (window feeds the collect)") {
+    // the rank window and the grouped collect share the user hash
+    // partitioning — a second exchange would mean the aggregate ignored
+    // the window's distribution
+    val df = graft.ops.Behavior.queries("seq1_user_sequences")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size === 1,
+      s"expected one user shuffle, got ${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
   test("j18_salted_join broadcasts the replicated dimension side") {
     val df = graft.ops.Relational.queries("j18_salted_join")(spark, sf)
     df.collect()
