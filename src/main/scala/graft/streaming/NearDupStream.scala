@@ -127,9 +127,12 @@ object NearDupStream {
     val md = java.security.MessageDigest.getInstance("MD5")
     val sig = Array.fill(DefaultHashes)(Long.MaxValue)
     shingles.foreach { sh =>
-      val hex = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString
-      val x = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      val dg = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 7 hex chars = the digest's top 28 bits, extracted directly
+      // (== parseLong(hexString.take(7), 16); the per-byte String.format
+      // hex render cost ~1 s per million shingles — the d13 hot loop)
+      val x = ((dg(0) & 0xffL) << 20) | ((dg(1) & 0xffL) << 12) |
+        ((dg(2) & 0xffL) << 4) | ((dg(3) & 0xffL) >>> 4)
       var k = 0
       while (k < DefaultHashes) {
         val h = Math.floorMod(MinhashA(k) * x + MinhashB(k), MinhashP)
