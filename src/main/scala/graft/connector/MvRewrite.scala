@@ -187,13 +187,26 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (groupNames.size != agg.groupingExpressions.size) return None
     regs.iterator.flatMap { reg =>
       // A residual WHERE commutes with the view ONLY when it references
-      // nothing but grouping keys: key-filtering the one-row-per-group
-      // view rows selects exactly the groups the filtered source would
-      // have formed, with identical contents. Any value-column reference
+      // nothing but grouping keys (the VIEW's keys — for a rollup the
+      // predicate may name a key the output no longer groups on, and
+      // filtering the fine-grained view rows before re-aggregation is
+      // still exact): key-filtering the one-row-per-group view rows
+      // selects exactly the groups the filtered source would have
+      // formed, with identical contents. Any value-column reference
       // changes group CONTENTS — fall back.
       val keyOnlyFilter =
         cond.forall(_.references.forall(a => reg.keys.contains(a.name)))
-      if (groupNames.toSet != reg.keys.toSet || !keyOnlyFilter) None
+      // r14: a GROUP BY on a PROPER SUBSET of the view's keys (including
+      // the empty set — a global aggregate) is answered by RE-AGGREGATING
+      // the view: count(*) = sum(n_rows), sum(v) = sum(sum_v),
+      // avg(v) = sum(sum_v)/sum(n_rows), min/max(v) = min/max over the
+      // per-group extrema — the mergeable-state property that makes the
+      // view's columns partial aggregates. The aggregate's shuffle
+      // remains, but over one-row-per-fine-group view rows instead of
+      // the fact table.
+      val subset = groupNames.toSet.subsetOf(reg.keys.toSet)
+      val exact = groupNames.toSet == reg.keys.toSet
+      if (!subset || !keyOnlyFilter) None
       else {
         // min/max availability is the view's stored schema — metadata-only
         val hasMinMax =
@@ -202,7 +215,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         val targets = agg.aggregateExpressions
           .map(ne => targetOf(ne, reg.keys.toSet, reg.valCol, hasMinMax))
         if (targets.exists(_.isEmpty) || !fresh(reg.view, base)) None
-        else Some(substitute(spark, agg, reg, targets.map(_.get), cond))
+        else if (exact) Some(substitute(spark, agg, reg, targets.map(_.get), cond))
+        else Some(rollup(spark, agg, reg, targets.map(_.get), cond))
       }
     }.take(1).toSeq.headOption
   }
@@ -254,6 +268,60 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
     logInfo(s"graft MV rewrite: aggregate over $reg answered from the view")
     Project(projs, viewPlan)
+  }
+
+  /** The partial-key form of [[substitute]]: a real Aggregate over the
+    * view, with each user output re-expressed over the view's mergeable
+    * state. Exactness: counts/min/max merge exactly by definition;
+    * double sums re-associate — the same reordering ANY Spark plan
+    * change already implies (shuffle order is unspecified), so the
+    * contract is Spark's own, not a weaker one. The derived avg divides
+    * the two exact totals, so it is the true mean, not a mean of means.
+    */
+  private def rollup(spark: SparkSession, agg: Aggregate, reg: Reg,
+                     targets: Seq[Target],
+                     cond: Option[Expression]): LogicalPlan = {
+    val needed = targets.flatMap {
+      case KeyCol(n) => Seq(n)
+      case NRows => Seq("n_rows")
+      case SumV => Seq("sum_v")
+      case AvgV => Seq("sum_v", "n_rows")
+      case MinV => Seq("min_v")
+      case MaxV => Seq("max_v")
+    } ++ cond.toSeq.flatMap(_.references.toSeq.map(_.name))
+    val viewRead = spark.read.format("graft").load(reg.view)
+      .select(needed.distinct.map(org.apache.spark.sql.functions.col): _*)
+      .queryExecution.optimizedPlan
+    val viewPlan = cond.fold(viewRead) { c =>
+      val vByName = viewRead.output.map(a => a.name -> a).toMap
+      Filter(c.transform {
+        case a: AttributeReference => vByName(a.name)
+      }, viewRead)
+    }
+    val byName = viewPlan.output.map(a => a.name -> a).toMap
+    def cast(e: Expression, dt: DataType): Expression =
+      if (e.dataType == dt) e else Cast(e, dt)
+    def sumOf(c: String): Expression =
+      Sum(byName(c)).toAggregateExpression()
+    val outs = agg.aggregateExpressions.zip(targets).map { case (ne, t) =>
+      val e: Expression = t match {
+        case KeyCol(n) => cast(byName(n), ne.dataType)
+        // count(*) over an empty table is 0 while sum over no rows is
+        // NULL — coalesce so the empty-view global rollup stays exact
+        case NRows =>
+          cast(Coalesce(Seq(sumOf("n_rows"), Literal(0L))), ne.dataType)
+        case SumV => cast(sumOf("sum_v"), ne.dataType)
+        case AvgV => Divide(Cast(sumOf("sum_v"), DoubleType),
+          Cast(sumOf("n_rows"), DoubleType))
+        case MinV => cast(Min(byName("min_v")).toAggregateExpression(), ne.dataType)
+        case MaxV => cast(Max(byName("max_v")).toAggregateExpression(), ne.dataType)
+      }
+      Alias(e, ne.name)(exprId = ne.exprId)
+    }
+    val groupAttrs = agg.groupingExpressions.flatMap(nameOf).map(byName)
+    logInfo(s"graft MV rollup rewrite: partial-key aggregate over $reg " +
+      "answered by re-aggregating the view")
+    Aggregate(groupAttrs, outs, viewPlan)
   }
 
   /** Thread-safe idempotent runtime install (the StatsPropagationRule

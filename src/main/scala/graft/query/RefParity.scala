@@ -262,6 +262,27 @@ object RefParity {
       val fired = bases.contains(mv) && !bases.contains(src)
       agg.withColumn("rewrite_fired", lit(fired))
     },
+    "mv7_rewrite_rollup" -> { (s, d) =>
+      // The PARTIAL-KEY rollup rewrite (r14): a GLOBAL aggregate over the
+      // source — the empty-subset case of grouping on fewer keys than the
+      // view — re-aggregates the view's mergeable state (count =
+      // sum(n_rows), sum = sum(sum_v), avg = the exact totals ratio)
+      // instead of scanning the fact table: at 100 TB the query reads one
+      // row per order, not every lineitem. l_quantity sums are exact in
+      // double at any accumulation order, so re-association is bit-safe
+      // and the recomputing oracle hash-checks the substituted answer;
+      // `rewrite_fired` pins the plan substitution itself.
+      val mv = mvDir(s, d)
+      val src = snapshotDir(s, d)
+      graft.ingest.MatView.register(src, mv, Seq("l_orderkey"), "l_quantity")
+      val agg = s.read.format("graft").load(src)
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_v"),
+          avg(col("l_quantity")).as("avg_v"))
+      val bases = graft.connector.MvRewriteRule
+        .graftScanBases(agg.queryExecution.optimizedPlan)
+      val fired = bases.contains(mv) && !bases.contains(src)
+      agg.withColumn("rewrite_fired", lit(fired))
+    },
     "mv3_distinct_view" -> { (s, d) =>
       import graft.ingest.Snapshots
       Snapshots.read(s, mv3Dir(s, d) + "/mv")
@@ -1389,6 +1410,12 @@ object RefParity {
         |  true AS rewrite_fired
         |FROM lineitem GROUP BY l_orderkey
         |HAVING CAST(sum(l_quantity) AS DOUBLE) >= 100.0 AND count(*) >= 3""".stripMargin,
+    "mv7_rewrite_rollup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,
+        |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_v,
+        |  true AS rewrite_fired
+        |FROM lineitem""".stripMargin,
     "mv2_minmax_view" ->
       """SELECT l_orderkey, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_v,

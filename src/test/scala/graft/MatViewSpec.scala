@@ -264,6 +264,57 @@ class MatViewSpec extends SparkSuite {
     }
   }
 
+  test("rollup rewrite: a partial-key GROUP BY re-aggregates the view") {
+    // r14: grouping on a SUBSET of the view's keys (or none — a global
+    // aggregate) is answered by re-aggregating the one-row-per-fine-group
+    // view rows: count = sum(n_rows), sum = sum(sum_v), avg = the exact
+    // totals ratio (not a mean of means), min/max over per-group extrema.
+    import graft.connector.MvRewriteRule
+    val sess = spark
+    import sess.implicits._
+    MvRewriteRule.install(spark)
+    val root = tmpDir("graft_mv_rollup")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    Snapshots.commit(spark,
+      Seq(("a", "x", 1.0), ("a", "y", 2.0), ("a", "y", 4.0), ("b", "x", 10.0))
+        .toDF("k1", "k2", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("k1", "k2"), "v", withMinMax = true)
+    MatView.register(src, mv, Seq("k1", "k2"), "v")
+    def bases(df: org.apache.spark.sql.DataFrame) =
+      MvRewriteRule.graftScanBases(df.queryExecution.optimizedPlan).distinct
+    def load = spark.read.format("graft").load(src)
+    def sub = load.groupBy(col("k1"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"), avg(col("v")).as("m"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+    assert(bases(sub) === Seq(mv), "subset grouping must re-aggregate the view")
+    assert(sub.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap ===
+      Map("a" -> ((3L, 7.0, 7.0 / 3.0, 1.0, 4.0)),
+          "b" -> ((1L, 10.0, 10.0, 10.0, 10.0))))
+    // the empty subset — a GLOBAL aggregate — also rides the view
+    val glob = load.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(bases(glob) === Seq(mv), "global aggregate must re-aggregate the view")
+    assert(glob.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((4L, 17.0)))
+    // a WHERE on a view key the output no longer groups on still commutes:
+    // filter the fine-grained view rows, then re-aggregate
+    val filtered = load.filter(col("k2") === "y").groupBy(col("k1"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(bases(filtered) === Seq(mv), "keyed WHERE must ride the rollup")
+    assert(filtered.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2)))).toMap === Map("a" -> ((2L, 6.0))))
+    // a value-column WHERE still falls back
+    val valueWhere = load.filter(col("v") > 1.0).groupBy(col("k1"))
+      .agg(count(lit(1)).as("n"))
+    assert(bases(valueWhere) === Seq(src), "value WHERE must fall back")
+    // grouping on a NON-view column never rewrites
+    val alien = load.groupBy(col("v")).agg(count(lit(1)).as("n"))
+    assert(bases(alien) === Seq(src))
+    // staleness still falls back on the rollup path
+    Snapshots.commit(spark, Seq(("c", "x", 5.0)).toDF("k1", "k2", "v"), src)
+    assert(bases(sub) === Seq(src), "stale view must not roll up")
+  }
+
   test("transparent rewrite: fresh view substitutes, stale or filtered falls back") {
     import graft.connector.MvRewriteRule
     val sess = spark
