@@ -300,6 +300,61 @@ class StreamingSpec extends SparkSuite {
     assert(fromReplay.exists(_._4) && fromReplay.exists(!_._4))
   }
 
+  test("stream-stream interval join ≡ the batch join; outer emits once the window closes") {
+    // The attribution join as two LIVE feeds: same-user purchase+click
+    // within a 300 s event-time window, watermarks bounding both sides'
+    // state. The batch replay runs the IDENTICAL plan builder over the
+    // same rows, so the equivalence pins the streaming execution, not a
+    // reimplementation. Sentinel rows (user 9) advance both watermarks
+    // past every real event so outer results flush deterministically.
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamJoin
+    import graft.streaming.StreamJoin.{Buy, Click}
+    val t0 = 1700000000L * 1000000
+    val sec = 1000000L
+    val clicks = Seq(
+      Click(1, t0, "a"), Click(1, t0 + 100 * sec, "b"),
+      Click(2, t0 + 10 * sec, "c"))
+    val buys = Seq(
+      Buy(1, t0 + 150 * sec, 500), // clicks a (150 s) and b (50 s) both in window
+      Buy(2, t0 + 400 * sec, 700), // click c is 390 s before — outside
+      Buy(3, t0 + 200 * sec, 900)) // no clicks at all
+    def run(joinType: String, name: String): Set[(Long, Long, String)] = {
+      val cm = MemoryStream[Click]
+      val bm = MemoryStream[Buy]
+      val q = StreamJoin.attributedPurchases(cm.toDS(), bm.toDS(),
+        joinType = joinType)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      cm.addData(clicks: _*)
+      bm.addData(buys: _*)
+      q.processAllAvailable()
+      // sentinels: push both watermarks ~1.4 h past every real event
+      cm.addData(Click(9, t0 + 5000 * sec, "z"))
+      bm.addData(Buy(9, t0 + 5000 * sec, 1))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(2), Option(r.getString(4)).getOrElse("-")))
+        .filter(_._1 != 9L).toSet
+    }
+    def batch(joinType: String): Set[(Long, Long, String)] =
+      StreamJoin.attributedPurchases(clicks.toDS(), buys.toDS(),
+        joinType = joinType).collect()
+        .map(r => (r.getLong(0), r.getLong(2), Option(r.getString(4)).getOrElse("-")))
+        .toSet
+    val inner = run("inner", "sj_inner")
+    assert(inner === batch("inner"), "stream and batch inner join diverged")
+    assert(inner === Set((1L, 500L, "a"), (1L, 500L, "b")))
+    val outer = run("left_outer", "sj_outer")
+    assert(outer === batch("left_outer"), "stream and batch outer join diverged")
+    // the never-attributed purchases surface exactly once, null-padded
+    assert(outer === Set((1L, 500L, "a"), (1L, 500L, "b"),
+      (2L, 700L, "-"), (3L, 900L, "-")))
+  }
+
   test("transformWithState keeps per-user running stats across micro-batches") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
