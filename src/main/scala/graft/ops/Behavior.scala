@@ -17,6 +17,31 @@ import graft.tables.Tables
 object Behavior {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_attribution_join" -> { (s, d) =>
+      // The stream-stream attribution join's plan builder run BATCH over
+      // the events table (StreamJoin.attributedPurchases — one code
+      // path for both execution modes, the d13 discipline): every
+      // purchase pairs with the same user's clicks in the preceding
+      // 300 s. The DuckDB oracle replays the inclusive interval
+      // predicate on epoch micros, so the streaming operator's join
+      // semantics is hash-checked even though a live stream can't be.
+      // Money rides as integer cents; ids/timestamps are exact longs.
+      import s.implicits._
+      import graft.streaming.StreamJoin
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_us"),
+          col("event_id").cast("string").as("page"))
+        .as[StreamJoin.Click]
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("buy_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[StreamJoin.Buy]
+      StreamJoin.attributedPurchases(clicks, buys)
+        .select(col("user_id"), unix_micros(col("buy_ts")).as("buy_us"),
+          col("cents"), unix_micros(col("click_ts")).as("click_us"),
+          col("page").cast("long").as("click_id"))
+    },
     "seq1_user_sequences" -> { (s, d) =>
       // Training-SEQUENCE construction for a behavioral/next-action model:
       // per user, the time-ordered action stream truncated to the model's
@@ -208,6 +233,17 @@ object Behavior {
   val seqCap = 64 // model context length in actions — the truncation grain
 
   val oracleSql: Map[String, String] = Map(
+    // e7: the interval predicate replayed on epoch micros — BETWEEN is
+    // inclusive on both ends, exactly the builder's >= / <= pair.
+    "e7_attribution_join" ->
+      """SELECT b.user_id, epoch_us(b.ts) AS buy_us,
+        |  CAST(round(b.value * 100) AS BIGINT) AS cents,
+        |  epoch_us(c.ts) AS click_us, c.event_id AS click_id
+        |FROM events b JOIN events c ON c.user_id = b.user_id
+        |  AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(b.ts) - 300000000
+        |                         AND epoch_us(b.ts)
+        |WHERE b.event_type = 'purchase'""".stripMargin,
     // seq1: list(... ORDER BY ts, id) with a 1-based slice replays the
     // window-rank truncation exactly; event_id uniqueness makes the
     // order (hence the array hash) total on both engines.
