@@ -139,8 +139,14 @@ def stage(mult: int) -> None:
                    ("events", EVENTS), ("orders", ORDERS),
                    ("lineitem", LINEITEM), ("customer", CUSTOMER),
                    ("supplier", SUPPLIER)):
+        out = f"{d}/{t}.parquet"
+        # A stale SYMLINK here (left by a run that linked this table to the
+        # base) would make COPY write THROUGH the link and clobber the
+        # canonical dataset while reading it — unlink before generating.
+        if os.path.islink(out) or os.path.exists(out):
+            os.unlink(out)
         q = sql.format(base=BASE, mult=mult, s=SHIFT)
-        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+        con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
     for t in TABLES:
         link = os.path.join(d, f"{t}.parquet")
         if not os.path.exists(link):

@@ -281,6 +281,9 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   private def rollup(spark: SparkSession, agg: Aggregate, reg: Reg,
                      targets: Seq[Target],
                      cond: Option[Expression]): LogicalPlan = {
+    // grouping keys may be absent from the SELECT list (legal SQL:
+    // `SELECT sum(v) ... GROUP BY k1`) — the view read must still
+    // project them or groupAttrs below cannot resolve
     val needed = targets.flatMap {
       case KeyCol(n) => Seq(n)
       case NRows => Seq("n_rows")
@@ -288,7 +291,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case AvgV => Seq("sum_v", "n_rows")
       case MinV => Seq("min_v")
       case MaxV => Seq("max_v")
-    } ++ cond.toSeq.flatMap(_.references.toSeq.map(_.name))
+    } ++ agg.groupingExpressions.flatMap(nameOf) ++
+      cond.toSeq.flatMap(_.references.toSeq.map(_.name))
     val viewRead = spark.read.format("graft").load(reg.view)
       .select(needed.distinct.map(org.apache.spark.sql.functions.col): _*)
       .queryExecution.optimizedPlan

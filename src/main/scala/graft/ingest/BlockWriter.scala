@@ -158,12 +158,36 @@ object BlockWriter {
         } finally in.close()
         (p, md.digest().map(b => java.lang.String.format("%02x", Byte.box(b))).mkString)
       }.collect()
-    digests.foreach { case (src, hex) =>
+    // Collisions must distinguish WHO owns the name: a block stored by an
+    // EARLIER pass means this file is a re-delivered duplicate — delete it
+    // (the reference's retried-upload no-op). A name claimed by THIS pass
+    // means the batch legitimately contains two byte-identical blocks (a
+    // table with >= 2·maxRecordsPerFile identical rows splits into
+    // identical files) — suffix an ordinal instead of silently dropping
+    // rows. Processing in sorted-src order keeps the suffix assignment —
+    // and hence the name set — deterministic for identical content.
+    val claimedThisPass = scala.collection.mutable.Set.empty[String]
+    digests.sortBy(_._1).foreach { case (src, hex) =>
       val srcPath = new org.apache.hadoop.fs.Path(src)
-      val dst = new org.apache.hadoop.fs.Path(srcPath.getParent, s"block-$hex.parquet")
-      if (fs.exists(dst)) fs.delete(srcPath, false) // identical block already stored
-      else if (!fs.rename(srcPath, dst))
-        throw new java.io.IOException(s"content-address rename failed: $src -> $dst")
+      val dir = srcPath.getParent
+      def target(k: Int): org.apache.hadoop.fs.Path =
+        new org.apache.hadoop.fs.Path(dir,
+          if (k == 0) s"block-$hex.parquet" else s"block-$hex-$k.parquet")
+      var k = 0
+      var done = false
+      while (!done) {
+        val dst = target(k)
+        val key = dst.toString
+        if (claimedThisPass(key)) k += 1 // same-batch twin: next ordinal
+        else if (fs.exists(dst)) {       // stored by an earlier pass: no-op
+          fs.delete(srcPath, false)
+          done = true
+        } else if (fs.rename(srcPath, dst)) {
+          claimedThisPass += key
+          done = true
+        } else throw new java.io.IOException(
+          s"content-address rename failed: $src -> $dst")
+      }
     }
   }
 

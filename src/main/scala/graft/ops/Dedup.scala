@@ -599,8 +599,11 @@ object Dedup {
       // ENTIRE decision: shingle → 28-bit md5 hash → 8 affine minhashes
       // mod 2^61-1 → (band, s0, s1) tuples → windowed first-claimant →
       // per-doc reduce. StreamingSpec pins stream ≡ batchReplay under
-      // the stream's own fnv banding, so the claim semantics this query
-      // hash-checks is the one the live stream applies.
+      // the stream's own fnv banding for ts-ordered arrivals — the
+      // equivalence's stated scope (out-of-order arrivals keep the
+      // stream's live claim; see batchReplay's scaladoc) — so the claim
+      // semantics hash-checked here is the live stream's canonical-order
+      // decision table.
       import s.implicits._
       import graft.streaming.NearDupStream
       val docs = Tables.table(s, d, "documents")

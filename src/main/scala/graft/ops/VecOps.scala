@@ -211,13 +211,26 @@ object VecOps {
   def exactCosinePairs(s: SparkSession, df: DataFrame, idCol: String,
                        embCol: String, threshold: Double,
                        tileBudgetBytes: Long = DefaultTileBudgetBytes,
-                       maxBroadcastTiles: Int = MaxBroadcastTiles): DataFrame = {
-    val rows = df.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(df.select(col(idCol)).count())
+                       maxBroadcastTiles: Int = MaxBroadcastTiles,
+                       rowsHint: Option[Long] = None): DataFrame = {
+    // Plan-stats row counts are trusted ONLY while CBO is off: with CBO
+    // on, stats.rowCount after a Filter is an ESTIMATE, and an
+    // underestimate would dispatch a corpus-sized broadcast tile — the
+    // exact OOM this function exists to prevent. CBO-off rowCounts come
+    // only from exact sources (local/cached relations, ranges). Callers
+    // holding exact metadata counts (FileStats sidecars, AnnIndex) pass
+    // rowsHint; otherwise one id-column count settles it.
+    val cboOff = s.conf.get("spark.sql.cbo.enabled", "false") != "true"
+    val rows = rowsHint
+      .orElse(if (cboOff) df.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong) else None)
+      .getOrElse(df.select(col(idCol)).count())
+    // headOption, not head: a nonzero hint/stat over an actually-empty
+    // frame must degrade to the empty single-tile pass, not throw
     val dim =
       if (rows == 0L) 0
       else df.select(org.apache.spark.sql.functions.size(col(embCol)))
-        .head.getInt(0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     chooseExactKernel(rows, dim, tileBudgetBytes, maxBroadcastTiles) match {
       case BroadcastTiles(t) => cosinePairsTiled(s, df, idCol, embCol, threshold, t)
       case ShuffledTiles(t)  => cosinePairsShuffled(s, df, idCol, embCol, threshold, t)
@@ -292,7 +305,13 @@ object VecOps {
       val bc = s.sparkContext.broadcast(cents)
       // (cell, dim) → (Σ floor(v·1e6), count): longs all the way, so the
       // shuffle's combine order cannot change a single bit
-      val sums = sample.flatMap { case (_, emb) =>
+      val sums = sample.flatMap { case (id, emb) =>
+        // the SQL replay counts every member at every dim up to the
+        // table max — a ragged embedding would silently diverge the
+        // fixed-point means between engines, so refuse loudly instead
+        require(emb.length == bc.value(0).emb.length,
+          s"ragged embedding: vec $id has dim ${emb.length}, " +
+            s"centroids have ${bc.value(0).emb.length}")
         val cell = AnnIndex.nearestCell(emb, bc.value)
         emb.iterator.zipWithIndex.map { case (v, d) =>
           ((cell, d), (math.floor(v.toDouble * 1e6).toLong, 1L))
@@ -431,7 +450,7 @@ object VecOps {
     */
   val TrainedCellsSql: String = {
     def iteration(i: Int): String = {
-      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      val prev = s"c${i - 1}" // c0 is the seed iterate
       s"""a$i AS (SELECT vec_id, cell FROM (
          |    SELECT s.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY s.vec_id ORDER BY

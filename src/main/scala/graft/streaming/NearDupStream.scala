@@ -157,8 +157,15 @@ object NearDupStream {
 
   /** BATCH REPLAY of the stream's band-claim decision table: per band,
     * the winner is the first claimant in (ts, doc_id) order — exactly
-    * [[updateRows]]' semantics for a ts-ordered arrival inside the dedup
+    * [[updateRows]]' semantics for a ts-ORDERED arrival inside the dedup
     * horizon — and every (band, doc) pair gets the stream's verdict row.
+    * SCOPE OF THE EQUIVALENCE: an out-of-order arrival (an earlier-ts doc
+    * landing in a LATER batch, within the watermark) keeps the stream's
+    * already-live claim — append mode cannot retract emitted verdicts —
+    * while the replay crowns the globally earliest (ts, doc_id). Online
+    * dedup decisions are inherently arrival-dependent in that case; the
+    * replay certifies the canonical-order decision table, which is also
+    * what a backfill over historical (sorted) data produces.
     * Two relational operators (a band-keyed window, a comparison), so the
     * decision table is SQL-expressible and the d13 registry entry
     * hash-checks it against DuckDB; StreamingSpec pins stream ≡ replay

@@ -303,6 +303,16 @@ class MatViewSpec extends SparkSuite {
     assert(bases(filtered) === Seq(mv), "keyed WHERE must ride the rollup")
     assert(filtered.collect().map(r => r.getString(0) ->
       ((r.getLong(1), r.getDouble(2)))).toMap === Map("a" -> ((2L, 6.0))))
+    // SQL's legal unprojected-grouping-key shape (`SELECT sum(v) ...
+    // GROUP BY k1` — the key absent from the select list) must still
+    // roll up: the view read projects the grouping key even though no
+    // output asks for it
+    load.createOrReplaceTempView("mv_rollup_src")
+    val unprojected = spark.sql(
+      "SELECT sum(v) AS s FROM mv_rollup_src GROUP BY k1")
+    assert(bases(unprojected) === Seq(mv),
+      "unprojected grouping key must still roll up")
+    assert(unprojected.collect().map(_.getDouble(0)).sorted.toSeq === Seq(7.0, 10.0))
     // a value-column WHERE still falls back
     val valueWhere = load.filter(col("v") > 1.0).groupBy(col("k1"))
       .agg(count(lit(1)).as("n"))
