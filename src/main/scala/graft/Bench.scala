@@ -233,10 +233,18 @@ object Bench {
     // each flagged 1.3–1.6x "movers" on 0.1–0.4 s queries (set2/vocab1/
     // t10/snap1–3) that idle reruns showed flat. One extra sample for just
     // those queries (~10 s across the registry) keeps the delta table
-    // quiet without slowing the heavy tier.
-    def repsFor(name: String): Int =
-      if (prev.get(name).exists(p => p > 0 && p < 0.5)) math.max(repeat, 3)
-      else repeat
+    // quiet without slowing the heavy tier. The per-query rep count lands
+    // in BENCH_FULL (`reps`) so delta adjudication can see which numbers
+    // are min-of-3 vs min-of-2 — a min over more samples is stochastically
+    // smaller, and the round after a tier change would otherwise read as a
+    // one-sided "improvement" on exactly the re-tiered set.
+    val repsUsed = scala.collection.mutable.TreeMap.empty[String, Int]
+    def repsFor(name: String): Int = {
+      val r = if (prev.get(name).exists(p => p > 0 && p < 0.5)) math.max(repeat, 3)
+              else repeat
+      repsUsed(name) = r
+      r
+    }
     val retested = scala.collection.mutable.TreeMap.empty[String, (Double, Double, Double)]
     def withRetest(rs: Seq[(String, Double)]): Seq[(String, Double)] =
       rs.map { case (name, t) =>
@@ -334,9 +342,15 @@ object Bench {
       val retestedJson = retested.map { case (k, (t1, t2, l)) =>
         s"""  "$k": {"oneshot": ${fmt(t1)}, "retest": ${fmt(t2)}, "load": ${fmt(l)}}"""
       }.mkString("{\n", ",\n", "\n}")
+      // Per-query sample counts (a retest adds min-of-3 on top — those
+      // queries are listed in `retested`); only exceptions to the default
+      // `repeat` are recorded, so the common case stays one line.
+      val repsJson = repsUsed.collect { case (k, r) if r != repeat =>
+        s""""$k": $r""" }.mkString("{", ", ", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
         body + "\"failed\": " + allFailed + ",\n\"flaky\": " + flakyJson +
           ",\n\"retested\": " + retestedJson +
+          ",\n\"reps\": " + repsJson +
           ",\n\"deltas\": " + deltas + "\n}\n")
     }
     // 1-minute system load average at the end of the timed pass: numbers

@@ -22,9 +22,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Comparator contract: the driver's pandas gate cannot sort
+        // complex-typed cells (r14 seq1). Refusing the dump makes the
+        // violation a LOUD missing-dump failure instead of a comparator
+        // crash that zeroes the row with an opaque TypeError.
+        val complex = ComparatorContract.complexColumns(df.schema)
+        if (complex.nonEmpty)
+          System.err.println(s"[verify] $name REFUSED: complex-typed output " +
+            s"columns [${complex.mkString("; ")}] — serialize them " +
+            "(array_join/to_json) so the driver comparator can sort")
+        else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    *effective* by sorting rows within each partition on
   *    (partitionCol, keyCol) so every file covers a narrow key range;
   *  - content-hash idempotency ← Spark's file commit protocol for
-  *    in-flight atomicity, plus [[contentAddress]] for the reference's
-  *    literal block.go:94-115 semantics: blocks named by their bytes'
-  *    md5, so re-ingesting identical content is a storage-level no-op.
+  *    in-flight atomicity, plus [[contentAddress]] as the ANALOGUE of
+  *    block.go:94-115: blocks named by a content hash, so re-ingesting
+  *    identical content is a storage-level no-op (see the caveats on
+  *    [[contentAddress]] — the mechanism differs from the reference's).
   *
   * Scale note: the reference partitions by the raw entity key — one
   * directory per user. At 100 TB / millions of users that is a small-files
@@ -111,16 +112,29 @@ object BlockWriter {
       .parquet(dstBase)
   }
 
-  /** Content-addressed block naming — the reference's storage-level
-    * idempotency REPRODUCED, not just replaced (block.go:94-115: a block's
-    * object name is the hash of its serialized bytes, so a retried upload
-    * of the same block lands on the same object and duplicates cannot
-    * exist). Renames every `part-*.parquet` under `base` to
-    * `block-<md5-of-file-bytes>.parquet`; when the target name already
-    * exists the file's content is byte-identical to a block already
-    * stored, and the newcomer is DELETED — re-ingesting an identical
-    * batch is a storage-level no-op, exactly the reference's
-    * retry-requeue recovery semantics (filesystemStorageAdapter.go:63-81).
+  /** Content-addressed block naming — ANALOGOUS to the reference's
+    * storage-level idempotency, not a literal reproduction. The reference
+    * names a block `<startKey>-<endKey>-<base32(sha1 of the Avro-encoded
+    * rows)>` (block.go:94-115 hashes row content; the name is assembled
+    * at block.go:109-115 with key-range prefixes), so its idempotency is
+    * ROW-identity. Here the name is `block-<md5-of-file-bytes>.parquet`:
+    * byte-identity, which is strictly weaker — the same rows re-encoded
+    * in a different order or by a different Parquet writer produce
+    * different bytes (IngestQuerySpec forces a deterministic orderBy for
+    * exactly this reason). Key ranges ride in the Parquet footer instead
+    * of the name. Within those caveats the recovery semantics match:
+    * a retried upload of the same block bytes converges to one stored
+    * object (filesystemStorageAdapter.go:63-81's retry-requeue loop).
+    *
+    * Collision semantics (deterministic, batching-INDEPENDENT): after
+    * ingesting a batch containing m byte-identical copies of content X
+    * onto storage already holding j copies, exactly max(j, m) copies
+    * exist. Each newcomer first consumes one already-stored name (a
+    * delete — the re-delivered-duplicate no-op), and only copies beyond
+    * the stored count rename to fresh ordinal suffixes — so a same-batch
+    * twin set survives with its multiplicity, a redelivery of a whole
+    * earlier batch is a pure no-op, and the stored row count for the
+    * same logical data no longer depends on how it was batched.
     *
     * Scale shape: hashing runs as a Spark job (one task per file — the
     * bytes never touch the driver); the driver handles only the
@@ -158,14 +172,17 @@ object BlockWriter {
         } finally in.close()
         (p, md.digest().map(b => java.lang.String.format("%02x", Byte.box(b))).mkString)
       }.collect()
-    // Collisions must distinguish WHO owns the name: a block stored by an
-    // EARLIER pass means this file is a re-delivered duplicate — delete it
-    // (the reference's retried-upload no-op). A name claimed by THIS pass
-    // means the batch legitimately contains two byte-identical blocks (a
-    // table with >= 2·maxRecordsPerFile identical rows splits into
-    // identical files) — suffix an ordinal instead of silently dropping
-    // rows. Processing in sorted-src order keeps the suffix assignment —
-    // and hence the name set — deterministic for identical content.
+    // Collisions: each newcomer consumes exactly ONE name per pass —
+    // whether by deleting itself against an earlier pass's stored copy
+    // (the re-delivered-duplicate no-op) or by renaming onto a fresh
+    // ordinal (a batch with >= 2·maxRecordsPerFile identical rows splits
+    // into byte-identical files that must ALL survive). Claiming the name
+    // in BOTH branches is what makes the result batching-independent: a
+    // same-batch twin whose content already exists from an earlier pass
+    // advances past the consumed name instead of also deleting itself at
+    // k=0 and silently dropping its rows (the max(j, m) invariant in the
+    // scaladoc). Processing in sorted-src order keeps the suffix
+    // assignment — and hence the name set — deterministic.
     val claimedThisPass = scala.collection.mutable.Set.empty[String]
     digests.sortBy(_._1).foreach { case (src, hex) =>
       val srcPath = new org.apache.hadoop.fs.Path(src)
@@ -178,9 +195,10 @@ object BlockWriter {
       while (!done) {
         val dst = target(k)
         val key = dst.toString
-        if (claimedThisPass(key)) k += 1 // same-batch twin: next ordinal
-        else if (fs.exists(dst)) {       // stored by an earlier pass: no-op
-          fs.delete(srcPath, false)
+        if (claimedThisPass(key)) k += 1 // name consumed this pass: advance
+        else if (fs.exists(dst)) {       // stored by an earlier pass: no-op,
+          fs.delete(srcPath, false)      // but the name is consumed so a
+          claimedThisPass += key         // same-batch twin takes the next one
           done = true
         } else if (fs.rename(srcPath, dst)) {
           claimedThisPass += key

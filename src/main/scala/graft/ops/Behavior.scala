@@ -54,8 +54,13 @@ object Behavior {
       // BEFORE the collect — a hot user buffers 64 structs, never their
       // whole history. n_events counts the full (untruncated) history via
       // the window's count for the ratio a curriculum would cut on;
-      // array_sort on (ts, id, type) structs makes the array order total,
-      // so the whole array column hash-checks against the oracle.
+      // array_sort on (ts, id, type) structs makes the array order total.
+      // The sequence ships as a '|'-joined STRING, not array<string>:
+      // the certification comparator sorts result columns pandas-side and
+      // cannot sort array cells (r14's seq1 failed exactly there), and a
+      // downstream trainer tokenizes a delimited action string just as
+      // well. Event types are closed-vocabulary identifiers, so '|' can
+      // never appear inside an element.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val wAll = org.apache.spark.sql.expressions.Window
@@ -68,10 +73,11 @@ object Behavior {
         .groupBy(col("user_id"))
         .agg(
           max(col("n_events")).as("n_events"),
-          transform(
-            array_sort(collect_list(struct(col("ts_us"), col("event_id"),
-              col("event_type")))),
-            x => x.getField("event_type")).as("seq"))
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")), "|").as("seq"))
     },
     "e1_funnel" -> { (s, d) =>
       // Ordered funnel view → click → purchase: a user converts at step k
@@ -246,11 +252,15 @@ object Behavior {
         |WHERE b.event_type = 'purchase'""".stripMargin,
     // seq1: list(... ORDER BY ts, id) with a 1-based slice replays the
     // window-rank truncation exactly; event_id uniqueness makes the
-    // order (hence the array hash) total on both engines.
+    // order total on both engines, and array_to_string serializes it to
+    // the same '|'-joined scalar the Spark side emits (array-typed
+    // columns are unsortable in the pandas comparator).
     "seq1_user_sequences" ->
       s"""SELECT user_id,
          |  count(*) AS n_events,
-         |  (list(event_type ORDER BY epoch_us(ts), event_id))[1:$seqCap] AS seq
+         |  array_to_string(
+         |    (list(event_type ORDER BY epoch_us(ts), event_id))[1:$seqCap],
+         |    '|') AS seq
          |FROM events GROUP BY user_id""".stripMargin,
     "e1_funnel" ->
       """WITH per_user AS (

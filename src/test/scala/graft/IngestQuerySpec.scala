@@ -147,6 +147,52 @@ class IngestQuerySpec extends SparkSuite with TableDrivenPropertyChecks {
     assert(got === df.filter(col("user_id") === pk).count())
   }
 
+  test("content addressing is batching-independent: cross-pass twins keep max(j,m) copies") {
+    // The r14 ADVICE bug class: a batch carrying TWO byte-identical files
+    // whose content was already stored by an earlier pass used to delete
+    // BOTH newcomers (each matched the stored name at k=0), silently
+    // dropping one file's rows. The fixed semantics: every newcomer
+    // consumes one name per pass — stored copies after the pass =
+    // max(previously stored, this batch's multiplicity) — so redelivery
+    // of a whole batch is a no-op AND within-batch duplicates survive no
+    // matter how earlier passes were batched.
+    val dir = tmpDir("graft_ca_twins")
+    spark.range(10).toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    def blocks: Set[String] = {
+      val it = fs.listFiles(root, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.endsWith(".parquet")) out += n
+      }
+      out.toSet
+    }
+    // pass 1: one copy stored under its content name
+    BlockWriter.contentAddress(spark, dir)
+    val stored = blocks
+    assert(stored.size === 1 && stored.head.startsWith("block-"))
+    val hex = stored.head.stripPrefix("block-").stripSuffix(".parquet")
+    def deliverTwins(): Unit =
+      for (nm <- Seq("part-twin-a.parquet", "part-twin-b.parquet"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(root, stored.head),
+          fs, new org.apache.hadoop.fs.Path(root, nm), false, conf)
+    // pass 2: two byte-identical newcomers vs one stored copy → max(1,2)=2
+    deliverTwins()
+    BlockWriter.contentAddress(spark, dir)
+    assert(blocks === Set(s"block-$hex.parquet", s"block-$hex-1.parquet"),
+      "one twin must dedupe against the stored copy, the other must survive")
+    assert(spark.read.parquet(dir).count() === 20L, "a twin's rows were dropped")
+    // pass 3: redelivering the same 2-twin batch is a pure no-op
+    deliverTwins()
+    BlockWriter.contentAddress(spark, dir)
+    assert(blocks === Set(s"block-$hex.parquet", s"block-$hex-1.parquet"))
+    assert(spark.read.parquet(dir).count() === 20L)
+  }
+
   test("writeByKey reference-faithful layout round-trips a range query") {
     val dir = tmpDir("graft_bykey_spec")
     BlockWriter.writeByKey(Tables.events(spark, sf).drop("ts", "ts_t"),

@@ -74,12 +74,32 @@ class PlanAuditSpec extends SparkSuite {
       val cart = nodes.collect { case c: CartesianProductExec => c }
       val bnlj = nodes.collect { case b: BroadcastNestedLoopJoinExec => b }
         .filterNot(singleRowBroadcast)
+      // Comparator contract (r14 seq1 regression class): the driver's
+      // pandas gate cannot sort complex-typed cells, so no registered
+      // query may emit one — serialize (array_join/to_json) instead.
+      val complex = ComparatorContract.complexColumns(df.schema)
       val bad =
         (if (cart.nonEmpty && !cartesianOk(name)) Seq(s"$name: CartesianProduct") else Nil) ++
-        (if (bnlj.nonEmpty && !nestedLoopOk(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+        (if (bnlj.nonEmpty && !nestedLoopOk(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
+        (if (complex.nonEmpty)
+          Seq(s"$name: complex-typed output [${complex.mkString("; ")}]") else Nil)
       bad
     }
     assert(offenders.isEmpty, s"scale-hostile plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("the comparator-contract guard flags a synthetic array-emitting entry") {
+    // Positive control for the guard above: without it a green audit could
+    // mean the detector is blind, not that the registry is clean.
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(3).select(col("id"), array(lit("a"), lit("b")).as("seq"),
+      map(lit("k"), lit(1)).as("m"), struct(lit(1).as("x")).as("st"))
+    val flagged = ComparatorContract.complexColumns(bad.schema)
+    assert(flagged === Seq("seq: array<string>", "m: map<string,int>", "st: struct<x:int>"))
+    // the serialized form every registered query must use passes
+    val good = bad.select(col("id"), array_join(col("seq"), "|").as("seq"),
+      to_json(col("m")).as("m"), to_json(col("st")).as("st"))
+    assert(ComparatorContract.complexColumns(good.schema).isEmpty)
   }
 
   test("t11_bigrams plans a TakeOrderedAndProject (no global sort)") {
