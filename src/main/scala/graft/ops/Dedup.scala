@@ -53,6 +53,38 @@ object Dedup {
     * only transiently inside the JVM loop; what crosses the wire is its
     * 64-bit Spark-compatible xxhash.
     */
+  /** d14's minimum duplicated-substring length in tokens — the published
+    * ExactSubstr threshold (Lee et al. 2022 use 50 BPE tokens).
+    */
+  val SubstrL = 50
+
+  /** All word n-gram hashes of `text` WITH their start positions: index i
+    * of the result is the hash of tokens [i, i+n). Unlike [[gramHashSeq]]
+    * this keeps duplicates — d14's span semantics needs every occurrence
+    * position, including repeats of the same gram within one document.
+    */
+  def gramPosHashSeq(text: String, n: Int): Array[Long] = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (words.length < n) Array.empty
+    else {
+      val out = new Array[Long](words.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        out(i) = xxh64String(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
   def gramHashSeq(text: String, n: Int): Array[Long] = {
     val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (words.length < n) Array.empty
@@ -532,6 +564,64 @@ object Dedup {
           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_grams"))
         .withColumn("dup_ratio", round(col("n_dup_grams") / col("n_grams"), 4))
     },
+    "d14_substr_dedup" -> { (s, d) =>
+      // EXACT-SUBSTRING dedup — the published ExactSubstr removal (Lee et
+      // al. 2022, "Deduplicating Training Data Makes Language Models
+      // Better"): find every token span of >= SubstrL (50) tokens that
+      // occurs >= 2 times anywhere in the corpus (across OR within
+      // documents) and report, per document, the maximal merged spans and
+      // the token mass they cover. d7 ATTRIBUTES recycled 8-grams to a
+      // first owner; this is the REMOVAL geometry — which contiguous
+      // regions a cut pass would excise.
+      //
+      // The paper's single-node tool builds a corpus suffix array; the
+      // scale-out equivalence used here: a duplicated substring of
+      // >= L tokens exists iff a duplicated L-gram does, and the union of
+      // duplicated L-gram occurrence intervals [p, p+L) IS the set of
+      // tokens inside duplicated >= L-token substrings. So: (1) kernel
+      // flatMap emits (doc, pos, hash64(L-gram)) — corpus-token-sized,
+      // map-side; (2) one 8-byte-key shuffle finds hashes with global
+      // count >= 2 (partial agg absorbs the volume); (3) join back (hash
+      // key again) and one (doc)-keyed window merges sorted intervals:
+      // covered += min(L, next_p - p), a new span starts when the gap
+      // from the previous start exceeds L. No suffix array, no quadratic
+      // step, state per doc bounded by its own gram count. Counts ride as
+      // exact integers; the ratio is integer ppm (DIV), so the row is
+      // engine-exact. The DuckDB oracle replays the identical geometry on
+      // raw gram STRINGS — a hash collision changing a count would need
+      // ~2^32 distinct grams (the d7 argument).
+      import s.implicits._
+      val L = SubstrL
+      val occ = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          gramPosHashSeq(t, L).iterator.zipWithIndex
+            .map { case (h, p) => (id, p.toLong, h) } }
+        .toDF("doc_id", "p", "gh")
+      val dup = occ.groupBy(col("gh"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select(col("gh"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val perDoc = occ.join(dup, Seq("gh"))
+        .withColumn("covered",
+          least(lit(L.toLong),
+            coalesce(lead(col("p"), 1).over(wOrd) - col("p"), lit(L.toLong))))
+        .withColumn("new_span",
+          when(coalesce(col("p") - lag(col("p"), 1).over(wOrd), lit(L.toLong + 1)) > L, 1L)
+            .otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("new_span")).as("dup_spans"),
+          sum(col("covered")).as("dup_tokens"))
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_ppm", expr("dup_tokens * 1000000 DIV n_tokens"))
+    },
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
     "d10_containment" -> { (s, d) => containmentPairs(s, d, 0.9) },
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
@@ -824,6 +914,35 @@ object Dedup {
         |    / count(*), 4) AS dup_ratio
         |FROM g JOIN f ON g.gram = f.gram
         |GROUP BY g.doc_id""".stripMargin,
+    // d14: the identical interval-union geometry on raw gram strings —
+    // positions from unnest(range(...)), duplicated grams by global
+    // HAVING count >= 2, then the same lead/lag window merge. Integer
+    // ppm via // so the ratio is engine-exact.
+    "d14_substr_dedup" -> {
+      val L = SubstrL
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |pos AS (SELECT doc_id, ws,
+         |          unnest(range(0, CAST(greatest(len(ws) - ${L - 1}, 0) AS BIGINT))) AS p
+         |        FROM w),
+         |g AS (SELECT doc_id, p, array_to_string(ws[p+1:p+$L], ' ') AS gram FROM pos),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT g.doc_id, g.p FROM g JOIN dup ON g.gram = dup.gram),
+         |sp AS (SELECT doc_id, p,
+         |         least($L, coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p, $L)) AS covered,
+         |         CASE WHEN coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p), ${L + 1}) > $L
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM hits),
+         |agg AS (SELECT doc_id, CAST(sum(new_span) AS BIGINT) AS dup_spans,
+         |               CAST(sum(covered) AS BIGINT) AS dup_tokens
+         |        FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+         |  coalesce(a.dup_spans, 0) AS dup_spans,
+         |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |  coalesce(a.dup_tokens, 0) * 1000000
+         |    // CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS dup_ppm
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
     "d2_ngram_jaccard" -> jaccardOracle(0.8),
     "d10_containment" -> containmentOracle(0.9),
     "d3_minhash_lsh" -> jaccardOracle(0.8),

@@ -11,6 +11,53 @@ class DedupSimSpec extends SparkSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
     df.select(col(a), col(b)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("d14 substring-span dedup matches an independent in-memory brute force") {
+    // The distributed geometry (hash-keyed gram shuffle + windowed
+    // interval merge) against a from-scratch naive implementation on the
+    // collected corpus: string grams in a hash map, then a sequential
+    // interval sweep — different data structures, same published
+    // semantics (union of duplicated >= L-token spans, merged maximal).
+    val L = Dedup.SubstrL
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val grams = docs.map { case (id, t) =>
+      val ws = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val gs = (0 to ws.length - L).map(i => ws.slice(i, i + L).mkString(" "))
+      gs.foreach(g => counts(g) = counts.getOrElse(g, 0) + 1)
+      (id, ws.length.toLong, gs)
+    }
+    val expected = grams.map { case (id, n, gs) =>
+      val hits = gs.zipWithIndex.collect { case (g, p) if counts(g) >= 2 => p }
+      var spans = 0L; var covered = 0L; var end = Int.MinValue
+      for (p <- hits) { // sequential sweep over sorted positions
+        if (p > end) spans += 1
+        covered += math.min(L, math.max(0, p + L - math.max(p, end + 1)))
+        end = math.max(end, p + L - 1)
+      }
+      (id, (n, spans, covered, if (n > 0) covered * 1000000 / n else 0L))
+    }.toMap
+    val got = Dedup.queries("d14_substr_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet === expected.keySet, "every document must appear exactly once")
+    val diffs = expected.collect { case (id, e) if got(id) != e => s"$id: got ${got(id)} want $e" }
+    assert(diffs.isEmpty, s"span geometry diverged:\n${diffs.mkString("\n")}")
+    // the fixture genuinely exercises the operator: both classes present,
+    // and every span obeys the >= L-token floor
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 == 0))
+    assert(got.values.forall { case (n, spans, cov, _) => cov <= n && cov >= L * spans })
+  }
+
+  test("gramPosHashSeq keeps every occurrence at its position (d14 kernel)") {
+    val h = Dedup.gramPosHashSeq("a b a b a", 2)
+    assert(h.length === 4) // starts 0..3
+    assert(h(0) === h(2) && h(1) === h(3), "repeated grams must repeat")
+    assert(h(0) !== h(1))
+    assert(Dedup.gramPosHashSeq("a b", 3).isEmpty, "short text has no grams")
+  }
+
   test("tiled cosine pairs equal the single-tile result for any tiling") {
     // The bounded-memory tiling must be a pure execution-strategy change:
     // identical pair set and identical (sequential-double, round4) scores

@@ -355,6 +355,60 @@ class StreamingSpec extends SparkSuite {
       (2L, 700L, "-"), (3L, 900L, "-")))
   }
 
+  test("stream-stream join, second watermark geometry: multi-batch outer flush mid-stream") {
+    // The r14 VERDICT follow-up: the test above pins ONE geometry (10 min
+    // delay, 300 s window, single data batch + sentinel). This one drives
+    // the identical plan builder at a 1 MINUTE delay / 120 s window,
+    // delivers rows across several micro-batches, and asserts the outer
+    // flush is INCREMENTAL — the never-attributed purchase must surface as
+    // soon as the click watermark provably closes its match window, while
+    // the stream is still running, not only at stream end.
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.StreamJoin
+    import graft.streaming.StreamJoin.{Buy, Click}
+    val t0 = 1700000000L * 1000000
+    val sec = 1000000L
+    val realClicks = Seq(Click(1, t0 + 30 * sec, "a"))
+    val realBuys = Seq(
+      Buy(1, t0 + 100 * sec, 500), // click a is 70 s before — in the 120 s window
+      Buy(2, t0 + 50 * sec, 700))  // user 2 never clicks — must flush null-padded
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2), Option(r.getString(4)).getOrElse("-"))
+    val cm = MemoryStream[Click]
+    val bm = MemoryStream[Buy]
+    val q = StreamJoin.attributedPurchases(cm.toDS(), bm.toDS(),
+      delay = "1 minute", windowSec = 120L, joinType = "left_outer")
+      .writeStream.format("memory").queryName("sj_geo2")
+      .outputMode("append").start()
+    def collected: Set[(Long, Long, String)] =
+      spark.table("sj_geo2").collect().map(shape).filterNot(_._1 == 9L).toSet
+    // batch 1: the real rows, buy-before-click within the batch
+    bm.addData(realBuys: _*)
+    cm.addData(realClicks: _*)
+    q.processAllAvailable()
+    // batch 2: sentinel pair at t0+400 s → watermarks advance to t0+340 s,
+    // far past buy2's close (t0+50 s). batch 3: a further sentinel batch
+    // processes UNDER that advanced watermark, evicting buy2's state and
+    // emitting its outer row — eviction happens while data still flows.
+    cm.addData(Click(9, t0 + 400 * sec, "w")); bm.addData(Buy(9, t0 + 400 * sec, 1))
+    q.processAllAvailable()
+    cm.addData(Click(9, t0 + 800 * sec, "w2")); bm.addData(Buy(9, t0 + 800 * sec, 1))
+    q.processAllAvailable()
+    val midStream = collected
+    assert(midStream((2L, 700L, "-")),
+      s"outer row must flush once the click watermark passes its window, got $midStream")
+    q.stop()
+    // final set ≡ the batch replay of the SAME builder at the same geometry
+    val fromBatch = StreamJoin.attributedPurchases(
+      realClicks.toDS(), realBuys.toDS(),
+      delay = "1 minute", windowSec = 120L, joinType = "left_outer")
+      .collect().map(shape).toSet
+    assert(midStream === fromBatch, "stream and batch replay diverged at geometry 2")
+    assert(fromBatch === Set((1L, 500L, "a"), (2L, 700L, "-")))
+  }
+
   test("transformWithState keeps per-user running stats across micro-batches") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
