@@ -13,8 +13,24 @@ QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_cont
 
 python3 scripts/stage_scale.py
 
+# r15: anchor honesty — the r14 sweep's x1 points were recorded at load
+# 2.75 (staging's own tail), above the repo's 2.2 "garbage" bar. Wait for
+# the 1-minute load to settle below 1.3 before EACH scale so every
+# anchor, not just x1, is taken from a quiet box; bounded so a stuck
+# background process can't hang the sweep (it then records the load it
+# got, visibly, in the per-scale JSON).
+wait_idle() {
+  for _ in $(seq 1 60); do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$load" 'BEGIN{exit !(l < 1.3)}' && return 0
+    sleep 10
+  done
+  echo "wait_idle: gave up at load $(cut -d' ' -f1 /proc/loadavg)"
+}
+
 for m in 1 2 4 8; do
   echo "=== scale x$m ==="
+  wait_idle
   SPARK_GRAFT_SF_DIR=/tmp/graft_scale/x$m \
   SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_ONLY="$QUERIES" \

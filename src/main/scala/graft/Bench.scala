@@ -59,7 +59,11 @@ object Bench {
     // round-10: the recursive-CTE walk is the heaviest new registry
     // member (UnionLoop's per-level fixed cost) — min-of-N tier like the
     // other iterative-fixpoint queries
-    "rc1_recursive_cte")
+    "rc1_recursive_cte",
+    // round-15: the ExactSubstr span-dedup pass — corpus-token-sized gram
+    // stream through two hash-keyed shuffles plus a per-doc window; the
+    // heaviest new registry member this round
+    "d14_substr_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
