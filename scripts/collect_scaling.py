@@ -11,11 +11,35 @@ SCALES = [1, 2, 4, 8]
 
 runs = {}
 loads = {}
+loads_start = {}
 for m in SCALES:
     with open(f"/tmp/graft_scale/headline_x{m}.json") as f:
         d = json.load(f)
     runs[m] = d["queries"]
     loads[m] = d.get("load")
+    # r15: run_scaling.sh records the PRE-run 1-min load per scale (the
+    # end-of-run load in the headline JSON is dominated by the bench's
+    # own self-load on this 32-thread box and says nothing about
+    # contention; the start load is what the wait_idle gate controls).
+    try:
+        with open(f"/tmp/graft_scale/load_start_x{m}.txt") as f:
+            loads_start[m] = float(f.read().strip())
+    except OSError:
+        loads_start[m] = None
+
+# Optional dedicated idle x1 re-anchor (r14 VERDICT item 4): a SHORT
+# min-of-3 pass over a handful of sweep queries taken on a provably
+# quiet box, so the exponent table has an x1 point whose recorded
+# conditions are defensible. When present, each covered query ALSO gets
+# an exponent recomputed from the idle anchor's x1 time (an idle x1 is
+# never slower, so the re-anchored exponent is the conservative — i.e.
+# steeper — one).
+anchor = None
+try:
+    with open("/tmp/graft_scale/anchor_x1_idle.json") as f:
+        anchor = json.load(f)
+except OSError:
+    pass
 
 # Exact pair-ENUMERATION kernels: their contract is every pair above a
 # similarity threshold, and on this embedding distribution ~12% of ALL
@@ -35,6 +59,7 @@ OUTPUT_BOUND = {
 queries = sorted(runs[1])
 out = {"scales": SCALES, "unit": "sec", "repeat": 3,
        "load_by_scale": {str(m): loads[m] for m in SCALES},
+       "load_start_by_scale": {str(m): loads_start[m] for m in SCALES},
        "note": ("x-copies of documents/embeddings/events are id-shifted and "
                 "content-synthesized to preserve the base's per-copy "
                 "workload shape (scripts/stage_scale.py); r14 also "
@@ -68,7 +93,25 @@ for q in queries:
         "exponent": round(slope, 3)}
     if q in OUTPUT_BOUND:
         entry["output_bound"] = OUTPUT_BOUND[q]
+    if anchor and anchor["queries"].get(q, -1.0) > 0:
+        t1 = anchor["queries"][q]
+        ys2 = [math.log(t1)] + ys[1:]
+        ybar2 = sum(ys2) / n
+        slope2 = sum((x - xbar) * (y - ybar2) for x, y in zip(xs, ys2)) / \
+            sum((x - xbar) ** 2 for x in xs)
+        entry["x1_idle"] = round(t1, 3)
+        entry["exponent_idle_anchor"] = round(slope2, 3)
     out["queries"][q] = entry
+
+if anchor:
+    out["x1_idle_anchor"] = {
+        "load_start": anchor.get("load_start"),
+        "load_end": anchor.get("load"),
+        "queries": {k: round(v, 3) for k, v in anchor["queries"].items()},
+        "note": ("dedicated min-of-3 x1 pass on a quiet box (start load "
+                 "recorded before launch); exponent_idle_anchor uses its "
+                 "x1 time — the conservative re-anchor, since an idle x1 "
+                 "can only steepen the slope")}
 
 path = f"SCALING_r{ROUND}.json"
 with open(path, "w") as f:
