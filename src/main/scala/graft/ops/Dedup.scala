@@ -58,6 +58,60 @@ object Dedup {
     */
   val SubstrL = 50
 
+  /** Occurrence positions of corpus-duplicated [[SubstrL]]-grams:
+    * (doc_id, p) for every L-gram start whose gram occurs >= 2 times
+    * anywhere in the corpus — the shared core of d14 (span statistics)
+    * and d15 (the cut pass). One 8-byte-key shuffle finds the duplicated
+    * hashes (map-side partial agg absorbs the gram volume); the join back
+    * reuses the hash key. The gram stream is corpus-token-sized and is
+    * recomputed for both join sides rather than persisted — at 100 TB you
+    * re-derive 2.4 TB, you don't cache it (the d7 stance).
+    */
+  private def dupSubstrHits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val occ = Tables.table(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        gramPosHashSeq(t, SubstrL).iterator.zipWithIndex
+          .map { case (h, p) => (id, p.toLong, h) } }
+      .toDF("doc_id", "p", "gh")
+    val dup = occ.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("gh"))
+    occ.join(dup, Seq("gh")).select(col("doc_id"), col("p"))
+  }
+
+  /** A merged maximal duplicated span over token positions, inclusive. */
+  case class SubstrSpan(s: Long, e: Long)
+  case class DocSpans(doc_id: Long, text: String, spans: Seq[SubstrSpan])
+
+  /** d15's map-side cut kernel: drop every token whose position falls in
+    * one of the doc's merged spans (sorted by start, non-overlapping —
+    * the two-pointer walk is O(tokens + spans)). Returns (kept-token
+    * count, rejoined text). Join semantics mirror split(" ", -1): empty
+    * tokens survive, so a span-free document round-trips byte-identical.
+    */
+  def cutSpans(text: String, spans: Seq[SubstrSpan]): (Long, String) = {
+    val ws = text.split(" ", -1)
+    if (spans.isEmpty) (ws.length.toLong, text)
+    else {
+      val kept = new StringBuilder
+      var n = 0L
+      var si = 0
+      var i = 0
+      while (i < ws.length) {
+        while (si < spans.length && spans(si).e < i) si += 1
+        if (!(si < spans.length && spans(si).s <= i && i <= spans(si).e)) {
+          if (n > 0) kept.append(' ')
+          kept.append(ws(i))
+          n += 1
+        }
+        i += 1
+      }
+      (n, kept.toString)
+    }
+  }
+
   /** All word n-gram hashes of `text` WITH their start positions: index i
     * of the result is the hash of tokens [i, i+n). Unlike [[gramHashSeq]]
     * this keeps duplicates — d14's span semantics needs every occurrence
@@ -590,20 +644,10 @@ object Dedup {
       // engine-exact. The DuckDB oracle replays the identical geometry on
       // raw gram STRINGS — a hash collision changing a count would need
       // ~2^32 distinct grams (the d7 argument).
-      import s.implicits._
       val L = SubstrL
-      val occ = Tables.table(s, d, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, t) =>
-          gramPosHashSeq(t, L).iterator.zipWithIndex
-            .map { case (h, p) => (id, p.toLong, h) } }
-        .toDF("doc_id", "p", "gh")
-      val dup = occ.groupBy(col("gh"))
-        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-        .select(col("gh"))
       val wOrd = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("p"))
-      val perDoc = occ.join(dup, Seq("gh"))
+      val perDoc = dupSubstrHits(s, d)
         .withColumn("covered",
           least(lit(L.toLong),
             coalesce(lead(col("p"), 1).over(wOrd) - col("p"), lit(L.toLong))))
@@ -621,6 +665,52 @@ object Dedup {
           coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
         .withColumn("dup_ppm", expr("dup_tokens * 1000000 DIV n_tokens"))
+    },
+    "d15_substr_cut" -> { (s, d) =>
+      // The REMOVAL half of ExactSubstr (d14 reports the geometry, this
+      // produces the pipeline's actual output): every token inside a
+      // duplicated >= SubstrL-token span is cut and the survivors are
+      // rejoined — Lee et al.'s "remove the duplicated substring"
+      // applied to all occurrences, the conservative published variant.
+      //
+      // Scale shape: spans collapse to DOC-GRAIN rows before any text is
+      // touched — the hit stream merges into maximal spans via one
+      // (doc)-keyed window (shared by the running-sum group id and the
+      // span agg), the per-doc span LIST is small (<= n_tokens/L), and
+      // the cut itself is a map-side two-pointer kernel over the joined
+      // (text, spans) row. No token-grain shuffle ever happens: the only
+      // exchanges are the gram-hash count, the hash join back, and the
+      // doc-keyed window/agg — the same budget as d14 plus one doc-grain
+      // join. Output is scalar-only (ComparatorContract): the cleaned
+      // text is a plain string, hash-compared byte-for-byte against the
+      // oracle's list-rejoin reconstruction.
+      import s.implicits._
+      val L = SubstrL
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val wRun = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val spans = dupSubstrHits(s, d)
+        .withColumn("new_span",
+          when(coalesce(col("p") - lag(col("p"), 1).over(wOrd),
+            lit(L.toLong + 1)) > L, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("new_span")).over(wRun))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("p")).as("s"), (max(col("p")) + lit(L.toLong - 1)).as("e"))
+      val spanList = spans.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+        .join(spanList, Seq("doc_id"), "left")
+        .withColumn("spans", coalesce(col("spans"),
+          expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+        .as[DocSpans]
+        .map { ds =>
+          val (n, t) = cutSpans(ds.text, ds.spans)
+          (ds.doc_id, n, t)
+        }
+        .toDF("doc_id", "n_kept", "clean_text")
     },
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
     "d10_containment" -> { (s, d) => containmentPairs(s, d, 0.9) },
@@ -941,6 +1031,45 @@ object Dedup {
          |  coalesce(a.dup_tokens, 0) AS dup_tokens,
          |  coalesce(a.dup_tokens, 0) * 1000000
          |    // CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS dup_ppm
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
+    // d15: the cut replayed end-to-end on raw strings — same duplicated-
+    // gram hits, same lag/running-sum span merge, then tokens outside
+    // every span rejoined in position order. NOT EXISTS (never NOT IN)
+    // for the anti-containment; list(tok ORDER BY pos) + array_to_string
+    // reconstructs exactly split-then-join semantics (empties survive).
+    "d15_substr_cut" -> {
+      val L = SubstrL
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |pos AS (SELECT doc_id, ws,
+         |          unnest(range(0, CAST(greatest(len(ws) - ${L - 1}, 0) AS BIGINT))) AS p
+         |        FROM w),
+         |g AS (SELECT doc_id, p, array_to_string(ws[p+1:p+$L], ' ') AS gram FROM pos),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |hits AS (SELECT g.doc_id, g.p FROM g JOIN dup ON g.gram = dup.gram),
+         |sp AS (SELECT doc_id, p,
+         |         CASE WHEN coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p), ${L + 1}) > $L
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM hits),
+         |sp2 AS (SELECT doc_id, p,
+         |          sum(new_span) OVER (PARTITION BY doc_id ORDER BY p
+         |                              ROWS UNBOUNDED PRECEDING) AS grp
+         |        FROM sp),
+         |spans AS (SELECT doc_id, min(p) AS s, max(p) + ${L - 1} AS e
+         |          FROM sp2 GROUP BY doc_id, grp),
+         |toks AS (SELECT doc_id, p AS tpos, ws[p+1] AS tok
+         |         FROM (SELECT doc_id, ws,
+         |                 unnest(range(0, CAST(len(ws) AS BIGINT))) AS p
+         |               FROM w) z),
+         |kept AS (SELECT t.doc_id, t.tpos, t.tok FROM toks t
+         |         WHERE NOT EXISTS (SELECT 1 FROM spans sx
+         |                           WHERE sx.doc_id = t.doc_id
+         |                             AND t.tpos BETWEEN sx.s AND sx.e)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |               array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
     },
     "d2_ngram_jaccard" -> jaccardOracle(0.8),

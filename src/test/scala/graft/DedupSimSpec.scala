@@ -50,6 +50,47 @@ class DedupSimSpec extends SparkSuite {
     assert(got.values.forall { case (n, spans, cov, _) => cov <= n && cov >= L * spans })
   }
 
+  test("d15 cut output reconciles with d14's span accounting, doc by doc") {
+    // Two independent pipelines over the same duplicated-gram hits: d14
+    // counts covered tokens through a window interval-union, d15 actually
+    // cuts and rejoins. For every document: kept = n_tokens - dup_tokens,
+    // the cleaned text has exactly kept tokens, and span-free documents
+    // round-trip byte-identical to lower(text).
+    import org.apache.spark.sql.functions.{col, lower}
+    val stats = Dedup.queries("d14_substr_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap // n_tokens, dup_tokens
+    val cut = Dedup.queries("d15_substr_cut")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val original = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cut.keySet === stats.keySet)
+    for ((id, (nTok, dupTok)) <- stats) {
+      val (nKept, text) = cut(id)
+      assert(nKept === nTok - dupTok, s"doc $id: kept $nKept != $nTok - $dupTok")
+      assert(text.split(" ", -1).count(_ => true).toLong ===
+        (if (nKept == 0) 1L else nKept), s"doc $id: token count drifted")
+      if (dupTok == 0) assert(text === original(id), s"doc $id must round-trip")
+      else assert(text !== original(id), s"doc $id had $dupTok cut tokens")
+    }
+    assert(stats.values.exists(_._2 > 0), "fixture must exercise real cuts")
+  }
+
+  test("cutSpans kernel: interior, boundary, adjacent and full-cover spans") {
+    import Dedup.{cutSpans, SubstrSpan}
+    val t = "a b c d e f"
+    assert(cutSpans(t, Nil) === ((6L, t)))
+    assert(cutSpans(t, Seq(SubstrSpan(1, 2))) === ((4L, "a d e f")))
+    assert(cutSpans(t, Seq(SubstrSpan(0, 0), SubstrSpan(5, 5))) === ((4L, "b c d e")))
+    assert(cutSpans(t, Seq(SubstrSpan(0, 5))) === ((0L, "")))
+    assert(cutSpans(t, Seq(SubstrSpan(0, 1), SubstrSpan(2, 3))) === ((2L, "e f")))
+    // span end past the last token is harmless (merged span e = p+L-1
+    // can overrun short docs)
+    assert(cutSpans(t, Seq(SubstrSpan(4, 99))) === ((4L, "a b c d")))
+    // empty tokens from double spaces survive like split(" ", -1)
+    assert(cutSpans("a  b", Seq(SubstrSpan(0, 0))) === ((2L, " b")))
+  }
+
   test("gramPosHashSeq keeps every occurrence at its position (d14 kernel)") {
     val h = Dedup.gramPosHashSeq("a b a b a", 2)
     assert(h.length === 4) // starts 0..3
