@@ -797,6 +797,38 @@ object Dedup {
           coalesce(min(when(col("dup"), col("kept_id"))), col("doc_id"))
             .as("first_kept"))
     },
+    "d16_stream_dedup_replay" -> { (s, d) =>
+      // ORACLE GATE for the streaming EXACT-dedup operator
+      // (NearDupStream.exactVerdicts, r15): the batch replay of its
+      // decision table — first claimant per CONTENT in (ts, doc_id)
+      // order, every row carrying the keeper's id and its dup verdict.
+      // Content identity rides the full md5 string (engine-shared), so
+      // DuckDB replays the ENTIRE decision; the live operator's 64-bit
+      // key is a fold of the same digest, hence the same equality
+      // relation. The corpus has no byte-identical documents at test SFs,
+      // so the replay injects the production re-ingest shape
+      // deterministically: every 7th document is re-delivered under a
+      // shifted id — half at a LATER ts (the crawler re-find), half at
+      // the SAME ts as the original (the in-batch tie the (ts, id) order
+      // must break) — so both order levels decide real rows.
+      // StreamingSpec pins stream ≡ this keep-first semantics for
+      // ts-ordered arrivals plus the horizon re-claim (d13's stated
+      // equivalence scope).
+      val docs = Tables.table(s, d, "documents")
+      val base = docs.select(col("doc_id"), (col("doc_id") % 1000).as("ts_us"),
+        col("text"))
+      val redelivered = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(col("doc_id") % 14 === 0, col("doc_id") % 1000)
+            .otherwise(col("doc_id") % 1000 + 1000L).as("ts_us"),
+          col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_key")).orderBy(col("ts_us"), col("doc_id"))
+      base.unionAll(redelivered)
+        .select(col("doc_id"), col("ts_us"), md5(col("text")).as("content_key"))
+        .withColumn("kept_id", first(col("doc_id")).over(w))
+        .withColumn("dup", col("doc_id") =!= col("kept_id"))
+    },
     "split2_cluster_split" -> { (s, d) =>
       // LEAKAGE-SAFE train/val/test split: the unit of assignment is the
       // d6 near-dup CLUSTER, not the document — split1's content hash
@@ -1157,6 +1189,26 @@ object Dedup {
          |  coalesce(min(CASE WHEN doc_id <> kept_id THEN kept_id END), doc_id)
          |    AS first_kept
          |FROM ver GROUP BY doc_id""".stripMargin,
+    // d16: the identical union + keep-first window on md5(text) — the
+    // whole streaming-dedup decision table replayed in SQL.
+    "d16_stream_dedup_replay" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 1000 AS ts_us, text FROM documents),
+        |redeliv AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 14 = 0 THEN doc_id % 1000
+        |         ELSE doc_id % 1000 + 1000 END AS ts_us,
+        |    text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |allrows AS (
+        |  SELECT doc_id, ts_us, md5(text) AS content_key FROM base
+        |  UNION ALL
+        |  SELECT doc_id, ts_us, md5(text) AS content_key FROM redeliv)
+        |SELECT doc_id, ts_us, content_key,
+        |  first_value(doc_id) OVER w AS kept_id,
+        |  doc_id <> first_value(doc_id) OVER w AS dup
+        |FROM allrows
+        |WINDOW w AS (PARTITION BY content_key ORDER BY ts_us, doc_id)""".stripMargin,
     // split2: d6's reachability CTE for the labels, then split1's
     // md5-bucket arithmetic over the cluster id's decimal string.
     "split2_cluster_split" ->

@@ -228,12 +228,22 @@ object NearDupStream {
                    delay: String = "10 minutes",
                    shingle: Int = DefaultShingle,
                    numHashes: Int = DefaultHashes,
-                   bands: Int = DefaultBands): Dataset[BandVerdict] = {
+                   bands: Int = DefaultBands): Dataset[BandVerdict] =
+    keyVerdicts(spark, docs, delay,
+      t => bandKeys(t, shingle, numHashes, bands))
+
+  /** The claim machinery with a pluggable key function — one key set per
+    * document, one first-claimant state cell per key. [[bandVerdicts]]
+    * plugs the LSH banding in; [[exactVerdicts]] plugs a single
+    * content-digest key in (streaming EXACT dedup). Same state bound,
+    * same horizon semantics, same deterministic in-batch (ts, id) winner.
+    */
+  def keyVerdicts(spark: SparkSession, docs: Dataset[Doc],
+                  delay: String, keysOf: String => Array[Long]): Dataset[BandVerdict] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     docs
-      .flatMap(d => bandKeys(d.text, shingle, numHashes, bands)
-        .map(k => BandRow(k, d.doc_id, d.ts_us)))
+      .flatMap(d => keysOf(d.text).map(k => BandRow(k, d.doc_id, d.ts_us)))
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", delay)
       .as[(Long, Long, Long, java.sql.Timestamp)]
@@ -241,4 +251,32 @@ object NearDupStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         update)
   }
+
+  /** One 64-bit content key per document: the md5 digest's top 8 bytes.
+    * md5 (not FNV) so the BATCH replay of the decision table is
+    * engine-shared — DuckDB's md5 is bit-identical, which is what lets
+    * `d16_stream_dedup_replay` hash-check the claim semantics end to end
+    * (the d13 discipline; FNV/xxhash are not replayable in SQL).
+    */
+  def exactKey(text: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Streaming EXACT dedup — the steady-state form of d1/d12 on a live
+    * feed: the first arrival of each content claims it (deterministic
+    * (ts, doc_id) winner within a batch), later re-deliveries flag
+    * `dup = true` with the keeper's id, and the event-time horizon
+    * evicts claims the watermark has passed so state is bounded by the
+    * dedup window, not stream length. State: ONE cell per distinct live
+    * content — at 100 TB ingest this is the md5-key table of d12's
+    * index, kept hot and hash-partitioned instead of re-scanned.
+    */
+  def exactVerdicts(spark: SparkSession, docs: Dataset[Doc],
+                    delay: String = "10 minutes"): Dataset[BandVerdict] =
+    keyVerdicts(spark, docs, delay, t => Array(exactKey(t)))
 }

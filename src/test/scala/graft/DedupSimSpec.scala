@@ -91,6 +91,36 @@ class DedupSimSpec extends SparkSuite {
     assert(cutSpans("a  b", Seq(SubstrSpan(0, 0))) === ((2L, " b")))
   }
 
+  test("cutSpans ≡ naive position filter over generated texts and span sets") {
+    // Property check of the two-pointer kernel against the obvious O(n·m)
+    // definition: keep token i iff no span contains i. Seeded generation:
+    // random token counts (incl. 0-token and empty-token cases), random
+    // non-overlapping sorted span sets (the operator's input contract —
+    // spans come merged from the window), span ends allowed past the text.
+    import Dedup.{cutSpans, SubstrSpan}
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 500) {
+      val n = rnd.nextInt(40)
+      val toks = Seq.fill(n)(if (rnd.nextInt(10) == 0) "" else s"w${rnd.nextInt(9)}")
+      val text = toks.mkString(" ")
+      val nTok = text.split(" ", -1).length // n==0 still splits to [""]
+      var spans = Vector.empty[SubstrSpan]
+      var cursor = 0L
+      while (cursor < nTok + 5 && rnd.nextInt(3) > 0) {
+        val s0 = cursor + rnd.nextInt(4)
+        val e0 = s0 + rnd.nextInt(6)
+        spans :+= SubstrSpan(s0, e0)
+        cursor = e0 + 2 // keep spans disjoint and non-adjacent-merged
+      }
+      val keptNaive = text.split(" ", -1).zipWithIndex
+        .filterNot { case (_, i) => spans.exists(sp => sp.s <= i && i <= sp.e) }
+        .map(_._1)
+      val (nKept, cutText) = cutSpans(text, spans)
+      assert(nKept === keptNaive.length.toLong, s"count drift: '$text' $spans")
+      assert(cutText === keptNaive.mkString(" "), s"text drift: '$text' $spans")
+    }
+  }
+
   test("gramPosHashSeq keeps every occurrence at its position (d14 kernel)") {
     val h = Dedup.gramPosHashSeq("a b a b a", 2)
     assert(h.length === 4) // starts 0..3

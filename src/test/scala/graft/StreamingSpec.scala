@@ -202,6 +202,53 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("streaming exact dedup: first claim, dup verdicts, ties, horizon re-claim") {
+    // NearDupStream.exactVerdicts — content-grain streaming dedup with
+    // labeled verdicts (dedupStream above is id-grain and silent). Pins:
+    // (a) first arrival claims the content; (b) a later-ts in-batch twin
+    // and a cross-batch re-delivery both flag dup with the keeper's id;
+    // (c) an equal-ts in-batch tie resolves to the lower doc_id; (d) once
+    // the watermark passes a claim, the same content re-claims fresh —
+    // the event-time horizon that bounds state. d16_stream_dedup_replay
+    // hash-checks the same keep-first semantics against DuckDB.
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandVerdict, Doc}
+    val t0 = 1700000000L * 1000000
+    val sec = 1000000L
+    val mem = MemoryStream[Doc]
+    val out = NearDupStream.exactVerdicts(spark, mem.toDS(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("exact_dedup_out")
+      .outputMode("append").start()
+    // batch 1: claim, later-ts twin, equal-ts tie pair, one distinct doc
+    mem.addData(
+      Doc(3, t0 + 1 * sec, "alpha beta"), // arrives "before" 1 in the Seq but
+      Doc(1, t0, "alpha beta"),           // (ts, id) order crowns doc 1
+      Doc(2, t0 + 1 * sec, "gamma"),
+      Doc(4, t0, "zeta"), Doc(5, t0, "zeta")) // equal ts: lower id wins
+    out.processAllAvailable()
+    // batch 2, inside the horizon: re-delivery flags dup to the keeper
+    mem.addData(Doc(6, t0 + 60 * sec, "gamma"))
+    out.processAllAvailable()
+    // batch 3: advance the watermark far past every claim (3600s - 600s
+    // delay = +3000s); batch 4: the same content re-claims fresh
+    mem.addData(Doc(9, t0 + 3600 * sec, "omega"))
+    out.processAllAvailable()
+    mem.addData(Doc(7, t0 + 3601 * sec, "gamma"))
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("exact_dedup_out").as[BandVerdict].collect()
+      .map(v => (v.doc_id, v.kept_id, v.dup)).toSet
+    assert(got === Set(
+      (1L, 1L, false), (3L, 1L, true),   // (ts, id) winner + later-ts twin
+      (4L, 4L, false), (5L, 4L, true),   // equal-ts tie → lower id
+      (2L, 2L, false), (6L, 2L, true),   // cross-batch re-delivery
+      (9L, 9L, false),
+      (7L, 7L, false)))                  // horizon passed → fresh claim
+  }
+
   test("streaming near-dup flags banded variants and re-deliveries, not distinct docs") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
