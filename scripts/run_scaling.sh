@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 # r14 adds the iterative-fixpoint family (g1/g4/rc1 — their trade-table
 # inputs now inflate with scale, see stage_scale.py) so the "fixed job
 # count, data-sized work per job" adjudication is measured, not argued.
-QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e,split2_cluster_split,pack3_bin_packing,e5_transition_matrix,drift1_dist_shift,t19_gopher_rules,d12_incremental_dedup,j18_salted_join,g1_pagerank,g4_bfs_hops,rc1_recursive_cte,d14_substr_dedup"
+QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e,split2_cluster_split,pack3_bin_packing,e5_transition_matrix,drift1_dist_shift,t19_gopher_rules,d12_incremental_dedup,j18_salted_join,g1_pagerank,g4_bfs_hops,rc1_recursive_cte,d14_substr_dedup,d15_substr_cut,d16_stream_dedup_replay"
 
 python3 scripts/stage_scale.py
 
