@@ -19,6 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A refused or failed query must leave NO dump behind: with a reused
+    // outDir, a stale `$outDir/$name` from a previous run would otherwise
+    // be compared in place of the refused result and pass silently —
+    // defeating the loud missing-dump failure the refusal exists to cause.
+    def dropStale(name: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) rm(target)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -29,12 +41,14 @@ object Verify {
         // violation a LOUD missing-dump failure instead of a comparator
         // crash that zeroes the row with an opaque TypeError.
         val complex = ComparatorContract.complexColumns(df.schema)
-        if (complex.nonEmpty)
+        if (complex.nonEmpty) {
+          dropStale(name)
           System.err.println(s"[verify] $name REFUSED: complex-typed output " +
             s"columns [${complex.mkString("; ")}] — serialize them " +
             "(array_join/to_json) so the driver comparator can sort")
-        else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        dropStale(name)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

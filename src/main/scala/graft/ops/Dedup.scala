@@ -804,8 +804,9 @@ object Dedup {
       // order, every row carrying the keeper's id and its dup verdict.
       // Content identity rides the full md5 string (engine-shared), so
       // DuckDB replays the ENTIRE decision; the live operator's 64-bit
-      // key is a fold of the same digest, hence the same equality
-      // relation. The corpus has no byte-identical documents at test SFs,
+      // key is a fold of the same digest — strictly coarser, equal in
+      // practice up to a birthday-bound 64-bit collision (~2^32 distinct
+      // live contents for even-odds; see NearDupStream.exactKey). The corpus has no byte-identical documents at test SFs,
       // so the replay injects the production re-ingest shape
       // deterministically: every 7th document is re-delivered under a
       // shifted id — half at a LATER ts (the crawler re-find), half at
@@ -814,11 +815,17 @@ object Dedup {
       // StreamingSpec pins stream ≡ this keep-first semantics for
       // ts-ordered arrivals plus the horizon re-claim (d13's stated
       // equivalence scope).
+      // The synthetic ids are shifted by max(doc_id)+1 — derived, not a
+      // constant — so they can never collide with a real id at any SF,
+      // and every shifted id stays strictly greater than every base id
+      // (which is what makes the same-ts tie resolve to the original).
       val docs = Tables.table(s, d, "documents")
       val base = docs.select(col("doc_id"), (col("doc_id") % 1000).as("ts_us"),
         col("text"))
+      val shift = docs.agg((max(col("doc_id")) + 1L).as("id_shift"))
       val redelivered = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .crossJoin(broadcast(shift))
+        .select((col("doc_id") + col("id_shift")).as("doc_id"),
           when(col("doc_id") % 14 === 0, col("doc_id") % 1000)
             .otherwise(col("doc_id") % 1000 + 1000L).as("ts_us"),
           col("text"))
@@ -1195,7 +1202,7 @@ object Dedup {
       """WITH base AS (
         |  SELECT doc_id, doc_id % 1000 AS ts_us, text FROM documents),
         |redeliv AS (
-        |  SELECT doc_id + 1000000 AS doc_id,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
         |    CASE WHEN doc_id % 14 = 0 THEN doc_id % 1000
         |         ELSE doc_id % 1000 + 1000 END AS ts_us,
         |    text

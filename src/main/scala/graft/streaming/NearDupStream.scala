@@ -257,6 +257,13 @@ object NearDupStream {
     * engine-shared — DuckDB's md5 is bit-identical, which is what lets
     * `d16_stream_dedup_replay` hash-check the claim semantics end to end
     * (the d13 discipline; FNV/xxhash are not replayable in SQL).
+    * The fold is strictly COARSER than the full 128-bit digest the
+    * replay keys on: a 64-bit collision would make the live operator
+    * flag a false dup the oracle cannot see. That is a birthday-bound
+    * risk (~2^32 distinct live contents before even-odds of one
+    * collision anywhere — the d7 argument), accepted for the one-long
+    * state cell; key on both digest halves if the dedup window can hold
+    * billions of distinct documents.
     */
   def exactKey(text: String): Long = {
     val dg = java.security.MessageDigest.getInstance("MD5")

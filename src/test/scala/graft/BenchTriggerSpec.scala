@@ -26,15 +26,26 @@ class BenchTriggerSpec extends AnyFunSuite {
 
   test("noise below both triggers stays quiet") {
     assert(!Bench.regressionTrigger(0.2, 0.1))   // 2x but tiny both sides
-    assert(!Bench.regressionTrigger(0.9, 0.05))  // 18x but under the 1s cost bar
-    assert(!Bench.regressionTrigger(0.55, 0.2))  // prev under floor, now under 1s
+    assert(!Bench.regressionTrigger(0.45, 0.05)) // 9x but under the 0.5s cost bar
+    assert(!Bench.regressionTrigger(0.49, 0.2))  // prev under floor, now under 0.5s
   }
 
-  test("boundary arithmetic: 1.5x needs prev >= 0.3; 3x needs now >= 1.0") {
+  test("the r15 jitter class fires: sub-0.3s prior, 3-4x to 0.45-0.95s") {
+    // the three driver-refresh escapes the 1.0s floor exempted, verbatim —
+    // each adjudicated back in-band at idle min-of-3, so the retest (not
+    // the regression verdict) is what these rows needed
+    assert(Bench.regressionTrigger(0.947, 0.238)) // j10_scalar_subquery
+    assert(!Bench.regressionTrigger(0.474, 0.139)) // f5_json_fns: 3.4x but
+    assert(!Bench.regressionTrigger(0.451, 0.141)) // f3: under the 0.5s bar —
+    // sub-0.5s co-movers still ride the headline min-of-N, which is the
+    // tier that caught them; the floor exists for one-shot registry rows
+  }
+
+  test("boundary arithmetic: 1.5x needs prev >= 0.3; 3x needs now >= 0.5") {
     assert(Bench.regressionTrigger(1.4, 0.5))    // prev >= 0.3 and 2.8x >= 1.5x
     assert(!Bench.regressionTrigger(0.44, 0.3))  // 1.47x, under the ratio bar
-    assert(Bench.regressionTrigger(1.0, 0.25))   // prev < 0.3 but 4x at now = 1.0s
-    assert(!Bench.regressionTrigger(0.99, 0.25)) // same ratio a hair under 1s
+    assert(Bench.regressionTrigger(0.5, 0.125))  // prev < 0.3 but 4x at now = 0.5s
+    assert(!Bench.regressionTrigger(0.49, 0.125)) // same ratio a hair under 0.5s
     // sentinels / failures never trigger
     assert(!Bench.regressionTrigger(-1.0, 0.5))
     assert(!Bench.regressionTrigger(2.0, -1.0))
