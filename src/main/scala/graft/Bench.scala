@@ -68,7 +68,10 @@ object Bench {
     // round-15: the ExactSubstr span-dedup pass — corpus-token-sized gram
     // stream through two hash-keyed shuffles plus a per-doc window; the
     // heaviest new registry member this round
-    "d14_substr_dedup")
+    "d14_substr_dedup",
+    // round-16: the perceptual-hash image near-dup — ~1.3 PNG decodes per
+    // document plus the banded pair join; the media-dedup representative
+    "m7_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

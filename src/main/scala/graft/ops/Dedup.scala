@@ -471,18 +471,31 @@ object Dedup {
     * (soundness holds for ANY maxDist in [0, 63], not just the default).
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64,
-      s"maxDist must be in [0, 63], got $maxDist")
     import s.implicits._
-    val nBands = maxDist + 1
-    // band b covers bits [bounds(b), bounds(b+1)) — near-equal widths
-    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     // Signatures map-side in the JVM kernel: one pass, no shuffle until
     // the (slim) banded pair join.
     val docs = Tables.table(s, d, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t)) }
       .toDF("doc_id", "sh64")
+    hammingBandPairs(docs, maxDist)
+  }
+
+  /** Pigeonhole hamming-banding pair join over ANY 64-bit signature table
+    * `(doc_id, sh64)` — the generic core of [[simhashPairs]], reused by
+    * the perceptual-hash image near-dup (Multimodal m7): distance ≤
+    * maxDist ⇒ some band equal, so the banded candidate set is complete;
+    * the post-join `bit_count(xor)` filter makes it sound. Candidate
+    * volume is Σ bucket², bounded by signature entropy — callers own
+    * making signatures well-spread (simhash mixes via xxhash64; m7's
+    * synthesis gives each doc an independent block pattern).
+    */
+  def hammingBandPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      s"maxDist must be in [0, 63], got $maxDist")
+    val nBands = maxDist + 1
+    // band b covers bits [bounds(b), bounds(b+1)) — near-equal widths
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
     val banded = docs.select(col("doc_id"), col("sh64"),
       explode(array((0 until nBands).map { b =>
         val lo = bounds(b)

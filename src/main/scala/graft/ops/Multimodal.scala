@@ -316,6 +316,159 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual-hash image near-dup (m7) --------------------------------
+
+  /** An image row for the near-dup fixture: base corpus + perturbed
+    * re-encodes, ids disjoint (variants shifted by max(doc_id)+1).
+    */
+  case class ImgRecord(img_id: Long, payload: Array[Byte])
+
+  /** m7's OWN pixel synthesis (NOT [[rgbAt]]): each channel renders a
+    * per-document pseudo-random 8×8 block pattern (block (bx, by) is on
+    * or off by a multiplicative-hash bit of doc_id) plus a small
+    * deterministic texture. The m1 gradient formula is unusable here —
+    * its doc dependence is a constant luma shift, which mean-thresholded
+    * perceptual hashes are INVARIANT to by design, so every same-dims
+    * document would collide into one signature and the band buckets
+    * would go quadratic. Block patterns give each doc ~an independent
+    * signature (bucket sizes ~n/2^16) while staying brightness-stable
+    * under the perturbations, and the formula is plain BIGINT
+    * arithmetic, so DuckDB replays it exactly.
+    */
+  private[graft] def blockBit(p: Long, bi: Int): Int =
+    (((p * (bi + 17) * 2654435761L) >> 20) & 1L).toInt
+
+  private[graft] def blockRgbAt(docId: Long, x: Int, y: Int, w: Int, h: Int): Int = {
+    val bi = (y * 8 / h) * 8 + (x * 8 / w)
+    val r = blockBit(docId + 1, bi) * 180 + 30 + (3 * x + 7 * y) % 23
+    val g = blockBit(docId * 31 + 7, bi) * 180 + 30 + (5 * x + 11 * y) % 19
+    val b = blockBit(docId * 17 + 3, bi) * 180 + 30 + (7 * x + 13 * y) % 29
+    (r << 16) | (g << 8) | b
+  }
+
+  private def encodeBlockPng(docId: Long): Array[Byte] = {
+    val w = widthOf(docId); val h = heightOf(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = blockRgbAt(docId, x, y, w, h); x += 1 }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Posterize re-encode — the "saved again at lower quality" near-dup:
+    * every channel quantized to a multiple of 4 (p/4*4), operating on
+    * the DECODED base image, then re-encoded. Shifts each cell's mean
+    * luma by ≲ 3 per channel, so the aHash lands within a few bits.
+    */
+  private[graft] def posterize(img: BufferedImage): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      px(i) = ((p >> 16 & 0xff) / 4 * 4 << 16) |
+        ((p >> 8 & 0xff) / 4 * 4 << 8) | ((p & 0xff) / 4 * 4)
+      i += 1
+    }
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, w, h, px, 0, w)
+    out
+  }
+
+  /** Nearest-neighbor downscale to 3/4 size (floor, clamped to the 8 px
+    * aHash minimum) — the "thumbnail repost" near-dup. Target pixel
+    * (x, y) samples source (x·w/w', y·h/h'): pure integer resampling, so
+    * the oracle replays the perturbed image exactly.
+    */
+  private[graft] def nnResize(img: BufferedImage): BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val w2 = math.max(w * 3 / 4, 8); val h2 = math.max(h * 3 / 4, 8)
+    val src = img.getRGB(0, 0, w, h, null, 0, w)
+    val dst = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = y * h / h2
+      var x = 0
+      while (x < w2) { dst(y * w2 + x) = src(sy * w + x * w / w2); x += 1 }
+      y += 1
+    }
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, w2, h2, dst, 0, w2)
+    out
+  }
+
+  private def reencodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit aHash over the decoded image: box-downsample to the 8×8 luma
+    * grid (cell value = floor mean of 299r+587g+114b over its pixels —
+    * the m3 exact-integer kernel at fixed dims), then bit c fires when
+    * its cell exceeds the grid mean (64·cell > Σcells, integer
+    * cross-multiplication — no division, no doubles). Brightness-shift
+    * invariant by construction; a 100 TB deployment computes it in the
+    * same decode pass that extracts m1's features, so the near-dup tier
+    * costs one map-side Long per image plus the banded pair join.
+    */
+  private[graft] def aHash64(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= 8 && h >= 8, s"aHash needs >= 8 px per side, got ${w}x$h")
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val sum = new Array[Long](64); val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val ty = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = ty * 8 + x * 8 / w
+        val p = px(y * w + x)
+        sum(c) += 299L * (p >> 16 & 0xff) + 587L * (p >> 8 & 0xff) + 114L * (p & 0xff)
+        cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
+    val cv = new Array[Long](64)
+    var c = 0
+    while (c < 64) { cv(c) = sum(c) / cnt(c); total += cv(c); c += 1 }
+    var sig = 0L
+    c = 0
+    while (c < 64) { if (64L * cv(c) > total) sig |= (1L << c); c += 1 }
+    sig
+  }
+
+  /** The image near-dup fixture: every doc's block-pattern PNG, plus a
+    * posterize re-encode of every 5th and a nearest-neighbor downscale
+    * of every 9th (variant ids shifted by max(doc_id)+1 and 2× that, so
+    * they collide with nothing at any SF). Perturbations run on the
+    * DECODED base payload — the staged tree exercises the full
+    * decode → perturb → re-encode chain the oracle then checks.
+    */
+  def imgDupDir(s: SparkSession, d: String): String = {
+    import graft.query.RefParity.{cacheBase, stagedTree}
+    stagedTree(cacheBase("graft_imgdup", d, "documents")) { tmp =>
+      import s.implicits._
+      val ids = Tables.table(s, d, "documents").select(col("doc_id")).as[Long]
+      val shift = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+      ids.map(id => ImgRecord(id, encodeBlockPng(id)))
+        .union(ids.filter(_ % 5 == 0).map(id =>
+          ImgRecord(id + shift, reencodePng(posterize(decodeImage(encodeBlockPng(id)))))))
+        .union(ids.filter(_ % 9 == 0).map(id =>
+          ImgRecord(id + 2 * shift, reencodePng(nnResize(decodeImage(encodeBlockPng(id)))))))
+        .write.parquet(tmp + "/image")
+    }
+  }
+
   // ---- media tables (documents re-materialized as binary columns) ----
 
   /** Per-doc PNG-frame container table — the `binary` video column. */
@@ -425,6 +578,26 @@ object Multimodal {
       import s.implicits._
       staged[AudioRecord](s, d, "audio")
         .flatMap(r => vadWindows(r.doc_id, r.payload, 64)).toDF()
+    },
+    "m7_image_neardup" -> { (s, d) =>
+      // Perceptual-hash near-dup over the IMAGE column — the media tier
+      // of the dedup family (a re-encoded/resized copy of a training
+      // image has no text to shingle): decode every stored payload, one
+      // 64-bit aHash per image map-side, then d4's pigeonhole hamming
+      // banding pairs signatures within distance 3 — never all-pairs.
+      // The fixture plants posterize re-encodes and nearest-neighbor
+      // downscales among the block-pattern base images; the oracle
+      // recomputes every signature from the generating pixel formulas
+      // (perturbations included) and brute-forces hamming over all
+      // pairs, so a decode bug, a resampling off-by-one, or a banding
+      // completeness hole all break the hash match. MultimodalSpec
+      // additionally pins banding ≡ brute force on the Spark side.
+      import s.implicits._
+      val sigs = s.read.parquet(imgDupDir(s, d) + "/image").as[ImgRecord]
+        .map(r => (r.img_id, aHash64(decodeImage(r.payload))))
+        .toDF("doc_id", "sh64")
+      Dedup.hammingBandPairs(sigs, 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     }
   )
 
@@ -523,6 +696,67 @@ object Multimodal {
         |  CAST(sum(a) AS BIGINT) AS sum_abs,
         |  CAST(max(a) AS INT) AS peak,
         |  CAST(sum(a) AS BIGINT) < 8192 * count(*) AS silent
-        |FROM s GROUP BY doc_id, win_idx""".stripMargin
+        |FROM s GROUP BY doc_id, win_idx""".stripMargin,
+    // m7: every aHash signature recomputed from the generating pixel
+    // formulas — base block patterns, the posterize (vk=1) and
+    // nearest-neighbor resize (vk=2) perturbations — as two BIGINT
+    // halves (bit 63 would overflow a single signed shift), then
+    // brute-force hamming over ALL pairs. Equality with the banded
+    // Spark pass proves decode + perturb + hash + banding end to end.
+    "m7_image_neardup" ->
+      """WITH sh AS (SELECT max(doc_id) + 1 AS s FROM documents),
+        |imgs AS (
+        |  SELECT doc_id AS img_id, doc_id AS src, 8 + doc_id % 17 AS w,
+        |    8 + doc_id % 13 AS h, 8 + doc_id % 17 AS pw, 8 + doc_id % 13 AS ph,
+        |    0 AS vk
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT s FROM sh), doc_id, 8 + doc_id % 17,
+        |    8 + doc_id % 13, 8 + doc_id % 17, 8 + doc_id % 13, 1
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT s FROM sh), doc_id, 8 + doc_id % 17,
+        |    8 + doc_id % 13,
+        |    greatest((8 + doc_id % 17) * 3 // 4, 8),
+        |    greatest((8 + doc_id % 13) * 3 // 4, 8), 2
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |coords AS (
+        |  SELECT i.img_id, i.src, i.w, i.h, i.pw, i.ph, i.vk, x.x AS x, y.y AS y,
+        |    CASE WHEN i.vk = 2 THEN x.x * i.w // i.pw ELSE x.x END AS sx,
+        |    CASE WHEN i.vk = 2 THEN y.y * i.h // i.ph ELSE y.y END AS sy
+        |  FROM imgs i, unnest(range(0, i.pw)) AS x(x), unnest(range(0, i.ph)) AS y(y)),
+        |chan AS (
+        |  SELECT img_id, pw, ph, x, y, vk,
+        |    ((((src + 1) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 20) & 1) * 180
+        |      + 30 + (3 * sx + 7 * sy) % 23 AS r0,
+        |    ((((src * 31 + 7) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 20) & 1) * 180
+        |      + 30 + (5 * sx + 11 * sy) % 19 AS g0,
+        |    ((((src * 17 + 3) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 20) & 1) * 180
+        |      + 30 + (7 * sx + 13 * sy) % 29 AS b0
+        |  FROM coords),
+        |lum AS (
+        |  SELECT img_id, (y * 8 // ph) * 8 + x * 8 // pw AS cell,
+        |    299 * (CASE WHEN vk = 1 THEN r0 // 4 * 4 ELSE r0 END)
+        |    + 587 * (CASE WHEN vk = 1 THEN g0 // 4 * 4 ELSE g0 END)
+        |    + 114 * (CASE WHEN vk = 1 THEN b0 // 4 * 4 ELSE b0 END) AS luma
+        |  FROM chan),
+        |cells AS (
+        |  SELECT img_id, cell, CAST(sum(luma) // count(*) AS BIGINT) AS cv
+        |  FROM lum GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT img_id, cell,
+        |    CASE WHEN 64 * cv > sum(cv) OVER (PARTITION BY img_id) THEN 1 ELSE 0 END AS bit
+        |  FROM cells),
+        |sig AS (
+        |  SELECT img_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND cell < 32
+        |      THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN bit = 1 AND cell >= 32
+        |      THEN (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1)
+        |SELECT a.img_id AS doc_a, b.img_id AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
   )
 }

@@ -150,6 +150,71 @@ class MultimodalSpec extends SparkSuite {
     assert(cuts > 0 && cuts < rows.length)
   }
 
+  test("m7: aHash64 matches a hand-computed signature on an 8x8 two-tone image") {
+    // left half dark (luma 0), right half bright (luma 255*(299+587+114) =
+    // 255000): cells 0-3 of each row are 0, cells 4-7 are 255000; the grid
+    // mean is 127500·64/64, so exactly the bright cells exceed it — the
+    // signature is the 0xF0 column mask repeated over 8 rows.
+    val pixels = Array.tabulate(8, 8)((_, x) => if (x < 4) 0x000000 else 0xffffff)
+    val sig = Multimodal.aHash64(Multimodal.decodeImage(png(pixels)))
+    val expect = (0 until 64).filter(c => c % 8 >= 4).map(1L << _).reduce(_ | _)
+    assert(sig === expect)
+  }
+
+  test("m7: aHash is invariant to a uniform brightness shift (mean-threshold)") {
+    val base = Array.tabulate(12, 16)((y, x) => ((x * 37 + y * 91) % 200) * 0x010101)
+    val shifted = base.map(_.map { p =>
+      val d = 40
+      (((p >> 16 & 0xff) + d) << 16) | (((p >> 8 & 0xff) + d) << 8) | ((p & 0xff) + d)
+    })
+    assert(Multimodal.aHash64(Multimodal.decodeImage(png(base))) ===
+      Multimodal.aHash64(Multimodal.decodeImage(png(shifted))))
+  }
+
+  test("m7: posterize quantizes every channel to floor multiples of 4") {
+    val img = Multimodal.posterize(Multimodal.decodeImage(png(Array(
+      Array(0x070503, 0xfffefc)))))
+    assert((img.getRGB(0, 0) & 0xffffff) === 0x040400)
+    assert((img.getRGB(1, 0) & 0xffffff) === 0xfcfcfc)
+  }
+
+  test("m7: nnResize samples source (x*w/w2, y*h/h2) and clamps at 8 px") {
+    // 16x12 -> 12x9: target (x, y) reads source (x*16/12, y*12/9)
+    val pixels = Array.tabulate(12, 16)((y, x) => (x << 16) | (y << 8))
+    val img = Multimodal.nnResize(Multimodal.decodeImage(png(pixels)))
+    assert(img.getWidth === 12 && img.getHeight === 9)
+    for (y <- 0 until 9; x <- 0 until 12)
+      assert((img.getRGB(x, y) & 0xffffff) === (((x * 16 / 12) << 16) | ((y * 12 / 9) << 8)))
+    // 8x8 -> would be 6x6 at 3/4 — clamped to the aHash minimum, so identity
+    val tiny = Multimodal.nnResize(Multimodal.decodeImage(png(
+      Array.tabulate(8, 8)((y, x) => (x * 31 + y * 7) % 256 * 0x010101))))
+    assert(tiny.getWidth === 8 && tiny.getHeight === 8)
+  }
+
+  test("m7: pigeonhole banding == brute-force hamming over the image fixture") {
+    val sess = spark
+    import sess.implicits._
+    val sigs = sess.read.parquet(Multimodal.imgDupDir(sess, sf) + "/image")
+      .as[Multimodal.ImgRecord]
+      .map(r => (r.img_id, Multimodal.aHash64(Multimodal.decodeImage(r.payload))))
+      .toDF("doc_id", "sh64")
+    val banded = graft.ops.Dedup.hammingBandPairs(sigs, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must yield at least one near-dup pair")
+    // the planted perturbations are actually found: some posterize pair
+    // (base id + shift) and some resize pair (+ 2·shift) survive distance
+    // 3 — doc_ids are dense 0..n-1, so shift = max+1 = n
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(brute.exists { case (a, b) => b == a + n }, "no posterize pair found")
+    assert(brute.exists { case (a, b) => b == a + 2 * n }, "no resize pair found")
+  }
+
   test("m6: VAD windows tile every sample, partial tail kept, silent mix real") {
     val out = graft.ops.Multimodal.queries("m6_audio_vad")(spark, sf).collect()
     val byDoc = out.groupBy(_.getLong(0))
