@@ -216,49 +216,98 @@ object Quality {
         .orderBy(col("pmi").desc, col("bigram"))
         .limit(20)
     },
-    "t19_gopher_rules" -> { (s, d) =>
-      // The PUBLISHED Gopher/MassiveText document-quality rules (Rae et
-      // al. 2021, App. A): word count in [50, 100k], mean word length in
-      // [3, 10], >=80% of words alphabetic, '#'/'...' symbol-to-word
-      // ratio <= 0.1, and at least 2 of the paper's 8 stop words present.
-      // (The two LINE rules — bullet starts, ellipsis ends — have no
-      // grain here: the corpus is single-line by construction, so they'd
-      // be constant-true columns; omitted rather than faked.) The paper
-      // applies the 0.1 symbol threshold to EACH symbol's ratio
-      // separately, so '#' and '...' carry their own counts and flags —
-      // summing them would reject documents the published rule keeps.
-      // Every ratio threshold is an INTEGER cross-multiplication
-      // (3·n <= chars, 5·alpha >= 4·n, 10·sym <= n) so both engines
-      // compare bit-equal longs — no division, no doubles. Entirely
-      // map-side: one projection over the scan, no shuffle,
-      // pushdown-friendly (PlanAuditSpec pins zero exchanges).
-      val words = split(col("text"), " ")
-      val nWords = size(words).cast("long")
-      // Single-space corpus identity: total word chars = len - (n-1).
-      val wordChars = (length(col("text")) - size(words) + 1).cast("long")
-      val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
-      val hashCnt = regexp_count(col("text"), lit("#")).cast("long")
-      val ellipsisCnt = regexp_count(col("text"), lit("\\.\\.\\.")).cast("long")
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val stopHits = stops.map(w => array_contains(words, w).cast("long"))
-        .reduce(_ + _)
-      val okWords = col("n_words") >= 50L && col("n_words") <= 100000L
-      val okMeanLen = col("word_chars") >= lit(3L) * col("n_words") &&
-        col("word_chars") <= lit(10L) * col("n_words")
-      val okAlpha = lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")
-      val okSymbols = lit(10L) * col("hash_cnt") <= col("n_words") &&
-        lit(10L) * col("ellipsis_cnt") <= col("n_words")
-      val okStops = col("stop_hits") >= 2L
-      Tables.table(s, d, "documents")
-        .select(col("doc_id"), nWords.as("n_words"), wordChars.as("word_chars"),
-          alphaWords.as("alpha_words"), hashCnt.as("hash_cnt"),
-          ellipsisCnt.as("ellipsis_cnt"), stopHits.as("stop_hits"))
-        .select(col("*"), okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
-          okAlpha.as("ok_alpha"), okSymbols.as("ok_symbols"),
-          okStops.as("ok_stops"),
-          (okWords && okMeanLen && okAlpha && okSymbols && okStops).as("keep"))
+    "t19_gopher_rules" -> { (s, d) => gopherRules(s, d) },
+    "t20_quality_classifier" -> { (s, d) =>
+      // MODEL-BASED quality filter — the published classifier-filter tier
+      // (FineWeb-Edu, Penedo et al. 2024; DCLM, Li et al. 2024: a linear
+      // bag-of-words scorer trained on a labeled slice, applied
+      // corpus-wide). Training is CLOSED-FORM counting (the Naive-Bayes
+      // family), so the whole model — not just the scoring — replays
+      // exactly in the oracle: the even-doc_id half is labeled by the
+      // t19 Gopher rules (the bootstrap-labels trick: rules label the
+      // seed set, the model generalizes token evidence to every doc
+      // including the held-out odd half); each word with >= 5 training
+      // occurrences gets weight (pos+1)·10^6 DIV (pos+neg+2) ppm — the
+      // Laplace-smoothed positive rate; unseen/rare words fall back to
+      // the 500000 ppm prior; a document's score is the integer mean of
+      // its DISTINCT words' weights, kept when >= the prior. All-integer
+      // fixed-point arithmetic (the d8 Lloyd's discipline) — no logs, no
+      // doubles, engine-exact.
+      //
+      // Scale shape: training is one word-grain shuffle over the train
+      // slice (map-side partial agg absorbs token volume) into a
+      // vocab-sized weights table; scoring is one word-grain shuffle
+      // (features join weights, regroup per doc). At 100 TB the weights
+      // table is the model artifact — broadcast when it fits, shuffle
+      // join otherwise; nothing iterates and nothing is corpus²-sized.
+      val lab = gopherRules(s, d).select(col("doc_id"), col("keep"))
+      val words = Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+      val train = words.join(lab.filter(col("doc_id") % 2 === 0), "doc_id")
+      val weights = train.groupBy(col("w"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("pos"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("neg"))
+        .filter(col("pos") + col("neg") >= 5L)
+        .select(col("w"),
+          expr("(pos + 1) * 1000000 DIV (pos + neg + 2)").as("w_ppm"))
+      val scored = words.join(weights, Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum(coalesce(col("w_ppm"), lit(500000L))).as("score_sum"))
+        .withColumn("score_ppm", expr("score_sum DIV n_feats"))
+      scored.join(lab, "doc_id")
+        .select(col("doc_id"), col("keep").as("label"),
+          (col("doc_id") % 2 === 0).as("is_train"),
+          col("n_feats"), col("score_sum"), col("score_ppm"),
+          (col("score_ppm") >= 500000L).as("pred_keep"))
     }
   )
+
+  /** The PUBLISHED Gopher/MassiveText document-quality rules (Rae et
+    * al. 2021, App. A): word count in [50, 100k], mean word length in
+    * [3, 10], >=80% of words alphabetic, '#'/'...' symbol-to-word
+    * ratio <= 0.1, and at least 2 of the paper's 8 stop words present.
+    * (The two LINE rules — bullet starts, ellipsis ends — have no
+    * grain here: the corpus is single-line by construction, so they'd
+    * be constant-true columns; omitted rather than faked.) The paper
+    * applies the 0.1 symbol threshold to EACH symbol's ratio
+    * separately, so '#' and '...' carry their own counts and flags —
+    * summing them would reject documents the published rule keeps.
+    * Every ratio threshold is an INTEGER cross-multiplication
+    * (3·n <= chars, 5·alpha >= 4·n, 10·sym <= n) so both engines
+    * compare bit-equal longs — no division, no doubles. Entirely
+    * map-side: one projection over the scan, no shuffle,
+    * pushdown-friendly (PlanAuditSpec pins zero exchanges). Registered
+    * as t19; also the label source for the t20 classifier.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("long")
+    // Single-space corpus identity: total word chars = len - (n-1).
+    val wordChars = (length(col("text")) - size(words) + 1).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val hashCnt = regexp_count(col("text"), lit("#")).cast("long")
+    val ellipsisCnt = regexp_count(col("text"), lit("\\.\\.\\.")).cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(w => array_contains(words, w).cast("long"))
+      .reduce(_ + _)
+    val okWords = col("n_words") >= 50L && col("n_words") <= 100000L
+    val okMeanLen = col("word_chars") >= lit(3L) * col("n_words") &&
+      col("word_chars") <= lit(10L) * col("n_words")
+    val okAlpha = lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")
+    val okSymbols = lit(10L) * col("hash_cnt") <= col("n_words") &&
+      lit(10L) * col("ellipsis_cnt") <= col("n_words")
+    val okStops = col("stop_hits") >= 2L
+    Tables.table(s, d, "documents")
+      .select(col("doc_id"), nWords.as("n_words"), wordChars.as("word_chars"),
+        alphaWords.as("alpha_words"), hashCnt.as("hash_cnt"),
+        ellipsisCnt.as("ellipsis_cnt"), stopHits.as("stop_hits"))
+      .select(col("*"), okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
+        okAlpha.as("ok_alpha"), okSymbols.as("ok_symbols"),
+        okStops.as("ok_stops"),
+        (okWords && okMeanLen && okAlpha && okSymbols && okStops).as("keep"))
+  }
 
   private val P2Oracle =
     """WITH wrds AS (
@@ -426,6 +475,59 @@ object Quality {
         |    AND (5 * alpha_words >= 4 * n_words)
         |    AND (10 * hash_cnt <= n_words AND 10 * ellipsis_cnt <= n_words)
         |    AND (stop_hits >= 2)) AS keep
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // t20: the whole model replays — Gopher labels on the even half,
+    // Laplace-smoothed per-word positive rates in ppm (support >= 5),
+    // integer-mean scoring with the 500000 ppm prior for unseen words.
+    "t20_quality_classifier" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(length(text) AS BIGINT) AS tc, text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    tc - CAST(len(ws) AS BIGINT) + 1 AS word_chars,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hash_cnt,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS ellipsis_cnt,
+        |    CAST(list_contains(ws, 'the') AS BIGINT)
+        |      + CAST(list_contains(ws, 'be') AS BIGINT)
+        |      + CAST(list_contains(ws, 'to') AS BIGINT)
+        |      + CAST(list_contains(ws, 'of') AS BIGINT)
+        |      + CAST(list_contains(ws, 'and') AS BIGINT)
+        |      + CAST(list_contains(ws, 'that') AS BIGINT)
+        |      + CAST(list_contains(ws, 'have') AS BIGINT)
+        |      + CAST(list_contains(ws, 'with') AS BIGINT) AS stop_hits
+        |  FROM base),
+        |lab AS (
+        |  SELECT doc_id,
+        |    ((n_words >= 50 AND n_words <= 100000)
+        |      AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+        |      AND (5 * alpha_words >= 4 * n_words)
+        |      AND (10 * hash_cnt <= n_words AND 10 * ellipsis_cnt <= n_words)
+        |      AND (stop_hits >= 2)) AS keep
+        |  FROM m),
+        |feats AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)),
+        |wt AS (
+        |  SELECT f.w,
+        |    (sum(CASE WHEN l.keep THEN 1 ELSE 0 END) + 1) * 1000000
+        |      // (count(*) + 2) AS w_ppm
+        |  FROM feats f JOIN lab l USING (doc_id)
+        |  WHERE f.doc_id % 2 = 0
+        |  GROUP BY f.w HAVING count(*) >= 5),
+        |sc AS (
+        |  SELECT f.doc_id, count(*) AS n_feats,
+        |    CAST(sum(coalesce(wt.w_ppm, 500000)) AS BIGINT) AS score_sum
+        |  FROM feats f LEFT JOIN wt USING (w) GROUP BY 1)
+        |SELECT s.doc_id, l.keep AS label, s.doc_id % 2 = 0 AS is_train,
+        |  CAST(s.n_feats AS BIGINT) AS n_feats, s.score_sum,
+        |  CAST(s.score_sum // s.n_feats AS BIGINT) AS score_ppm,
+        |  s.score_sum // s.n_feats >= 500000 AS pred_keep
+        |FROM sc s JOIN lab l USING (doc_id)""".stripMargin
   )
 }

@@ -77,4 +77,64 @@ class GopherRulesSpec extends SparkSuite {
     assert(!get(out(0L), "ok_stops") && get(out(1L), "ok_stops"))
     assert(!get(out(0L), "keep") && get(out(1L), "keep"))
   }
+
+  // ---- t20: the classifier's training math, pinned by hand ----------------
+
+  /** Hand corpus: Gopher-keep text G = "the and"×25 + " zebra" (51 words,
+    * label TRUE), Gopher-fail shorts (label FALSE). Train = even ids:
+    * six good (0..10) carrying {the, and, zebra}, six bad (12..22)
+    * carrying {qq, zebra} (two of them add "rare" — below the 5-doc
+    * support floor). Hand-derived Laplace weights in ppm:
+    * the/and (pos 6, neg 0) → 7e6/8  = 875000;
+    * qq      (pos 0, neg 6) → 1e6/8  = 125000;
+    * zebra   (pos 6, neg 6) → 7e6/14 = 500000;
+    * rare (support 2 < 5) and any unseen word → the 500000 prior.
+    */
+  private val goodText = (Seq.fill(25)("the and").mkString(" ")) + " zebra"
+
+  private def t20(texts: Seq[(Long, String)]): Map[Long, Row] = {
+    val sess = spark
+    val df = sess.createDataFrame(
+      new java.util.ArrayList[Row](
+        texts.map(t => Row(t._1, t._2, "en", "synth", t._2.length.toLong)).asJava),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    val dir = tmpDir("graft_t20_docs")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    graft.ops.Quality.queries("t20_quality_classifier")(sess, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("t20: weights, support floor, prior, and held-out scoring by hand") {
+    val docs =
+      (0L to 10L by 2).map(_ -> goodText) ++
+      Seq(12L -> "qq zebra rare", 14L -> "qq zebra rare") ++
+      (16L to 22L by 2).map(_ -> "qq zebra") ++
+      Seq(1L -> goodText,          // held-out good: (875000·2 + 500000)/3
+          3L -> "qq zebra novel",  // held-out bad: (125000 + 500000·2)/3
+          5L -> "rare zebra qq")   // floored word scores as the prior
+    val out = t20(docs)
+    def row(id: Long): (Boolean, Boolean, Long, Long, Long, Boolean) = {
+      val r = out(id)
+      (r.getBoolean(r.fieldIndex("label")), r.getBoolean(r.fieldIndex("is_train")),
+        r.getLong(r.fieldIndex("n_feats")), r.getLong(r.fieldIndex("score_sum")),
+        r.getLong(r.fieldIndex("score_ppm")), r.getBoolean(r.fieldIndex("pred_keep")))
+    }
+    assert(row(1L) === ((true, false, 3L, 2250000L, 750000L, true)))
+    assert(row(3L) === ((false, false, 3L, 1125000L, 375000L, false)))
+    assert(row(5L) === ((false, false, 3L, 1125000L, 375000L, false)))
+    // a train doc scores through the same weights (no train/test leak path)
+    assert(row(0L) === ((true, true, 3L, 2250000L, 750000L, true)))
+    // every even id is marked train, every odd held-out
+    out.foreach { case (id, r) =>
+      assert(r.getBoolean(r.fieldIndex("is_train")) === (id % 2 == 0))
+    }
+    // the bootstrap generalizes: held-out predictions match held-out labels
+    Seq(1L, 3L, 5L).foreach { id =>
+      val r = out(id)
+      assert(r.getBoolean(r.fieldIndex("pred_keep")) ===
+        r.getBoolean(r.fieldIndex("label")), s"held-out doc $id misclassified")
+    }
+  }
 }
