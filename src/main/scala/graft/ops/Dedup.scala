@@ -139,6 +139,40 @@ object Dedup {
     }
   }
 
+  /** Every word n-gram of `text` as the two-long fold of its full md5
+    * digest, position-indexed like [[gramPosHashSeq]]. The 128-bit key
+    * partitions grams identically to the raw strings the DuckDB oracle
+    * groups by (up to an md5 collision — none expected this side of
+    * 2^64 grams) while shuffling 16 bytes instead of ~300-char text:
+    * the replay-side analogue of d14's 8-byte xxhash keys.
+    */
+  def gramPosMd5Seq(text: String, n: Int): Array[(Long, Long)] = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (words.length < n) Array.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder
+      Array.tabulate(words.length - n + 1) { i =>
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        val dg = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h1 = 0L; var h2 = 0L
+        var j = 0
+        while (j < 8) {
+          h1 = (h1 << 8) | (dg(j) & 0xffL)
+          h2 = (h2 << 8) | (dg(j + 8) & 0xffL)
+          j += 1
+        }
+        (h1, h2)
+      }
+    }
+  }
+
   def gramHashSeq(text: String, n: Int): Array[Long] = {
     val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (words.length < n) Array.empty
@@ -849,6 +883,66 @@ object Dedup {
         .withColumn("kept_id", first(col("doc_id")).over(w))
         .withColumn("dup", col("doc_id") =!= col("kept_id"))
     },
+    "d17_stream_substr_replay" -> { (s, d) =>
+      // ORACLE GATE for the streaming ExactSubstr operator
+      // (NearDupStream.gramVerdicts, this round): the batch replay of its
+      // gram-claim decision table — per L-gram, the first occurrence in
+      // (ts, doc_id, p) order claims, every LATER occurrence is a cut hit
+      // — reduced to the d14 span geometry per document (merged maximal
+      // spans over the hit intervals, covered-token mass, integer ppm).
+      // This is the incremental published shape: the first document
+      // through keeps its text, later arrivals lose recycled passages —
+      // d14/d15 are the batch form that cuts ALL occurrences; d12/d16 are
+      // the same claim pattern at document grain. Keys here are the full
+      // md5 of the gram string folded to two longs (gramPosMd5Seq), so
+      // DuckDB's grouping by the raw gram string partitions identically
+      // and replays the ENTIRE decision; the live operator's 64-bit
+      // xxhash key is coarser by the d7 birthday argument. ts = doc_id %
+      // 1000 exercises both order levels (ties broken by doc_id, then p
+      // for a doc's self-repeats). StreamingSpec pins stream ≡ this
+      // keep-first geometry for ts-ordered arrivals plus the horizon
+      // re-claim (the d13/d16 equivalence scope).
+      //
+      // Scale: identical budget to d14 — one corpus-token-grain map-side
+      // fan-out into a 16-byte-key shuffle (the claim window), then
+      // doc-keyed windows over hit rows only. No token-grain re-shuffle,
+      // no driver step; the windowed claim is the backfill form of the
+      // stream's hash-partitioned state.
+      import s.implicits._
+      val L = SubstrL
+      val occ = Tables.table(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 1000).as("ts_us"), col("text"))
+        .as[(Long, Long, String)]
+        .flatMap { case (id, ts, t) =>
+          gramPosMd5Seq(t, L).iterator.zipWithIndex.map {
+            case ((k1, k2), p) => (k1, k2, id, ts, p.toLong) } }
+        .toDF("k1", "k2", "doc_id", "ts_us", "p")
+      val wClaim = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k1"), col("k2"))
+        .orderBy(col("ts_us"), col("doc_id"), col("p"))
+      val hits = occ.withColumn("rn", row_number().over(wClaim))
+        .filter(col("rn") > 1).select(col("doc_id"), col("p"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val perDoc = hits
+        .withColumn("covered",
+          least(lit(L.toLong),
+            coalesce(lead(col("p"), 1).over(wOrd) - col("p"), lit(L.toLong))))
+        .withColumn("new_span",
+          when(coalesce(col("p") - lag(col("p"), 1).over(wOrd), lit(L.toLong + 1)) > L, 1L)
+            .otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("new_span")).as("cut_spans"),
+          sum(col("covered")).as("cut_tokens"))
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("cut_spans"), lit(0L)).as("cut_spans"),
+          coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
+        .withColumn("cut_ppm", expr("cut_tokens * 1000000 DIV n_tokens"))
+    },
     "split2_cluster_split" -> { (s, d) =>
       // LEAKAGE-SAFE train/val/test split: the unit of assignment is the
       // d6 near-dup CLUSTER, not the document — split1's content hash
@@ -1229,6 +1323,39 @@ object Dedup {
         |  doc_id <> first_value(doc_id) OVER w AS dup
         |FROM allrows
         |WINDOW w AS (PARTITION BY content_key ORDER BY ts_us, doc_id)""".stripMargin,
+    // d17: the gram-claim keep-first window on RAW gram strings (the
+    // engine-shared partition the md5 keys reproduce), then d14's span
+    // merge over the non-first occurrences only.
+    "d17_stream_substr_replay" -> {
+      val L = SubstrL
+      s"""WITH w AS (SELECT doc_id, doc_id % 1000 AS ts_us,
+         |             string_split(lower(text), ' ') AS ws FROM documents),
+         |pos AS (SELECT doc_id, ts_us, ws,
+         |          unnest(range(0, CAST(greatest(len(ws) - ${L - 1}, 0) AS BIGINT))) AS p
+         |        FROM w),
+         |g AS (SELECT doc_id, ts_us, p,
+         |        array_to_string(ws[p+1:p+$L], ' ') AS gram FROM pos),
+         |r AS (SELECT doc_id, p,
+         |        row_number() OVER (PARTITION BY gram
+         |                           ORDER BY ts_us, doc_id, p) AS rn
+         |      FROM g),
+         |hits AS (SELECT doc_id, p FROM r WHERE rn > 1),
+         |sp AS (SELECT doc_id, p,
+         |         least($L, coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p, $L)) AS covered,
+         |         CASE WHEN coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p), ${L + 1}) > $L
+         |              THEN 1 ELSE 0 END AS new_span
+         |       FROM hits),
+         |agg AS (SELECT doc_id, CAST(sum(new_span) AS BIGINT) AS cut_spans,
+         |               CAST(sum(covered) AS BIGINT) AS cut_tokens
+         |        FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+         |  coalesce(a.cut_spans, 0) AS cut_spans,
+         |  coalesce(a.cut_tokens, 0) AS cut_tokens,
+         |  coalesce(a.cut_tokens, 0) * 1000000
+         |    // CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS cut_ppm
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
     // split2: d6's reachability CTE for the labels, then split1's
     // md5-bucket arithmetic over the cluster id's decimal string.
     "split2_cluster_split" ->

@@ -36,6 +36,12 @@ object NearDupStream {
   case class BandRow(band_key: Long, doc_id: Long, ts_us: Long)
   case class BandState(winner_id: Long, ts_us: Long)
   case class BandVerdict(band_key: Long, doc_id: Long, kept_id: Long, dup: Boolean)
+  // gram-claim rows carry the occurrence POSITION: the downstream cut
+  // needs which token interval [p, p+L) to excise, and the claiming row
+  // itself is identified by the full (ts, doc, p) triple
+  case class GramState(winner_id: Long, ts_us: Long, p: Long)
+  case class GramVerdict(gram_key: Long, doc_id: Long, p: Long,
+                         kept_id: Long, dup: Boolean)
 
   val DefaultShingle = 3   // words per shingle
   val DefaultHashes  = 8   // minhash signature length
@@ -250,6 +256,70 @@ object NearDupStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         update)
+  }
+
+  /** Streaming ExactSubstr — d15's cut pass as an incremental operator
+    * (the d12/d16 claim-index pattern at GRAM grain): every arriving
+    * document fans out to its L-gram occurrences, each gram's FIRST
+    * presenter in (ts, doc_id, p) order claims it, and every later
+    * occurrence emits a dup verdict whose [p, p+L) interval the caller's
+    * micro-batch sink merges and cuts (the d15 span-union + two-pointer
+    * kernel, doc-local). The first document through stays intact —
+    * append-mode streams cannot retro-cut emitted text — which is the
+    * production shape for incremental ingestion: new crawl text is
+    * cleaned against everything already admitted. Re-delivery of the
+    * claiming row itself compares equal on the full triple and stays
+    * non-dup (idempotent reprocessing).
+    *
+    * Scale: state is one (winner, ts, p) cell per LIVE gram key,
+    * hash-partitioned, event-time evicted at the horizon — bounded by
+    * the dedup window's token count, not stream length. Keys are the
+    * 64-bit xxhash64 of the gram (8-byte shuffle rows, the d14
+    * discipline); `d17_stream_substr_replay` hash-checks the same
+    * keep-first decision geometry via an engine-shared md5 keying
+    * (strictly finer at 128 bits; both coarsenings carry the d7
+    * birthday-bound argument).
+    */
+  def gramVerdicts(spark: SparkSession, docs: Dataset[Doc],
+                   delay: String = "10 minutes",
+                   gramLen: Int = graft.ops.Dedup.SubstrL): Dataset[GramVerdict] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    docs
+      .flatMap(d => graft.ops.Dedup.gramPosHashSeq(d.text, gramLen)
+        .iterator.zipWithIndex
+        .map { case (h, p) => (h, d.doc_id, d.ts_us, p.toLong) })
+      .withColumn("ts", timestamp_micros(col("_3")))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .withWatermark("ts", delay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        gramUpdate)
+  }
+
+  private def gramUpdate(gramKey: Long,
+                         rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+                         state: GroupState[GramState]): Iterator[GramVerdict] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      // deterministic in-batch winner: (ts, doc_id, p) order
+      val batch = rows.map(r => (r._2, r._3, r._4)).toSeq.sortBy(identity)
+      if (batch.isEmpty) Iterator.empty
+      else {
+        // same dead-claim guard as updateRows: a claim the watermark has
+        // passed is void even if its eviction callback hasn't fired yet
+        val wm = state.getCurrentWatermarkMs()
+        val live = state.getOption.filter(st => st.ts_us / 1000 + 1 > wm)
+        val winner = live.getOrElse(
+          GramState(batch.head._1, batch.head._2, batch.head._3))
+        if (live.isEmpty) state.update(winner)
+        state.setTimeoutTimestamp(math.max(winner.ts_us / 1000 + 1, wm + 1))
+        batch.iterator.map { case (id, ts, p) =>
+          GramVerdict(gramKey, id, p, winner.winner_id,
+            dup = !(id == winner.winner_id && ts == winner.ts_us && p == winner.p))
+        }
+      }
+    }
   }
 
   /** One 64-bit content key per document: the md5 digest's top 8 bytes.

@@ -249,6 +249,58 @@ class StreamingSpec extends SparkSuite {
       (7L, 7L, false)))                  // horizon passed → fresh claim
   }
 
+  test("streaming ExactSubstr: gram claims, self-repeats, ties, horizon re-claim") {
+    // NearDupStream.gramVerdicts — d15's cut as an incremental operator.
+    // Pins: (a) the first document claims its grams, all rows non-dup;
+    // (b) a later doc sharing a gram run gets per-position dup hits with
+    // the keeper's id (the intervals the sink's cut pass excises);
+    // (c) a doc REPEATING its own gram keeps only the first position —
+    // (ts, doc, p) order decides within one document too; (d) an
+    // equal-ts cross-doc tie resolves to the lower doc_id; (e) once the
+    // watermark passes a claim, the same gram re-claims fresh.
+    // d17_stream_substr_replay hash-checks the same keep-first geometry
+    // against DuckDB at corpus scale.
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{Doc, GramVerdict}
+    val t0 = 1700000000L * 1000000
+    val sec = 1000000L
+    val mem = MemoryStream[Doc]
+    val out = NearDupStream.gramVerdicts(spark, mem.toDS(),
+        delay = "10 minutes", gramLen = 3)
+      .writeStream.format("memory").queryName("substr_out")
+      .outputMode("append").start()
+    // batch 1: claimer, a distinct doc, a self-repeater, an equal-ts tie
+    mem.addData(
+      Doc(1, t0, "a b c d"),           // claims "a b c"@0, "b c d"@1
+      Doc(2, t0, "p q r"),             // distinct gram, its own claim
+      Doc(3, t0, "m m m m m"),         // "m m m"@0,1,2 — p0 claims, p1/p2 dup
+      Doc(4, t0, "z z q"), Doc(5, t0, "z z q")) // tie → doc 4 wins
+    out.processAllAvailable()
+    // batch 2, inside the horizon: recycled middle, fresh edges
+    mem.addData(Doc(6, t0 + 60 * sec, "x a b c d y"))
+    out.processAllAvailable()
+    // batch 3: watermark far past every claim; batch 4: fresh re-claim
+    mem.addData(Doc(9, t0 + 3600 * sec, "u v w"))
+    out.processAllAvailable()
+    mem.addData(Doc(7, t0 + 3601 * sec, "a b c d"))
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("substr_out").as[GramVerdict].collect()
+      .map(v => (v.doc_id, v.p, v.kept_id, v.dup)).toSet
+    assert(got === Set(
+      (1L, 0L, 1L, false), (1L, 1L, 1L, false),   // first doc intact
+      (2L, 0L, 2L, false),
+      (3L, 0L, 3L, false), (3L, 1L, 3L, true), (3L, 2L, 3L, true), // self-repeat
+      (4L, 0L, 4L, false), (5L, 0L, 4L, true),    // equal-ts tie → lower id
+      (6L, 0L, 6L, false), (6L, 1L, 1L, true),    // recycled run hits per
+      (6L, 2L, 1L, true), (6L, 3L, 6L, false),    // position, edges fresh
+      (9L, 0L, 9L, false),
+      (7L, 0L, 7L, false), (7L, 1L, 7L, false)))  // horizon → fresh claims
+  }
+
   test("streaming near-dup flags banded variants and re-deliveries, not distinct docs") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
