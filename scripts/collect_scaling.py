@@ -8,13 +8,22 @@ import sys
 
 ROUND = sys.argv[1] if len(sys.argv) > 1 else "13"
 SCALES = [1, 2, 4, 8]
+# r16: the gram-operator tail — x16/x32 documents-only points for the
+# queries whose corpus-token shuffles are fixed-cost-dominated at x8.
+# Optional: absent files just skip the tail.
+GRAM_SCALES = [16, 32]
 
 runs = {}
 loads = {}
 loads_start = {}
-for m in SCALES:
-    with open(f"/tmp/graft_scale/headline_x{m}.json") as f:
-        d = json.load(f)
+for m in SCALES + GRAM_SCALES:
+    try:
+        with open(f"/tmp/graft_scale/headline_x{m}.json") as f:
+            d = json.load(f)
+    except OSError:
+        if m in GRAM_SCALES:
+            continue
+        raise
     runs[m] = d["queries"]
     loads[m] = d.get("load")
     # r15: run_scaling.sh records the PRE-run 1-min load per scale (the
@@ -58,8 +67,9 @@ OUTPUT_BOUND = {
 
 queries = sorted(runs[1])
 out = {"scales": SCALES, "unit": "sec", "repeat": 3,
-       "load_by_scale": {str(m): loads[m] for m in SCALES},
-       "load_start_by_scale": {str(m): loads_start[m] for m in SCALES},
+       "load_by_scale": {str(m): loads.get(m) for m in sorted(loads)},
+       "load_start_by_scale": {str(m): loads_start.get(m)
+                               for m in sorted(loads)},
        "note": ("x-copies of documents/embeddings/events are id-shifted and "
                 "content-synthesized to preserve the base's per-copy "
                 "workload shape (scripts/stage_scale.py); r14 also "
@@ -93,6 +103,19 @@ for q in queries:
         "exponent": round(slope, 3)}
     if q in OUTPUT_BOUND:
         entry["output_bound"] = OUTPUT_BOUND[q]
+    # gram tail: extend the fit through x16/x32 when this query ran there
+    gts = [(m, runs[m][q]) for m in GRAM_SCALES
+           if m in runs and runs[m].get(q, -1.0) > 0]
+    if gts:
+        exs = xs + [math.log(m) for m, _ in gts]
+        eys = ys + [math.log(t) for _, t in gts]
+        en = len(exs)
+        exbar, eybar = sum(exs) / en, sum(eys) / en
+        eslope = sum((x - exbar) * (y - eybar) for x, y in zip(exs, eys)) / \
+            sum((x - exbar) ** 2 for x in exs)
+        entry["times_gram_tail"] = {str(m): round(t, 3) for m, t in gts}
+        entry["exponent_x1_x32"] = round(eslope, 3)
+        entry["x32_over_x1"] = round(gts[-1][1] / ts[0], 3)
     if anchor and anchor["queries"].get(q, -1.0) > 0:
         t1 = anchor["queries"][q]
         ys2 = [math.log(t1)] + ys[1:]

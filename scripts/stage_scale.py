@@ -131,14 +131,24 @@ SUPPLIER = """
     FROM ks CROSS JOIN read_parquet('{base}/supplier.parquet')"""
 
 
-def stage(mult: int) -> None:
+ALL_INFLATED = (("documents", DOCS), ("embeddings", EMB),
+                ("events", EVENTS), ("orders", ORDERS),
+                ("lineitem", LINEITEM), ("customer", CUSTOMER),
+                ("supplier", SUPPLIER))
+
+
+def stage(mult: int, only: set | None = None) -> None:
+    """Stage scale x`mult`; `only` restricts which tables inflate (the
+    rest symlink to the base) — the x16/x32 gram tail inflates DOCUMENTS
+    alone so the corpus-token gram shuffles leave the fixed-cost regime
+    without paying a 32x trade-table stage the gram queries never read.
+    """
     d = os.path.join(OUT, f"x{mult}")
     os.makedirs(d, exist_ok=True)
     con = duckdb.connect()
-    for t, sql in (("documents", DOCS), ("embeddings", EMB),
-                   ("events", EVENTS), ("orders", ORDERS),
-                   ("lineitem", LINEITEM), ("customer", CUSTOMER),
-                   ("supplier", SUPPLIER)):
+    for t, sql in ALL_INFLATED:
+        if only is not None and t not in only:
+            continue
         out = f"{d}/{t}.parquet"
         # A stale SYMLINK here (left by a run that linked this table to the
         # base) would make COPY write THROUGH the link and clobber the
@@ -157,3 +167,8 @@ def stage(mult: int) -> None:
 if __name__ == "__main__":
     for m in (1, 2, 4, 8):
         stage(m)
+    # r16: the gram-operator tail — d14/d15/d16/d17 measured exp ~0 at
+    # x8 (fixed-cost-dominated; VERDICT r15 item 5), so they get x16/x32
+    # documents-only points where the gram-count shuffle dominates.
+    for m in (16, 32):
+        stage(m, only={"documents"})
