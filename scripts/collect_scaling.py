@@ -56,6 +56,30 @@ except OSError:
 # OUTPUT itself grows quadratically — time is output-bound, no plan can
 # beat it. Their 100 TB path is the indexed tier (v3/v5 ANN, d3 LSH,
 # d4 SimHash), which this record shows scaling near-linearly.
+# Per-query adjudication notes that belong IN the artifact (r16): flat
+# exponents that are the data's fixed-cost floor rather than evidence of
+# scaling, and linear-by-contract decode work.
+ADJUDICATED = {
+    "d14_substr_dedup": "FLAT IS THE FLOOR, not evidence: sf0.1 docs "
+        "average 54 tokens (~5.5 fifty-grams each), so x32 is only 2.2M "
+        "8-byte gram rows (69k at x1) - ~0.1s of shuffle inside the "
+        "~0.2s per-job session floor at local[32]. The gram pipeline's "
+        "data-sized stages are the same dupSubstrHits feed d15 carries "
+        "to exp 0.67 once its doc-grain string tail dominates.",
+    "d16_stream_dedup_replay": "FLAT IS THE FLOOR: one md5 + one window "
+        "row per doc; 160k rows at x32 complete inside the per-job "
+        "session floor. The replayed stream state is one cell per live "
+        "content; the batch replay is one hash shuffle - linear by "
+        "construction, too cheap to measure at these scales.",
+    "d17_stream_substr_replay": "FLAT IS THE FLOOR: same gram volume "
+        "arithmetic as d14 (2.2M gram rows at x32); the keep-first "
+        "window adds no data-sized stage beyond d14's budget.",
+    "m7_image_neardup": "DECODE-BOUND, LINEAR BY CONTRACT: every stored "
+        "image must be codec-decoded exactly once per pass (~exp 1.0); "
+        "there is no sublinear path through a decoder. The hash/banding "
+        "tail after decode is the same sublinear shape as d4.",
+}
+
 OUTPUT_BOUND = {
     "d9_neardup_shuffle_kernel": "EXACT all-pairs cosine, brute-force by "
         "contract (SURVEY r13 stance): O(n^2*d) compute is the contract "
@@ -103,6 +127,8 @@ for q in queries:
         "exponent": round(slope, 3)}
     if q in OUTPUT_BOUND:
         entry["output_bound"] = OUTPUT_BOUND[q]
+    if q in ADJUDICATED:
+        entry["adjudication"] = ADJUDICATED[q]
     # gram tail: extend the fit through x16/x32 when this query ran there
     gts = [(m, runs[m][q]) for m in GRAM_SCALES
            if m in runs and runs[m].get(q, -1.0) > 0]
