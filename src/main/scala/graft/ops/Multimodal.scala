@@ -469,6 +469,116 @@ object Multimodal {
     }
   }
 
+  // ---- audio perceptual near-dup (m8) --------------------------------------
+
+  /** m8's audio synthesis — the audio analogue of [[blockRgbAt]]'s
+    * lesson: the m4/m6 sawtooth's energy envelope is a function of the
+    * doc's PHASE alone (one slow ramp per period), so a mean-thresholded
+    * envelope hash would collide docs into phase classes exactly the way
+    * the m1 gradient collides aHash. Here each doc gets a pseudo-random
+    * 64-block amplitude pattern (multiplicative-hash bit per block, the
+    * m7 primitive at a different salt): sample i rides a small ±99
+    * sawtooth scaled 8× inside "loud" blocks — the envelope is crisply
+    * bimodal per doc, stable under resampling and cropping, and the
+    * formula is plain BIGINT arithmetic the oracle replays.
+    */
+  private[graft] def ampSampleAt(docId: Long, i: Int, n: Int): Int = {
+    val on = blockBit(docId * 29 + 11, i * 64 / n)
+    ((i * 17) % 199 - 99) * (1 + 7 * on)
+  }
+
+  private def buildAmpWav(docId: Long): Array[Byte] = {
+    val n = samplesOf(docId)
+    encodePcm(Array.tabulate(n)(i => ampSampleAt(docId, i, n)))
+  }
+
+  private def encodePcm(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private[graft] def decodeSamples(wav: Array[Byte]): Array[Int] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected audio format $fmt")
+    val bytes = ais.readAllBytes()
+    Array.tabulate(bytes.length / 2)(i =>
+      (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt)
+  }
+
+  /** Resample-by-2 — the "re-encoded at half rate" near-dup: keep every
+    * 2nd decoded sample (pure index selection; no value arithmetic, so
+    * both engines replay it exactly — integer division of NEGATIVE
+    * sample values is the one thing Java and SQL disagree on, which is
+    * why the perturbations here are index transforms, not quantizers).
+    */
+  private[graft] def resampleHalf(samples: Array[Int]): Array[Int] =
+    Array.tabulate((samples.length + 1) / 2)(j => samples(2 * j))
+
+  /** Crop the first 16 samples — the "trimmed repost" near-dup. */
+  private[graft] def crop16(samples: Array[Int]): Array[Int] =
+    samples.drop(16)
+
+  /** 64-bit energy-envelope hash over decoded PCM: 64 relative-position
+    * cells (sample i → cell i·64/n, the same box mapping as [[aHash64]]),
+    * cell value = floor mean of |sample|, bit c = 64·cell > envelope sum
+    * — loudness-scale-invariant by the same mean-threshold argument as
+    * aHash, and robust to resampling/cropping because cells are
+    * RELATIVE positions. Needs ≥ 64 samples so every cell is non-empty.
+    */
+  private[graft] def audioHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= 64, s"audioHash needs >= 64 samples, got $n")
+    val sum = new Array[Long](64); val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * 64 / n).toInt
+      sum(c) += math.abs(samples(i))
+      cnt(c) += 1
+      i += 1
+    }
+    var total = 0L
+    val cv = new Array[Long](64)
+    var c = 0
+    while (c < 64) { cv(c) = sum(c) / cnt(c); total += cv(c); c += 1 }
+    var sig = 0L
+    c = 0
+    while (c < 64) { if (64L * cv(c) > total) sig |= (1L << c); c += 1 }
+    sig
+  }
+
+  /** The audio near-dup fixture: every doc's block-amplitude WAV, plus a
+    * half-rate resample of every 5th and a 16-sample crop of every 9th
+    * (ids shifted by max+1 / 2·max+1, the m7 discipline). Perturbations
+    * run on DECODED samples and re-encode through the codec.
+    */
+  def audDupDir(s: SparkSession, d: String): String = {
+    import graft.query.RefParity.{cacheBase, stagedTree}
+    stagedTree(cacheBase("graft_auddup", d, "documents")) { tmp =>
+      import s.implicits._
+      val ids = Tables.table(s, d, "documents").select(col("doc_id")).as[Long]
+      val shift = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+      ids.map(id => ImgRecord(id, buildAmpWav(id)))
+        .union(ids.filter(_ % 5 == 0).map(id => ImgRecord(id + shift,
+          encodePcm(resampleHalf(decodeSamples(buildAmpWav(id)))))))
+        .union(ids.filter(_ % 9 == 0).map(id => ImgRecord(id + 2 * shift,
+          encodePcm(crop16(decodeSamples(buildAmpWav(id)))))))
+        .write.parquet(tmp + "/audio")
+    }
+  }
+
   // ---- media tables (documents re-materialized as binary columns) ----
 
   /** Per-doc PNG-frame container table — the `binary` video column. */
@@ -595,6 +705,26 @@ object Multimodal {
       import s.implicits._
       val sigs = s.read.parquet(imgDupDir(s, d) + "/image").as[ImgRecord]
         .map(r => (r.img_id, aHash64(decodeImage(r.payload))))
+        .toDF("doc_id", "sh64")
+      Dedup.hammingBandPairs(sigs, 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    },
+    "m8_audio_neardup" -> { (s, d) =>
+      // Perceptual near-dup for the AUDIO column — m7's sibling, closing
+      // the other half of the media-dedup tier (a half-rate re-encode or
+      // a trimmed repost of a training clip has no text and no pixels):
+      // decode every stored WAV, one 64-bit energy-envelope hash
+      // map-side (64 relative-position cells of floor-mean |sample|,
+      // mean-thresholded like aHash), the shared pigeonhole banding
+      // pairs within hamming 3. The fixture plants half-rate resamples
+      // and 16-sample crops — pure INDEX transforms, because integer
+      // division of negative samples is the one arithmetic Java and SQL
+      // disagree on — and the oracle recomputes every signature from the
+      // generating sample formula (variant index maps included) and
+      // brute-forces all pairs.
+      import s.implicits._
+      val sigs = s.read.parquet(audDupDir(s, d) + "/audio").as[ImgRecord]
+        .map(r => (r.img_id, audioHash64(decodeSamples(r.payload))))
         .toDF("doc_id", "sh64")
       Dedup.hammingBandPairs(sigs, 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
@@ -757,6 +887,54 @@ object Multimodal {
         |SELECT a.img_id AS doc_a, b.img_id AS doc_b,
         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+    // m8: every envelope hash recomputed from the generating sample
+    // formula — base block-amplitude signals, the resample-by-2 (vk=1)
+    // and crop-16 (vk=2) index maps — then brute-force hamming over all
+    // pairs, the m7 template at sample grain.
+    "m8_audio_neardup" ->
+      """WITH sh AS (SELECT max(doc_id) + 1 AS s FROM documents),
+        |auds AS (
+        |  SELECT doc_id AS aid, doc_id AS src, 256 + (doc_id % 32) * 16 AS n0,
+        |    256 + (doc_id % 32) * 16 AS np, 0 AS vk
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT s FROM sh), doc_id, 256 + (doc_id % 32) * 16,
+        |    (256 + (doc_id % 32) * 16 + 1) // 2, 1
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT s FROM sh), doc_id, 256 + (doc_id % 32) * 16,
+        |    256 + (doc_id % 32) * 16 - 16, 2
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |samp AS (
+        |  SELECT a.aid, a.np, a.src, a.n0, i.i AS i,
+        |    CASE WHEN a.vk = 1 THEN 2 * i.i
+        |         WHEN a.vk = 2 THEN i.i + 16 ELSE i.i END AS si
+        |  FROM auds a, unnest(range(0, a.np)) AS i(i)),
+        |av AS (
+        |  SELECT aid, np, i,
+        |    abs(((si * 17) % 199 - 99) *
+        |      (1 + 7 * ((((src * 29 + 11) * ((si * 64 // n0) + 17) * 2654435761)
+        |                 >> 20) & 1))) AS a
+        |  FROM samp),
+        |cells AS (
+        |  SELECT aid, i * 64 // np AS cell,
+        |    CAST(sum(a) // count(*) AS BIGINT) AS cv
+        |  FROM av GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT aid, cell,
+        |    CASE WHEN 64 * cv > sum(cv) OVER (PARTITION BY aid) THEN 1 ELSE 0 END AS bit
+        |  FROM cells),
+        |sig AS (
+        |  SELECT aid,
+        |    CAST(sum(CASE WHEN bit = 1 AND cell < 32
+        |      THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN bit = 1 AND cell >= 32
+        |      THEN (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1)
+        |SELECT a.aid AS doc_a, b.aid AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.aid < b.aid
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
   )
 }

@@ -215,6 +215,64 @@ class MultimodalSpec extends SparkSuite {
     assert(brute.exists { case (a, b) => b == a + 2 * n }, "no resize pair found")
   }
 
+  test("m8: audioHash64 matches a hand-computed envelope signature") {
+    // 128 samples: first half amplitude 10, second half 1000 — cells 0-31
+    // mean 10, cells 32-63 mean 1000; grid mean 505, so exactly the loud
+    // half's bits fire.
+    val samples = Array.tabulate(128)(i => if (i < 64) 10 else 1000)
+    val sig = Multimodal.audioHash64(samples)
+    val expect = (32 until 64).map(1L << _).reduce(_ | _)
+    assert(sig === expect)
+    // |sample| is what the envelope measures: negating preserves the hash
+    assert(Multimodal.audioHash64(samples.map(-_)) === sig)
+  }
+
+  test("m8: envelope hash is invariant to uniform loudness scaling") {
+    val s1 = Array.tabulate(256)(i => ((i * 37) % 173 - 86) * (1 + 3 * ((i / 64) % 2)))
+    val s2 = s1.map(_ * 4)
+    assert(Multimodal.audioHash64(s1) === Multimodal.audioHash64(s2))
+  }
+
+  test("m8: resampleHalf keeps every 2nd sample; crop16 drops the head") {
+    val s = Array.tabulate(101)(identity)
+    assert(Multimodal.resampleHalf(s).toSeq === (0 to 100 by 2))
+    assert(Multimodal.crop16(s).toSeq === (16 to 100))
+  }
+
+  test("m8: WAV round-trips the block-amplitude samples through the codec") {
+    // decode(encodePcm(x)) == x is what makes the oracle's formula replay
+    // prove the decode; exercise via the staged fixture's base payload
+    val sess = spark
+    import sess.implicits._
+    val rec = sess.read.parquet(Multimodal.audDupDir(sess, sf) + "/audio")
+      .as[Multimodal.ImgRecord].filter(_.img_id == 7L).head()
+    val got = Multimodal.decodeSamples(rec.payload)
+    val n = (256 + (7 % 32) * 16)
+    assert(got.length === n)
+    (0 until n).foreach { i =>
+      assert(got(i) === Multimodal.ampSampleAt(7L, i, n), s"sample $i")
+    }
+  }
+
+  test("m8: pigeonhole banding == brute-force hamming over the audio fixture") {
+    val sess = spark
+    import sess.implicits._
+    val sigs = sess.read.parquet(Multimodal.audDupDir(sess, sf) + "/audio")
+      .as[Multimodal.ImgRecord]
+      .map(r => (r.img_id, Multimodal.audioHash64(Multimodal.decodeSamples(r.payload))))
+      .toDF("doc_id", "sh64")
+    val banded = graft.ops.Dedup.hammingBandPairs(sigs, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded === brute)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(brute.exists { case (a, b) => b == a + n }, "no resample pair found")
+  }
+
   test("m6: VAD windows tile every sample, partial tail kept, silent mix real") {
     val out = graft.ops.Multimodal.queries("m6_audio_vad")(spark, sf).collect()
     val byDoc = out.groupBy(_.getLong(0))
