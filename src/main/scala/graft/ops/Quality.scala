@@ -261,6 +261,50 @@ object Quality {
           (col("doc_id") % 2 === 0).as("is_train"),
           col("n_feats"), col("score_sum"), col("score_ppm"),
           (col("score_ppm") >= 500000L).as("pred_keep"))
+    },
+    "t21_pii_redact" -> { (s, d) =>
+      // PII REDACTION — the privacy pass every published corpus pipeline
+      // runs before training (CCNet/FineWeb ship exactly this shape:
+      // regex detectors for emails / phone numbers / IPs, counts per
+      // type, placeholder substitution). The synthetic corpus carries no
+      // PII, so the pass runs over a deterministically AUGMENTED text
+      // (the media-synthesis discipline: every 7th doc gains an email,
+      // every 11th a 555-line phone, every 13th an IP — formulas both
+      // engines replay), which also means the detectors are exercised
+      // against real surrounding text, not a toy column. Patterns stay
+      // inside the Java-regex ∩ RE2 common subset (character classes,
+      // counted repetition — no lookaround, no backrefs) so Spark and
+      // DuckDB match identically; counts are taken BEFORE redaction and
+      // the cleaned text is hash-compared byte-for-byte, so a greedy-vs-
+      // lazy or replace-first-vs-all divergence breaks the row. Entirely
+      // map-side: one projection, no shuffle; at 100 TB this is the
+      // cheapest pass in the pipeline and composes into p2/p3 upstream
+      // of dedup (redaction BEFORE content hashing, the published order,
+      // so two docs differing only in PII dedup together).
+      val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ok"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 logged"))).otherwise(lit("")))
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+          regexp_count(col("t"), lit(ip)).cast("long").as("n_ips"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("clean_text"))
+        .withColumn("has_pii",
+          col("n_emails") + col("n_phones") + col("n_ips") > 0L)
     }
   )
 
@@ -528,6 +572,36 @@ object Quality {
         |  CAST(s.n_feats AS BIGINT) AS n_feats, s.score_sum,
         |  CAST(s.score_sum // s.n_feats AS BIGINT) AS score_ppm,
         |  s.score_sum // s.n_feats >= 500000 AS pred_keep
-        |FROM sc s JOIN lab l USING (doc_id)""".stripMargin
+        |FROM sc s JOIN lab l USING (doc_id)""".stripMargin,
+    // t21: the identical augmentation formulas, the identical patterns
+    // (Java-regex ∩ RE2 subset), counts before redaction, replace-all
+    // ('g') in the same email → phone → ip order.
+    "t21_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN concat(' contact u', CAST(doc_id AS VARCHAR),
+        |                     '@example.com now') ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN concat(' call 555-',
+        |                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |                     ' ok') ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+        |                     '.7 logged') ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT)
+        |    > 0 AS has_pii
+        |FROM aug""".stripMargin
   )
 }

@@ -137,4 +137,41 @@ class GopherRulesSpec extends SparkSuite {
         r.getBoolean(r.fieldIndex("label")), s"held-out doc $id misclassified")
     }
   }
+
+  // ---- t21: PII redaction pinned by hand -----------------------------------
+
+  private def t21(texts: Seq[(Long, String)]): Map[Long, Row] = {
+    val sess = spark
+    val df = sess.createDataFrame(
+      new java.util.ArrayList[Row](
+        texts.map(t => Row(t._1, t._2, "en", "synth", t._2.length.toLong)).asJava),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    val dir = tmpDir("graft_t21_docs")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    graft.ops.Quality.queries("t21_pii_redact")(sess, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("t21: injection formulas, detector counts, replace-all, order by hand") {
+    val out = t21(Seq(
+      0L -> "alpha beta",          // %7 = %11 = %13 = 0: all three injected
+      1L -> "x ab@cd.ef y",        // organic email, no injection
+      2L -> "two a@b.cc and c@d.ee here", // replace-ALL, not replace-first
+      3L -> "plain words only",
+      7L -> "gamma"))              // email injection only
+    def row(id: Long): (Long, Long, Long, String, Boolean) = {
+      val r = out(id)
+      (r.getLong(r.fieldIndex("n_emails")), r.getLong(r.fieldIndex("n_phones")),
+        r.getLong(r.fieldIndex("n_ips")), r.getString(r.fieldIndex("clean_text")),
+        r.getBoolean(r.fieldIndex("has_pii")))
+    }
+    assert(row(0L) === ((1L, 1L, 1L,
+      "alpha beta contact <EMAIL> now call <PHONE> ok from <IP> logged", true)))
+    assert(row(1L) === ((1L, 0L, 0L, "x <EMAIL> y", true)))
+    assert(row(2L) === ((2L, 0L, 0L, "two <EMAIL> and <EMAIL> here", true)))
+    assert(row(3L) === ((0L, 0L, 0L, "plain words only", false)))
+    assert(row(7L) === ((1L, 0L, 0L, "gamma contact <EMAIL> now", true)))
+  }
 }
