@@ -120,6 +120,18 @@ class PlanAuditSpec extends SparkSuite {
       s"quality rules must push into the scan:\n${df.queryExecution.executedPlan}")
   }
 
+  test("t21_pii_redact is entirely map-side (zero exchanges)") {
+    // redaction is one projection over the scan — a shuffle here would
+    // mean the regex work picked up an accidental repartition
+    val df = graft.ops.Quality.queries("t21_pii_redact")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"PII redaction must push into the scan:\n${df.queryExecution.executedPlan}")
+  }
+
   test("pack3_bin_packing moves data exactly once (the shard shuffle)") {
     val df = graft.ops.Packing.queries("pack3_bin_packing")(spark, sf)
     df.collect()
