@@ -1073,7 +1073,7 @@ object Dedup {
     * for the LSH variant (same output when LSH has no false negatives; band
     * config makes that ~certain on this data, verified in DedupSpec).
     */
-  private def jaccardOracle(threshold: Double): String =
+  private[ops] def jaccardOracle(threshold: Double): String =
     s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, greatest(len(words) - 1, 1)),

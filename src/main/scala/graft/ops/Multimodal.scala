@@ -728,6 +728,45 @@ object Multimodal {
         .toDF("doc_id", "sh64")
       Dedup.hammingBandPairs(sigs, 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    },
+    "m9_crossmodal_clusters" -> { (s, d) =>
+      // CROSS-MODAL dedup fusion — the decision layer a multimodal corpus
+      // actually needs: a document is a duplicate if EITHER modality
+      // matches (mirror sites swap the text around a reused image;
+      // boilerplate text wraps distinct images), so the near-dup edge
+      // sets from the text tier (d3's verified MinHash-LSH pairs) and
+      // the image tier (m7's aHash hamming pairs over the stored BASE
+      // payloads) union into ONE graph and d6's pointer-jumping
+      // component labeling assigns the canonical representative. Output
+      // carries per-modality degrees so the keep-policy layer can see
+      // WHY a doc clustered. Scale budget = the two pair generators
+      // (both banded, never all-pairs) + the shared fixpoint over
+      // edge-incident docs only; the oracle replays text pairs as exact
+      // Jaccard (the d6 precedent: LSH-verified == exact at the
+      // threshold), image pairs from the generating pixel formulas, and
+      // reachability as a recursive CTE.
+      import s.implicits._
+      val docs = Tables.table(s, d, "documents").select(col("doc_id"))
+      val sigs = s.read.parquet(imgDupDir(s, d) + "/image").as[ImgRecord]
+        .map(r => (r.img_id, aHash64(decodeImage(r.payload))))
+        .toDF("doc_id", "sh64")
+        .join(docs, "doc_id") // base corpus only; variants are fixture-only
+      val imgEdges = Dedup.hammingBandPairs(sigs, 3)
+        .select(col("doc_a"), col("doc_b"))
+      val textEdges = Dedup.minhashLshPairs(s, d, 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val clusters = Dedup.labelComponents(
+        s, textEdges.unionAll(imgEdges), docs)
+      def degree(p: org.apache.spark.sql.DataFrame, name: String) =
+        p.select(col("doc_a").as("doc_id"))
+          .unionAll(p.select(col("doc_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as(name))
+      clusters
+        .join(degree(textEdges, "n_text_edges"), Seq("doc_id"), "left")
+        .join(degree(imgEdges, "n_image_edges"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster"),
+          coalesce(col("n_text_edges"), lit(0L)).as("n_text_edges"),
+          coalesce(col("n_image_edges"), lit(0L)).as("n_image_edges"))
     }
   )
 
@@ -935,6 +974,71 @@ object Multimodal {
         |SELECT a.aid AS doc_a, b.aid AS doc_b,
         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.aid < b.aid
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+    // m9: text pairs as exact Jaccard >= 0.8 (the d6 precedent —
+    // LSH-verified pairs equal exact pairs at the threshold), image
+    // pairs from the base-image pixel formulas (the m7 template minus
+    // the variant arms), union → recursive reachability → min label,
+    // plus per-modality degrees.
+    "m9_crossmodal_clusters" ->
+      s"""WITH tp AS (
+         |  SELECT doc_a, doc_b FROM (${Dedup.jaccardOracle(0.8).replace("\n", "\n  ")})),
+         |bimgs AS (
+         |  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+         |  FROM documents),
+         |chan AS (
+         |  SELECT i.doc_id, i.w, i.h, x.x AS x, y.y AS y,
+         |    ((((i.doc_id + 1) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 20) & 1) * 180
+         |      + 30 + (3 * x.x + 7 * y.y) % 23 AS r0,
+         |    ((((i.doc_id * 31 + 7) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 20) & 1) * 180
+         |      + 30 + (5 * x.x + 11 * y.y) % 19 AS g0,
+         |    ((((i.doc_id * 17 + 3) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 20) & 1) * 180
+         |      + 30 + (7 * x.x + 13 * y.y) % 29 AS b0
+         |  FROM bimgs i, unnest(range(0, i.w)) AS x(x), unnest(range(0, i.h)) AS y(y)),
+         |cells AS (
+         |  SELECT doc_id, (y * 8 // h) * 8 + x * 8 // w AS cell,
+         |    CAST(sum(299 * r0 + 587 * g0 + 114 * b0) // count(*) AS BIGINT) AS cv
+         |  FROM chan GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, cell,
+         |    CASE WHEN 64 * cv > sum(cv) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit
+         |  FROM cells),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN bit = 1 AND cell < 32
+         |      THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN bit = 1 AND cell >= 32
+         |      THEN (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+         |  FROM bits GROUP BY 1),
+         |ip AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM tp
+         |  UNION SELECT doc_b, doc_a FROM tp
+         |  UNION SELECT doc_a, doc_b FROM ip
+         |  UNION SELECT doc_b, doc_a FROM ip),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r),
+         |dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT doc_a AS doc_id FROM tp UNION ALL SELECT doc_b FROM tp)
+         |  GROUP BY 1),
+         |di AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT doc_a AS doc_id FROM ip UNION ALL SELECT doc_b FROM ip)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster,
+         |  coalesce(dt.n, 0) AS n_text_edges,
+         |  coalesce(di.n, 0) AS n_image_edges
+         |FROM documents d
+         |LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+         |  ON d.doc_id = m.a
+         |LEFT JOIN dt ON d.doc_id = dt.doc_id
+         |LEFT JOIN di ON d.doc_id = di.doc_id""".stripMargin
   )
 }

@@ -273,6 +273,49 @@ class MultimodalSpec extends SparkSuite {
     assert(brute.exists { case (a, b) => b == a + n }, "no resample pair found")
   }
 
+  test("m9: fused labels equal an in-memory union-find over both edge sets") {
+    val sess = spark
+    val out = graft.ops.Multimodal.queries("m9_crossmodal_clusters")(sess, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent reference: union-find over the SAME two pair generators
+    import sess.implicits._
+    val docs = sess.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id")).as[Long].collect()
+    val baseIds = docs.toSet
+    val sigs = sess.read.parquet(Multimodal.imgDupDir(sess, sf) + "/image")
+      .as[Multimodal.ImgRecord].collect()
+      .filter(r => baseIds(r.img_id))
+      .map(r => r.img_id -> Multimodal.aHash64(Multimodal.decodeImage(r.payload)))
+    val imgPairs = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)
+    val textPairs = graft.ops.Dedup.minhashLshPairs(sess, sf, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    (imgPairs ++ textPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to canonical min labels, then compare
+    docs.foreach { d =>
+      val expect = find(d)
+      val got = out(d).getLong(out(d).fieldIndex("cluster"))
+      assert(got === expect, s"doc $d clustered $got, union-find says $expect")
+    }
+    // per-modality degrees match the raw pair multisets
+    val textDeg = (textPairs.map(_._1) ++ textPairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val imgDeg = (imgPairs.map(_._1) ++ imgPairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    docs.foreach { d =>
+      val r = out(d)
+      assert(r.getLong(r.fieldIndex("n_text_edges")) === textDeg.getOrElse(d, 0L))
+      assert(r.getLong(r.fieldIndex("n_image_edges")) === imgDeg.getOrElse(d, 0L))
+    }
+  }
+
   test("m6: VAD windows tile every sample, partial tail kept, silent mix real") {
     val out = graft.ops.Multimodal.queries("m6_audio_vad")(spark, sf).collect()
     val byDoc = out.groupBy(_.getLong(0))
