@@ -335,14 +335,26 @@ object Multimodal {
     * under the perturbations, and the formula is plain BIGINT
     * arithmetic, so DuckDB replays it exactly.
     */
-  private[graft] def blockBit(p: Long, bi: Int): Int =
-    (((p * (bi + 17) * 2654435761L) >> 20) & 1L).toInt
+  private[graft] def blockBit(p: Long, bi: Int): Int = {
+    // xorshift-mixed multiplicative hash: bit 20 of m·K alone is a Weyl-
+    // sequence bit (measured ~14 bits of signature entropy over the
+    // corpus — enough collisions to make exact frame matching noisy);
+    // folding the top half in first (z ^ z>>>31) restores full mixing
+    // (measured: 500/500 distinct image sigs, zero accidental pairs).
+    val z = p * (bi + 17) * 2654435761L
+    (((z ^ (z >>> 31)) >>> 20) & 1L).toInt
+  }
 
   private[graft] def blockRgbAt(docId: Long, x: Int, y: Int, w: Int, h: Int): Int = {
     val bi = (y * 8 / h) * 8 + (x * 8 / w)
-    val r = blockBit(docId + 1, bi) * 180 + 30 + (3 * x + 7 * y) % 23
-    val g = blockBit(docId * 31 + 7, bi) * 180 + 30 + (5 * x + 11 * y) % 19
-    val b = blockBit(docId * 17 + 3, bi) * 180 + 30 + (7 * x + 13 * y) % 29
+    // per-channel amplitudes picked so the LUMA contributions are
+    // balanced (118·299 ≈ 60·587 ≈ 35k, 197·114 ≈ 22k): with equal
+    // weights the aHash mean-threshold becomes a MAJORITY vote over the
+    // three channel bits — a uniform 180 made the g channel dominate
+    // and the signature collapse to the g pattern alone
+    val r = blockBit(docId + 1, bi) * 118 + 30 + (3 * x + 7 * y) % 23
+    val g = blockBit(docId * 31 + 7, bi) * 60 + 30 + (5 * x + 11 * y) % 19
+    val b = blockBit(docId * 17 + 3, bi) * 197 + 30 + (7 * x + 13 * y) % 29
     (r << 16) | (g << 8) | b
   }
 
@@ -579,6 +591,70 @@ object Multimodal {
     }
   }
 
+  // ---- video near-dup (m10) ------------------------------------------------
+
+  /** m10's frame synthesis: every (doc, frame) pair gets its OWN block
+    * pattern (src = doc·4 + f keeps the hash-bit seeds disjoint across
+    * the ≤ 4 frames), so per-frame aHashes are unique per (doc, frame)
+    * and a shared frame hash means a genuinely shared frame — the
+    * m7 lesson applied at frame grain (the m2 gradient frames would
+    * alias every same-dims frame into one signature).
+    */
+  private def vidFramesOf(docId: Long): Int = (2 + docId % 3).toInt // 2..4
+
+  private def encodeVidFrame(docId: Long, f: Int): Array[Byte] = {
+    val w = widthOf(docId); val h = heightOf(docId)
+    val src = docId * 4 + f
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = blockRgbAt(src, x, y, w, h); x += 1 }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def muxFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(out)
+    dos.writeInt(frames.length)
+    frames.foreach { png => dos.writeInt(png.length); dos.write(png) }
+    dos.flush()
+    out.toByteArray
+  }
+
+  private def buildVidContainer(docId: Long): Array[Byte] =
+    muxFrames((0 until vidFramesOf(docId)).map(encodeVidFrame(docId, _)))
+
+  /** The video near-dup fixture: block-pattern frame containers, plus a
+    * head-trimmed remux of every 5th video and a reversed remux of every
+    * 9th — both INDEX-level edits over the demuxed + re-encoded frames,
+    * so per-frame pixel content (hence per-frame aHash) is preserved
+    * exactly, which is what makes frame-set containment the right
+    * detector for cut/reordered re-uploads.
+    */
+  def vidDupDir(s: SparkSession, d: String): String = {
+    import graft.query.RefParity.{cacheBase, stagedTree}
+    stagedTree(cacheBase("graft_viddup", d, "documents")) { tmp =>
+      import s.implicits._
+      def remux(payload: Array[Byte], edit: IndexedSeq[Array[Byte]] => Seq[Array[Byte]]) =
+        muxFrames(edit(demux(payload)).map(f => reencodePng(decodeImage(f))))
+      val ids = Tables.table(s, d, "documents").select(col("doc_id")).as[Long]
+      val shift = ids.agg(max(col("doc_id"))).as[Long].head() + 1L
+      ids.map(id => ImgRecord(id, buildVidContainer(id)))
+        .union(ids.filter(_ % 5 == 0).map(id =>
+          ImgRecord(id + shift, remux(buildVidContainer(id), _.drop(1)))))
+        .union(ids.filter(_ % 9 == 0).map(id =>
+          ImgRecord(id + 2 * shift, remux(buildVidContainer(id), _.reverse))))
+        .write.parquet(tmp + "/video")
+    }
+  }
+
   // ---- media tables (documents re-materialized as binary columns) ----
 
   /** Per-doc PNG-frame container table — the `binary` video column. */
@@ -767,6 +843,42 @@ object Multimodal {
         .select(col("doc_id"), col("cluster"),
           coalesce(col("n_text_edges"), lit(0L)).as("n_text_edges"),
           coalesce(col("n_image_edges"), lit(0L)).as("n_image_edges"))
+    },
+    "m10_video_neardup" -> { (s, d) =>
+      // Video near-dup — the third media tier (a trimmed or re-cut
+      // re-upload shares most of its FRAMES even when no single poster
+      // image or text matches): demux every stored container, decode
+      // every frame, one aHash per frame map-side, then videos pair on
+      // frame-SET containment — candidates come from an equi-join on a
+      // shared frame hash (never all-pairs; a shared 64-bit block-pattern
+      // hash means a genuinely shared frame), the score is
+      // |A∩B| / min(|A|,|B|) in integer ppm (d10's containment at frame
+      // grain — the right detector for cut/reordered edits, which
+      // preserve frames while changing count and order). The fixture
+      // plants head-trimmed and reversed remuxes (both land at ppm 10^6:
+      // trimming drops a frame from one SIDE's set, reversal changes
+      // only order, which a set score ignores). The oracle recomputes
+      // every frame signature from the generating formulas and replays
+      // the set algebra.
+      import s.implicits._
+      val frames = s.read.parquet(vidDupDir(s, d) + "/video").as[ImgRecord]
+        .flatMap(r => demux(r.payload).map(f =>
+          (r.img_id, aHash64(decodeImage(f)))))
+        .toDF("vid", "fh")
+        .distinct() // set semantics: a repeated frame counts once
+      val sizes = frames.groupBy(col("vid")).agg(count(lit(1)).as("n"))
+      val shared = frames.as("a").join(frames.as("b"),
+          col("a.fh") === col("b.fh") && col("a.vid") < col("b.vid"))
+        .groupBy(col("a.vid").as("vid_a"), col("b.vid").as("vid_b"))
+        .agg(count(lit(1)).as("common_frames"))
+      shared
+        .join(sizes.select(col("vid").as("vid_a"), col("n").as("n_a")), "vid_a")
+        .join(sizes.select(col("vid").as("vid_b"), col("n").as("n_b")), "vid_b")
+        .withColumn("containment_ppm",
+          expr("common_frames * 1000000 DIV least(n_a, n_b)"))
+        .filter(col("containment_ppm") >= 500000L)
+        .select(col("vid_a"), col("vid_b"), col("common_frames"),
+          col("n_a"), col("n_b"), col("containment_ppm"))
     }
   )
 
@@ -896,11 +1008,11 @@ object Multimodal {
         |  FROM imgs i, unnest(range(0, i.pw)) AS x(x), unnest(range(0, i.ph)) AS y(y)),
         |chan AS (
         |  SELECT img_id, pw, ph, x, y, vk,
-        |    ((((src + 1) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 20) & 1) * 180
+        |    ((xor((src + 1) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761, ((src + 1) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 31) >> 20) & 1) * 118
         |      + 30 + (3 * sx + 7 * sy) % 23 AS r0,
-        |    ((((src * 31 + 7) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 20) & 1) * 180
+        |    ((xor((src * 31 + 7) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761, ((src * 31 + 7) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 31) >> 20) & 1) * 60
         |      + 30 + (5 * sx + 11 * sy) % 19 AS g0,
-        |    ((((src * 17 + 3) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 20) & 1) * 180
+        |    ((xor((src * 17 + 3) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761, ((src * 17 + 3) * ((sy * 8 // h) * 8 + sx * 8 // w + 17) * 2654435761) >> 31) >> 20) & 1) * 197
         |      + 30 + (7 * sx + 13 * sy) % 29 AS b0
         |  FROM coords),
         |lum AS (
@@ -953,7 +1065,8 @@ object Multimodal {
         |av AS (
         |  SELECT aid, np, i,
         |    abs(((si * 17) % 199 - 99) *
-        |      (1 + 7 * ((((src * 29 + 11) * ((si * 64 // n0) + 17) * 2654435761)
+        |      (1 + 7 * ((xor((src * 29 + 11) * ((si * 64 // n0) + 17) * 2654435761,
+        |               ((src * 29 + 11) * ((si * 64 // n0) + 17) * 2654435761) >> 31)
         |                 >> 20) & 1))) AS a
         |  FROM samp),
         |cells AS (
@@ -988,11 +1101,11 @@ object Multimodal {
          |  FROM documents),
          |chan AS (
          |  SELECT i.doc_id, i.w, i.h, x.x AS x, y.y AS y,
-         |    ((((i.doc_id + 1) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 20) & 1) * 180
+         |    ((xor((i.doc_id + 1) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761, ((i.doc_id + 1) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 31) >> 20) & 1) * 118
          |      + 30 + (3 * x.x + 7 * y.y) % 23 AS r0,
-         |    ((((i.doc_id * 31 + 7) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 20) & 1) * 180
+         |    ((xor((i.doc_id * 31 + 7) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761, ((i.doc_id * 31 + 7) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 31) >> 20) & 1) * 60
          |      + 30 + (5 * x.x + 11 * y.y) % 19 AS g0,
-         |    ((((i.doc_id * 17 + 3) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 20) & 1) * 180
+         |    ((xor((i.doc_id * 17 + 3) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761, ((i.doc_id * 17 + 3) * ((y.y * 8 // i.h) * 8 + x.x * 8 // i.w + 17) * 2654435761) >> 31) >> 20) & 1) * 197
          |      + 30 + (7 * x.x + 13 * y.y) % 29 AS b0
          |  FROM bimgs i, unnest(range(0, i.w)) AS x(x), unnest(range(0, i.h)) AS y(y)),
          |cells AS (
@@ -1039,6 +1152,63 @@ object Multimodal {
          |LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
          |  ON d.doc_id = m.a
          |LEFT JOIN dt ON d.doc_id = dt.doc_id
-         |LEFT JOIN di ON d.doc_id = di.doc_id""".stripMargin
+         |LEFT JOIN di ON d.doc_id = di.doc_id""".stripMargin,
+    // m10: per-frame signatures from the generating formulas (src =
+    // doc*4 + f), variant frame-index maps (trim drops f=0, reverse
+    // keeps the set), then the same set-containment algebra.
+    "m10_video_neardup" ->
+      """WITH sh AS (SELECT max(doc_id) + 1 AS s FROM documents),
+        |vids AS (
+        |  SELECT doc_id AS vid, doc_id AS src, 8 + doc_id % 17 AS w,
+        |    8 + doc_id % 13 AS h, 0 AS fmin, 2 + doc_id % 3 AS fcnt
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT s FROM sh), doc_id, 8 + doc_id % 17,
+        |    8 + doc_id % 13, 1, 2 + doc_id % 3
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * (SELECT s FROM sh), doc_id, 8 + doc_id % 17,
+        |    8 + doc_id % 13, 0, 2 + doc_id % 3
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |fr AS (
+        |  SELECT v.vid, v.src * 4 + f.f AS fsrc, v.w, v.h
+        |  FROM vids v, unnest(range(v.fmin, v.fcnt)) AS f(f)),
+        |chan AS (
+        |  SELECT fr.vid, fr.fsrc, fr.w, fr.h, x.x AS x, y.y AS y,
+        |    ((xor((fr.fsrc + 1) * ((y.y * 8 // fr.h) * 8 + x.x * 8 // fr.w + 17) * 2654435761, ((fr.fsrc + 1) * ((y.y * 8 // fr.h) * 8 + x.x * 8 // fr.w + 17) * 2654435761) >> 31) >> 20) & 1) * 118
+        |      + 30 + (3 * x.x + 7 * y.y) % 23 AS r0,
+        |    ((xor((fr.fsrc * 31 + 7) * ((y.y * 8 // fr.h) * 8 + x.x * 8 // fr.w + 17) * 2654435761, ((fr.fsrc * 31 + 7) * ((y.y * 8 // fr.h) * 8 + x.x * 8 // fr.w + 17) * 2654435761) >> 31) >> 20) & 1) * 60
+        |      + 30 + (5 * x.x + 11 * y.y) % 19 AS g0,
+        |    ((xor((fr.fsrc * 17 + 3) * ((y.y * 8 // fr.h) * 8 + x.x * 8 // fr.w + 17) * 2654435761, ((fr.fsrc * 17 + 3) * ((y.y * 8 // fr.h) * 8 + x.x * 8 // fr.w + 17) * 2654435761) >> 31) >> 20) & 1) * 197
+        |      + 30 + (7 * x.x + 13 * y.y) % 29 AS b0
+        |  FROM fr, unnest(range(0, fr.w)) AS x(x), unnest(range(0, fr.h)) AS y(y)),
+        |cells AS (
+        |  SELECT vid, fsrc, (y * 8 // h) * 8 + x * 8 // w AS cell,
+        |    CAST(sum(299 * r0 + 587 * g0 + 114 * b0) // count(*) AS BIGINT) AS cv
+        |  FROM chan GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT vid, fsrc, cell,
+        |    CASE WHEN 64 * cv > sum(cv) OVER (PARTITION BY vid, fsrc)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM cells),
+        |sig AS (
+        |  SELECT DISTINCT vid,
+        |    CAST(sum(CASE WHEN bit = 1 AND cell < 32
+        |      THEN (1::BIGINT << CAST(cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN bit = 1 AND cell >= 32
+        |      THEN (1::BIGINT << CAST(cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY vid, fsrc),
+        |sizes AS (SELECT vid, CAST(count(*) AS BIGINT) AS n FROM sig GROUP BY 1),
+        |shared AS (
+        |  SELECT a.vid AS vid_a, b.vid AS vid_b,
+        |    CAST(count(*) AS BIGINT) AS common_frames
+        |  FROM sig a JOIN sig b
+        |    ON a.lo = b.lo AND a.hi = b.hi AND a.vid < b.vid
+        |  GROUP BY 1, 2)
+        |SELECT s.vid_a, s.vid_b, s.common_frames, x.n AS n_a, y.n AS n_b,
+        |  s.common_frames * 1000000 // least(x.n, y.n) AS containment_ppm
+        |FROM shared s JOIN sizes x ON x.vid = s.vid_a
+        |              JOIN sizes y ON y.vid = s.vid_b
+        |WHERE s.common_frames * 1000000 // least(x.n, y.n) >= 500000""".stripMargin
   )
 }
