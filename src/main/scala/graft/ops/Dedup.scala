@@ -943,6 +943,35 @@ object Dedup {
           coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"))
         .withColumn("cut_ppm", expr("cut_tokens * 1000000 DIV n_tokens"))
     },
+    "d18_decontaminate_neardup" -> { (s, d) =>
+      // NEAR-DUP DECONTAMINATION — the fuzzy tier of benchmark-leakage
+      // removal (t12 catches verbatim 5-gram overlap; published
+      // pipelines also drop training docs that are near-duplicates of
+      // eval items — the GPT-3 appendix-C fuzzy variant of its 13-gram
+      // rule): the benchmark slice is every 17th doc (deterministic
+      // stand-in for the eval set), and a corpus doc leaks when it
+      // near-dups (verified Jaccard >= 0.8) ANY benchmark doc. Pure
+      // composition over the banded LSH pair generator — the cross-slice
+      // filter rides the pair stream, then one doc-grain count — so the
+      // cost is d3's budget plus a map-side predicate; at 100 TB the
+      // benchmark side is tiny and the pair generator's banding already
+      // bounds candidates. Oracle replays exact Jaccard pairs (the d6
+      // precedent), the same slice arithmetic, and the keep decision.
+      val pairs = minhashLshPairs(s, d, 0.8).select(col("doc_a"), col("doc_b"))
+      val cross = pairs.filter(
+        (col("doc_a") % 17 === 0) =!= (col("doc_b") % 17 === 0))
+      val leaked = cross
+        .select(when(col("doc_a") % 17 === 0, col("doc_b"))
+          .otherwise(col("doc_a")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_benchmark_hits"))
+      Tables.table(s, d, "documents")
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"))
+        .join(leaked, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_benchmark_hits"), lit(0L)).as("n_benchmark_hits"))
+        .withColumn("keep", col("n_benchmark_hits") === 0L)
+    },
     "split2_cluster_split" -> { (s, d) =>
       // LEAKAGE-SAFE train/val/test split: the unit of assignment is the
       // d6 near-dup CLUSTER, not the document — split1's content hash
@@ -1356,6 +1385,23 @@ object Dedup {
          |    // CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS cut_ppm
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
     },
+    // d18: exact Jaccard pairs (LSH-verified == exact at the threshold),
+    // the same %17 slice arithmetic, one count per leaked corpus doc.
+    "d18_decontaminate_neardup" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_a, doc_b FROM (${jaccardOracle(0.8).replace("\n", "\n  ")})),
+         |cross_pairs AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE (doc_a % 17 = 0) <> (doc_b % 17 = 0)),
+         |leaked AS (
+         |  SELECT CASE WHEN doc_a % 17 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_benchmark_hits
+         |  FROM cross_pairs GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(l.n_benchmark_hits, 0) AS n_benchmark_hits,
+         |  coalesce(l.n_benchmark_hits, 0) = 0 AS keep
+         |FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+         |WHERE d.doc_id % 17 <> 0""".stripMargin,
     // split2: d6's reachability CTE for the labels, then split1's
     // md5-bucket arithmetic over the cluster id's decimal string.
     "split2_cluster_split" ->

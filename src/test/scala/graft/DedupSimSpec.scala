@@ -514,6 +514,28 @@ class DedupSimSpec extends SparkSuite {
     }
   }
 
+  test("d18: a corpus doc near-dupping a benchmark doc drops; unrelated docs keep") {
+    val sess = spark
+    import sess.implicits._
+    // doc 0 (%17 == 0) is the benchmark item; doc 1 is a near-verbatim
+    // corpus copy (jaccard 1.0 -> leak), docs 2/3 are unrelated corpus
+    // docs; doc 34 (%17 == 0) is a second benchmark item nothing copies.
+    val eval = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, eval), (1L, eval),
+      (2L, "completely different words about spark shuffles and parquet"),
+      (3L, "yet another unrelated sentence describing alpine weather"),
+      (34L, "a second benchmark item with its own unique phrasing"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("graft_decontam")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Dedup.queries("d18_decontaminate_neardup")(sess, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "benchmark docs never appear as corpus rows")
+    assert(out(1L) === ((1L, false)), "the near-verbatim copy must drop")
+    assert(out(2L) === ((0L, true)) && out(3L) === ((0L, true)))
+  }
+
   test("HLL sketch count-distinct lands within the 5-sigma rsd envelope") {
     val rows = graft.ops.Stats.queries("a3_hll_sketch")(spark, sf).collect()
     rows.foreach { r =>
