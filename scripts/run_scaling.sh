@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 # count, data-sized work per job" adjudication is measured, not argued.
 # r16 adds the round's new operators (m7 perceptual-hash near-dup, t20
 # quality classifier, d17 streaming-substr replay) to the main sweep.
-QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e,split2_cluster_split,pack3_bin_packing,e5_transition_matrix,drift1_dist_shift,t19_gopher_rules,d12_incremental_dedup,j18_salted_join,g1_pagerank,g4_bfs_hops,rc1_recursive_cte,d14_substr_dedup,d15_substr_cut,d16_stream_dedup_replay,d17_stream_substr_replay,m7_image_neardup,t20_quality_classifier"
+QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e,split2_cluster_split,pack3_bin_packing,e5_transition_matrix,drift1_dist_shift,t19_gopher_rules,d12_incremental_dedup,j18_salted_join,g1_pagerank,g4_bfs_hops,rc1_recursive_cte,d14_substr_dedup,d15_substr_cut,d16_stream_dedup_replay,d17_stream_substr_replay,m7_image_neardup,t20_quality_classifier,m8_audio_neardup,m9_crossmodal_clusters,m10_video_neardup,d18_decontaminate_neardup,t21_pii_redact"
 
 # r16: the gram-operator tail — x16/x32 documents-only scales where the
 # corpus-token gram shuffle finally dominates the fixed session cost

@@ -316,6 +316,34 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("m10: containment pairs equal a brute-force frame-set sweep; variants at 1e6") {
+    val sess = spark
+    import sess.implicits._
+    val frameSets = sess.read.parquet(Multimodal.vidDupDir(sess, sf) + "/video")
+      .as[Multimodal.ImgRecord].collect()
+      .map(r => r.img_id ->
+        Multimodal.demux(r.payload)
+          .map(f => Multimodal.aHash64(Multimodal.decodeImage(f))).toSet)
+      .toMap
+    val brute = (for {
+      (ia, sa) <- frameSets; (ib, sb) <- frameSets
+      if ia < ib
+      common = (sa & sb).size
+      if common > 0 && common.toLong * 1000000 / math.min(sa.size, sb.size) >= 500000
+    } yield (ia, ib) -> (common.toLong * 1000000 / math.min(sa.size, sb.size))).toMap
+    val got = graft.ops.Multimodal.queries("m10_video_neardup")(sess, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(r.fieldIndex("containment_ppm"))).toMap
+    assert(got === brute)
+    // planted remuxes preserve the frame set modulo the trimmed head:
+    // both variant kinds score a full 10^6 containment
+    val n = sess.read.parquet(s"$sf/documents.parquet").count()
+    val trimmed = got.filter { case ((a, b), _) => b == a + n }
+    val reversed = got.filter { case ((a, b), _) => b == a + 2 * n }
+    assert(trimmed.nonEmpty && trimmed.values.forall(_ == 1000000L))
+    assert(reversed.nonEmpty && reversed.values.forall(_ == 1000000L))
+  }
+
   test("m6: VAD windows tile every sample, partial tail kept, silent mix real") {
     val out = graft.ops.Multimodal.queries("m6_audio_vad")(spark, sf).collect()
     val byDoc = out.groupBy(_.getLong(0))
