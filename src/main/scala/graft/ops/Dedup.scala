@@ -173,6 +173,43 @@ object Dedup {
     }
   }
 
+  /** d19's line window in words and its boilerplate threshold: a "line" is
+    * a non-overlapping [[LineW]]-word chunk (the corpus has no newline
+    * structure — fixed word windows are the deterministic stand-in for
+    * CCNet's paragraph grain), and a line occurring in >= [[LineDupK]]
+    * DISTINCT documents is boilerplate and removed from every document
+    * that carries it.
+    */
+  val LineW = 6
+  val LineDupK = 3
+
+  /** The non-overlapping [[LineW]]-word "lines" of one document:
+    * (chunk index, line text, md5 fold h1, md5 fold h2) per chunk, the
+    * tail chunk kept even when partial. The 128-bit key partitions lines
+    * identically to the raw strings the DuckDB oracle groups by (up to an
+    * md5 collision — birthday bound, none expected this side of 2^64
+    * lines) while the corpus-wide frequency shuffle carries 16 bytes, not
+    * line text. Same JVM-kernel stance as [[gramPosMd5Seq]].
+    */
+  def lineChunkMd5Seq(text: String, w: Int): Array[(Long, String, Long, Long)] = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = (words.length + w - 1) / w
+    Array.tabulate(n) { ci =>
+      val from = ci * w
+      val line = words.slice(from, math.min(from + w, words.length)).mkString(" ")
+      val dg = md.digest(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h1 = 0L; var h2 = 0L
+      var j = 0
+      while (j < 8) {
+        h1 = (h1 << 8) | (dg(j) & 0xffL)
+        h2 = (h2 << 8) | (dg(j + 8) & 0xffL)
+        j += 1
+      }
+      (ci.toLong, line, h1, h2)
+    }
+  }
+
   def gramHashSeq(text: String, n: Int): Array[Long] = {
     val words = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (words.length < n) Array.empty
@@ -759,6 +796,46 @@ object Dedup {
         }
         .toDF("doc_id", "n_kept", "clean_text")
     },
+    "d19_line_dedup" -> { (s, d) =>
+      // LINE-level boilerplate dedup — the CCNet/RefinedWeb pass that
+      // precedes document-grain dedup in published CommonCrawl pipelines:
+      // a line (fixed LineW-word chunk here; the corpus has no newlines)
+      // occurring in >= LineDupK distinct documents is boilerplate
+      // (headers, navigation, license blurbs) and is removed from EVERY
+      // document, then survivors are rejoined in chunk order. Differs
+      // from d7/d14/d15 in both grain (non-overlapping chunks, not
+      // sliding grams) and rule (frequency-threshold removal everywhere,
+      // not keep-first attribution).
+      //
+      // Scale shape: the corpus-wide frequency shuffle carries the
+      // 16-byte md5 fold, not line text (lineChunkMd5Seq); a per-doc
+      // distinct precedes the count so the threshold is DISTINCT
+      // documents, with map-side partial aggregation absorbing
+      // within-doc repeats. The boilerplate key set is tiny by
+      // construction (lines crossing the threshold) — AQE broadcasts the
+      // join back. Reassembly is one doc-keyed regroup: sort_array +
+      // native HOF filter/transform/array_join, no token-grain shuffle.
+      import s.implicits._
+      val occ = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          lineChunkMd5Seq(t, LineW).iterator.map {
+            case (ci, line, h1, h2) => (id, ci, line, h1, h2) } }
+        .toDF("doc_id", "ci", "line", "h1", "h2")
+      val boiler = occ.select(col("h1"), col("h2"), col("doc_id")).distinct()
+        .groupBy(col("h1"), col("h2"))
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= LineDupK)
+        .select(col("h1"), col("h2"), lit(1L).as("rm"))
+      occ.join(boiler, Seq("h1", "h2"), "left")
+        .withColumn("rm", coalesce(col("rm"), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rm")).as("n_removed"),
+          sort_array(collect_list(struct(col("ci"), col("rm"), col("line")))).as("ls"))
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          expr("n_removed * 1000000 DIV n_lines").as("removed_ppm"),
+          expr("array_join(transform(filter(ls, x -> x.rm = 0), x -> x.line), ' ')")
+            .as("clean_text"))
+    },
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
     "d10_containment" -> { (s, d) => containmentPairs(s, d, 0.9) },
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
@@ -1246,6 +1323,32 @@ object Dedup {
          |SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+    },
+    // d19: the identical chunk/threshold/removal geometry on raw line
+    // strings — chunk indices from unnest(range(ceil(len/W))), the
+    // DISTINCT-doc frequency threshold, EXISTS (never NOT IN) against the
+    // boilerplate set, and list(line ORDER BY ci) FILTER rejoin (the d15
+    // reconstruction idiom; coalesce '' when every line is boilerplate).
+    "d19_line_dedup" -> {
+      val W = LineW
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, CAST(ceil(len(ws) / $W.0) AS BIGINT))) AS ci
+         |      FROM w),
+         |l AS (SELECT doc_id, ci, array_to_string(ws[ci*$W+1:ci*$W+$W], ' ') AS line FROM c),
+         |b AS (SELECT line FROM (
+         |        SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line) z
+         |      WHERE nd >= $LineDupK),
+         |m AS (SELECT l.doc_id, l.ci, l.line,
+         |        CASE WHEN EXISTS (SELECT 1 FROM b WHERE b.line = l.line)
+         |             THEN 1 ELSE 0 END AS rm
+         |      FROM l)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(rm) AS BIGINT) AS n_removed,
+         |  CAST(sum(rm) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS removed_ppm,
+         |  coalesce(array_to_string(list(line ORDER BY ci) FILTER (WHERE rm = 0), ' '),
+         |           '') AS clean_text
+         |FROM m GROUP BY doc_id""".stripMargin
     },
     "d2_ngram_jaccard" -> jaccardOracle(0.8),
     "d10_containment" -> containmentOracle(0.9),

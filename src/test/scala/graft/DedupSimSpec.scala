@@ -76,6 +76,43 @@ class DedupSimSpec extends SparkSuite {
     assert(stats.values.exists(_._2 > 0), "fixture must exercise real cuts")
   }
 
+  test("d19 line-level boilerplate dedup matches an in-memory brute force") {
+    // The distributed pass (md5-fold frequency shuffle + doc regroup)
+    // against the obvious definition on the collected corpus: chunk every
+    // doc into LineW-word lines, count DISTINCT docs per line string,
+    // remove lines at >= LineDupK everywhere, rejoin in order.
+    val W = Dedup.LineW
+    val K = Dedup.LineDupK
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def chunks(t: String): Seq[String] =
+      t.toLowerCase(java.util.Locale.ROOT).split(" ", -1).grouped(W)
+        .map(_.mkString(" ")).toSeq
+    val docsPerLine = docs.flatMap { case (id, t) => chunks(t).distinct.map((_, id)) }
+      .groupBy(_._1).map { case (l, xs) => (l, xs.length) }
+    val expected = docs.map { case (id, t) =>
+      val ls = chunks(t)
+      val kept = ls.filter(docsPerLine(_) < K)
+      (id, (ls.length.toLong, (ls.length - kept.length).toLong, kept.mkString(" ")))
+    }.toMap
+    val got = Dedup.queries("d19_line_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got.keySet === expected.keySet, "every document must appear exactly once")
+    val diffs = expected.collect { case (id, e) if got(id) != e => s"$id: got ${got(id)} want $e" }
+    assert(diffs.isEmpty, s"line dedup diverged:\n${diffs.mkString("\n")}")
+    // fixture exercises both classes; untouched docs round-trip to
+    // lower(text) byte-for-byte (chunks partition the word array)
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+    val untouched = docs.toMap
+    for ((id, (_, removed, text)) <- got if removed == 0)
+      assert(text === untouched(id).toLowerCase(java.util.Locale.ROOT))
+    // ppm column is the integer DIV of the two counts it rides with
+    val ppm = Dedup.queries("d19_line_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ppm.forall { case (n, rm, p) => p === rm * 1000000L / n })
+  }
+
   test("cutSpans kernel: interior, boundary, adjacent and full-cover spans") {
     import Dedup.{cutSpans, SubstrSpan}
     val t = "a b c d e f"
