@@ -79,6 +79,52 @@ object Behavior {
                 col("event_type")))),
               x => x.getField("event_type")), "|").as("seq"))
     },
+    "sft1_conversation_build" -> { (s, d) =>
+      // SFT CONVERSATION assembly — the chat-data preprocessing step of an
+      // instruction-tuning pipeline: sessionize each user's event stream
+      // by a 30-minute inactivity gap, render each event as a role-tagged
+      // turn ("type:payload"), flatten the session into one '|'-joined
+      // transcript (the seq1 scalar discipline — array cells are
+      // comparator-unsortable), and keep conversations with 2..sftTurnCap
+      // turns (single-turn and overlong sessions are dropped, the
+      // published SFT filter shape).
+      //
+      // Plan shape: ONE user-keyed shuffle feeds everything — the lag
+      // window (gap detection), the running-sum session id, the
+      // (user, sess) turn count, and the grouped collect all share the
+      // user hash partitioning. The n_turns <= cap filter runs BEFORE the
+      // collect, so per-group collect state is bounded at sftTurnCap
+      // structs even for a gap-free hot user; n_turns is the window's
+      // count, so the kept value is the exact session length.
+      val gapUs = 1800L * 1000000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          concat(col("event_type"), lit(":"),
+            coalesce(get_json_object(col("props"), "$.k").cast("int").cast("string"),
+              lit(""))).as("turn"))
+        .withColumn("new_s",
+          when(coalesce(col("ts_us") - lag(col("ts_us"), 1).over(w),
+            lit(gapUs + 1)) > gapUs, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(wRun))
+        .withColumn("n_turns", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("sess"))))
+        .filter(col("n_turns").between(2, sftTurnCap))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ts_us")).as("sess_start_us"),
+          max(col("n_turns")).as("n_turns"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+                col("turn")))),
+              x => x.getField("turn")), "|").as("convo"))
+        .select(col("user_id"), col("sess_start_us"), col("n_turns"), col("convo"))
+    },
     "e1_funnel" -> { (s, d) =>
       // Ordered funnel view → click → purchase: a user converts at step k
       // if the earliest timestamps respect the order. min-per-type is one
@@ -237,6 +283,7 @@ object Behavior {
   )
 
   val seqCap = 64 // model context length in actions — the truncation grain
+  val sftTurnCap = 64 // max turns per kept conversation (sft1's drop filter)
 
   val oracleSql: Map[String, String] = Map(
     // e7: the interval predicate replayed on epoch micros — BETWEEN is
@@ -262,6 +309,31 @@ object Behavior {
          |    (list(event_type ORDER BY epoch_us(ts), event_id))[1:$seqCap],
          |    '|') AS seq
          |FROM events GROUP BY user_id""".stripMargin,
+    // sft1: the identical sessionize/render/flatten geometry — the same
+    // coalesce(gap+1) lag idiom, a running-sum session id, HAVING-style
+    // turn-count filter, and list(ORDER BY us, event_id) serialized with
+    // '|' (event_id uniqueness makes the order total on both engines).
+    "sft1_conversation_build" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+         |    event_type || ':' ||
+         |      coalesce(CAST(CAST(json_extract(props, '$$.k') AS INT) AS VARCHAR), '')
+         |      AS turn
+         |  FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN coalesce(
+         |      us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+         |      1800000001) > 1800000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |sx AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM g)
+         |SELECT user_id, min(us) AS sess_start_us,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  array_to_string(list(turn ORDER BY us, event_id), '|') AS convo
+         |FROM sx GROUP BY user_id, sess
+         |HAVING count(*) BETWEEN 2 AND $sftTurnCap""".stripMargin,
     "e1_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

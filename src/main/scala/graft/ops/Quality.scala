@@ -18,6 +18,40 @@ import graft.tables.Tables
 object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pref1_preference_pairs" -> { (s, d) =>
+      // PREFERENCE-PAIR construction — the RLHF/DPO dataset-assembly step:
+      // within each candidate group (source here; the prompt id in a
+      // real pipeline), pick chosen = best-scored response and rejected =
+      // worst-scored, emit the pair with its margin, and drop groups
+      // whose margin is zero (no learnable signal — the published DPO
+      // filter). Score is integer-ppm lexical diversity (distinct words
+      // per word, the t17 signal) so the ranking is engine-exact; ties
+      // break on lower doc_id, making both picks total orders.
+      //
+      // Scale shape: scoring is map-side projection; both row_number
+      // windows and the final aggregate share ONE group-keyed shuffle
+      // (identical partition key), and per-group window state is a
+      // counter, not a buffer. Pair selection never materializes
+      // candidate × candidate — it is argmax/argmin, not a join.
+      val scored = Tables.table(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("size(array_distinct(split(lower(text), ' '))) * 1000000 " +
+            "DIV size(split(lower(text), ' '))").as("ppm"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("ppm").desc, col("doc_id"))
+      val wWorst = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("ppm").asc, col("doc_id"))
+      scored
+        .withColumn("rb", row_number().over(wBest))
+        .withColumn("rw", row_number().over(wWorst))
+        .groupBy(col("source"))
+        .agg(max(when(col("rb") === 1, col("doc_id"))).as("chosen_id"),
+          max(when(col("rb") === 1, col("ppm"))).as("chosen_ppm"),
+          max(when(col("rw") === 1, col("doc_id"))).as("rejected_id"),
+          max(when(col("rw") === 1, col("ppm"))).as("rejected_ppm"))
+        .withColumn("margin_ppm", col("chosen_ppm") - col("rejected_ppm"))
+        .filter(col("margin_ppm") > 0)
+    },
     "t10_repetition" -> { (s, d) =>
       // Gopher-style repetition signals: duplicate-word fraction and
       // top-word fraction per document, plus the resulting keep/drop flag.
@@ -376,6 +410,31 @@ object Quality {
         |WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // pref1: the same total-order argmax/argmin replayed with row_number
+    // windows — list_distinct over the split replays array_distinct
+    // (first-occurrence dedup; equality is all that matters), integer ppm
+    // via //, HAVING-equivalent margin filter.
+    "pref1_preference_pairs" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |    len(list_distinct(string_split(lower(text), ' '))) * 1000000
+        |      // len(string_split(lower(text), ' ')) AS ppm
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id, ppm,
+        |    row_number() OVER (PARTITION BY source ORDER BY ppm DESC, doc_id) AS rb,
+        |    row_number() OVER (PARTITION BY source ORDER BY ppm ASC, doc_id) AS rw
+        |  FROM scored),
+        |agg AS (
+        |  SELECT source,
+        |    max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+        |    max(CASE WHEN rb = 1 THEN ppm END) AS chosen_ppm,
+        |    max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+        |    max(CASE WHEN rw = 1 THEN ppm END) AS rejected_ppm
+        |  FROM rk GROUP BY source)
+        |SELECT source, chosen_id, chosen_ppm, rejected_id, rejected_ppm,
+        |  chosen_ppm - rejected_ppm AS margin_ppm
+        |FROM agg WHERE chosen_ppm - rejected_ppm > 0""".stripMargin,
     "t10_repetition" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),

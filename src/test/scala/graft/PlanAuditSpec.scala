@@ -155,6 +155,30 @@ class PlanAuditSpec extends SparkSuite {
       s"expected one user shuffle, got ${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
 
+  test("sft1_conversation_build shuffles on user exactly once (windows + collect share it)") {
+    // lag window (user), running-sum session id (user), turn-count window
+    // (user, sess) and the grouped collect (user, sess) all ride the user
+    // hash partitioning — hash(user) satisfies ClusteredDistribution of
+    // every (user, …) key downstream, so only sorts are added
+    val df = graft.ops.Behavior.queries("sft1_conversation_build")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size === 1,
+      s"expected one user shuffle, got ${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("pref1_preference_pairs shuffles on source exactly once (both rank windows share it)") {
+    val df = graft.ops.Quality.queries("pref1_preference_pairs")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size === 1,
+      s"expected one source shuffle, got ${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
   test("j18_salted_join broadcasts the replicated dimension side") {
     val df = graft.ops.Relational.queries("j18_salted_join")(spark, sf)
     df.collect()
