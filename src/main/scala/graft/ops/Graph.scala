@@ -365,8 +365,53 @@ object Graph {
   }
 
   val BalanceEps = 50.0
+  val LpaRounds = 4
+
+  /** Synchronous label propagation (Raghavan et al. 2007) made
+    * deterministic: every node starts as its own label; each round every
+    * node adopts the most frequent label among its NEIGHBORS, ties broken
+    * by the smallest label (the asynchronous/random variant of the paper
+    * is not engine-replayable; the synchronous min-tiebreak one is a pure
+    * dataflow). Isolated nodes keep their own label. Unlike
+    * [[labelComponents]]-style connected components (d6), LPA yields
+    * sub-component communities — dense cores absorb their periphery while
+    * weak bridges don't merge.
+    *
+    * Scale: per round one edge⋈label join + a (node, label)-keyed count +
+    * a node-keyed argmax — all hash-partitioned on node ids, nothing
+    * quadratic; rounds are fixed ([[LpaRounds]]) and node-sized frames
+    * localCheckpoint per round to bound lineage (the bfsHops discipline).
+    */
+  def labelPropagation(s: SparkSession, edges: DataFrame, nodes: DataFrame,
+                       rounds: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = e.join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax by (count, -label): highest count, ties to the SMALLEST
+      // label — a total order per node since labels are distinct per group
+      val pick = nb.groupBy(col("u").as("id"))
+        .agg(max_by(col("lbl"), struct(col("c"), negate(col("lbl")))).as("new_lbl"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g5_label_propagation" -> { (s, d) =>
+      // Communities over the balance-affinity graph (g3's edge set): the
+      // deterministic synchronous LPA above, fixed LpaRounds rounds.
+      labelPropagation(s,
+        balanceEdges(s, d, BalanceEps).select(col("u"), col("v")),
+        Tables.table(s, d, "customer").select(col("c_custkey").as("id")),
+        LpaRounds)
+        .select(col("id"), col("lbl").as("community"))
+    },
     "g1_pagerank" -> { (s, d) =>
       // trustSinkFree: tradeEdges mirrors every pair, so src-set ==
       // dst-set holds by construction — the probe job is provably
@@ -461,7 +506,37 @@ object Graph {
        |SELECT id, hops FROM d$maxHops""".stripMargin
   }
 
+  /** LPA unrolled: each CTE trio (neighbor-label counts → per-node
+    * argmax via row_number(ORDER BY c DESC, lbl) → carried label) is one
+    * synchronous round, exactly the Spark loop's three steps.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""nb$k AS (
+         |  SELECT e.u AS id, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON e.v = l.id GROUP BY 1, 2),
+         |pk$k AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |    FROM nb$k) z WHERE rn = 1),
+         |l$k AS (
+         |  SELECT l.id, coalesce(p.lbl, l.lbl) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN pk$k p ON l.id = p.id)""".stripMargin
+    }
+    s"""WITH e0 AS (
+       |  SELECT a.c_custkey AS u, b.c_custkey AS v
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       |   AND abs(a.c_acctbal - b.c_acctbal) < $BalanceEps),
+       |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT c_custkey AS id, c_custkey AS lbl FROM customer),
+       |${iters.mkString(",\n")}
+       |SELECT id, lbl AS community FROM l$rounds""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "g5_label_propagation" -> lpaOracle(LpaRounds),
     "g4_bfs_hops" -> bfsOracle(BfsMaxHops),
     "g1_pagerank" -> pageRankOracle(Iterations, Damping, directed = false),
     "g2_pagerank_directed" -> pageRankOracle(Iterations, Damping, directed = true),

@@ -107,6 +107,48 @@ class GraphSpec extends SparkSuite {
     assert(got.getOrElse(0, 0L) === expect, s"got $got expect $expect")
   }
 
+  test("label propagation: barbell communities split; brute-force parity at sf") {
+    val sess = spark
+    import sess.implicits._
+    // Two triangles joined by one bridge edge: connected components would
+    // merge everything into one label; LPA keeps two communities because
+    // each triangle's majority beats the single bridge vote.
+    val barbell = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val nodes = (1L to 6L).toDF("id")
+    val lbl = Graph.labelPropagation(spark, barbell, nodes, Graph.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(1L) === lbl(2L) && lbl(2L) === lbl(3L), "left triangle must agree")
+    assert(lbl(4L) === lbl(5L) && lbl(5L) === lbl(6L), "right triangle must agree")
+    assert(lbl(1L) !== lbl(4L), "the bridge must NOT merge the communities")
+
+    // Brute-force parity on the real balance graph: synchronous rounds,
+    // neighbor majority, min-label ties — a from-scratch map fold.
+    val edges = Graph.balanceEdges(spark, sf, Graph.BalanceEps)
+      .select(col("u"), col("v")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1))).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2) }
+    val ids = graft.tables.Tables.table(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    var labels = ids.map(i => i -> i).toMap
+    for (_ <- 1 to Graph.LpaRounds) {
+      val next = ids.map { i =>
+        adj.get(i) match {
+          case Some(nbs) if nbs.nonEmpty =>
+            val counts = nbs.groupBy(labels).map { case (l, xs) => (l, xs.length) }
+            i -> counts.minBy { case (l, c) => (-c, l) }._1
+          case _ => i -> labels(i)
+        }
+      }.toMap
+      labels = next
+    }
+    val got = Graph.queries("g5_label_propagation")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === labels, "distributed LPA diverged from the brute force")
+    // communities are strictly finer than one-per-node and coarser than all-in-one
+    assert(got.values.toSet.size > 1 && got.values.toSet.size < ids.length)
+  }
+
   test("banded balance edges equal the all-pairs filter exactly") {
     val sess = spark
     import sess.implicits._
