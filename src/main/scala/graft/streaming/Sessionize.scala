@@ -105,4 +105,74 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         updateWithTimeout(gapUs, maxEvents))
   }
+
+  // ---- streaming SFT conversation assembly (sft1's live half) -------------
+
+  /** One rendered turn of the conversation stream: the map-side projection
+    * (event_type ':' payload) happens BEFORE the stateful operator, so the
+    * state never sees raw props JSON.
+    */
+  case class Turn(user_id: Long, ts_us: Long, event_id: Long, turn: String)
+  case class ConvoState(start_us: Long, last_us: Long, n: Long,
+                        turns: List[String])
+  case class Convo(user_id: Long, sess_start_us: Long, n_turns: Long,
+                   convo: String)
+
+  /** Streaming conversation assembly — sft1's sessionize/flatten run LIVE:
+    * the same 30-min-gap session boundaries and the same 2..maxTurns keep
+    * filter, emitted as each session closes. The batch query
+    * (`sft1_conversation_build`) IS this operator's replay oracle — on the
+    * same event stream (delivered in event-time order) the emitted set
+    * equals the batch result exactly, which StreamingSpec pins.
+    *
+    * State is BOUNDED at maxTurns strings per live user: a session that
+    * grows past maxTurns can never be emitted, so the buffer is dropped
+    * right then (only the counter keeps running for boundary tracking) —
+    * a gap-free hot user costs a counter, not their history. The turn
+    * count floor/cap mirror the published SFT filter (single-turn and
+    * overlong sessions dropped).
+    */
+  def convoUpdate(gapUs: Long, minTurns: Int, maxTurns: Int)(
+      userId: Long, events: Iterator[Turn],
+      state: GroupState[ConvoState]): Iterator[Convo] = {
+    var cur = state.getOption
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Convo]
+    def close(st: ConvoState): Unit =
+      if (st.n >= minTurns && st.n <= maxTurns)
+        closed += Convo(userId, st.start_us, st.n, st.turns.reverse.mkString("|"))
+    events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      cur match {
+        case Some(st) if e.ts_us - st.last_us <= gapUs =>
+          val turns =
+            if (st.n + 1 > maxTurns) Nil // overlong: unemittable, drop buffer
+            else e.turn :: st.turns
+          cur = Some(st.copy(last_us = e.ts_us, n = st.n + 1, turns = turns))
+        case Some(st) =>
+          close(st)
+          cur = Some(ConvoState(e.ts_us, e.ts_us, 1, List(e.turn)))
+        case None =>
+          cur = Some(ConvoState(e.ts_us, e.ts_us, 1, List(e.turn)))
+      }
+    }
+    cur match {
+      case Some(st) => state.update(st)
+      case None     => state.remove()
+    }
+    closed.iterator
+  }
+
+  /** Wire [[convoUpdate]] onto a typed turn stream. NoTimeout variant: a
+    * session closes when the same user's next-session event arrives (the
+    * parity test's sentinel idiom); the event-time-timeout eviction story
+    * is [[sessionsWithTimeout]]'s, unchanged by the turn buffer.
+    */
+  def conversations(spark: SparkSession, turns: Dataset[Turn],
+                    gapUs: Long = DefaultGapUs,
+                    minTurns: Int = 2, maxTurns: Int = 64): Dataset[Convo] = {
+    import spark.implicits._
+    turns
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        convoUpdate(gapUs, minTurns, maxTurns))
+  }
 }

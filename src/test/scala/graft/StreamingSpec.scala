@@ -102,6 +102,50 @@ class StreamingSpec extends SparkSuite {
     assert(u1 === Seq(Session(1, base, base + 1000000, 2, 3.0)))
   }
 
+  test("streaming conversation assembly equals sft1's batch result on the real stream") {
+    // The live operator (Sessionize.conversations) against the registered
+    // batch query on the same events: rendered turns delivered in
+    // event-time order across three micro-batches, a far-future sentinel
+    // per user closing every open session (sentinels form 1-turn sessions
+    // the >= 2 floor drops), then set equality with sft1's output — the
+    // d13/d16 replay discipline for the SFT assembler.
+    import Sessionize.{Convo, Turn}
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val turns = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        concat(col("event_type"), lit(":"),
+          coalesce(get_json_object(col("props"), "$.k").cast("int").cast("string"),
+            lit(""))).as("turn"))
+      .as[Turn].collect().sortBy(t => (t.ts_us, t.event_id))
+    val sentinelTs = turns.map(_.ts_us).max + 10L * 1800L * 1000000
+    val sentinels = turns.map(_.user_id).distinct
+      .map(u => Turn(u, sentinelTs, -u, "sentinel:"))
+    val mem = MemoryStream[Turn]
+    val out = Sessionize.conversations(spark, mem.toDS(),
+      gapUs = 1800L * 1000000, minTurns = 2, maxTurns = graft.ops.Behavior.sftTurnCap)
+      .writeStream.format("memory").queryName("convo_out")
+      .outputMode("append").start()
+    try {
+      turns.grouped(math.max(1, turns.length / 3 + 1)).foreach { batch =>
+        mem.addData(batch.toIndexedSeq: _*)
+        out.processAllAvailable()
+      }
+      mem.addData(sentinels.toIndexedSeq: _*)
+      out.processAllAvailable()
+    } finally out.stop()
+    val streamed = spark.table("convo_out").as[Convo].collect()
+      .map(c => (c.user_id, c.sess_start_us, c.n_turns, c.convo)).toSet
+    val batch = graft.ops.Behavior.queries("sft1_conversation_build")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(streamed === batch,
+      s"stream/batch diverged: stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty, "fixture must close at least one conversation")
+  }
+
   test("restart from checkpoint is exactly-once (no duplicates, no loss)") {
     val s = spark
     import s.implicits._
