@@ -52,6 +52,35 @@ object Quality {
         .withColumn("margin_ppm", col("chosen_ppm") - col("rejected_ppm"))
         .filter(col("margin_ppm") > 0)
     },
+    "t22_textrank_keywords" -> { (s, d) =>
+      // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+      // the word co-occurrence graph — nodes are corpus words, an
+      // undirected edge links words ever ADJACENT in a document (the
+      // paper's window-2 co-occurrence), rank is the keyword salience a
+      // summarization pipeline cuts on. Pure composition: the t11 bigram
+      // extraction feeds Graph.pageRank unchanged (id-type-agnostic — the
+      // ids here are word STRINGS, no vocab-to-int sort needed).
+      //
+      // Scale shape: the pair stream collapses to DISTINCT normalized
+      // edges map-side before the symmetrize (vocab² bounds the edge set,
+      // and Heaps' law bounds vocab way below corpus size); the iteration
+      // then runs on the vocab-sized graph with pageRank's cached
+      // edge-partitioning discipline. Symmetric graph -> sink-free by
+      // construction (trustSinkFree skips the probe job).
+      val pairs = Tables.table(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("ws"))
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(least(col("p.w1"), col("p.w2")).as("a"),
+          greatest(col("p.w1"), col("p.w2")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRank(s, edges, trustSinkFree = true)
+        .select(col("id").as("word"), round(col("rank"), 6).as("rank"))
+    },
     "t10_repetition" -> { (s, d) =>
       // Gopher-style repetition signals: duplicate-word fraction and
       // top-word fraction per document, plus the resulting keep/drop flag.
@@ -410,6 +439,41 @@ object Quality {
         |WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // t22: the word graph rebuilt on raw strings (adjacent pairs via the
+    // positional-range idiom, CASE-normalized undirected edges) and the
+    // same sink-free power iteration unrolled — each rK CTE is one Spark
+    // loop round; round(,6) absorbs aggregation-order double drift (the
+    // g1 precedent).
+    "t22_textrank_keywords" -> {
+      val d = graft.ops.Graph.Damping
+      val iters = (1 to graft.ops.Graph.Iterations).map { k =>
+        s"""r$k AS (
+           |  SELECT nodes.id,
+           |    (1 - $d) / (SELECT n FROM nn)
+           |      + $d * coalesce(sum(r${k - 1}.rank / deg.deg), 0) AS rank
+           |  FROM nodes
+           |  LEFT JOIN edges ON edges.dst = nodes.id
+           |  LEFT JOIN deg ON deg.src = edges.src
+           |  LEFT JOIN r${k - 1} ON r${k - 1}.id = edges.src
+           |  GROUP BY nodes.id)""".stripMargin
+      }
+      s"""WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+         |bp AS (SELECT ws, unnest(range(1, CAST(len(ws) AS BIGINT))) AS i FROM w),
+         |pr AS (SELECT
+         |         CASE WHEN ws[i] < ws[i+1] THEN ws[i] ELSE ws[i+1] END AS a,
+         |         CASE WHEN ws[i] < ws[i+1] THEN ws[i+1] ELSE ws[i] END AS b
+         |       FROM bp),
+         |und AS (SELECT DISTINCT a, b FROM pr WHERE a <> b),
+         |edges AS (SELECT a AS src, b AS dst FROM und
+         |          UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+         |${iters.mkString(",\n")}
+         |SELECT id AS word, round(rank, 6) AS rank
+         |FROM r${graft.ops.Graph.Iterations}""".stripMargin
+    },
     // pref1: the same total-order argmax/argmin replayed with row_number
     // windows — list_distinct over the split replays array_distinct
     // (first-occurrence dedup; equality is all that matters), integer ppm

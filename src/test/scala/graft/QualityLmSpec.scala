@@ -31,6 +31,28 @@ class QualityLmSpec extends SparkSuite {
     }
   }
 
+  test("textrank: star-graph hub outranks tied leaves; mass sums to 1") {
+    // "hub a hub b hub c": adjacency links hub to each of a/b/c and
+    // nothing else — the word graph is a 3-leaf star, so the hub must
+    // hold the top rank, the leaves must tie, and total mass stays 1
+    // (sink-free symmetric graph conserves it exactly).
+    val sess = spark
+    val df = sess.createDataFrame(
+      new java.util.ArrayList[Row](
+        Seq(Row(1L, "hub a hub b hub c", "en", "synth", 17L)).asJava),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    val dir = tmpDir("graft_tr_docs")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val ranks = graft.ops.Quality.queries("t22_textrank_keywords")(sess, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet === Set("hub", "a", "b", "c"))
+    assert(ranks("a") === ranks("b") && ranks("b") === ranks("c"), "leaves must tie")
+    assert(ranks("hub") > ranks("a"), "hub must outrank leaves")
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-5, s"mass drifted: ${ranks.values.sum}")
+  }
+
   test("hand-computed perplexity on a two-token model") {
     // train doc 0: "a b a b" -> contexts: c1(a)=2, c1(b)=1;
     // bigrams: c2(a,b)=2, c2(b,a)=1; vocab V={a,b} -> 2
