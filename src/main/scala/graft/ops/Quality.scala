@@ -201,30 +201,59 @@ object Quality {
       // division, so both engines compute bit-identical probabilities;
       // ln/exp land within an ulp and ppl surfaces rounded (t15's
       // precedent for libm-adjacent oracle columns).
+      lmPerplexity(s, d)
+    },
+    "ccnet1_ppl_buckets" -> { (s, d) =>
+      // CCNet's head/middle/tail partition (Wenzek et al. 2020): per
+      // language, documents are terciled by LM perplexity — head = most
+      // fluent third, tail = noisiest — and downstream pipelines keep or
+      // re-weight tiers. Composition: t16's bigram-LM scorer feeds an
+      // ntile(3) per language ordered by (ppl, doc_id) — the ROUNDED ppl
+      // (the t16 surface the oracle already matches hash-exactly) plus
+      // the id tiebreak makes the tercile assignment a total order on
+      // both engines.
+      //
+      // Scale shape: the scorer's cost dominates (see t16); the tercile
+      // window adds one (lang)-keyed exchange over doc-grain rows and the
+      // tier rollup reuses that partitioning. Exact per-language ntile is
+      // inherently a per-language total order (the e6 stance); the 100 TB
+      // tier swaps it for approx_percentile cut points when one language
+      // outgrows a task.
+      val ppl = lmPerplexity(s, d).select(col("doc_id"), col("ppl"))
       val docs = Tables.table(s, d, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      val pairs = docs.select(col("doc_id"), explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.w2"))
-      val train = pairs.filter(col("doc_id") % 2 === 0)
-      val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val c2 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val vocab = docs.filter(col("doc_id") % 2 === 0)
-        .select(explode(col("ws")).as("tok"))
-        .agg(count_distinct(col("tok")).as("v"))
-      pairs
-        .join(c2, Seq("w1", "w2"), "left")
-        .join(c1, Seq("w1"), "left")
-        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      docs.join(ppl, "doc_id")
+        .withColumn("bucket", ntile(3).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("ppl")).as("ppl_min"), max(col("ppl")).as("ppl_max"))
+        .withColumn("tier",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+    },
+    "t23_blocklist_filter" -> { (s, d) =>
+      // C4's blocklist filter (Raffel et al. 2020): a document containing
+      // any dirty/obscene-list PHRASE is dropped wholesale. Phrases are
+      // matched at word-boundary grain — the doc's adjacent-word bigrams
+      // against the list — not substring grain (no "scunthorpe" false
+      // hits). The list is a tiny literal array (the model artifact; a
+      // real deployment broadcasts it), the bigram build and the filter
+      // are native HOFs, so the whole pass is one map-side projection
+      // over the scan: zero exchanges (PlanAuditSpec pins it).
+      val words = split(lower(col("text")), " ")
+      val bigrams = zip_with(
+        slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val listed = Blocklist.map(p => s"'$p'").mkString(", ")
+      Tables.table(s, d, "documents")
+        .select(col("doc_id"), bigrams.as("bg"))
         .select(col("doc_id"),
-          log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
-            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("lp"),
-          when(col("c2").isNull, 1L).otherwise(0L).as("oov"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("oov_bigrams"),
-          round(exp(-(sum(col("lp")) / count(lit(1)))), 2).as("ppl"))
+          expr(s"size(filter(bg, g -> g IN ($listed)))").cast("long").as("n_hits"))
+        .withColumn("keep", col("n_hits") === 0L)
     },
     "t11_bigrams" -> { (s, d) =>
       // Corpus-level top-20 bigrams: per-document bigram arrays built with
@@ -416,6 +445,68 @@ object Quality {
         (okWords && okMeanLen && okAlpha && okSymbols && okStops).as("keep"))
   }
 
+  /** t23's phrase blocklist — corpus-vocabulary phrases so the fixture
+    * genuinely drops documents; a deployment swaps in the published
+    * C4 list unchanged.
+    */
+  val Blocklist: Seq[String] = Seq("slow merge", "big query", "hash join")
+
+  /** t16's CCNet-style add-1 bigram-LM scorer, factored so ccnet1 can
+    * tercile on the same per-doc perplexity: train on even doc_ids,
+    * score every document, emit (doc_id, n_bigrams, oov_bigrams, ppl)
+    * with ppl rounded to the oracle-matched surface. Scale notes live on
+    * the t16 entry.
+    */
+  private def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.table(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    val pairs = docs.select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val train = pairs.filter(col("doc_id") % 2 === 0)
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val vocab = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    pairs
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("lp"),
+        when(col("c2").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("oov_bigrams"),
+        round(exp(-(sum(col("lp")) / count(lit(1)))), 2).as("ppl"))
+  }
+
+  private val T16Oracle =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |db AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      |       FROM w),
+      |tr AS (SELECT * FROM db WHERE doc_id % 2 = 0),
+      |c1 AS (SELECT w1, count(*) AS c FROM tr GROUP BY 1),
+      |c2 AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY 1, 2),
+      |vocab AS (SELECT count(DISTINCT tok) AS v
+      |          FROM (SELECT unnest(ws) AS tok FROM w WHERE doc_id % 2 = 0)),
+      |scored AS (
+      |  SELECT db.doc_id,
+      |    ln(CAST(COALESCE(c2.c, 0) + 1 AS DOUBLE) /
+      |       CAST(COALESCE(c1.c, 0) + vocab.v AS DOUBLE)) AS lp,
+      |    CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  CROSS JOIN vocab)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+      |  round(exp(-(sum(lp) / count(*))), 2) AS ppl
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   private val P2Oracle =
     """WITH wrds AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
@@ -556,28 +647,36 @@ object Quality {
     // both engines), ln/exp differ at most in the last ulp, and the
     // 2-decimal rounding absorbs that plus the engines' different
     // log-summation orders.
-    "t16_lm_perplexity" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-        |db AS (SELECT doc_id,
-        |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
-        |         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
-        |       FROM w),
-        |tr AS (SELECT * FROM db WHERE doc_id % 2 = 0),
-        |c1 AS (SELECT w1, count(*) AS c FROM tr GROUP BY 1),
-        |c2 AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY 1, 2),
-        |vocab AS (SELECT count(DISTINCT tok) AS v
-        |          FROM (SELECT unnest(ws) AS tok FROM w WHERE doc_id % 2 = 0)),
-        |scored AS (
-        |  SELECT db.doc_id,
-        |    ln(CAST(COALESCE(c2.c, 0) + 1 AS DOUBLE) /
-        |       CAST(COALESCE(c1.c, 0) + vocab.v AS DOUBLE)) AS lp,
-        |    CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS oov
-        |  FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
-        |  CROSS JOIN vocab)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(oov) AS BIGINT) AS oov_bigrams,
-        |  round(exp(-(sum(lp) / count(*))), 2) AS ppl
-        |FROM scored GROUP BY doc_id""".stripMargin,
+    "t16_lm_perplexity" -> T16Oracle,
+    // ccnet1: t16's scorer as a subquery, the same (rounded ppl, doc_id)
+    // tercile order, the same tier rollup.
+    "ccnet1_ppl_buckets" ->
+      s"""WITH t16 AS (${T16Oracle.replace("\n", "\n  ")}),
+         |docs AS (SELECT doc_id, lang,
+         |           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |j AS (SELECT d.lang, d.n_tokens, t.ppl,
+         |        ntile(3) OVER (PARTITION BY d.lang ORDER BY t.ppl, d.doc_id) AS bucket
+         |      FROM docs d JOIN t16 t ON d.doc_id = t.doc_id)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(ppl) AS ppl_min, max(ppl) AS ppl_max,
+         |  CASE WHEN bucket = 1 THEN 'head'
+         |       WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM j GROUP BY lang, bucket""".stripMargin,
+    // t23: the same word-boundary bigram grain and list membership.
+    "t23_blocklist_filter" -> {
+      val listed = Blocklist.map(p => s"'$p'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(
+         |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+         |    g -> g IN ($listed))) AS BIGINT) AS n_hits,
+         |  len(list_filter(
+         |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]),
+         |    g -> g IN ($listed))) = 0 AS keep
+         |FROM w""".stripMargin
+    },
     "t11_bigrams" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |b AS (

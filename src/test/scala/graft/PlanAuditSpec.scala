@@ -132,6 +132,18 @@ class PlanAuditSpec extends SparkSuite {
       s"PII redaction must push into the scan:\n${df.queryExecution.executedPlan}")
   }
 
+  test("t23_blocklist_filter is entirely map-side (zero exchanges)") {
+    // bigram build + list membership are native HOFs over the scan — a
+    // shuffle would mean the literal blocklist became a join
+    val df = graft.ops.Quality.queries("t23_blocklist_filter")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"blocklist filter must push into the scan:\n${df.queryExecution.executedPlan}")
+  }
+
   test("pack3_bin_packing moves data exactly once (the shard shuffle)") {
     val df = graft.ops.Packing.queries("pack3_bin_packing")(spark, sf)
     df.collect()

@@ -53,6 +53,47 @@ class QualityLmSpec extends SparkSuite {
     assert(math.abs(ranks.values.sum - 1.0) < 1e-5, s"mass drifted: ${ranks.values.sum}")
   }
 
+  test("blocklist filter counts word-boundary phrase hits, not substrings") {
+    val sess = spark
+    val df = sess.createDataFrame(
+      new java.util.ArrayList[Row](Seq(
+        // two boundary hits of "slow merge"
+        Row(1L, "a slow merge b slow merge c", "en", "synth", 27L),
+        // clean: words appear but never as the adjacent pair
+        Row(2L, "slow fast merge slow table merge", "en", "synth", 32L),
+        // one hit of a different listed phrase
+        Row(3L, "x big query y", "en", "synth", 13L)).asJava),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    val dir = tmpDir("graft_bl_docs")
+    df.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = graft.ops.Quality.queries("t23_blocklist_filter")(sess, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(1L -> ((2L, false)), 2L -> ((0L, true)), 3L -> ((1L, false))))
+  }
+
+  test("ccnet terciles partition each language; perplexity is monotone across tiers") {
+    val rows = graft.ops.Quality.queries("ccnet1_ppl_buckets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    val perLang = rows.groupBy(_._1)
+    val nDocs = graft.tables.Tables.table(spark, sf, "documents")
+      .groupBy(org.apache.spark.sql.functions.col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, tiers) <- perLang) {
+      assert(tiers.map(_._2).sorted.toSeq === Seq(1, 2, 3), s"$lang missing a tier")
+      assert(tiers.map(_._3).sum === nDocs(lang), s"$lang tiers must partition the docs")
+      val byBucket = tiers.sortBy(_._2)
+      // ascending-ppl ntile: an earlier bucket's max never exceeds a later
+      // bucket's min (equality only at ties split by the id tiebreak)
+      for (w <- byBucket.sliding(2); if w.length == 2) {
+        val (a, b) = (w(0), w(1))
+        assert(a._5 <= b._4 + 1e-9, s"$lang: bucket ${a._2} max ${a._5} > bucket ${b._2} min ${b._4}")
+      }
+    }
+    assert(perLang.nonEmpty)
+  }
+
   test("hand-computed perplexity on a two-token model") {
     // train doc 0: "a b a b" -> contexts: c1(a)=2, c1(b)=1;
     // bigrams: c2(a,b)=2, c2(b,a)=1; vocab V={a,b} -> 2
