@@ -231,6 +231,25 @@ object Bpe {
         .sortBy(_.getInt(0)).toSeq.map(r => (r.getString(1), r.getString(2)))
       encodeCorpus(s, docs, "text", merges)
     },
+    // Tokenizer FERTILITY per domain (tokens emitted per word) — the
+    // standard cross-domain tokenizer-quality metric (e.g. Rust et al.
+    // 2021): a domain whose fertility runs high is poorly served by the
+    // learned vocabulary and inflates its training cost per word.
+    // Composition: vocab3's train+encode verbatim, rolled up to the
+    // source grain; the division happens ONCE on exact long sums, so the
+    // double matches the oracle bit-for-bit.
+    "vocab5_fertility" -> { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val merges = train(s, docs, "text").collect()
+        .sortBy(_.getInt(0)).toSeq.map(r => (r.getString(1), r.getString(2)))
+      encodeCorpus(s, docs, "text", merges)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words"))
+    },
     // Byte-level (GPT-2-family) training end to end: regex pre-split,
     // UTF-8 hex-byte alphabet, same unrolled-CTE oracle discipline as
     // vocab2 — a single mis-counted pre-token or mis-merged byte pair
@@ -345,16 +364,31 @@ object Bpe {
        |${applyCtes.mkString(",\n")},
        |wt AS MATERIALIZED (
        |  SELECT word, CAST(len(string_split(s, ' ')) AS INT) AS wt FROM e$rounds
-       |)
-       |SELECT doc_id, count(*) AS n_words, CAST(sum(wt) AS BIGINT) AS n_tokens,
-       |  CAST(sum(wt) AS DOUBLE) / count(*) AS tokens_per_word
-       |FROM docwords JOIN wt USING (word)
-       |GROUP BY doc_id""".stripMargin
+       |),
+       |perdoc AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n_words, CAST(sum(wt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(wt) AS DOUBLE) / count(*) AS tokens_per_word
+       |  FROM docwords JOIN wt USING (word)
+       |  GROUP BY doc_id
+       |)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "vocab2_bpe_merges" -> bpeOracle(Rounds, MaxWords),
-    "vocab3_bpe_encode" -> bpeEncodeOracle(Rounds, MaxWords),
+    "vocab3_bpe_encode" ->
+      s"""${bpeEncodeOracle(Rounds, MaxWords)}
+         |SELECT doc_id, n_words, n_tokens, tokens_per_word FROM perdoc""".stripMargin,
+    // vocab5: the identical training + encode chain, rolled up to the
+    // source grain — exact long sums divided once, so the double is
+    // bit-identical on both engines.
+    "vocab5_fertility" ->
+      s"""${bpeEncodeOracle(Rounds, MaxWords)}
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(p.n_tokens) AS DOUBLE) / CAST(sum(p.n_words) AS BIGINT) AS fertility
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
     "vocab4_bpe_bytes" -> {
       val tail = (1 to Rounds).map(k =>
         s"SELECT $k AS round, l, r, l || r AS merged, c AS cnt FROM p$k")

@@ -73,6 +73,26 @@ class BpeSpec extends SparkSuite {
       .filter(w => w.length >= 2 && w.length <= 20)
       .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
 
+  test("fertility rolls up vocab3's per-doc accounting exactly, per source") {
+    import org.apache.spark.sql.functions.col
+    val perDoc = Bpe.queries("vocab3_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val srcOf = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = perDoc.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, xs) =>
+        val w = xs.map(_._2._1).sum; val t = xs.map(_._2._2).sum
+        (src, (xs.length.toLong, w, t, t.toDouble / w))
+      }
+    val got = Bpe.queries("vocab5_fertility")(spark, sf).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+    assert(got.values.forall { case (_, w, t, f) => t >= w && f >= 1.0 },
+      "BPE can never emit fewer tokens than words (every word is >= 1 piece)")
+  }
+
   test("matches the reference implementation on the classic corpus") {
     // Sennrich's running example shape: shared suffixes drive merges
     val text = "low low low low low lower lower newest newest newest " +
