@@ -11,12 +11,18 @@ cd "$(dirname "$0")/.."
 # count, data-sized work per job" adjudication is measured, not argued.
 # r16 adds the round's new operators (m7 perceptual-hash near-dup, t20
 # quality classifier, d17 streaming-substr replay) to the main sweep.
-QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e,split2_cluster_split,pack3_bin_packing,e5_transition_matrix,drift1_dist_shift,t19_gopher_rules,d12_incremental_dedup,j18_salted_join,g1_pagerank,g4_bfs_hops,rc1_recursive_cte,d14_substr_dedup,d15_substr_cut,d16_stream_dedup_replay,d17_stream_substr_replay,m7_image_neardup,t20_quality_classifier,m8_audio_neardup,m9_crossmodal_clusters,m10_video_neardup,d18_decontaminate_neardup,t21_pii_redact"
+# r16 continuation adds the session's new family: d19 line dedup (gram-
+# grain corpus shuffle), sft1 conversation assembly (user-keyed windows
+# over inflated disjoint users), pref1/ccnet1/t23 (group-keyed argmax /
+# tercile / map-side filter over inflated documents), g5 LPA and t22
+# TextRank (fixed-round iteration over k disconnected graph copies /
+# growing word graph), vocab5 (vocab3's curve at the source grain).
+QUERIES="d11_quality_keep,d6_neardup_clusters,d9_neardup_shuffle_kernel,d10_containment,d2_ngram_jaccard,d3_minhash_lsh,d8_semantic_dedup,vocab3_bpe_encode,pair2_hard_negatives,t6_tfidf,v5_knn_pq,p3_pipeline_e2e,split2_cluster_split,pack3_bin_packing,e5_transition_matrix,drift1_dist_shift,t19_gopher_rules,d12_incremental_dedup,j18_salted_join,g1_pagerank,g4_bfs_hops,rc1_recursive_cte,d14_substr_dedup,d15_substr_cut,d16_stream_dedup_replay,d17_stream_substr_replay,m7_image_neardup,t20_quality_classifier,m8_audio_neardup,m9_crossmodal_clusters,m10_video_neardup,d18_decontaminate_neardup,t21_pii_redact,d19_line_dedup,sft1_conversation_build,pref1_preference_pairs,g5_label_propagation,t22_textrank_keywords,ccnet1_ppl_buckets,t23_blocklist_filter,vocab5_fertility"
 
 # r16: the gram-operator tail — x16/x32 documents-only scales where the
 # corpus-token gram shuffle finally dominates the fixed session cost
 # (d14/d16 measured exp ~0 at x8; VERDICT r15 item 5).
-GRAM_QUERIES="d14_substr_dedup,d15_substr_cut,d16_stream_dedup_replay,d17_stream_substr_replay,d7_span_dedup,t20_quality_classifier"
+GRAM_QUERIES="d14_substr_dedup,d15_substr_cut,d16_stream_dedup_replay,d17_stream_substr_replay,d7_span_dedup,t20_quality_classifier,d19_line_dedup"
 
 python3 scripts/stage_scale.py
 

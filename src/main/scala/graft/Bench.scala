@@ -71,7 +71,12 @@ object Bench {
     "d14_substr_dedup",
     // round-16: the perceptual-hash image near-dup — ~1.3 PNG decodes per
     // document plus the banded pair join; the media-dedup representative
-    "m7_image_neardup")
+    "m7_image_neardup",
+    // round-16 continuation: the two new iterative-fixpoint members join
+    // the min-of-N tier with the rest of that family (g1/g2/g4/rc1) —
+    // synchronous LPA over the balance graph and TextRank's power
+    // iteration over the word co-occurrence graph
+    "g5_label_propagation", "t22_textrank_keywords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
