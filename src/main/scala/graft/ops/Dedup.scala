@@ -836,6 +836,23 @@ object Dedup {
           expr("array_join(transform(filter(ls, x -> x.rm = 0), x -> x.line), ' ')")
             .as("clean_text"))
     },
+    "d20_soft_dedup" -> { (s, d) =>
+      // SOFT dedup (SoftDeDup, He et al. 2024): instead of dropping
+      // near-duplicates, every document is DOWN-WEIGHTED by its near-dup
+      // multiplicity — sampling weight 10^6 DIV cluster size in ppm — so
+      // no data is lost but duplicated content stops dominating the
+      // training mixture (the d11 keep-policy's continuous sibling; the
+      // weights feed mix4's weighted systematic sampler unchanged).
+      // Composition: d6's component labels + one cluster-keyed count
+      // window sharing the cluster hash partitioning. Integer ppm —
+      // engine-exact.
+      val labels = neardupClusters(s, d, 0.8)
+      labels
+        .withColumn("n_dups", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+        .select(col("doc_id"), col("cluster"),
+          col("n_dups"), expr("1000000 DIV n_dups").as("w_ppm"))
+    },
     "d2_ngram_jaccard" -> { (s, d) => jaccardPairs(s, d, 0.8) },
     "d10_containment" -> { (s, d) => containmentPairs(s, d, 0.9) },
     "d3_minhash_lsh" -> { (s, d) => minhashLshPairs(s, d, 0.8) },
@@ -1238,6 +1255,23 @@ object Dedup {
       .mkString(", ")
   }
 
+  private lazy val D6Oracle: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${jaccardOracle(0.8).replace("\n", "\n  ")})),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a, b FROM edges
+       |    UNION
+       |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+       |  ) SELECT * FROM r)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster
+       |FROM documents d LEFT JOIN (
+       |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+       |ON d.doc_id = m.a""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1355,22 +1389,15 @@ object Dedup {
     "d3_minhash_lsh" -> jaccardOracle(0.8),
     // Connected components in SQL: symmetric-transitive closure of the
     // near-dup edge set via a recursive CTE, then cluster = min reachable id.
-    "d6_neardup_clusters" ->
-      s"""WITH pairs AS (
-         |  SELECT doc_a, doc_b FROM (${jaccardOracle(0.8).replace("\n", "\n  ")})),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  WITH RECURSIVE r(a, b) AS (
-         |    SELECT a, b FROM edges
-         |    UNION
-         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
-         |  ) SELECT * FROM r)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster
-         |FROM documents d LEFT JOIN (
-         |  SELECT a, min(b) AS mn FROM reach GROUP BY a) m
-         |ON d.doc_id = m.a""".stripMargin,
+    "d6_neardup_clusters" -> D6Oracle,
+    // d20: d6's labels as a subquery, one cluster-size rollup, integer ppm.
+    "d20_soft_dedup" ->
+      s"""WITH d6 AS (${D6Oracle.replace("\n", "\n  ")}),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dups
+         |       FROM d6 GROUP BY cluster)
+         |SELECT d6.doc_id, d6.cluster, sz.n_dups,
+         |  1000000 // sz.n_dups AS w_ppm
+         |FROM d6 JOIN sz USING (cluster)""".stripMargin,
     "d12_incremental_dedup" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS content_key FROM documents),
         |hist AS (SELECT DISTINCT content_key FROM docs WHERE doc_id % 2 = 0),

@@ -113,6 +113,24 @@ class DedupSimSpec extends SparkSuite {
     assert(ppm.forall { case (n, rm, p) => p === rm * 1000000L / n })
   }
 
+  test("d20 soft-dedup weights are exactly 1e6 DIV d6 cluster size") {
+    val clusters = graft.ops.Dedup.queries("d6_neardup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val size = clusters.groupBy(_._2).map { case (c, xs) => (c, xs.length.toLong) }
+    val got = graft.ops.Dedup.queries("d20_soft_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === clusters.map(_._1).toSet, "every doc keeps a weight")
+    for ((id, c) <- clusters) {
+      val (gc, n, w) = got(id)
+      assert(gc === c && n === size(c) && w === 1000000L / n, s"doc $id")
+    }
+    // singletons keep full weight; real clusters are down-weighted, and a
+    // cluster's total weight never exceeds one document's
+    assert(got.values.exists { case (_, n, w) => n == 1 && w == 1000000L })
+    assert(got.values.exists { case (_, n, w) => n > 1 && w < 1000000L })
+    for ((c, n) <- size) assert(n * (1000000L / n) <= 1000000L)
+  }
+
   test("cutSpans kernel: interior, boundary, adjacent and full-cover spans") {
     import Dedup.{cutSpans, SubstrSpan}
     val t = "a b c d e f"
