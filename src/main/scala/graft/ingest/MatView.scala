@@ -64,11 +64,26 @@ object MatView {
     * every time (the sketch cannot be maintained without knowing its
     * source column).
     */
+  /** `enrich` (round 16) turns the view into an AGGREGATE-JOIN index
+    * (the classic incrementally-maintained star-join view): a transform
+    * applied to every source-row frame the maintenance touches — the
+    * initial build, appended deltas, removed rows, and the risky-group
+    * recompute scans — before aggregation, so `keyCols` may name columns
+    * the transform adds (a dimension attribute) and the ± delta algebra
+    * stays sound: agg(enrich(F)) maintained by ±agg(enrich(ΔF)).
+    * Contract: `enrich` must be a deterministic per-row mapping that is
+    * STABLE across refreshes — in practice a lookup join against an
+    * IMMUTABLE dimension (broadcast it; a dimension that changes between
+    * refreshes silently corrupts the algebra — rebuild instead). A
+    * consistent row drop (inner-join miss) or consistent 1:N fan-out is
+    * sound for the same reason: adds and removes transform identically.
+    */
   def refresh(spark: SparkSession, mvBase: String, srcBase: String,
               keyCols: Seq[String], valCol: String,
               upTo: Option[Long] = None,
               withMinMax: Boolean = false,
-              distinctCol: String = null): Long = {
+              distinctCol: String = null,
+              enrich: DataFrame => DataFrame = identity): Long = {
     require(keyCols.nonEmpty, "materialized view needs at least one group column")
     // The view's aggregate columns are fixed names; a key column reusing
     // one would collide in the view schema (and false-positive the
@@ -167,9 +182,9 @@ object MatView {
         s"source versions ${bad.mkString(",")} rewrite files - " +
           "rebuild the view (delete its tree) instead of refreshing")
     }
-    val added =
+    val added = enrich(
       if (last == 0L) Snapshots.read(spark, srcBase, Some(srcV))
-      else Snapshots.changes(spark, srcBase, last, srcV)
+      else Snapshots.changes(spark, srcBase, last, srcV))
     // sum as DOUBLE from the start so the initial build and every
     // refreshed upsert agree on the view schema regardless of valCol's
     // input type. (Incremental double sums add in delta order, not scan
@@ -207,7 +222,7 @@ object MatView {
     else {
       val removed =
         if (last == 0L) None
-        else Some(Snapshots.removedRows(spark, srcBase, last, srcV))
+        else Some(enrich(Snapshots.removedRows(spark, srcBase, last, srcV)))
           .filterNot(_.isEmpty)
       // Net per-group delta: +appended/merged-in rows, −merge/DV-removed
       // rows. A group can net to zero (every row it had was upserted away)
@@ -301,7 +316,7 @@ object MatView {
             val BroadcastCap = 4000000L
             def sized(df: DataFrame) =
               if (nRisky <= BroadcastCap) broadcast(df) else df
-            val recomputed = Snapshots.read(spark, srcBase, Some(srcV))
+            val recomputed = enrich(Snapshots.read(spark, srcBase, Some(srcV)))
               .join(sized(riskyKeys), keyCols, "left_semi")
               .groupBy(keyCols.map(col): _*)
               .agg(min(col(valCol)).cast("double").as("r_mn"),
@@ -328,7 +343,7 @@ object MatView {
               val BroadcastCap = 4000000L
               def sized(df: DataFrame) =
                 if (nRisky <= BroadcastCap) broadcast(df) else df
-              val src = Snapshots.read(spark, srcBase, Some(srcV))
+              val src = enrich(Snapshots.read(spark, srcBase, Some(srcV)))
               val rec = src
                 .join(sized(risky), keyCols, "left_semi")
                 .groupBy(keyCols.map(col): _*)

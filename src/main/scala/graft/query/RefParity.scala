@@ -289,6 +289,20 @@ object RefParity {
         .select(col("l_orderkey"), col("n_rows"), col("sum_v"),
           expr("hll_sketch_estimate(ndv_sketch)").as("ndv"))
     },
+    // Aggregate-JOIN view (r16): the view groups by a DIMENSION attribute
+    // the fact table doesn't carry — refresh's `enrich` hook joins every
+    // maintained frame (initial build, appends, removed rows) to the
+    // broadcast immutable orders dim before aggregation, the classic
+    // incrementally-maintained star-join index. The staged lifecycle
+    // (build at v1 → append + DV delete → one refresh) drives the ±
+    // algebra THROUGH the join; the oracle recomputes the final state
+    // from lineitem ⋈ orders directly, so a delta mis-joined, dropped,
+    // or double-counted on either leg breaks the hash.
+    "mv8_join_view" -> { (s, d) =>
+      import graft.ingest.Snapshots
+      Snapshots.read(s, mv8Dir(s, d) + "/mv")
+        .select(col("o_orderpriority"), col("n_rows"), col("sum_v"))
+    },
     // 3-D box query against the z-ordered snapshot table: readWhere's
     // planning-time file pruning runs over the compacted Morton layout;
     // the oracle recomputes the box from raw events, so the layout
@@ -672,6 +686,7 @@ object RefParity {
     mvDir(s, sfDir)
     mv2Dir(s, sfDir)
     mv3Dir(s, sfDir)
+    mv8Dir(s, sfDir)
     zorderDir(s, sfDir)
     mergeSnapshotDir(s, sfDir)
     eqSnapshotDir(s, sfDir)
@@ -1223,6 +1238,33 @@ object RefParity {
     * the sketch's exact (coupon) regime, so `hll_sketch_estimate` equals
     * DuckDB's COUNT(DISTINCT) and the view gets a full hash oracle.
     */
+  /** Staged aggregate-join view for mv8: same append + DV-delete windows
+    * as mv3 on the lineitem fact, with every maintained frame enriched by
+    * a broadcast join to the (immutable) orders dimension so the view
+    * keys on `o_orderpriority` — an attribute only the join can supply.
+    */
+  private def mv8Dir(s: SparkSession, sfDir: String): String =
+    stagedTree(cacheBase("graft_mv8", sfDir, "lineitem")) { tmp =>
+      import graft.ingest.{MatView, Snapshots}
+      val li = Tables.table(s, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      val dim = Tables.table(s, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val enrich: DataFrame => DataFrame =
+        df => df.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+      val src = tmp + "/src"
+      val mv = tmp + "/mv"
+      val v1 = Snapshots.commit(s,
+        li.filter(col("l_shipdate") < "1997-01-01"), src, sortCols = Seq("l_orderkey"))
+      MatView.refresh(s, mv, src, Seq("o_orderpriority"), "l_quantity",
+        upTo = Some(v1), enrich = enrich)
+      Snapshots.commit(s, li.filter(col("l_shipdate") >= "1997-01-01"), src)
+      Snapshots.deleteWhereDV(s, src, col("l_quantity") < 5)
+      MatView.refresh(s, mv, src, Seq("o_orderpriority"), "l_quantity",
+        enrich = enrich)
+      ()
+    }
+
   private def mv3Dir(s: SparkSession, sfDir: String): String =
     stagedTree(cacheBase("graft_mv3", sfDir, "lineitem")) { tmp =>
       import graft.ingest.{MatView, Snapshots}
@@ -1429,6 +1471,16 @@ object RefParity {
         |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv
         |FROM lineitem WHERE NOT (l_quantity < 5)
         |GROUP BY l_orderkey""".stripMargin,
+    // mv8: final state recomputed from fact ⋈ dim — both committed halves
+    // minus the DV-deleted rows, grouped by the dimension attribute.
+    // Quantities are small integers, so the incrementally-summed double
+    // equals the from-scratch sum at any accumulation order.
+    "mv8_join_view" ->
+      """SELECT o.o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(l.l_quantity) AS DOUBLE) AS sum_v
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE NOT (l.l_quantity < 5)
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "zo1_zorder_box" ->
       s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
          |FROM events

@@ -33,6 +33,37 @@ class MatViewSpec extends SparkSuite {
       .map(_.getString(0)).toSet === Set("a", "b"))
   }
 
+  test("join view: enrich maintains a dimension-keyed aggregate through append + delete") {
+    val sess = spark
+    import sess.implicits._
+    val root = tmpDir("graft_mv_join")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    // immutable dimension: fact key -> region attribute the fact lacks
+    val dim = Seq((1L, "east"), (2L, "east"), (3L, "west")).toDF("dk", "region")
+    val enrich: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.join(broadcast(dim), col("k") === col("dk"))
+    def joined(mv: String): Map[String, (Long, Double)] =
+      Snapshots.read(spark, mv).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    Snapshots.commit(spark, Seq((1L, 1L), (2L, 2L), (3L, 10L)).toDF("k", "v"), src)
+    MatView.refresh(spark, mv, src, Seq("region"), "v", enrich = enrich)
+    assert(joined(mv) === Map("east" -> (2L, 3.0), "west" -> (1L, 10.0)))
+    // append touches east through BOTH dim keys; then a DV delete removes
+    // a west row — the subtractive leg must flow THROUGH the join
+    Snapshots.commit(spark, Seq((1L, 4L), (2L, 5L), (3L, 20L)).toDF("k", "v"), src)
+    Snapshots.deleteWhereDV(spark, src, col("v") === 10L)
+    MatView.refresh(spark, mv, src, Seq("region"), "v", enrich = enrich)
+    assert(joined(mv) === Map("east" -> (4L, 12.0), "west" -> (1L, 20.0)))
+    // equality with a from-scratch rebuild over the same source state
+    val rebuilt = s"$root/mv2"
+    MatView.refresh(spark, rebuilt, src, Seq("region"), "v", enrich = enrich)
+    assert(joined(rebuilt) === joined(mv))
+    // a group whose rows all vanish is tombstoned out, through the join
+    Snapshots.deleteWhereDV(spark, src, col("v") === 20L)
+    MatView.refresh(spark, mv, src, Seq("region"), "v", enrich = enrich)
+    assert(joined(mv) === Map("east" -> (4L, 12.0)))
+  }
+
   test("compacting the view does not break later refreshes (watermark walk-back)") {
     val sess = spark
     import sess.implicits._
