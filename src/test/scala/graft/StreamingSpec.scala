@@ -246,6 +246,61 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("streaming corpus pipeline e2e: gate -> exact dedup -> clean sink equals batch") {
+    // The p2_clean_corpus shape run LIVE over the real documents table:
+    // a map-side quality gate (word-count floor — applied BEFORE the
+    // stateful stage, so rejected docs never cost state), then
+    // exactVerdicts keep-first content dedup, then the kept-id sink.
+    // The batch equivalent — same gate, keep-first by (ts, id) per md5
+    // on the collected corpus — must match the streamed kept set
+    // exactly. Composition check: each stage is pinned elsewhere (t19
+    // gates, d16 dedup); this pins that they COMPOSE through a live
+    // stream with event-time ordering.
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.{BandVerdict, Doc}
+    val t0 = 1700000000L * 1000000
+    def gate(text: String): Boolean = text.split(" ", -1).length >= 60
+    val real = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), t0 + r.getLong(0) * 1000000L, r.getString(1)))
+    // plant one gate-passing duplicate pair: at this sf the corpus twins
+    // are short and the word-count floor removes them before the dedup
+    // stage, which would leave stage 2 unexercised
+    val maxId = real.map(_.doc_id).max
+    val longText = Seq.tabulate(80)(i => s"w$i").mkString(" ")
+    val docs = (real ++ Seq(
+      Doc(maxId + 1, t0 + (maxId + 1) * 1000000L, longText),
+      Doc(maxId + 2, t0 + (maxId + 2) * 1000000L, longText)))
+      .sortBy(_.ts_us)
+    val mem = MemoryStream[Doc]
+    val out = NearDupStream.exactVerdicts(spark,
+      mem.toDS().filter(d => gate(d.text)), delay = "10 minutes")
+      .writeStream.format("memory").queryName("p4_clean_out")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*)
+        out.processAllAvailable()
+      }
+    } finally out.stop()
+    val streamedKept = spark.table("p4_clean_out").as[BandVerdict].collect()
+      .filter(!_.dup).map(_.doc_id).toSet
+    // batch replay: gate, then keep-first by (ts, id) within content
+    val batchKept = docs.filter(d => gate(d.text))
+      .groupBy(d => java.util.Arrays.hashCode(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.text.getBytes("UTF-8"))) -> d.text)
+      .values.map(_.minBy(d => (d.ts_us, d.doc_id)).doc_id).toSet
+    assert(streamedKept === batchKept,
+      s"stream-only=${(streamedKept -- batchKept).take(5)} batch-only=${(batchKept -- streamedKept).take(5)}")
+    // the fixture genuinely exercises both stages
+    assert(batchKept.size < docs.count(d => gate(d.text)), "dedup must drop a twin")
+    assert(docs.exists(d => !gate(d.text)), "gate must reject at least one doc")
+  }
+
   test("streaming exact dedup: first claim, dup verdicts, ties, horizon re-claim") {
     // NearDupStream.exactVerdicts — content-grain streaming dedup with
     // labeled verdicts (dedupStream above is id-grain and silent). Pins:
