@@ -866,6 +866,14 @@ object Multimodal {
           (r.img_id, aHash64(decodeImage(f)))))
         .toDF("vid", "fh")
         .distinct() // set semantics: a repeated frame counts once
+        // Materialize the (vid, frame-hash) SET once: four consumers below
+        // (self-join both sides + the two size joins) would otherwise each
+        // re-demux and re-decode every frame of every container — the
+        // corpus-sized codec pass — while the set itself is two longs per
+        // distinct frame (r16: 2.23 s -> one decode pass; the plan carried
+        // four Scan+decode subtrees, exchange reuse did not fire across
+        // the pruned aggregate copies)
+        .localCheckpoint(true)
       val sizes = frames.groupBy(col("vid")).agg(count(lit(1)).as("n"))
       val shared = frames.as("a").join(frames.as("b"),
           col("a.fh") === col("b.fh") && col("a.vid") < col("b.vid"))
