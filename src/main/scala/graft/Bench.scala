@@ -369,6 +369,15 @@ object Bench {
           ",\n\"retested\": " + retestedJson +
           ",\n\"reps\": " + repsJson +
           ",\n\"deltas\": " + deltas + "\n}\n")
+    } else {
+      // Even with the full-registry file disabled, the retest detail must
+      // land SOMEWHERE durable — the compact stdout line no longer carries
+      // it (see below).
+      val retestedJson = retested.map { case (k, (t1, t2, l)) =>
+        s"""  "$k": {"oneshot": ${fmt(t1)}, "retest": ${fmt(t2)}, "load": ${fmt(l)}}"""
+      }.mkString("{\n", ",\n", "\n}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_RETESTED.json"), retestedJson + "\n")
     }
     // 1-minute system load average at the end of the timed pass: numbers
     // recorded on a contended box (load >> cpu count) are not comparable
@@ -380,13 +389,17 @@ object Bench {
     val flakyKv =
       if (flaky.isEmpty) ""
       else ","+"\"flaky\":" + flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // retest evidence in the summary line too (normally empty — an idle
-    // run flags nothing — so the compact-line budget is safe)
+    // Retested queries appear on the line as a NAME LIST only (normally
+    // empty). The {oneshot, retest, load} triples live in the file
+    // artifacts (BENCH_FULL.json / BENCH_RETESTED.json): the driver
+    // captures a bounded tail of stdout, and the r15 run's full retested
+    // map (10 entries ≈ 900 chars) pushed the line's head out of that
+    // window, costing the round its entire round-over-round comparison
+    // (PERF_r16 n_common: 0). A ~60-query headline map is ~1.7 KB on its
+    // own, so every other field must stay O(names), never O(triples).
     val retestedKv =
       if (retested.isEmpty) ""
-      else ",\"retested\":" + retested.map { case (k, (t1, t2, l)) =>
-        s""""$k":{"oneshot":${fmt(t1)},"retest":${fmt(t2)},"load":${fmt(l)}}"""
-      }.mkString("{", ",", "}")
+      else ",\"retested\":" + retested.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val headlineJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"regressed":$regressed$suppressedKv$retestedKv,"load":${fmt(load)},"repeat":$repeat$prestageKv$flakyKv,"sf":"$sfDir"}"""
     // Belt and braces against tail-capture loss: the summary also lands in
     // a FILE (a bounded log tail cannot eat a file), and the stdout line

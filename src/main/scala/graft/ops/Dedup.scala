@@ -452,36 +452,45 @@ object Dedup {
     // produce them) would cost m²/2 pairs in one task; they contribute
     // star candidates against the bucket's min doc instead (see
     // DefaultSkewCap). Hot buckets are few by construction (>cap docs per
-    // bucket), so their keys broadcast.
-    val hotBuckets = bucketed.groupBy(col("band"), col("sig"))
+    // bucket), so their keys broadcast — ONE broadcast build shared by the
+    // anti join and the star join (identical canonical subplan, so the
+    // exchange is reused; r16 built it twice through two projections).
+    val hotBuckets = broadcast(bucketed.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("anchor"))
-      .filter(col("bw") > bucketCap)
-    val narrow = bucketed.join(
-      broadcast(hotBuckets.select(col("band"), col("sig"))), Seq("band", "sig"), "left_anti")
-    val starCands = bucketed.join(broadcast(hotBuckets), Seq("band", "sig"))
+      .filter(col("bw") > bucketCap))
+    val narrow = bucketed.join(hotBuckets, Seq("band", "sig"), "left_anti")
+    val starCands = bucketed.join(hotBuckets, Seq("band", "sig"))
       .filter(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
     // Dedup candidate pairs BEFORE the exact verify so each pair is
-    // verified once, not once per colliding band.
+    // verified once, not once per colliding band. Materialized (a slim,
+    // threshold-bounded set) because BOTH the candidate-id projection and
+    // the verify join consume it — un-materialized, each consumer re-ran
+    // the banded self-join (r16 shape).
     val cands = narrow.as("a").join(narrow.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .union(starCands)
       .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint(true)
     // Verify shingles ONLY candidate docs: the candidate ids broadcast as a
     // semi-join filter into the documents scan, so the expensive shingling
     // kernel runs over |candidates| docs, not the whole corpus again — at
     // 100 TB the corpus is shingled exactly once (the signature pass).
+    // The candidate shingle arrays are materialized too: the verify join
+    // reads them for BOTH pair sides, and without the checkpoint each side
+    // re-ran the documents scan + shingle kernel (two extra corpus-sized
+    // reads at scale; the arrays themselves are candidate-count-sized).
     val candIds = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val docs = shinglesOf(s,
       Tables.table(s, d, "documents").join(broadcast(candIds), Seq("doc_id")))
-    val withA = docs.join(broadcast(cands), col("doc_id") === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("sh").as("sha"))
-    docs.join(broadcast(withA), col("doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sha"), col("sh").as("shb"))
+      .localCheckpoint(true)
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("common").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("common")), 4))
@@ -561,7 +570,15 @@ object Dedup {
     * making signatures well-spread (simhash mixes via xxhash64; m7's
     * synthesis gives each doc an independent block pattern).
     */
-  def hammingBandPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+  def hammingBandPairs(docs: DataFrame, maxDist: Int): DataFrame =
+    hammingBandPairs(docs, maxDist, materialize = true)
+
+  /** `materialize = false` skips the signature-frame checkpoint for callers
+    * that hand in an ALREADY-materialized frame (d4b checkpoints the shared
+    * signature pass itself before feeding both its banded and brute
+    * branches — r16 double-checkpointed it, a redundant key-sized copy).
+    */
+  def hammingBandPairs(docs: DataFrame, maxDist: Int, materialize: Boolean): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       s"maxDist must be in [0, 63], got $maxDist")
     // The signature frame is self-joined below, and Spark evaluates each
@@ -572,7 +589,7 @@ object Dedup {
     // deduplicates is corpus-CONTENT-sized: at 100 TB this halves the
     // decode pass (r16: m7 2.11 s -> 1.26 s, d4 1.65 -> 1.38 min-of-2;
     // plan went from two MapElements scans to one).
-    val sigs = docs.localCheckpoint(true)
+    val sigs = if (materialize) docs.localCheckpoint(true) else docs
     val nBands = maxDist + 1
     // band b covers bits [bounds(b), bounds(b+1)) — near-equal widths
     val bounds = (0 to nBands).map(b => b * 64 / nBands)
@@ -629,20 +646,98 @@ object Dedup {
       Tables.table(s, d, "documents").select(col("doc_id")))
   }
 
+  /** Edge-count bound under which [[labelComponents]] solves the component
+    * labeling in ONE executor task (union-find over the materialized pair
+    * set) instead of the distributed min-label fixpoint. 2^22 edges is
+    * ~64 MB of (long, long) rows — comfortably one task's working set —
+    * while the near-dup pair sets this clusters are threshold-verified
+    * DUPLICATE pairs: a sliver of any sanely deduped corpus (sf0.1: 25–100
+    * edges; even the x8 tier stays orders under the bound). The same
+    * adaptive-execution stance as a broadcast join: the DECISION reads the
+    * materialized edge count at runtime, the RESULT (min component id per
+    * node) is identical either way (DedupSpec pins the equality), and a
+    * corpus whose near-dup graph genuinely exceeds the bound — the 100 TB
+    * regime the iterative path exists for — takes the fixpoint loop
+    * unchanged.
+    */
+  val LocalCcMaxEdges: Long = 1L << 22
+
+  /** Single-task union-find over a (small, materialized) edge set: emits
+    * (doc_id, cluster = min id of its component) for every edge-incident
+    * id. Path-halving find + min-root union, so the representative of
+    * every component is its minimum id — exactly the fixpoint the
+    * distributed loop converges to. Runs in an executor task (not the
+    * driver): the edge frame is coalesced to one partition and the whole
+    * structure lives in that task's heap, bounded by [[LocalCcMaxEdges]].
+    */
+  private[graft] def localComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.get(x)
+          while (p != x) { // path halving
+            val gp = parent.get(p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.get(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          // min root wins, so every component's representative is its min id
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val ids = parent.keySet().toArray(new Array[java.lang.Long](parent.size()))
+        ids.iterator.map(id => (id.longValue(), find(id.longValue())))
+      }
+      .toDF("doc_id", "cluster")
+  }
+
   /** The component-labeling loop of [[neardupClusters]], factored so any
     * pair source (shingle LSH, embedding cosine, …) can be clustered: every
     * id in `all` gets the min id of its connected component in `pairs`
     * (singletons label themselves). Same scale contract as documented on
     * [[neardupClusters]].
+    *
+    * Execution is SIZE-ADAPTIVE (r17): the pair set is materialized once
+    * (it feeds both union legs of the edge build anyway), and when its
+    * cardinality is under [[LocalCcMaxEdges]] the labeling runs as one
+    * union-find task ([[localComponents]]) instead of the multi-round
+    * distributed fixpoint — at bench scale that replaces ~4 rounds × 3
+    * joins of per-job latency with one job, and at 100 TB the count gate
+    * routes the genuinely large graphs to the loop unchanged. Both paths
+    * emit the identical (doc_id, min component id) labeling.
     */
   def labelComponents(s: SparkSession, pairs: DataFrame, all: DataFrame): DataFrame = {
     val idCol = all.columns.head
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val labels =
+      if (p.count() <= LocalCcMaxEdges) localComponents(s, p)
+      else iterativeComponents(s, p)
+    all.join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+  }
+
+  /** The distributed min-label fixpoint over a MATERIALIZED pair frame:
+    * (doc_id, cluster) for every edge-incident id. Package-private so the
+    * spec can pin local ≡ iterative on the same edge sets.
+    */
+  private[graft] def iterativeComponents(s: SparkSession, p: DataFrame): DataFrame = {
     // The loop's shuffles inherit spark.sql.shuffle.partitions even though
     // the edge set is a sliver of the corpus — AQE's partition coalescing
     // (on by default) is what keeps the per-round tasks from being
     // mostly-empty; an explicit repartition here measured as pure overhead.
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = p
+      .union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
@@ -673,8 +768,7 @@ object Dedup {
       changed = jumped.filter(col("cluster") =!= col("old")).count()
       labels = jumped.select(col("doc_id"), col("cluster"))
     }
-    all.join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+    labels
   }
 
   // ---- queries ------------------------------------------------------------
@@ -885,7 +979,8 @@ object Dedup {
         .map { case (id, t) => (id, simhash64(t)) }
         .toDF("doc_id", "sh64")
         .localCheckpoint(true)
-      val banded = hammingBandPairs(docs, maxDist).select(col("doc_a"), col("doc_b"))
+      val banded = hammingBandPairs(docs, maxDist, materialize = false)
+        .select(col("doc_a"), col("doc_b"))
       val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))

@@ -827,8 +827,14 @@ object Multimodal {
         .map(r => (r.img_id, aHash64(decodeImage(r.payload))))
         .toDF("doc_id", "sh64")
         .join(docs, "doc_id") // base corpus only; variants are fixture-only
+      // The image edge set feeds THREE consumers (the union into the
+      // component labeling + both legs of its degree rollup); the banded
+      // self-join re-ran per consumer without materialization (r16 plan).
+      // The pair set is slim (two longs/edge) while the join it caps is
+      // signature-frame-sized.
       val imgEdges = Dedup.hammingBandPairs(sigs, 3)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
       val textEdges = Dedup.minhashLshPairs(s, d, 0.8)
         .select(col("doc_a"), col("doc_b"))
       val clusters = Dedup.labelComponents(

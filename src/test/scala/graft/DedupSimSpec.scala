@@ -591,6 +591,33 @@ class DedupSimSpec extends SparkSuite {
     assert(out(2L) === ((0L, true)) && out(3L) === ((0L, true)))
   }
 
+  test("labelComponents local union-find ≡ distributed fixpoint on an adversarial graph") {
+    // r17's size-adaptive component labeling: both execution strategies
+    // must emit the identical (id, min component id) labeling. The edge
+    // set mixes the shapes that stress each path differently — a long
+    // chain given in DESCENDING order (worst case for min propagation:
+    // the min label must traverse the whole chain), a star, a cycle,
+    // id-space gaps, and duplicate/self edges.
+    val sess = spark
+    import sess.implicits._
+    val chain = (100L to 140L).sliding(2).map(w => (w(1), w(0))).toSeq // descending
+    val star = (1L to 8L).map(i => (500L, 500L + i))
+    val cycle = Seq((900L, 901L), (901L, 902L), (902L, 900L))
+    val dup = Seq((100L, 101L), (77L, 77L))
+    val edges = (chain ++ star ++ cycle ++ dup)
+      .toDF("doc_a", "doc_b").localCheckpoint(true)
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelMap(graft.ops.Dedup.localComponents(sess, edges))
+    val iter = labelMap(graft.ops.Dedup.iterativeComponents(sess, edges))
+    assert(local === iter, "local union-find and distributed fixpoint diverge")
+    // independent ground truth for the three structures
+    (100L to 140L).foreach(i => assert(local(i) === 100L))
+    (500L to 508L).foreach(i => assert(local(i) === 500L))
+    (900L to 902L).foreach(i => assert(local(i) === 900L))
+    assert(local(77L) === 77L)
+  }
+
   test("HLL sketch count-distinct lands within the 5-sigma rsd envelope") {
     val rows = graft.ops.Stats.queries("a3_hll_sketch")(spark, sf).collect()
     rows.foreach { r =>
