@@ -221,6 +221,61 @@ object OptProbe {
     time("rc1_full") {
       SparkEntry.queries("rc1_recursive_cte")(spark, sfDir).count()
     }
+
+    // ---- d8b legs (r17) ----
+    time("d8b_exact_only") {
+      graft.ops.VecOps.cosinePairs(spark,
+        graft.tables.Tables.table(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", 0.45).count()
+    }
+    time("d8b_cell_only") {
+      graft.ops.VecOps.cellCosinePairs(spark,
+        graft.tables.Tables.table(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", 0.45).count()
+    }
+    time("d8b_full") {
+      SparkEntry.queries("d8b_semdedup_gate")(spark, sfDir).count()
+    }
+    time("d11_full") {
+      SparkEntry.queries("d11_quality_keep")(spark, sfDir).count()
+    }
+    time("d20_full") {
+      SparkEntry.queries("d20_soft_dedup")(spark, sfDir).count()
+    }
+    time("split2_full") {
+      SparkEntry.queries("split2_cluster_split")(spark, sfDir).count()
+    }
+
+    // ---- g1 steady-state iteration plan (r17 evidence: the cached edge
+    // list's hash partitioning is reused every iteration — only the
+    // node-sized rank side exchanges). Replicates pageRank's sink-free
+    // loop body for ONE iteration atop a checkpointed rank vector and
+    // dumps the formatted plan.
+    if (only.isEmpty || only.exists("g1_iterplan".startsWith)) {
+      import graft.ops.Graph
+      val e = Graph.tradeEdges(spark, sfDir).localCheckpoint(true)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val withDeg = e.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+        .repartition(8, col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = withDeg.select(col("src").as("id")).distinct().localCheckpoint(true)
+      val n = nodes.count()
+      val ranksCk = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      val next = withDeg
+        .join(ranksCk.select(col("id"), col("rank")), col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .repartition(8, col("dst"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
+        .select(col("dst").as("id"),
+          (lit((1 - Graph.Damping) / n) + lit(Graph.Damping) * col("in_rank")).as("rank"))
+      new java.io.File("plans/r17").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("plans/r17/g1_iteration_plan.txt"),
+        next.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      println("OPTPROBE g1_iterplan written plans/r17/g1_iteration_plan.txt")
+      withDeg.unpersist(false)
+    }
     spark.stop()
   }
 }

@@ -322,44 +322,66 @@ object Dedup {
       // adversarial corpora (it takes >cap docs sharing a shingle to mint
       // one), so they broadcast. Partial aggregation keeps the df pass at
       // distinct-shingles-per-partition cost, not posting-grain.
+      // Materialized once (tiny by construction): the set is read by a
+      // RUNTIME branch below — the skew machinery (anti join, per-doc hot
+      // counts, star candidates) only engages when a hot shingle actually
+      // exists — and, on the hot path, by three joins that previously each
+      // re-ran this aggregate through separate broadcast builds.
       val hot = idx.groupBy(col("sh"))
         .agg(count(lit(1)).as("df_"), min(col("doc_id")).as("anchor"))
         .filter(col("df_") > dfCap)
-      val cold = idx.join(broadcast(hot.select(col("sh"))), Seq("sh"), "left_anti")
+        .localCheckpoint(true)
+      val anyHot = !hot.isEmpty
+      // On a corpus with no hot shingle (any sanely pre-deduped corpus —
+      // the cap exists as skew INSURANCE), the anti join is the identity,
+      // hot counts are all zero (cap == common) and the star set is empty:
+      // the simple branch computes the identical candidate set with three
+      // posting-grain passes (df aggregate + self-join's two sides)
+      // instead of five, and skips two broadcast joins + the union +
+      // dropDuplicates. Same adaptive stance as AQE's skew handling —
+      // engage the mitigation only when the skew is measured to exist.
+      val cold = if (anyHot) idx.join(broadcast(hot), Seq("sh"), "left_anti") else idx
       val common = cold.as("a").join(cold.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("common"))
-      // Per-doc count of HOT shingles: bounds how much of a pair's true
-      // overlap the cold-only `common` count can miss. The filter below is
-      // therefore OPTIMISTIC — a pair survives to exact verification iff
-      // even its best case (all least(ha, hb) hot shingles shared) clears
-      // the threshold — so a near-threshold pair whose overlap partly runs
-      // through a hot shingle is verified exactly, never silently dropped
-      // on an under-count.
-      val hotCnt = idx.join(broadcast(hot.select(col("sh"))), Seq("sh"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("nhot"))
-      val coldCands = common
+      val withSizes = common
         .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
         .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
-        .join(broadcast(hotCnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nhot", "ha")), Seq("doc_a"), "left")
-        .join(broadcast(hotCnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nhot", "hb")), Seq("doc_b"), "left")
-        .withColumn("cap", col("common") + least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
-        .filter(score(col("cap"), col("na"), col("nb")) >= threshold)
-        .select(col("doc_a"), col("doc_b"))
-      // Star candidates through hot shingles preserve anchor connectivity
-      // for groups whose pairwise overlap is entirely hot (see
-      // DefaultSkewCap).
-      val starCands = idx.join(broadcast(hot), Seq("sh"))
-        .filter(col("doc_id") =!= col("anchor"))
-        .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+      val cands =
+        if (!anyHot)
+          withSizes.filter(score(col("common"), col("na"), col("nb")) >= threshold)
+            .select(col("doc_a"), col("doc_b"))
+        else {
+          // Per-doc count of HOT shingles: bounds how much of a pair's true
+          // overlap the cold-only `common` count can miss. The filter below
+          // is therefore OPTIMISTIC — a pair survives to exact verification
+          // iff even its best case (all least(ha, hb) hot shingles shared)
+          // clears the threshold — so a near-threshold pair whose overlap
+          // partly runs through a hot shingle is verified exactly, never
+          // silently dropped on an under-count.
+          val hotCnt = idx.join(broadcast(hot), Seq("sh"))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("nhot"))
+          val coldCands = withSizes
+            .join(broadcast(hotCnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nhot", "ha")), Seq("doc_a"), "left")
+            .join(broadcast(hotCnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nhot", "hb")), Seq("doc_b"), "left")
+            .withColumn("cap", col("common") + least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+            .filter(score(col("cap"), col("na"), col("nb")) >= threshold)
+            .select(col("doc_a"), col("doc_b"))
+          // Star candidates through hot shingles preserve anchor
+          // connectivity for groups whose pairwise overlap is entirely hot
+          // (see DefaultSkewCap).
+          val starCands = idx.join(broadcast(hot), Seq("sh"))
+            .filter(col("doc_id") =!= col("anchor"))
+            .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+          coldCands.union(starCands).dropDuplicates("doc_a", "doc_b")
+        }
       // ONE exact verification pass (array_intersect over the persisted
       // arrays — true jaccard) for every candidate from either branch, so
       // every emitted score is exact; the candidate set is small (threshold-
       // filtered colds + m-1 stars per hot group), so the per-pair array
       // work is a sliver of the index self-join above.
-      coldCands.union(starCands)
-        .dropDuplicates("doc_a", "doc_b")
+      cands
         .join(arrays.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
         .join(arrays.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
         .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
@@ -452,26 +474,35 @@ object Dedup {
     // produce them) would cost m²/2 pairs in one task; they contribute
     // star candidates against the bucket's min doc instead (see
     // DefaultSkewCap). Hot buckets are few by construction (>cap docs per
-    // bucket), so their keys broadcast — ONE broadcast build shared by the
-    // anti join and the star join (identical canonical subplan, so the
-    // exchange is reused; r16 built it twice through two projections).
-    val hotBuckets = broadcast(bucketed.groupBy(col("band"), col("sig"))
+    // bucket), so the set is materialized (tiny) and read by a RUNTIME
+    // branch — on a corpus with no hot bucket (the cap is skew insurance)
+    // the anti join is the identity and the star set empty, so the simple
+    // branch skips both plus the broadcast build (the AQE-skew-handling
+    // stance: engage the mitigation only when the skew is measured).
+    val hotBuckets = bucketed.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bw"), min(col("doc_id")).as("anchor"))
-      .filter(col("bw") > bucketCap))
-    val narrow = bucketed.join(hotBuckets, Seq("band", "sig"), "left_anti")
-    val starCands = bucketed.join(hotBuckets, Seq("band", "sig"))
-      .filter(col("doc_id") =!= col("anchor"))
-      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+      .filter(col("bw") > bucketCap)
+      .localCheckpoint(true)
+    val anyHot = !hotBuckets.isEmpty
+    val narrow =
+      if (anyHot) bucketed.join(broadcast(hotBuckets), Seq("band", "sig"), "left_anti")
+      else bucketed
     // Dedup candidate pairs BEFORE the exact verify so each pair is
-    // verified once, not once per colliding band. Materialized (a slim,
+    // verified once, not once per colliding band (a pair can collide in
+    // several bands even without hot buckets). Materialized (a slim,
     // threshold-bounded set) because BOTH the candidate-id projection and
     // the verify join consume it — un-materialized, each consumer re-ran
     // the banded self-join (r16 shape).
-    val cands = narrow.as("a").join(narrow.as("b"),
+    val bandPairs = narrow.as("a").join(narrow.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .union(starCands)
+    val cands = (if (anyHot) {
+        val starCands = bucketed.join(broadcast(hotBuckets), Seq("band", "sig"))
+          .filter(col("doc_id") =!= col("anchor"))
+          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+        bandPairs.union(starCands)
+      } else bandPairs)
       .dropDuplicates("doc_a", "doc_b")
       .localCheckpoint(true)
     // Verify shingles ONLY candidate docs: the candidate ids broadcast as a
